@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.merge.JournalMerge
+
+/** Relational query registry: each entry exercises a library operator
+  * end-to-end over the driver's parquet fixtures and has an equivalent
+  * DuckDB oracle in [[Queries.oracles]].
+  *
+  * Determinism rules (the driver hash-compares values against DuckDB):
+  *  - monetary/quantity aggregates are computed in DECIMAL, not double —
+  *    decimal addition is exact, so the result is independent of Spark's
+  *    partition/summation order and matches DuckDB bit-for-bit;
+  *  - raw double columns pass through untouched (bit-identical);
+  *  - every query ends in a total ORDER BY;
+  *  - window ranking always carries a unique tie-break key.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects; read it as raw nanos and floor to microseconds.
+    * (Integer division — nanos-since-epoch exceeds double's 2^53.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Exact decimal view of a 2-dp monetary double. Widths are chosen so
+    * products stay within DECIMAL(38) under BOTH Spark's and DuckDB's
+    * type-widening rules — DuckDB silently falls back to DOUBLE when a
+    * decimal product overflows, which would break exactness.
+    */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** revenue item: price * (1 - discount), all-decimal. */
+  private def revItem: Column =
+    dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(4, 2))
+  private def sumDec2(c: Column): Column = sum(c).cast(DecimalType(38, 2))
+  private def sumDec4(c: Column): Column = sum(c).cast(DecimalType(38, 4))
+  /** SQL spelling of the same revenue aggregate (Spark & DuckDB dialects agree). */
+  private val revSumSql =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))"
+
+  // ---------------------------------------------------------------------
+  // q01 — pricing summary (flagship): filter + hash aggregate, run through
+  // the framework's SQL-step executor with {report_date} substitution
+  // (exercises F7 temp views, F11 sql step, F14 params).
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  $revSumSql AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '{report_date} 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q01(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    val sql = graft.exec.Params.fill(q01Sql,
+      Seq(graft.config.Param.ReportDate("report_date")),
+      Map("REPORT_DATE" -> "1998-09-01"))
+    spark.sql(sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q02 — star join to the dimension chain with explicit broadcasts of the
+  // small dims (customer/nation/region are tiny next to lineitem at any
+  // scale factor: a 100 TB lineitem still joins a KB-scale region).
+  def q02(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .where(r("r_name") === "ASIA")
+      .groupBy(n("n_name").as("n_name"))
+      .agg(
+        sumDec4(revItem).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q03 — top-k: aggregate revenue per order, deterministic tie-break.
+  def q03(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sumDec4(revItem).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  // ---------------------------------------------------------------------
+  // q04 — ranking window: latest order per customer (the merge's
+  // row_number pattern over business data).
+  def q04(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  // ---------------------------------------------------------------------
+  // q05/q06 — the journal→master merge itself (F21/F22), on a journal
+  // synthesized deterministically from `events`: PK=user_id, version
+  // order = (ts DESC, ts DESC, event_id ASC).
+  private def journalFromEvents(spark: SparkSession, dir: String,
+                                from: Column, state: Column): DataFrame =
+    events(spark, dir).where(from)
+      .select(
+        col("user_id"), col("event_type"), col("value"),
+        col("ts").as(JournalMerge.TransformDt),
+        col("ts").as(JournalMerge.LoadDt),
+        col("event_id").as(JournalMerge.Seqno),
+        state.as(JournalMerge.RecordState))
+
+  private val cutoff = "2024-01-16 00:00:00"
+
+  def q05(spark: SparkSession, dir: String): DataFrame =
+    JournalMerge.full(journalFromEvents(spark, dir, lit(true), lit("A")), Seq("user_id"))
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+
+  def q06(spark: SparkSession, dir: String): DataFrame = {
+    val master = JournalMerge
+      .full(journalFromEvents(spark, dir, col("ts") < lit(cutoff).cast("timestamp"), lit("A")),
+        Seq("user_id"))
+      .select("user_id", "event_type", "value")
+    val journal = journalFromEvents(spark, dir, col("ts") >= lit(cutoff).cast("timestamp"), lit("A"))
+    JournalMerge.delta(master, journal, Seq("user_id"))
+      .orderBy("user_id")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_revenue_asia" -> (q02 _),
+    "q03_top_orders" -> (q03 _),
+    "q04_latest_order_per_customer" -> (q04 _),
+    "q05_merge_full" -> (q05 _),
+    "q06_merge_delta" -> (q06 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      q01Sql.replace("{report_date}", "1998-09-01"),
+    "q02_revenue_asia" ->
+      s"""SELECT n_name,
+        |  $revSumSql AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q03_top_orders" ->
+      s"""SELECT l_orderkey,
+        |  $revSumSql AS revenue
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "q04_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "q05_merge_full" ->
+      """SELECT user_id, event_type, value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+        |  FROM events) t
+        |WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
+    "q06_merge_delta" ->
+      s"""WITH master AS (
+         |  SELECT user_id, event_type, value
+         |  FROM (
+         |    SELECT user_id, event_type, value,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+         |    FROM events WHERE ts < TIMESTAMP '$cutoff') t
+         |  WHERE rnk = 1),
+         |active AS (
+         |  SELECT * FROM events WHERE ts >= TIMESTAMP '$cutoff'),
+         |kept AS (
+         |  SELECT m.* FROM master m
+         |  WHERE NOT EXISTS (SELECT 1 FROM active a WHERE a.user_id = m.user_id)),
+         |ins AS (
+         |  SELECT user_id, event_type, value
+         |  FROM (
+         |    SELECT user_id, event_type, value,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+         |    FROM active) t
+         |  WHERE rnk = 1)
+         |SELECT * FROM kept UNION ALL SELECT * FROM ins
+         |ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config._
+import graft.exec.{EtlContext, PipelineRunner}
+import graft.io.{FileWarehouse, Lake}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's EP2 transform lifecycle end-to-end
+    * (deps → param-filled SQL step → journal write → full merge;
+    * reference: airflow_etl.py:669-734) over sf0.001, against a
+    * file-backed warehouse. Returns the merged master table.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_entry").toString
+    val wh = new FileWarehouse(spark, s"$work/wh")
+    wh.registerPrimaryKey("dwh", "pricing_summary", Seq("l_returnflag", "l_linestatus"))
+    val ctx = EtlContext(
+      spark = spark,
+      lake = Lake("/root/testdata"),
+      warehouse = wh,
+      variables = Map("REPORT_DATE" -> "1998-09-01"),
+      taskId = "task_transform_dwh_pricing_summary_full")
+    val stepSql =
+      s"""SELECT t.*,
+         |  TIMESTAMP '2025-01-01 00:00:00' AS __transform_dt,
+         |  TIMESTAMP '2025-01-01 00:00:00' AS __load_dt,
+         |  CAST(0 AS BIGINT) AS __seqno,
+         |  'A' AS __record_state
+         |FROM (${Queries.q01Sql}) t""".stripMargin
+    val cfg = TableConfig(
+      dependencies = Seq(Dependency(
+        source = "datalake", format = "parquet", alias = "lineitem",
+        path = Some("sf0.001/lineitem.parquet"))),
+      transform = Map(ReadMode.Full -> Seq(Step.Select(
+        sql = SqlSource.Inline(stepSql),
+        parameters = Seq(Param.ReportDate("report_date"))))),
+      target = Some(Target("dwh", "pricing_summary")))
+    PipelineRunner.runTable(ctx, cfg, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
+    wh.read("dwh", "pricing_summary")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

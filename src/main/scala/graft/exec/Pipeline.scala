@@ -1,0 +1,203 @@
+package graft.exec
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config._
+import graft.io.{Connections, Lake, Warehouse}
+import graft.merge.JournalMerge
+
+/** Execution context for a pipeline run — collapses the reference's
+  * Airflow variables / connections / SparkSession plumbing
+  * (connector.py:6-17, :63-68) into one immutable value.
+  */
+final case class EtlContext(
+    spark: SparkSession,
+    lake: Lake,
+    warehouse: Warehouse,
+    variables: Map[String, String] = Map.empty,
+    /** Folder containing the pipeline's sql files (reference: task_folder). */
+    sqlRoot: Option[String] = None,
+    /** Step-cache base dir (reference default `s3a://dump/etl`,
+      * airflow_etl.py:226-228). */
+    dumpDir: String = "/tmp/graft/dump/etl",
+    /** Registered named function steps — the reference's `python` step
+      * (airflow_etl.py:627-641) made safe: unknown names fail at config
+      * parse, not mid-run. */
+    fns: Map[String, (SparkSession, EtlContext) => Option[DataFrame]] = Map.empty,
+    taskId: String = "task") {
+
+  def sqlText(src: SqlSource): String = src match {
+    case SqlSource.Inline(text) => text
+    case SqlSource.File(rel) =>
+      val base = sqlRoot.getOrElse(
+        throw new IllegalStateException(s"sqlRoot not set; cannot resolve sql file '$rel'"))
+      val p = Paths.get(base, rel)
+      if (!Files.isRegularFile(p))
+        throw new java.io.FileNotFoundException(s"SQL file not exists: $p")
+      Files.readString(p)
+  }
+}
+
+/** Step execution (reference: airflow_etl.py:234-297, :540-667). */
+object StepRunner {
+
+  /** F11 — run SQL text on the chosen engine, optionally materialize
+    * (ORC round-trip cuts lineage and forces once-only compute,
+    * airflow_etl.py:263-269) and register a temp view.
+    */
+  def executeSql(ctx: EtlContext, sql: String, engine: Engine = Engine.Local,
+                 cacheDir: Option[String] = None, alias: Option[String] = None): DataFrame = {
+    var df = engine match {
+      case Engine.Local     => ctx.spark.sql(sql)
+      case Engine.Warehouse => ctx.warehouse.query(sql)
+    }
+    cacheDir.foreach { dir =>
+      df.write.mode("overwrite").orc(dir)
+      df = ctx.spark.read.orc(dir)
+    }
+    alias.foreach(df.createOrReplaceTempView)
+    df
+  }
+
+  /** F15 — select step: param-fill + run + optional cache
+    * (airflow_etl.py:540-591; default cache dir :573-575).
+    */
+  def runSelect(ctx: EtlContext, s: Step.Select): DataFrame = {
+    val sql = Params.fill(ctx.sqlText(s.sql), s.parameters, ctx.variables)
+    val cacheDir = s.cache.map(c =>
+      c.cacheDir.getOrElse(s"${ctx.dumpDir}/${ctx.taskId}/${c.alias}"))
+    executeSql(ctx, sql, s.engine, cacheDir, s.cache.map(_.alias))
+  }
+
+  /** F16 — warehouse-side DDL/DML, returns nothing
+    * (airflow_etl.py:593-625).
+    */
+  def runSqlScript(ctx: EtlContext, s: Step.SqlScript): Unit =
+    ctx.warehouse.execute(Params.fill(ctx.sqlText(s.sql), s.parameters, ctx.variables))
+
+  /** F17 — registered function step. */
+  def runFn(ctx: EtlContext, s: Step.Fn): Option[DataFrame] =
+    ctx.fns.getOrElse(s.name,
+      throw new ConfigException(s"fn step '${s.name}' is not registered"))(ctx.spark, ctx)
+
+  /** F18 — run steps in order; the LAST select's DataFrame is the
+    * pipeline result (airflow_etl.py:643-667). A fn step returning data
+    * also counts as a result, mirroring the reference's python-step
+    * return handling.
+    */
+  def runSteps(ctx: EtlContext, steps: Seq[Step]): Option[DataFrame] =
+    steps.foldLeft(Option.empty[DataFrame]) { (acc, step) =>
+      step match {
+        case s: Step.Select    => Some(runSelect(ctx, s))
+        case s: Step.SqlScript => runSqlScript(ctx, s); acc
+        case s: Step.Fn        => runFn(ctx, s).orElse(acc)
+      }
+    }
+}
+
+/** Pipeline orchestration — the reference's task factories and
+  * `_transform_full` driver (airflow_etl.py:406-538, :669-774) without
+  * the Airflow layer.
+  */
+object PipelineRunner {
+
+  /** F5/F6/F7 — load dependencies and register each as a temp view
+    * (airflow_etl.py:299-375).
+    */
+  def loadDependencies(ctx: EtlContext, deps: Seq[Dependency]): Unit =
+    deps.map(_.validated).foreach { dep =>
+      val df = dep.source match {
+        case "datalake" => ctx.lake.read(ctx.spark, dep.format, ctx.lake.pathFor(dep))
+        case "warehouse" => ctx.warehouse.read(dep.schema.get, dep.tableName.get)
+        case other => throw new ConfigException(s"Invalid source type: '$other'")
+      }
+      df.createOrReplaceTempView(dep.alias)
+    }
+
+  /** F26/EP2 — one table's transform: migration → deps → steps →
+    * journal write → merge (airflow_etl.py:669-734). Like the
+    * reference, the merge runs even if no step produced data
+    * (:727 sits outside the steps guard).
+    */
+  def runTable(ctx: EtlContext, tc: TableConfig, readMode: ReadMode,
+               writeMode: WriteMode, mergeMode: MergeMode): Option[DataFrame] = {
+    // migration, only if the file exists (airflow_etl.py:693-700)
+    tc.migration.foreach {
+      case f @ SqlSource.File(rel) =>
+        val exists = ctx.sqlRoot.exists(base => Files.isRegularFile(Paths.get(base, rel)))
+        if (exists) ctx.warehouse.execute(ctx.sqlText(f))
+      case inline @ SqlSource.Inline(_) => ctx.warehouse.execute(ctx.sqlText(inline))
+    }
+    loadDependencies(ctx, tc.dependencies)
+    val result = StepRunner.runSteps(ctx, tc.transform.getOrElse(readMode, Nil))
+    tc.target.foreach { t =>
+      result.foreach { df =>
+        writeMode match {
+          case WriteMode.Overwrite => ctx.warehouse.truncateAppend(df, t.schema, t.journalTable)
+          case WriteMode.Append    => ctx.warehouse.append(df, t.schema, t.journalTable)
+        }
+      }
+      JournalMerge.run(ctx.warehouse, t.schema, t.table, mergeMode)
+    }
+    result
+  }
+
+  /** Whole config.yaml: iterate table configs (airflow_etl.py:687). */
+  def run(ctx: EtlContext, cfg: PipelineConfig, readMode: ReadMode = ReadMode.Full,
+          writeMode: WriteMode = WriteMode.Overwrite,
+          mergeMode: MergeMode = MergeMode.Full): Unit =
+    cfg.tables.foreach(tc => runTable(ctx, tc, readMode, writeMode, mergeMode))
+
+  /** Incremental-extract spec — the reference declares delta extract but
+    * raises NotImplementedError (airflow_etl.py:452-463); implemented
+    * natively here as a watermark predicate.
+    */
+  final case class DeltaSpec(column: String, lastValue: String)
+
+  /** F24/EP1 — extract a source DataFrame to the lake path
+    * (airflow_etl.py:406-450). `writeMode` defaults from `readMode`
+    * (full→overwrite, delta→append; airflow_etl.py:497-503).
+    */
+  def extractDf(ctx: EtlContext, df: DataFrame, systemName: String, systemTag: String,
+                schema: String, table: String, readMode: ReadMode = ReadMode.Full,
+                writeMode: Option[WriteMode] = None,
+                delta: Option[DeltaSpec] = None): String = {
+    val mode = writeMode.getOrElse(readMode match {
+      case ReadMode.Full => WriteMode.Overwrite
+      case _             => WriteMode.Append
+    })
+    val data = (readMode, delta) match {
+      case (ReadMode.Delta, Some(d)) =>
+        df.where(org.apache.spark.sql.functions.col(d.column) > d.lastValue)
+      case (ReadMode.Delta, None) =>
+        throw new ConfigException("delta extract requires a DeltaSpec watermark")
+      case _ => df
+    }
+    val path = ctx.lake.tablePath("datalake", systemName, systemTag, schema, table)
+    ctx.lake.write(data, path, mode.name)
+    path
+  }
+
+  /** F24 with a JDBC source: resolve the connection from variables
+    * (`<TAG>_<SYSTEM>_CONN`, connector.py:6-17) and run the extract
+    * query on the source DB (connector.py:27-46).
+    */
+  def extractDb(ctx: EtlContext, systemName: String, systemTag: String,
+                schema: String, table: String, query: String,
+                readMode: ReadMode = ReadMode.Full,
+                writeMode: Option[WriteMode] = None,
+                delta: Option[DeltaSpec] = None): String = {
+    val conn = Connections.get(ctx.variables, systemName, systemTag)
+    val reader = ctx.spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.username)
+      .option("password", conn.password)
+      .option("query", query)
+    val withOpts = Seq(
+      conn.driver.map(d => ("driver", d)),
+      conn.fetchSize.map(n => ("fetchsize", n.toString))
+    ).flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+    extractDf(ctx, withOpts.load(), systemName, systemTag, schema, table,
+      readMode, writeMode, delta)
+  }
+}

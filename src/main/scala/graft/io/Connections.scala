@@ -1,0 +1,49 @@
+package graft.io
+
+import org.yaml.snakeyaml.{LoaderOptions, Yaml => SnakeYaml}
+import org.yaml.snakeyaml.constructor.SafeConstructor
+import scala.jdk.CollectionConverters._
+
+/** JDBC connection info (reference: connector.py:6-17, README.md:69-84).
+  * The reference stores one YAML blob per connection in a variable named
+  * `<TAG>_<SYSTEM>_CONN`; the rebuild keeps that contract but reads from
+  * a plain `variables: Map[String,String]` (env/config-backed).
+  */
+final case class ConnInfo(
+    url: String,
+    username: String = "",
+    password: String = "",
+    driver: Option[String] = None,
+    batchSize: Option[Int] = None, // reference: connector.py:34, <TAG>_SPARK_BATCH_SIZE
+    fetchSize: Option[Int] = None) // reference: connector.py:35, <TAG>_SPARK_FETCH_SIZE
+
+object Connections {
+
+  /** Variable name convention from connector.py:12-13. */
+  def varName(systemName: String, systemTag: String): String =
+    s"${systemTag.toUpperCase}_${systemName.toUpperCase}_CONN"
+
+  def get(variables: Map[String, String], systemName: String, systemTag: String): ConnInfo = {
+    val key = varName(systemName, systemTag)
+    val yamlText = variables.getOrElse(key,
+      throw new IllegalArgumentException(s"connection variable '$key' is not set"))
+    parse(yamlText,
+      batch = variables.get(s"${systemTag.toUpperCase}_SPARK_BATCH_SIZE").map(_.toInt),
+      fetch = variables.get(s"${systemTag.toUpperCase}_SPARK_FETCH_SIZE").map(_.toInt))
+  }
+
+  /** Parse the YAML connection blob (reference: connector.py:15-17). */
+  def parse(yamlText: String, batch: Option[Int] = None, fetch: Option[Int] = None): ConnInfo = {
+    val m = new SnakeYaml(new SafeConstructor(new LoaderOptions))
+      .load[java.util.Map[String, Any]](yamlText)
+      .asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
+    ConnInfo(
+      url = m.getOrElse("url",
+        throw new IllegalArgumentException("connection yaml missing 'url'")),
+      username = m.getOrElse("username", ""),
+      password = m.getOrElse("password", ""),
+      driver = m.get("driver"),
+      batchSize = batch,
+      fetchSize = fetch)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.Dependency
+
+/** Datalake I/O.
+  *
+  * Path convention from the reference (airflow_etl.py:433-439,
+  * :343-350; README.md:14-16):
+  * `<root>/<source>/<system_name>/<system_tag>/<schema>/<table>`,
+  * all components lowercased. `root` is `s3a://` in production and a
+  * local directory in tests — Spark's Hadoop FS layer makes the code
+  * identical.
+  *
+  * Format note: the reference's lake format is Hudi with
+  * `bulk_insert` + mode overwrite/append (airflow_etl.py:442-450);
+  * plain parquet writes reproduce exactly those semantics (upsert-by-key
+  * lives in the journal merge, not in the lake write), so `hudi` maps to
+  * parquet here. CSV dependencies are read header-only with NO schema
+  * inference — all columns arrive as strings — matching
+  * airflow_etl.py:351-353.
+  */
+final case class Lake(root: String) {
+
+  def tablePath(source: String, systemName: String, systemTag: String,
+                schema: String, table: String): String =
+    Seq(root.stripSuffix("/"), source.toLowerCase, systemName.toLowerCase,
+      systemTag.toLowerCase, schema.toLowerCase, table.toLowerCase).mkString("/")
+
+  def pathFor(dep: Dependency): String = dep.path match {
+    case Some(p) => s"${root.stripSuffix("/")}/$p" // explicit path wins (airflow_etl.py:345-347)
+    case None => tablePath(dep.source,
+      dep.sourceSystemName.get, dep.sourceSystemTag.get, dep.schema.get, dep.tableName.get)
+  }
+
+  /** Read a lake dependency in its declared format. */
+  def read(spark: SparkSession, format: String, path: String): DataFrame = format match {
+    case "hudi" | "parquet" => spark.read.parquet(path)
+    case "orc"              => spark.read.orc(path)
+    case "csv"              => spark.read.option("header", "true").csv(path) // all strings, by design
+    case other => throw new IllegalArgumentException(s"Invalid lake format: '$other'")
+  }
+
+  /** Extract-target write (airflow_etl.py:442-450): bulk append/overwrite. */
+  def write(df: DataFrame, path: String, mode: String, format: String = "parquet"): Unit =
+    df.write.format(format).mode(mode).save(path)
+}

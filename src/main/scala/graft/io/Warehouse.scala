@@ -1,0 +1,235 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The warehouse abstraction (the reference's Greenplum role).
+  *
+  * Two implementations:
+  *  - [[FileWarehouse]]: parquet directories + the Spark catalog stand in
+  *    for warehouse tables (test/lake-house deployments). Primary keys —
+  *    which parquet lacks — live in a sidecar metadata dir, playing the
+  *    role of `information_schema` introspection
+  *    (reference: airflow_etl.py:110-129).
+  *  - [[JdbcWarehouse]]: a real JDBC warehouse, reproducing the
+  *    reference's psycopg2+JDBC split (execute via driver connection,
+  *    bulk data via Spark JDBC; airflow_etl.py:14-38, connector.py:51-61).
+  */
+trait Warehouse {
+  def spark: SparkSession
+  def exists(schema: String, table: String): Boolean
+  def read(schema: String, table: String): DataFrame
+  /** Plain append (write_mode=append; connector.py:51-61). */
+  def append(df: DataFrame, schema: String, table: String): Unit
+  /** DDL-preserving overwrite: truncate then append
+    * (write_mode=overwrite; airflow_etl.py:70-102, truncate :95-99).
+    * Like the reference, the two phases are not one transaction.
+    */
+  def truncateAppend(df: DataFrame, schema: String, table: String): Unit
+  /** Full atomic replace of a table's content (merge target write). */
+  def replace(df: DataFrame, schema: String, table: String): Unit
+  /** Whole-query pushdown returning rows (engine=warehouse select steps;
+    * reference: airflow_etl.py:252-260, connector.py:38-39).
+    */
+  def query(sql: String): DataFrame
+  /** Side-effect DDL/DML (migration + 'sql script' steps;
+    * reference: airflow_etl.py:14-38, :593-625).
+    */
+  def execute(sql: String): Unit
+  /** Column list in DDL order (reference: airflow_etl.py:110-129). */
+  def columns(schema: String, table: String): Seq[String]
+  /** Primary-key columns (reference: information_schema PK lookup). */
+  def primaryKeys(schema: String, table: String): Seq[String]
+}
+
+/** Parquet-directory warehouse: `<root>/<schema>/<table>/` per table.
+  * Writes are atomic (write temp dir, then swap) so a failed job never
+  * leaves a half-written table, and so a table can be read and replaced
+  * inside one Spark plan (the temp write materializes the plan first).
+  */
+final class FileWarehouse(val spark: SparkSession, val root: String) extends Warehouse {
+
+  private def dir(schema: String, table: String) =
+    s"${root.stripSuffix("/")}/${schema.toLowerCase}/${table.toLowerCase}"
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def exists(schema: String, table: String): Boolean = {
+    val p = new Path(dir(schema, table)); fs(p).exists(p)
+  }
+
+  override def read(schema: String, table: String): DataFrame =
+    spark.read.parquet(dir(schema, table))
+
+  override def append(df: DataFrame, schema: String, table: String): Unit = {
+    df.write.mode("append").parquet(dir(schema, table))
+    refresh(schema, table)
+  }
+
+  override def truncateAppend(df: DataFrame, schema: String, table: String): Unit = {
+    // preserve the "DDL": the existing column set must match by name
+    if (exists(schema, table)) {
+      val existing = read(schema, table).columns
+      val incoming = df.columns.toSet
+      require(existing.toSet == incoming,
+        s"truncateAppend schema mismatch for $schema.$table: " +
+          s"table has ${existing.mkString(",")}; data has ${df.columns.mkString(",")}")
+      replace(df.select(existing.map(df.col): _*), schema, table)
+    } else replace(df, schema, table)
+  }
+
+  override def replace(df: DataFrame, schema: String, table: String): Unit = {
+    val target = new Path(dir(schema, table))
+    val tmp = new Path(dir(schema, table) + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
+    val f = fs(target)
+    df.write.mode("overwrite").parquet(tmp.toString) // materializes the full plan
+    if (f.exists(target) && !f.delete(target, true))
+      throw new java.io.IOException(s"could not delete $target")
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"could not rename $tmp -> $target")
+    refresh(schema, table)
+  }
+
+  override def query(sql: String): DataFrame = { syncCatalog(); spark.sql(sql) }
+  override def execute(sql: String): Unit = { syncCatalog(); spark.sql(sql).collect(); () }
+
+  override def columns(schema: String, table: String): Seq[String] =
+    read(schema, table).columns.toSeq
+
+  // ---- PK sidecar registry (information_schema stand-in) --------------
+  private def pkPath(schema: String, table: String) =
+    new Path(s"${root.stripSuffix("/")}/_meta/${schema.toLowerCase}.${table.toLowerCase}.pk")
+
+  def registerPrimaryKey(schema: String, table: String, pks: Seq[String]): Unit = {
+    val p = pkPath(schema, table)
+    val f = fs(p)
+    val out = f.create(p, true)
+    try out.write(pks.mkString(",").getBytes("UTF-8")) finally out.close()
+  }
+
+  override def primaryKeys(schema: String, table: String): Seq[String] = {
+    val p = pkPath(schema, table)
+    val f = fs(p)
+    if (!f.exists(p)) Seq.empty
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, "UTF-8").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      } finally in.close()
+    }
+  }
+
+  /** Register every `<schema>/<table>` parquet dir as an external table in
+    * the session catalog so warehouse-engine SQL can use `schema.table`
+    * identifiers, mirroring DB-side execution.
+    */
+  def syncCatalog(): Unit = {
+    val rootPath = new Path(root)
+    val f = fs(rootPath)
+    if (!f.exists(rootPath)) return
+    f.listStatus(rootPath).filter(s => s.isDirectory && s.getPath.getName != "_meta")
+      .foreach { schemaDir =>
+        val schema = schemaDir.getPath.getName
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$schema`")
+        f.listStatus(schemaDir.getPath).filter(_.isDirectory).foreach { tableDir =>
+          val table = tableDir.getPath.getName
+          if (!tableDir.getPath.getName.contains("__tmp_") &&
+              !spark.catalog.tableExists(s"`$schema`.`$table`")) {
+            spark.sql(s"CREATE TABLE `$schema`.`$table` USING PARQUET " +
+              s"LOCATION '${tableDir.getPath.toString}'")
+          }
+        }
+      }
+  }
+
+  private def refresh(schema: String, table: String): Unit = {
+    val qualified = s"`${schema.toLowerCase}`.`${table.toLowerCase}`"
+    if (spark.catalog.tableExists(qualified)) spark.catalog.refreshTable(qualified)
+  }
+}
+
+/** JDBC-backed warehouse (production shape; mirrors the reference's
+  * Greenplum handling). Bulk reads/writes go through Spark's JDBC source
+  * with the reference's batch/fetch tuning knobs (connector.py:34-35,
+  * :56-57); DDL/introspection go through a plain driver connection like
+  * the reference's psycopg2 path (airflow_etl.py:14-38).
+  */
+final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Warehouse {
+
+  private def reader = {
+    val r = spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.username)
+      .option("password", conn.password)
+    conn.driver.fold(r)(d => r.option("driver", d))
+  }
+  private def withFetch(r: org.apache.spark.sql.DataFrameReader) =
+    conn.fetchSize.fold(r)(n => r.option("fetchsize", n.toString))
+
+  override def read(schema: String, table: String): DataFrame =
+    withFetch(reader).option("dbtable", s"$schema.$table").load()
+
+  override def query(sql: String): DataFrame =
+    withFetch(reader).option("query", sql).load()
+
+  override def append(df: DataFrame, schema: String, table: String): Unit = {
+    val w = df.write.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.username)
+      .option("password", conn.password)
+      .option("dbtable", s"$schema.$table")
+      .mode("append")
+    conn.batchSize.fold(w)(n => w.option("batchsize", n.toString)).save()
+  }
+
+  override def truncateAppend(df: DataFrame, schema: String, table: String): Unit = {
+    execute(s"""truncate table $schema."$table"""") // airflow_etl.py:95-99
+    append(df, schema, table)
+  }
+
+  override def replace(df: DataFrame, schema: String, table: String): Unit =
+    truncateAppend(df, schema, table)
+
+  override def execute(sql: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)
+    try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+    finally c.close()
+  }
+
+  override def exists(schema: String, table: String): Boolean =
+    query(
+      s"""select 1 as x from information_schema.tables
+         | where table_schema = '$schema' and table_name = '$table'""".stripMargin)
+      .limit(1).count() > 0
+
+  /** Reference introspection query, airflow_etl.py:110-129. */
+  private def tableCols(schema: String, table: String): DataFrame =
+    query(
+      s"""select t1.column_name,
+         |    case when t3.column_name is not null then 'Y' else 'N' end as is_primary,
+         |    t1.ordinal_position
+         |from information_schema.columns t1
+         |left join information_schema.table_constraints t2
+         |    on t2.table_schema = t1.table_schema
+         |        and t2.table_name = t1.table_name
+         |        and t2.constraint_type = 'PRIMARY KEY'
+         |left join information_schema.key_column_usage t3
+         |    on t3.constraint_name = t2.constraint_name
+         |        and t3.table_schema = t2.table_schema
+         |        and t3.table_name = t2.table_name
+         |        and t3.column_name = t1.column_name
+         |where t1.table_schema = '$schema'
+         |    and t1.table_name = '$table'""".stripMargin)
+
+  override def columns(schema: String, table: String): Seq[String] =
+    tableCols(schema, table).orderBy("ordinal_position")
+      .collect().map(_.getString(0)).toSeq
+
+  override def primaryKeys(schema: String, table: String): Seq[String] =
+    tableCols(schema, table).where("is_primary = 'Y'").orderBy("ordinal_position")
+      .collect().map(_.getString(0)).toSeq
+}

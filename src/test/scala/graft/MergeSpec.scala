@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+import graft.config.MergeMode
+import graft.io.FileWarehouse
+import graft.merge.JournalMerge
+
+/** Journal-merge semantics (reference: airflow_etl.py:131-223):
+  * tie-break ordering, Postgres null placement, delta delete-then-insert,
+  * state flip, and idempotence/permutation properties.
+  */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType),
+    StructField("v", StringType),
+    StructField("__transform_dt", TimestampType),
+    StructField("__load_dt", TimestampType),
+    StructField("__seqno", LongType),
+    StructField("__record_state", StringType)))
+
+  private def ts(s: String): java.sql.Timestamp =
+    if (s == null) null else java.sql.Timestamp.valueOf(s)
+
+  private def journal(rows: (Int, String, String, String, java.lang.Long, String)*): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (id, v, t, l, s, st) =>
+        Row(Int.box(id), v, ts(t), ts(l), s, st)
+      }: _*), schema)
+
+  private def winners(df: DataFrame): Map[Int, String] =
+    df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+
+  test("full merge picks latest __transform_dt") {
+    val j = journal(
+      (1, "old", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "H"),
+      (1, "new", "2024-01-02 00:00:00", "2024-01-01 00:00:00", 2L, "A"),
+      (2, "only", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 3L, "A"))
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "new", 2 -> "only"))
+  }
+
+  test("tie on __transform_dt falls to __load_dt DESC") {
+    val j = journal(
+      (1, "a", "2024-01-01 00:00:00", "2024-01-01 05:00:00", 1L, "A"),
+      (1, "b", "2024-01-01 00:00:00", "2024-01-01 09:00:00", 2L, "A"))
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "b"))
+  }
+
+  test("tie on both timestamps falls to __seqno ASC") {
+    val j = journal(
+      (1, "late", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 7L, "A"),
+      (1, "early", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 3L, "A"))
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "early"))
+  }
+
+  test("NULL __transform_dt sorts FIRST on DESC (Postgres row_number parity)") {
+    // In Postgres, DESC puts NULLs first, so a NULL transform_dt WINS.
+    val j = journal(
+      (1, "dated", "2024-01-02 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "nulled", null, "2024-01-01 00:00:00", 2L, "A"))
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "nulled"))
+  }
+
+  test("NULL __seqno sorts LAST on ASC (Postgres parity)") {
+    val j = journal(
+      (1, "withseq", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 5L, "A"),
+      (1, "nullseq", "2024-01-01 00:00:00", "2024-01-01 00:00:00", null, "A"))
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "withseq"))
+  }
+
+  test("full merge includes historical ('H') rows; delta only active ('A')") {
+    val j = journal(
+      (1, "hist-latest", "2024-01-05 00:00:00", "2024-01-01 00:00:00", 1L, "H"),
+      (1, "act-older", "2024-01-02 00:00:00", "2024-01-01 00:00:00", 2L, "A"))
+    // full: scans whole journal regardless of state -> hist wins
+    assert(winners(JournalMerge.full(j, Seq("id"))) == Map(1 -> "hist-latest"))
+    // delta: only active rows are considered for insert
+    val master = journal()
+    assert(winners(JournalMerge.delta(master, j, Seq("id"))) == Map(1 -> "act-older"))
+  }
+
+  test("delta merge deletes changed keys, keeps unchanged master rows") {
+    val master = journal(
+      (1, "m1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (2, "m2", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2L, "A"))
+    val j = journal(
+      (2, "m2-new", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 3L, "A"),
+      (3, "m3", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 4L, "A"),
+      (4, "stale", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 5L, "H"))
+    val out = winners(JournalMerge.delta(master, j, Seq("id")))
+    assert(out == Map(1 -> "m1", 2 -> "m2-new", 3 -> "m3")) // 4 is H: ignored
+  }
+
+  test("flip turns A into H and leaves H alone") {
+    val j = journal(
+      (1, "x", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (2, "y", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2L, "H"))
+    val states = JournalMerge.flip(j).collect().map(_.getString(5)).toSeq.sorted
+    assert(states == Seq("H", "H"))
+  }
+
+  test("warehouse run: full merge + flip makes re-run of delta a no-op (idempotence)") {
+    val root = SparkTestBase.tmpDir("graft_merge_wh")
+    val wh = new FileWarehouse(spark, root)
+    wh.registerPrimaryKey("dwh", "t", Seq("id"))
+    wh.append(journal(
+      (1, "v1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "v2", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2L, "A")),
+      "dwh", "t__journal")
+    JournalMerge.run(wh, "dwh", "t", MergeMode.Delta)
+    assert(winners(wh.read("dwh", "t")) == Map(1 -> "v2"))
+    // journal now all H
+    assert(wh.read("dwh", "t__journal").where("__record_state = 'A'").count() == 0)
+    // append a losing older record, delta-merge: key 1 is re-merged from
+    // active rows only -> older active version replaces (delete+insert)
+    wh.append(journal((1, "v0", "2023-12-01 00:00:00", "2023-12-01 00:00:00", 0L, "A")),
+      "dwh", "t__journal")
+    JournalMerge.run(wh, "dwh", "t", MergeMode.Delta)
+    assert(winners(wh.read("dwh", "t")) == Map(1 -> "v0"))
+    // re-running delta with no active rows changes nothing (flip happened)
+    JournalMerge.run(wh, "dwh", "t", MergeMode.Delta)
+    assert(winners(wh.read("dwh", "t")) == Map(1 -> "v0"))
+  }
+
+  test("property: full merge is invariant under journal row permutation") {
+    val rows = (1 to 40).map { i =>
+      (i % 7, s"v$i", f"2024-01-${i % 28 + 1}%02d 00:00:00",
+        f"2024-01-${(i * 3) % 28 + 1}%02d 00:00:00", java.lang.Long.valueOf(i.toLong), "A")
+    }
+    val expected = winners(JournalMerge.full(journal(rows: _*), Seq("id")))
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val shuffled = rnd.shuffle(rows)
+      assert(winners(JournalMerge.full(journal(shuffled: _*), Seq("id"))) == expected)
+    }
+  }
+
+  test("property: full merge over whole journal == sequential delta merges") {
+    // batches of versions; applying delta per batch must equal one full merge
+    val batches = Seq(
+      Seq((1, "a1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+          (2, "b1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2L, "A")),
+      Seq((1, "a2", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3L, "A"),
+          (3, "c1", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 4L, "A")),
+      Seq((2, "b2", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 5L, "A")))
+    val root = SparkTestBase.tmpDir("graft_merge_seq")
+    val wh = new FileWarehouse(spark, root)
+    wh.registerPrimaryKey("dwh", "s", Seq("id"))
+    batches.foreach { b =>
+      wh.append(journal(b.map(t => (t._1, t._2, t._3, t._4, java.lang.Long.valueOf(t._5), t._6)): _*),
+        "dwh", "s__journal")
+      JournalMerge.run(wh, "dwh", "s", MergeMode.Delta)
+    }
+    val viaDelta = winners(wh.read("dwh", "s"))
+    val allRows = batches.flatten.map(t => (t._1, t._2, t._3, t._4, java.lang.Long.valueOf(t._5), t._6))
+    val viaFull = winners(JournalMerge.full(journal(allRows: _*), Seq("id")))
+    assert(viaDelta == viaFull)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.config._
+import graft.exec.{EtlContext, PipelineRunner, StepRunner}
+import graft.io.{FileWarehouse, Lake}
+
+/** EP2 end-to-end over files on disk: config.yaml + sql files →
+  * dependency views → param-filled steps (with cache) → journal write →
+  * merge. Mirrors the reference transform lifecycle
+  * (airflow_etl.py:669-734).
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def write(dir: String, name: String, text: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), text)
+  }
+
+  private def mkCtx(): (EtlContext, FileWarehouse, String) = {
+    val work = SparkTestBase.tmpDir("graft_pipe")
+    val wh = new FileWarehouse(spark, s"$work/wh")
+    val ctx = EtlContext(
+      spark = spark,
+      lake = Lake("/root/testdata"),
+      warehouse = wh,
+      variables = Map("REPORT_DATE" -> "1998-09-01"),
+      sqlRoot = Some(s"$work/sql"),
+      dumpDir = s"$work/dump",
+      fns = Map("tag_fn" -> ((s, _) => {
+        Some(s.table("step1_view").withColumn("tagged", lit(true)))
+      })))
+    (ctx, wh, work)
+  }
+
+  test("full pipeline: deps -> param sql step w/ cache -> journal -> full merge") {
+    val (ctx, wh, work) = mkCtx()
+    wh.registerPrimaryKey("dwh", "flag_summary", Seq("l_returnflag", "l_linestatus"))
+    write(s"$work/sql", "step1.sql",
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS cnt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __transform_dt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __load_dt,
+        |  CAST(0 AS BIGINT) AS __seqno,
+        |  'A' AS __record_state
+        |FROM li
+        |WHERE l_shipdate <= TIMESTAMP '{report_date} 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    val cfg = TableConfig(
+      dependencies = Seq(Dependency("datalake", "parquet", "li",
+        path = Some("sf0.001/lineitem.parquet"))),
+      transform = Map(ReadMode.Full -> Seq(
+        Step.Select(SqlSource.File("step1.sql"),
+          parameters = Seq(Param.ReportDate("report_date")),
+          cache = Some(CacheSpec("step1_view"))),
+        Step.Fn("tag_fn"))),
+      target = Some(Target("dwh", "flag_summary")))
+    PipelineRunner.runTable(ctx, cfg, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
+    val master = wh.read("dwh", "flag_summary")
+    assert(master.count() > 0)
+    // fn step output (last data-producing step) is what lands in the journal
+    assert(master.columns.contains("tagged"))
+    // step cache materialized under the default dump dir layout
+    assert(Files.exists(Paths.get(s"$work/dump/task/step1_view")))
+    // journal flipped to H after merge
+    assert(wh.read("dwh", "flag_summary__journal").where("__record_state = 'A'").count() == 0)
+    // re-merge (merge runs even with no new data - reference quirk) is stable
+    val before = master.count()
+    PipelineRunner.runTable(ctx, cfg.copy(transform = Map.empty),
+      ReadMode.Full, WriteMode.Append, MergeMode.Full)
+    assert(wh.read("dwh", "flag_summary").count() == before)
+  }
+
+  test("csv dependency arrives all-strings (no inferSchema, reference parity)") {
+    val (ctx, _, work) = mkCtx()
+    write(s"$work/lakefiles", "m.csv", "code,val\n1,a\n2,b\n")
+    val ctx2 = ctx.copy(lake = Lake(work))
+    PipelineRunner.loadDependencies(ctx2, Seq(
+      Dependency("datalake", "csv", "mapping", path = Some("lakefiles/m.csv"))))
+    val df = spark.table("mapping")
+    assert(df.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(df.count() == 2)
+  }
+
+  test("dependency via lake path convention") {
+    val (ctx, _, work) = mkCtx()
+    // lay out <root>/datalake/<sys>/<tag>/<schema>/<table> and read it back
+    val df = spark.range(5).toDF("k")
+    val lake = Lake(s"$work/lakeroot")
+    val path = lake.tablePath("datalake", "FLEX", "Main", "OC", "T1")
+    assert(path == s"$work/lakeroot/datalake/flex/main/oc/t1")
+    lake.write(df, path, "overwrite")
+    PipelineRunner.loadDependencies(ctx.copy(lake = lake), Seq(
+      Dependency("datalake", "hudi", "t1dep",
+        Some("FLEX"), Some("Main"), Some("OC"), Some("T1"))))
+    assert(spark.table("t1dep").count() == 5)
+  }
+
+  test("extract: write-mode defaults from read-mode; delta needs watermark") {
+    val (ctx, _, work) = mkCtx()
+    val lake = Lake(s"$work/lk")
+    val c = ctx.copy(lake = lake)
+    val df = spark.range(10).toDF("k").withColumn("ts", col("k").cast("string"))
+    val p = PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab")
+    assert(spark.read.parquet(p).count() == 10) // full -> overwrite
+    PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab") // overwrite again
+    assert(spark.read.parquet(p).count() == 10)
+    // delta appends only rows past the watermark
+    PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab",
+      readMode = ReadMode.Delta, delta = Some(PipelineRunner.DeltaSpec("ts", "7")))
+    assert(spark.read.parquet(p).count() == 12) // + "8","9"
+    assertThrows[ConfigException](
+      PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab", readMode = ReadMode.Delta))
+  }
+
+  test("warehouse engine step: whole query runs against warehouse catalog") {
+    val (ctx, wh, _) = mkCtx()
+    wh.replace(spark.range(3).toDF("k"), "stg", "nums")
+    val df = StepRunner.executeSql(ctx, "SELECT k * 2 AS k2 FROM stg.nums",
+      engine = Engine.Warehouse)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 4L))
+  }
+
+  test("truncateAppend preserves schema contract and replaces data") {
+    val (_, wh, _) = mkCtx()
+    wh.replace(spark.range(3).toDF("k"), "dwh", "t10")
+    wh.truncateAppend(spark.range(7).toDF("k"), "dwh", "t10")
+    assert(wh.read("dwh", "t10").count() == 7)
+    // mismatched columns rejected (the "DDL" is preserved)
+    assertThrows[IllegalArgumentException](
+      wh.truncateAppend(spark.range(2).toDF("other"), "dwh", "t10"))
+  }
+}

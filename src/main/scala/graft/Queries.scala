@@ -42,11 +42,15 @@ object Queries {
   /** revenue item: price * (1 - discount), all-decimal. */
   private def revItem: Column =
     dec(col("l_extendedprice")) * (lit(1) - col("l_discount")).cast(DecimalType(4, 2))
-  private def sumDec2(c: Column): Column = sum(c).cast(DecimalType(38, 2))
-  private def sumDec4(c: Column): Column = sum(c).cast(DecimalType(38, 4))
+  /** Final aggregates are cast DECIMAL→DOUBLE on output: the decimal sum
+    * keeps the arithmetic exact/order-independent, and the double cast
+    * gives both engines one canonical representation (a DECIMAL's
+    * trailing-zero scale prints differently across engines).
+    */
+  private def sumDec(c: Column): Column = sum(c).cast("double")
   /** SQL spelling of the same revenue aggregate (Spark & DuckDB dialects agree). */
   private val revSumSql =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))"
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)"
 
   // ---------------------------------------------------------------------
   // q01 — pricing summary (flagship): filter + hash aggregate, run through
@@ -54,8 +58,8 @@ object Queries {
   // (exercises F7 temp views, F11 sql step, F14 params).
   val q01Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       |  $revSumSql AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
@@ -72,23 +76,29 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
-  // q02 — star join to the dimension chain with explicit broadcasts of the
-  // small dims (customer/nation/region are tiny next to lineitem at any
-  // scale factor: a 100 TB lineitem still joins a KB-scale region).
+  // q02 — star join, written dims-first so the region prune lands BEFORE
+  // any big-table shuffle: region/nation broadcast into customer (no
+  // shuffle) cuts customers to one region, so the customer⋈orders and
+  // orders⋈lineitem shuffles only ever carry surviving rows. Catalyst
+  // without CBO keeps the written join order, so at 100 TB the naive
+  // lineitem-first order would shuffle ~5× the rows this one does.
   def q02(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
     val c = t(spark, dir, "customer")
     val n = t(spark, dir, "nation")
     val r = t(spark, dir, "region")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(c, o("o_custkey") === c("c_custkey"))
+    val custAsia = c
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .where(r("r_name") === "ASIA")
-      .groupBy(n("n_name").as("n_name"))
+      .select(c("c_custkey"), n("n_name").as("n_name"))
+    val ordersAsia = o.join(custAsia, o("o_custkey") === custAsia("c_custkey"))
+      .select(o("o_orderkey"), col("n_name"))
+    li.join(ordersAsia, li("l_orderkey") === ordersAsia("o_orderkey"))
+      .groupBy("n_name")
       .agg(
-        sumDec4(revItem).as("revenue"),
+        sumDec(revItem).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
@@ -98,7 +108,7 @@ object Queries {
   def q03(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy("l_orderkey")
-      .agg(sumDec4(revItem).as("revenue"))
+      .agg(sumDec(revItem).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
 

@@ -42,10 +42,12 @@ object SparkEntry {
     wh.read("dwh", "pricing_summary")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2 (framework
+    * queries q01-q06, LLM-pipeline extension ops q07+). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ graft.ext.ExtQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ graft.ext.ExtQueries.oracles
 }

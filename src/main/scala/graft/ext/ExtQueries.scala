@@ -1,0 +1,191 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CORRECTNESS registry for the LLM-data-pipeline operators over the
+  * driver's `documents`/`embeddings` fixtures. Each query is an
+  * end-to-end run of one [[TextOps]]/[[Dedup]]/[[Similarity]] operator
+  * with an equivalent DuckDB oracle; the two approximate operators
+  * (ANN, SimHash) have no SQL-expressible oracle and are registered
+  * without one (driver rows-only check) — their accuracy is asserted
+  * against exact baselines in ExtSpec instead.
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Marker-token language profiles (sorted by language, which is the
+    * argmax tie-break order).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "join", "fast"),
+    "en" -> Seq("the", "a", "value"),
+    "es" -> Seq("row", "scan", "query"),
+    "fr" -> Seq("sort", "merge", "line"),
+    "zh" -> Seq("hash", "key", "window"))
+
+  def q07(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(spark, dir)).orderBy("doc_id")
+
+  def q08(spark: SparkSession, dir: String): DataFrame =
+    TextOps.facetStats(docs(spark, dir), Seq("lang", "source"))
+      .withColumn("sum_tokens", col("sum_tokens").cast("long"))
+      .orderBy("lang", "source")
+
+  def q09(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityMetrics(docs(spark, dir))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"), col("ttr"),
+        col("avg_token_len"), col("quality_band"))
+      .orderBy("doc_id")
+
+  def q10(spark: SparkSession, dir: String): DataFrame =
+    TextOps.languageId(docs(spark, dir), langProfiles)
+      .select(col("doc_id"), col("lang"), col("lang_cand"),
+        col("score").cast("long").as("score"))
+      .orderBy("doc_id")
+
+  def q11(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  def q12(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinHash(docs(spark, dir), shingleSize = 3, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  def q13(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupNgramJaccard(docs(spark, dir), shingleSize = 2, threshold = 0.7)
+      .orderBy("a_id", "b_id")
+
+  def q14(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(emb(spark, dir), threshold = 0.45)
+      .orderBy("a_id", "b_id")
+
+  def q15(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(emb(spark, dir), k = 5)
+      .orderBy("vec_id", "rnk")
+
+  def q16(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopK(emb(spark, dir), k = 5)
+      .orderBy("vec_id", "rnk")
+
+  def q17(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupSimHash(docs(spark, dir), maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_dedup_exact" -> (q07 _),
+    "q08_text_stats" -> (q08 _),
+    "q09_text_quality" -> (q09 _),
+    "q10_lang_id" -> (q10 _),
+    "q11_fingerprint" -> (q11 _),
+    "q12_near_dup_minhash" -> (q12 _),
+    "q13_near_dup_jaccard" -> (q13 _),
+    "q14_embed_near_dup" -> (q14 _),
+    "q15_similarity_topk" -> (q15 _),
+    "q16_similarity_ann" -> (q16 _),
+    "q17_near_dup_simhash" -> (q17 _)
+  )
+
+  /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
+    * path must reproduce), parameterized by shingle width/threshold.
+    */
+  private def jaccardOracle(shingleWidth: Int, threshold: Double): String = {
+    val joins = (2 to shingleWidth)
+      .map(i => s"JOIN w t$i ON t1.doc_id=t$i.doc_id AND t$i.pos=t1.pos+${i - 1}")
+      .mkString(" ")
+    val concat = (1 to shingleWidth).map(i => s"t$i.tok").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT t1.doc_id, $concat AS s FROM w t1 $joins),
+       |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = a_id
+       |JOIN sz sb ON sb.doc_id = b_id
+       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  private val langProfileValues = langProfiles
+    .map { case (l, ms) => s"('$l', [${ms.map(m => s"'$m'").mkString(",")}])" }
+    .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "q07_dedup_exact" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+    "q08_text_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |  count(DISTINCT text) AS n_distinct_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q09_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_types,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr,
+        |  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS avg_token_len,
+        |  CASE WHEN len(string_split(text, ' ')) < 20 THEN 'short'
+        |       WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |              / len(string_split(text, ' ')) < 0.35 THEN 'repetitive'
+        |       ELSE 'ok' END AS quality_band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q10_lang_id" ->
+      s"""WITH prof AS (SELECT * FROM (VALUES $langProfileValues) p(lang_cand, markers)),
+         |scored AS (
+         |  SELECT d.doc_id, d.lang, p.lang_cand,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |                         t -> list_contains(p.markers, t))) AS BIGINT) AS score
+         |  FROM documents d CROSS JOIN prof p),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                               ORDER BY score DESC, lang_cand ASC) AS rn
+         |  FROM scored)
+         |SELECT doc_id, lang, lang_cand, score FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "q11_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "q12_near_dup_minhash" -> jaccardOracle(3, 0.8),
+    "q13_near_dup_jaccard" -> jaccardOracle(2, 0.7),
+    "q14_embed_near_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       list_cosine_similarity(a.v, b.v) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q15_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.v, b.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim
+        |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin
+    // q16 (ANN) and q17 (SimHash) intentionally have no oracle: both are
+    // hash-family approximations whose exactness is asserted against the
+    // exact operators in ExtSpec.
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`) —
+  * beyond-reference scope, SURVEY.md §2c.
+  *
+  * Numeric contract: all arithmetic is float→double promotion followed
+  * by a SEQUENTIAL left fold in array order — the same evaluation order
+  * a single-threaded engine uses, so scores are bit-reproducible across
+  * engines and partitionings (the fold runs per-row; Spark's
+  * parallelism never splits one array).
+  *
+  * Scale design: brute force is the exact baseline and is quadratic by
+  * nature — it exists to verify the approximate path and to serve
+  * small/broadcastable query sets. The scale path is random-hyperplane
+  * LSH: signatures are computed per row (scan-only), candidates come
+  * from equi-joins on (table, bucket) keys, and the exact score runs on
+  * candidates only.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Three sequential folds (dot, |a|², |b|²) — array HOFs, per-row.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Exact top-k neighbors per vector by brute force: all-pairs cosine,
+    * per-query window top-k with a deterministic (sim DESC, id ASC)
+    * tie-break. Output: (vec_id, neighbor_id, rnk, sim).
+    * O(n²) — correct-by-construction baseline for the LSH path.
+    */
+  def bruteForceTopK(emb: DataFrame, k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** Near-duplicate embedding pairs: all pairs (a<b) with cosine ≥
+    * threshold. Exact; same quadratic caveat as [[bruteForceTopK]] —
+    * at scale run [[annTopK]]-style bucketing first.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .where(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `tables` independent
+    * signature tables of `bits` hyperplanes each, dims-dimensional,
+    * seeded — identical across runs and executors (shipped as a
+    * literal, so the plan itself carries them; no closure capture).
+    */
+  private def hyperplanes(tables: Int, bits: Int, dims: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables, bits, dims)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH bucket keys: for each table, an int whose
+    * bit r is sign(v · plane_r). P[two vectors agree on one bit] =
+    * 1 − θ/π; a table of `bits` planes buckets together vectors close
+    * in angle. More tables → higher recall, linear cost.
+    */
+  def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int,
+                 seed: Long = 0x5EED): Column = {
+    val planes = typedlit(hyperplanes(tables, bits, dims, seed))
+    val vd = asDouble(vec)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, r) => {
+        val plane = element_at(element_at(planes, t + 1), r + 1)
+        val dot = aggregate(
+          zip_with(vd, plane, (x, p) => x * p), lit(0.0), (s, v) => s + v)
+        acc * 2 + when(dot > 0, 1).otherwise(0)
+      }))
+  }
+
+  /** Approximate top-k: LSH-bucketed candidate join + exact cosine +
+    * per-query window. Candidates = pairs sharing a bucket in ANY
+    * table (equi-join on (table_idx, bucket)); recall is tunable via
+    * (tables, bits) — see [[lshBuckets]]. Never materializes all pairs.
+    */
+  def annTopK(emb: DataFrame, k: Int, tables: Int = 12, bits: Int = 6,
+              dims: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding", seed: Long = 0x5EED): DataFrame = {
+    val withBuckets = emb.select(col(idCol), col(vecCol),
+      posexplode(lshBuckets(col(vecCol), tables, bits, dims, seed)).as(Seq("t", "bucket")))
+    val a = withBuckets.select(col("t"), col("bucket"),
+      col(idCol).as("vec_id"), col(vecCol).as("__va"))
+    val b = withBuckets.select(col("t"), col("bucket"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    val cands = a.join(b, Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id", "__va", "__vb")
+      .distinct()
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (beyond-reference scope; plan at SURVEY.md §2c).
+  *
+  * Everything here is expressed with built-in codegen'd/HOF expressions
+  * over a `text` column — no UDFs, no driver-side loops — so each
+  * operator is a narrow projection that runs inside whole-stage codegen
+  * (or Spark's native HOF interpreter) and scales linearly with
+  * documents: no shuffles are introduced by any per-document metric.
+  */
+object TextOps {
+
+  /** Whitespace tokens of a single-space-normalized text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: tokens further split at letter/digit and
+    * lower/upper boundaries via regex — a cheap, deterministic stand-in
+    * for a real tokenizer's piece count (no vocab download in this
+    * environment).
+    */
+  def subwordCount(text: Column): Column =
+    size(split(text, "[^\\p{L}\\p{N}]+|(?<=\\p{Ll})(?=\\p{Lu})|(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})"))
+
+  /** Distinct n-word shingles (the near-dup unit). Guarded for short
+    * docs: fewer than `n` tokens → empty set (Spark's `sequence` would
+    * otherwise generate a DESCENDING range and index out of bounds).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document quality metrics: token count, type count,
+    * type-token ratio, average token length, and a quality band —
+    * the short/repetitive/ok triage a filtering pipeline applies
+    * before expensive downstream steps.
+    */
+  def qualityMetrics(df: DataFrame, textCol: String = "text",
+                     nCharsCol: String = "n_chars"): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("n_types", size(array_distinct(toks)))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      // single-space-separated text: chars = sum(len) + (n_tokens - 1)
+      .withColumn("avg_token_len",
+        (col(nCharsCol) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("quality_band",
+        when(col("n_tokens") < 20, "short")
+          .when(col("ttr") < 0.35, "repetitive")
+          .otherwise("ok"))
+  }
+
+  /** Marker-token language ID: score every (doc, candidate-language)
+    * pair by the number of marker-token occurrences, pick the argmax
+    * (ties → lexicographically first language). The profile table is
+    * tiny and broadcast, so this is a scan-plus-window — no data
+    * shuffle beyond the per-doc ranking, which partitions on doc id.
+    */
+  def languageId(docs: DataFrame, profiles: Seq[(String, Seq[String])],
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val prof = profiles.toDF("lang_cand", "markers")
+    val scored = docs.crossJoin(broadcast(prof))
+      .withColumn("score",
+        size(filter(tokens(col(textCol)), t => array_contains(col("markers"), t))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("lang_cand").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "markers")
+  }
+
+  /** Content fingerprint: md5 of the text (the cheap exact-dup key —
+    * 128 bits, collision-free in practice, 16 bytes to shuffle instead
+    * of the whole document).
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Winnowing fingerprint (local-minima selection over k-gram hashes;
+    * Schleimer/Wilkerson/Aiken's scheme): hash every k-token shingle,
+    * slide a window of `w` hashes, keep each window's minimum — the
+    * selected set is position-independent enough for robust partial-dup
+    * detection while being ~1/w the size of the full shingle set.
+    * Pure array HOFs: computed per document, no shuffle.
+    */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    val hashes = transform(shinglesOrdered(text, k), s => xxhash64(s))
+    when(size(hashes) >= w,
+      array_distinct(transform(
+        sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + 1, lit(w))))))
+      .otherwise(when(size(hashes) > 0, array(array_min(hashes)))
+        .otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Ordered (non-distinct) n-word shingles — winnowing needs positions. */
+  private def shinglesOrdered(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Facet profile per group: doc counts, char totals/averages, token
+    * totals, exact distinct-text count. `approxDistinct=true` swaps the
+    * exact distinct for HyperLogLog `approx_count_distinct` — at 100 TB
+    * the exact variant is a full shuffle of text digests per group,
+    * while HLL is a fixed-size sketch merged map-side.
+    */
+  def facetStats(docs: DataFrame, groupCols: Seq[String],
+                 textCol: String = "text", nCharsCol: String = "n_chars",
+                 approxDistinct: Boolean = false): DataFrame = {
+    val distinctAgg =
+      if (approxDistinct) approx_count_distinct(col(textCol))
+      else count_distinct(col(textCol))
+    docs.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(nCharsCol)).as("sum_chars"),
+        (sum(col(nCharsCol)).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(tokens(col(textCol)))).as("sum_tokens"),
+        distinctAgg.as("n_distinct_docs"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, ExtQueries, Similarity, TextOps}
+
+/** Unit tests for the LLM-pipeline extension operators. The oracled
+  * behavior is covered by the driver's DuckDB gate (q07-q15); these
+  * cover the crafted-input semantics and the two approximate operators
+  * (ANN recall vs brute force, SimHash vs exact Jaccard ground truth).
+  */
+class ExtSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val df = docsDf(3L -> "a b c", 1L -> "x y", 2L -> "a b c", 5L -> "x y", 4L -> "unique")
+    val kept = Dedup.exact(df).select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 2L, 4L))
+  }
+
+  test("shingles: distinct n-grams, short docs give empty set") {
+    val out = docsDf(1L -> "a b c b a b c", 2L -> "a b")
+      .select($"doc_id", TextOps.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).toSet === Set("a b c", "b c b", "c b a", "b a b"))
+    assert(out(2L) === Seq.empty)
+  }
+
+  test("minhash signature: identical sets agree, disjoint sets don't") {
+    val df = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      2L -> "w1 w2 w3 w4 w5 w6 w7 w8",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8")
+      .select($"doc_id",
+        Dedup.minHashSignature(TextOps.shingles($"text", 2), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(df(1L) === df(2L))
+    // 32 independent hash fns on disjoint sets: expect near-zero agreement
+    assert(df(1L).zip(df(3L)).count { case (a, b) => a == b } <= 3)
+  }
+
+  test("nearDupMinHash finds injected near-dups and nothing else") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val found = Dedup.nearDupMinHash(
+      docsDf(1L -> base, 2L -> nearDup, 3L -> other), threshold = 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(found === Set(1L -> 2L))
+  }
+
+  test("ngram Jaccard join matches array-intersect Jaccard exactly") {
+    val df = docsDf(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",
+      3L -> "p q r s t u v w")
+    val viaJoin = Dedup.nearDupNgramJaccard(df, shingleSize = 2, threshold = 0.1)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // pair (1,2): bigrams 7 each, 6 shared -> J = 6/8 = 0.75
+    assert(viaJoin === Set((1L, 2L, 0.75)))
+  }
+
+  test("simhash: identical docs distance 0, one-token edit small, unrelated large") {
+    val sigs = docsDf(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "a b c d e f g h i zz",
+      4L -> "p q r s t u v w x y")
+      .select($"doc_id", Dedup.simHashChunks($"text").as("sim"))
+    val d = sigs.as("x").join(sigs.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id",
+        Dedup.hammingDistance($"x.sim", $"y.sim").as("h"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(d((1L, 2L)) === 0)
+    assert(d((1L, 3L)) < d((1L, 4L)),
+      s"edit distance ${d((1L, 3L))} should be < unrelated ${d((1L, 4L))}")
+  }
+
+  test("simhash near-dup pairs on fixtures recover most exact trigram near-dups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // ground truth: the generator's injected near-dups (trigram J >= 0.9)
+    val exact = Dedup.nearDupNgramJaccard(docs, shingleSize = 3, threshold = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sim = Dedup.nearDupSimHash(docs, maxHamming = 3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // simhash hashes unigram multisets (coarser than trigrams): expect high
+    // but not perfect agreement, and no candidate explosion
+    val overlap = exact.intersect(sim).size
+    assert(overlap >= exact.size / 2, s"simhash found $overlap of ${exact.size} near-dups")
+    assert(sim.size <= 4 * exact.size, s"simhash pair explosion: ${sim.size} pairs")
+  }
+
+  test("ANN top-1 recall vs brute force >= 0.3 on fixtures (fixed seed)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ann = Similarity.annTopK(emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = bf.count { case (v, n) => ann.get(v).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.3, s"ANN top-1 recall $recall below 0.3")
+    assert(ann.size === bf.size, "ANN must return a candidate for every vector")
+  }
+
+  test("cosine is exact on a known pair") {
+    val df = Seq((Array(1f, 2f, 0f), Array(2f, 3f, 0f))).toDF("a", "b")
+    val sim = df.select(Similarity.cosine($"a", $"b")).as[Double].head()
+    assert(sim === 0.9922778767136677) // 8/(sqrt(5)*sqrt(13)), fold order fixed
+  }
+
+  test("winnowed fingerprints: deterministic, subset survives local edits") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 40).map(i => s"w$i") ++ Seq("EDIT") ++ (41 to 80).map(i => s"w$i")).mkString(" ")
+    val fps = docsDf(1L -> base, 2L -> base, 3L -> edited)
+      .select($"doc_id", TextOps.winnowedFingerprints($"text", 3, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) === fps(2L))
+    val shared = fps(1L).toSet.intersect(fps(3L).toSet)
+    assert(shared.size >= fps(1L).size / 2,
+      s"local edit should preserve most fingerprints: ${shared.size}/${fps(1L).size}")
+    assert(fps(1L).size < base.split(" ").length,
+      "winnowing must select fewer fingerprints than shingles")
+  }
+
+  test("languageId tie-break picks lexicographically first language") {
+    // 'table'(de) and 'row'(es) once each: tie 1-1 -> de wins
+    val out = TextOps.languageId(docsDf(1L -> "table row"), ExtQueries.langProfiles)
+      .select("lang_cand").as[String].head()
+    assert(out === "de")
+  }
+
+  test("facetStats approx-distinct variant returns plausible HLL counts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)
+      .select($"lang", $"n_distinct_docs").as[(String, Long)].collect().toMap
+    val exact = TextOps.facetStats(docs, Seq("lang"))
+      .select($"lang", $"n_distinct_docs").as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, n) =>
+      val a = approx(lang)
+      assert(math.abs(a - n).toDouble / n < 0.15, s"HLL for $lang: $a vs exact $n")
+    }
+  }
+}

@@ -40,6 +40,19 @@ trait Warehouse {
   def columns(schema: String, table: String): Seq[String]
   /** Primary-key columns (reference: information_schema PK lookup). */
   def primaryKeys(schema: String, table: String): Seq[String]
+  /** Post-merge journal flip `'A'` → `'H'`
+    * (reference: airflow_etl.py:216-223). Generic fallback rewrites the
+    * table; implementations override with something cheaper (the
+    * FileWarehouse moves one partition, a JDBC warehouse runs UPDATE).
+    */
+  def flipRecordState(schema: String, table: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = read(schema, table)
+    replace(
+      df.withColumn("__record_state",
+        when(col("__record_state") === "A", lit("H")).otherwise(col("__record_state"))),
+      schema, table)
+  }
 }
 
 /** Parquet-directory warehouse: `<root>/<schema>/<table>/` per table.
@@ -61,8 +74,21 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
   override def read(schema: String, table: String): DataFrame =
     spark.read.parquet(dir(schema, table))
 
+  /** Journal-bearing frames (those with a `__record_state` column) are
+    * written PARTITIONED by record state: the journal is append-only
+    * and grows forever, so the post-merge `'A'`→`'H'` flip must never
+    * rewrite history — with this layout it is a rename of the active
+    * partition's files ([[flipRecordState]]), and the delta merge's
+    * `WHERE __record_state='A'` becomes partition pruning instead of a
+    * full-journal scan.
+    */
+  private def writer(df: DataFrame) = {
+    val w = df.write
+    if (df.columns.contains("__record_state")) w.partitionBy("__record_state") else w
+  }
+
   override def append(df: DataFrame, schema: String, table: String): Unit = {
-    df.write.mode("append").parquet(dir(schema, table))
+    writer(df).mode("append").parquet(dir(schema, table))
     refresh(schema, table)
   }
 
@@ -82,7 +108,7 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
     val target = new Path(dir(schema, table))
     val tmp = new Path(dir(schema, table) + "__tmp_" + java.util.UUID.randomUUID().toString.take(8))
     val f = fs(target)
-    df.write.mode("overwrite").parquet(tmp.toString) // materializes the full plan
+    writer(df).mode("overwrite").parquet(tmp.toString) // materializes the full plan
     if (f.exists(target) && !f.delete(target, true))
       throw new java.io.IOException(s"could not delete $target")
     if (!f.rename(tmp, target))
@@ -92,6 +118,39 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
 
   override def query(sql: String): DataFrame = { syncCatalog(); spark.sql(sql) }
   override def execute(sql: String): Unit = { syncCatalog(); spark.sql(sql).collect(); () }
+
+  /** Partition-move flip: rename `__record_state=A`'s files into
+    * `__record_state=H` and drop the A directory — O(active files)
+    * metadata ops, zero data rewritten, history untouched. At 100 TB
+    * journal scale this is the difference between a constant-time merge
+    * epilogue and rewriting the whole journal every run. Falls back to
+    * the generic rewrite for tables in the legacy unpartitioned layout.
+    */
+  override def flipRecordState(schema: String, table: String): Unit = {
+    val base = new Path(dir(schema, table))
+    val f = fs(base)
+    if (!f.exists(base)) return
+    val aDir = new Path(base, "__record_state=A")
+    val hDir = new Path(base, "__record_state=H")
+    if (!f.exists(aDir)) {
+      // no active partition: either already flipped (partitioned layout
+      // present) or a legacy unpartitioned table -> generic rewrite
+      if (!f.exists(hDir) &&
+          read(schema, table).columns.contains("__record_state"))
+        super.flipRecordState(schema, table)
+      return
+    }
+    if (!f.exists(hDir)) f.mkdirs(hDir)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    f.listStatus(aDir).filter(_.isFile).zipWithIndex.foreach { case (st, i) =>
+      val dest = new Path(hDir, s"flip-$stamp-$i-${st.getPath.getName}")
+      if (!f.rename(st.getPath, dest))
+        throw new java.io.IOException(s"could not move ${st.getPath} -> $dest")
+    }
+    if (!f.delete(aDir, true))
+      throw new java.io.IOException(s"could not drop $aDir")
+    refresh(schema, table)
+  }
 
   override def columns(schema: String, table: String): Seq[String] =
     read(schema, table).columns.toSeq
@@ -199,6 +258,15 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
     try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
     finally c.close()
   }
+
+  /** In-warehouse flip — one UPDATE, no data movement through Spark
+    * (reference: airflow_etl.py:216-223).
+    */
+  override def flipRecordState(schema: String, table: String): Unit =
+    execute(
+      s"""UPDATE $schema."$table"
+         |SET __record_state = 'H'
+         |WHERE __record_state = 'A'""".stripMargin)
 
   override def exists(schema: String, table: String): Boolean =
     query(

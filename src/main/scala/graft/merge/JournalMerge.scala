@@ -102,7 +102,7 @@ object JournalMerge {
           delta(master, journal, pks)
       }
       wh.replace(newMaster, schema, table)
-      wh.replace(flip(wh.read(schema, journalTable)), schema, journalTable)
+      wh.flipRecordState(schema, journalTable)
   }
 
   /** Reference-equivalent merge statements for in-warehouse execution

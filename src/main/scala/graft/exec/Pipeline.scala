@@ -181,6 +181,14 @@ object PipelineRunner {
   /** F24 with a JDBC source: resolve the connection from variables
     * (`<TAG>_<SYSTEM>_CONN`, connector.py:6-17) and run the extract
     * query on the source DB (connector.py:27-46).
+    *
+    * When the connection declares a partitioned-scan spec
+    * (`ConnInfo.partitionColumn` + bounds), the query is wrapped as a
+    * derived table and read with N range-bounded parallel connections —
+    * a single-connection pull of a source table is the first bottleneck
+    * a real extract hits at scale (the reference has this flaw,
+    * connector.py:27-46; Spark's JDBC source requires `dbtable`, not
+    * `query`, for partitioned scans, hence the wrapping).
     */
   def extractDb(ctx: EtlContext, systemName: String, systemTag: String,
                 schema: String, table: String, query: String,
@@ -192,12 +200,15 @@ object PipelineRunner {
       .option("url", conn.url)
       .option("user", conn.username)
       .option("password", conn.password)
-      .option("query", query)
     val withOpts = Seq(
       conn.driver.map(d => ("driver", d)),
       conn.fetchSize.map(n => ("fetchsize", n.toString))
     ).flatten.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
-    extractDf(ctx, withOpts.load(), systemName, systemTag, schema, table,
+    val withSource =
+      if (conn.partitionColumn.isDefined)
+        conn.applyPartitioning(withOpts).option("dbtable", s"($query) graft_extract")
+      else withOpts.option("query", query)
+    extractDf(ctx, withSource.load(), systemName, systemTag, schema, table,
       readMode, writeMode, delta)
   }
 }

@@ -15,7 +15,34 @@ final case class ConnInfo(
     password: String = "",
     driver: Option[String] = None,
     batchSize: Option[Int] = None, // reference: connector.py:34, <TAG>_SPARK_BATCH_SIZE
-    fetchSize: Option[Int] = None) // reference: connector.py:35, <TAG>_SPARK_FETCH_SIZE
+    fetchSize: Option[Int] = None, // reference: connector.py:35, <TAG>_SPARK_FETCH_SIZE
+    /** `postgres` (reference target: information_schema introspection +
+      * in-warehouse merge SQL) or `generic` (introspect via JDBC
+      * DatabaseMetaData; merge runs Spark-side). */
+    dialect: String = "postgres",
+    /** Parallel-scan spec: without it a JDBC read is ONE task pulling the
+      * whole table through one connection — a non-starter at scale
+      * (the reference shares this flaw, connector.py:27-46). All four
+      * options are required together by Spark's JDBC source. */
+    partitionColumn: Option[String] = None,
+    numPartitions: Option[Int] = None,
+    lowerBound: Option[String] = None,
+    upperBound: Option[String] = None) {
+  require(partitionColumn.isEmpty ||
+    (numPartitions.nonEmpty && lowerBound.nonEmpty && upperBound.nonEmpty),
+    "partitionColumn requires numPartitions, lowerBound and upperBound")
+
+  /** Apply the partitioned-scan options to a JDBC reader. */
+  def applyPartitioning(r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
+    partitionColumn match {
+      case Some(pc) => r
+        .option("partitionColumn", pc)
+        .option("numPartitions", numPartitions.get.toString)
+        .option("lowerBound", lowerBound.get)
+        .option("upperBound", upperBound.get)
+      case None => r
+    }
+}
 
 object Connections {
 
@@ -44,6 +71,11 @@ object Connections {
       password = m.getOrElse("password", ""),
       driver = m.get("driver"),
       batchSize = batch,
-      fetchSize = fetch)
+      fetchSize = fetch,
+      dialect = m.getOrElse("dialect", "postgres"),
+      partitionColumn = m.get("partition_column"),
+      numPartitions = m.get("num_partitions").map(_.toInt),
+      lowerBound = m.get("lower_bound"),
+      upperBound = m.get("upper_bound"))
   }
 }

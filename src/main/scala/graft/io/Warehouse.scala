@@ -219,6 +219,12 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
   */
 final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Warehouse {
 
+  /** Postgres-family warehouses run the merge in-database (the
+    * reference contract); other dialects merge Spark-side via the
+    * generic DataFrame path in JournalMerge.run.
+    */
+  def mergeInWarehouse: Boolean = conn.dialect == "postgres"
+
   private def reader = {
     val r = spark.read.format("jdbc")
       .option("url", conn.url)
@@ -229,8 +235,13 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
   private def withFetch(r: org.apache.spark.sql.DataFrameReader) =
     conn.fetchSize.fold(r)(n => r.option("fetchsize", n.toString))
 
+  /** Table reads use the connection's partitioned-scan spec when set —
+    * N parallel range-bounded connections instead of one full-table
+    * pull (ConnInfo.partitionColumn).
+    */
   override def read(schema: String, table: String): DataFrame =
-    withFetch(reader).option("dbtable", s"$schema.$table").load()
+    conn.applyPartitioning(withFetch(reader))
+      .option("dbtable", s"$schema.$table").load()
 
   override def query(sql: String): DataFrame =
     withFetch(reader).option("query", sql).load()
@@ -246,12 +257,19 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
   }
 
   override def truncateAppend(df: DataFrame, schema: String, table: String): Unit = {
-    execute(s"""truncate table $schema."$table"""") // airflow_etl.py:95-99
+    execute(s"truncate table $schema.$table") // airflow_etl.py:95-99
     append(df, schema, table)
   }
 
+  /** Replace must materialize BEFORE truncating: the incoming plan may
+    * read from the very table being replaced (the Spark-side delta
+    * merge does — master ∪ journal → new master), and a lazy plan
+    * executed after TRUNCATE would read an empty table. The eager
+    * localCheckpoint cuts the lineage; a multi-node production variant
+    * would stage to a temp table instead.
+    */
   override def replace(df: DataFrame, schema: String, table: String): Unit =
-    truncateAppend(df, schema, table)
+    truncateAppend(df.localCheckpoint(true), schema, table)
 
   override def execute(sql: String): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)
@@ -264,15 +282,28 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
     */
   override def flipRecordState(schema: String, table: String): Unit =
     execute(
-      s"""UPDATE $schema."$table"
-         |SET __record_state = 'H'
-         |WHERE __record_state = 'A'""".stripMargin)
+      s"""UPDATE $schema.$table
+         |SET "__record_state" = 'H'
+         |WHERE "__record_state" = 'A'""".stripMargin)
 
   override def exists(schema: String, table: String): Boolean =
-    query(
-      s"""select 1 as x from information_schema.tables
-         | where table_schema = '$schema' and table_name = '$table'""".stripMargin)
-      .limit(1).count() > 0
+    if (conn.dialect == "postgres")
+      query(
+        s"""select 1 as x from information_schema.tables
+           | where table_schema = '$schema' and table_name = '$table'""".stripMargin)
+        .limit(1).count() > 0
+    else withMetaData { md =>
+      val rs = md.getTables(null, schema, table, null)
+      try rs.next() finally rs.close()
+    }
+
+  /** Driver-side JDBC metadata session (generic-dialect introspection —
+    * standard `java.sql.DatabaseMetaData`, works on any JDBC database).
+    */
+  private def withMetaData[A](f: java.sql.DatabaseMetaData => A): A = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)
+    try f(c.getMetaData) finally c.close()
+  }
 
   /** Reference introspection query, airflow_etl.py:110-129. */
   private def tableCols(schema: String, table: String): DataFrame =
@@ -294,10 +325,28 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
          |    and t1.table_name = '$table'""".stripMargin)
 
   override def columns(schema: String, table: String): Seq[String] =
-    tableCols(schema, table).orderBy("ordinal_position")
-      .collect().map(_.getString(0)).toSeq
+    if (conn.dialect == "postgres")
+      tableCols(schema, table).orderBy("ordinal_position")
+        .collect().map(_.getString(0)).toSeq
+    else withMetaData { md =>
+      val rs = md.getColumns(null, schema, table, null)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      try while (rs.next())
+        buf += rs.getInt("ORDINAL_POSITION") -> rs.getString("COLUMN_NAME")
+      finally rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
 
   override def primaryKeys(schema: String, table: String): Seq[String] =
-    tableCols(schema, table).where("is_primary = 'Y'").orderBy("ordinal_position")
-      .collect().map(_.getString(0)).toSeq
+    if (conn.dialect == "postgres")
+      tableCols(schema, table).where("is_primary = 'Y'").orderBy("ordinal_position")
+        .collect().map(_.getString(0)).toSeq
+    else withMetaData { md =>
+      val rs = md.getPrimaryKeys(null, schema, table)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      try while (rs.next())
+        buf += rs.getShort("KEY_SEQ") -> rs.getString("COLUMN_NAME")
+      finally rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    }
 }

@@ -80,7 +80,7 @@ object JournalMerge {
     * reference); other warehouses get native DataFrame ops.
     */
   def run(wh: Warehouse, schema: String, table: String, mode: MergeMode): Unit = wh match {
-    case jdbc: JdbcWarehouse =>
+    case jdbc: JdbcWarehouse if jdbc.mergeInWarehouse =>
       val pks = jdbc.primaryKeys(schema, table)
       val cols = jdbc.columns(schema, table)
       mergeSql(schema, table, mode, pks, cols).foreach(jdbc.execute)

@@ -156,13 +156,102 @@ object Queries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q18 — the DELTA transform read-mode end-to-end (declared-but-
+  // unimplemented in the reference, airflow_etl.py:771-774; native here):
+  // two incremental pipeline runs over a bounded watermark window, each
+  // journaling in Append mode and delta-merging — the sequence must
+  // reproduce the full-history merge.
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config._
+    import graft.exec.{EtlContext, PipelineRunner}
+    import graft.io.{FileWarehouse, Lake}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = java.nio.file.Files.createTempDirectory("graft_q18").toString
+    val wh = new FileWarehouse(spark, s"$work/wh")
+    wh.registerPrimaryKey("dwh", "user_state", Seq("user_id"))
+    val sfName = new java.io.File(dir).getName
+    val stepSql =
+      """SELECT user_id, event_type, value,
+        |  timestamp_micros(ts DIV 1000) AS __transform_dt,
+        |  timestamp_micros(ts DIV 1000) AS __load_dt,
+        |  event_id AS __seqno,
+        |  'A' AS __record_state
+        |FROM events_src
+        |WHERE ts > {wm_low} AND ts <= {wm_high}""".stripMargin
+    val cfg = TableConfig(
+      dependencies = Seq(Dependency(
+        source = "datalake", format = "parquet", alias = "events_src",
+        path = Some(s"$sfName/events.parquet"))),
+      transform = Map(ReadMode.Delta -> Seq(Step.Select(
+        sql = SqlSource.Inline(stepSql),
+        parameters = Seq(Param.Constant("wm_low", "{wm_low}"),
+          Param.Constant("wm_high", "{wm_high}"))))),
+      target = Some(Target("dwh", "user_state")))
+    // watermark boundary between the two incremental loads (UTC nanos)
+    val cutoffNanos = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+    def runBatch(low: Long, high: Long): Unit = {
+      val ctx = EtlContext(spark = spark, lake = Lake(new java.io.File(dir).getParent),
+        warehouse = wh, taskId = "task_transform_dwh_user_state_delta")
+      val filled = cfg.copy(transform = Map(ReadMode.Delta -> Seq(Step.Select(
+        sql = SqlSource.Inline(stepSql),
+        parameters = Seq(Param.Constant("wm_low", low.toString),
+          Param.Constant("wm_high", high.toString))))))
+      PipelineRunner.runTable(ctx, filled, ReadMode.Delta, WriteMode.Append, MergeMode.Delta)
+    }
+    runBatch(Long.MinValue, cutoffNanos)
+    runBatch(cutoffNanos, Long.MaxValue)
+    wh.read("dwh", "user_state")
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q19 — GROUPING SETS surface (SURVEY §2b): ROLLUP over the pricing
+  // dimensions, run as delegated SQL text (F11 path). Subtotal rows have
+  // NULL dimensions; ORDER BY pins NULL placement identically in both
+  // engines.
+  val q19Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q19Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q20 — set-operation surface (SURVEY §2b): INTERSECT + EXCEPT,
+  // identical SQL text on both engines.
+  val q20Sql: String =
+    """(SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      | INTERSECT
+      | SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      |EXCEPT
+      |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+      |ORDER BY custkey""".stripMargin
+
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q20Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
     "q03_top_orders" -> (q03 _),
     "q04_latest_order_per_customer" -> (q04 _),
     "q05_merge_full" -> (q05 _),
-    "q06_merge_delta" -> (q06 _)
+    "q06_merge_delta" -> (q06 _),
+    "q18_delta_transform" -> (q18 _),
+    "q19_rollup" -> (q19 _),
+    "q20_set_ops" -> (q20 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,6 +317,18 @@ object Queries {
          |    FROM active) t
          |  WHERE rnk = 1)
          |SELECT * FROM kept UNION ALL SELECT * FROM ins
-         |ORDER BY user_id""".stripMargin
+         |ORDER BY user_id""".stripMargin,
+    // two sequential delta merges over a complete journal == one full merge
+    "q18_delta_transform" ->
+      """SELECT user_id, event_type, value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+        |  FROM events) t
+        |WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
+    "q19_rollup" -> q19Sql,
+    "q20_set_ops" -> q20Sql
   )
 }

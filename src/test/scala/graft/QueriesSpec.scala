@@ -41,6 +41,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.toString.contains("ASIA"))
   }
 
+  test("q18 delta transform: two incremental runs == one full-history merge") {
+    val viaDelta = Queries.q18(spark, sf).collect().map(_.toSeq)
+    val viaFull = Queries.q05(spark, sf).collect().map(_.toSeq)
+    assert(viaDelta.toSeq === viaFull.toSeq)
+  }
+
   test("q03 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val plan = Queries.q03(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")

@@ -1,0 +1,164 @@
+package graft.ext
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample operators implemented as partition-wise batch
+  * transforms (`mapPartitions` with product encoders — the Scala
+  * analogue of arrow-batched pandas UDFs: one JVM call per partition,
+  * rows streamed through an iterator, never collected).
+  *
+  * DECODE IS STUBBED: this container has no image/audio codecs, so
+  * payloads use a deterministic 24-byte "GRFT" header + synthetic body,
+  * and [[decode]] parses that header. The Spark-side contract — binary
+  * column in, typed struct out, per-partition batching, partition
+  * balance by asset id — is real and is what a production codec slots
+  * into (replace [[FakeCodec.decode]]'s body with e.g. an ImageIO /
+  * ffmpeg call; everything around it is unchanged).
+  *
+  * Scale notes: payload bytes never transit a shuffle in any operator
+  * here — decode/feature/resize are narrow maps; only the extracted
+  * features (small, fixed-size) should ever be joined or aggregated.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary payload. */
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+                             sampleRate: Int, nFrames: Int)
+  final case class Asset(asset_id: Long, kind: String, payload: Array[Byte])
+  final case class Decoded(asset_id: Long, kind: String, width: Int, height: Int,
+                           sampleRate: Int, nFrames: Int, payloadBytes: Int)
+  final case class Features(asset_id: Long, features: Array[Float])
+  final case class Frame(asset_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** The stand-in codec for this environment. A real deployment
+    * replaces the bodies of decode/encode; signatures stay.
+    */
+  object FakeCodec {
+    val Magic: Int = 0x47524654 // "GRFT"
+    val HeaderLen: Int = 24
+
+    /** Deterministic synthetic payload: header(magic, kind, w, h, rate,
+      * frames) + body bytes derived from the asset id.
+      */
+    def encode(meta: MediaMeta, assetId: Long, bodyLen: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(HeaderLen + bodyLen).order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(Magic)
+      buf.putInt(meta.kind.hashCode)
+      buf.putInt(meta.width); buf.putInt(meta.height)
+      buf.putInt(meta.sampleRate); buf.putInt(meta.nFrames)
+      var i = 0
+      while (i < bodyLen) { buf.put(((assetId * 31 + i * 7) % 251).toByte); i += 1 }
+      buf.array()
+    }
+
+    /** Header parse — the seam where a real decoder goes. */
+    def decode(kind: String, payload: Array[Byte]): MediaMeta = {
+      require(payload.length >= HeaderLen, s"truncated payload: ${payload.length} bytes")
+      val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
+      require(buf.getInt() == Magic, "bad magic: not a GRFT payload")
+      buf.getInt() // kind hash, informational
+      MediaMeta(kind, buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
+    }
+  }
+
+  /** Deterministic synthetic asset table (one asset per document id) —
+    * the fixture generator for tests/benches. Distributed: built from a
+    * range, payloads created executor-side.
+    */
+  def syntheticAssets(spark: SparkSession, n: Int, bodyLen: Int = 4096): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val meta = kind match {
+        case "image" => MediaMeta(kind, 64 + (id % 8).toInt * 16, 64, 0, 1)
+        case "audio" => MediaMeta(kind, 0, 0, 16000, 1)
+        case _       => MediaMeta(kind, 32, 32, 0, 4 + (id % 4).toInt)
+      }
+      Asset(id, kind, FakeCodec.encode(meta, id, bodyLen))
+    }
+  }
+
+  /** Decode: binary + kind → typed metadata row. Partition-wise batch
+    * transform; `repartition(asset_id)` upstream if payload sizes skew.
+    */
+  def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = FakeCodec.decode(a.kind, a.payload)
+      Decoded(a.asset_id, a.kind, m.width, m.height, m.sampleRate, m.nFrames,
+        a.payload.length)
+    })
+  }
+
+  /** Feature extraction: payload body → fixed-size float vector (a
+    * 64-bin byte histogram, L1-normalized — the deterministic stand-in
+    * for an embedding model's output; same shape contract:
+    * `array<float>` of fixed dim, joinable with [[Similarity]] ops).
+    */
+  def extractFeatures(assets: Dataset[Asset], dim: Int = 64): Dataset[Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val counts = new Array[Float](dim)
+      var i = FakeCodec.HeaderLen
+      while (i < a.payload.length) {
+        counts(java.lang.Byte.toUnsignedInt(a.payload(i)) % dim) += 1f
+        i += 1
+      }
+      val total = math.max(1f, (a.payload.length - FakeCodec.HeaderLen).toFloat)
+      Features(a.asset_id, counts.map(_ / total))
+    })
+  }
+
+  /** Resize: rewrite the payload for new dimensions (stub transform:
+    * re-encode header + body; a real impl rescales pixels). Narrow map,
+    * payload stays partition-local.
+    */
+  def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val m = FakeCodec.decode(a.kind, a.payload)
+      val body = a.payload.length - FakeCodec.HeaderLen
+      // scale body size with area ratio, deterministically
+      val newBody = math.max(1,
+        (body.toLong * (width.toLong * height) /
+          math.max(1, m.width.toLong * m.height)).toInt)
+      a.copy(payload = FakeCodec.encode(m.copy(width = width, height = height),
+        a.asset_id, newBody))
+    })
+  }
+
+  /** Frame sampling: one output row per sampled frame (every `stride`th
+    * of nFrames), frame payload sliced deterministically from the body.
+    * flatMap — output can exceed input; frames of one asset stay in its
+    * partition.
+    */
+  def sampleFrames(assets: Dataset[Asset], stride: Int = 2): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      val m = FakeCodec.decode(a.kind, a.payload)
+      val body = a.payload.length - FakeCodec.HeaderLen
+      val perFrame = math.max(1, body / math.max(1, m.nFrames))
+      (0 until m.nFrames by stride).map { f =>
+        val start = FakeCodec.HeaderLen + f * perFrame
+        val end = math.min(a.payload.length, start + perFrame)
+        Frame(a.asset_id, f, java.util.Arrays.copyOfRange(a.payload, start, end))
+      }
+    })
+  }
+
+  /** Metadata facet profile of an asset table — the typed-metadata side
+    * of the contract: group on small decoded columns, payloads pruned
+    * from the scan entirely.
+    */
+  def assetStats(decoded: Dataset[Decoded]): DataFrame =
+    decoded.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("payloadBytes")).as("total_bytes"),
+        avg(col("width")).as("avg_width"),
+        max(col("nFrames")).as("max_frames"))
+      .orderBy("kind")
+}

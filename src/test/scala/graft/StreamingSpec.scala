@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.merge.JournalMerge
+import graft.streaming.StreamingMerge
+import graft.streaming.StreamingMerge.StreamRecord
+
+/** Streaming merge must agree with the batch merge on the same data —
+  * one merge semantic across both planes.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def rec(k: String, p: String, t: String, l: String, s: Long) =
+    StreamRecord(k, p, ts(t), ts(l), s)
+
+  test("streaming latestPerKey == batch full merge over all micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRecord]
+    val q = StreamingMerge.latestPerKey(input.toDS())
+      .writeStream.format("memory").queryName("latest_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        rec("u1", "v1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+        rec("u2", "w1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2))
+      q.processAllAvailable()
+      input.addData(
+        rec("u1", "v2", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3),
+        // same timestamps as w1 but LOWER seqno: seqno ASC wins
+        rec("u2", "w0", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1))
+      q.processAllAvailable()
+
+      // batch-merge ALL records and compare winners per key
+      val allRecs = Seq(
+        rec("u1", "v1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1),
+        rec("u2", "w1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2),
+        rec("u1", "v2", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3),
+        rec("u2", "w0", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1))
+      val batchJournal = allRecs.toDF()
+        .withColumnRenamed("transformDt", "__transform_dt")
+        .withColumnRenamed("loadDt", "__load_dt")
+        .withColumnRenamed("seqno", "__seqno")
+      val batchWinners = JournalMerge.full(batchJournal, Seq("key"))
+        .select("key", "payload").as[(String, String)].collect().toMap
+
+      // the LAST emitted record per key in the streaming sink must match
+      val lastEmitted = spark.sql(
+        """SELECT key, payload FROM (
+          |  SELECT key, payload,
+          |    row_number() OVER (PARTITION BY key
+          |      ORDER BY transformDt DESC, loadDt DESC, seqno ASC) rn
+          |  FROM latest_sink) WHERE rn = 1""".stripMargin)
+        .as[(String, String)].collect().toMap
+
+      assert(batchWinners === Map("u1" -> "v2", "u2" -> "w0"))
+      assert(lastEmitted === batchWinners)
+    } finally q.stop()
+  }
+
+  test("foreachBatch bridge: micro-batched journal ingestion == batch merges") {
+    import graft.io.FileWarehouse
+    val root = SparkTestBase.tmpDir("graft_stream_wh")
+    val wh = new FileWarehouse(spark, root)
+    wh.registerPrimaryKey("dwh", "s", Seq("key"))
+    val sink = StreamingMerge.journalToWarehouse(wh, "dwh", "s") _
+
+    def batchDf(rows: StreamRecord*) = rows.toDF()
+      .withColumnRenamed("transformDt", "__transform_dt")
+      .withColumnRenamed("loadDt", "__load_dt")
+      .withColumnRenamed("seqno", "__seqno")
+      .withColumn("__record_state", org.apache.spark.sql.functions.lit("A"))
+
+    sink(batchDf(rec("u1", "v1", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1)), 0L)
+    sink(batchDf(
+      rec("u1", "v2", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2),
+      rec("u2", "w1", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3)), 1L)
+    val master = wh.read("dwh", "s").select("key", "payload")
+      .as[(String, String)].collect().toMap
+    assert(master === Map("u1" -> "v2", "u2" -> "w1"))
+    // journal fully flipped to historical after the second merge
+    assert(wh.read("dwh", "s__journal").where("__record_state = 'A'").count() === 0)
+  }
+}

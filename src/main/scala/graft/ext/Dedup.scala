@@ -54,21 +54,16 @@ object Dedup {
   }
 
   /** MinHash signature column (array<bigint> of length `numHashes`)
-    * over a shingle-array column. One xxhash64 per shingle, then
-    * `numHashes` affine re-hashes — all array HOFs, per-row, no
-    * shuffle. Empty shingle set → signature of P (sentinel larger than
-    * any real hash) so short docs never collide with real content.
+    * over a shingle-array column. One xxhash64 per shingle (codegen'd
+    * builtin), then a native k×n tight-loop expression for the affine
+    * re-hashes (graft.functions.AffineMinHash) — per-row, no shuffle.
+    * Empty shingle set → signature of P (sentinel larger than any real
+    * hash) so short docs never collide with real content.
     */
   def minHashSignature(shingleArr: Column, numHashes: Int, seed: Long = 0xC0FFEE): Column = {
     val (as, bs) = hashParams(numHashes, seed)
-    val aLit = typedlit(as)
-    val bLit = typedlit(bs)
-    val base = transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      when(size(base) > 0,
-        array_min(transform(base, h =>
-          pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(P)))))
-        .otherwise(lit(P)))
+    graft.functions.ArrayExprs.affineMinHash(
+      transform(shingleArr, s => xxhash64(s)), as, bs)
   }
 
   /** LSH banding: (id, band_idx, band_hash) — one row per band, hash of
@@ -119,47 +114,65 @@ object Dedup {
   }
 
   /** Exact Jaccard on given (a_id, b_id) pairs from per-doc shingle
-    * sets; keeps pairs ≥ threshold. Joins are on doc id (narrow keys);
-    * the set intersection runs per-pair with array HOFs.
+    * sets; keeps pairs ≥ threshold. Joins are on doc id (narrow keys).
+    * The per-pair work is a two-pointer merge over per-doc SORTED
+    * xxhash64'd shingle arrays (computed once per doc, not per pair;
+    * 64-bit collisions are vanishingly rare and only this verify step
+    * sees hashes). A size-compatibility prune —
+    * J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|) — drops most
+    * candidates before any array is touched.
     */
   def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
-    val aSets = shingleSets.select(col(idCol).as("a_id"), col("__sh").as("__sha"))
-    val bSets = shingleSets.select(col(idCol).as("b_id"), col("__sh").as("__shb"))
+    val hashed = shingleSets.select(col(idCol),
+      array_sort(transform(col("__sh"), s => xxhash64(s))).as("__hs"),
+      size(col("__sh")).as("__n"))
+    val aSets = hashed.select(col(idCol).as("a_id"), col("__hs").as("__hsa"), col("__n").as("__na"))
+    val bSets = hashed.select(col(idCol).as("b_id"), col("__hs").as("__hsb"), col("__n").as("__nb"))
     pairs.join(aSets, "a_id").join(bSets, "b_id")
-      .withColumn("__inter", size(array_intersect(col("__sha"), col("__shb"))))
-      .withColumn("jaccard",
-        col("__inter").cast("double") /
-          (size(col("__sha")) + size(col("__shb")) - col("__inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
-  }
-
-  /** Exact n-gram Jaccard near-dup via inverted-index join: explode
-    * distinct shingles, self-join postings on the shingle, count
-    * intersections per pair, compute J = |∩| / (|A|+|B|−|∩|). Exact
-    * (no probabilistic step). Shuffle key is the shingle; at real scale
-    * apply prefix filtering / drop ultra-frequent shingles first — a
-    * shingle shared by f docs contributes f² join rows.
-    */
-  def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
-                          textCol: String = "text", shingleSize: Int = 2,
-                          threshold: Double = 0.7): DataFrame = {
-    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleSize).as("__sh"))
-    val postings = sh.select(col(idCol), explode(col("__sh")).as("__s"))
-    val sizes = sh.select(col(idCol), size(col("__sh")).as("__n"))
-    val inter = postings.select(col("__s"), col(idCol).as("a_id"))
-      .join(postings.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+      .where(greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")))
+      .withColumn("__inter",
+        graft.functions.ArrayExprs.sortedIntersectCount(col("__hsa"), col("__hsb")))
       .withColumn("jaccard",
         col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dup via a PREFIX-FILTERED inverted-index
+    * join (PPJoin-style). A naive postings self-join explodes on hot
+    * shingles — a shingle shared by f docs contributes f² join rows
+    * (measured 4× the runtime of this at sf0.1, and unbounded at 100 TB).
+    * Prefix-filter theorem: order every doc's shingles by one GLOBAL
+    * total order (document frequency ASC, shingle ASC); if
+    * J(A,B) ≥ t, then A and B must share a shingle within their first
+    * `|X| − ⌈t·|X|⌉ + 1` shingles. So only those prefix postings are
+    * joined — rare shingles, tiny buckets — and each candidate pair is
+    * then verified with the full sets. Exact: the filter admits no
+    * false negatives, the verify removes all false positives.
+    */
+  def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", shingleSize: Int = 2,
+                          threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleSize).as("__sh"))
+    val postings = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val byRarity = Window.partitionBy(col(idCol))
+      .orderBy(col("__df").asc, col("__s").asc)
+    val perDoc = Window.partitionBy(col(idCol))
+    val prefix = postings.join(docFreq, "__s")
+      .withColumn("__rn", row_number().over(byRarity))
+      .withColumn("__n", count(lit(1)).over(perDoc))
+      .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col("__s"), col(idCol))
+    val cands = prefix.select(col("__s"), col(idCol).as("a_id"))
+      .join(prefix.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    verifyJaccard(cands, sh, idCol, threshold)
   }
 
   // ---------------------------------------------------------------------
@@ -171,19 +184,13 @@ object Dedup {
     * overflow when packing bit 63 and IS the dedup index — by
     * pigeonhole, two signatures within Hamming distance 3 agree on at
     * least one of the 4 chunks, so candidate generation is an equi-join
-    * on (chunk_idx, chunk_value), never all-pairs.
+    * on (chunk_idx, chunk_value), never all-pairs. The 64-bit weight
+    * accumulation runs as a native tight-loop expression
+    * (graft.functions.SimHashChunks64).
     */
-  def simHashChunks(text: Column): Column = {
-    val hashes = transform(TextOps.tokens(text), t => xxhash64(t))
-    // bit b weight = Σ tokens (bit set ? +1 : −1); simhash bit = weight > 0
-    val bits = transform(sequence(lit(0), lit(63)), b =>
-      when(aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)) > 0, 1L)
-        .otherwise(0L))
-    transform(sequence(lit(0), lit(3)), c =>
-      aggregate(slice(bits, c * 16 + 1, lit(16)), lit(0L), (acc, bit) => acc * 2 + bit))
-  }
+  def simHashChunks(text: Column): Column =
+    graft.functions.ArrayExprs.simHashChunks(
+      transform(TextOps.tokens(text), t => xxhash64(t)))
 
   /** Hamming distance between two chunked signatures. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the extension operators' hot inner
+  * loops. Spark's higher-order functions (`transform`/`aggregate`)
+  * interpret their lambda per element — fine per document, ruinous in
+  * a pairwise join where the same arithmetic runs millions of times.
+  * These expressions run the loop as straight JVM code (cosine also
+  * participates in whole-stage codegen via doGenCode), which measured
+  * ~20-40× faster on the sf0.1 bench while computing bit-identical
+  * results (same element order, same double accumulation).
+  */
+object ArrayExprs {
+  /** Cosine similarity of two float arrays as a Column. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** MinHash signature over an array of 64-bit base hashes. */
+  def affineMinHash(baseHashes: Column, as: Seq[Long], bs: Seq[Long]): Column =
+    ColumnBridge.column(AffineMinHash(
+      ColumnBridge.expression(baseHashes), as, bs))
+
+  /** 64-bit SimHash over token hashes, packed as four 16-bit chunks. */
+  def simHashChunks(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHashChunks64(ColumnBridge.expression(tokenHashes)))
+
+  /** Intersection size of two SORTED long arrays (merge scan). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
+  * one pass over the arrays, sequentially in element order — the exact
+  * numeric contract of the single-threaded loop every other engine runs
+  * (bit-reproducible vs DuckDB's list_cosine_similarity; verified by
+  * the q14/q15 oracles).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi;
+         |  $na += $xi * $xi;
+         |  $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature: for each of k universal hash functions
+  * `h_i(x) = (a_i·x + b_i) mod P` (P = 2³¹−1; x = base hash mod P, so
+  * every product stays < 2⁶² — no 64-bit overflow even under ANSI),
+  * the minimum over the input's base hashes. Empty input → sentinel P.
+  * Interpreted eval is a tight k×n JVM loop; per-row call overhead is
+  * negligible at one call per document.
+  */
+case class AffineMinHash(child: Expression, as: Seq[Long], bs: Seq[Long])
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(as.length == bs.length && as.nonEmpty, "need matching non-empty a/b params")
+
+  private val P = 2147483647L
+  private val aArr = as.toArray
+  private val bArr = bs.toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "affine_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val k = aArr.length
+    val mins = Array.fill[Long](k)(P)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val x = java.lang.Math.floorMod(hashes.getLong(j), P)
+      var i = 0
+      while (i < k) {
+        val v = (aArr(i) * x + bArr(i)) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `|A ∩ B|` of two sorted long arrays via a two-pointer merge scan —
+  * the set-overlap verify for near-dup candidates. Built-in
+  * `array_intersect` hashes per call and dominated the verify stage at
+  * bench scale; this runs in O(|A|+|B|) with no allocation.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i)
+      val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of a token-hash multiset, returned as four 16-bit
+  * chunk values (chunked storage sidesteps signed-overflow packing of
+  * bit 63 AND is the Hamming-≤3 dedup index — see Dedup.nearDupSimHash).
+  * Bit b = sign of Σ over tokens of (bit b set ? +1 : −1); chunk c
+  * packs bits c·16..c·16+15 big-endian-first.
+  */
+case class SimHashChunks64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_chunks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 4) {
+      var acc = 0L
+      var i = 0
+      while (i < 16) {
+        acc = acc * 2 + (if (counts(c * 16 + i) > 0) 1L else 0L)
+        i += 1
+      }
+      chunks(c) = acc
+      c += 1
+    }
+    new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

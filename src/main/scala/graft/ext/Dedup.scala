@@ -60,10 +60,13 @@ object Dedup {
     * Empty shingle set → signature of P (sentinel larger than any real
     * hash) so short docs never collide with real content.
     */
-  def minHashSignature(shingleArr: Column, numHashes: Int, seed: Long = 0xC0FFEE): Column = {
+  def minHashSignature(shingleArr: Column, numHashes: Int, seed: Long = 0xC0FFEE): Column =
+    minHashFromHashes(transform(shingleArr, s => xxhash64(s)), numHashes, seed)
+
+  /** Signature straight from pre-hashed shingles (ShingleHashes). */
+  def minHashFromHashes(baseHashes: Column, numHashes: Int, seed: Long = 0xC0FFEE): Column = {
     val (as, bs) = hashParams(numHashes, seed)
-    graft.functions.ArrayExprs.affineMinHash(
-      transform(shingleArr, s => xxhash64(s)), as, bs)
+    graft.functions.ArrayExprs.affineMinHash(baseHashes, as, bs)
   }
 
   /** LSH banding: (id, band_idx, band_hash) — one row per band, hash of
@@ -107,26 +110,26 @@ object Dedup {
                      threshold: Double = 0.8, numHashes: Int = 128,
                      bands: Int = 32, seed: Long = 0xC0FFEE): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleSize).as("__sh"))
-    val withSig = sh.withColumn("__sig", minHashSignature(col("__sh"), numHashes, seed))
+    val hs = docs.select(col(idCol),
+      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+    val withSig = hs.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
     val cands = lshCandidates(withSig, idCol, bands, numHashes / bands)
-    verifyJaccard(cands, sh.select(col(idCol), col("__sh")), idCol, threshold)
+    verifyJaccard(cands, hs, idCol, threshold)
   }
 
-  /** Exact Jaccard on given (a_id, b_id) pairs from per-doc shingle
-    * sets; keeps pairs ≥ threshold. Joins are on doc id (narrow keys).
-    * The per-pair work is a two-pointer merge over per-doc SORTED
-    * xxhash64'd shingle arrays (computed once per doc, not per pair;
-    * 64-bit collisions are vanishingly rare and only this verify step
-    * sees hashes). A size-compatibility prune —
+  /** Exact Jaccard on given (a_id, b_id) pairs from per-doc hashed
+    * shingle sets (`__hs`: sorted distinct longs from ShingleHashes);
+    * keeps pairs ≥ threshold. Joins are on doc id (narrow keys). The
+    * per-pair work is a two-pointer merge scan — computed per pair,
+    * while the sets themselves were hashed once per doc (64-bit
+    * collisions are vanishingly rare and only this verify step sees
+    * hashes). A size-compatibility prune —
     * J(A,B) ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|) — drops most
     * candidates before any array is touched.
     */
-  def verifyJaccard(pairs: DataFrame, shingleSets: DataFrame, idCol: String,
+  def verifyJaccard(pairs: DataFrame, hashedSets: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
-    val hashed = shingleSets.select(col(idCol),
-      array_sort(transform(col("__sh"), s => xxhash64(s))).as("__hs"),
-      size(col("__sh")).as("__n"))
+    val hashed = hashedSets.select(col(idCol), col("__hs"), size(col("__hs")).as("__n"))
     val aSets = hashed.select(col(idCol).as("a_id"), col("__hs").as("__hsa"), col("__n").as("__na"))
     val bSets = hashed.select(col(idCol).as("b_id"), col("__hs").as("__hsb"), col("__n").as("__nb"))
     pairs.join(aSets, "a_id").join(bSets, "b_id")
@@ -156,8 +159,9 @@ object Dedup {
                           textCol: String = "text", shingleSize: Int = 2,
                           threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs.select(col(idCol), TextOps.shingles(col(textCol), shingleSize).as("__sh"))
-    val postings = sh.select(col(idCol), explode(col("__sh")).as("__s"))
+    val hs = docs.select(col(idCol),
+      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+    val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
     val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
     val byRarity = Window.partitionBy(col(idCol))
       .orderBy(col("__df").asc, col("__s").asc)
@@ -172,7 +176,7 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    verifyJaccard(cands, sh, idCol, threshold)
+    verifyJaccard(cands, hs, idCol, threshold)
   }
 
   // ---------------------------------------------------------------------

@@ -37,6 +37,10 @@ object ArrayExprs {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sorted distinct 64-bit hashes of a text's n-word shingles. */
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
 }
 
 /** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
@@ -173,6 +177,73 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Sorted, de-duplicated 64-bit hashes of the n-word shingles of a
+  * single-space-tokenized text — one pass, no intermediate shingle
+  * strings. This is the input shape every near-dup operator wants:
+  * AffineMinHash consumes it directly, inverted-index postings explode
+  * it as 8-byte longs (vs ~20-byte shingle strings), and
+  * SortedIntersectCount merges two of them for the exact verify.
+  * Token hash = FNV-1a 64 over chars; shingle hash = FNV-style mix of
+  * the n token hashes. Fewer than n tokens → empty array.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    // tokenize + FNV-1a hash per token in one scan
+    val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (inTok) { tokHashes += h; h = FnvOffset; inTok = false }
+      } else {
+        h = (h ^ c) * FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokHashes += h
+    val t = tokHashes.length
+    if (t < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](t - n + 1)
+    var j = 0
+    while (j <= t - n) {
+      var sh = FnvOffset
+      var k = 0
+      while (k < n) {
+        sh = (sh ^ tokHashes(j + k)) * FnvPrime
+        k += 1
+      }
+      out(j) = sh
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place unique
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash of a token-hash multiset, returned as four 16-bit

@@ -74,6 +74,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(wh.read("dwh", "flag_summary").count() == before)
   }
 
+  test("migration step (F19): runs migration.sql on the warehouse iff the file exists") {
+    val (ctx, wh, work) = mkCtx()
+    wh.registerPrimaryKey("dwh", "m", Seq("id"))
+    // seed a table the migration will mutate via warehouse DDL/DML
+    import spark.implicits._
+    wh.append(Seq((1, "x")).toDF("id", "v"), "dwh", "premigrated")
+    write(s"$work/sql", "migration.sql",
+      "INSERT INTO dwh.premigrated SELECT 2 AS id, 'y' AS v")
+    val cfg = TableConfig(
+      migration = Some(SqlSource.File("migration.sql")),
+      dependencies = Seq(Dependency("datalake", "parquet", "li",
+        path = Some("sf0.001/lineitem.parquet"))),
+      transform = Map.empty,
+      target = None)
+    PipelineRunner.runTable(ctx, cfg, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
+    assert(wh.read("dwh", "premigrated").count() == 2,
+      "migration.sql must execute against the warehouse before the transform")
+    // missing file -> silently skipped (reference: airflow_etl.py:693-700)
+    val cfgMissing = cfg.copy(migration = Some(SqlSource.File("no_such_migration.sql")))
+    PipelineRunner.runTable(ctx, cfgMissing, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
+    assert(wh.read("dwh", "premigrated").count() == 2)
+  }
+
   test("csv dependency arrives all-strings (no inferSchema, reference parity)") {
     val (ctx, _, work) = mkCtx()
     write(s"$work/lakefiles", "m.csv", "code,val\n1,a\n2,b\n")

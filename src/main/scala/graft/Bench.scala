@@ -29,6 +29,12 @@ object Bench {
       */
     val headline = Set("q01_pricing_summary", "q02_revenue_asia", "q03_top_orders",
       "q04_latest_order_per_customer", "q05_merge_full", "q06_merge_delta")
+    // one untimed warm-up materialization: JVM/codegen/classloading
+    // warm-up otherwise lands entirely on whichever query runs first
+    // (r1 showed q01 at ~6 s vs ~1 s for identical scan volume)
+    try SparkEntry.queries("q04_latest_order_per_customer")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try {

@@ -242,6 +242,55 @@ object Queries {
     spark.sql(q20Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q21 — analytic-window surface (SURVEY §2b): lag/lead, rank, and a
+  // sliding frame, one deterministic ordering. The frame sum runs in
+  // DECIMAL: engines maintain sliding frames differently (incremental
+  // update vs segment tree), so only order-independent exact arithmetic
+  // is comparable across them.
+  val q21Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  lag(o_orderkey) OVER w AS prev_orderkey,
+      |  lead(o_orderkey) OVER w AS next_orderkey,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS date_rank,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS sliding_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q21Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q22 — scalar-function surface (SURVEY §2b): string/date/math/
+  // conditional scalars, identical SQL text on both engines.
+  val q22Sql: String =
+    """SELECT o_orderkey,
+      |  upper(substr(o_orderpriority, 1, 3)) AS prio3,
+      |  length(o_orderstatus) AS status_len,
+      |  o_orderstatus || '-' || o_orderpriority AS status_prio,
+      |  year(o_orderdate) AS order_year,
+      |  month(o_orderdate) AS order_month,
+      |  date_trunc('month', o_orderdate) AS order_month_start,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  abs(o_totalprice) AS price_abs,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coalesced,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big'
+      |       WHEN o_totalprice > 10000 THEN 'mid'
+      |       ELSE 'small' END AS size_band
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q22Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -251,7 +300,9 @@ object Queries {
     "q06_merge_delta" -> (q06 _),
     "q18_delta_transform" -> (q18 _),
     "q19_rollup" -> (q19 _),
-    "q20_set_ops" -> (q20 _)
+    "q20_set_ops" -> (q20 _),
+    "q21_window_analytics" -> (q21 _),
+    "q22_scalar_functions" -> (q22 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,6 +380,8 @@ object Queries {
         |WHERE rnk = 1
         |ORDER BY user_id""".stripMargin,
     "q19_rollup" -> q19Sql,
-    "q20_set_ops" -> q20Sql
+    "q20_set_ops" -> q20Sql,
+    "q21_window_analytics" -> q21Sql,
+    "q22_scalar_functions" -> q22Sql
   )
 }

@@ -129,11 +129,16 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, hashedSets: DataFrame, idCol: String,
                     threshold: Double): DataFrame = {
-    val hashed = hashedSets.select(col(idCol), col("__hs"), size(col("__hs")).as("__n"))
-    val aSets = hashed.select(col(idCol).as("a_id"), col("__hs").as("__hsa"), col("__n").as("__na"))
-    val bSets = hashed.select(col(idCol).as("b_id"), col("__hs").as("__hsb"), col("__n").as("__nb"))
-    pairs.join(aSets, "a_id").join(bSets, "b_id")
+    // pass 1 on NARROW rows: join set sizes (8 bytes) and apply the
+    // size-compatibility bound — only survivors ever touch an array
+    val sizes = hashedSets.select(col(idCol), size(col("__hs")).as("__n"))
+    val compat = pairs
+      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
       .where(greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")))
+    val aSets = hashedSets.select(col(idCol).as("a_id"), col("__hs").as("__hsa"))
+    val bSets = hashedSets.select(col(idCol).as("b_id"), col("__hs").as("__hsb"))
+    compat.join(aSets, "a_id").join(bSets, "b_id")
       .withColumn("__inter",
         graft.functions.ArrayExprs.sortedIntersectCount(col("__hsa"), col("__hsb")))
       .withColumn("jaccard",
@@ -143,40 +148,67 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Exact n-gram Jaccard near-dup via a PREFIX-FILTERED inverted-index
-    * join (PPJoin-style). A naive postings self-join explodes on hot
-    * shingles — a shingle shared by f docs contributes f² join rows
-    * (measured 4× the runtime of this at sf0.1, and unbounded at 100 TB).
-    * Prefix-filter theorem: order every doc's shingles by one GLOBAL
-    * total order (document frequency ASC, shingle ASC); if
-    * J(A,B) ≥ t, then A and B must share a shingle within their first
-    * `|X| − ⌈t·|X|⌉ + 1` shingles. So only those prefix postings are
-    * joined — rare shingles, tiny buckets — and each candidate pair is
-    * then verified with the full sets. Exact: the filter admits no
-    * false negatives, the verify removes all false positives.
+  /** Exact n-gram Jaccard near-dup via an inverted-index join, with two
+    * strategies — both exact, different cost shapes:
+    *
+    *  - `"count"` (default): full postings self-join on the shingle
+    *    hash, count shared shingles per pair map-side, then Jaccard
+    *    from the counts. Everything that moves is a 24-byte
+    *    (shingle, id) / (a, b, count) row — no arrays ever transit the
+    *    joins. Cost ≈ Σ_s f(s)² narrow rows: best when no shingle is
+    *    shared by a large fraction of the corpus.
+    *  - `"prefix"`: PPJoin-style prefix filtering — order each doc's
+    *    shingles by global rarity; a pair with J ≥ t must share one of
+    *    its first `|X| − ⌈t·|X|⌉ + 1` shingles, so only those postings
+    *    are joined, then candidates are verified by merge-scanning the
+    *    full hashed sets. Kills the f² term on Zipfian corpora where a
+    *    few stop-shingles are everywhere (the 100 TB text shape); pays
+    *    an array join per candidate.
+    *
+    * Either way, no false negatives and the reported Jaccard is exact.
     */
   def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", shingleSize: Int = 2,
-                          threshold: Double = 0.7): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                          threshold: Double = 0.7,
+                          strategy: String = "prefix"): DataFrame = {
     val hs = docs.select(col(idCol),
       graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
     val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
-    val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
-    val byRarity = Window.partitionBy(col(idCol))
-      .orderBy(col("__df").asc, col("__s").asc)
-    val perDoc = Window.partitionBy(col(idCol))
-    val prefix = postings.join(docFreq, "__s")
-      .withColumn("__rn", row_number().over(byRarity))
-      .withColumn("__n", count(lit(1)).over(perDoc))
-      .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col("__s"), col(idCol))
-    val cands = prefix.select(col("__s"), col(idCol).as("a_id"))
-      .join(prefix.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .distinct()
-    verifyJaccard(cands, hs, idCol, threshold)
+    strategy match {
+      case "count" =>
+        val sizes = hs.select(col(idCol), size(col("__hs")).as("__n"))
+        val inter = postings.select(col("__s"), col(idCol).as("a_id"))
+          .join(postings.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
+          .where(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+        inter
+          .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+          .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+          .withColumn("jaccard",
+            col("__inter").cast("double") /
+              (col("__na") + col("__nb") - col("__inter")).cast("double"))
+          .where(col("jaccard") >= threshold)
+          .select("a_id", "b_id", "jaccard")
+      case "prefix" =>
+        import org.apache.spark.sql.expressions.Window
+        val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
+        val byRarity = Window.partitionBy(col(idCol))
+          .orderBy(col("__df").asc, col("__s").asc)
+        val perDoc = Window.partitionBy(col(idCol))
+        val prefix = postings.join(docFreq, "__s")
+          .withColumn("__rn", row_number().over(byRarity))
+          .withColumn("__n", count(lit(1)).over(perDoc))
+          .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+          .select(col("__s"), col(idCol))
+        val cands = prefix.select(col("__s"), col(idCol).as("a_id"))
+          .join(prefix.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
+          .where(col("a_id") < col("b_id"))
+          .select("a_id", "b_id")
+          .distinct()
+        verifyJaccard(cands, hs, idCol, threshold)
+      case other =>
+        throw new IllegalArgumentException(s"unknown strategy '$other' (count|prefix)")
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -41,8 +41,11 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va"))
     val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
+    // project the vectors away BEFORE the window: the ranking shuffle
+    // then moves 24-byte (id, id, sim) rows, not 0.5 KB of arrays
     val pairs = a.join(b, col("vec_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     pairs.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
@@ -112,7 +115,8 @@ object Similarity {
     val cands = candIds
       .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va")), "vec_id")
       .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb")), "neighbor_id")
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim")) // arrays pruned pre-window
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
     cands.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

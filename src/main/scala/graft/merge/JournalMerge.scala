@@ -55,6 +55,39 @@ object JournalMerge {
       .drop(rankCol)
   }
 
+  /** Skew-safe variant of [[latestPerKey]] for journals with hot keys
+    * (one PK receiving a large share of versions would pile into a
+    * single window partition). Two phases with the SAME comparator:
+    * local winners per (pk, salt) — `saltBuckets`-way fan-out of the
+    * hot key — then the global winner per pk over the tiny winner set.
+    * The salt is derived deterministically from the version columns, so
+    * results are reproducible; winner equality with [[latestPerKey]]
+    * holds whenever the comparator is total on the key's rows (exact
+    * full-chain ties are broken arbitrarily in BOTH variants, matching
+    * the reference's unordered row_number ties).
+    */
+  def latestPerKeySalted(journal: DataFrame, pks: Seq[String],
+                         saltBuckets: Int = 32): DataFrame = {
+    require(pks.nonEmpty, "journal merge requires at least one primary-key column")
+    val saltCol = "__graft_salt"
+    val salted = journal.withColumn(saltCol,
+      pmod(xxhash64(col(TransformDt), col(LoadDt), col(Seqno)), lit(saltBuckets)))
+    val localWinners = latestPerKey2(salted, pks :+ saltCol)
+    latestPerKey2(localWinners, pks).drop(saltCol)
+  }
+
+  /** Window winner with the merge comparator over arbitrary partition cols. */
+  private def latestPerKey2(df: DataFrame, partCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(
+        col(TransformDt).desc_nulls_first,
+        col(LoadDt).desc_nulls_first,
+        col(Seqno).asc_nulls_last)
+    df.withColumn(rankCol, row_number().over(w))
+      .where(col(rankCol) === 1)
+      .drop(rankCol)
+  }
+
   /** New master content for merge_mode=full (airflow_etl.py:154-178). */
   def full(journal: DataFrame, pks: Seq[String]): DataFrame =
     latestPerKey(journal, pks)

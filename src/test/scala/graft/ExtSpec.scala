@@ -54,15 +54,27 @@ class ExtSpec extends AnyFunSuite {
     assert(found === Set(1L -> 2L))
   }
 
-  test("ngram Jaccard join matches array-intersect Jaccard exactly") {
+  test("ngram Jaccard join matches array-intersect Jaccard exactly (both strategies)") {
     val df = docsDf(
       1L -> "a b c d e f g h",
       2L -> "a b c d e f g x",
       3L -> "p q r s t u v w")
-    val viaJoin = Dedup.nearDupNgramJaccard(df, shingleSize = 2, threshold = 0.1)
-      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
     // pair (1,2): bigrams 7 each, 6 shared -> J = 6/8 = 0.75
-    assert(viaJoin === Set((1L, 2L, 0.75)))
+    Seq("count", "prefix").foreach { s =>
+      val viaJoin = Dedup.nearDupNgramJaccard(df, shingleSize = 2, threshold = 0.1, strategy = s)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(viaJoin === Set((1L, 2L, 0.75)), s"strategy $s")
+    }
+  }
+
+  test("ngram Jaccard strategies agree on the fixtures") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaCount = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.7)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val viaPrefix = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.7,
+      strategy = "prefix").select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(viaCount === viaPrefix)
+    assert(viaCount.nonEmpty)
   }
 
   test("simhash: identical docs distance 0, one-token edit small, unrelated large") {
@@ -133,6 +145,24 @@ class ExtSpec extends AnyFunSuite {
     val out = TextOps.languageId(docsDf(1L -> "table row"), ExtQueries.langProfiles)
       .select("lang_cand").as[String].head()
     assert(out === "de")
+  }
+
+  test("plan audit: facet stats prune unused columns from the parquet scan") {
+    val plan = ExtQueries.q08(spark, sf).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("doc_id"),
+      s"doc_id should be pruned from the scan: $readSchema")
+  }
+
+  test("plan audit: LSH/bucketed near-dup paths never plan a cartesian join") {
+    // brute-force q14/q15 are all-pairs BY DESIGN; every hashed/bucketed
+    // path must stay equi-join shaped at any scale
+    Seq("q12_near_dup_minhash", "q13_near_dup_jaccard",
+        "q16_similarity_ann", "q17_near_dup_simhash").foreach { name =>
+      val plan = ExtQueries.all(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a product join:\n${plan.take(2000)}")
+    }
   }
 
   test("facetStats approx-distinct variant returns plausible HLL counts") {

@@ -125,6 +125,21 @@ class MergeSpec extends AnyFunSuite {
     assert(winners(wh.read("dwh", "t")) == Map(1 -> "v0"))
   }
 
+  test("salted latest-per-key == plain latest-per-key under a hot key") {
+    // one hot key (id=0) with 300 versions, plus normal keys
+    val rows = (1 to 300).map { i =>
+      (0, s"hot$i", f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00",
+        f"2024-01-${(i * 5) % 28 + 1}%02d 00:00:00", java.lang.Long.valueOf(i.toLong), "A")
+    } ++ (1 to 20).map { i =>
+      (i, s"v$i", f"2024-01-${i % 28 + 1}%02d 00:00:00",
+        "2024-01-01 00:00:00", java.lang.Long.valueOf(i.toLong), "A")
+    }
+    val j = journal(rows: _*)
+    val plain = winners(JournalMerge.latestPerKey(j, Seq("id")))
+    val salted = winners(JournalMerge.latestPerKeySalted(j, Seq("id"), saltBuckets = 8))
+    assert(salted == plain)
+  }
+
   test("property: full merge is invariant under journal row permutation") {
     val rows = (1 to 40).map { i =>
       (i % 7, s"v$i", f"2024-01-${i % 28 + 1}%02d 00:00:00",

@@ -62,6 +62,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked tumbling-window aggregation finalizes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = input.toDS().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win_start"), $"n")
+      .writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L),
+        (ts("2024-01-01 10:40:00"), 2L),
+        (ts("2024-01-01 11:10:00"), 3L))
+      q.processAllAvailable()
+      // nothing final yet: watermark = 11:10 - 1h = 10:10 < 11:00
+      assert(spark.table("win_sink").count() === 0)
+      // advance event time far enough to close the 10:00 and 11:00 windows
+      input.addData((ts("2024-01-01 13:30:00"), 4L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:30:00"), 5L))
+      q.processAllAvailable()
+      val closed = spark.table("win_sink")
+        .as[(Timestamp, Long)].collect().toMap
+      assert(closed(ts("2024-01-01 10:00:00")) === 2L)
+      assert(closed(ts("2024-01-01 11:00:00")) === 1L)
+    } finally q.stop()
+  }
+
   test("foreachBatch bridge: micro-batched journal ingestion == batch merges") {
     import graft.io.FileWarehouse
     val root = SparkTestBase.tmpDir("graft_stream_wh")

@@ -96,6 +96,37 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wh.read("DWH", "T").count() === 2)
   }
 
+  test("EP1 live: partitioned extractDb from Derby source to the lake") {
+    import graft.exec.{EtlContext, PipelineRunner}
+    import graft.io.Lake
+    ddl(
+      """CREATE TABLE DWH.SRC ("id" INT NOT NULL PRIMARY KEY, "name" VARCHAR(32))""",
+      "INSERT INTO DWH.SRC VALUES " +
+        (1 to 50).map(i => s"($i, 'row$i')").mkString(", "))
+    val work = SparkTestBase.tmpDir("graft_extract_jdbc")
+    val connYaml =
+      """url: jdbc:derby:memory:graftjdbc
+        |dialect: generic
+        |partition_column: id
+        |num_partitions: 4
+        |lower_bound: 0
+        |upper_bound: 50""".stripMargin
+    val ctx = EtlContext(
+      spark = spark,
+      lake = Lake(work),
+      warehouse = wh,
+      variables = Map("MAIN_FLEX_CONN" -> connYaml))
+    val path = PipelineRunner.extractDb(ctx, "flex", "main", "app", "src",
+      "SELECT * FROM DWH.SRC")
+    assert(path === s"$work/datalake/flex/main/app/src")
+    val extracted = spark.read.parquet(path)
+    assert(extracted.count() === 50)
+    // the partitioned-scan spec must survive into the extract read plan:
+    // 4 range-bounded connections -> 4 output files
+    val parts = new java.io.File(path).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts === 4, s"expected 4 part files from 4 JDBC partitions, got $parts")
+  }
+
   test("truncateAppend preserves DDL and replaces content") {
     wh.truncateAppend(journalRows((9, "only", "2024-02-01 00:00:00", 9L, "H")),
       "DWH", "T__JOURNAL")

@@ -74,6 +74,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(wh.read("dwh", "flag_summary").count() == before)
   }
 
+  test("EP2 from config.yaml on disk: parse -> run -> merged master") {
+    val (ctx, wh, work) = mkCtx()
+    wh.registerPrimaryKey("dwh", "seg_counts", Seq("c_mktsegment"))
+    write(s"$work/sql", "seg.sql",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __transform_dt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __load_dt,
+        |  CAST(0 AS BIGINT) AS __seqno, 'A' AS __record_state
+        |FROM cust GROUP BY c_mktsegment""".stripMargin)
+    write(work, "config.yaml",
+      """- dependencies:
+        |    - source: datalake
+        |      format: parquet
+        |      alias: cust
+        |      path: sf0.001/customer.parquet
+        |  transform:
+        |    full:
+        |      - type: select
+        |        sql: seg.sql
+        |        parameters:
+        |          - name: report_date
+        |            type: report_date
+        |  target:
+        |    target_schema: dwh
+        |    target_table_name: seg_counts""".stripMargin)
+    val cfg = graft.config.Yaml.parsePipelineFile(s"$work/config.yaml")
+    PipelineRunner.run(ctx, cfg)
+    val master = wh.read("dwh", "seg_counts")
+    assert(master.count() > 0)
+    assert(master.columns.contains("c_mktsegment"))
+    assert(wh.read("dwh", "seg_counts__journal").where("__record_state = 'A'").count() == 0)
+  }
+
   test("migration step (F19): runs migration.sql on the warehouse iff the file exists") {
     val (ctx, wh, work) = mkCtx()
     wh.registerPrimaryKey("dwh", "m", Seq("id"))

@@ -35,6 +35,57 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Connected components over a near-dup pair set: label every member
+    * with the smallest doc id reachable through pair edges (min-label
+    * propagation to fixpoint). The iteration runs over the PAIR graph —
+    * tiny relative to the corpus (near-dup rate ≪ 1) — with one
+    * equi-join per round and a driver-side convergence check; round
+    * count is bounded by the component diameter. Returns
+    * (member, component).
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("member"))
+      .distinct()
+      .withColumn("component", col("member"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // each member adopts min(own label, neighbors' labels)
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("member", "dst"), "dst")
+        .groupBy(col("src").as("member"))
+        .agg(min(col("component")).as("__nbr"))
+      val next = labels.join(viaNeighbors, Seq("member"), "left")
+        .select(col("member"),
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
+        .localCheckpoint(true) // materialize: bounds lineage across rounds
+      converged = next.select(col("member"), col("component").as("__new"))
+        .join(labels.select(col("member"), col("component").as("__old")), "member")
+        .where(col("__new") =!= col("__old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate REMOVAL: run pair detection, cluster the pairs, and
+    * keep only each cluster's lowest-id member (plus every document in
+    * no cluster). The anti-join ships only the small loser set.
+    */
+  def dedupNearDups(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("member") =!= col("component"))
+      .select(col("member").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // MinHash
   // ---------------------------------------------------------------------

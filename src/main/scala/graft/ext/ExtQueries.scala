@@ -78,6 +78,15 @@ object ExtQueries {
     Dedup.nearDupSimHash(docs(spark, dir), maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** The full near-dedup flow: LSH pairs → connected components → keep
+    * each cluster's lowest-id member.
+    */
+  def q23(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.dedupNearDups(d, Dedup.nearDupMinHash(d, shingleSize = 3, threshold = 0.8))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -89,18 +98,20 @@ object ExtQueries {
     "q14_embed_near_dup" -> (q14 _),
     "q15_similarity_topk" -> (q15 _),
     "q16_similarity_ann" -> (q16 _),
-    "q17_near_dup_simhash" -> (q17 _)
+    "q17_near_dup_simhash" -> (q17 _),
+    "q23_dedup_near_dups" -> (q23 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
     * path must reproduce), parameterized by shingle width/threshold.
     */
-  private def jaccardOracle(shingleWidth: Int, threshold: Double): String = {
+  /** Shared CTE body computing exact shingle-Jaccard pairs ≥ threshold. */
+  private def jaccardPairsCte(shingleWidth: Int, threshold: Double): String = {
     val joins = (2 to shingleWidth)
       .map(i => s"JOIN w t$i ON t1.doc_id=t$i.doc_id AND t$i.pos=t1.pos+${i - 1}")
       .mkString(" ")
     val concat = (1 to shingleWidth).map(i => s"t$i.tok").mkString(" || ' ' || ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
        |  FROM documents),
@@ -109,14 +120,18 @@ object ExtQueries {
        |inter AS (
        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT a_id, b_id, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
-       |FROM inter
-       |JOIN sz sa ON sa.doc_id = a_id
-       |JOIN sz sb ON sb.doc_id = b_id
-       |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold
-       |ORDER BY a_id, b_id""".stripMargin
+       |  GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT a_id, b_id, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = a_id
+       |  JOIN sz sb ON sb.doc_id = b_id
+       |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= $threshold)""".stripMargin
   }
+
+  private def jaccardOracle(shingleWidth: Int, threshold: Double): String =
+    s"""WITH ${jaccardPairsCte(shingleWidth, threshold)}
+       |SELECT a_id, b_id, jaccard FROM jpairs ORDER BY a_id, b_id""".stripMargin
 
   private val langProfileValues = langProfiles
     .map { case (l, ms) => s"('$l', [${ms.map(m => s"'$m'").mkString(",")}])" }
@@ -183,7 +198,25 @@ object ExtQueries {
         |                       ORDER BY sim DESC, neighbor_id ASC) AS rnk
         |  FROM p)
         |SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rnk, sim
-        |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin
+        |FROM r WHERE rnk <= 5 ORDER BY vec_id, rnk""".stripMargin,
+    // near-dedup ground truth: transitive closure over the exact pair
+    // set (recursive CTE), drop every member that is not its
+    // component's minimum
+    "q23_dedup_near_dups" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM jpairs
+         |  UNION SELECT b_id, a_id FROM jpairs),
+         |walk(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+         |comp AS (
+         |  SELECT s AS member, least(s, min(d)) AS component
+         |  FROM walk GROUP BY s)
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)
+         |ORDER BY doc_id""".stripMargin
     // q16 (ANN) and q17 (SimHash) intentionally have no oracle: both are
     // hash-family approximations whose exactness is asserted against the
     // exact operators in ExtSpec.

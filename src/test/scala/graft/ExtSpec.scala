@@ -67,6 +67,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clustering: chains collapse to one representative") {
+    // components: {1,2,3} (chain), {10,11}, singleton 99 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val docs = docsDf(1L -> "a", 2L -> "b", 3L -> "c", 10L -> "d", 11L -> "e", 99L -> "f")
+    val kept = Dedup.dedupNearDups(docs, pairs).select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 10L, 99L))
+  }
+
+  test("dedupNearDups over fixture minhash pairs removes the injected dups") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.nearDupMinHash(docs, threshold = 0.8)
+    val kept = Dedup.dedupNearDups(docs, pairs)
+    // expected losers: union-find over the collected pairs
+    val edges = pairs.select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(edges.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val losers = members.filter(m => find(m) != m)
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    assert(keptIds === docs.select("doc_id").as[Long].collect().toSet -- losers)
+  }
+
   test("ngram Jaccard strategies agree on the fixtures") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val viaCount = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.7)

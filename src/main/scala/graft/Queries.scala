@@ -291,6 +291,61 @@ object Queries {
     spark.sql(q22Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q24 — exact interpolated quantiles per group (both engines implement
+  // the same linear-interpolation definition: Spark `percentile`, DuckDB
+  // `quantile_cont`); scalar outputs, no arrays (list formatting differs
+  // across engines).
+  def q24(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  percentile(o_totalprice, 0.25) AS p25,
+        |  percentile(o_totalprice, 0.5) AS p50,
+        |  percentile(o_totalprice, 0.75) AS p75
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  val q24Oracle: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.25) AS p25,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.75) AS p75
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25 — sessionization: a session breaks after a >30 min silence.
+  // lag + conditional cumulative sum, the canonical composition; all
+  // session arithmetic on integral epoch seconds (exact in both engines).
+  val q25Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+      |              > 1800000 THEN 1
+      |         WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL THEN 1
+      |         ELSE 0 END AS new_session
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MAX(ms) - MIN(ms) AS duration_ms
+      |FROM sess GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def q25(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_ts")
+    // identical session logic; only the epoch-milliseconds extraction is
+    // engine-specific (Spark: unix_millis, DuckDB: epoch_ms)
+    spark.sql(q25Sql.replace("epoch_ms(ts)", "unix_millis(ts)")
+      .replace("FROM events)", "FROM events_ts)"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -302,7 +357,9 @@ object Queries {
     "q19_rollup" -> (q19 _),
     "q20_set_ops" -> (q20 _),
     "q21_window_analytics" -> (q21 _),
-    "q22_scalar_functions" -> (q22 _)
+    "q22_scalar_functions" -> (q22 _),
+    "q24_group_quantiles" -> (q24 _),
+    "q25_sessionization" -> (q25 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +439,8 @@ object Queries {
     "q19_rollup" -> q19Sql,
     "q20_set_ops" -> q20Sql,
     "q21_window_analytics" -> q21Sql,
-    "q22_scalar_functions" -> q22Sql
+    "q22_scalar_functions" -> q22Sql,
+    "q24_group_quantiles" -> q24Oracle,
+    "q25_sessionization" -> q25Sql
   )
 }

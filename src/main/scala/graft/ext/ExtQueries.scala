@@ -87,6 +87,10 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  def q26(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(emb(spark, dir), k = 5)
+      .orderBy("vec_id", "rnk")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -99,7 +103,8 @@ object ExtQueries {
     "q15_similarity_topk" -> (q15 _),
     "q16_similarity_ann" -> (q16 _),
     "q17_near_dup_simhash" -> (q17 _),
-    "q23_dedup_near_dups" -> (q23 _)
+    "q23_dedup_near_dups" -> (q23 _),
+    "q26_similarity_ivf" -> (q26 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

@@ -94,6 +94,51 @@ object Similarity {
       }))
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the vector space
+    * with k-means, then search only each query's `nProbe` nearest
+    * cells. The classic ANN index structure — centroids are broadcast
+    * (tiny), cell membership is an equi-join on the cluster id, and the
+    * exact cosine runs on candidates only. Complements [[annTopK]]:
+    * IVF adapts to the data's density (learned centroids), LSH is
+    * data-independent (no training pass).
+    */
+  def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cluster").fit(withVec)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cluster", "__centroid")
+    // query → its nProbe nearest cells by cosine-to-centroid
+    val probeW = Window.partitionBy("vec_id").orderBy(col("__csim").desc, col("cluster").asc)
+    val probes = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol).as("vec_id"), col("cluster"),
+        cosine(col(vecCol), col("__centroid")).as("__csim"))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nProbe)
+      .select("vec_id", "cluster")
+    // candidates: members of the probed cells (a member has exactly one
+    // cell, so each (query, neighbor) pair arises at most once)
+    val members = model.transform(withVec)
+      .select(col(idCol).as("neighbor_id"), col("__cluster").as("cluster"),
+        col(vecCol).as("__vb"))
+    val cands = probes.join(members, "cluster")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va")), "vec_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+
   /** Approximate top-k: LSH-bucketed candidate join + exact cosine +
     * per-query window. Candidates = pairs sharing a bucket in ANY
     * table (equi-join on (table_idx, bucket)); recall is tunable via

@@ -153,6 +153,18 @@ class ExtSpec extends AnyFunSuite {
     assert(ann.size === bf.size, "ANN must return a candidate for every vector")
   }
 
+  test("IVF top-1: full coverage and recall comparable to probing share") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, 1, nClusters = 16, nProbe = 4)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf.size === bf.size, "IVF must return a candidate for every vector")
+    val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
+    // 4/16 cells probed ≈ 25% blind chance; learned cells must beat it
+    assert(recall >= 0.3, s"IVF top-1 recall $recall below 0.3")
+  }
+
   test("cosine is exact on a known pair") {
     val df = Seq((Array(1f, 2f, 0f), Array(2f, 3f, 0f))).toDF("a", "b")
     val sim = df.select(Similarity.cosine($"a", $"b")).as[Double].head()

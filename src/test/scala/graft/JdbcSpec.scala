@@ -127,6 +127,18 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts === 4, s"expected 4 part files from 4 JDBC partitions, got $parts")
   }
 
+  test("jdbc dependency (source: greenplum) registers a live warehouse view") {
+    import graft.config.Dependency
+    import graft.exec.{EtlContext, PipelineRunner}
+    import graft.io.Lake
+    val ctx = EtlContext(spark = spark, lake = Lake("/tmp"), warehouse = wh)
+    PipelineRunner.loadDependencies(ctx, Seq(Dependency(
+      source = "greenplum", format = "jdbc", alias = "src_view",
+      sourceSystemName = Some("x"), sourceSystemTag = Some("y"),
+      schema = Some("DWH"), tableName = Some("SRC"))))
+    assert(spark.sql("SELECT count(*) AS n FROM src_view").collect()(0).getLong(0) === 50)
+  }
+
   test("truncateAppend preserves DDL and replaces content") {
     wh.truncateAppend(journalRows((9, "only", "2024-02-01 00:00:00", 9L, "H")),
       "DWH", "T__JOURNAL")

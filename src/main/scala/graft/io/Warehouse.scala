@@ -182,9 +182,17 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
     }
   }
 
-  /** Register every `<schema>/<table>` parquet dir as an external table in
-    * the session catalog so warehouse-engine SQL can use `schema.table`
+  /** Register every `<schema>/<table>` parquet dir in the session
+    * catalog so warehouse-engine SQL can use `schema.table`
     * identifiers, mirroring DB-side execution.
+    *
+    * Partitioned layouts (the `__record_state`-partitioned journals)
+    * are registered as VIEWS over the path: a plain
+    * `CREATE TABLE ... LOCATION` does NOT recurse into partition
+    * directories — it would silently read ZERO rows — while a
+    * path-based view re-runs partition discovery at query time (and
+    * stays fresh across flips for free). Unpartitioned dirs stay
+    * external tables (writable via INSERT, e.g. migration DML).
     */
   def syncCatalog(): Unit = {
     val rootPath = new Path(root)
@@ -198,8 +206,14 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
           val table = tableDir.getPath.getName
           if (!tableDir.getPath.getName.contains("__tmp_") &&
               !spark.catalog.tableExists(s"`$schema`.`$table`")) {
-            spark.sql(s"CREATE TABLE `$schema`.`$table` USING PARQUET " +
-              s"LOCATION '${tableDir.getPath.toString}'")
+            val partitioned = f.listStatus(tableDir.getPath)
+              .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+            if (partitioned)
+              spark.sql(s"CREATE VIEW `$schema`.`$table` AS " +
+                s"SELECT * FROM parquet.`${tableDir.getPath.toString}`")
+            else
+              spark.sql(s"CREATE TABLE `$schema`.`$table` USING PARQUET " +
+                s"LOCATION '${tableDir.getPath.toString}'")
           }
         }
       }

@@ -77,6 +77,21 @@ class FlipSpec extends AnyFunSuite {
     assert(active.count() == 1)
   }
 
+  test("warehouse-engine SQL over a partitioned journal sees every partition") {
+    // regression: CREATE TABLE ... LOCATION does not recurse into
+    // partition dirs — catalog SQL over a journal silently read 0 rows
+    val root = SparkTestBase.tmpDir("graft_flip_sql")
+    val wh = new FileWarehouse(spark, root)
+    wh.append(journal((1, "2024-01-01 00:00:00", "A"), (2, "2024-01-02 00:00:00", "H")),
+      "dwh", "q__journal")
+    assert(wh.query("SELECT * FROM dwh.q__journal").count() == 2)
+    assert(wh.query("SELECT * FROM dwh.q__journal WHERE __record_state='A'").count() == 1)
+    // and stays fresh across a flip
+    wh.flipRecordState("dwh", "q__journal")
+    assert(wh.query("SELECT * FROM dwh.q__journal WHERE __record_state='A'").count() == 0)
+    assert(wh.query("SELECT * FROM dwh.q__journal").count() == 2)
+  }
+
   test("legacy unpartitioned journal still flips via rewrite fallback") {
     val root = SparkTestBase.tmpDir("graft_flip_legacy")
     val wh = new FileWarehouse(spark, root)

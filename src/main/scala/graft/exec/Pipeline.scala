@@ -47,6 +47,9 @@ object StepRunner {
     */
   def executeSql(ctx: EtlContext, sql: String, engine: Engine = Engine.Local,
                  cacheDir: Option[String] = None, alias: Option[String] = None): DataFrame = {
+    // user SQL gets the graft extension functions (cosine_similarity,
+    // shingle_hashes, ...) — idempotent registration
+    graft.functions.GraftFunctions.register(ctx.spark)
     var df = engine match {
       case Engine.Local     => ctx.spark.sql(sql)
       case Engine.Warehouse => ctx.warehouse.query(sql)

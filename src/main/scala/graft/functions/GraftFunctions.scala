@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the graft expressions: user transform steps run
+  * through `spark.sql` (the framework's SQL-step engine, F11), so the
+  * extension operators are exposed as SQL functions too —
+  * `cosine_similarity(a, b)`, `shingle_hashes(text, n)`,
+  * `simhash_chunks(hashes)`, `sorted_intersect_count(a, b)`.
+  *
+  * Two registration paths:
+  *  - [[GraftExtensions]] for session construction:
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` (the
+  *    `SparkSessionExtensions.injectFunction` route);
+  *  - [[GraftFunctions.register]] for an already-running session
+  *    (temp-function registry), which is what the pipeline runner can
+  *    call before executing user SQL.
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage, "")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float arrays in double precision"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "_FUNC_(text, n) - sorted distinct 64-bit hashes of n-word shingles"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes width must be an integer literal, got $other")
+      })),
+    (FunctionIdentifier("simhash_chunks"),
+      info("simhash_chunks", "_FUNC_(hashes) - 64-bit simhash as four 16-bit chunks"),
+      (es: Seq[Expression]) => SimHashChunks64(es(0))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count", "_FUNC_(a, b) - intersection size of two sorted bigint arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
+  )
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, _, builder) =>
+      org.apache.spark.sql.graft.FunctionBridge.registerTemp(spark, id.funcName, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach(ext.injectFunction)
+}

@@ -119,6 +119,37 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
   override def query(sql: String): DataFrame = { syncCatalog(); spark.sql(sql) }
   override def execute(sql: String): Unit = { syncCatalog(); spark.sql(sql).collect(); () }
 
+  /** Bucketed replace: write the table hash-bucketed (and sorted) by
+    * `bucketCols` as a catalog table at the warehouse path. Two tables
+    * bucketed the same way join/aggregate on those columns WITHOUT a
+    * shuffle — at 100 TB, pre-bucketing master and journal by primary
+    * key turns every merge's join/window exchange into a local sort.
+    * The table must then be read via [[readTable]]/[[query]] (bucketing
+    * metadata lives in the catalog, not the files).
+    */
+  def replaceBucketed(df: DataFrame, schema: String, table: String,
+                      bucketCols: Seq[String], numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketed write requires bucket columns")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${schema.toLowerCase}`")
+    val qualified = s"`${schema.toLowerCase}`.`${table.toLowerCase}`"
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
+    df.write.mode("overwrite")
+      .option("path", dir(schema, table))
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(qualified)
+  }
+
+  /** Catalog-aware read: resolves through the session catalog (so
+    * bucketing metadata applies); falls back to the path for tables
+    * written with the plain API.
+    */
+  def readTable(schema: String, table: String): DataFrame = {
+    val qualified = s"`${schema.toLowerCase}`.`${table.toLowerCase}`"
+    if (spark.catalog.tableExists(qualified)) spark.table(qualified)
+    else read(schema, table)
+  }
+
   /** Partition-move flip: rename `__record_state=A`'s files into
     * `__record_state=H` and drop the A directory — O(active files)
     * metadata ops, zero data rewritten, history untouched. At 100 TB

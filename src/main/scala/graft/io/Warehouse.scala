@@ -309,12 +309,26 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
   /** Replace must materialize BEFORE truncating: the incoming plan may
     * read from the very table being replaced (the Spark-side delta
     * merge does — master ∪ journal → new master), and a lazy plan
-    * executed after TRUNCATE would read an empty table. The eager
-    * localCheckpoint cuts the lineage; a multi-node production variant
-    * would stage to a temp table instead.
+    * executed after TRUNCATE would read an empty table. The plan is
+    * staged into a scratch table first (executors stream straight to
+    * the warehouse — nothing is held in Spark memory, any data size
+    * works), then swapped in with TRUNCATE + INSERT…SELECT in the
+    * warehouse.
     */
-  override def replace(df: DataFrame, schema: String, table: String): Unit =
-    truncateAppend(df.localCheckpoint(true), schema, table)
+  override def replace(df: DataFrame, schema: String, table: String): Unit = {
+    val staging = table + "__graft_stg"
+    val w = df.write.format("jdbc")
+      .option("url", conn.url)
+      .option("user", conn.username)
+      .option("password", conn.password)
+      .option("dbtable", s"$schema.$staging")
+      .mode("overwrite") // drop/recreate the scratch table
+    conn.batchSize.fold(w)(n => w.option("batchsize", n.toString)).save()
+    val cols = df.columns.map(c => s""""$c"""").mkString(", ")
+    execute(s"truncate table $schema.$table")
+    execute(s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$staging")
+    execute(s"DROP TABLE $schema.$staging")
+  }
 
   override def execute(sql: String): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)

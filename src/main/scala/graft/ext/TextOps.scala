@@ -60,24 +60,29 @@ object TextOps {
 
   /** Marker-token language ID: score every (doc, candidate-language)
     * pair by the number of marker-token occurrences, pick the argmax
-    * (ties → lexicographically first language). The profile table is
-    * tiny and broadcast, so this is a scan-plus-window — no data
-    * shuffle beyond the per-doc ranking, which partitions on doc id.
+    * (ties → lexicographically first language). Scale shape: tokenize
+    * ONCE per doc before the broadcast cross join (never N_lang×), take
+    * the argmax with `min_by` over (−score, lang) — a hash aggregation
+    * with map-side partial combine, so the shuffle carries one row per
+    * (doc, lang) partial, not a window's full sorted groups — then
+    * rejoin the winner to the doc row on the narrow id.
     */
   def languageId(docs: DataFrame, profiles: Seq[(String, Seq[String])],
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val prof = profiles.toDF("lang_cand", "markers")
-    val scored = docs.crossJoin(broadcast(prof))
-      .withColumn("score",
-        size(filter(tokens(col(textCol)), t => array_contains(col("markers"), t))))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("lang_cand").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "markers")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val scored = toks.crossJoin(broadcast(prof))
+      .select(col(idCol), col("lang_cand"),
+        size(filter(col("__toks"), t => array_contains(col("markers"), t))).as("score"))
+    val best = scored.groupBy(col(idCol))
+      .agg(min_by(
+        struct(col("lang_cand"), col("score")),
+        struct((-col("score")).as("neg_score"), col("lang_cand").as("lc"))).as("__best"))
+      .select(col(idCol), col("__best.lang_cand").as("lang_cand"),
+        col("__best.score").as("score"))
+    docs.join(best, Seq(idCol))
   }
 
   /** Content fingerprint: md5 of the text (the cheap exact-dup key —

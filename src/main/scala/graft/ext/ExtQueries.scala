@@ -91,6 +91,24 @@ object ExtQueries {
     Similarity.ivfTopK(emb(spark, dir), k = 5)
       .orderBy("vec_id", "rnk")
 
+  /** As-of join: each event looks up the user's latest order placed at
+    * or before the event (times compared as integral epoch-micros on
+    * both engines).
+    */
+  def q27(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Queries.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        (unix_millis(col("o_orderdate").cast("timestamp")) * 1000).as("ous"))
+    AsOfJoin.asOf(e, o, keyCols = Seq("user_id"),
+      leftTs = "us", rightTs = "ous", tieBreak = "o_orderkey",
+      rightPayload = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        col("asof_ts"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -104,7 +122,8 @@ object ExtQueries {
     "q16_similarity_ann" -> (q16 _),
     "q17_near_dup_simhash" -> (q17 _),
     "q23_dedup_near_dups" -> (q23 _),
-    "q26_similarity_ivf" -> (q26 _)
+    "q26_similarity_ivf" -> (q26 _),
+    "q27_asof_join" -> (q27 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -221,7 +240,26 @@ object ExtQueries {
          |  FROM walk GROUP BY s)
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // as-of semantics expressed relationally: per (event, user), the
+    // order with max (time, orderkey) among orders at/before the event
+    "q27_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate)*1000 AS ous
+        |  FROM orders),
+        |j AS (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.ous
+        |  FROM e JOIN o ON o.o_custkey = e.user_id AND o.ous <= e.us),
+        |m AS (
+        |  SELECT event_id, user_id, CAST(max(ous) AS BIGINT) AS asof_ts
+        |  FROM j GROUP BY event_id, user_id)
+        |SELECT m.event_id, m.user_id,
+        |  max(j.o_orderkey) AS o_orderkey, m.asof_ts
+        |FROM m JOIN j ON j.event_id = m.event_id AND j.ous = m.asof_ts
+        |GROUP BY m.event_id, m.user_id, m.asof_ts
+        |ORDER BY m.event_id""".stripMargin
     // q16 (ANN) and q17 (SimHash) intentionally have no oracle: both are
     // hash-family approximations whose exactness is asserted against the
     // exact operators in ExtSpec.

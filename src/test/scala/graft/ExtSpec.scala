@@ -165,6 +165,22 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF top-1 recall $recall below 0.3")
   }
 
+  test("asOf join: latest right at-or-before left time, inclusive boundary, max tie-break") {
+    import graft.ext.AsOfJoin
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 50L), (4L, "z", 10L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", 90L), (11L, "k", 100L), (12L, "k", 100L), (13L, "k", 200L),
+      (14L, "z", 99L))
+      .toDF("quote_id", "sym", "qt")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt", "quote_id", Seq("quote_id"))
+      .select("trade_id", "quote_id", "asof_ts")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, 12L, 100L), // inclusive boundary; tie at t=100 -> max quote_id
+      (2L, 13L, 200L)))
+    // trade 3 (t=50, before any quote) and trade 4 (z-quote after) drop
+  }
+
   test("cosine is exact on a known pair") {
     val df = Seq((Array(1f, 2f, 0f), Array(2f, 3f, 0f))).toDF("a", "b")
     val sim = df.select(Similarity.cosine($"a", $"b")).as[Double].head()

@@ -109,6 +109,17 @@ object ExtQueries {
       .orderBy("event_id")
   }
 
+  /** Range join: same-user event pairs within one hour (grid-binned
+    * interval join, strictly-later second event).
+    */
+  def q28(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Queries.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    RangeJoin.coOccurrence(e, keyCols = Seq("user_id"), idCol = "event_id",
+      tsCol = "us", maxGap = 3600000000L)
+      .orderBy("user_id", "a_id", "b_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -123,7 +134,8 @@ object ExtQueries {
     "q17_near_dup_simhash" -> (q17 _),
     "q23_dedup_near_dups" -> (q23 _),
     "q26_similarity_ivf" -> (q26 _),
-    "q27_asof_join" -> (q27 _)
+    "q27_asof_join" -> (q27 _),
+    "q28_range_join" -> (q28 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -259,7 +271,16 @@ object ExtQueries {
         |  max(j.o_orderkey) AS o_orderkey, m.asof_ts
         |FROM m JOIN j ON j.event_id = m.event_id AND j.ous = m.asof_ts
         |GROUP BY m.event_id, m.user_id, m.asof_ts
-        |ORDER BY m.event_id""".stripMargin
+        |ORDER BY m.event_id""".stripMargin,
+    "q28_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |  b.us - a.us AS gap
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.us > a.us AND b.us <= a.us + 3600000000
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin
     // q16 (ANN) and q17 (SimHash) intentionally have no oracle: both are
     // hash-family approximations whose exactness is asserted against the
     // exact operators in ExtSpec.

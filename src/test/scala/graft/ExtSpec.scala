@@ -181,6 +181,24 @@ class ExtSpec extends AnyFunSuite {
     // trade 3 (t=50, before any quote) and trade 4 (z-quote after) drop
   }
 
+  test("range join: grid binning matches the naive inequality join, strict lower bound") {
+    import graft.ext.RangeJoin
+    val ev = Seq(("u", 1L, 0L), ("u", 2L, 50L), ("u", 3L, 100L), ("u", 4L, 151L),
+      ("u", 5L, 400L), ("v", 6L, 60L))
+      .toDF("user", "event_id", "t")
+    val out = RangeJoin.coOccurrence(ev, Seq("user"), "event_id", "t", maxGap = 100L)
+      .select("a_id", "b_id", "gap").as[(Long, Long, Long)].collect().toSet
+    // naive model: same user, 0 < tb-ta <= 100
+    val rows = Seq((1L, 0L), (2L, 50L), (3L, 100L), (4L, 151L), (5L, 400L))
+    val expected = (for {
+      (a, ta) <- rows; (b, tb) <- rows
+      if tb > ta && tb - ta <= 100
+    } yield (a, b, tb - ta)).toSet
+    assert(out === expected)
+    assert(expected.contains((1L, 3L, 100L)), "inclusive upper bound")
+    assert(!out.exists(p => p._1 == 6L || p._2 == 6L), "keys must not mix")
+  }
+
   test("cosine is exact on a known pair") {
     val df = Seq((Array(1f, 2f, 0f), Array(2f, 3f, 0f))).toDF("a", "b")
     val sim = df.select(Similarity.cosine($"a", $"b")).as[Double].head()

@@ -237,7 +237,8 @@ class ExtSpec extends AnyFunSuite {
     // brute-force q14/q15 are all-pairs BY DESIGN; every hashed/bucketed
     // path must stay equi-join shaped at any scale
     Seq("q12_near_dup_minhash", "q13_near_dup_jaccard",
-        "q16_similarity_ann", "q17_near_dup_simhash").foreach { name =>
+        "q16_similarity_ann", "q17_near_dup_simhash",
+        "q27_asof_join", "q28_range_join").foreach { name =>
       val plan = ExtQueries.all(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a product join:\n${plan.take(2000)}")

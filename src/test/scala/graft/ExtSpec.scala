@@ -219,6 +219,14 @@ class ExtSpec extends AnyFunSuite {
       "winnowing must select fewer fingerprints than shingles")
   }
 
+  test("subwordCount splits on case/letter-digit boundaries (BPE-ish proxy)") {
+    val out = Seq((1L, "fooBar v2 hello-world x86runs"))
+      .toDF("doc_id", "text")
+      .select(TextOps.subwordCount($"text")).as[Int].head()
+    // foo|Bar v|2 hello world x|86|runs
+    assert(out === 9)
+  }
+
   test("languageId tie-break picks lexicographically first language") {
     // 'table'(de) and 'row'(es) once each: tie 1-1 -> de wins
     val out = TextOps.languageId(docsDf(1L -> "table row"), ExtQueries.langProfiles)

@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // local mode = driver-only JVM. Measured on this box: 8g benches
+  // consistently FASTER than 32g (G1 pause bursts grow with the heap;
+  // the workload's working set fits comfortably) — don't "fix" this
+  // upward without re-measuring.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

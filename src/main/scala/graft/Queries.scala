@@ -208,6 +208,58 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // q29 — the MANUAL transform read-mode end-to-end (reference
+  // README.md:54: "reads only data with specified date in airflow
+  // variable"; declared but unimplemented there). A full run builds the
+  // master from history BEFORE the report date, then a manual run
+  // re-processes exactly the REPORT_DATE day — its steps bound the read
+  // with {report_date} substitution — journaling in Append mode and
+  // delta-merging, the reference's re-load-one-day operational pattern.
+  def q29(spark: SparkSession, dir: String): DataFrame = {
+    import graft.config._
+    import graft.exec.{EtlContext, PipelineRunner}
+    import graft.io.{FileWarehouse, Lake}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val work = java.nio.file.Files.createTempDirectory("graft_q29").toString
+    val wh = new FileWarehouse(spark, s"$work/wh")
+    wh.registerPrimaryKey("dwh", "user_state_manual", Seq("user_id"))
+    val sfName = new java.io.File(dir).getName
+    def stepSql(pred: String) =
+      s"""SELECT user_id, event_type, value,
+         |  timestamp_micros(ts DIV 1000) AS __transform_dt,
+         |  timestamp_micros(ts DIV 1000) AS __load_dt,
+         |  event_id AS __seqno,
+         |  'A' AS __record_state
+         |FROM events_src
+         |WHERE $pred""".stripMargin
+    val deps = Seq(Dependency(
+      source = "datalake", format = "parquet", alias = "events_src",
+      path = Some(s"$sfName/events.parquet")))
+    val target = Some(Target("dwh", "user_state_manual"))
+    val reportDate = "2024-01-16"
+    val ctx = EtlContext(spark = spark, lake = Lake(new java.io.File(dir).getParent),
+      warehouse = wh, variables = Map("REPORT_DATE" -> reportDate),
+      taskId = "task_transform_dwh_user_state_manual")
+    // full history before the report date -> master
+    val fullCfg = TableConfig(dependencies = deps, target = target,
+      transform = Map(ReadMode.Full -> Seq(Step.Select(
+        sql = SqlSource.Inline(stepSql(
+          "timestamp_micros(ts DIV 1000) < TIMESTAMP '{report_date} 00:00:00'")),
+        parameters = Seq(Param.ReportDate("report_date"))))))
+    PipelineRunner.runTable(ctx, fullCfg, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
+    // manual re-load of exactly the REPORT_DATE day
+    val manualCfg = TableConfig(dependencies = deps, target = target,
+      transform = Map(ReadMode.Manual -> Seq(Step.Select(
+        sql = SqlSource.Inline(stepSql(
+          "CAST(timestamp_micros(ts DIV 1000) AS DATE) = DATE '{report_date}'")),
+        parameters = Seq(Param.ReportDate("report_date"))))))
+    PipelineRunner.runTable(ctx, manualCfg, ReadMode.Manual, WriteMode.Append, MergeMode.Delta)
+    wh.read("dwh", "user_state_manual")
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q19 — GROUPING SETS surface (SURVEY §2b): ROLLUP over the pricing
   // dimensions, run as delegated SQL text (F11 path). Subtotal rows have
   // NULL dimensions; ORDER BY pins NULL placement identically in both
@@ -354,6 +406,7 @@ object Queries {
     "q05_merge_full" -> (q05 _),
     "q06_merge_delta" -> (q06 _),
     "q18_delta_transform" -> (q18 _),
+    "q29_manual_transform" -> (q29 _),
     "q19_rollup" -> (q19 _),
     "q20_set_ops" -> (q20 _),
     "q21_window_analytics" -> (q21 _),
@@ -435,6 +488,32 @@ object Queries {
         |                       ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
         |  FROM events) t
         |WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
+    // master from history before the date, overlaid with the latest
+    // version per key within the re-loaded day (the manual-mode model)
+    "q29_manual_transform" ->
+      """WITH hist AS (
+        |  SELECT user_id, event_type, value
+        |  FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00') t
+        |  WHERE rnk = 1),
+        |day AS (
+        |  SELECT * FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-16'),
+        |kept AS (
+        |  SELECT h.* FROM hist h
+        |  WHERE NOT EXISTS (SELECT 1 FROM day d WHERE d.user_id = h.user_id)),
+        |ins AS (
+        |  SELECT user_id, event_type, value
+        |  FROM (
+        |    SELECT user_id, event_type, value,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+        |    FROM day) t
+        |  WHERE rnk = 1)
+        |SELECT * FROM kept UNION ALL SELECT * FROM ins
         |ORDER BY user_id""".stripMargin,
     "q19_rollup" -> q19Sql,
     "q20_set_ops" -> q20Sql,

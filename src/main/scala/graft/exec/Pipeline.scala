@@ -124,6 +124,14 @@ object PipelineRunner {
     */
   def runTable(ctx: EtlContext, tc: TableConfig, readMode: ReadMode,
                writeMode: WriteMode, mergeMode: MergeMode): Option[DataFrame] = {
+    // manual read-mode contract (reference README.md:54 — "reads only
+    // data with specified date in airflow variable"): the mode's steps
+    // select exactly the REPORT_DATE-dated slice via {report_date}
+    // substitution, so a missing variable must fail fast, not run an
+    // undated (unbounded) read
+    if (readMode == ReadMode.Manual && !ctx.variables.contains("REPORT_DATE"))
+      throw new ConfigException(
+        "read_mode=manual requires the REPORT_DATE variable (the dated-read predicate)")
     // migration, only if the file exists (airflow_etl.py:693-700)
     tc.migration.foreach {
       case f @ SqlSource.File(rel) =>
@@ -203,6 +211,7 @@ object PipelineRunner {
       .option("url", conn.url)
       .option("user", conn.username)
       .option("password", conn.password)
+      .options(conn.jdbcOptions) // dialect defaults (e.g. Oracle DATE fidelity) + extras
     val withOpts = Seq(
       conn.driver.map(d => ("driver", d)),
       conn.fetchSize.map(n => ("fetchsize", n.toString))

@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * union-tagged and sorted per key by (time, side, tie-break); a
   * `last(..., ignoreNulls)` running window carries the most recent
   * right payload forward into each left row. ONE shuffle on the key,
-  * O(|L|+|R|) rows through it, no pair blow-up; a hot key degrades to
-  * one sorted partition (same profile as any per-key window — salting
-  * applies if needed).
+  * O(|L|+|R|) rows through it, no pair blow-up. A hot key degrades to
+  * one sorted partition (same profile as any per-key window) — that is
+  * what [[asOfSalted]] is for: it splits each key's timeline into
+  * `timeBuckets` ranges, runs the carry-forward per (key, bucket), and
+  * stitches buckets with a per-key carry-in pass over ≤ `timeBuckets`
+  * rows — identical results, hot key spread over `timeBuckets`
+  * partitions.
   *
   * Tie semantics (deterministic): right rows sort before left rows at
   * equal time (inclusive ≤), and equal-time right rows resolve by the
@@ -24,10 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-           leftTs: String, rightTs: String, tieBreak: String,
-           rightPayload: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+  /** Tagged union of both sides: right rows carry their payload struct
+    * in `__r`, left rows carry their original columns as `__l_*`.
+    * Ordering contract: (`__t`, `__side`, `__tie` asc_nulls_last) —
+    * the last right row at-or-before a left row is its as-of match.
+    */
+  private def taggedUnion(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                          leftTs: String, rightTs: String, tieBreak: String,
+                          rightPayload: Seq[String]): DataFrame = {
     val payloadStruct = struct(
       (col(rightTs).as("__ts") +: col(tieBreak).as("__tie") +:
         rightPayload.map(col)): _*)
@@ -44,15 +52,79 @@ object AsOfJoin {
     val rAligned = rTagged.select(
       (rTagged.columns.map(col) ++
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
-    val unioned = rAligned.unionByName(lTagged)
+    rAligned.unionByName(lTagged)
+  }
+
+  /** Project matched left rows back to the caller's shape. */
+  private def finish(matched: DataFrame, left: DataFrame, asofCol: Column,
+                     rightPayload: Seq[String]): DataFrame =
+    matched.where(col("__side") === 1 && asofCol.isNotNull)
+      .select(
+        left.columns.map(c => col(s"__l_$c").as(c)) ++
+          Seq(asofCol.getField("__ts").as("asof_ts")) ++
+          rightPayload.map(p => asofCol.getField(p).as(p)): _*)
+
+  def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTs: String, rightTs: String, tieBreak: String,
+           rightPayload: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    val unioned = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned.withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
-    carried.where(col("__side") === 1 && col("__asof").isNotNull)
-      .select(
-        left.columns.map(c => col(s"__l_$c").as(c)) ++
-          Seq(col("__asof.__ts").as("asof_ts")) ++
-          rightPayload.map(p => col(s"__asof.$p").as(p)): _*)
+    finish(carried, left, col("__asof"), rightPayload)
+  }
+
+  /** Skew-safe as-of: identical results to [[asOf]], but the big window
+    * partitions on (key, time-bucket) instead of key alone, so a hot
+    * key spreads over up to `timeBuckets` partitions.
+    *
+    * Mechanics: fixed-width time buckets over the global [min, max]
+    * time span (two scalars — a metadata aggregate, not a data
+    * collect). Each (key, bucket) runs the same carry-forward window;
+    * a row whose bucket holds no earlier right row takes the carry-in:
+    * the last right payload of any PRECEDING bucket, computed by a
+    * second window over the per-(key, bucket) summary — at most
+    * `timeBuckets` rows per key, so that window is trivially small.
+    * Equal timestamps always share a bucket, so tie semantics are
+    * unchanged.
+    */
+  def asOfSalted(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 leftTs: String, rightTs: String, tieBreak: String,
+                 rightPayload: Seq[String], timeBuckets: Int = 32): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join requires at least one key column")
+    require(timeBuckets > 1, "timeBuckets must be > 1 (use asOf for the unsalted path)")
+    // bucket on a monotonic long image of the time column (cast is
+    // monotonic for timestamps and numerics; equal times stay equal)
+    val unioned = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
+      .withColumn("__tnum", col("__t").cast("long"))
+    val span = unioned.agg(min(col("__tnum")).as("lo"), max(col("__tnum")).as("hi")).head()
+    if (span.isNullAt(0)) return finish(unioned, left, col("__r"), rightPayload) // both sides empty
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val width = math.max(1L, (hi - lo) / timeBuckets + 1)
+    val bucketed = unioned.withColumn("__bkt",
+      floor((col("__tnum") - lo) / lit(width)).cast("int"))
+    val keyAndBkt = (keyCols :+ "__bkt").map(col)
+    val order = Seq(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
+    val wLocal = Window.partitionBy(keyAndBkt: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBucketAll = Window.partitionBy(keyAndBkt: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // same sort serves both frames: running carry + the bucket's final value
+    val local = bucketed
+      .withColumn("__asof_local", last(col("__r"), ignoreNulls = true).over(wLocal))
+      .withColumn("__bucket_last", last(col("__r"), ignoreNulls = true).over(wBucketAll))
+    // per-key stitch over ≤ timeBuckets summary rows: carry-in for bucket
+    // b = last non-null bucket_last of buckets < b
+    val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__bkt").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = local.groupBy(keyAndBkt: _*)
+      .agg(first(col("__bucket_last")).as("__blast"))
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
+      .select(keyAndBkt :+ col("__carry"): _*)
+    val stitched = local.join(carryIn, keyCols :+ "__bkt")
+      .withColumn("__asof", coalesce(col("__asof_local"), col("__carry")))
+    finish(stitched, left, col("__asof"), rightPayload)
   }
 }

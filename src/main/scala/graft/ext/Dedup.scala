@@ -42,16 +42,35 @@ object Dedup {
     * equi-join per round and a driver-side convergence check; round
     * count is bounded by the component diameter. Returns
     * (member, component).
+    *
+    * Checkpointing: per-round materialization bounds the lineage. With
+    * `checkpointDir` set, rounds use reliable `Dataset.checkpoint()`
+    * into that (HDFS/S3) directory — a lost executor mid-loop recovers
+    * from the checkpoint files. Unset, rounds use
+    * `localCheckpoint(true)` (executor block storage): fine for tests
+    * and single-node runs, unrecoverable if an executor dies — at
+    * 100 TB always pass a reliable dir.
+    *
+    * Exiting via the `maxIterations` cap without a fixpoint would
+    * silently return WRONG labels (some member not yet carrying its
+    * component's minimum), so it throws instead; raise the cap to the
+    * expected component diameter (near-dup cliques are shallow — 20
+    * covers any realistic chain).
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint(true)
+    }
+    val edges = mat(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct())
+    var labels = mat(edges.select(col("src").as("member"))
       .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("member"))
-      .distinct()
-      .withColumn("component", col("member"))
-      .localCheckpoint(true)
+      .withColumn("component", col("member")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -60,10 +79,9 @@ object Dedup {
         .join(labels.withColumnRenamed("member", "dst"), "dst")
         .groupBy(col("src").as("member"))
         .agg(min(col("component")).as("__nbr"))
-      val next = labels.join(viaNeighbors, Seq("member"), "left")
+      val next = mat(labels.join(viaNeighbors, Seq("member"), "left")
         .select(col("member"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
-        .localCheckpoint(true) // materialize: bounds lineage across rounds
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component")))
       converged = next.select(col("member"), col("component").as("__new"))
         .join(labels.select(col("member"), col("component").as("__old")), "member")
         .where(col("__new") =!= col("__old"))
@@ -71,16 +89,23 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIterations iterations " +
+          "(a component's diameter exceeds the cap); raise maxIterations")
     labels
   }
 
   /** Near-duplicate REMOVAL: run pair detection, cluster the pairs, and
     * keep only each cluster's lowest-id member (plus every document in
     * no cluster). The anti-join ships only the small loser set.
+    * `maxIterations`/`checkpointDir` pass through to
+    * [[connectedComponents]] (reliable checkpointing at scale).
     */
   def dedupNearDups(docs: DataFrame, pairs: DataFrame,
-                    idCol: String = "doc_id"): DataFrame = {
-    val losers = connectedComponents(pairs)
+                    idCol: String = "doc_id", maxIterations: Int = 20,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, maxIterations, checkpointDir)
       .where(col("member") =!= col("component"))
       .select(col("member").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
@@ -211,17 +236,33 @@ object Dedup {
     *  - `"prefix"`: PPJoin-style prefix filtering — order each doc's
     *    shingles by global rarity; a pair with J ≥ t must share one of
     *    its first `|X| − ⌈t·|X|⌉ + 1` shingles, so only those postings
-    *    are joined, then candidates are verified by merge-scanning the
-    *    full hashed sets. Kills the f² term on Zipfian corpora where a
-    *    few stop-shingles are everywhere (the 100 TB text shape); pays
-    *    an array join per candidate.
+    *    are joined — and the join itself applies the exact PPJoin
+    *    position bound (`1 + min(|A|−i, |B|−j) ≥ ⌈t/(1+t)·(|A|+|B|)⌉`
+    *    for the rarest shared shingle at ranks i, j) plus the size
+    *    bound (`t·max ≤ min`) BEFORE the candidate distinct, so most
+    *    false candidates die inside the join instead of transiting the
+    *    dedup shuffle. Verification merge-scans the full hashed sets.
+    *    Kills the f² term on Zipfian corpora where a few stop-shingles
+    *    are everywhere (the 100 TB text shape).
     *
     * Either way, no false negatives and the reported Jaccard is exact.
+    *
+    * `maxDocFreqFraction` (prefix strategy only): drop prefix postings
+    * whose shingle appears in more than that fraction of documents from
+    * the candidate join — the stop-shingle cut that is MANDATORY at
+    * 100 TB (one shingle in 10% of a billion docs is a 10^16-pair join).
+    * Each document unconditionally keeps its single rarest posting, so
+    * a pair can be missed ONLY if every shingle it shares inside both
+    * rarity-ordered prefixes is corpus-wide hot AND the docs disagree on
+    * their rarest shingle — i.e. docs whose distinguishing content is
+    * entirely stopwords, which is [[nearDupMinHash]] territory. With
+    * `None` (default) the operator is exact with no caveat.
     */
   def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", shingleSize: Int = 2,
                           threshold: Double = 0.7,
-                          strategy: String = "prefix"): DataFrame = {
+                          strategy: String = "prefix",
+                          maxDocFreqFraction: Option[Double] = None): DataFrame = {
     val hs = docs.select(col(idCol),
       graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
     val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
@@ -245,15 +286,34 @@ object Dedup {
         val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
         val byRarity = Window.partitionBy(col(idCol))
           .orderBy(col("__df").asc, col("__s").asc)
-        val perDoc = Window.partitionBy(col(idCol))
-        val prefix = postings.join(docFreq, "__s")
+        // |X| comes straight from the hashed-set array — no second window
+        val sizes = hs.select(col(idCol), size(col("__hs")).as("__n"))
+        val prefixAll = postings.join(docFreq, "__s")
+          .join(sizes, idCol)
           .withColumn("__rn", row_number().over(byRarity))
-          .withColumn("__n", count(lit(1)).over(perDoc))
           .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-          .select(col("__s"), col(idCol))
-        val cands = prefix.select(col("__s"), col(idCol).as("a_id"))
-          .join(prefix.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
+        val prefix = (maxDocFreqFraction match {
+          case Some(frac) =>
+            // stop-shingle cut: hot postings leave the join; rank-1 stays
+            val nDocs = sizes.agg(count(lit(1)).as("__ndocs"))
+            prefixAll.crossJoin(broadcast(nDocs))
+              .where(col("__df") <= col("__ndocs") * frac || col("__rn") === 1)
+          case None => prefixAll
+        }).select(col("__s"), col(idCol), col("__rn"), col("__n"))
+        // PPJoin position bound: for the RAREST shared shingle at ranks
+        // (i, j), overlap ≤ 1 + min(|A|−i, |B|−j); J ≥ t needs overlap
+        // ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — a qualifying pair always passes on
+        // its rarest shared row, so filtering rows then distinct-ing
+        // pairs loses nothing (exact).
+        val cands = prefix.select(col("__s"), col(idCol).as("a_id"),
+            col("__rn").as("__rna"), col("__n").as("__na"))
+          .join(prefix.select(col("__s"), col(idCol).as("b_id"),
+            col("__rn").as("__rnb"), col("__n").as("__nb")), Seq("__s"))
           .where(col("a_id") < col("b_id"))
+          .where(greatest(col("__na"), col("__nb")) * threshold <=
+            least(col("__na"), col("__nb")))
+          .where(lit(1) + least(col("__na") - col("__rna"), col("__nb") - col("__rnb")) >=
+            ceil(lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb"))))
           .select("a_id", "b_id")
           .distinct()
         verifyJaccard(cands, hs, idCol, threshold)

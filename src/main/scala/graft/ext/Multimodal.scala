@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * analogue of arrow-batched pandas UDFs: one JVM call per partition,
   * rows streamed through an iterator, never collected).
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * payloads use a deterministic 24-byte "GRFT" header + synthetic body,
-  * and [[decode]] parses that header. The Spark-side contract — binary
-  * column in, typed struct out, per-partition batching, partition
-  * balance by asset id — is real and is what a production codec slots
-  * into (replace [[FakeCodec.decode]]'s body with e.g. an ImageIO /
-  * ffmpeg call; everything around it is unchanged).
+  * Codec status: IMAGES ARE REAL — PNG (and any other `javax.imageio`
+  * format) payloads are decoded, resized, and feature-extracted with
+  * the JDK's ImageIO, no external deps. Audio/video remain STUBBED on
+  * a deterministic 24-byte "GRFT" header + synthetic body (no codecs
+  * in this container); [[FakeCodec.decode]] parses that header and is
+  * the seam where an ffmpeg-style call goes. The Spark-side contract —
+  * binary column in, typed struct out, per-partition batching,
+  * partition balance by asset id — is identical for both paths.
   *
   * Scale notes: payload bytes never transit a shuffle in any operator
   * here — decode/feature/resize are narrow maps; only the extracted
@@ -55,7 +56,7 @@ object Multimodal {
       buf.array()
     }
 
-    /** Header parse — the seam where a real decoder goes. */
+    /** Header parse — the seam where a real decoder goes (audio/video). */
     def decode(kind: String, payload: Array[Byte]): MediaMeta = {
       require(payload.length >= HeaderLen, s"truncated payload: ${payload.length} bytes")
       val buf = ByteBuffer.wrap(payload).order(ByteOrder.BIG_ENDIAN)
@@ -63,6 +64,30 @@ object Multimodal {
       buf.getInt() // kind hash, informational
       MediaMeta(kind, buf.getInt(), buf.getInt(), buf.getInt(), buf.getInt())
     }
+  }
+
+  /** The real/fake dispatch: real ImageIO for image formats the JDK
+    * recognizes (PNG signature sniffed), GRFT header parse otherwise.
+    * Executor-side only; ImageIO works headless.
+    */
+  object Codec {
+    private val PngSig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+
+    def isPng(payload: Array[Byte]): Boolean =
+      payload.length >= 4 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, 4), PngSig)
+
+    def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    def decode(kind: String, payload: Array[Byte]): MediaMeta =
+      if (kind == "image" && isPng(payload)) {
+        val img = readImage(payload)
+        MediaMeta(kind, img.getWidth, img.getHeight, 0, 1)
+      } else FakeCodec.decode(kind, payload)
   }
 
   /** Deterministic synthetic asset table (one asset per document id) —
@@ -88,46 +113,81 @@ object Multimodal {
   def decode(assets: Dataset[Asset]): Dataset[Decoded] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val m = FakeCodec.decode(a.kind, a.payload)
+      val m = Codec.decode(a.kind, a.payload)
       Decoded(a.asset_id, a.kind, m.width, m.height, m.sampleRate, m.nFrames,
         a.payload.length)
     })
   }
 
-  /** Feature extraction: payload body → fixed-size float vector (a
-    * 64-bin byte histogram, L1-normalized — the deterministic stand-in
-    * for an embedding model's output; same shape contract:
-    * `array<float>` of fixed dim, joinable with [[Similarity]] ops).
+  /** Feature extraction: payload → fixed-size float vector,
+    * L1-normalized (`array<float>` of fixed dim, joinable with
+    * [[Similarity]] ops). Real images: a `dim`-bin 8-bit luminance
+    * histogram over decoded pixels. GRFT payloads: a byte histogram of
+    * the synthetic body — the deterministic stand-in for an embedding
+    * model's output.
     */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 64): Dataset[Features] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val counts = new Array[Float](dim)
-      var i = FakeCodec.HeaderLen
-      while (i < a.payload.length) {
-        counts(java.lang.Byte.toUnsignedInt(a.payload(i)) % dim) += 1f
-        i += 1
+      var total = 0f
+      if (a.kind == "image" && Codec.isPng(a.payload)) {
+        val img = Codec.readImage(a.payload)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            counts(lum * dim / 256) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        total = math.max(1f, (img.getWidth * img.getHeight).toFloat)
+      } else {
+        var i = FakeCodec.HeaderLen
+        while (i < a.payload.length) {
+          counts(java.lang.Byte.toUnsignedInt(a.payload(i)) % dim) += 1f
+          i += 1
+        }
+        total = math.max(1f, (a.payload.length - FakeCodec.HeaderLen).toFloat)
       }
-      val total = math.max(1f, (a.payload.length - FakeCodec.HeaderLen).toFloat)
       Features(a.asset_id, counts.map(_ / total))
     })
   }
 
-  /** Resize: rewrite the payload for new dimensions (stub transform:
-    * re-encode header + body; a real impl rescales pixels). Narrow map,
-    * payload stays partition-local.
+  /** Resize. Real images: bilinear pixel rescale via Graphics2D,
+    * re-encoded as PNG. GRFT payloads: stub transform — re-encode
+    * header + body scaled by area ratio. Narrow map, payload stays
+    * partition-local.
     */
   def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val m = FakeCodec.decode(a.kind, a.payload)
-      val body = a.payload.length - FakeCodec.HeaderLen
-      // scale body size with area ratio, deterministically
-      val newBody = math.max(1,
-        (body.toLong * (width.toLong * height) /
-          math.max(1, m.width.toLong * m.height)).toInt)
-      a.copy(payload = FakeCodec.encode(m.copy(width = width, height = height),
-        a.asset_id, newBody))
+      if (a.kind == "image" && Codec.isPng(a.payload)) {
+        val img = Codec.readImage(a.payload)
+        val scaled = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = scaled.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, width, height, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(scaled, "png", bos)
+        a.copy(payload = bos.toByteArray)
+      } else {
+        val m = FakeCodec.decode(a.kind, a.payload)
+        val body = a.payload.length - FakeCodec.HeaderLen
+        // scale body size with area ratio, deterministically
+        val newBody = math.max(1,
+          (body.toLong * (width.toLong * height) /
+            math.max(1, m.width.toLong * m.height)).toInt)
+        a.copy(payload = FakeCodec.encode(m.copy(width = width, height = height),
+          a.asset_id, newBody))
+      }
     })
   }
 
@@ -139,6 +199,10 @@ object Multimodal {
   def sampleFrames(assets: Dataset[Asset], stride: Int = 2): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
+      if (Codec.isPng(a.payload)) {
+        // a still image is its own single frame
+        Seq(Frame(a.asset_id, 0, a.payload))
+      } else {
       val m = FakeCodec.decode(a.kind, a.payload)
       val body = a.payload.length - FakeCodec.HeaderLen
       val perFrame = math.max(1, body / math.max(1, m.nFrames))
@@ -146,6 +210,7 @@ object Multimodal {
         val start = FakeCodec.HeaderLen + f * perFrame
         val end = math.min(a.payload.length, start + perFrame)
         Frame(a.asset_id, f, java.util.Arrays.copyOfRange(a.payload, start, end))
+      }
       }
     })
   }

@@ -42,11 +42,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
   )
 
-  /** Register on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    functions.foreach { case (id, _, builder) =>
-      org.apache.spark.sql.graft.FunctionBridge.registerTemp(spark, id.funcName, builder)
-    }
+  // sessions already registered — once-per-session so repeated SQL-step
+  // execution doesn't spam "function replaced" warnings into run logs
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register on a live session (idempotent, once per session). */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registered.add(spark))
+      functions.foreach { case (id, _, builder) =>
+        org.apache.spark.sql.graft.FunctionBridge.registerTemp(spark, id.funcName, builder)
+      }
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

@@ -27,10 +27,32 @@ final case class ConnInfo(
     partitionColumn: Option[String] = None,
     numPartitions: Option[Int] = None,
     lowerBound: Option[String] = None,
-    upperBound: Option[String] = None) {
+    upperBound: Option[String] = None,
+    /** Arbitrary extra JDBC options (yaml key `options:`), passed
+      * verbatim to every Spark JDBC read AND write on this connection —
+      * the generic passthrough for dialect/driver-specific knobs
+      * (`sessionInitStatement`, `oracle.jdbc.*`, `tcpKeepAlive`, ...).
+      */
+    extraOptions: Map[String, String] = Map.empty) {
   require(partitionColumn.isEmpty ||
     (numPartitions.nonEmpty && lowerBound.nonEmpty && upperBound.nonEmpty),
     "partitionColumn requires numPartitions, lowerBound and upperBound")
+
+  /** Dialect defaults + user extras, in that order (extras win).
+    *
+    * Oracle: `oracle.jdbc.mapDateToTimestamp=false` by default — the
+    * reference's one explicit type-fidelity rule (connector.py:43-44):
+    * Oracle's JDBC driver historically maps DATE to TIMESTAMP, which
+    * silently widens every DATE column on extract; the flag restores
+    * ANSI DATE semantics. Override via `options:` if the widening is
+    * actually wanted.
+    */
+  def jdbcOptions: Map[String, String] = {
+    val dialectDefaults =
+      if (dialect == "oracle") Map("oracle.jdbc.mapDateToTimestamp" -> "false")
+      else Map.empty[String, String]
+    dialectDefaults ++ extraOptions
+  }
 
   /** Apply the partitioned-scan options to a JDBC reader. */
   def applyPartitioning(r: org.apache.spark.sql.DataFrameReader): org.apache.spark.sql.DataFrameReader =
@@ -59,11 +81,21 @@ object Connections {
       fetch = variables.get(s"${systemTag.toUpperCase}_SPARK_FETCH_SIZE").map(_.toInt))
   }
 
-  /** Parse the YAML connection blob (reference: connector.py:15-17). */
+  /** Parse the YAML connection blob (reference: connector.py:15-17).
+    * A nested `options:` map becomes [[ConnInfo.extraOptions]].
+    */
   def parse(yamlText: String, batch: Option[Int] = None, fetch: Option[Int] = None): ConnInfo = {
-    val m = new SnakeYaml(new SafeConstructor(new LoaderOptions))
+    val raw = new SnakeYaml(new SafeConstructor(new LoaderOptions))
       .load[java.util.Map[String, Any]](yamlText)
-      .asScala.map { case (k, v) => k -> String.valueOf(v) }.toMap
+      .asScala.toMap
+    val extra = raw.get("options") match {
+      case Some(om: java.util.Map[_, _]) =>
+        om.asScala.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
+      case Some(other) => throw new IllegalArgumentException(
+        s"connection yaml 'options' must be a map, got: $other")
+      case None => Map.empty[String, String]
+    }
+    val m = (raw - "options").map { case (k, v) => k -> String.valueOf(v) }
     ConnInfo(
       url = m.getOrElse("url",
         throw new IllegalArgumentException("connection yaml missing 'url'")),
@@ -76,6 +108,7 @@ object Connections {
       partitionColumn = m.get("partition_column"),
       numPartitions = m.get("num_partitions").map(_.toInt),
       lowerBound = m.get("lower_bound"),
-      upperBound = m.get("upper_bound"))
+      upperBound = m.get("upper_bound"),
+      extraOptions = extra)
   }
 }

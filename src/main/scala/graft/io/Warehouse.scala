@@ -132,12 +132,33 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
     require(bucketCols.nonEmpty, "bucketed write requires bucket columns")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${schema.toLowerCase}`")
     val qualified = s"`${schema.toLowerCase}`.`${table.toLowerCase}`"
-    spark.sql(s"DROP TABLE IF EXISTS $qualified")
+    // stage-then-swap, like replace(): write the bucketed data to a tmp
+    // path via a scratch catalog entry (materializes the plan — which
+    // may read the very table being replaced — and never exposes a
+    // half-written table), then rename the dir and rebind the catalog
+    // entry. Bucket ids live in the file NAMES, so re-declaring the
+    // bucket spec over the moved files preserves shuffle-free joins.
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val target = new Path(dir(schema, table))
+    val tmp = new Path(dir(schema, table) + "__tmp_" + stamp)
+    val tmpTable = s"`${schema.toLowerCase}`.`${table.toLowerCase}__tmp_$stamp`"
     df.write.mode("overwrite")
-      .option("path", dir(schema, table))
+      .option("path", tmp.toString)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
-      .saveAsTable(qualified)
+      .saveAsTable(tmpTable)
+    val schemaDdl = spark.table(tmpTable).schema.toDDL
+    spark.sql(s"DROP TABLE $tmpTable") // external: metadata only, files stay
+    val f = fs(target)
+    if (f.exists(target) && !f.delete(target, true))
+      throw new java.io.IOException(s"could not delete $target")
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"could not rename $tmp -> $target")
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
+    val bucketList = bucketCols.map(c => s"`$c`").mkString(", ")
+    spark.sql(s"CREATE TABLE $qualified ($schemaDdl) USING PARQUET " +
+      s"CLUSTERED BY ($bucketList) SORTED BY ($bucketList) INTO $numBuckets BUCKETS " +
+      s"LOCATION '${target.toString}'")
   }
 
   /** Catalog-aware read: resolves through the session catalog (so
@@ -275,6 +296,7 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
       .option("url", conn.url)
       .option("user", conn.username)
       .option("password", conn.password)
+      .options(conn.jdbcOptions) // dialect defaults + yaml `options:` extras
     conn.driver.fold(r)(d => r.option("driver", d))
   }
   private def withFetch(r: org.apache.spark.sql.DataFrameReader) =
@@ -291,15 +313,18 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
   override def query(sql: String): DataFrame =
     withFetch(reader).option("query", sql).load()
 
-  override def append(df: DataFrame, schema: String, table: String): Unit = {
+  private def writer(df: DataFrame, dbtable: String) = {
     val w = df.write.format("jdbc")
       .option("url", conn.url)
       .option("user", conn.username)
       .option("password", conn.password)
-      .option("dbtable", s"$schema.$table")
-      .mode("append")
-    conn.batchSize.fold(w)(n => w.option("batchsize", n.toString)).save()
+      .options(conn.jdbcOptions)
+      .option("dbtable", dbtable)
+    conn.batchSize.fold(w)(n => w.option("batchsize", n.toString))
   }
+
+  override def append(df: DataFrame, schema: String, table: String): Unit =
+    writer(df, s"$schema.$table").mode("append").save()
 
   override def truncateAppend(df: DataFrame, schema: String, table: String): Unit = {
     execute(s"truncate table $schema.$table") // airflow_etl.py:95-99
@@ -312,28 +337,47 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
     * executed after TRUNCATE would read an empty table. The plan is
     * staged into a scratch table first (executors stream straight to
     * the warehouse — nothing is held in Spark memory, any data size
-    * works), then swapped in with TRUNCATE + INSERT…SELECT in the
-    * warehouse.
+    * works), then swapped in with TRUNCATE + INSERT…SELECT run in ONE
+    * transaction (autocommit off, single commit): a crash mid-swap
+    * rolls back to the previous master instead of leaving it empty —
+    * an empty master would make the NEXT delta merge silently drop
+    * every unchanged key. Both Postgres-family and Derby support
+    * transactional TRUNCATE/DDL; the reference runs its merge DML the
+    * same way (airflow_etl.py run_sqls: one connection, one commit).
     */
   override def replace(df: DataFrame, schema: String, table: String): Unit = {
     val staging = table + "__graft_stg"
-    val w = df.write.format("jdbc")
-      .option("url", conn.url)
-      .option("user", conn.username)
-      .option("password", conn.password)
-      .option("dbtable", s"$schema.$staging")
-      .mode("overwrite") // drop/recreate the scratch table
-    conn.batchSize.fold(w)(n => w.option("batchsize", n.toString)).save()
+    writer(df, s"$schema.$staging").mode("overwrite").save() // drop/recreate scratch
     val cols = df.columns.map(c => s""""$c"""").mkString(", ")
-    execute(s"truncate table $schema.$table")
-    execute(s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$staging")
-    execute(s"DROP TABLE $schema.$staging")
+    executeTransaction(Seq(
+      s"truncate table $schema.$table",
+      s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$staging",
+      s"DROP TABLE $schema.$staging"))
   }
 
   override def execute(sql: String): Unit = {
     val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)
     try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
     finally c.close()
+  }
+
+  /** Run statements on ONE connection with autocommit off and a single
+    * commit — all-or-nothing for multi-statement swaps.
+    */
+  def executeTransaction(sqls: Seq[String]): Unit = {
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.username, conn.password)
+    try {
+      c.setAutoCommit(false)
+      try {
+        val st = c.createStatement()
+        try sqls.foreach(st.execute) finally st.close()
+        c.commit()
+      } catch {
+        case e: Throwable =>
+          try c.rollback() catch { case _: Throwable => () }
+          throw e
+      }
+    } finally c.close()
   }
 
   /** In-warehouse flip — one UPDATE, no data movement through Spark

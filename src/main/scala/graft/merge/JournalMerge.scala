@@ -42,6 +42,26 @@ object JournalMerge {
 
   private val rankCol = "__graft_rnk"
 
+  /** Skew knob: set the session conf `graft.merge.saltBuckets` to an
+    * int > 1 and every production merge path ([[full]]/[[delta]], and
+    * therefore [[run]]) routes its window dedup through
+    * [[latestPerKeySalted]] — use when one PK carries a large share of
+    * journal versions (a hot account re-written every batch) and the
+    * single window partition becomes the straggler. Results are
+    * identical to the unsalted path (same comparator, two-phase).
+    */
+  val SaltBucketsConf = "graft.merge.saltBuckets"
+
+  private def configuredSaltBuckets(df: DataFrame): Int =
+    df.sparkSession.conf.getOption(SaltBucketsConf).map(_.toInt).getOrElse(0)
+
+  /** Dispatch: salted dedup when the session opts in, plain otherwise. */
+  private def latest(journal: DataFrame, pks: Seq[String]): DataFrame = {
+    val buckets = configuredSaltBuckets(journal)
+    if (buckets > 1) latestPerKeySalted(journal, pks, buckets)
+    else latestPerKey(journal, pks)
+  }
+
   /** Latest version of each key: the load-bearing window dedup. */
   def latestPerKey(journal: DataFrame, pks: Seq[String]): DataFrame = {
     require(pks.nonEmpty, "journal merge requires at least one primary-key column")
@@ -90,7 +110,7 @@ object JournalMerge {
 
   /** New master content for merge_mode=full (airflow_etl.py:154-178). */
   def full(journal: DataFrame, pks: Seq[String]): DataFrame =
-    latestPerKey(journal, pks)
+    latest(journal, pks)
 
   /** New master content for merge_mode=delta (airflow_etl.py:179-214). */
   def delta(master: DataFrame, journal: DataFrame, pks: Seq[String]): DataFrame = {
@@ -98,7 +118,7 @@ object JournalMerge {
     val active = journal.where(col(RecordState) === "A")
     val changedKeys = active.select(pks.map(col): _*).distinct()
     val kept = master.join(changedKeys, pks, "left_anti")
-    kept.unionByName(latestPerKey(active, pks).select(master.columns.map(col): _*))
+    kept.unionByName(latest(active, pks).select(master.columns.map(col): _*))
   }
 
   /** Post-merge record-state flip 'A' -> 'H' (airflow_etl.py:216-223). */

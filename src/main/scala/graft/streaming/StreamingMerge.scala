@@ -31,13 +31,27 @@ object StreamingMerge {
                                 transformDt: Timestamp, loadDt: Timestamp,
                                 seqno: Long)
 
+  /** Null-safe version comparison matching the batch window's
+    * `desc_nulls_first`: in a DESC NULLS FIRST ordering a null version
+    * column ranks FIRST, i.e. the null side WINS — the Postgres NULL
+    * semantics the reference's merge SQL inherits. Without this the
+    * stream path would NPE where the batch path has defined ordering.
+    */
+  private def cmpNullsWin(x: Timestamp, y: Timestamp): Int = (x, y) match {
+    case (null, null) => 0
+    case (null, _)    => 1
+    case (_, null)    => -1
+    case _            => x.compareTo(y)
+  }
+
   /** The merge's version order (JournalMerge.latestPerKey parity:
-    * transform DESC, load DESC, seqno ASC ⇒ "a beats b" below).
+    * transform DESC NULLS FIRST, load DESC NULLS FIRST, seqno ASC ⇒
+    * "a beats b" below).
     */
   private def beats(a: StreamRecord, b: StreamRecord): Boolean = {
-    val t = a.transformDt.compareTo(b.transformDt)
+    val t = cmpNullsWin(a.transformDt, b.transformDt)
     if (t != 0) return t > 0
-    val l = a.loadDt.compareTo(b.loadDt)
+    val l = cmpNullsWin(a.loadDt, b.loadDt)
     if (l != 0) return l > 0
     a.seqno < b.seqno
   }
@@ -56,6 +70,47 @@ object StreamingMerge {
             .reduceLeft((a, b) => if (beats(b, a)) b else a)
           state.update(winner)
           winner
+      }
+  }
+
+  /** [[latestPerKey]] with an event-time watermark and state expiry —
+    * what an unbounded production stream needs: without a watermark the
+    * state store grows with distinct keys FOREVER and late data is
+    * indistinguishable from on-time data.
+    *
+    *  - Watermark on `loadDt` (the ingestion clock — monotone-ish by
+    *    construction, unlike the business-time `transformDt` which the
+    *    merge comparator ranks but upstreams may emit wildly out of
+    *    order): rows whose loadDt lags the observed max by more than
+    *    `watermarkDelay` are DROPPED by Spark before reaching the state
+    *    logic. This is the documented divergence from the batch merge,
+    *    which always considers every journal row no matter how late it
+    *    was loaded; within the allowed lateness the two agree exactly
+    *    (same [[beats]] comparator).
+    *  - A key silent for `stateTtlMs` past the watermark expires: its
+    *    state entry is emitted once more (the key's final version) and
+    *    removed, bounding the store to RECENTLY ACTIVE keys instead of
+    *    all keys ever seen.
+    */
+  def latestPerKeyWatermarked(records: Dataset[StreamRecord],
+                              watermarkDelay: String = "10 minutes",
+                              stateTtlMs: Long = 60L * 60 * 1000): Dataset[StreamRecord] = {
+    import records.sparkSession.implicits._
+    records.withWatermark("loadDt", watermarkDelay)
+      .groupByKey(_.key)
+      .mapGroupsWithState[StreamRecord, StreamRecord](GroupStateTimeout.EventTimeTimeout) {
+        (_: String, recs: Iterator[StreamRecord], state: GroupState[StreamRecord]) =>
+          if (state.hasTimedOut) {
+            val lastWinner = state.get
+            state.remove()
+            lastWinner
+          } else {
+            val winner = (state.getOption.iterator ++ recs)
+              .reduceLeft((a, b) => if (beats(b, a)) b else a)
+            state.update(winner)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            winner
+          }
       }
   }
 

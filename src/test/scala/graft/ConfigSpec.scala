@@ -108,6 +108,31 @@ class ConfigSpec extends AnyFunSuite {
       Params.fill("{report_date}", Seq(Param.ReportDate("report_date")), Map.empty))
   }
 
+  test("connection yaml `options:` map becomes extraOptions, applied to jdbc") {
+    val c = graft.io.Connections.parse(
+      """url: jdbc:oracle:thin:@h:1521/db
+        |username: u
+        |dialect: oracle
+        |options:
+        |  sessionInitStatement: ALTER SESSION SET NLS_DATE_FORMAT='YYYY-MM-DD'
+        |  tcpKeepAlive: "true"""".stripMargin)
+    assert(c.extraOptions === Map(
+      "sessionInitStatement" -> "ALTER SESSION SET NLS_DATE_FORMAT='YYYY-MM-DD'",
+      "tcpKeepAlive" -> "true"))
+    // oracle dialect defaults DATE fidelity (reference connector.py:43-44)...
+    assert(c.jdbcOptions("oracle.jdbc.mapDateToTimestamp") === "false")
+    assert(c.jdbcOptions("tcpKeepAlive") === "true")
+    // ...but an explicit user option wins over the dialect default
+    val widened = c.copy(extraOptions = Map("oracle.jdbc.mapDateToTimestamp" -> "true"))
+    assert(widened.jdbcOptions("oracle.jdbc.mapDateToTimestamp") === "true")
+    // non-oracle dialects get no oracle knobs
+    assert(!graft.io.Connections.parse("url: jdbc:postgresql://h/db")
+      .jdbcOptions.contains("oracle.jdbc.mapDateToTimestamp"))
+    // options must be a map
+    assertThrows[IllegalArgumentException](
+      graft.io.Connections.parse("url: x\noptions: notamap"))
+  }
+
   test("connection registry parses <TAG>_<SYSTEM>_CONN yaml") {
     val vars = Map(
       "MAIN_GP_CONN" -> "url: jdbc:postgresql://h:5432/db\nusername: u\npassword: p",

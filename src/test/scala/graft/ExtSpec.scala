@@ -181,6 +181,72 @@ class ExtSpec extends AnyFunSuite {
     // trade 3 (t=50, before any quote) and trade 4 (z-quote after) drop
   }
 
+  test("asOfSalted == asOf on a skewed fixture (one key with ~50% of rows)") {
+    import graft.ext.AsOfJoin
+    val rnd = new scala.util.Random(7)
+    // hot key "h": 500 trades + 500 quotes; 20 cold keys share the rest
+    val trades = ((1 to 500).map(i => (i.toLong, "h", rnd.nextInt(100000).toLong)) ++
+      (501 to 1000).map(i => (i.toLong, s"k${i % 20}", rnd.nextInt(100000).toLong)))
+      .toDF("trade_id", "sym", "t")
+    val quotes = ((1 to 500).map(i => (i.toLong + 10000, "h", rnd.nextInt(100000).toLong)) ++
+      (501 to 1000).map(i => (i.toLong + 10000, s"k${i % 20}", rnd.nextInt(100000).toLong)))
+      .toDF("quote_id", "sym", "qt")
+    def collectOut(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "quote_id", "asof_ts").as[(Long, Long, Long)].collect().toSet
+    val plain = collectOut(AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id")))
+    val salted = collectOut(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id"), timeBuckets = 16))
+    assert(plain.nonEmpty)
+    assert(salted === plain)
+  }
+
+  test("asOfSalted handles crafted boundaries (carry-in across empty buckets, ties)") {
+    import graft.ext.AsOfJoin
+    val trades = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 50L), (4L, "z", 10L),
+      (5L, "k", 99999L)) // far future: its match carries across many empty buckets
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", 90L), (11L, "k", 100L), (12L, "k", 100L), (13L, "k", 200L),
+      (14L, "z", 99L))
+      .toDF("quote_id", "sym", "qt")
+    val out = AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt", "quote_id",
+      Seq("quote_id"), timeBuckets = 8)
+      .select("trade_id", "quote_id", "asof_ts")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 12L, 100L), (2L, 13L, 200L), (5L, 13L, 200L)))
+  }
+
+  test("connectedComponents: reliable checkpoint dir path gives identical labels") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val dir = SparkTestBase.tmpDir("graft_cc_ckpt")
+    val cc = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the reliable path actually wrote checkpoint files
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"no checkpoint data under $dir")
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    // a 5-chain needs >1 min-label rounds; cap at 1 must fail loudly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIterations = 1))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("maxDocFreqFraction prefix cut agrees with the exact path on fixtures") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.7)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val cut = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.7,
+      maxDocFreqFraction = Some(0.05))
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(cut === exact,
+      "stop-shingle cut must keep every qualifying pair on this corpus")
+  }
+
   test("range join: grid binning matches the naive inequality join, strict lower bound") {
     import graft.ext.RangeJoin
     val ev = Seq(("u", 1L, 0L), ("u", 2L, 50L), ("u", 3L, 100L), ("u", 4L, 151L),

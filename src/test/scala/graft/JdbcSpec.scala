@@ -139,6 +139,31 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) AS n FROM src_view").collect()(0).getLong(0) === 50)
   }
 
+  test("extraOptions flow through to live JDBC reads and writes") {
+    // a benign Spark-JDBC option proves the passthrough plumbing works
+    // end-to-end on a live connection (Oracle's mapDateToTimestamp rides
+    // the same path; asserted unit-side in ConfigSpec — no Oracle here)
+    val tuned = new JdbcWarehouse(spark, ConnInfo(url = url, dialect = "generic",
+      extraOptions = Map("isolationLevel" -> "READ_COMMITTED", "numPartitions" -> "2")))
+    tuned.append(journalRows((77, "opt", "2024-03-01 00:00:00", 77L, "A")), "DWH", "T__JOURNAL")
+    val back = tuned.read("DWH", "T__JOURNAL").where($"id" === 77)
+    assert(back.count() === 1)
+  }
+
+  test("replace swaps content transactionally (staging + single-commit)") {
+    ddl("""CREATE TABLE DWH.RT ("id" INT, "v" VARCHAR(16))""")
+    wh.append(Seq((1, "a"), (2, "b")).toDF("id", "v"), "DWH", "RT")
+    // replace with a plan READING the table being replaced (the delta-
+    // merge shape): must materialize via staging before the truncate
+    val doubled = wh.read("DWH", "RT")
+      .withColumn("v", org.apache.spark.sql.functions.concat($"v", $"v"))
+    wh.replace(doubled, "DWH", "RT")
+    val after = wh.read("DWH", "RT").as[(Int, String)].collect().toMap
+    assert(after === Map(1 -> "aa", 2 -> "bb"))
+    // staging table cleaned up inside the same transaction
+    assert(!wh.exists("DWH", "RT__graft_stg") && !wh.exists("DWH", "RT__GRAFT_STG"))
+  }
+
   test("truncateAppend preserves DDL and replaces content") {
     wh.truncateAppend(journalRows((9, "only", "2024-02-01 00:00:00", 9L, "H")),
       "DWH", "T__JOURNAL")

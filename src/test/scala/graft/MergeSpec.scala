@@ -140,6 +140,33 @@ class MergeSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("graft.merge.saltBuckets conf routes production merges through the salted path") {
+    // hot key: one id carries ~50% of all journal rows
+    val rows = (1 to 200).map { i =>
+      (0, s"hot$i", f"2024-01-${i % 28 + 1}%02d ${i % 24}%02d:00:00",
+        "2024-01-01 00:00:00", java.lang.Long.valueOf(i.toLong), "A")
+    } ++ (1 to 200).map { i =>
+      (i % 50 + 1, s"v$i", f"2024-01-${i % 28 + 1}%02d 00:00:00",
+        "2024-01-01 00:00:00", java.lang.Long.valueOf(i.toLong), "A")
+    }
+    val j = journal(rows: _*)
+    val unsalted = winners(JournalMerge.full(j, Seq("id")))
+    spark.conf.set(JournalMerge.SaltBucketsConf, "8")
+    try {
+      val saltedDf = JournalMerge.full(j, Seq("id"))
+      // the dispatch actually took the two-phase path...
+      assert(saltedDf.queryExecution.executedPlan.toString.contains("__graft_salt"),
+        "conf-enabled merge must plan the salted two-phase window")
+      // ...and produced identical winners
+      assert(winners(saltedDf) == unsalted)
+      // delta path dispatches too
+      val master = journal((99, "kept", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"))
+      val d = JournalMerge.delta(master, j, Seq("id"))
+      assert(d.queryExecution.executedPlan.toString.contains("__graft_salt"))
+      assert(winners(d) == unsalted + (99 -> "kept"))
+    } finally spark.conf.unset(JournalMerge.SaltBucketsConf)
+  }
+
   test("property: full merge is invariant under journal row permutation") {
     val rows = (1 to 40).map { i =>
       (i % 7, s"v$i", f"2024-01-${i % 28 + 1}%02d 00:00:00",

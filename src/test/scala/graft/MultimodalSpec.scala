@@ -64,6 +64,56 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, 0xFF000000 | ((x * 80) << 16) | ((y * 80) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real PNG payloads decode via ImageIO (not the GRFT header)") {
+    val real = Seq(Asset(100L, "image", pngBytes(2, 2)),
+      Asset(101L, "image", pngBytes(5, 3))).toDS()
+    val d = Multimodal.decode(real).collect().map(x => x.asset_id -> x).toMap
+    assert(d(100L).width === 2 && d(100L).height === 2 && d(100L).nFrames === 1)
+    assert(d(101L).width === 5 && d(101L).height === 3)
+  }
+
+  test("real PNG resize rescales pixels and re-encodes a decodable PNG") {
+    val real = Seq(Asset(100L, "image", pngBytes(8, 8))).toDS()
+    val resized = Multimodal.resize(real, 4, 4).collect().head
+    assert(Multimodal.Codec.isPng(resized.payload), "resize must emit PNG bytes")
+    val d = Multimodal.decode(Seq(resized).toDS()).collect().head
+    assert(d.width === 4 && d.height === 4)
+  }
+
+  test("real PNG features: luminance histogram, L1-normalized") {
+    val real = Seq(Asset(100L, "image", pngBytes(4, 4))).toDS()
+    val f = Multimodal.extractFeatures(real).collect().head.features
+    assert(f.length === 64)
+    assert(math.abs(f.sum - 1f) < 1e-3)
+    // a black image lands all 16 pixels in the lowest luminance bin
+    val black = Seq(Asset(101L, "image", {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    })).toDS()
+    val fb = Multimodal.extractFeatures(black).collect().head.features
+    assert(fb(0) === 1f)
+  }
+
+  test("PNG assets sample as their own single frame") {
+    val real = Seq(Asset(100L, "image", pngBytes(2, 2))).toDS()
+    val frames = Multimodal.sampleFrames(real).collect()
+    assert(frames.length === 1 && frames.head.frame_idx === 0)
+    assert(Multimodal.Codec.isPng(frames.head.frame))
+  }
+
   test("asset stats groups on decoded metadata only") {
     val stats = Multimodal.assetStats(Multimodal.decode(assets))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

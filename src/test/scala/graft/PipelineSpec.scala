@@ -130,6 +130,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(wh.read("dwh", "premigrated").count() == 2)
   }
 
+  test("manual read-mode: REPORT_DATE-dated read end-to-end; missing variable fails fast") {
+    val (ctx, wh, work) = mkCtx()
+    wh.registerPrimaryKey("dwh", "day_slice", Seq("l_returnflag", "l_linestatus"))
+    write(s"$work/sql", "manual.sql",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __transform_dt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __load_dt,
+        |  CAST(0 AS BIGINT) AS __seqno, 'A' AS __record_state
+        |FROM li
+        |WHERE CAST(l_shipdate AS DATE) = DATE '{report_date}'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+    val cfg = TableConfig(
+      dependencies = Seq(Dependency("datalake", "parquet", "li",
+        path = Some("sf0.001/lineitem.parquet"))),
+      transform = Map(ReadMode.Manual -> Seq(
+        Step.Select(SqlSource.File("manual.sql"),
+          parameters = Seq(Param.ReportDate("report_date"))))),
+      target = Some(Target("dwh", "day_slice")))
+    // manual without the dated-read variable is an undefined read: fail fast
+    assertThrows[ConfigException](
+      PipelineRunner.runTable(ctx.copy(variables = Map.empty), cfg,
+        ReadMode.Manual, WriteMode.Append, MergeMode.Delta))
+    // with REPORT_DATE set, exactly that day's slice is read and merged
+    val dated = ctx.copy(variables = Map("REPORT_DATE" -> "1995-06-17"))
+    PipelineRunner.runTable(dated, cfg, ReadMode.Manual, WriteMode.Append, MergeMode.Delta)
+    val master = wh.read("dwh", "day_slice")
+    assert(master.count() > 0)
+    val expected = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where("CAST(l_shipdate AS DATE) = DATE '1995-06-17'").count()
+    assert(master.agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0)
+      === expected, "manual mode must read exactly the REPORT_DATE day")
+  }
+
   test("csv dependency arrives all-strings (no inferSchema, reference parity)") {
     val (ctx, _, work) = mkCtx()
     write(s"$work/lakefiles", "m.csv", "code,val\n1,a\n2,b\n")

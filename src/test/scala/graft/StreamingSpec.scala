@@ -62,6 +62,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("null version timestamps: stream winner matches batch desc_nulls_first (null wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRecord]
+    val q = StreamingMerge.latestPerKey(input.toDS())
+      .writeStream.format("memory").queryName("nulls_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        rec("u1", "dated", "2024-01-02 00:00:00", "2024-01-01 00:00:00", 1),
+        StreamRecord("u1", "nulled", null, ts("2024-01-01 00:00:00"), 2))
+      q.processAllAvailable()
+      // MergeSpec's batch rule: NULL __transform_dt sorts FIRST on DESC
+      val winner = spark.table("nulls_sink")
+        .select("payload").as[String].collect().toSeq
+      assert(winner === Seq("nulled"))
+    } finally q.stop()
+  }
+
+  test("watermarked latestPerKey: late data dropped, idle keys expire from state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRecord]
+    val q = StreamingMerge.latestPerKeyWatermarked(input.toDS(),
+      watermarkDelay = "10 minutes", stateTtlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("wm_latest_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(rec("u1", "v1", "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1))
+      q.processAllAvailable()
+      input.addData(rec("u1", "v2", "2024-01-01 11:00:00", "2024-01-01 11:00:00", 2))
+      q.processAllAvailable()
+      // watermark = 11:00 − 10 min: a record LOADED at 10:20 is late -> dropped
+      input.addData(rec("u2", "late", "2024-01-01 10:20:00", "2024-01-01 10:20:00", 3))
+      q.processAllAvailable()
+      assert(spark.table("wm_latest_sink").where("key = 'u2'").count() === 0,
+        "late record must be dropped by the watermark")
+      // advance the watermark far past u1's ttl: u1's state expires
+      input.addData(rec("u3", "w1", "2024-01-01 12:00:00", "2024-01-01 12:00:00", 4))
+      q.processAllAvailable()
+      // u1's state is gone, so an OLDER version arriving (on time) wins a
+      // fresh slate — it could never beat v2 if the state had survived
+      input.addData(rec("u1", "v0", "2024-01-01 00:30:00", "2024-01-01 12:05:00", 5))
+      q.processAllAvailable()
+      val u1Payloads = spark.table("wm_latest_sink")
+        .where("key = 'u1'").select("payload").as[String].collect().toSet
+      assert(u1Payloads.contains("v0"),
+        "after expiry the old version must win against empty state")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation finalizes windows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._

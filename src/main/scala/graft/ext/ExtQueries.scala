@@ -281,8 +281,15 @@ object ExtQueries {
         |  ON a.user_id = b.user_id
         | AND b.us > a.us AND b.us <= a.us + 3600000000
         |ORDER BY a.user_id, a_id, b_id""".stripMargin
-    // q16 (ANN) and q17 (SimHash) intentionally have no oracle: both are
-    // hash-family approximations whose exactness is asserted against the
-    // exact operators in ExtSpec.
+    // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
+    // DuckDB oracle: their outputs depend on hash families DuckDB cannot
+    // replay (seeded random hyperplanes + xxhash64 candidates for q16,
+    // xxhash64 token SimHash for q17, seeded Spark-ML KMeans cells for
+    // q26) — an "oracle" would be a DuckDB re-implementation of the
+    // same approximation, asserting nothing. They are regression-gated
+    // in ExtSpec instead, HARDER than a rows-only check: recall floors
+    // pinned at the fixed-seed measurements (ANN ≥0.45 of measured
+    // 0.464, IVF ≥0.65 of measured 0.674), golden md5 digests of the
+    // full q16/q26 outputs, and the exact q17 pair set at sf0.001.
   )
 }

@@ -143,6 +143,17 @@ object Similarity {
     * per-query window. Candidates = pairs sharing a bucket in ANY
     * table (equi-join on (table_idx, bucket)); recall is tunable via
     * (tables, bits) — see [[lshBuckets]]. Never materializes all pairs.
+    *
+    * On the occasional bench-time spike (investigated): an interleaved
+    * 5×4-config experiment at sf0.1 (AQE on / off / on-without-
+    * partition-coalescing / on-without-runtime-broadcast) measured
+    * steady state ~2.7–3.4 s in EVERY config, with isolated spikes
+    * (7–38 s) landing on different configs across rounds — including
+    * AQE-off — and the executed plans under AQE on/off are
+    * shape-identical (same broadcast joins, one hash exchange for the
+    * candidate distinct, WindowGroupLimit top-k). Conclusion: the
+    * spikes are host noise (shared-hypervisor neighbor load / GC), not
+    * an AQE plan flip; no config change is warranted.
     */
   def annTopK(emb: DataFrame, k: Int, tables: Int = 12, bits: Int = 6,
               dims: Int = 64, idCol: String = "vec_id",

@@ -142,18 +142,22 @@ class ExtSpec extends AnyFunSuite {
     assert(sim.size <= 4 * exact.size, s"simhash pair explosion: ${sim.size} pairs")
   }
 
-  test("ANN top-1 recall vs brute force >= 0.3 on fixtures (fixed seed)") {
+  test("ANN top-1 recall vs brute force pinned at fixed-seed measurement (0.464)") {
+    // everything is seeded, so this number is DETERMINISTIC: measured
+    // 0.464 (1160/2500) on the near-uniform synthetic embeddings — a
+    // hard floor just under it catches any recall regression, and the
+    // golden-digest test below catches any output change at all
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, 1)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
     val ann = Similarity.annTopK(emb, 1)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
     val recall = bf.count { case (v, n) => ann.get(v).contains(n) }.toDouble / bf.size
-    assert(recall >= 0.3, s"ANN top-1 recall $recall below 0.3")
+    assert(recall >= 0.45, s"ANN top-1 recall $recall below pinned 0.45 (measured 0.464)")
     assert(ann.size === bf.size, "ANN must return a candidate for every vector")
   }
 
-  test("IVF top-1: full coverage and recall comparable to probing share") {
+  test("IVF top-1 recall pinned at fixed-seed measurement (0.674)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val bf = Similarity.bruteForceTopK(emb, 1)
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
@@ -161,8 +165,40 @@ class ExtSpec extends AnyFunSuite {
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(ivf.size === bf.size, "IVF must return a candidate for every vector")
     val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
-    // 4/16 cells probed ≈ 25% blind chance; learned cells must beat it
-    assert(recall >= 0.3, s"IVF top-1 recall $recall below 0.3")
+    // measured 0.674 with seeded KMeans; well above the 4/16 ≈ 25%
+    // blind-probe chance AND regression-pinned just below measurement
+    assert(recall >= 0.65, s"IVF top-1 recall $recall below pinned 0.65 (measured 0.674)")
+  }
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("golden digests: q16 ANN and q26 IVF outputs are bit-stable at fixed seeds") {
+    // the no_oracle rows' hard signal: ANY drift in hyperplanes, KMeans
+    // seeding, candidate generation, tie-breaks, or cosine arithmetic
+    // changes these digests. Re-pin ONLY for an intentional change.
+    val q16 = ExtQueries.q16(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (v, n, r, s) => s"$v,$n,$r,$s" }.mkString("\n")
+    assert(md5(q16) === "0b291d36a9ef4f4c89b1d1781aca1bfe", "q16 output drifted")
+    val q26 = ExtQueries.q26(spark, sf)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (v, n, r, s) => s"$v,$n,$r,$s" }.mkString("\n")
+    assert(md5(q26) === "dfa9e576d72426efc83a2425c8119dcd", "q26 output drifted")
+  }
+
+  test("golden pair set: q17 SimHash pairs at sf0.001 are exactly pinned") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Dedup.nearDupSimHash(docs, maxHamming = 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().sorted.toSeq
+    val expected = Seq((0L, 82L, 0), (8L, 12L, 2), (8L, 120L, 2), (8L, 360L, 1),
+      (12L, 360L, 1), (16L, 369L, 2), (26L, 176L, 0), (45L, 487L, 2), (56L, 157L, 1),
+      (77L, 459L, 2), (99L, 174L, 1), (110L, 242L, 3), (110L, 467L, 2), (119L, 425L, 3),
+      (120L, 360L, 3), (144L, 161L, 2), (197L, 246L, 3), (211L, 404L, 2), (229L, 263L, 2),
+      (245L, 401L, 3), (260L, 391L, 0), (261L, 296L, 3), (270L, 329L, 1), (306L, 387L, 3),
+      (349L, 411L, 0), (387L, 457L, 3), (474L, 498L, 3))
+    assert(got === expected, "q17 SimHash pair set drifted from the golden pin")
   }
 
   test("asOf join: latest right at-or-before left time, inclusive boundary, max tie-break") {

@@ -120,6 +120,23 @@ object ExtQueries {
       .orderBy("user_id", "a_id", "b_id")
   }
 
+  /** Decontamination: every 20th document plays the "benchmark" set; the
+    * remaining training docs are scored by distinct shared 5-grams.
+    */
+  def q30(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val bench = d.where(col("doc_id") % 20 === 0)
+    val train = d.where(col("doc_id") % 20 =!= 0)
+    TextOps.contamination(train, bench, shingleSize = 5)
+      .select(col("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding hygiene stats (dims / L2 norm / max |component|). */
+  def q31(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingStats(emb(spark, dir))
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -135,7 +152,9 @@ object ExtQueries {
     "q23_dedup_near_dups" -> (q23 _),
     "q26_similarity_ivf" -> (q26 _),
     "q27_asof_join" -> (q27 _),
-    "q28_range_join" -> (q28 _)
+    "q28_range_join" -> (q28 _),
+    "q30_decontamination" -> (q30 _),
+    "q31_embed_stats" -> (q31 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -280,7 +299,40 @@ object ExtQueries {
         |FROM e a JOIN e b
         |  ON a.user_id = b.user_id
         | AND b.us > a.us AND b.us <= a.us + 3600000000
-        |ORDER BY a.user_id, a_id, b_id""".stripMargin
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
+    // benchmark = every 20th doc; shared distinct 5-grams per train doc
+    "q30_decontamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT t1.doc_id,
+        |    t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok || ' ' || t5.tok AS s
+        |  FROM w t1
+        |  JOIN w t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN w t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        |  JOIN w t4 ON t4.doc_id = t1.doc_id AND t4.pos = t1.pos + 3
+        |  JOIN w t5 ON t5.doc_id = t1.doc_id AND t5.pos = t1.pos + 4),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM sh d JOIN bench b ON d.s = b.s
+        |  WHERE d.doc_id % 20 <> 0
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+        |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE d.doc_id % 20 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // the L2 fold is sequential in both engines (list_reduce ≡ the
+    // Spark aggregate fold: 0.0 + x² left-accumulation) -> bit-exact
+    "q31_embed_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS BIGINT) AS n_dims,
+        |  sqrt(list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b)) AS l2_norm,
+        |  list_max(list_transform(v, x -> abs(x))) AS max_abs
+        |FROM e ORDER BY vec_id""".stripMargin
     // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
     // DuckDB oracle: their outputs depend on hash families DuckDB cannot
     // replay (seeded random hyperplanes + xxhash64 candidates for q16,

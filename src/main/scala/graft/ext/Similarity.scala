@@ -66,6 +66,23 @@ object Similarity {
       .select("a_id", "b_id", "sim")
   }
 
+  /** Per-vector hygiene stats for an embedding column — the sanity pass
+    * a pipeline runs before indexing/similarity work: dimensionality
+    * (catches ragged arrays), L2 norm (zero vectors break cosine;
+    * un-normalized vectors break dot-product search), and max absolute
+    * component (overflow/outlier screen). Narrow projection, no shuffle;
+    * the L2 norm uses the same sequential double fold as [[cosine]], so
+    * it is bit-reproducible across engines and partitionings.
+    */
+  def embeddingStats(emb: DataFrame, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val vd = asDouble(col(vecCol))
+    emb.select(col(idCol),
+      size(col(vecCol)).cast("long").as("n_dims"),
+      sqrt(aggregate(vd, lit(0.0), (acc, x) => acc + x * x)).as("l2_norm"),
+      aggregate(vd, lit(0.0), (acc, x) => greatest(acc, abs(x))).as("max_abs"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables` independent
     * signature tables of `bits` hyperplanes each, dims-dimensional,
     * seeded — identical across runs and executors (shipped as a

@@ -118,6 +118,47 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Benchmark decontamination: count, per training document, the
+    * distinct `n`-gram shingles it shares with a benchmark corpus — the
+    * LLM training-data hygiene op (a doc containing test-set n-grams
+    * verbatim leaks the benchmark into training). Returns `docs` with an
+    * extra `n_hits` column (0 = clean); [[decontaminate]] keeps only the
+    * clean rows.
+    *
+    * Scale shape: both sides shingle-hash to 8-byte keys ([[graft.functions.ArrayExprs.shingleHashes]]).
+    * The benchmark side — test sets are tiny next to a training corpus —
+    * is distinct-ed and BROADCAST, so the corpus side is one scan +
+    * explode + broadcast semi-join + per-doc count: no corpus-side
+    * all-to-all shuffle, and the corpus never moves. (If the benchmark
+    * outgrows the broadcast threshold, drop `broadcast()` and it
+    * degrades gracefully to a shuffled equi-join on the 8-byte hash.)
+    * Matching is on 64-bit hashes: collision odds at even billions of
+    * distinct shingles are ~n²/2⁶⁵ — negligible, and only ever
+    * over-counts a hit (conservative for decontamination).
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, shingleSize: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    benchTextCol: String = "text"): DataFrame = {
+    val docShingles = docs.select(col(idCol),
+      explode(graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize)).as("__s"))
+    val benchShingles = benchmark.select(
+      explode(graft.functions.ArrayExprs.shingleHashes(col(benchTextCol), shingleSize)).as("__s"))
+      .distinct()
+    val hits = docShingles.join(broadcast(benchShingles), "__s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits")) // doc shingles are distinct already
+    docs.join(hits, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
+  /** Keep only documents sharing NO `n`-gram with the benchmark. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, shingleSize: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    benchTextCol: String = "text"): DataFrame =
+    contamination(docs, benchmark, shingleSize, idCol, textCol, benchTextCol)
+      .where(col("n_hits") === 0)
+      .drop("n_hits")
+
   /** Facet profile per group: doc counts, char totals/averages, token
     * totals, exact distinct-text count. `approxDistinct=true` swaps the
     * exact distinct for HyperLogLog `approx_count_distinct` — at 100 TB

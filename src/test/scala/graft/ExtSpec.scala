@@ -355,6 +355,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination counts shared n-grams; decontaminate keeps only clean docs") {
+    val bench = docsDf(100L -> "a b c d e f g h")
+    val train = docsDf(
+      1L -> "x y a b c d z w",   // shares 5-gram? no (only 4-run a b c d) -> clean at n=5
+      2L -> "q a b c d e f r",   // shares "a b c d e" and "b c d e f" -> 2 hits
+      3L -> "p q r s t u v w")   // disjoint -> clean
+    val out = TextOps.contamination(train, bench, shingleSize = 5)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 0L, 2L -> 2L, 3L -> 0L))
+    val clean = TextOps.decontaminate(train, bench, shingleSize = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(clean === Seq(1L, 3L))
+  }
+
+  test("contamination plans a broadcast of the benchmark side, no cartesian") {
+    val plan = ExtQueries.q30(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("embeddingStats: dims, sequential-fold L2 norm, max abs") {
+    val df = Seq((1L, Array(3f, 4f, 0f)), (2L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingStats(df)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 3L, 5.0, 4.0)))
+    assert(out(1) === ((2L, 3L, 0.0, 0.0)))
+  }
+
   test("facetStats approx-distinct variant returns plausible HLL counts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)

@@ -231,10 +231,14 @@ class ExtSpec extends AnyFunSuite {
       df.select("trade_id", "quote_id", "asof_ts").as[(Long, Long, Long)].collect().toSet
     val plain = collectOut(AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt",
       "quote_id", Seq("quote_id")))
-    val salted = collectOut(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
-      "quote_id", Seq("quote_id"), timeBuckets = 16))
     assert(plain.nonEmpty)
-    assert(salted === plain)
+    // equality must hold for ANY bucketing granularity, including one
+    // finer than the data (most buckets empty) and the 2-bucket edge
+    for (buckets <- Seq(2, 16, 4096)) {
+      val salted = collectOut(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
+        "quote_id", Seq("quote_id"), timeBuckets = buckets))
+      assert(salted === plain, s"timeBuckets=$buckets diverged")
+    }
   }
 
   test("asOfSalted handles crafted boundaries (carry-in across empty buckets, ties)") {

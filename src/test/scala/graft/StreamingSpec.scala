@@ -142,6 +142,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: twins within the watermark drop, aged-out twins re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamingDedup.exactWithinWatermark(
+      input.toDS().toDF("ts", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "doc a"),
+        (ts("2024-01-01 10:01:00"), "doc a"), // in-window twin: dropped
+        (ts("2024-01-01 10:02:00"), "doc b"))
+      q.processAllAvailable()
+      // push event time far past "doc a"'s watermark window, then repeat it
+      input.addData((ts("2024-01-01 13:00:00"), "advance"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:01:00"), "doc a")) // state expired: re-emitted
+      q.processAllAvailable()
+      val counts = spark.table("dedup_sink").groupBy("text").count()
+        .as[(String, Long)].collect().toMap
+      assert(counts("doc a") === 2, s"expected in-window dedup + post-expiry re-emit: $counts")
+      assert(counts("doc b") === 1)
+    } finally q.stop()
+  }
+
   test("foreachBatch bridge: micro-batched journal ingestion == batch merges") {
     import graft.io.FileWarehouse
     val root = SparkTestBase.tmpDir("graft_stream_wh")

@@ -96,11 +96,21 @@ object AsOfJoin {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     require(timeBuckets > 1, "timeBuckets must be > 1 (use asOf for the unsalted path)")
     // bucket on a monotonic long image of the time column (cast is
-    // monotonic for timestamps and numerics; equal times stay equal)
+    // monotonic for timestamps and numerics; equal times stay equal);
+    // rows whose TIME is null bucket into a null group that sorts before
+    // every real bucket — matching asOf's nulls-first window order
     val unioned = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
       .withColumn("__tnum", col("__t").cast("long"))
-    val span = unioned.agg(min(col("__tnum")).as("lo"), max(col("__tnum")).as("hi")).head()
-    if (span.isNullAt(0)) return finish(unioned, left, col("__r"), rightPayload) // both sides empty
+    // one full-scan min/max to size the buckets (the one extra pass the
+    // salted path pays; everything else below is the same single big
+    // shuffle as asOf plus a tiny per-(key,bucket) aggregate)
+    val span = unioned.agg(min(col("__tnum")).as("lo"), max(col("__tnum")).as("hi"),
+      count(col("__t")).as("nts"), count(col("__tnum")).as("nnum")).head()
+    if (span.getLong(2) != span.getLong(3))
+      throw new IllegalArgumentException(
+        s"asOfSalted: time columns '$leftTs'/'$rightTs' must cast to BIGINT losslessly " +
+          "(timestamp or numeric); use asOf for other orderable types")
+    if (span.isNullAt(0)) return finish(unioned, left, col("__r"), rightPayload) // no timed rows
     val (lo, hi) = (span.getLong(0), span.getLong(1))
     val width = math.max(1L, (hi - lo) / timeBuckets + 1)
     val bucketed = unioned.withColumn("__bkt",
@@ -109,21 +119,33 @@ object AsOfJoin {
     val order = Seq(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
     val wLocal = Window.partitionBy(keyAndBkt: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wBucketAll = Window.partitionBy(keyAndBkt: _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    // same sort serves both frames: running carry + the bucket's final value
     val local = bucketed
       .withColumn("__asof_local", last(col("__r"), ignoreNulls = true).over(wLocal))
-      .withColumn("__bucket_last", last(col("__r"), ignoreNulls = true).over(wBucketAll))
-    // per-key stitch over ≤ timeBuckets summary rows: carry-in for bucket
-    // b = last non-null bucket_last of buckets < b
+    // per-(key, bucket) last right payload via ONE map-side-combinable
+    // aggregate over the pre-window rows (not a second window pass):
+    // ordering = (is-right, time, tie-is-null, tie) reproduces the
+    // window order's winner — right rows beat left rows, then max time,
+    // then null tie sorts last (asc_nulls_last), then max tie. Buckets
+    // with no right rows keep a row with a null payload (left rows lose
+    // max_by but define the group), so the carry window sees EVERY
+    // bucket that exists.
+    val bucketOrd = struct(
+      when(col("__r").isNotNull, 1).otherwise(0).as("is_right"),
+      col("__t").as("t"),
+      when(col("__tie").isNull && col("__r").isNotNull, 1).otherwise(0).as("tie_null"),
+      col("__tie").as("tie"))
     val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = local.groupBy(keyAndBkt: _*)
-      .agg(first(col("__bucket_last")).as("__blast"))
+    val carryIn = bucketed.groupBy(keyAndBkt: _*)
+      .agg(max_by(col("__r"), bucketOrd).as("__blast"))
       .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
-      .select(keyAndBkt :+ col("__carry"): _*)
-    val stitched = local.join(carryIn, keyCols :+ "__bkt")
+      .select(keyCols.map(c => col(c).as(s"__ci_$c")) ++
+        Seq(col("__bkt").as("__ci_bkt"), col("__carry")): _*)
+    // null-SAFE stitch join: null key values and the null time bucket
+    // must rejoin their carry rows exactly like asOf's window groups them
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__ci_$c"))
+      .reduce(_ && _) && (col("__bkt") <=> col("__ci_bkt"))
+    val stitched = local.join(carryIn, joinCond)
       .withColumn("__asof", coalesce(col("__asof_local"), col("__carry")))
     finish(stitched, left, col("__asof"), rightPayload)
   }

@@ -304,18 +304,24 @@ object Dedup {
         // (i, j), overlap ≤ 1 + min(|A|−i, |B|−j); J ≥ t needs overlap
         // ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — a qualifying pair always passes on
         // its rarest shared row, so filtering rows then distinct-ing
-        // pairs loses nothing (exact).
-        val cands = prefix.select(col("__s"), col(idCol).as("a_id"),
+        // pairs loses nothing (exact). The bound is ONLY valid at the
+        // rarest shared row, so it must not combine with the df cut
+        // (which may remove exactly that row): with maxDocFreqFraction
+        // set, candidates rely on the size bound alone.
+        val joined = prefix.select(col("__s"), col(idCol).as("a_id"),
             col("__rn").as("__rna"), col("__n").as("__na"))
           .join(prefix.select(col("__s"), col(idCol).as("b_id"),
             col("__rn").as("__rnb"), col("__n").as("__nb")), Seq("__s"))
           .where(col("a_id") < col("b_id"))
           .where(greatest(col("__na"), col("__nb")) * threshold <=
             least(col("__na"), col("__nb")))
-          .where(lit(1) + least(col("__na") - col("__rna"), col("__nb") - col("__rnb")) >=
-            ceil(lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb"))))
-          .select("a_id", "b_id")
-          .distinct()
+        val bounded =
+          if (maxDocFreqFraction.isEmpty)
+            joined.where(
+              lit(1) + least(col("__na") - col("__rna"), col("__nb") - col("__rnb")) >=
+                ceil(lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb"))))
+          else joined
+        val cands = bounded.select("a_id", "b_id").distinct()
         verifyJaccard(cands, hs, idCol, threshold)
       case other =>
         throw new IllegalArgumentException(s"unknown strategy '$other' (count|prefix)")

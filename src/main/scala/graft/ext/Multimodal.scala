@@ -199,7 +199,9 @@ object Multimodal {
   def sampleFrames(assets: Dataset[Asset], stride: Int = 2): Dataset[Frame] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
-      if (Codec.isPng(a.payload)) {
+      // same kind+signature dispatch as decode/extractFeatures/resize —
+      // a record must take one consistent path across ALL operators
+      if (a.kind == "image" && Codec.isPng(a.payload)) {
         // a still image is its own single frame
         Seq(Frame(a.asset_id, 0, a.payload))
       } else {

@@ -91,9 +91,9 @@ object Connections {
     val extra = raw.get("options") match {
       case Some(om: java.util.Map[_, _]) =>
         om.asScala.map { case (k, v) => String.valueOf(k) -> String.valueOf(v) }.toMap
+      case Some(null) | None => Map.empty[String, String] // bare `options:` ≡ absent
       case Some(other) => throw new IllegalArgumentException(
         s"connection yaml 'options' must be a map, got: $other")
-      case None => Map.empty[String, String]
     }
     val m = (raw - "options").map { case (k, v) => k -> String.valueOf(v) }
     ConnInfo(

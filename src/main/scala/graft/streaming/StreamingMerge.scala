@@ -105,10 +105,21 @@ object StreamingMerge {
             state.remove()
             lastWinner
           } else {
-            val winner = (state.getOption.iterator ++ recs)
+            val batch = recs.toList
+            val winner = (state.getOption.iterator ++ batch.iterator)
               .reduceLeft((a, b) => if (beats(b, a)) b else a)
             state.update(winner)
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + stateTtlMs)
+            // anchor the TTL at the batch's own event time, not just the
+            // watermark: on the FIRST micro-batch the watermark is still
+            // 0 (epoch), and an epoch-anchored timeout would fire the
+            // moment the watermark jumps to real time — expiring every
+            // cold-start key after seconds of silence instead of the
+            // promised TTL
+            val maxLoadMs = batch.iterator
+              .flatMap(r => Option(r.loadDt)).map(_.getTime)
+              .foldLeft(0L)(math.max)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs(), maxLoadMs) + stateTtlMs)
             winner
           }
       }

@@ -131,6 +131,8 @@ class ConfigSpec extends AnyFunSuite {
     // options must be a map
     assertThrows[IllegalArgumentException](
       graft.io.Connections.parse("url: x\noptions: notamap"))
+    // a bare `options:` key (null value) means no extras, not an error
+    assert(graft.io.Connections.parse("url: x\noptions:").extraOptions === Map.empty)
   }
 
   test("connection registry parses <TAG>_<SYSTEM>_CONN yaml") {

@@ -256,6 +256,37 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Seq((1L, 12L, 100L), (2L, 13L, 200L), (5L, 13L, 200L)))
   }
 
+  test("asOfSalted == asOf with null keys and null right timestamps") {
+    import graft.ext.AsOfJoin
+    val trades = Seq((1L, Option("k"), Option(100L)), (2L, None, Option(50L)),
+      (3L, None, Option(200L)), (4L, Option("k"), Option(300L)))
+      .toDF("trade_id", "sym", "t")
+    // quote 12 has a NULL time: sorts before everything (baseline quote)
+    val quotes = Seq((10L, Option("k"), Option(90L)), (11L, None, Option(40L)),
+      (12L, None, Option.empty[Long]))
+      .toDF("quote_id", "sym", "qt")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("trade_id", "quote_id").as[(Long, Long)].collect().toSet
+    val plain = run(AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id")))
+    val salted = run(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id"), timeBuckets = 4))
+    assert(plain.nonEmpty, "null-key rows must match within the null-key group")
+    assert(salted === plain)
+  }
+
+  test("asOfSalted fails loudly (not silently empty) on a non-numeric time column") {
+    import graft.ext.AsOfJoin
+    val trades = Seq((1L, "k", "2024-01-01 10:00:00")).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", "2024-01-01 09:00:00")).toDF("quote_id", "sym", "qt")
+    // ANSI cast error or the lossless-cast guard — either way an error,
+    // never an empty result while asOf would have matched
+    intercept[Exception] {
+      AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt", "quote_id",
+        Seq("quote_id"), timeBuckets = 4).collect()
+    }
+  }
+
   test("connectedComponents: reliable checkpoint dir path gives identical labels") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val dir = SparkTestBase.tmpDir("graft_cc_ckpt")

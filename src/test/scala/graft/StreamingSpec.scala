@@ -111,6 +111,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked latestPerKey: cold-start keys survive the first watermark jump") {
+    // regression: the TTL used to anchor at the current watermark, which
+    // is 0 (epoch) during batch 0 — the first real watermark advance
+    // then expired every cold-start key after seconds, not the TTL
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRecord]
+    val q = StreamingMerge.latestPerKeyWatermarked(input.toDS(),
+      watermarkDelay = "10 minutes", stateTtlMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("coldstart_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(rec("u1", "v2", "2024-01-01 11:00:00", "2024-01-01 11:00:00", 1))
+      q.processAllAvailable()
+      // watermark jumps 0 -> 10:50; u1's TTL (11:00 + 30min) must hold
+      input.addData(rec("u2", "w1", "2024-01-01 11:05:00", "2024-01-01 11:05:00", 2))
+      q.processAllAvailable()
+      // an OLDER version of u1 arrives on time: live state must beat it
+      input.addData(rec("u1", "v1", "2024-01-01 09:00:00", "2024-01-01 11:06:00", 3))
+      q.processAllAvailable()
+      val u1Payloads = spark.table("coldstart_sink")
+        .where("key = 'u1'").select("payload").as[String].collect().toSet
+      assert(!u1Payloads.contains("v1"),
+        s"older version must lose against surviving state, got $u1Payloads")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling-window aggregation finalizes windows in append mode") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._

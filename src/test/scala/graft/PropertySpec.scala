@@ -114,6 +114,40 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 30)
   }
 
+  // ---- as-of join vs a sequential model -------------------------------
+
+  test("property: asOf and asOfSalted == model on random keys/times (incl. nulls)") {
+    import graft.ext.AsOfJoin
+    val keyGen = Gen.option(Gen.oneOf("a", "b"))
+    val tradeGen = Gen.listOfN(8, Gen.zip(keyGen, Gen.choose(0L, 20L)))
+    val quoteGen = Gen.listOfN(8, Gen.zip(keyGen, Gen.option(Gen.choose(0L, 20L))))
+    check(Prop.forAll(tradeGen, quoteGen) { (ts, qs) =>
+      val trades = ts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val quotes = qs.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+      val tDf = trades.toDF("trade_id", "sym", "t")
+      val qDf = quotes.toDF("quote_id", "sym", "qt")
+      // model: candidates share the key (null-safe) and have qt <= t or
+      // a null qt (null time sorts first = before everything); winner =
+      // max by (qt with null lowest, quote_id)
+      val want = trades.flatMap { case (tid, k, t) =>
+        val cands = quotes.filter { case (_, qk, qt) =>
+          qk == k && qt.forall(_ <= t)
+        }
+        if (cands.isEmpty) None
+        else Some(tid -> cands.maxBy { case (qid, _, qt) =>
+          (qt.getOrElse(Long.MinValue), qid)
+        }._1)
+      }.toSet
+      def run(df: => org.apache.spark.sql.DataFrame) =
+        df.select("trade_id", "quote_id").as[(Long, Long)].collect().toSet
+      val plain = run(AsOfJoin.asOf(tDf, qDf, Seq("sym"), "t", "qt",
+        "quote_id", Seq("quote_id")))
+      val salted = run(AsOfJoin.asOfSalted(tDf, qDf, Seq("sym"), "t", "qt",
+        "quote_id", Seq("quote_id"), timeBuckets = 3))
+      plain == want && salted == want
+    }, minSuccessful = 15)
+  }
+
   // ---- ShingleHashes vs the string-shingle model ----------------------
 
   test("property: hashed shingle sets have the model's cardinality and Jaccard") {

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * predicate filters the grid false-positives. Candidates are emitted
   * once per overlapping cell, deduplicated by joining each point only
   * to ITS cell (a point has exactly one cell, so no distinct needed).
+  *
+  * Skew: a hot (keys, cell) bucket is handled by AQE's skew-join split
+  * — this is a plain sort-merge equi-join, exactly the shape AQE can
+  * split at runtime (unlike per-key windows, which is why the as-of
+  * join and the merge carry their own salting and this operator does
+  * not). When a single cell's PAIR OUTPUT itself is quadratic-hot
+  * (everything in one session bucket), shrink `binWidth` — cost is one
+  * more exploded cell per interval against proportionally smaller
+  * buckets.
   */
 object RangeJoin {
 

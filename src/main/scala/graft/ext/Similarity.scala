@@ -121,13 +121,17 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 7L): DataFrame = {
+              seed: Long = 7L, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
     val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(nClusters).setSeed(seed)
+    // the training pass is the operator's extra cost (maxIter full
+    // scans); an ANN index tolerates rough centroids, so at 100 TB
+    // lower maxIter (5-8) and/or train on a sample — exposed here,
+    // default kept at Spark-ML's 20 for output stability
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cluster").fit(withVec)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq

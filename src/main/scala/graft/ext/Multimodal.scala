@@ -11,14 +11,17 @@ import org.apache.spark.sql.functions._
   * analogue of arrow-batched pandas UDFs: one JVM call per partition,
   * rows streamed through an iterator, never collected).
   *
-  * Codec status: IMAGES ARE REAL — PNG (and any other `javax.imageio`
-  * format) payloads are decoded, resized, and feature-extracted with
-  * the JDK's ImageIO, no external deps. Audio/video remain STUBBED on
-  * a deterministic 24-byte "GRFT" header + synthetic body (no codecs
-  * in this container); [[FakeCodec.decode]] parses that header and is
-  * the seam where an ffmpeg-style call goes. The Spark-side contract —
-  * binary column in, typed struct out, per-partition batching,
-  * partition balance by asset id — is identical for both paths.
+  * Codec status: IMAGES AND AUDIO ARE REAL — PNG (and any other
+  * `javax.imageio` format) payloads are decoded, resized, and
+  * feature-extracted with the JDK's ImageIO, and WAV/PCM payloads are
+  * decoded and feature-extracted with the JDK's `javax.sound.sampled`
+  * — no external deps either way. Video remains STUBBED on a
+  * deterministic 24-byte "GRFT" header + synthetic body (no video
+  * codec ships with the JDK); [[FakeCodec.decode]] parses that header
+  * and is the seam where an ffmpeg-style call goes. The Spark-side
+  * contract — binary column in, typed struct out, per-partition
+  * batching, partition balance by asset id — is identical for all
+  * paths.
   *
   * Scale notes: payload bytes never transit a shuffle in any operator
   * here — decode/feature/resize are narrow maps; only the extracted
@@ -83,10 +86,29 @@ object Multimodal {
       img
     }
 
+    private val WavRiff = "RIFF".getBytes("US-ASCII")
+    private val WavWave = "WAVE".getBytes("US-ASCII")
+
+    def isWav(payload: Array[Byte]): Boolean =
+      payload.length >= 12 &&
+        java.util.Arrays.equals(java.util.Arrays.copyOfRange(payload, 0, 4), WavRiff) &&
+        java.util.Arrays.equals(java.util.Arrays.copyOfRange(payload, 8, 12), WavWave)
+
+    /** Decoded WAV: (format, raw PCM bytes past the header). */
+    def readWav(payload: Array[Byte]): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try (ais.getFormat, ais.readAllBytes()) finally ais.close()
+    }
+
     def decode(kind: String, payload: Array[Byte]): MediaMeta =
       if (kind == "image" && isPng(payload)) {
         val img = readImage(payload)
         MediaMeta(kind, img.getWidth, img.getHeight, 0, 1)
+      } else if (kind == "audio" && isWav(payload)) {
+        val (fmt, pcm) = readWav(payload)
+        MediaMeta(kind, 0, 0, fmt.getSampleRate.toInt,
+          pcm.length / math.max(1, fmt.getFrameSize))
       } else FakeCodec.decode(kind, payload)
   }
 
@@ -122,16 +144,30 @@ object Multimodal {
   /** Feature extraction: payload → fixed-size float vector,
     * L1-normalized (`array<float>` of fixed dim, joinable with
     * [[Similarity]] ops). Real images: a `dim`-bin 8-bit luminance
-    * histogram over decoded pixels. GRFT payloads: a byte histogram of
-    * the synthetic body — the deterministic stand-in for an embedding
-    * model's output.
+    * histogram over decoded pixels. Real WAV audio: a `dim`-bin
+    * amplitude histogram over the decoded 16-bit PCM samples. GRFT
+    * payloads: a byte histogram of the synthetic body — the
+    * deterministic stand-in for an embedding model's output.
     */
   def extractFeatures(assets: Dataset[Asset], dim: Int = 64): Dataset[Features] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
       val counts = new Array[Float](dim)
       var total = 0f
-      if (a.kind == "image" && Codec.isPng(a.payload)) {
+      if (a.kind == "audio" && Codec.isWav(a.payload)) {
+        val (fmt, pcm) = Codec.readWav(a.payload)
+        val n = pcm.length / 2
+        val le = !fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val lo = pcm(2 * i) & 0xFF
+          val hi = pcm(2 * i + 1) & 0xFF
+          val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+          counts(((s + 32768) * dim) >>> 16) += 1f // 16-bit range -> dim bins
+          i += 1
+        }
+        total = math.max(1f, n.toFloat)
+      } else if (a.kind == "image" && Codec.isPng(a.payload)) {
         val img = Codec.readImage(a.payload)
         var y = 0
         while (y < img.getHeight) {
@@ -159,14 +195,17 @@ object Multimodal {
   }
 
   /** Resize. Real images: bilinear pixel rescale via Graphics2D,
-    * re-encoded as PNG. GRFT payloads: stub transform — re-encode
-    * header + body scaled by area ratio. Narrow map, payload stays
-    * partition-local.
+    * re-encoded as PNG. Real WAV audio: pass-through (pixel dimensions
+    * don't apply to audio; resampling is a different operator). GRFT
+    * payloads: stub transform — re-encode header + body scaled by area
+    * ratio. Narrow map, payload stays partition-local.
     */
   def resize(assets: Dataset[Asset], width: Int, height: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      if (a.kind == "image" && Codec.isPng(a.payload)) {
+      if (a.kind == "audio" && Codec.isWav(a.payload)) {
+        a
+      } else if (a.kind == "image" && Codec.isPng(a.payload)) {
         val img = Codec.readImage(a.payload)
         val scaled = new java.awt.image.BufferedImage(width, height,
           java.awt.image.BufferedImage.TYPE_INT_ARGB)
@@ -201,8 +240,9 @@ object Multimodal {
     assets.mapPartitions(_.flatMap { a =>
       // same kind+signature dispatch as decode/extractFeatures/resize —
       // a record must take one consistent path across ALL operators
-      if (a.kind == "image" && Codec.isPng(a.payload)) {
-        // a still image is its own single frame
+      if ((a.kind == "image" && Codec.isPng(a.payload)) ||
+          (a.kind == "audio" && Codec.isWav(a.payload))) {
+        // a still image / a single audio clip is its own one frame
         Seq(Frame(a.asset_id, 0, a.payload))
       } else {
       val m = FakeCodec.decode(a.kind, a.payload)

@@ -114,6 +114,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.Codec.isPng(frames.head.frame))
   }
 
+  private def wavBytes(nSamples: Int, rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v = (math.sin(i * 0.1) * 16000).toInt.toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV payloads decode via javax.sound (sample rate + frame count)") {
+    val real = Seq(Asset(200L, "audio", wavBytes(400, 8000f)),
+      Asset(201L, "audio", wavBytes(100, 16000f))).toDS()
+    val d = Multimodal.decode(real).collect().map(x => x.asset_id -> x).toMap
+    assert(d(200L).sampleRate === 8000 && d(200L).nFrames === 400)
+    assert(d(201L).sampleRate === 16000 && d(201L).nFrames === 100)
+  }
+
+  test("real WAV features: amplitude histogram over decoded PCM, L1-normalized") {
+    val real = Seq(Asset(200L, "audio", wavBytes(500))).toDS()
+    val f = Multimodal.extractFeatures(real).collect().head.features
+    assert(f.length === 64)
+    assert(math.abs(f.sum - 1f) < 1e-3)
+    // a sine wave at ±16000 of ±32768 spans roughly the middle half of
+    // the bins and never the extremes
+    assert(f(0) === 0f && f(63) === 0f)
+    assert(f.count(_ > 0f) > 5, "sine amplitudes must spread over multiple bins")
+    // silence lands every sample in the midpoint bin
+    val silent = Seq(Asset(201L, "audio", {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](200)), fmt, 100L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    })).toDS()
+    val fs = Multimodal.extractFeatures(silent).collect().head.features
+    assert(fs(32) === 1f)
+  }
+
+  test("WAV assets: resize passes through, sampleFrames emits the clip once") {
+    val real = Seq(Asset(200L, "audio", wavBytes(50))).toDS()
+    val resized = Multimodal.resize(real, 32, 32).collect().head
+    assert(resized.payload.toSeq === real.collect().head.payload.toSeq)
+    val frames = Multimodal.sampleFrames(real).collect()
+    assert(frames.length === 1 && frames.head.frame_idx === 0)
+  }
+
   test("asset stats groups on decoded metadata only") {
     val stats = Multimodal.assetStats(Multimodal.decode(assets))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

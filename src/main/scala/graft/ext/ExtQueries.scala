@@ -137,6 +137,23 @@ object ExtQueries {
     Similarity.embeddingStats(emb(spark, dir))
       .orderBy("vec_id")
 
+  /** Reproducible train/val/test split assignment (md5-bucketed). */
+  def q32(spark: SparkSession, dir: String): DataFrame =
+    Sampling.assignSplit(docs(spark, dir),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+
+  /** Mixture sampling by language: per-group keep rates, incl. a zero
+    * rate and an unlisted group (both fully dropped).
+    */
+  def q33(spark: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureSample(docs(spark, dir),
+      Map("de" -> 0.5, "en" -> 1.0, "es" -> 0.25, "fr" -> 0.0),
+      keyCol = "lang")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -154,7 +171,9 @@ object ExtQueries {
     "q27_asof_join" -> (q27 _),
     "q28_range_join" -> (q28 _),
     "q30_decontamination" -> (q30 _),
-    "q31_embed_stats" -> (q31 _)
+    "q31_embed_stats" -> (q31 _),
+    "q32_split_assignment" -> (q32 _),
+    "q33_mixture_sample" -> (q33 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -332,7 +351,25 @@ object ExtQueries {
         |  CAST(len(v) AS BIGINT) AS n_dims,
         |  sqrt(list_reduce(list_transform(v, x -> x*x), (a, b) -> a + b)) AS l2_norm,
         |  list_max(list_transform(v, x -> abs(x))) AS max_abs
-        |FROM e ORDER BY vec_id""".stripMargin
+        |FROM e ORDER BY vec_id""".stripMargin,
+    // identical md5-hex bucketing on both engines: thresholds are
+    // floor(cum_fraction * 65536) as 4-char hex (0.9 -> e666, 0.95 -> f333)
+    "q32_split_assignment" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < 'e666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < 'f333'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-lang keep thresholds: 0.5 -> 8000, 1.0 -> 'g' (after all hex),
+    // 0.25 -> 4000, 0.0 and unlisted -> 0000 (dropped)
+    "q33_mixture_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+        |  CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
+        |            WHEN 'es' THEN '4000' ELSE '0000' END
+        |ORDER BY doc_id""".stripMargin
     // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
     // DuckDB oracle: their outputs depend on hash families DuckDB cannot
     // replay (seeded random hyperplanes + xxhash64 candidates for q16,

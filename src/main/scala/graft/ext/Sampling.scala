@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines (§2c extension):
+  * split assignment and mixture sampling keyed on a DETERMINISTIC hash
+  * bucket instead of an RNG.
+  *
+  * Why not `df.sample()` / `sampleBy()`: a training pipeline's
+  * train/val/test membership and mixture draws must be (a) stable
+  * across reruns, partitionings, and cluster sizes, (b) replayable by
+  * other engines auditing the pipeline, and (c) a pure function of the
+  * ROW, so late-arriving data lands in the same split. Spark's sampler
+  * is none of these (partition-seeded RNG). Here each row gets a
+  * bucket = first 4 hex chars of `md5(id || salt)` — 16 bits, uniform,
+  * computable verbatim in any engine with md5 — and every decision is
+  * a string comparison against precomputed hex thresholds.
+  *
+  * Scale: a narrow codegen'd projection/filter, no shuffle, no state.
+  * Changing `salt` draws an independent resample; keeping it pins the
+  * assignment forever.
+  */
+object Sampling {
+
+  /** 16-bit hex bucket of (id, salt): `substr(md5(id || salt), 1, 4)`. */
+  def hexBucket(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(salt))), 1, 4)
+
+  private def hexThreshold(fraction: Double): String = {
+    val v = math.floor(fraction * 65536).toLong
+    // rate 1.0 must keep EVERY bucket: "g" sorts after all hex chars,
+    // while the naive "10000" would sort BEFORE "2000".."ffff"
+    if (v >= 65536) "g" else f"$v%04x"
+  }
+
+  /** Assign every row a named split by cumulative bucket thresholds,
+    * e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
+    * Fractions must sum to ~1; the last split absorbs rounding.
+    */
+  def assignSplit(df: DataFrame, splits: Seq[(String, Double)],
+                  idCol: String = "doc_id", salt: String = "graft",
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit requires at least one split")
+    require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = hexBucket(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cumFrac)) =>
+        val cond = b < lit(hexThreshold(cumFrac))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }.fold(lit(splits.head._1))(_.otherwise(splits.last._1))
+    df.withColumn(outCol, expr)
+  }
+
+  /** Mixture sampling: keep each row with its group's rate (by
+    * `keyCol`, e.g. source/domain/language) — how a pipeline downweights
+    * over-represented sources. Groups absent from `rates` are DROPPED
+    * (rate 0): an unlisted source silently flooding the mixture is the
+    * bug this default prevents.
+    */
+  def mixtureSample(df: DataFrame, rates: Map[String, Double],
+                    keyCol: String = "source", idCol: String = "doc_id",
+                    salt: String = "graft"): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
+      case (acc, (k, r)) => when(col(keyCol) === k, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.where(hexBucket(col(idCol), salt) < threshold)
+  }
+}

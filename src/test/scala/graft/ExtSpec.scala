@@ -419,6 +419,42 @@ class ExtSpec extends AnyFunSuite {
     assert(out(1) === ((2L, 3L, 0.0, 0.0)))
   }
 
+  test("assignSplit: deterministic, near-target proportions, salt resamples") {
+    import graft.ext.Sampling
+    val df = spark.range(20000).toDF("doc_id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val counts = Sampling.assignSplit(df, splits)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(math.abs(counts("train") - 18000.0) / 18000 < 0.05, counts.toString)
+    assert(math.abs(counts("val") - 1000.0) / 1000 < 0.2, counts.toString)
+    // same salt = identical assignment; different salt = a fresh draw
+    val a = Sampling.assignSplit(df, splits).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(df, splits).select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+    val c = Sampling.assignSplit(df, splits, salt = "other").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a !== c)
+    // degenerate fractions rejected
+    assertThrows[IllegalArgumentException](
+      Sampling.assignSplit(df, Seq("a" -> 0.5, "b" -> 0.2)))
+  }
+
+  test("mixtureSample: rate-1 groups keep everything, rate-0 and unlisted drop") {
+    import graft.ext.Sampling
+    val df = spark.range(4000).toDF("doc_id")
+      .withColumn("source", expr("CASE doc_id % 4 WHEN 0 THEN 'all' WHEN 1 THEN 'half' " +
+        "WHEN 2 THEN 'none' ELSE 'unlisted' END"))
+    val kept = Sampling.mixtureSample(df,
+      Map("all" -> 1.0, "half" -> 0.5, "none" -> 0.0), keyCol = "source")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("all") === 1000, "rate 1.0 must keep every row (hex-threshold cap)")
+    assert(!kept.contains("none") && !kept.contains("unlisted"))
+    assert(math.abs(kept("half") - 500.0) / 500 < 0.2, kept.toString)
+  }
+
   test("facetStats approx-distinct variant returns plausible HLL counts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)

@@ -154,6 +154,11 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Sequence packing into 2048-token bins, sharded by language. */
+  def q34(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(docs(spark, dir), capacity = 2048, shardCols = Seq("lang"))
+      .orderBy("lang", "bin_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -173,7 +178,8 @@ object ExtQueries {
     "q30_decontamination" -> (q30 _),
     "q31_embed_stats" -> (q31 _),
     "q32_split_assignment" -> (q32 _),
-    "q33_mixture_sample" -> (q33 _)
+    "q33_mixture_sample" -> (q33 _),
+    "q34_sequence_packing" -> (q34 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -369,7 +375,23 @@ object ExtQueries {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
         |  CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
         |            WHEN 'es' THEN '4000' ELSE '0000' END
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // contiguous first-fit packing: exclusive prefix token sum / 2048
+    "q34_sequence_packing" ->
+      """WITH sized AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n,
+        |    SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM sized GROUP BY lang, bin_id
+        |ORDER BY lang, bin_id""".stripMargin
     // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
     // DuckDB oracle: their outputs depend on hash families DuckDB cannot
     // replay (seeded random hyperplanes + xxhash64 candidates for q16,

@@ -159,6 +159,40 @@ object TextOps {
       .where(col("n_hits") === 0)
       .drop("n_hits")
 
+  /** Sequence packing: assign ordered documents to fixed-capacity token
+    * bins — the dataloader-prep step that turns a document corpus into
+    * training windows. Deterministic contiguous packing: within each
+    * shard, docs are taken in `idCol` order and a doc starts the next
+    * bin once the running token total crosses `capacity` (bins may
+    * overflow by one document; exact bin-packing is NP-hard and
+    * needless here). Returns one row per (shard, bin) with membership
+    * stats.
+    *
+    * Scale shape: the running total is a per-SHARD window — packing is
+    * order-defined, so a global ordering would serialize into one
+    * partition; sharding (by source/language/file-group) is what makes
+    * it parallel, and is also semantically right: training shards are
+    * packed independently anyway. One shuffle on the shard keys.
+    */
+  def packSequences(docs: DataFrame, capacity: Int, shardCols: Seq[String],
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(shardCols.nonEmpty,
+      "packing needs shard columns: a global order would serialize into one partition")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+    docs
+      .withColumn("__n", size(tokens(col(textCol))))
+      .withColumn("__cum", sum(col("__n")).over(w))
+      // exclusive prefix sum / capacity = first-fit-by-order bin id
+      .withColumn("bin_id", floor((col("__cum") - col("__n")) / capacity).cast("long"))
+      .groupBy((shardCols :+ "bin_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast("long").as("sum_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Facet profile per group: doc counts, char totals/averages, token
     * totals, exact distinct-text count. `approxDistinct=true` swaps the
     * exact distinct for HyperLogLog `approx_count_distinct` — at 100 TB

@@ -455,6 +455,24 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(kept("half") - 500.0) / 500 < 0.2, kept.toString)
   }
 
+  test("packSequences: first-fit-by-order bins, shard isolation, overflow allowed") {
+    import graft.ext.TextOps
+    // shard A: token counts 3,3,3,3 with capacity 5 -> bins {0:[1,2], 1:[3,4]}
+    // (doc 2 overflows bin 0: a bin closes only once its total crosses capacity)
+    val df = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e f"), (3L, "A", "g h i"), (4L, "A", "j k l"),
+      (5L, "B", "x y")).toDF("doc_id", "shard", "text")
+    val out = TextOps.packSequences(df, capacity = 5, shardCols = Seq("shard"))
+      .select("shard", "bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("A", 0L, 2L, 6L, 1L, 2L),
+      ("A", 1L, 2L, 6L, 3L, 4L),
+      ("B", 0L, 1L, 2L, 5L, 5L)))
+    assertThrows[IllegalArgumentException](
+      TextOps.packSequences(df, capacity = 5, shardCols = Nil))
+  }
+
   test("facetStats approx-distinct variant returns plausible HLL counts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)

@@ -95,26 +95,38 @@ object AsOfJoin {
                  rightPayload: Seq[String], timeBuckets: Int = 32): DataFrame = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     require(timeBuckets > 1, "timeBuckets must be > 1 (use asOf for the unsalted path)")
-    // bucket on a monotonic long image of the time column (cast is
-    // monotonic for timestamps and numerics; equal times stay equal);
-    // rows whose TIME is null bucket into a null group that sorts before
-    // every real bucket — matching asOf's nulls-first window order
-    val unioned = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
-      .withColumn("__tnum", col("__t").cast("long"))
+    // bucket on a monotonic long image of the time column. Only types
+    // whose long cast PRESERVES ORDER are allowed: numerics (double
+    // truncation is non-decreasing), timestamp, date. A numeric STRING
+    // would pass a lossless-cast check yet order lexicographically in
+    // the window ("10" < "9") while bucketing numerically — silent
+    // divergence from asOf — so the gate is on the TYPE, at plan time.
+    val unioned0 = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
+    unioned0.schema("__t").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => ()
+      case other => throw new IllegalArgumentException(
+        s"asOfSalted: time columns '$leftTs'/'$rightTs' must be numeric, timestamp, or " +
+          s"date (got $other); use asOf for other orderable types")
+    }
+    val unioned = unioned0.withColumn("__tnum", col("__t").cast("long"))
     // one full-scan min/max to size the buckets (the one extra pass the
     // salted path pays; everything else below is the same single big
     // shuffle as asOf plus a tiny per-(key,bucket) aggregate)
-    val span = unioned.agg(min(col("__tnum")).as("lo"), max(col("__tnum")).as("hi"),
-      count(col("__t")).as("nts"), count(col("__tnum")).as("nnum")).head()
-    if (span.getLong(2) != span.getLong(3))
-      throw new IllegalArgumentException(
-        s"asOfSalted: time columns '$leftTs'/'$rightTs' must cast to BIGINT losslessly " +
-          "(timestamp or numeric); use asOf for other orderable types")
-    if (span.isNullAt(0)) return finish(unioned, left, col("__r"), rightPayload) // no timed rows
+    val span = unioned.agg(min(col("__tnum")).as("lo"), max(col("__tnum")).as("hi")).head()
+    if (span.isNullAt(0))
+      // every time is null: bucketing has nothing to split — the
+      // unsalted path IS the correct (and identical) plan here
+      return asOf(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
     val (lo, hi) = (span.getLong(0), span.getLong(1))
-    val width = math.max(1L, (hi - lo) / timeBuckets + 1)
+    // width/bucket arithmetic in BigInt/decimal: a sentinel time near
+    // Long.MinValue next to epoch times must not overflow into
+    // non-monotonic bucket ids (ANSI would at least throw; decimal
+    // arithmetic just works)
+    val width = ((BigInt(hi) - BigInt(lo)) / timeBuckets + 1)
+      .min(BigInt(Long.MaxValue)).toLong
     val bucketed = unioned.withColumn("__bkt",
-      floor((col("__tnum") - lo) / lit(width)).cast("int"))
+      floor((col("__tnum").cast("decimal(38,0)") - lit(lo)) / lit(width)).cast("int"))
     val keyAndBkt = (keyCols :+ "__bkt").map(col)
     val order = Seq(col("__t").asc, col("__side").asc, col("__tie").asc_nulls_last)
     val wLocal = Window.partitionBy(keyAndBkt: _*).orderBy(order: _*)

@@ -155,18 +155,39 @@ object Multimodal {
       val counts = new Array[Float](dim)
       var total = 0f
       if (a.kind == "audio" && Codec.isWav(a.payload)) {
+        import javax.sound.sampled.AudioFormat.Encoding
         val (fmt, pcm) = Codec.readWav(a.payload)
-        val n = pcm.length / 2
-        val le = !fmt.isBigEndian
-        var i = 0
-        while (i < n) {
-          val lo = pcm(2 * i) & 0xFF
-          val hi = pcm(2 * i + 1) & 0xFF
-          val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
-          counts(((s + 32768) * dim) >>> 16) += 1f // 16-bit range -> dim bins
-          i += 1
+        // dispatch on the ACTUAL sample format — assuming 16-bit here
+        // would fuse byte pairs of an 8-bit WAV into garbage samples
+        if (fmt.getEncoding == Encoding.PCM_SIGNED && fmt.getSampleSizeInBits == 16) {
+          val n = pcm.length / 2
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = pcm(2 * i) & 0xFF
+            val hi = pcm(2 * i + 1) & 0xFF
+            val s = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort.toInt
+            counts(((s + 32768) * dim) >>> 16) += 1f // 16-bit range -> dim bins
+            i += 1
+          }
+          total = math.max(1f, n.toFloat)
+        } else if (fmt.getEncoding == Encoding.PCM_UNSIGNED && fmt.getSampleSizeInBits == 8) {
+          var i = 0
+          while (i < pcm.length) {
+            counts(((pcm(i) & 0xFF) * dim) >>> 8) += 1f // 8-bit range -> dim bins
+            i += 1
+          }
+          total = math.max(1f, pcm.length.toFloat)
+        } else {
+          // other encodings (float, u-law, 24-bit...): raw-byte histogram,
+          // still deterministic and L1-normalized, never garbage samples
+          var i = 0
+          while (i < pcm.length) {
+            counts((pcm(i) & 0xFF) % dim) += 1f
+            i += 1
+          }
+          total = math.max(1f, pcm.length.toFloat)
         }
-        total = math.max(1f, n.toFloat)
       } else if (a.kind == "image" && Codec.isPng(a.payload)) {
         val img = Codec.readImage(a.payload)
         var y = 0

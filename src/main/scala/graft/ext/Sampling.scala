@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 16-bit hex bucket of (id, salt): `substr(md5(id || salt), 1, 4)`. */
+  /** 16-bit hex bucket of (id, salt): `substr(md5(id || salt), 1, 4)`.
+    * A null id RAISES: sampling must be a total function of the row —
+    * silently routing null-id rows into one split (or silently dropping
+    * them) contaminates exactly the data a pipeline audits by split.
+    */
   def hexBucket(id: Column, salt: String): Column =
-    substring(md5(concat(id.cast("string"), lit(salt))), 1, 4)
+    when(id.isNull, raise_error(lit(
+      "Sampling: null id — sampling decisions must be a total function of the row")))
+      .otherwise(substring(md5(concat(id.cast("string"), lit(salt))), 1, 4))
 
   private def hexThreshold(fraction: Double): String = {
     val v = math.floor(fraction * 65536).toLong
@@ -64,10 +70,18 @@ object Sampling {
   def mixtureSample(df: DataFrame, rates: Map[String, Double],
                     keyCol: String = "source", idCol: String = "doc_id",
                     salt: String = "graft"): DataFrame = {
+    require(rates.nonEmpty, "mixtureSample requires at least one rate")
     require(rates.values.forall(r => r >= 0 && r <= 1), "rates must be in [0, 1]")
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
-      case (acc, (k, r)) => when(col(keyCol) === k, lit(hexThreshold(r))).otherwise(acc)
-    }
-    df.where(hexBucket(col(idCol), salt) < threshold)
+    // broadcast-join the rates table rather than compiling an
+    // O(|rates|) when-chain into the plan: a mixture over thousands of
+    // domains would otherwise produce a thousands-deep expression tree
+    // (slow analysis, codegen fallback) and |rates| comparisons per row
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thresholds = rates.toSeq.map { case (k, r) => (k, hexThreshold(r)) }
+      .toDF("__graft_key", "__graft_thr")
+    df.join(broadcast(thresholds), col(keyCol) === col("__graft_key"))
+      .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
+      .drop("__graft_key", "__graft_thr")
   }
 }

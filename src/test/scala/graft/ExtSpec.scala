@@ -275,16 +275,49 @@ class ExtSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
-  test("asOfSalted fails loudly (not silently empty) on a non-numeric time column") {
+  test("asOfSalted rejects string time columns at plan time (lexicographic != numeric)") {
     import graft.ext.AsOfJoin
-    val trades = Seq((1L, "k", "2024-01-01 10:00:00")).toDF("trade_id", "sym", "t")
-    val quotes = Seq((10L, "k", "2024-01-01 09:00:00")).toDF("quote_id", "sym", "qt")
-    // ANSI cast error or the lossless-cast guard — either way an error,
-    // never an empty result while asOf would have matched
-    intercept[Exception] {
+    // a NUMERIC string would even cast losslessly, but the window orders
+    // it lexicographically ("10" < "9") while buckets order numerically —
+    // the type gate must reject it before any job runs
+    val trades = Seq((1L, "k", "50")).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", "9"), (11L, "k", "10")).toDF("quote_id", "sym", "qt")
+    val e = intercept[IllegalArgumentException] {
       AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt", "quote_id",
-        Seq("quote_id"), timeBuckets = 4).collect()
+        Seq("quote_id"), timeBuckets = 4)
     }
+    assert(e.getMessage.contains("numeric, timestamp, or date"))
+  }
+
+  test("asOfSalted == asOf when every timestamp is null (delegates to unsalted)") {
+    import graft.ext.AsOfJoin
+    val trades = Seq((1L, "k", Option.empty[Long]), (2L, "k", Option.empty[Long]))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", Option.empty[Long]), (11L, "k", Option.empty[Long]))
+      .toDF("quote_id", "sym", "qt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "quote_id").as[(Long, Long)].collect().toSet
+    val plain = run(AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id")))
+    val salted = run(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id"), timeBuckets = 4))
+    assert(plain === Set(1L -> 11L, 2L -> 11L), "null-time rights are the baseline match")
+    assert(salted === plain)
+  }
+
+  test("asOfSalted survives sentinel times near Long.MinValue (no bucket overflow)") {
+    import graft.ext.AsOfJoin
+    val sentinel = Long.MinValue / 2
+    val trades = Seq((1L, "k", 100L), (2L, "k", sentinel + 5)).toDF("trade_id", "sym", "t")
+    val quotes = Seq((10L, "k", sentinel), (11L, "k", 90L)).toDF("quote_id", "sym", "qt")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("trade_id", "quote_id").as[(Long, Long)].collect().toSet
+    val plain = run(AsOfJoin.asOf(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id")))
+    val salted = run(AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt",
+      "quote_id", Seq("quote_id"), timeBuckets = 8))
+    assert(plain === Set(1L -> 11L, 2L -> 10L))
+    assert(salted === plain)
   }
 
   test("connectedComponents: reliable checkpoint dir path gives identical labels") {
@@ -440,6 +473,11 @@ class ExtSpec extends AnyFunSuite {
     // degenerate fractions rejected
     assertThrows[IllegalArgumentException](
       Sampling.assignSplit(df, Seq("a" -> 0.5, "b" -> 0.2)))
+    // a null id must RAISE, not silently land in the last split
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("doc_id")
+    intercept[Exception] {
+      Sampling.assignSplit(withNull, splits).collect()
+    }
   }
 
   test("mixtureSample: rate-1 groups keep everything, rate-0 and unlisted drop") {

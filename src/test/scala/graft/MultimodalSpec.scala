@@ -160,6 +160,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs(32) === 1f)
   }
 
+  test("8-bit WAV features use per-byte samples, not fused 16-bit pairs") {
+    import javax.sound.sampled._
+    // constant 8-bit unsigned amplitude 200 -> all mass in one upper bin
+    val pcm = Array.fill[Byte](100)(200.toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 100L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val asset = Seq(Asset(210L, "audio", bos.toByteArray)).toDS()
+    val f = Multimodal.extractFeatures(asset).collect().head.features
+    assert(math.abs(f.sum - 1f) < 1e-3)
+    assert(f((200 * 64) >>> 8) === 1f, "all samples share one amplitude bin")
+  }
+
   test("WAV assets: resize passes through, sampleFrames emits the clip once") {
     val real = Seq(Asset(200L, "audio", wavBytes(50))).toDS()
     val resized = Multimodal.resize(real, 32, 32).collect().head

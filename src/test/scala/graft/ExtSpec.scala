@@ -511,6 +511,31 @@ class ExtSpec extends AnyFunSuite {
       TextOps.packSequences(df, capacity = 5, shardCols = Nil))
   }
 
+  test("plan audit: sampling and packing keep their promised shuffle shapes") {
+    import graft.ext.{Sampling, TextOps}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // split assignment: a narrow projection — no shuffle at all
+    val splitPlan = Sampling.assignSplit(docs,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"assignSplit must not shuffle:\n${splitPlan.take(1500)}")
+    // mixture sampling: rates table broadcast, no hash exchange
+    val mixPlan = Sampling.mixtureSample(docs,
+      Map("de" -> 0.5, "en" -> 1.0), keyCol = "lang")
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"mixtureSample must broadcast the rates:\n${mixPlan.take(1500)}")
+    assert(!mixPlan.contains("Exchange hashpartitioning"),
+      s"mixtureSample must not hash-shuffle the corpus:\n${mixPlan.take(1500)}")
+    // packing: exactly the per-shard window + aggregation shuffles, and
+    // the aggregation reuses the window's partitioning (shard ⊂ keys)
+    val packPlan = TextOps.packSequences(docs, 2048, Seq("lang"))
+      .queryExecution.executedPlan.toString
+    val exchanges = packPlan.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, s"packing should need at most window+agg exchanges:\n$packPlan")
+  }
+
   test("facetStats approx-distinct variant returns plausible HLL counts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)

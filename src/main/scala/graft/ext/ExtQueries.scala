@@ -154,6 +154,13 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition metrics per document. */
+  def q35(spark: SparkSession, dir: String): DataFrame =
+    TextOps.repetitionMetrics(docs(spark, dir))
+      .select(col("doc_id"), col("dup_bigram_frac"), col("dup_trigram_frac"),
+        col("top_token_frac"))
+      .orderBy("doc_id")
+
   /** Sequence packing into 2048-token bins, sharded by language. */
   def q34(spark: SparkSession, dir: String): DataFrame =
     TextOps.packSequences(docs(spark, dir), capacity = 2048, shardCols = Seq("lang"))
@@ -179,7 +186,8 @@ object ExtQueries {
     "q31_embed_stats" -> (q31 _),
     "q32_split_assignment" -> (q32 _),
     "q33_mixture_sample" -> (q33 _),
-    "q34_sequence_packing" -> (q34 _)
+    "q34_sequence_packing" -> (q34 _),
+    "q35_repetition_metrics" -> (q35 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -391,7 +399,45 @@ object ExtQueries {
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
         |FROM sized GROUP BY lang, bin_id
-        |ORDER BY lang, bin_id""".stripMargin
+        |ORDER BY lang, bin_id""".stripMargin,
+    // dup-n-gram fraction = 1 − distinct/total; top token share from the
+    // max per-token count — both in plain double arithmetic
+    "q35_repetition_metrics" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |b2 AS (
+        |  SELECT t1.doc_id, count(DISTINCT t1.tok || ' ' || t2.tok) AS c
+        |  FROM w t1 JOIN w t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  GROUP BY t1.doc_id),
+        |b3 AS (
+        |  SELECT t1.doc_id,
+        |    count(DISTINCT t1.tok || ' ' || t2.tok || ' ' || t3.tok) AS c
+        |  FROM w t1
+        |  JOIN w t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN w t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+        |  GROUP BY t1.doc_id),
+        |top AS (
+        |  SELECT doc_id, max(c) AS mc
+        |  FROM (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok)
+        |  GROUP BY doc_id)
+        |SELECT n.doc_id,
+        |  CASE WHEN n.n - 1 <= 0 THEN 0.0
+        |       ELSE 1.0 - COALESCE(b2.c, 0) / CAST(n.n - 1 AS DOUBLE) END
+        |    AS dup_bigram_frac,
+        |  CASE WHEN n.n - 2 <= 0 THEN 0.0
+        |       ELSE 1.0 - COALESCE(b3.c, 0) / CAST(n.n - 2 AS DOUBLE) END
+        |    AS dup_trigram_frac,
+        |  CASE WHEN n.n = 0 THEN 0.0
+        |       ELSE COALESCE(top.mc, 0) / CAST(n.n AS DOUBLE) END
+        |    AS top_token_frac
+        |FROM n
+        |LEFT JOIN b2 USING (doc_id)
+        |LEFT JOIN b3 USING (doc_id)
+        |LEFT JOIN top USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin
     // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
     // DuckDB oracle: their outputs depend on hash families DuckDB cannot
     // replay (seeded random hyperplanes + xxhash64 candidates for q16,

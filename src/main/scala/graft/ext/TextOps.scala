@@ -159,6 +159,41 @@ object TextOps {
       .where(col("n_hits") === 0)
       .drop("n_hits")
 
+  /** Repetition metrics — the classic repetitive-text filter signals
+    * (popularized by the Gopher/MassiveText quality rules): fraction of
+    * duplicated n-grams (1 − distinct/total) for n = 2 and 3, and the
+    * share of the most frequent token. High values flag boilerplate,
+    * keyword stuffing, and generation loops that a type-token ratio
+    * alone misses. Pure per-document array HOFs — narrow projection,
+    * no shuffle; short docs (< n tokens) score 0.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    def dupFrac(n: Int): Column = {
+      val toks = tokens(col(textCol))
+      val total = size(toks) - (n - 1)
+      when(total <= 0, lit(0.0)).otherwise(
+        lit(1.0) - size(shingles(col(textCol), n)).cast("double") / total)
+    }
+    val toks = tokens(col(textCol))
+    // most-frequent-token count: sort the tokens and fold the longest
+    // equal run — O(n log n) per doc (a distinct×filter nested HOF
+    // would be O(n²), wrong for long documents)
+    val topCount = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      .withColumn("dup_bigram_frac", dupFrac(2))
+      .withColumn("dup_trigram_frac", dupFrac(3))
+      .withColumn("top_token_frac",
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(topCount.cast("double") / size(toks)))
+  }
+
   /** Sequence packing: assign ordered documents to fixed-capacity token
     * bins — the dataloader-prep step that turns a document corpus into
     * training windows. Deterministic contiguous packing: within each

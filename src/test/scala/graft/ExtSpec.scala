@@ -493,6 +493,21 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(kept("half") - 500.0) / 500 < 0.2, kept.toString)
   }
 
+  test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
+    import graft.ext.TextOps
+    val out = TextOps.repetitionMetrics(docsDf(
+      1L -> "a a a a",        // bigrams: 3 total, 1 distinct -> 2/3 dup; top a: 1.0
+      2L -> "a b c d",        // all distinct -> 0 dup; top 1/4
+      3L -> "a b a b a",      // bigrams: 4 total {a b, b a} -> 1/2 dup; top a: 3/5
+      4L -> "x"))             // < 2 tokens -> zeros, top 1/1
+      .select("doc_id", "dup_bigram_frac", "dup_trigram_frac", "top_token_frac")
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 1.0 - 1.0 / 3, 1.0 - 1.0 / 2, 1.0)))
+    assert(out(2L) === ((2L, 0.0, 0.0, 0.25)))
+    assert(out(3L) === ((3L, 0.5, 1.0 - 2.0 / 3, 0.6)))
+    assert(out(4L) === ((4L, 0.0, 0.0, 1.0)))
+  }
+
   test("packSequences: first-fit-by-order bins, shard isolation, overflow allowed") {
     import graft.ext.TextOps
     // shard A: token counts 3,3,3,3 with capacity 5 -> bins {0:[1,2], 1:[3,4]}

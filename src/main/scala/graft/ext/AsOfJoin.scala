@@ -102,11 +102,15 @@ object AsOfJoin {
     // the window ("10" < "9") while bucketing numerically — silent
     // divergence from asOf — so the gate is on the TYPE, at plan time.
     val unioned0 = taggedUnion(left, right, keyCols, leftTs, rightTs, tieBreak, rightPayload)
+    import org.apache.spark.sql.types._
     unioned0.schema("__t").dataType match {
-      case _: org.apache.spark.sql.types.NumericType => ()
-      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.DateType => ()
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case TimestampType | DateType => ()
+      // fractional types are rejected too: a NaN time sorts LAST in the
+      // window but casts to a near-minimum bucket — the same silent
+      // order-vs-bucket divergence the string gate exists to prevent
       case other => throw new IllegalArgumentException(
-        s"asOfSalted: time columns '$leftTs'/'$rightTs' must be numeric, timestamp, or " +
+        s"asOfSalted: time columns '$leftTs'/'$rightTs' must be integral, timestamp, or " +
           s"date (got $other); use asOf for other orderable types")
     }
     val unioned = unioned0.withColumn("__tnum", col("__t").cast("long"))
@@ -133,9 +137,13 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed
       .withColumn("__asof_local", last(col("__r"), ignoreNulls = true).over(wLocal))
-    // per-(key, bucket) last right payload via ONE map-side-combinable
-    // aggregate over the pre-window rows (not a second window pass):
-    // ordering = (is-right, time, tie-is-null, tie) reproduces the
+    // per-(key, bucket) last right payload via ONE aggregate over the
+    // WINDOWED frame: `local` preserves the (key, bucket) hash
+    // partitioning, so this groupBy needs no new exchange AND both
+    // sides of the stitch self-join share one Exchange subtree — the
+    // source scan + union + shuffle-write happen once (aggregating the
+    // pre-window `bucketed` instead would plan a second full scan).
+    // Ordering = (is-right, time, tie-is-null, tie) reproduces the
     // window order's winner — right rows beat left rows, then max time,
     // then null tie sorts last (asc_nulls_last), then max tie. Buckets
     // with no right rows keep a row with a null payload (left rows lose
@@ -148,7 +156,7 @@ object AsOfJoin {
       col("__tie").as("tie"))
     val wCarry = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = bucketed.groupBy(keyAndBkt: _*)
+    val carryIn = local.groupBy(keyAndBkt: _*)
       .agg(max_by(col("__r"), bucketOrd).as("__blast"))
       .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
       .select(keyCols.map(c => col(c).as(s"__ci_$c")) ++

@@ -59,12 +59,24 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
                           checkpointDir: Option[String] = None): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // setCheckpointDir is SparkContext-global: restore the caller's dir
+    // after the loop so this operator doesn't silently redirect every
+    // later checkpoint in the session (already-written checkpoint files
+    // stay valid — RDDs hold absolute paths)
+    val previousDir = sc.getCheckpointDir
     val mat: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        sc.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint(true)
     }
+    try connectedComponentsLoop(pairs, maxIterations, mat)
+    finally if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def connectedComponentsLoop(pairs: DataFrame, maxIterations: Int,
+                                      mat: DataFrame => DataFrame): DataFrame = {
     val edges = mat(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct())
@@ -208,10 +220,15 @@ object Dedup {
     // pass 1 on NARROW rows: join set sizes (8 bytes) and apply the
     // size-compatibility bound — only survivors ever touch an array
     val sizes = hashedSets.select(col(idCol), size(col("__hs")).as("__n"))
+    // ε-slack on the size bound: t·max computed in double can exceed the
+    // exact product by one ulp (0.8·35 = 28.000000000000004), which
+    // would prune a pair with J exactly at threshold. Slack only ADMITS
+    // candidates — the exact Jaccard below keeps correctness.
     val compat = pairs
       .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
-      .where(greatest(col("__na"), col("__nb")) * threshold <= least(col("__na"), col("__nb")))
+      .where(greatest(col("__na"), col("__nb")) * threshold <=
+        least(col("__na"), col("__nb")) + lit(1e-9))
     val aSets = hashedSets.select(col(idCol).as("a_id"), col("__hs").as("__hsa"))
     val bSets = hashedSets.select(col(idCol).as("b_id"), col("__hs").as("__hsb"))
     compat.join(aSets, "a_id").join(bSets, "b_id")
@@ -313,13 +330,18 @@ object Dedup {
           .join(prefix.select(col("__s"), col(idCol).as("b_id"),
             col("__rn").as("__rnb"), col("__n").as("__nb")), Seq("__s"))
           .where(col("a_id") < col("b_id"))
+          // ε-slack on both bounds (see verifyJaccard): double rounding
+          // must never over-require — e.g. ceil(0.8/1.8·63) computes 29
+          // where the exact requirement is 28, silently dropping a pair
+          // with J exactly 0.8. Slack only admits candidates; the exact
+          // verify filters them.
           .where(greatest(col("__na"), col("__nb")) * threshold <=
-            least(col("__na"), col("__nb")))
+            least(col("__na"), col("__nb")) + lit(1e-9))
         val bounded =
           if (maxDocFreqFraction.isEmpty)
             joined.where(
               lit(1) + least(col("__na") - col("__rna"), col("__nb") - col("__rnb")) >=
-                ceil(lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb"))))
+                ceil(lit(threshold / (1.0 + threshold)) * (col("__na") + col("__nb")) - lit(1e-9)))
           else joined
         val cands = bounded.select("a_id", "b_id").distinct()
         verifyJaccard(cands, hs, idCol, threshold)

@@ -70,15 +70,26 @@ object Multimodal {
   }
 
   /** The real/fake dispatch: real ImageIO for image formats the JDK
-    * recognizes (PNG signature sniffed), GRFT header parse otherwise.
-    * Executor-side only; ImageIO works headless.
+    * recognizes (PNG/JPEG/GIF/BMP signatures sniffed), real javax.sound
+    * for WAV, GRFT header parse otherwise. Executor-side only; both JDK
+    * codecs work headless.
     */
   object Codec {
     private val PngSig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    private val JpegSig = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
+    private val GifSig = "GIF8".getBytes("US-ASCII")
+    private val BmpSig = "BM".getBytes("US-ASCII")
 
-    def isPng(payload: Array[Byte]): Boolean =
-      payload.length >= 4 && java.util.Arrays.equals(
-        java.util.Arrays.copyOfRange(payload, 0, 4), PngSig)
+    private def startsWith(payload: Array[Byte], sig: Array[Byte]): Boolean =
+      payload.length >= sig.length && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 0, sig.length), sig)
+
+    def isPng(payload: Array[Byte]): Boolean = startsWith(payload, PngSig)
+
+    /** Any image signature ImageIO ships a reader for (PNG/JPEG/GIF/BMP). */
+    def isImage(payload: Array[Byte]): Boolean =
+      isPng(payload) || startsWith(payload, JpegSig) ||
+        startsWith(payload, GifSig) || startsWith(payload, BmpSig)
 
     def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -102,7 +113,7 @@ object Multimodal {
     }
 
     def decode(kind: String, payload: Array[Byte]): MediaMeta =
-      if (kind == "image" && isPng(payload)) {
+      if (kind == "image" && isImage(payload)) {
         val img = readImage(payload)
         MediaMeta(kind, img.getWidth, img.getHeight, 0, 1)
       } else if (kind == "audio" && isWav(payload)) {
@@ -188,7 +199,7 @@ object Multimodal {
           }
           total = math.max(1f, pcm.length.toFloat)
         }
-      } else if (a.kind == "image" && Codec.isPng(a.payload)) {
+      } else if (a.kind == "image" && Codec.isImage(a.payload)) {
         val img = Codec.readImage(a.payload)
         var y = 0
         while (y < img.getHeight) {
@@ -226,7 +237,7 @@ object Multimodal {
     assets.mapPartitions(_.map { a =>
       if (a.kind == "audio" && Codec.isWav(a.payload)) {
         a
-      } else if (a.kind == "image" && Codec.isPng(a.payload)) {
+      } else if (a.kind == "image" && Codec.isImage(a.payload)) {
         val img = Codec.readImage(a.payload)
         val scaled = new java.awt.image.BufferedImage(width, height,
           java.awt.image.BufferedImage.TYPE_INT_ARGB)
@@ -261,7 +272,7 @@ object Multimodal {
     assets.mapPartitions(_.flatMap { a =>
       // same kind+signature dispatch as decode/extractFeatures/resize —
       // a record must take one consistent path across ALL operators
-      if ((a.kind == "image" && Codec.isPng(a.payload)) ||
+      if ((a.kind == "image" && Codec.isImage(a.payload)) ||
           (a.kind == "audio" && Codec.isWav(a.payload))) {
         // a still image / a single audio clip is its own one frame
         Seq(Frame(a.asset_id, 0, a.payload))

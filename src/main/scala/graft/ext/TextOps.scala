@@ -215,7 +215,12 @@ object TextOps {
     require(shardCols.nonEmpty,
       "packing needs shard columns: a global order would serialize into one partition")
     import org.apache.spark.sql.expressions.Window
+    // explicit ROWS frame: the default RANGE frame would give duplicate
+    // idCol values one shared cumulative total, breaking the sequential
+    // first-fit semantics (idCol should be unique per shard; with dups
+    // the within-tie order — and thus the packing — is undefined)
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("__n", size(tokens(col(textCol))))
       .withColumn("__cum", sum(col("__n")).over(w))

@@ -349,8 +349,19 @@ final class JdbcWarehouse(val spark: SparkSession, conn: ConnInfo) extends Wareh
     val staging = table + "__graft_stg"
     writer(df, s"$schema.$staging").mode("overwrite").save() // drop/recreate scratch
     val cols = df.columns.map(c => s""""$c"""").mkString(", ")
+    // TRUNCATE is transactional on Postgres-family and Derby, but
+    // IMPLICITLY COMMITS on Oracle/MySQL — which would silently void the
+    // all-or-nothing guarantee exactly where it matters (crash between
+    // truncate and insert = empty master = next delta merge drops every
+    // unchanged key). Dialects without transactional truncate use
+    // DELETE, which is transactional everywhere (slower; the swap is
+    // metadata-sized next to the staged bulk write either way).
+    val clear =
+      if (conn.dialect == "postgres" || conn.dialect == "generic")
+        s"truncate table $schema.$table"
+      else s"DELETE FROM $schema.$table"
     executeTransaction(Seq(
-      s"truncate table $schema.$table",
+      clear,
       s"INSERT INTO $schema.$table ($cols) SELECT $cols FROM $schema.$staging",
       s"DROP TABLE $schema.$staging"))
   }

@@ -67,6 +67,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram Jaccard keeps pairs with J exactly at threshold (no FP over-requirement)") {
+    // |A| = 28 bigrams ⊂ |B| = 35 bigrams -> J = 28/35 = 0.8 exactly.
+    // Double arithmetic computes 0.8·35 = 28.000000000000004 and
+    // ceil(0.8/1.8·63) = 29 (exact: 28): without ε-slack both the size
+    // bound and the PPJoin position bound silently prune this pair.
+    val a = (1 to 29).map(i => s"w$i").mkString(" ")
+    val b = (1 to 36).map(i => s"w$i").mkString(" ")
+    Seq("count", "prefix").foreach { s =>
+      val found = Dedup.nearDupNgramJaccard(docsDf(1L -> a, 2L -> b),
+        shingleSize = 2, threshold = 0.8, strategy = s)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(found === Set((1L, 2L, 0.8)), s"strategy $s lost the at-threshold pair")
+    }
+  }
+
   test("near-dup clustering: chains collapse to one representative") {
     // components: {1,2,3} (chain), {10,11}, singleton 99 untouched
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
@@ -286,7 +301,7 @@ class ExtSpec extends AnyFunSuite {
       AsOfJoin.asOfSalted(trades, quotes, Seq("sym"), "t", "qt", "quote_id",
         Seq("quote_id"), timeBuckets = 4)
     }
-    assert(e.getMessage.contains("numeric, timestamp, or date"))
+    assert(e.getMessage.contains("integral, timestamp, or date"))
   }
 
   test("asOfSalted == asOf when every timestamp is null (delegates to unsalted)") {

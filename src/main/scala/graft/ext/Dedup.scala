@@ -86,19 +86,20 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each member adopts min(own label, neighbors' labels)
+      // each member adopts min(own label, neighbors' labels); the round
+      // carries its own change flag so convergence is a cheap scan of
+      // the just-materialized result, not an extra shuffle join against
+      // the previous labels (which doubled the per-round job count)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("member", "dst"), "dst")
         .groupBy(col("src").as("member"))
         .agg(min(col("component")).as("__nbr"))
       val next = mat(labels.join(viaNeighbors, Seq("member"), "left")
         .select(col("member"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component")))
-      converged = next.select(col("member"), col("component").as("__new"))
-        .join(labels.select(col("member"), col("component").as("__old")), "member")
-        .where(col("__new") =!= col("__old"))
-        .isEmpty
-      labels = next
+          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
+          (col("__nbr").isNotNull && col("__nbr") < col("component")).as("__changed")))
+      converged = next.where(col("__changed")).isEmpty
+      labels = next.select("member", "component")
       i += 1
     }
     if (!converged)

@@ -164,34 +164,36 @@ object TextOps {
     * duplicated n-grams (1 − distinct/total) for n = 2 and 3, and the
     * share of the most frequent token. High values flag boilerplate,
     * keyword stuffing, and generation loops that a type-token ratio
-    * alone misses. Pure per-document array HOFs — narrow projection,
-    * no shuffle; short docs (< n tokens) score 0.
+    * alone misses. Narrow projection, no shuffle; short docs
+    * (< n tokens) score 0.
+    *
+    * The per-document loops run as native tight-loop expressions, not
+    * interpreted HOFs: distinct n-gram counts come from
+    * [[graft.functions.ArrayExprs.shingleHashes]] (sorted distinct
+    * 64-bit hashes — no intermediate shingle strings) and the
+    * top-token count from
+    * [[graft.functions.ArrayExprs.maxTokenMultiplicity]]. Both equal
+    * the string-exact metrics modulo 64-bit hash collisions
+    * (~n²/2⁶⁵, the shared contract of all hashed-shingle operators;
+    * verified string-exact by the q35 oracle). The earlier
+    * string-HOF version (`array_sort` + `aggregate` fold) measured
+    * ~13 s on the sf0.1 bench; this one is a plain scan.
     */
   def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nToks = size(tokens(col(textCol)))
     def dupFrac(n: Int): Column = {
-      val toks = tokens(col(textCol))
-      val total = size(toks) - (n - 1)
+      val total = nToks - (n - 1)
       when(total <= 0, lit(0.0)).otherwise(
-        lit(1.0) - size(shingles(col(textCol), n)).cast("double") / total)
+        lit(1.0) -
+          size(graft.functions.ArrayExprs.shingleHashes(col(textCol), n)).cast("double") / total)
     }
-    val toks = tokens(col(textCol))
-    // most-frequent-token count: sort the tokens and fold the longest
-    // equal run — O(n log n) per doc (a distinct×filter nested HOF
-    // would be O(n²), wrong for long documents)
-    val topCount = aggregate(array_sort(toks),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
     docs
       .withColumn("dup_bigram_frac", dupFrac(2))
       .withColumn("dup_trigram_frac", dupFrac(3))
       .withColumn("top_token_frac",
-        when(size(toks) === 0, lit(0.0))
-          .otherwise(topCount.cast("double") / size(toks)))
+        when(nToks === 0, lit(0.0))
+          .otherwise(graft.functions.ArrayExprs.maxTokenMultiplicity(col(textCol))
+            .cast("double") / nToks))
   }
 
   /** Sequence packing: assign ordered documents to fixed-capacity token

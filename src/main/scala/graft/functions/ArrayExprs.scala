@@ -41,6 +41,10 @@ object ArrayExprs {
   /** Sorted distinct 64-bit hashes of a text's n-word shingles. */
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Count of the most frequent whitespace token of a text. */
+  def maxTokenMultiplicity(text: Column): Column =
+    ColumnBridge.column(MaxTokenMultiplicity(ColumnBridge.expression(text)))
 }
 
 /** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
@@ -241,6 +245,60 @@ case class ShingleHashes(child: Expression, n: Int)
       r += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Multiplicity of the most frequent token of a single-space-tokenized
+  * text: FNV-1a hash per token (same tokenize+hash scan as
+  * [[ShingleHashes]]), sort, longest equal run — O(n log n) per
+  * document with primitive arrays. Replaces an interpreted
+  * `array_sort` + `aggregate` fold over token STRINGS that dominated
+  * the repetition-metrics bench. Distinct tokens map to distinct
+  * hashes modulo 64-bit collisions (~n²/2⁶⁵ — the same accepted odds
+  * as every other hashed-shingle operator here). Zero tokens → 0.
+  */
+case class MaxTokenMultiplicity(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_token_multiplicity"
+
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime = 0x100000001b3L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (inTok) { tokHashes += h; h = FnvOffset; inTok = false }
+      } else {
+        h = (h ^ c) * FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) tokHashes += h
+    if (tokHashes.isEmpty) return 0
+    val arr = tokHashes.toArray
+    java.util.Arrays.sort(arr)
+    var best = 1
+    var run = 1
+    var j = 1
+    while (j < arr.length) {
+      if (arr(j) == arr(j - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      j += 1
+    }
+    best
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * analogue of arrow-batched pandas UDFs: one JVM call per partition,
   * rows streamed through an iterator, never collected).
   *
-  * Codec status: IMAGES AND AUDIO ARE REAL — PNG (and any other
-  * `javax.imageio` format) payloads are decoded, resized, and
-  * feature-extracted with the JDK's ImageIO, and WAV/PCM payloads are
-  * decoded and feature-extracted with the JDK's `javax.sound.sampled`
-  * — no external deps either way. Video remains STUBBED on a
-  * deterministic 24-byte "GRFT" header + synthetic body (no video
-  * codec ships with the JDK); [[FakeCodec.decode]] parses that header
+  * Codec status: IMAGES, AUDIO, AND ANIMATED-GIF VIDEO ARE REAL —
+  * PNG (and any other `javax.imageio` format) payloads are decoded,
+  * resized, and feature-extracted with the JDK's ImageIO; WAV/PCM
+  * payloads are decoded and feature-extracted with the JDK's
+  * `javax.sound.sampled`; and `kind=video` payloads carrying an
+  * animated GIF are decoded frame-by-frame, frame-sampled, resized,
+  * and feature-extracted through ImageIO's multi-image GIF
+  * reader/writer — no external deps anywhere. Container video
+  * (MP4/H.264 etc., which genuinely needs a native codec the JDK
+  * doesn't ship) remains STUBBED on a deterministic 24-byte "GRFT"
+  * header + synthetic body; [[FakeCodec.decode]] parses that header
   * and is the seam where an ffmpeg-style call goes. The Spark-side
   * contract — binary column in, typed struct out, per-partition
   * batching, partition balance by asset id — is identical for all
@@ -97,6 +101,45 @@ object Multimodal {
       img
     }
 
+    def isGif(payload: Array[Byte]): Boolean = startsWith(payload, GifSig)
+
+    /** All stored frames of a (possibly animated) GIF, in order. Frames
+      * are returned as stored — GIF inter-frame compositing (partial
+      * frames + disposal methods) is not resolved; encoders that emit
+      * full frames (including [[writeGif]]) round-trip exactly.
+      */
+    def readGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for GIF payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false)
+        val n = reader.getNumImages(true)
+        require(n > 0, "GIF payload with no frames")
+        (0 until n).map(reader.read(_))
+      } finally { reader.dispose(); iis.close() }
+    }
+
+    /** Multi-frame (animated) GIF bytes from a frame sequence — the
+      * JDK's GIF writer quantizes each frame's palette itself.
+      */
+    def writeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      require(frames.nonEmpty, "cannot encode a zero-frame GIF")
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach(f =>
+          writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
     private val WavRiff = "RIFF".getBytes("US-ASCII")
     private val WavWave = "WAVE".getBytes("US-ASCII")
 
@@ -120,6 +163,9 @@ object Multimodal {
         val (fmt, pcm) = readWav(payload)
         MediaMeta(kind, 0, 0, fmt.getSampleRate.toInt,
           pcm.length / math.max(1, fmt.getFrameSize))
+      } else if (kind == "video" && isGif(payload)) {
+        val frames = readGifFrames(payload)
+        MediaMeta(kind, frames.head.getWidth, frames.head.getHeight, 0, frames.length)
       } else FakeCodec.decode(kind, payload)
   }
 
@@ -201,19 +247,18 @@ object Multimodal {
         }
       } else if (a.kind == "image" && Codec.isImage(a.payload)) {
         val img = Codec.readImage(a.payload)
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
-              (rgb & 0xFF) * 114) / 1000
-            counts(lum * dim / 256) += 1f
-            x += 1
-          }
-          y += 1
-        }
+        lumHistogram(img, counts, dim)
         total = math.max(1f, (img.getWidth * img.getHeight).toFloat)
+      } else if (a.kind == "video" && Codec.isGif(a.payload)) {
+        // luminance histogram pooled over every frame — the video
+        // analogue of the image feature, deterministic per payload
+        val frames = Codec.readGifFrames(a.payload)
+        var px = 0L
+        frames.foreach { f =>
+          lumHistogram(f, counts, dim)
+          px += f.getWidth.toLong * f.getHeight
+        }
+        total = math.max(1f, px.toFloat)
       } else {
         var i = FakeCodec.HeaderLen
         while (i < a.payload.length) {
@@ -224,6 +269,35 @@ object Multimodal {
       }
       Features(a.asset_id, counts.map(_ / total))
     })
+  }
+
+  /** Accumulate an 8-bit-luminance histogram of an image into `counts`. */
+  private def lumHistogram(img: java.awt.image.BufferedImage,
+                           counts: Array[Float], dim: Int): Unit = {
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        counts(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Bilinear rescale of one frame to (width, height). */
+  private def rescale(img: java.awt.image.BufferedImage, width: Int, height: Int,
+                      imageType: Int): java.awt.image.BufferedImage = {
+    val scaled = new java.awt.image.BufferedImage(width, height, imageType)
+    val g = scaled.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, width, height, null)
+    g.dispose()
+    scaled
   }
 
   /** Resize. Real images: bilinear pixel rescale via Graphics2D,
@@ -238,17 +312,17 @@ object Multimodal {
       if (a.kind == "audio" && Codec.isWav(a.payload)) {
         a
       } else if (a.kind == "image" && Codec.isImage(a.payload)) {
-        val img = Codec.readImage(a.payload)
-        val scaled = new java.awt.image.BufferedImage(width, height,
+        val scaled = rescale(Codec.readImage(a.payload), width, height,
           java.awt.image.BufferedImage.TYPE_INT_ARGB)
-        val g = scaled.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, width, height, null)
-        g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(scaled, "png", bos)
         a.copy(payload = bos.toByteArray)
+      } else if (a.kind == "video" && Codec.isGif(a.payload)) {
+        // per-frame bilinear rescale, re-encoded as an animated GIF
+        // (TYPE_INT_RGB: the GIF writer quantizes opaque frames itself)
+        val frames = Codec.readGifFrames(a.payload).map(
+          rescale(_, width, height, java.awt.image.BufferedImage.TYPE_INT_RGB))
+        a.copy(payload = Codec.writeGif(frames))
       } else {
         val m = FakeCodec.decode(a.kind, a.payload)
         val body = a.payload.length - FakeCodec.HeaderLen
@@ -276,6 +350,15 @@ object Multimodal {
           (a.kind == "audio" && Codec.isWav(a.payload))) {
         // a still image / a single audio clip is its own one frame
         Seq(Frame(a.asset_id, 0, a.payload))
+      } else if (a.kind == "video" && Codec.isGif(a.payload)) {
+        // real frame sampling: every strideth GIF frame, each re-encoded
+        // as a standalone PNG (lossless, single-frame container)
+        val frames = Codec.readGifFrames(a.payload)
+        (0 until frames.length by stride).map { f =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(frames(f), "png", bos)
+          Frame(a.asset_id, f, bos.toByteArray)
+        }
       } else {
       val m = FakeCodec.decode(a.kind, a.payload)
       val body = a.payload.length - FakeCodec.HeaderLen

@@ -121,18 +121,28 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 7L, maxIter: Int = 20): DataFrame = {
+              seed: Long = 7L, maxIter: Int = 20,
+              trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = emb.sparkSession
     import spark.implicits._
     val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
-    // the training pass is the operator's extra cost (maxIter full
-    // scans); an ANN index tolerates rough centroids, so at 100 TB
-    // lower maxIter (5-8) and/or train on a sample — exposed here,
-    // default kept at Spark-ML's 20 for output stability
+    // the training pass is the operator's extra cost (maxIter scans of
+    // the training set); an ANN index tolerates rough centroids, so at
+    // 100 TB train on a SAMPLE (trainFraction ≪ 1 — centroid quality
+    // depends on vectors-per-centroid, not corpus fraction; a million
+    // sampled vectors train 16 k centroids fine) and/or lower maxIter
+    // (5-8). Defaults (full data, Spark-ML's 20) keep the pinned
+    // fixed-seed outputs stable; the sampled path is seeded and
+    // deterministic too.
+    val trainSet =
+      if (trainFraction < 1.0) withVec.sample(withReplacement = false, trainFraction, seed)
+      else withVec
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__v").setPredictionCol("__cluster").fit(withVec)
+      .setFeaturesCol("__v").setPredictionCol("__cluster").fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")

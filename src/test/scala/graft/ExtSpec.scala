@@ -185,6 +185,21 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.65, s"IVF top-1 recall $recall below pinned 0.65 (measured 0.674)")
   }
 
+  test("IVF sampled training (the 100 TB path) keeps recall near full-train") {
+    // trainFraction=0.5 halves the KMeans training scans; centroid
+    // quality depends on vectors-per-centroid, so recall stays close —
+    // seeded sample, so this too is a deterministic measurement
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfTopK(emb, 1, nClusters = 16, nProbe = 4, trainFraction = 0.5)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf.size === bf.size, "sampled-train IVF must cover every vector")
+    val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
+    assert(recall >= 0.55,
+      s"sampled-train IVF top-1 recall $recall collapsed (full-train pin is 0.65)")
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -182,6 +182,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length === 1 && frames.head.frame_idx === 0)
   }
 
+  /** Deterministic animated GIF: `n` solid-color full frames. */
+  private def gifBytes(w: Int, h: Int, n: Int): Array[Byte] = {
+    val frames = (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(40 * f % 256, 80, 200))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      img
+    }
+    Multimodal.Codec.writeGif(frames)
+  }
+
+  test("real animated GIF decodes via ImageIO: dims + frame count") {
+    val real = Seq(Asset(300L, "video", gifBytes(6, 4, 5)),
+      Asset(301L, "video", gifBytes(3, 3, 1))).toDS()
+    val d = Multimodal.decode(real).collect().map(x => x.asset_id -> x).toMap
+    assert(d(300L).width === 6 && d(300L).height === 4 && d(300L).nFrames === 5)
+    assert(d(301L).nFrames === 1)
+  }
+
+  test("real GIF frame sampling emits every strideth frame as decodable PNG") {
+    val real = Seq(Asset(300L, "video", gifBytes(4, 4, 7))).toDS()
+    val frames = Multimodal.sampleFrames(real, stride = 2).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4, 6))
+    frames.foreach { f =>
+      assert(Multimodal.Codec.isPng(f.frame))
+      val img = Multimodal.Codec.readImage(f.frame)
+      assert(img.getWidth === 4 && img.getHeight === 4)
+    }
+  }
+
+  test("real GIF resize rescales every frame and re-encodes an animated GIF") {
+    val real = Seq(Asset(300L, "video", gifBytes(8, 8, 3))).toDS()
+    val resized = Multimodal.resize(real, 4, 2).collect().head
+    assert(Multimodal.Codec.isGif(resized.payload), "resize must emit GIF bytes")
+    val d = Multimodal.decode(Seq(resized).toDS()).collect().head
+    assert(d.width === 4 && d.height === 2 && d.nFrames === 3)
+  }
+
+  test("real GIF features: luminance histogram pooled over all frames") {
+    // all-black 2-frame GIF -> all pixel mass in the lowest bin
+    val black = (0 until 2).map { _ =>
+      new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    }
+    val asset = Seq(Asset(302L, "video", Multimodal.Codec.writeGif(black))).toDS()
+    val f = Multimodal.extractFeatures(asset).collect().head.features
+    assert(math.abs(f.sum - 1f) < 1e-3)
+    assert(f(0) === 1f, "all-black frames land every pixel in bin 0")
+  }
+
   test("asset stats groups on decoded metadata only") {
     val stats = Multimodal.assetStats(Multimodal.decode(assets))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

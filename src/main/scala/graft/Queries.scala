@@ -398,6 +398,75 @@ object Queries {
       .replace("FROM events)", "FROM events_ts)"))
   }
 
+  // ---------------------------------------------------------------------
+  // q38 — PIVOT surface (SURVEY §2b): wide one-row-per-group layout from
+  // groupBy().pivot() with EXPLICIT pivot values — at scale, value
+  // discovery is an extra distinct scan AND makes the schema
+  // data-dependent; pinning (F/O/P) keeps the plan a single hash
+  // aggregation. Sums in DECIMAL for order-independent exactness,
+  // missing (priority, status) combos stay NULL on both engines.
+  def q38(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumDec(dec(col("o_totalprice"))))
+      .orderBy("o_orderpriority")
+
+  val q38Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+      |             THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+      |             THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+      |             THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q39 — CUBE surface (SURVEY §2b), completing the grouping-sets family
+  // with q19's ROLLUP: all four grouping sets in one aggregation pass.
+  // Subtotal NULLs are folded to 'ALL' in the projection — identical
+  // text runs on both engines and sidesteps engine-specific GROUPING()
+  // spellings (the dimension columns are non-null in the data, so the
+  // fold is unambiguous).
+  val q39Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  def q39(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q39Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q41 — semi-structured (JSON) surface: extract a typed value out of a
+  // JSON string column and aggregate it. Extraction is a per-row
+  // codegen'd path evaluation (no shuffle); only the engine-specific
+  // extraction spelling differs (Spark get_json_object vs DuckDB
+  // json_extract_string). Sums wrapped to BIGINT on both sides (DuckDB
+  // widens BIGINT sums to HUGEINT, which its pandas bridge would float).
+  def q41(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_q41")
+    spark.sql(
+      """SELECT event_type,
+        |  CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(*) AS n_events
+        |FROM events_q41 GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q41Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -412,7 +481,10 @@ object Queries {
     "q21_window_analytics" -> (q21 _),
     "q22_scalar_functions" -> (q22 _),
     "q24_group_quantiles" -> (q24 _),
-    "q25_sessionization" -> (q25 _)
+    "q25_sessionization" -> (q25 _),
+    "q38_pivot" -> (q38 _),
+    "q39_cube" -> (q39 _),
+    "q41_json_extract" -> (q41 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -520,6 +592,9 @@ object Queries {
     "q21_window_analytics" -> q21Sql,
     "q22_scalar_functions" -> q22Sql,
     "q24_group_quantiles" -> q24Oracle,
-    "q25_sessionization" -> q25Sql
+    "q25_sessionization" -> q25Sql,
+    "q38_pivot" -> q38Oracle,
+    "q39_cube" -> q39Sql,
+    "q41_json_extract" -> q41Oracle
   )
 }

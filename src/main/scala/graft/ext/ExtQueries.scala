@@ -166,6 +166,80 @@ object ExtQueries {
     TextOps.packSequences(docs(spark, dir), capacity = 2048, shardCols = Seq("lang"))
       .orderBy("lang", "bin_id")
 
+  /** The shared Spark/DuckDB construction of a PII-bearing contact note
+    * per customer (the fixtures carry no raw PII, so the note is built
+    * deterministically from customer columns — the REDACTION itself is
+    * what the query verifies, hash-exact): an email derived from the
+    * name, a phone, and — every 3rd customer — a 16-digit card number.
+    */
+  private val piiNoteSql: String =
+    """'contact ' || c_name || ' <' || lower(replace(c_name, '#', '.')) ||
+      |'@example.com> or (555) ' ||
+      |lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+      |CASE WHEN c_custkey % 3 = 0
+      |     THEN ' card 4' || lpad(CAST(c_custkey AS VARCHAR), 15, '0')
+      |     ELSE '' END""".stripMargin.replace("\n", " ")
+
+  private def piiNote: org.apache.spark.sql.Column =
+    concat(lit("contact "), col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com> or (555) "),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit(" card 4"), lpad(col("c_custkey").cast("string"), 15, "0")))
+        .otherwise(lit("")))
+
+  /** PII redaction scan over per-customer contact notes. */
+  def q36(spark: SparkSession, dir: String): DataFrame =
+    Privacy.piiScan(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"), piiNote.as("note")),
+      "note")
+      .select("custkey", "redacted", "n_emails", "n_cards", "n_phones")
+      .orderBy("custkey")
+
+  /** The shared URL enrichment of the documents table (fixture texts
+    * carry no URLs; the EXTRACTION/grouping is what the query checks).
+    */
+  private val urlTextSql: String =
+    """text || ' https://' || source || '.example.com/doc/' ||
+      |CAST(doc_id AS VARCHAR) ||
+      |CASE WHEN doc_id % 3 = 0
+      |     THEN ' http://mirror.example.net/d/' || CAST(doc_id AS VARCHAR)
+      |     ELSE '' END""".stripMargin.replace("\n", " ")
+
+  private def urlText: org.apache.spark.sql.Column =
+    concat(col("text"), lit(" https://"), col("source"), lit(".example.com/doc/"),
+      col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" http://mirror.example.net/d/"), col("doc_id").cast("string")))
+        .otherwise(lit("")))
+
+  /** Per-domain link stats over URL-enriched documents. */
+  def q37(spark: SparkSession, dir: String): DataFrame =
+    TextOps.domainStats(
+      docs(spark, dir).select(col("doc_id"), urlText.as("text")))
+      .withColumn("n_docs", col("n_docs").cast("long"))
+      .orderBy("domain")
+
+  /** Global top-50 token frequencies (corpus vocabulary profile). */
+  def q40(spark: SparkSession, dir: String): DataFrame =
+    TextOps.topTokens(docs(spark, dir), k = 50)
+      .withColumn("n_docs", col("n_docs").cast("long"))
+
+  /** Character-class composition over part labels (name+brand+type —
+    * the fixtures' only mixed-case/digit/punctuation text).
+    */
+  def q42(spark: SparkSession, dir: String): DataFrame =
+    TextOps.charClassProfile(
+      spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("partkey"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type")).as("label")),
+      "label")
+      .select("partkey", "digit_frac", "upper_frac", "alpha_frac", "symbol_frac")
+      .orderBy("partkey")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -187,7 +261,11 @@ object ExtQueries {
     "q32_split_assignment" -> (q32 _),
     "q33_mixture_sample" -> (q33 _),
     "q34_sequence_packing" -> (q34 _),
-    "q35_repetition_metrics" -> (q35 _)
+    "q35_repetition_metrics" -> (q35 _),
+    "q36_pii_redaction" -> (q36 _),
+    "q37_url_domains" -> (q37 _),
+    "q40_top_tokens" -> (q40 _),
+    "q42_char_classes" -> (q42 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -437,7 +515,61 @@ object ExtQueries {
         |LEFT JOIN b2 USING (doc_id)
         |LEFT JOIN b3 USING (doc_id)
         |LEFT JOIN top USING (doc_id)
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+    // identical regex text on both engines (RE2 ∩ Java subset); DuckDB
+    // needs the 'g' flag to match Spark's replace-all default
+    "q36_pii_redaction" ->
+      s"""WITH noted AS (
+         |  SELECT c_custkey AS custkey, $piiNoteSql AS note FROM customer)
+         |SELECT custkey,
+         |  regexp_replace(regexp_replace(regexp_replace(note,
+         |    '${Privacy.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${Privacy.CardPattern}', '<CARD>', 'g'),
+         |    '${Privacy.PhonePattern}', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(note, '${Privacy.EmailPattern}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(note, '${Privacy.CardPattern}')) AS BIGINT)
+         |    AS n_cards,
+         |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
+         |    AS n_phones
+         |FROM noted ORDER BY custkey""".stripMargin,
+    "q37_url_domains" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, $urlTextSql AS text FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS url
+         |  FROM enriched)
+         |SELECT regexp_extract(url, '${TextOps.DomainPattern}', 1) AS domain,
+         |  count(*) AS n_urls,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    "q40_top_tokens" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM w GROUP BY token
+        |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    "q42_char_classes" ->
+      """WITH labeled AS (
+        |  SELECT p_partkey AS partkey,
+        |    p_name || ' ' || p_brand || ' ' || p_type AS label
+        |  FROM part)
+        |SELECT partkey,
+        |  CASE WHEN len(label) = 0 THEN 0.0
+        |       ELSE CAST(len(label) - len(regexp_replace(label, '[0-9]', '', 'g'))
+        |              AS DOUBLE) / len(label) END AS digit_frac,
+        |  CASE WHEN len(label) = 0 THEN 0.0
+        |       ELSE CAST(len(label) - len(regexp_replace(label, '[A-Z]', '', 'g'))
+        |              AS DOUBLE) / len(label) END AS upper_frac,
+        |  CASE WHEN len(label) = 0 THEN 0.0
+        |       ELSE CAST(len(label) - len(regexp_replace(label, '[A-Za-z]', '', 'g'))
+        |              AS DOUBLE) / len(label) END AS alpha_frac,
+        |  CASE WHEN len(label) = 0 THEN 0.0
+        |       ELSE CAST(len(label) - len(regexp_replace(label, '[^A-Za-z0-9 ]', '', 'g'))
+        |              AS DOUBLE) / len(label) END AS symbol_frac
+        |FROM labeled ORDER BY partkey""".stripMargin
     // q16 (ANN), q17 (SimHash), and q26 (IVF) intentionally have no
     // DuckDB oracle: their outputs depend on hash families DuckDB cannot
     // replay (seeded random hyperplanes + xxhash64 candidates for q16,

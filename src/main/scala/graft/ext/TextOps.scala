@@ -235,6 +235,67 @@ object TextOps {
         max(col(idCol)).as("last_doc"))
   }
 
+  /** URL match (scheme + host + optional path), in the RE2 ∩ Java
+    * regex subset so oracles can replay it verbatim.
+    */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(?:/[A-Za-z0-9./_-]*)?"
+
+  /** Capture group 1 = the host/domain of a URL. */
+  val DomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs of a text column (group 0 — the full match). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  def urlDomain(url: Column): Column = regexp_extract(url, DomainPattern, 1)
+
+  /** Per-domain link profile of a corpus: URL occurrences and distinct
+    * linking documents — the domain-blocklist / source-mix signal.
+    * Scale shape: extract per row (codegen regex, no shuffle), explode
+    * to (doc, domain), then ONE hash aggregation with map-side partial
+    * combine on the domain key; domains are low-cardinality relative
+    * to documents, so the shuffle is tiny.
+    */
+  def domainStats(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(extractUrls(col(textCol))).as("__url"))
+      .select(col(idCol), urlDomain(col("__url")).as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col(idCol)).as("n_docs"))
+
+  /** Global top-k token frequencies (occurrences + document frequency),
+    * deterministic tie-break (count DESC, token ASC). Scale shape:
+    * explode → hash aggregation with map-side combine (the shuffle
+    * carries one row per distinct token per partition, not per
+    * occurrence) → TakeOrdered top-k (no global sort materialization).
+    */
+  def topTokens(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(k)
+
+  /** Character-class composition of a text column — digit/uppercase/
+    * alphabetic/symbol fractions, the cheap formatting-quality signals
+    * (code vs prose vs tables vs junk). Codegen regex length-diffs,
+    * narrow projection, no shuffle. Empty text → all zeros.
+    */
+  def charClassProfile(df: DataFrame, textCol: String): DataFrame = {
+    val len = length(col(textCol))
+    def frac(pat: String): Column =
+      when(len === 0, lit(0.0)).otherwise(
+        (len - length(regexp_replace(col(textCol), pat, ""))).cast("double") /
+          len.cast("double"))
+    df.withColumn("digit_frac", frac("[0-9]"))
+      .withColumn("upper_frac", frac("[A-Z]"))
+      .withColumn("alpha_frac", frac("[A-Za-z]"))
+      .withColumn("symbol_frac", frac("[^A-Za-z0-9 ]"))
+  }
+
   /** Facet profile per group: doc counts, char totals/averages, token
     * totals, exact distinct-text count. `approxDistinct=true` swaps the
     * exact distinct for HyperLogLog `approx_count_distinct` — at 100 TB

@@ -581,6 +581,68 @@ class ExtSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"packing should need at most window+agg exchanges:\n$packPlan")
   }
 
+  test("redactPii masks emails, cards, and phones; counts match; dropPii keeps clean") {
+    import graft.ext.Privacy
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call (555) 123-4567 or (555) 000-9999"),
+      (3L, "card 4000123456789012 exp 01/30"),
+      (4L, "clean text, nothing to hide"),
+      (5L, "all: a@b.io 4111111111111111 (123) 456-7890")).toDF("id", "note")
+    val out = Privacy.piiScan(df, "note")
+      .select("id", "redacted", "n_emails", "n_cards", "n_phones")
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "mail <EMAIL> now" && out(1L)._3 === 1L)
+    assert(out(2L)._2 === "call <PHONE> or <PHONE>" && out(2L)._5 === 2L)
+    assert(out(3L)._2 === "card <CARD> exp 01/30" && out(3L)._4 === 1L)
+    assert(out(4L)._2 === "clean text, nothing to hide" &&
+      (out(4L)._3 + out(4L)._4 + out(4L)._5) === 0L)
+    assert(out(5L)._2 === "all: <EMAIL> <CARD> <PHONE>")
+    val clean = Privacy.dropPii(df, "note").select("id").as[Long].collect()
+    assert(clean.toSeq === Seq(4L))
+  }
+
+  test("domainStats: per-domain URL and distinct-doc counts") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and http://b.net/y"),
+      (2L, "again https://a.example.com/z plus https://a.example.com"),
+      (3L, "no links here")).toDF("doc_id", "text")
+    val out = TextOps.domainStats(df)
+      .select("domain", "n_urls", "n_docs").as[(String, Long, Long)].collect().toSet
+    assert(out === Set(("a.example.com", 3L, 2L), ("b.net", 1L, 1L)))
+  }
+
+  test("topTokens: global counts with deterministic (count DESC, token ASC) top-k") {
+    val df = Seq((1L, "b a b c"), (2L, "a b d a")).toDF("doc_id", "text")
+    val out = TextOps.topTokens(df, k = 3)
+      .select("token", "n_occurrences", "n_docs").as[(String, Long, Long)].collect()
+    // a and b tie at 3 occurrences -> 'a' first; c/d tie at 1 -> 'c'
+    assert(out.toSeq === Seq(("a", 3L, 2L), ("b", 3L, 2L), ("c", 1L, 1L)))
+  }
+
+  test("charClassProfile: digit/upper/alpha/symbol fractions, empty-text zeros") {
+    val df = Seq((1L, "Ab1!"), (2L, ""), (3L, "a b")).toDF("id", "label")
+    val out = TextOps.charClassProfile(df, "label")
+      .select("id", "digit_frac", "upper_frac", "alpha_frac", "symbol_frac")
+      .as[(Long, Double, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0.25, 0.25, 0.5, 0.25)))
+    assert(out(2L) === ((2L, 0.0, 0.0, 0.0, 0.0)))
+    assert(out(3L) === ((3L, 0.0, 0.0, 2.0 / 3, 0.0))) // space is neither
+  }
+
+  test("plan audit: pii scan and char classes are pure narrow projections") {
+    import graft.ext.{ExtQueries, Privacy}
+    val customers = spark.read.parquet(s"$sf/customer.parquet")
+    val piiPlan = Privacy.piiScan(customers.select($"c_name".as("note")), "note")
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"piiScan must not shuffle:\n$piiPlan")
+    // q40's aggregate must partial-combine map-side (no raw-token shuffle
+    // of every occurrence without a partial_count marker)
+    val topPlan = ExtQueries.q40(spark, sf).queryExecution.executedPlan.toString
+    assert(topPlan.contains("partial_count") || topPlan.contains("Partial"),
+      s"topTokens must map-side combine:\n${topPlan.take(1500)}")
+  }
+
   test("facetStats approx-distinct variant returns plausible HLL counts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val approx = TextOps.facetStats(docs, Seq("lang"), approxDistinct = true)

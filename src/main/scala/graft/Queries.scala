@@ -467,6 +467,30 @@ object Queries {
       |  COUNT(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43 — subquery surface (SURVEY §2b): correlated EXISTS / NOT EXISTS
+  // (planned as semi/anti joins) and a correlated scalar aggregate
+  // subquery (planned as an aggregate + left join) — identical SQL text
+  // on both engines. Customers who ordered, never urgently, with their
+  // max single-order spend.
+  val q43Sql: String =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_spend
+      |FROM customer c
+      |WHERE EXISTS (
+      |    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c.c_custkey""".stripMargin
+
+  def q43(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q43Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -484,7 +508,8 @@ object Queries {
     "q25_sessionization" -> (q25 _),
     "q38_pivot" -> (q38 _),
     "q39_cube" -> (q39 _),
-    "q41_json_extract" -> (q41 _)
+    "q41_json_extract" -> (q41 _),
+    "q43_subqueries" -> (q43 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -595,6 +620,7 @@ object Queries {
     "q25_sessionization" -> q25Sql,
     "q38_pivot" -> q38Oracle,
     "q39_cube" -> q39Sql,
-    "q41_json_extract" -> q41Oracle
+    "q41_json_extract" -> q41Oracle,
+    "q43_subqueries" -> q43Sql
   )
 }

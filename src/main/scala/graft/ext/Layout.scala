@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators for the lake side of the pipeline
+  * (beyond-reference scope, SURVEY.md §2c): multi-dimensional
+  * clustering so file-level min/max statistics prune scans on MORE
+  * than the partition column.
+  *
+  * Why it matters at 100 TB: a table range-sorted on one column skips
+  * beautifully on that column and not at all on any other. Z-ORDERING
+  * interleaves the bits of several range-scaled columns into one sort
+  * key (a Morton curve), so rows close in the multi-dimensional space
+  * land in the same files — every z-ordered dimension gets partial
+  * skipping from ordinary parquet min/max stats, with no format
+  * extension (the same trick Delta/Iceberg OPTIMIZE ZORDER applies).
+  */
+object Layout {
+
+  /** Morton code from already-scaled long ranks (0..2^bits−1 each) —
+    * the raw building block; see [[zOrderBy]] for the end-to-end op.
+    */
+  def zValue(scaledCols: Seq[Column], bitsPerCol: Int): Column =
+    graft.functions.ArrayExprs.interleaveBits(scaledCols, bitsPerCol)
+
+  /** Rewrite `df` in z-order on `cols` (numeric/date/timestamp):
+    * each column is linearly range-scaled to `bitsPerCol` bits using
+    * its global min/max (ONE tiny extra aggregate — a pair of scalars
+    * per column, broadcast into the projection), codes are interleaved,
+    * and the frame is range-repartitioned + sorted on the code so each
+    * output file covers a compact z-curve segment.
+    *
+    * Cost shape: one scalar agg scan + one range shuffle — the same
+    * price as a plain global sort, but buying skipping on ALL `cols`.
+    * Degenerate columns (min = max) scale to 0 and drop out of the
+    * curve harmlessly. NULLs sort first as the "unknown" bucket.
+    */
+  def zOrderBy(df: DataFrame, cols: Seq[String], nPartitions: Int,
+               bitsPerCol: Int = 16): DataFrame = {
+    require(cols.nonEmpty, "z-order needs at least one column")
+    require(cols.length * bitsPerCol <= 63,
+      s"${cols.length} cols x $bitsPerCol bits exceed one long; lower bitsPerCol")
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    // single-row aggregate: 2·|cols| scalars fetched to the driver to
+    // become plan literals (same class as a convergence count — not a
+    // data collect)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxCode = (1L << bitsPerCol) - 1
+    val scaled = cols.map { c =>
+      val lo = row.getAs[Double](s"__min_$c")
+      val hi = row.getAs[Double](s"__max_$c")
+      if (lo >= hi) lit(0L) // constant column: no locality to encode
+      else ((col(c).cast("double") - lo) / (hi - lo) * maxCode)
+        .cast("long")
+    }
+    df.withColumn("__z", zValue(scaled, bitsPerCol))
+      .repartitionByRange(nPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+}

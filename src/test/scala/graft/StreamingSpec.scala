@@ -194,6 +194,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: gap-merged sessions finalize once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSessions
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = StreamingSessions.sessionize(
+      input.toDS().toDF("ts", "user_id"), "user_id", "ts",
+      gap = "30 minutes", delay = "1 hour")
+      .writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:20:00"), 1L), // 20 min gap: same session
+        (ts("2024-01-01 11:30:00"), 1L), // >30 min silence: new session
+        (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // watermark (11:30 - 1h = 10:30) has not passed any session end yet
+      // except user 2's candidate (10:35)... not yet: 10:30 < 10:35 -> open
+      assert(spark.table("sess_sink").count() === 0)
+      // advance event time; every session above closes
+      input.addData((ts("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("sess_sink")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .map(r => (r._1, r._2, r._4)).toSet
+      assert(out === Set(
+        (1L, ts("2024-01-01 10:00:00"), 2L), // two events merged
+        (1L, ts("2024-01-01 11:30:00"), 1L),
+        (2L, ts("2024-01-01 10:05:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch bridge: micro-batched journal ingestion == batch merges") {
     import graft.io.FileWarehouse
     val root = SparkTestBase.tmpDir("graft_stream_wh")

@@ -124,6 +124,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware near-duplicate removal: like [[dedupNearDups]], but
+    * each cluster keeps its HIGHEST-`scoreCol` member (ties → lowest
+    * id) instead of the lowest id — the production policy when a
+    * quality signal exists (keep the longest/cleanest duplicate, drop
+    * the rest). The ranking window runs over cluster members only
+    * (≪ corpus — the per-component groups are near-dup cliques, tiny
+    * by construction, so the window partition skew of a giant
+    * component is bounded by the biggest dup cluster, not the corpus).
+    */
+  def dedupNearDupsBest(docs: DataFrame, pairs: DataFrame, scoreCol: String,
+                        idCol: String = "doc_id", maxIterations: Int = 20,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs, maxIterations, checkpointDir)
+      .join(docs.select(col(idCol).as("member"), col(scoreCol).as("__score")), "member")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__score").desc, col("member").asc)
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col("member").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // MinHash
   // ---------------------------------------------------------------------

@@ -132,6 +132,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware near-dedup: clusters from the same LSH pair set as
+    * q23, but each cluster keeps its LONGEST member (n_chars, ties →
+    * min id) — the keep-the-best-duplicate policy.
+    */
+  def q44(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.dedupNearDupsBest(d,
+      Dedup.nearDupMinHash(d, shingleSize = 3, threshold = 0.8), scoreCol = "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Embedding hygiene stats (dims / L2 norm / max |component|). */
   def q31(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir))
@@ -265,7 +276,8 @@ object ExtQueries {
     "q36_pii_redaction" -> (q36 _),
     "q37_url_domains" -> (q37 _),
     "q40_top_tokens" -> (q40 _),
-    "q42_char_classes" -> (q42 _)
+    "q42_char_classes" -> (q42 _),
+    "q44_dedup_keep_best" -> (q44 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -551,6 +563,28 @@ object ExtQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    // same transitive-closure clustering as q23; winner = argmax
+    // (n_chars, -doc_id) per component instead of min id
+    "q44_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM jpairs
+         |  UNION SELECT b_id, a_id FROM jpairs),
+         |walk(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+         |comp AS (
+         |  SELECT s AS member, least(s, min(d)) AS component
+         |  FROM walk GROUP BY s),
+         |ranked AS (
+         |  SELECT c.member,
+         |    row_number() OVER (PARTITION BY c.component
+         |                       ORDER BY d.n_chars DESC, c.member ASC) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.member)
+         |SELECT * FROM documents
+         |WHERE doc_id NOT IN (SELECT member FROM ranked WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin,
     "q42_char_classes" ->
       """WITH labeled AS (
         |  SELECT p_partkey AS partkey,

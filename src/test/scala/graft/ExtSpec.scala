@@ -581,6 +581,19 @@ class ExtSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"packing should need at most window+agg exchanges:\n$packPlan")
   }
 
+  test("dedupNearDupsBest keeps the highest-score member per cluster, min-id on ties") {
+    val docs = Seq(
+      (1L, "aaa", 10L), (2L, "aaa2", 30L), (3L, "aaa3", 30L), // cluster {1,2,3}
+      (4L, "bbb", 5L),                                        // singleton
+      (5L, "ccc", 7L), (6L, "ccc2", 2L))                      // cluster {5,6}
+      .toDF("doc_id", "text", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupNearDupsBest(docs, pairs, scoreCol = "n_chars")
+      .select("doc_id").as[Long].collect().sorted
+    // cluster 1: 2 and 3 tie at 30 -> keep 2; cluster 2: keep 5
+    assert(kept === Seq(2L, 4L, 5L))
+  }
+
   test("redactPii masks emails, cards, and phones; counts match; dropPii keeps clean") {
     import graft.ext.Privacy
     val df = Seq(

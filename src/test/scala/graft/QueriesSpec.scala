@@ -51,4 +51,39 @@ class QueriesSpec extends AnyFunSuite {
     val plan = Queries.q03(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
   }
+
+  test("q38 explicit-value pivot is ONE aggregation pass, no value-discovery scan") {
+    val qe = Queries.q38(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // one scan of orders (pivot value discovery would add a distinct scan)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single orders scan in:\n$plan")
+    // the scan reads only the three columns the pivot needs
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderpriority") && !readSchema.contains("o_orderdate"),
+      s"pivot scan should prune to 3 columns: $readSchema")
+  }
+
+  test("q43 correlated subqueries plan as semi/anti/aggregate joins, no nested loops") {
+    val plan = Queries.q43(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // EXISTS -> semi join, NOT EXISTS -> anti join (hash or broadcast
+    // variants both fine; nested-loop execution of the correlation is not)
+    assert(plan.contains("LeftSemi"), s"expected semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected anti join in:\n$plan")
+  }
+
+  test("q36/q42 redaction and char-class scans prune to the columns they use") {
+    import graft.ext.ExtQueries
+    val piiPlan = ExtQueries.q36(spark, sf).queryExecution.executedPlan.toString
+    val piiSchema = piiPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(piiSchema.contains("c_custkey") && piiSchema.contains("c_name") &&
+      !piiSchema.contains("c_acctbal"),
+      s"pii scan should read only custkey+name: $piiSchema")
+    val ccPlan = ExtQueries.q42(spark, sf).queryExecution.executedPlan.toString
+    val ccSchema = ccPlan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!ccSchema.contains("p_retailprice") && !ccSchema.contains("p_size"),
+      s"char-class scan should prune numeric part columns: $ccSchema")
+  }
 }

@@ -240,21 +240,30 @@ object Dedup {
     * candidates before any array is touched.
     */
   def verifyJaccard(pairs: DataFrame, hashedSets: DataFrame, idCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double): DataFrame =
+    verifyJaccardTwoSided(pairs, hashedSets, hashedSets, idCol, threshold)
+
+  /** [[verifyJaccard]] with distinct left/right set frames — the
+    * asymmetric (query-vs-corpus) case.
+    */
+  def verifyJaccardTwoSided(pairs: DataFrame, aHashedSets: DataFrame,
+                            bHashedSets: DataFrame, idCol: String,
+                            threshold: Double): DataFrame = {
     // pass 1 on NARROW rows: join set sizes (8 bytes) and apply the
     // size-compatibility bound — only survivors ever touch an array
-    val sizes = hashedSets.select(col(idCol), size(col("__hs")).as("__n"))
+    val aSizes = aHashedSets.select(col(idCol), size(col("__hs")).as("__n"))
+    val bSizes = bHashedSets.select(col(idCol), size(col("__hs")).as("__n"))
     // ε-slack on the size bound: t·max computed in double can exceed the
     // exact product by one ulp (0.8·35 = 28.000000000000004), which
     // would prune a pair with J exactly at threshold. Slack only ADMITS
     // candidates — the exact Jaccard below keeps correctness.
     val compat = pairs
-      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+      .join(aSizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+      .join(bSizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
       .where(greatest(col("__na"), col("__nb")) * threshold <=
         least(col("__na"), col("__nb")) + lit(1e-9))
-    val aSets = hashedSets.select(col(idCol).as("a_id"), col("__hs").as("__hsa"))
-    val bSets = hashedSets.select(col(idCol).as("b_id"), col("__hs").as("__hsb"))
+    val aSets = aHashedSets.select(col(idCol).as("a_id"), col("__hs").as("__hsa"))
+    val bSets = bHashedSets.select(col(idCol).as("b_id"), col("__hs").as("__hsb"))
     compat.join(aSets, "a_id").join(bSets, "b_id")
       .withColumn("__inter",
         graft.functions.ArrayExprs.sortedIntersectCount(col("__hsa"), col("__hsb")))
@@ -372,6 +381,39 @@ object Dedup {
       case other =>
         throw new IllegalArgumentException(s"unknown strategy '$other' (count|prefix)")
     }
+  }
+
+  /** Incremental near-dup: match NEW documents against an EXISTING
+    * corpus (the ingest-time dedup — "is this incoming doc a near-copy
+    * of anything we already hold?"). Same MinHash-LSH machinery as
+    * [[nearDupMinHash]], but the band join is asymmetric
+    * (query side × corpus side), so cost scales with
+    * |new| · bands + collisions, never with |corpus|²; the corpus
+    * banding is a pure scan that a real deployment computes once and
+    * keeps as its index. Output: (a_id = query, b_id = corpus,
+    * jaccard), exact-verified — ids may overlap between frames, pairs
+    * are cross-frame only.
+    */
+  def nearDupMinHashAgainst(queryDocs: DataFrame, corpus: DataFrame,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            shingleSize: Int = 3, threshold: Double = 0.8,
+                            numHashes: Int = 128, bands: Int = 32,
+                            seed: Long = 0xC0FFEE): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    def hashed(df: DataFrame) = df.select(col(idCol),
+      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+    def banded(hs: DataFrame) = hs
+      .withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
+      .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+    val qh = hashed(queryDocs)
+    val ch = hashed(corpus)
+    val cands = banded(qh).select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
+      .join(banded(ch).select(col("band_idx"), col("band_hash"), col(idCol).as("b_id")),
+        Seq("band_idx", "band_hash"))
+      .select("a_id", "b_id")
+      .distinct()
+    verifyJaccardTwoSided(cands, qh, ch, idCol, threshold)
   }
 
   // ---------------------------------------------------------------------

@@ -143,6 +143,23 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Corpus-derived stopword fraction (top-10 token list). */
+  def q45(spark: SparkSession, dir: String): DataFrame =
+    TextOps.stopwordFraction(docs(spark, dir), topK = 10)
+      .select(col("doc_id"), col("stopword_frac"))
+      .orderBy("doc_id")
+
+  /** Incremental near-dup: every 10th doc plays the "incoming batch",
+    * matched against the remaining corpus (cross-set pairs only).
+    */
+  def q46(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.nearDupMinHashAgainst(
+      d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0),
+      shingleSize = 3, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Embedding hygiene stats (dims / L2 norm / max |component|). */
   def q31(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(emb(spark, dir))
@@ -277,7 +294,9 @@ object ExtQueries {
     "q37_url_domains" -> (q37 _),
     "q40_top_tokens" -> (q40 _),
     "q42_char_classes" -> (q42 _),
-    "q44_dedup_keep_best" -> (q44 _)
+    "q44_dedup_keep_best" -> (q44 _),
+    "q45_stopword_fraction" -> (q45 _),
+    "q46_incremental_near_dup" -> (q46 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -563,6 +582,44 @@ object ExtQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    "q45_stopword_fraction" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |stops AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM w GROUP BY token
+        |    ORDER BY c DESC, token ASC LIMIT 10)),
+        |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |h AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM w JOIN stops USING (token) GROUP BY w.doc_id)
+        |SELECT n.doc_id,
+        |  COALESCE(h.hits, 0) / CAST(n.n AS DOUBLE) AS stopword_frac
+        |FROM n LEFT JOIN h USING (doc_id)
+        |ORDER BY n.doc_id""".stripMargin,
+    // cross-set exact Jaccard: query docs (id % 10 = 0) vs the rest —
+    // NO a<b constraint; sides are fixed by set membership instead
+    "q46_incremental_near_dup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1
+        |  JOIN w t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        |  JOIN w t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = a_id
+        |JOIN sz sb ON sb.doc_id = b_id
+        |WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin,
     // same transitive-closure clustering as q23; winner = argmax
     // (n_chars, -doc_id) per component instead of min id
     "q44_dedup_keep_best" ->

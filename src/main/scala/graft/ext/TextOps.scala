@@ -279,6 +279,33 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus-derived stopword fraction: share of each document's tokens
+    * that fall in the corpus's own top-`topK` tokens — the
+    * distribution-aware cousin of a fixed stopword list (works for any
+    * language the corpus is actually in). A high fraction flags
+    * function-word-only / boilerplate documents. Exact integer counts
+    * and one division — cross-engine deterministic.
+    *
+    * Scale shape: pass 1 derives the stop list ([[topTokens]]: partial
+    * agg + TakeOrdered, topK rows total); pass 2 BROADCASTS it into a
+    * semi join against the exploded tokens and re-aggregates per doc —
+    * the corpus shuffles one (doc, count) row per document, never raw
+    * tokens.
+    */
+  def stopwordFraction(docs: DataFrame, topK: Int, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val stops = topTokens(docs, topK, idCol, textCol).select(col("token"))
+    val hits = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(stops), Seq("token"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    docs.withColumn("n_tokens", size(tokens(col(textCol))))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("stopword_frac",
+        coalesce(col("__hits"), lit(0L)).cast("double") / col("n_tokens"))
+      .drop("__hits")
+  }
+
   /** Character-class composition of a text column — digit/uppercase/
     * alphabetic/symbol fractions, the cheap formatting-quality signals
     * (code vs prose vs tables vs junk). Codegen regex length-diffs,

@@ -594,6 +594,29 @@ class ExtSpec extends AnyFunSuite {
     assert(kept === Seq(2L, 4L, 5L))
   }
 
+  test("stopwordFraction: corpus-derived top-k list, exact per-doc fractions") {
+    // corpus top-2 tokens: 'a' (5), 'b' (3)
+    val df = docsDf(1L -> "a a b c", 2L -> "a b d", 3L -> "a a b", 4L -> "x y z w")
+    val out = TextOps.stopwordFraction(df, topK = 2)
+      .select("doc_id", "stopword_frac").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 0.75, 2L -> 2.0 / 3, 3L -> 1.0, 4L -> 0.0))
+  }
+
+  test("incremental near-dup: cross-set pairs only, exact Jaccard, no intra-set pairs") {
+    val query = docsDf(10L -> "w1 w2 w3 w4 w5 w6", 20L -> "q1 q2 q3 q4")
+    val corpus = docsDf(
+      1L -> "w1 w2 w3 w4 w5 w6",  // identical to 10 -> J=1
+      2L -> "w1 w2 w3 w4 w5 zz",  // 4-gram overlap: J = 3/5 < 0.8 at shingle 3... verify below
+      3L -> "q1 q2 q3 q4")        // identical to 20
+    val out = Dedup.nearDupMinHashAgainst(query, corpus, shingleSize = 3, threshold = 0.8)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((10L, 1L, 1.0), (20L, 3L, 1.0)))
+    // querying the corpus against itself would be the symmetric op; the
+    // asymmetric one must never pair corpus docs with each other even
+    // when they are near-dups (1 and 2 share shingles)
+    assert(!out.exists(p => p._1 == 1L || p._1 == 2L))
+  }
+
   test("redactPii masks emails, cards, and phones; counts match; dropPii keeps clean") {
     import graft.ext.Privacy
     val df = Seq(

@@ -39,7 +39,17 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHashChunks64(es(0))),
     (FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count", "_FUNC_(a, b) - intersection size of two sorted bigint arrays"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1)))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    (FunctionIdentifier("max_token_multiplicity"),
+      info("max_token_multiplicity", "_FUNC_(text) - count of the most frequent whitespace token"),
+      (es: Seq[Expression]) => MaxTokenMultiplicity(es(0))),
+    (FunctionIdentifier("interleave_bits"),
+      info("interleave_bits", "_FUNC_(bits, col1, col2, ...) - Morton z-order code of pre-scaled bigint ranks"),
+      (es: Seq[Expression]) => InterleaveBits(es.tail, es.head match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"interleave_bits width must be an integer literal, got $other")
+      }))
   )
 
   // sessions already registered — once-per-session so repeated SQL-step

@@ -28,6 +28,15 @@ class FunctionsSpec extends AnyFunSuite {
     assert(inter === 2) // shared bigrams: "a b", "b c"
   }
 
+  test("max_token_multiplicity and interleave_bits callable from SQL") {
+    GraftFunctions.register(spark)
+    val top = spark.sql("SELECT max_token_multiplicity('a b a c a') AS m")
+      .as[Int].head()
+    assert(top === 3)
+    val z = spark.sql("SELECT interleave_bits(3, 5L, 3L) AS z").as[Long].head()
+    assert(z === 39L) // x=101, y=011 -> 100111
+  }
+
   test("a user SQL step can call the extension functions") {
     import graft.config._
     import graft.exec.{EtlContext, StepRunner}

@@ -198,11 +198,19 @@ object Dedup {
     * sizes stay small because agreeing on r=4 independent min-hashes is
     * rare for dissimilar docs.
     */
-  def lshCandidates(docsWithSig: DataFrame, idCol: String,
-                    bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = docsWithSig
+  /** (id, band_idx, band_hash) rows from a `__sig` signature frame —
+    * the shared banding projection of the symmetric and incremental
+    * candidate joins.
+    */
+  private def bandedRows(docsWithSig: DataFrame, idCol: String,
+                         bands: Int, rowsPerBand: Int): DataFrame =
+    docsWithSig
       .select(col(idCol), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("b"))
       .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+
+  def lshCandidates(docsWithSig: DataFrame, idCol: String,
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedRows(docsWithSig, idCol, bands, rowsPerBand)
     val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
     val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -402,10 +410,9 @@ object Dedup {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     def hashed(df: DataFrame) = df.select(col(idCol),
       graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
-    def banded(hs: DataFrame) = hs
-      .withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
-      .select(col(idCol), explode(lshBands(col("__sig"), bands, numHashes / bands)).as("b"))
-      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+    def banded(hs: DataFrame) = bandedRows(
+      hs.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed)),
+      idCol, bands, numHashes / bands)
     val qh = hashed(queryDocs)
     val ch = hashed(corpus)
     val cands = banded(qh).select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))

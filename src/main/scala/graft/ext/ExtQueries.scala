@@ -248,13 +248,11 @@ object ExtQueries {
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
       docs(spark, dir).select(col("doc_id"), urlText.as("text")))
-      .withColumn("n_docs", col("n_docs").cast("long"))
       .orderBy("domain")
 
   /** Global top-50 token frequencies (corpus vocabulary profile). */
   def q40(spark: SparkSession, dir: String): DataFrame =
     TextOps.topTokens(docs(spark, dir), k = 50)
-      .withColumn("n_docs", col("n_docs").cast("long"))
 
   /** Character-class composition over part labels (name+brand+type —
     * the fixtures' only mixed-case/digit/punctuation text).

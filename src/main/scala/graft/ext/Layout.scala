@@ -41,9 +41,22 @@ object Layout {
     require(cols.nonEmpty, "z-order needs at least one column")
     require(cols.length * bitsPerCol <= 63,
       s"${cols.length} cols x $bitsPerCol bits exceed one long; lower bitsPerCol")
+    // date/timestamp columns cannot cast to double directly — go
+    // through their integral epoch representation first
+    def numeric(c: String): Column = {
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      df.schema(c).dataType match {
+        case DateType => unix_date(col(c))
+        case TimestampType => unix_micros(col(c))
+        // NTZ lacks a direct epoch fn; the TZ reinterpretation is a
+        // constant shift — monotonic, which is all a sort key needs
+        case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+        case _ => col(c)
+      }
+    }
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"__min_$c"),
-      max(col(c)).cast("double").as(s"__max_$c")))
+      min(numeric(c)).cast("double").as(s"__min_$c"),
+      max(numeric(c)).cast("double").as(s"__max_$c")))
     // single-row aggregate: 2·|cols| scalars fetched to the driver to
     // become plan literals (same class as a convergence count — not a
     // data collect)
@@ -53,7 +66,7 @@ object Layout {
       val lo = row.getAs[Double](s"__min_$c")
       val hi = row.getAs[Double](s"__max_$c")
       if (lo >= hi) lit(0L) // constant column: no locality to encode
-      else ((col(c).cast("double") - lo) / (hi - lo) * maxCode)
+      else ((numeric(c).cast("double") - lo) / (hi - lo) * maxCode)
         .cast("long")
     }
     df.withColumn("__z", zValue(scaled, bitsPerCol))

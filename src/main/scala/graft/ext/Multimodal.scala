@@ -111,15 +111,18 @@ object Multimodal {
     def readGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no ImageIO reader for GIF payload")
-      val reader = readers.next()
+      require(iis != null, "ImageIO produced no input stream for GIF payload")
       try {
-        reader.setInput(iis, false)
-        val n = reader.getNumImages(true)
-        require(n > 0, "GIF payload with no frames")
-        (0 until n).map(reader.read(_))
-      } finally { reader.dispose(); iis.close() }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO reader for GIF payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          require(n > 0, "GIF payload with no frames")
+          (0 until n).map(reader.read(_))
+        } finally reader.dispose()
+      } finally iis.close()
     }
 
     /** Multi-frame (animated) GIF bytes from a frame sequence — the

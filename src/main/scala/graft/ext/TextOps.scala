@@ -178,6 +178,13 @@ object TextOps {
     * verified string-exact by the q35 oracle). The earlier
     * string-HOF version (`array_sort` + `aggregate` fold) measured
     * ~13 s on the sf0.1 bench; this one is a plain scan.
+    *
+    * PRECONDITION (shared with every ShingleHashes consumer): text is
+    * single-space-normalized. The hash tokenizer skips empty tokens
+    * while the `split`-based denominator counts them, so leading/
+    * trailing/double spaces would skew the fractions — normalize
+    * upstream (`trim` + `regexp_replace(text, ' +', ' ')`) for dirty
+    * corpora.
     */
   def repetitionMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val nToks = size(tokens(col(textCol)))

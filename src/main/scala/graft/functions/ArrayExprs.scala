@@ -187,6 +187,36 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** The shared tokenize+hash scan of the text expressions: FNV-1a 64
+  * over chars, split on single spaces (empty tokens skipped — inputs
+  * are single-space-normalized, the documented TextOps contract).
+  */
+private[functions] object FnvTok {
+  val FnvOffset = 0xcbf29ce484222325L
+  val FnvPrime = 0x100000001b3L
+
+  /** One hash per token, in order, one pass over the chars. */
+  def tokenHashes(s: String): Array[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var h = FnvOffset
+    var inTok = false
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      if (c == ' ') {
+        if (inTok) { out += h; h = FnvOffset; inTok = false }
+      } else {
+        h = (h ^ c) * FnvPrime
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) out += h
+    out.toArray
+  }
+}
+
 /** Sorted, de-duplicated 64-bit hashes of the n-word shingles of a
   * single-space-tokenized text — one pass, no intermediate shingle
   * strings. This is the input shape every near-dup operator wants:
@@ -204,37 +234,17 @@ case class ShingleHashes(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
-
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    // tokenize + FNV-1a hash per token in one scan
-    val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var h = FnvOffset
-    var inTok = false
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      val c = s.charAt(i)
-      if (c == ' ') {
-        if (inTok) { tokHashes += h; h = FnvOffset; inTok = false }
-      } else {
-        h = (h ^ c) * FnvPrime
-        inTok = true
-      }
-      i += 1
-    }
-    if (inTok) tokHashes += h
+    val tokHashes = FnvTok.tokenHashes(input.toString)
     val t = tokHashes.length
     if (t < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](t - n + 1)
     var j = 0
     while (j <= t - n) {
-      var sh = FnvOffset
+      var sh = FnvTok.FnvOffset
       var k = 0
       while (k < n) {
-        sh = (sh ^ tokHashes(j + k)) * FnvPrime
+        sh = (sh ^ tokHashes(j + k)) * FnvTok.FnvPrime
         k += 1
       }
       out(j) = sh
@@ -270,29 +280,9 @@ case class MaxTokenMultiplicity(child: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "max_token_multiplicity"
 
-  private val FnvOffset = 0xcbf29ce484222325L
-  private val FnvPrime = 0x100000001b3L
-
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var h = FnvOffset
-    var inTok = false
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      val c = s.charAt(i)
-      if (c == ' ') {
-        if (inTok) { tokHashes += h; h = FnvOffset; inTok = false }
-      } else {
-        h = (h ^ c) * FnvPrime
-        inTok = true
-      }
-      i += 1
-    }
-    if (inTok) tokHashes += h
-    if (tokHashes.isEmpty) return 0
-    val arr = tokHashes.toArray
+    val arr = FnvTok.tokenHashes(input.toString)
+    if (arr.isEmpty) return 0
     java.util.Arrays.sort(arr)
     var best = 1
     var run = 1

@@ -62,6 +62,23 @@ class LayoutSpec extends AnyFunSuite {
     assert(zed.count() === 64L * 64)
   }
 
+  test("zOrderBy accepts date and timestamp columns via their epoch form") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    val out = Layout.zOrderBy(df, Seq("o_orderdate", "o_totalprice"), nPartitions = 4)
+    assert(out.count() === df.count())
+    // locality check: partitions must have bounded date ranges (a
+    // crash here was the original bug — DATE cannot cast to DOUBLE)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val spans = out.withColumn("__p", spark_partition_id())
+      .groupBy("__p").agg((max(us($"o_orderdate")) -
+        min(us($"o_orderdate"))).as("span"))
+      .select(max($"span")).as[Long].collect()(0)
+    val global = df.agg((max(us($"o_orderdate")) -
+      min(us($"o_orderdate")))).as[Long].collect()(0)
+    assert(spans < global, "z-ordered partitions must not each span the full date range")
+  }
+
   test("zOrderBy handles constant and null-bearing columns") {
     val df = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("a", "konst")
     // constant column scales out; must not divide by zero

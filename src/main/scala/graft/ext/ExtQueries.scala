@@ -143,6 +143,11 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Packed-bin materialization: the concatenated training windows. */
+  def q47(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequencesText(docs(spark, dir), capacity = 2048, shardCols = Seq("lang"))
+      .orderBy("lang", "bin_id")
+
   /** Corpus-derived stopword fraction (top-10 token list). */
   def q45(spark: SparkSession, dir: String): DataFrame =
     TextOps.stopwordFraction(docs(spark, dir), topK = 10)
@@ -294,7 +299,8 @@ object ExtQueries {
     "q42_char_classes" -> (q42 _),
     "q44_dedup_keep_best" -> (q44 _),
     "q45_stopword_fraction" -> (q45 _),
-    "q46_incremental_near_dup" -> (q46 _)
+    "q46_incremental_near_dup" -> (q46 _),
+    "q47_packed_text" -> (q47 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -580,6 +586,21 @@ object ExtQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    // same binning as q34; the bin artifact = id-ordered concatenation
+    "q47_packed_text" ->
+      """WITH sized AS (
+        |  SELECT lang, doc_id, text, len(string_split(text, ' ')) AS n,
+        |    SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+        |  string_agg(text, ' ' ORDER BY doc_id) AS packed_text,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens
+        |FROM sized GROUP BY lang, bin_id
+        |ORDER BY lang, bin_id""".stripMargin,
     "q45_stopword_fraction" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -219,7 +219,39 @@ object TextOps {
     * packed independently anyway. One shuffle on the shard keys.
     */
   def packSequences(docs: DataFrame, capacity: Int, shardCols: Seq[String],
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol)
+      .groupBy((shardCols :+ "bin_id").map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast("long").as("sum_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+
+  /** The packing itself, not just its stats: one row per (shard, bin)
+    * with the bin's documents concatenated in id order — the
+    * training-window artifact a dataloader consumes. Same binning as
+    * [[packSequences]]; the in-bin order is made deterministic by
+    * sorting the collected (id, text) structs (bins are capacity-bounded
+    * — a few thousand tokens — so the per-group array is small by
+    * construction, never a corpus-sized collect).
+    */
+  def packSequencesText(docs: DataFrame, capacity: Int, shardCols: Seq[String],
+                        idCol: String = "doc_id", textCol: String = "text",
+                        sep: String = " "): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol)
+      .groupBy((shardCols :+ "bin_id").map(col): _*)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol).as("__t")))),
+            s => s.getField("__t")),
+          sep).as("packed_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col("__n")).cast("long").as("sum_tokens"))
+
+  /** Shared first-fit binning: adds `__n` (token count) and `bin_id`. */
+  private def binnedDocs(docs: DataFrame, capacity: Int, shardCols: Seq[String],
+                         idCol: String, textCol: String): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(shardCols.nonEmpty,
       "packing needs shard columns: a global order would serialize into one partition")
@@ -235,11 +267,6 @@ object TextOps {
       .withColumn("__cum", sum(col("__n")).over(w))
       // exclusive prefix sum / capacity = first-fit-by-order bin id
       .withColumn("bin_id", floor((col("__cum") - col("__n")) / capacity).cast("long"))
-      .groupBy((shardCols :+ "bin_id").map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__n")).cast("long").as("sum_tokens"),
-        min(col(idCol)).as("first_doc"),
-        max(col(idCol)).as("last_doc"))
   }
 
   /** URL match (scheme + host + optional path), in the RE2 ∩ Java

@@ -556,6 +556,20 @@ class ExtSpec extends AnyFunSuite {
       TextOps.packSequences(df, capacity = 5, shardCols = Nil))
   }
 
+  test("packSequencesText materializes bins as id-ordered concatenations") {
+    import graft.ext.TextOps
+    val df = Seq(
+      (2L, "A", "c d"), (1L, "A", "a b"), (3L, "A", "e f"), // capacity 4: bin0={1,2}, bin1={3}
+      (5L, "B", "x y")).toDF("doc_id", "shard", "text")
+    val out = TextOps.packSequencesText(df, capacity = 4, shardCols = Seq("shard"))
+      .select("shard", "bin_id", "packed_text", "n_docs", "sum_tokens")
+      .as[(String, Long, String, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("A", 0L, "a b c d", 2L, 4L), // id order, not input order
+      ("A", 1L, "e f", 1L, 2L),
+      ("B", 0L, "x y", 1L, 2L)))
+  }
+
   test("plan audit: sampling and packing keep their promised shuffle shapes") {
     import graft.ext.{Sampling, TextOps}
     val docs = spark.read.parquet(s"$sf/documents.parquet")

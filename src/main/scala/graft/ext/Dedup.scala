@@ -192,12 +192,6 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)), j =>
       struct(j.as("band_idx"), hash(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
 
-  /** Candidate pairs (aId < bId) from LSH bucket collisions: explode
-    * bands, self-join on (band_idx, band_hash), distinct. The shuffle
-    * key is the band hash — uniformly distributed, so no skew; bucket
-    * sizes stay small because agreeing on r=4 independent min-hashes is
-    * rare for dissimilar docs.
-    */
   /** (id, band_idx, band_hash) rows from a `__sig` signature frame —
     * the shared banding projection of the symmetric and incremental
     * candidate joins.
@@ -208,6 +202,12 @@ object Dedup {
       .select(col(idCol), explode(lshBands(col("__sig"), bands, rowsPerBand)).as("b"))
       .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
 
+  /** Candidate pairs (aId < bId) from LSH bucket collisions: explode
+    * bands, self-join on (band_idx, band_hash), distinct. The shuffle
+    * key is the band hash — uniformly distributed, so no skew; bucket
+    * sizes stay small because agreeing on r=4 independent min-hashes is
+    * rare for dissimilar docs.
+    */
   def lshCandidates(docsWithSig: DataFrame, idCol: String,
                     bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = bandedRows(docsWithSig, idCol, bands, rowsPerBand)

@@ -45,7 +45,12 @@ object Layout {
     // through their integral epoch representation first
     def numeric(c: String): Column = {
       import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
-      df.schema(c).dataType match {
+      // resolve the dtype case-insensitively, matching the analyzer's
+      // default resolution of col(c) (exact schema(c) lookup would
+      // reject a case-mismatched name the query itself accepts)
+      val dtype = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(_.dataType).getOrElse(df.schema(c).dataType)
+      dtype match {
         case DateType => unix_date(col(c))
         case TimestampType => unix_micros(col(c))
         // NTZ lacks a direct epoch fn; the TZ reinterpretation is a

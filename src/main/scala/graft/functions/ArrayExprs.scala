@@ -195,9 +195,18 @@ private[functions] object FnvTok {
   val FnvOffset = 0xcbf29ce484222325L
   val FnvPrime = 0x100000001b3L
 
-  /** One hash per token, in order, one pass over the chars. */
+  /** One hash per token, in order, one pass over the chars. Primitive
+    * grow-by-doubling buffer — this runs once per document in the hot
+    * scans, so no boxing.
+    */
   def tokenHashes(s: String): Array[Long] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var out = new Array[Long](16)
+    var n = 0
+    def push(v: Long): Unit = {
+      if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+      out(n) = v
+      n += 1
+    }
     var h = FnvOffset
     var inTok = false
     var i = 0
@@ -205,15 +214,15 @@ private[functions] object FnvTok {
     while (i < len) {
       val c = s.charAt(i)
       if (c == ' ') {
-        if (inTok) { out += h; h = FnvOffset; inTok = false }
+        if (inTok) { push(h); h = FnvOffset; inTok = false }
       } else {
         h = (h ^ c) * FnvPrime
         inTok = true
       }
       i += 1
     }
-    if (inTok) out += h
-    out.toArray
+    if (inTok) push(h)
+    java.util.Arrays.copyOf(out, n)
   }
 }
 

@@ -143,6 +143,12 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Temperature (sqrt) rebalancing across languages. */
+  def q48(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Packed-bin materialization: the concatenated training windows. */
   def q47(spark: SparkSession, dir: String): DataFrame =
     TextOps.packSequencesText(docs(spark, dir), capacity = 2048, shardCols = Seq("lang"))
@@ -300,7 +306,8 @@ object ExtQueries {
     "q44_dedup_keep_best" -> (q44 _),
     "q45_stopword_fraction" -> (q45 _),
     "q46_incremental_near_dup" -> (q46 _),
-    "q47_packed_text" -> (q47 _)
+    "q47_packed_text" -> (q47 _),
+    "q48_temperature_sample" -> (q48 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -586,6 +593,23 @@ object ExtQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
+    // inputs through IEEE correctly-rounded ops = bit-stable across
+    // engines); keep-all groups use the 'g' sentinel like q33
+    "q48_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |m AS (SELECT min(cnt) AS mn FROM c),
+        |r AS (
+        |  SELECT lang,
+        |    CASE WHEN cnt <= mn THEN 'g'
+        |         ELSE printf('%04x',
+        |           CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / cnt) * 65536) AS INT)) END
+        |      AS thr
+        |  FROM c, m)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 4) < r.thr
+        |ORDER BY d.doc_id""".stripMargin,
     // same binning as q34; the bin artifact = id-ordered concatenation
     "q47_packed_text" ->
       """WITH sized AS (

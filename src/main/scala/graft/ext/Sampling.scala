@@ -84,4 +84,38 @@ object Sampling {
       .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
       .drop("__graft_key", "__graft_thr")
   }
+
+  /** Temperature rebalancing (square-root flavor): per-group keep rate
+    * `sqrt(min_count / count_g)` derived FROM THE DATA — the smallest
+    * group keeps everything, larger groups are damped toward balance
+    * (the classic multilingual-corpus reweighting, at temperature
+    * T = 2). Deterministic end to end: the rates reduce to integer
+    * counts pushed through division/sqrt/floor — all IEEE
+    * correctly-rounded ops, so any engine replaying the same formula
+    * lands on the same 4-hex threshold (that exactness is WHY this is
+    * the sqrt flavor: a general `pow(x, alpha)` is libm-dependent and
+    * not bit-stable across engines).
+    *
+    * Scale shape: one tiny count aggregate (one row per group) joined
+    * to its own global min, broadcast back as thresholds; the corpus
+    * side stays a narrow hash-bucket filter — no corpus shuffle.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String = "source",
+                        idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__graft_key"))
+      .agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min"))
+    val thresholds = counts.crossJoin(broadcast(minCnt))
+      // integer guard for the keep-all case (a double >= 1 compare
+      // would work, but the int form is rounding-proof)
+      .withColumn("__graft_thr",
+        when(col("__cnt") <= col("__min"), lit("g"))
+          .otherwise(lpad(lower(hex(
+            floor(sqrt(col("__min").cast("double") / col("__cnt")) * 65536)
+              .cast("long"))), 4, "0")))
+      .select("__graft_key", "__graft_thr")
+    df.join(broadcast(thresholds), col(keyCol) === col("__graft_key"))
+      .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
+      .drop("__graft_key", "__graft_thr")
+  }
 }

@@ -524,6 +524,26 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(kept("half") - 500.0) / 500 < 0.2, kept.toString)
   }
 
+  test("temperatureSample damps large groups toward the smallest (sqrt rates)") {
+    import graft.ext.Sampling
+    // groups: tiny=100, mid=400 (rate 0.5), big=10000 (rate 0.1)
+    val df = ((1 to 100).map(i => (i.toLong, "tiny")) ++
+      (1001 to 1400).map(i => (i.toLong, "mid")) ++
+      (10001 to 20000).map(i => (i.toLong, "big")))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureSample(df, keyCol = "source")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("tiny") === 100, "smallest group must keep everything")
+    assert(math.abs(kept("mid") - 200.0) / 200 < 0.25, s"mid ≈ 400·0.5: $kept")
+    assert(math.abs(kept("big") - 1000.0) / 1000 < 0.2, s"big ≈ 10000·0.1: $kept")
+    // determinism: same input -> identical selection
+    val again = Sampling.temperatureSample(df, keyCol = "source")
+      .select("doc_id").as[Long].collect().sorted
+    val first = Sampling.temperatureSample(df, keyCol = "source")
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

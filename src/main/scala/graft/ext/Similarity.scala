@@ -170,6 +170,68 @@ object Similarity {
       .select("vec_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Train an IVF coarse quantizer and return its centroids as a plain
+    * (cluster, __centroid) DataFrame — a few KB you persist as parquet
+    * and reuse across runs ([[ivfTopKWithCentroids]]), which is the
+    * operational ANN shape: train once on a sample, probe forever.
+    * Same seeding/params as [[ivfTopK]]'s internal training.
+    */
+  def ivfTrain(emb: DataFrame, nClusters: Int = 16,
+               vecCol: String = "embedding", seed: Long = 7L,
+               maxIter: Int = 20, trainFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(trainFraction > 0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
+    val trainSet =
+      if (trainFraction < 1.0) withVec.sample(withReplacement = false, trainFraction, seed)
+      else withVec
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__v").setPredictionCol("__cluster").fit(trainSet)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
+      .toDF("cluster", "__centroid")
+  }
+
+  /** IVF search against PRE-TRAINED centroids (see [[ivfTrain]]): cell
+    * assignment is the k-means metric (squared L2, codegen'd tight
+    * loop, ties → lowest cluster id), probing is cosine-to-centroid
+    * like [[ivfTopK]], and the exact cosine runs on probed-cell
+    * members only. No training pass — the index is an input.
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, centroids: DataFrame, k: Int,
+                           nProbe: Int = 3, idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val sq = graft.functions.ArrayExprs.squaredL2(col(vecCol), col("__centroid"))
+    // nearest centroid per vector — min_by over (distance, cluster)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cluster"), sq.as("__d"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cluster"), struct(col("__d"), col("cluster"))).as("cluster"))
+    val members = assigned
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("cluster"), col(vecCol).as("__vb"))
+    val probeW = Window.partitionBy("vec_id").orderBy(col("__csim").desc, col("cluster").asc)
+    val probes = emb.crossJoin(broadcast(centroids))
+      .select(col(idCol).as("vec_id"), col("cluster"),
+        cosine(col(vecCol), col("__centroid")).as("__csim"))
+      .withColumn("__rn", row_number().over(probeW))
+      .where(col("__rn") <= nProbe)
+      .select("vec_id", "cluster")
+    val cands = probes.join(members, "cluster")
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va")), "vec_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+
   /** Approximate top-k: LSH-bucketed candidate join + exact cosine +
     * per-query window. Candidates = pairs sharing a bucket in ANY
     * table (equi-join on (table_idx, bucket)); recall is tunable via

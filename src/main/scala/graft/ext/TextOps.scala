@@ -357,6 +357,26 @@ object TextOps {
       .withColumn("symbol_frac", frac("[^A-Za-z0-9 ]"))
   }
 
+  /** Per-group quantiles of a numeric column — exact by default
+    * (`percentile`: a full sort-based aggregate, the cross-engine-
+    * comparable definition q24 verifies), or `approx = true` for
+    * Spark's Greenwald-Khanna sketch (`percentile_approx`): a
+    * fixed-size mergeable summary, the 100 TB path — map-side partial
+    * sketches merge like any other aggregation buffer, so the shuffle
+    * carries one sketch per group per partition instead of every value.
+    */
+  def facetQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     probabilities: Seq[Double],
+                     approx: Boolean = false): DataFrame = {
+    require(probabilities.nonEmpty, "need at least one probability")
+    val aggs = probabilities.map { p =>
+      val name = s"p${(p * 100).round}"
+      if (approx) percentile_approx(col(valueCol), lit(p), lit(10000)).as(name)
+      else percentile(col(valueCol), lit(p)).as(name)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Facet profile per group: doc counts, char totals/averages, token
     * totals, exact distinct-text count. `approxDistinct=true` swaps the
     * exact distinct for HyperLogLog `approx_count_distinct` — at 100 TB

@@ -49,6 +49,11 @@ object ArrayExprs {
   /** Morton (z-order) code of pre-scaled long ranks. */
   def interleaveBits(cols: Seq[Column], bitsPerCol: Int): Column =
     ColumnBridge.column(InterleaveBits(cols.map(ColumnBridge.expression), bitsPerCol))
+
+  /** Squared L2 distance of two float arrays (double accumulation). */
+  def squaredL2(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredL2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
@@ -104,6 +109,54 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $nb += $yi * $yi;
          |}
          |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `|a − b|²` in double precision, one sequential pass — the k-means
+  * assignment metric, as a codegen'd tight loop (the IVF coarse
+  * quantizer probes every centroid per vector, so this sits in an
+  * n×nClusters loop).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "squared_l2_distance"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -200,6 +200,23 @@ class ExtSpec extends AnyFunSuite {
       s"sampled-train IVF top-1 recall $recall collapsed (full-train pin is 0.65)")
   }
 
+  test("IVF with persisted centroids: train once, probe from the saved index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val bf = Similarity.bruteForceTopK(emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // round-trip the index through parquet — the operational shape
+    val dir = SparkTestBase.tmpDir("graft_ivf_index")
+    Similarity.ivfTrain(emb, nClusters = 16).write.mode("overwrite").parquet(dir)
+    val centroids = spark.read.parquet(dir)
+    val ivf = Similarity.ivfTopKWithCentroids(emb, centroids, k = 1, nProbe = 4)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf.size === bf.size, "index-based IVF must cover every vector")
+    val recall = bf.count { case (v, n) => ivf.get(v).contains(n) }.toDouble / bf.size
+    // seeded + deterministic; expression-based assignment reproduces the
+    // model's cells (same euclidean metric), so recall matches ivfTopK's
+    assert(recall >= 0.6, s"index-based IVF top-1 recall $recall collapsed")
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -712,6 +729,19 @@ class ExtSpec extends AnyFunSuite {
     val topPlan = ExtQueries.q40(spark, sf).queryExecution.executedPlan.toString
     assert(topPlan.contains("partial_count") || topPlan.contains("Partial"),
       s"topTokens must map-side combine:\n${topPlan.take(1500)}")
+  }
+
+  test("facetQuantiles approx sketch tracks the exact percentiles") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"o_orderstatus", $"p50".cast("double")).as[(String, Double)].collect().toMap
+    val exact = asMap(TextOps.facetQuantiles(orders, Seq("o_orderstatus"),
+      "o_totalprice", Seq(0.5)))
+    val approx = asMap(TextOps.facetQuantiles(orders, Seq("o_orderstatus"),
+      "o_totalprice", Seq(0.5), approx = true))
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) / ex < 0.05, s"$k: approx ${approx(k)} vs exact $ex")
+    }
   }
 
   test("facetStats approx-distinct variant returns plausible HLL counts") {

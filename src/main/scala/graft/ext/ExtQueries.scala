@@ -602,8 +602,8 @@ object ExtQueries {
         |r AS (
         |  SELECT lang,
         |    CASE WHEN cnt <= mn THEN 'g'
-        |         ELSE printf('%04x',
-        |           CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / cnt) * 65536) AS INT)) END
+        |         ELSE printf('%04x', LEAST(
+        |           CAST(FLOOR(SQRT(CAST(mn AS DOUBLE) / cnt) * 65536) AS INT), 65535)) END
         |      AS thr
         |  FROM c, m)
         |SELECT d.doc_id, d.lang

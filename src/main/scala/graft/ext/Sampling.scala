@@ -80,10 +80,18 @@ object Sampling {
     import spark.implicits._
     val thresholds = rates.toSeq.map { case (k, r) => (k, hexThreshold(r)) }
       .toDF("__graft_key", "__graft_thr")
+    applyThresholds(df, thresholds, keyCol, idCol, salt)
+  }
+
+  /** Shared tail of the per-group samplers: broadcast the (key,
+    * threshold) table and keep rows whose bucket clears their group's
+    * threshold.
+    */
+  private def applyThresholds(df: DataFrame, thresholds: DataFrame,
+                              keyCol: String, idCol: String, salt: String): DataFrame =
     df.join(broadcast(thresholds), col(keyCol) === col("__graft_key"))
       .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
       .drop("__graft_key", "__graft_thr")
-  }
 
   /** Temperature rebalancing (square-root flavor): per-group keep rate
     * `sqrt(min_count / count_g)` derived FROM THE DATA — the smallest
@@ -102,20 +110,31 @@ object Sampling {
     */
   def temperatureSample(df: DataFrame, keyCol: String = "source",
                         idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
-    val counts = df.groupBy(col(keyCol).as("__graft_key"))
+    // a NULL group key RAISES, mirroring hexBucket's null-id policy:
+    // the rates are derived FROM the data, so a stray null-key group
+    // (often a handful of malformed rows) would otherwise become the
+    // global minimum and silently collapse every real group's rate
+    // while its own rows vanish in the key join — the worst kind of
+    // quiet corpus loss. (The same hazard from a tiny TYPO'D key is
+    // the caller's to screen; it is indistinguishable from a
+    // legitimate small group.)
+    val guardedKey = when(col(keyCol).isNull, raise_error(lit(
+      s"temperatureSample: null $keyCol — rates are data-derived, a null-key group would distort them")))
+      .otherwise(col(keyCol))
+    val counts = df.groupBy(guardedKey.as("__graft_key"))
       .agg(count(lit(1)).as("__cnt"))
     val minCnt = counts.agg(min(col("__cnt")).as("__min"))
     val thresholds = counts.crossJoin(broadcast(minCnt))
       // integer guard for the keep-all case (a double >= 1 compare
-      // would work, but the int form is rounding-proof)
+      // would work, but the int form is rounding-proof); the 65535
+      // clamp keeps the encoding 4-hex even if sqrt ever rounded a
+      // sub-1 rate up to 1.0 (hexThreshold's 'g' guard, in-plan form)
       .withColumn("__graft_thr",
         when(col("__cnt") <= col("__min"), lit("g"))
-          .otherwise(lpad(lower(hex(
+          .otherwise(lpad(lower(hex(least(
             floor(sqrt(col("__min").cast("double") / col("__cnt")) * 65536)
-              .cast("long"))), 4, "0")))
+              .cast("long"), lit(65535L)))), 4, "0")))
       .select("__graft_key", "__graft_thr")
-    df.join(broadcast(thresholds), col(keyCol) === col("__graft_key"))
-      .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
-      .drop("__graft_key", "__graft_thr")
+    applyThresholds(df, thresholds, keyCol, idCol, salt)
   }
 }

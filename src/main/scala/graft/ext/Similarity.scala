@@ -119,30 +119,39 @@ object Similarity {
     * IVF adapts to the data's density (learned centroids), LSH is
     * data-independent (no training pass).
     */
-  def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 7L, maxIter: Int = 20,
-              trainFraction: Double = 1.0): DataFrame = {
+  /** Shared KMeans training pass of [[ivfTopK]] and [[ivfTrain]]. The
+    * training cost note: an ANN index tolerates rough centroids, so at
+    * 100 TB train on a SAMPLE (trainFraction ≪ 1 — centroid quality
+    * depends on vectors-per-centroid, not corpus fraction; a million
+    * sampled vectors train 16 k centroids fine) and/or lower maxIter
+    * (5-8). Defaults (full data, Spark-ML's 20) keep the pinned
+    * fixed-seed outputs stable; the sampled path is seeded and
+    * deterministic too.
+    */
+  private def trainKMeans(emb: DataFrame, nClusters: Int, vecCol: String,
+                          seed: Long, maxIter: Int, trainFraction: Double)
+      : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
-    val spark = emb.sparkSession
-    import spark.implicits._
     val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
-    // the training pass is the operator's extra cost (maxIter scans of
-    // the training set); an ANN index tolerates rough centroids, so at
-    // 100 TB train on a SAMPLE (trainFraction ≪ 1 — centroid quality
-    // depends on vectors-per-centroid, not corpus fraction; a million
-    // sampled vectors train 16 k centroids fine) and/or lower maxIter
-    // (5-8). Defaults (full data, Spark-ML's 20) keep the pinned
-    // fixed-seed outputs stable; the sampled path is seeded and
-    // deterministic too.
     val trainSet =
       if (trainFraction < 1.0) withVec.sample(withReplacement = false, trainFraction, seed)
       else withVec
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cluster").fit(trainSet)
+    (withVec, model)
+  }
+
+  def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 7L, maxIter: Int = 20,
+              trainFraction: Double = 1.0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (withVec, model) =
+      trainKMeans(emb, nClusters, vecCol, seed, maxIter, trainFraction)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -179,18 +188,9 @@ object Similarity {
   def ivfTrain(emb: DataFrame, nClusters: Int = 16,
                vecCol: String = "embedding", seed: Long = 7L,
                maxIter: Int = 20, trainFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    require(trainFraction > 0 && trainFraction <= 1.0,
-      s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = emb.sparkSession
     import spark.implicits._
-    val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
-    val trainSet =
-      if (trainFraction < 1.0) withVec.sample(withReplacement = false, trainFraction, seed)
-      else withVec
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__v").setPredictionCol("__cluster").fit(trainSet)
+    val (_, model) = trainKMeans(emb, nClusters, vecCol, seed, maxIter, trainFraction)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -201,29 +201,43 @@ object Similarity {
     * loop, ties → lowest cluster id), probing is cosine-to-centroid
     * like [[ivfTopK]], and the exact cosine runs on probed-cell
     * members only. No training pass — the index is an input.
+    *
+    * Plan shape: the index is a few KB BY CONSTRUCTION (nClusters
+    * rows), so it is collected into a PLAN LITERAL — assignment and
+    * probe selection become per-row array expressions (sort a
+    * nClusters-long struct array), i.e. pure narrow projections. The
+    * only shuffles left are the candidate equi-join on the cell id and
+    * the final per-query top-k window — strictly fewer than the
+    * model-based [[ivfTopK]] path.
     */
   def ivfTopKWithCentroids(emb: DataFrame, centroids: DataFrame, k: Int,
                            nProbe: Int = 3, idCol: String = "vec_id",
                            vecCol: String = "embedding"): DataFrame = {
-    val sq = graft.functions.ArrayExprs.squaredL2(col(vecCol), col("__centroid"))
-    // nearest centroid per vector — min_by over (distance, cluster)
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cluster"), sq.as("__d"))
-      .groupBy(col(idCol))
-      .agg(min_by(col("cluster"), struct(col("__d"), col("cluster"))).as("cluster"))
-    val members = assigned
-      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
-      .select(col(idCol).as("neighbor_id"), col("cluster"), col(vecCol).as("__vb"))
-    val probeW = Window.partitionBy("vec_id").orderBy(col("__csim").desc, col("cluster").asc)
-    val probes = emb.crossJoin(broadcast(centroids))
-      .select(col(idCol).as("vec_id"), col("cluster"),
-        cosine(col(vecCol), col("__centroid")).as("__csim"))
-      .withColumn("__rn", row_number().over(probeW))
-      .where(col("__rn") <= nProbe)
-      .select("vec_id", "cluster")
+    // nClusters rows — an index fetch, not a data collect
+    val cents: Seq[(Int, Seq[Float])] = centroids
+      .select(col("cluster"), col("__centroid"))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "empty centroid index")
+    val centLit = typedlit(cents)
+    // nearest centroid (k-means metric): sort (distance, cluster)
+    // structs ascending, take the head — ties break to lowest cluster
+    val assign = element_at(array_sort(transform(centLit, c =>
+      struct(
+        graft.functions.ArrayExprs.squaredL2(col(vecCol), c.getField("_2")).as("d"),
+        c.getField("_1").as("cluster")))), 1).getField("cluster")
+    val members = emb.select(col(idCol).as("neighbor_id"),
+      assign.as("cluster"), col(vecCol).as("__vb"))
+    // probe cells: nProbe highest cosine-to-centroid, tie -> lowest id
+    val probeArr = slice(array_sort(transform(centLit, c =>
+      struct(
+        (-cosine(col(vecCol), c.getField("_2"))).as("negsim"),
+        c.getField("_1").as("cluster")))), 1, nProbe)
+    val probes = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va"),
+      explode(probeArr).as("p"))
+      .select(col("vec_id"), col("__va"), col("p.cluster").as("cluster"))
     val cands = probes.join(members, "cluster")
       .where(col("vec_id") =!= col("neighbor_id"))
-      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va")), "vec_id")
       .select(col("vec_id"), col("neighbor_id"),
         cosine(col("__va"), col("__vb")).as("sim"))
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)

@@ -369,8 +369,17 @@ object TextOps {
                      probabilities: Seq[Double],
                      approx: Boolean = false): DataFrame = {
     require(probabilities.nonEmpty, "need at least one probability")
-    val aggs = probabilities.map { p =>
-      val name = s"p${(p * 100).round}"
+    // exact names, not rounded ones: 0.995 -> p99_5 (rounding to p100
+    // would collide with 1.0's column and break downstream selects)
+    def nameOf(p: Double): String = {
+      val pct = p * 100
+      if (pct == math.floor(pct)) s"p${pct.toLong}"
+      else s"p${pct.toString.replace('.', '_')}"
+    }
+    val names = probabilities.map(nameOf)
+    require(names.distinct.size == names.size,
+      s"probabilities produce duplicate column names: $names")
+    val aggs = probabilities.zip(names).map { case (p, name) =>
       if (approx) percentile_approx(col(valueCol), lit(p), lit(10000)).as(name)
       else percentile(col(valueCol), lit(p)).as(name)
     }

@@ -559,6 +559,14 @@ class ExtSpec extends AnyFunSuite {
     val first = Sampling.temperatureSample(df, keyCol = "source")
       .select("doc_id").as[Long].collect().sorted
     assert(again.toSeq === first.toSeq)
+    // a null key RAISES: a stray null group would become the global
+    // min count and silently collapse every real group's rate
+    val withNull = df.union(Seq((99999L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val e = intercept[Exception] { // SparkRuntimeException or job-wrapped
+      Sampling.temperatureSample(withNull, keyCol = "source").count()
+    }
+    assert(e.getMessage.contains("null source") ||
+      Option(e.getCause).exists(_.getMessage.contains("null source")))
   }
 
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {

@@ -143,6 +143,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Overlapping 64-token chunks every 48 tokens (RAG windowing). */
+  def q49(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkDocuments(docs(spark, dir), chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Deterministic 20-docs-per-language eval sample. */
+  def q50(spark: SparkSession, dir: String): DataFrame =
+    Sampling.samplePerGroup(docs(spark, dir), k = 20, keyCol = "lang")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -307,7 +318,9 @@ object ExtQueries {
     "q45_stopword_fraction" -> (q45 _),
     "q46_incremental_near_dup" -> (q46 _),
     "q47_packed_text" -> (q47 _),
-    "q48_temperature_sample" -> (q48 _)
+    "q48_temperature_sample" -> (q48 _),
+    "q49_chunking" -> (q49 _),
+    "q50_sample_per_group" -> (q50 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -593,6 +606,27 @@ object ExtQueries {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM w GROUP BY token
         |ORDER BY n_occurrences DESC, token ASC LIMIT 50""".stripMargin,
+    // 1-based window starts every 48; list_slice is end-inclusive so
+    // the window is [st, st+63]; last chunk may be short
+    "q49_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |s AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp), 48)) AS st
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(sp, st, st + 63), ' ') AS chunk_text,
+        |  CAST(len(list_slice(sp, st, st + 63)) AS BIGINT) AS chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+    // identical md5 ordering + id tiebreak on both engines
+    "q50_sample_per_group" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft') ASC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

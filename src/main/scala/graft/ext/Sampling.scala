@@ -93,6 +93,31 @@ object Sampling {
       .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
       .drop("__graft_key", "__graft_thr")
 
+  /** Exactly `k` rows per group (fewer if the group is smaller),
+    * chosen by DETERMINISTIC hash order — balanced eval-set
+    * construction without an RNG: rerun, repartition, or replay on
+    * another engine and the same rows come back. Ordering is the full
+    * md5 hex of (id, salt) with the id as tiebreak, so selection is a
+    * pure function of the rows.
+    *
+    * Scale shape: one window per group — rank shuffles narrow
+    * (id, key, hash) rows only; with a hot group, the window carries
+    * that group into one partition, acceptable because the OUTPUT is
+    * k rows regardless (pair explosion impossible).
+    */
+  def samplePerGroup(df: DataFrame, k: Int, keyCol: String = "source",
+                     idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = when(col(idCol).isNull, raise_error(lit(
+      "Sampling: null id — sampling decisions must be a total function of the row")))
+      .otherwise(md5(concat(col(idCol).cast("string"), lit(salt))))
+    val w = Window.partitionBy(col(keyCol)).orderBy(order.asc, col(idCol).asc)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") <= k)
+      .drop("__graft_rn")
+  }
+
   /** Temperature rebalancing (square-root flavor): per-group keep rate
     * `sqrt(min_count / count_g)` derived FROM THE DATA — the smallest
     * group keeps everything, larger groups are damped toward balance

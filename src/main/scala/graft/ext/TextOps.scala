@@ -357,6 +357,27 @@ object TextOps {
       .withColumn("symbol_frac", frac("[^A-Za-z0-9 ]"))
   }
 
+  /** Document chunking: split each document into fixed-size token
+    * windows starting every `stride` tokens (overlapping when
+    * stride < chunkTokens) — the pre-embedding/RAG windowing step.
+    * Output: (id, chunk_idx, chunk_text, chunk_tokens); the final
+    * window may be shorter. Scale shape: per-row array slicing +
+    * explode — narrow, no shuffle; output size is the token count
+    * over stride, bounded and predictable.
+    */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"),
+        explode(sequence(lit(1), size(toks), lit(stride))).as("__st"))
+      .select(col(idCol),
+        (((col("__st") - 1) / stride).cast("long")).as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__st"), lit(chunkTokens))).as("chunk_text"),
+        size(slice(col("__toks"), col("__st"), lit(chunkTokens))).cast("long").as("chunk_tokens"))
+  }
+
   /** Per-group quantiles of a numeric column — exact by default
     * (`percentile`: a full sort-based aggregate, the cross-engine-
     * comparable definition q24 verifies), or `approx = true` for

@@ -569,6 +569,36 @@ class ExtSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("null source")))
   }
 
+  test("chunkDocuments: overlapping fixed-size windows, short tail, single-token doc") {
+    import graft.ext.TextOps
+    val out = TextOps.chunkDocuments(
+      docsDf(1L -> (1 to 10).map(i => s"t$i").mkString(" "), 2L -> "x"),
+      chunkTokens = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),
+      (2L, 0L, "x", 1L)))
+  }
+
+  test("samplePerGroup: k per group, small groups whole, deterministic, no RNG") {
+    import graft.ext.Sampling
+    val df = ((1 to 30).map(i => (i.toLong, "big")) ++
+      (101 to 105).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.samplePerGroup(df, k = 10)
+    val counts = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("big" -> 10L, "small" -> 5L))
+    // selection is a pure function of the rows: rerun -> identical ids
+    val a = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.samplePerGroup(df, k = 10).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    // output schema is the input schema (helper columns dropped)
+    assert(kept.columns.toSeq === df.columns.toSeq)
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

@@ -491,6 +491,28 @@ object Queries {
     spark.sql(q43Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q53 — GROUPING SETS surface, completing the family with q19's ROLLUP
+  // and q39's CUBE: reporting pipelines usually want CHOSEN slices, not
+  // the full cube — explicit sets skip the never-read combinations and
+  // the aggregation still runs in one pass (Spark Expand + single hash
+  // agg). Identical SQL text on both engines; subtotal NULLs folded to
+  // 'ALL' (group columns are never NULL in data, so the fold is
+  // unambiguous and sidesteps engine-specific GROUPING() spellings).
+  val q53Sql: String =
+    """SELECT coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |  coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      |ORDER BY orderpriority, orderstatus""".stripMargin
+
+  def q53(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q53Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -509,7 +531,8 @@ object Queries {
     "q38_pivot" -> (q38 _),
     "q39_cube" -> (q39 _),
     "q41_json_extract" -> (q41 _),
-    "q43_subqueries" -> (q43 _)
+    "q43_subqueries" -> (q43 _),
+    "q53_grouping_sets" -> (q53 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -621,6 +644,7 @@ object Queries {
     "q38_pivot" -> q38Oracle,
     "q39_cube" -> q39Sql,
     "q41_json_extract" -> q41Oracle,
-    "q43_subqueries" -> q43Sql
+    "q43_subqueries" -> q43Sql,
+    "q53_grouping_sets" -> q53Sql
   )
 }

@@ -35,6 +35,41 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Cross-document duplicated spans: every `spanTokens`-token window
+    * that occurs in at least `minDocs` distinct documents, with total
+    * occurrence counts (within-document repeats included) — the
+    * span-level primitive of exact-substring training-data dedup
+    * (surfaces boilerplate, license headers, and templated text that
+    * document-level dedup never sees). Top `topK` by occurrence count,
+    * token-text tiebreak, for a stable report.
+    *
+    * Scale shape: windows explode to ~one row per token position but
+    * carry only (id, span); the aggregate is a hash group-by with
+    * map-side combine, so the shuffle moves one row per distinct span
+    * per partition. At 100 TB, pre-hash the span (xxhash64 → 8-byte
+    * shuffle key, text as a carried example) and raise `spanTokens` to
+    * the 50-token regime of the published dedup pipelines; the plan
+    * shape is unchanged. Top-k is a TakeOrdered, not a global sort.
+    */
+  def duplicatedSpans(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
+                      topK: Int = 100, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(minDocs >= 2, "a span in fewer than 2 docs is not a cross-doc duplicate")
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= spanTokens)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - spanTokens + 1)).as("__st"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("__toks"), col("__st"), lit(spanTokens))).as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col(idCol)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .orderBy(col("n_occurrences").desc, col("span").asc)
+      .limit(topK)
+  }
+
   /** Connected components over a near-dup pair set: label every member
     * with the smallest doc id reachable through pair edges (min-label
     * propagation to fixpoint). The iteration runs over the PAIR graph —

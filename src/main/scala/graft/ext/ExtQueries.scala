@@ -154,6 +154,15 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Top duplicated 8-token spans across documents (boilerplate radar). */
+  def q51(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(docs(spark, dir), spanTokens = 8, minDocs = 2, topK = 100)
+
+  /** Top-3 key terms per document by rational tf-idf. */
+  def q52(spark: SparkSession, dir: String): DataFrame =
+    TextOps.keyTerms(docs(spark, dir), k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -320,7 +329,9 @@ object ExtQueries {
     "q47_packed_text" -> (q47 _),
     "q48_temperature_sample" -> (q48 _),
     "q49_chunking" -> (q49 _),
-    "q50_sample_per_group" -> (q50 _)
+    "q50_sample_per_group" -> (q50 _),
+    "q51_duplicated_spans" -> (q51 _),
+    "q52_key_terms" -> (q52 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -627,6 +638,39 @@ object ExtQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft') ASC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+    // full windows only (len >= 8); within-doc repeats count toward
+    // n_occurrences; span string itself is the group key on both sides
+    "q51_duplicated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |s AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM s)
+        |SELECT span, count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM spans GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_occurrences DESC, span ASC LIMIT 100""".stripMargin,
+    // same cast order as the Spark side: (tf -> DOUBLE) * N / df keeps
+    // the arithmetic IEEE-identical; rational idf (no ln) on both sides
+    "q52_key_terms" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf AS DOUBLE) * n.n / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, score, rank FROM (
+        |  SELECT s.*, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+        |  FROM s) ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

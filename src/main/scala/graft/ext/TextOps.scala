@@ -340,6 +340,46 @@ object TextOps {
       .drop("__hits")
   }
 
+  /** TF-IDF-style key terms: the top `k` tokens per document scored by
+    * tf · (N / df) — term frequency times a RATIONAL inverse document
+    * frequency. The classical log-idf is deliberately avoided: libm
+    * ln() is not correctly rounded and differs across engines and
+    * platforms, which would break bit-exact cross-engine verification.
+    * The rational form keeps idf's monotonicity (rarer ⇒ larger) and
+    * stays IEEE-exact: integer counts through one multiply and one
+    * divide are correctly rounded everywhere. Ranking per document is
+    * therefore identical to using any monotone idf transform only when
+    * tf is constant; it is its own (documented) scoring function, not
+    * an approximation of log-tf-idf.
+    *
+    * Scale shape: tf is one hash agg on (doc, token) with map-side
+    * combine; df is a second hash agg over the tf rows (one row per
+    * distinct (doc, token), never per occurrence); the df join back is
+    * an equi-join on token (broadcast only if the vocabulary is known
+    * small — left as a shuffle join because a 100 TB corpus vocabulary
+    * is not). The corpus size N rides in as a broadcast 1-row
+    * cross-join, not a driver-side count. Top-k per doc is a bounded
+    * window over each document's distinct tokens.
+    */
+  def keyTerms(docs: DataFrame, k: Int, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = words.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df_, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("__tf").cast("double") * col("__n") / col("__df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("token"), col("score"), col("rank"))
+  }
+
   /** Character-class composition of a text column — digit/uppercase/
     * alphabetic/symbol fractions, the cheap formatting-quality signals
     * (code vs prose vs tables vs junk). Codegen regex length-diffs,

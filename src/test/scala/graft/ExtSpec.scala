@@ -599,6 +599,39 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.columns.toSeq === df.columns.toSeq)
   }
 
+  test("duplicatedSpans: cross-doc windows only, intra-doc repeats counted, short docs skipped") {
+    val df = docsDf(
+      1L -> "the quick brown fox jumps over it",   // shares a 3-span with doc 2
+      2L -> "x the quick brown fox sleeps",
+      3L -> "the quick brown the quick brown fox", // intra-doc repeat of "the quick brown"
+      4L -> "a b")                                 // < spanTokens -> no windows
+    val out = Dedup.duplicatedSpans(df, spanTokens = 3, minDocs = 2)
+      .as[(String, Long, Long)].collect().map { case (s, n, d) => s -> (n, d) }.toMap
+    // "the quick brown": docs 1,2 once each + doc 3 twice -> 4 occurrences, 3 docs
+    assert(out("the quick brown") === (4L, 3L))
+    // "quick brown fox": docs 1,2,3 once each
+    assert(out("quick brown fox") === (3L, 3L))
+    // nothing only-in-one-doc leaks through
+    assert(out.keySet === Set("the quick brown", "quick brown fox"))
+  }
+
+  test("keyTerms: rational tf-idf ranks rare-but-repeated terms above ubiquitous ones") {
+    val df = docsDf(
+      1L -> "common rare rare common common",
+      2L -> "common other other",
+      3L -> "common filler words")
+    val out = TextOps.keyTerms(df, k = 2)
+      .select("doc_id", "token", "score", "rank")
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).map { case (id, rs) => id -> rs.sortBy(_._4).map(r => (r._2, r._3)).toSeq }
+    // doc 1: rare tf=2 df=1 -> 2*3/1=6; common tf=3 df=3 -> 3*3/3=3
+    assert(out(1L) === Seq("rare" -> 6.0, "common" -> 3.0))
+    // doc 2: other tf=2 df=1 -> 6; common tf=1 df=3 -> 1
+    assert(out(2L) === Seq("other" -> 6.0, "common" -> 1.0))
+    // doc 3: filler/words tf=1 df=1 -> 3 each, token-asc tiebreak
+    assert(out(3L) === Seq("filler" -> 3.0, "words" -> 3.0))
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

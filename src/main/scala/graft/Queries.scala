@@ -513,6 +513,31 @@ object Queries {
     spark.sql(q53Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q55 — LATERAL join surface (SURVEY §2b): per-row correlated
+  // subquery with its own ORDER BY + LIMIT ("top-2 orders per
+  // customer" without a hand-written window). Spark decorrelates the
+  // lateral into a ranked join (DecorrelateInnerQuery rewrites the
+  // LIMIT as a per-key row_number filter) — the executed plan is the
+  // same shape q04's explicit window would give, but the declaration
+  // stays the SQL a reporting user writes. Identical text on DuckDB.
+  // Customers with no orders drop out (inner lateral) on both engines.
+  val q55Sql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.price
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice AS price
+      |  FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC
+      |  LIMIT 2) t
+      |ORDER BY c.c_custkey, t.price DESC, t.o_orderkey""".stripMargin
+
+  def q55(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(q55Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -532,7 +557,8 @@ object Queries {
     "q39_cube" -> (q39 _),
     "q41_json_extract" -> (q41 _),
     "q43_subqueries" -> (q43 _),
-    "q53_grouping_sets" -> (q53 _)
+    "q53_grouping_sets" -> (q53 _),
+    "q55_lateral_join" -> (q55 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -645,6 +671,7 @@ object Queries {
     "q39_cube" -> q39Sql,
     "q41_json_extract" -> q41Oracle,
     "q43_subqueries" -> q43Sql,
-    "q53_grouping_sets" -> q53Sql
+    "q53_grouping_sets" -> q53Sql,
+    "q55_lateral_join" -> q55Sql
   )
 }

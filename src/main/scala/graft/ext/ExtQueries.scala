@@ -163,6 +163,20 @@ object ExtQueries {
     TextOps.keyTerms(docs(spark, dir), k = 3)
       .orderBy("doc_id", "rank")
 
+  /** Gap-filled daily event counts per type with running cumulative. */
+  def q54(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.resampleDaily(graft.Queries.events(spark, dir),
+      keyCol = "event_type", tsCol = "ts")
+      .orderBy("event_type", "day")
+
+  /** Per-language winsorized doc lengths (5th/95th pct clip + flag). */
+  def q56(spark: SparkSession, dir: String): DataFrame =
+    Sampling.winsorizeByGroup(docs(spark, dir), keyCol = "lang",
+      valueCol = "n_chars", pLo = 0.05, pHi = 0.95)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("n_chars_clipped"), col("is_clipped"))
+      .orderBy("doc_id")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -331,7 +345,9 @@ object ExtQueries {
     "q49_chunking" -> (q49 _),
     "q50_sample_per_group" -> (q50 _),
     "q51_duplicated_spans" -> (q51 _),
-    "q52_key_terms" -> (q52 _)
+    "q52_key_terms" -> (q52 _),
+    "q54_resample_daily" -> (q54 _),
+    "q56_winsorize" -> (q56 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -671,6 +687,44 @@ object ExtQueries {
         |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
         |  FROM s) ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // per-key dense day grid; DuckDB generate_series over dates yields
+    // timestamps, so the grid day is cast back to DATE; counts and the
+    // running sum are cast to BIGINT (DuckDB widens SUM to HUGEINT)
+    "q54_resample_daily" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |spans AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                CAST(d1 AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans),
+        |counts AS (
+        |  SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT g.event_type, g.day,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+        |  CAST(SUM(coalesce(c.n, 0)) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+        |FROM grid g LEFT JOIN counts c USING (event_type, day)
+        |ORDER BY g.event_type, g.day""".stripMargin,
+    // quantile_cont == Spark's exact percentile (same interpolation,
+    // verified by q24); same greatest(lo, least(hi, v)) clip order so
+    // the double arithmetic is IEEE-identical
+    "q56_winsorize" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    quantile_cont(n_chars, 0.05) AS lo,
+        |    quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, d.lang, n_chars,
+        |  greatest(b.lo, least(b.hi, CAST(n_chars AS DOUBLE))) AS n_chars_clipped,
+        |  (n_chars < b.lo OR n_chars > b.hi) AS is_clipped
+        |FROM documents d JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

@@ -118,6 +118,36 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Winsorize a numeric column per group: clip values outside the
+    * group's own [pLo, pHi] exact percentiles and flag the clipped
+    * rows — outlier taming for length/score features before
+    * training-mix statistics, with thresholds derived FROM THE DATA
+    * (no magic constants to re-tune per corpus).
+    *
+    * Exact `percentile` (not a sketch) so the output is a pure
+    * function of the input and cross-engine comparable — the same
+    * exact/approx trade as facetQuantiles: at extreme scale swap in
+    * approx_percentile when a sketch is acceptable.
+    *
+    * Scale shape: one hash agg per group for the two bounds (one
+    * output row per group), broadcast back, then a per-row codegen
+    * projection. The heavy part is the exact percentile's per-group
+    * sort inside the aggregate — the documented cost of exactness.
+    */
+  def winsorizeByGroup(df: DataFrame, keyCol: String, valueCol: String,
+                       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(col(keyCol)).agg(
+      percentile(col(valueCol), lit(pLo)).as("__lo"),
+      percentile(col(valueCol), lit(pHi)).as("__hi"))
+    df.join(broadcast(bounds), Seq(keyCol))
+      .withColumn(s"${valueCol}_clipped",
+        greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))))
+      .withColumn("is_clipped",
+        col(valueCol) < col("__lo") || col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Temperature rebalancing (square-root flavor): per-group keep rate
     * `sqrt(min_count / count_g)` derived FROM THE DATA — the smallest
     * group keeps everything, larger groups are damped toward balance

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling operators — beyond-reference scope
+  * (SURVEY.md §2c): the gap-fill step in front of rate dashboards,
+  * ingestion monitors, and training-mix drift checks, where a day with
+  * no data must read as 0 (or carry the last observation), not be
+  * silently absent.
+  */
+object TimeSeries {
+
+  /** Dense daily grid per key over each key's own [min, max] day, with
+    * zero-filled event counts and a running cumulative.
+    *
+    * Scale shape: the span aggregate is one row per key and the grid
+    * explodes to keys × days — bounded and data-derived, no global
+    * min/max round-trips through the driver. The count aggregate is
+    * map-side combined (one row per (key, day) per partition); the
+    * grid←counts equi-join moves narrow rows only. The running total
+    * windows over the DENSE grid (days, not events), so partitions are
+    * small by construction even for hot keys.
+    */
+  def resampleDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol), col(tsCol).cast("date").as("day"))
+    val spans = days.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    val counts = days.groupBy(col(keyCol), col("day"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(counts, Seq(keyCol, "day"), "left")
+      .withColumn("n_events", coalesce(col("__n"), lit(0L)))
+      .drop("__n")
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+  }
+
+  /** Forward fill: replace NULLs in `valueCols` with the last non-NULL
+    * value in per-key `orderCol` order — resampling's companion for
+    * sparse measurements (sensor readings, configuration snapshots).
+    * All columns fill inside ONE window (single shuffle on the key).
+    */
+  def forwardFill(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(df) { (acc, v) =>
+      acc.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    }
+  }
+}

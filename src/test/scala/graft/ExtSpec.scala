@@ -632,6 +632,53 @@ class ExtSpec extends AnyFunSuite {
     assert(out(3L) === Seq("filler" -> 3.0, "words" -> 3.0))
   }
 
+  test("resampleDaily: zero-fills missing days per key, running cumulative") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      ("a", "2024-01-01 10:00:00"), ("a", "2024-01-01 11:00:00"),
+      ("a", "2024-01-04 09:00:00"), ("b", "2024-02-10 00:00:00"))
+      .toDF("k", "tss").withColumn("ts", to_timestamp($"tss"))
+    val out = TimeSeries.resampleDaily(df, "k", "ts")
+      .select($"k", $"day".cast("string"), $"n_events", $"cum_events")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("a", "2024-01-01", 2L, 2L),
+      ("a", "2024-01-02", 0L, 2L),
+      ("a", "2024-01-03", 0L, 2L),
+      ("a", "2024-01-04", 1L, 3L),
+      ("b", "2024-02-10", 1L, 1L)))
+  }
+
+  test("forwardFill carries the last non-null per key in order, all-null key stays null") {
+    import graft.ext.TimeSeries
+    val df = Seq(
+      ("k1", 1, Some(10)), ("k1", 2, None), ("k1", 3, Some(30)), ("k1", 4, None),
+      ("k2", 1, None)).toDF("k", "seq", "v")
+    val out = TimeSeries.forwardFill(df, "k", "seq", Seq("v"))
+      .select("k", "seq", "v").as[(String, Int, Option[Int])]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("k1", 1, Some(10)), ("k1", 2, Some(10)), ("k1", 3, Some(30)),
+      ("k1", 4, Some(30)), ("k2", 1, None)))
+  }
+
+  test("winsorizeByGroup clips at each group's own percentiles and flags only tails") {
+    import graft.ext.Sampling
+    // g: 0,10,...,100 (n=11) -> p10 = 10.0, p90 = 90.0 (index p*(n-1))
+    val df = ((0 to 10).map(i => ("g", i * 10)) :+ ("h", 7) :+ ("h", 7))
+      .toDF("k", "v")
+    val out = Sampling.winsorizeByGroup(df, "k", "v", pLo = 0.1, pHi = 0.9)
+      .select("k", "v", "v_clipped", "is_clipped")
+      .as[(String, Int, Double, Boolean)].collect()
+    val g = out.filter(_._1 == "g").sortBy(_._2)
+    assert(g.head === ("g", 0, 10.0, true), "low tail clipped up")
+    assert(g.last === ("g", 100, 90.0, true), "high tail clipped down")
+    assert(g.count(_._4) === 2, "only the two tails flagged")
+    assert(g.filter(!_._4).forall(r => r._3 === r._2.toDouble), "interior unchanged")
+    // constant group: lo == hi == value -> nothing clipped
+    assert(out.filter(_._1 == "h").forall(r => !r._4 && r._3 === 7.0))
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

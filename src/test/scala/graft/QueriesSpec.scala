@@ -74,6 +74,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), s"expected anti join in:\n$plan")
   }
 
+  test("q55 lateral join decorrelates to a ranked equi-join, no per-row re-execution") {
+    val plan = Queries.q55(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral stayed a product join:\n${plan.take(2000)}")
+    // the correlated LIMIT must become a per-key rank filter (window or
+    // in-partition limit), executed once over orders — not once per customer
+    assert(plan.contains("Window") || plan.contains("GroupLimit"),
+      s"expected decorrelated rank in:\n${plan.take(2000)}")
+  }
+
   test("q36/q42 redaction and char-class scans prune to the columns they use") {
     import graft.ext.ExtQueries
     val piiPlan = ExtQueries.q36(spark, sf).queryExecution.executedPlan.toString

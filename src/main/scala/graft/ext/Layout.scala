@@ -24,6 +24,51 @@ object Layout {
   def zValue(scaledCols: Seq[Column], bitsPerCol: Int): Column =
     graft.functions.ArrayExprs.interleaveBits(scaledCols, bitsPerCol)
 
+  /** Compact a parquet directory's files toward `targetBytes` each —
+    * the small-files cure. At 100 TB, a lake that accretes appends ends
+    * up with millions of KB-sized files: every one costs a listing
+    * entry, an open, a footer parse, and a scheduler task, so planning
+    * starts to dominate scanning. Compaction sizes the output from the
+    * DATA: the current byte total comes from a filesystem listing (a
+    * metadata op, no scan), the file count is `ceil(bytes/target)`, and
+    * the rewrite is `coalesce` when shrinking (narrow — no shuffle) or
+    * a `repartition` when files must split. Pass `sortCols` to also
+    * range-cluster while rewriting (one shuffle, buys min/max skipping
+    * — for multi-column clustering use [[zOrderBy]] instead).
+    *
+    * The swap is write-to-staging + two directory renames; production
+    * table formats (Iceberg/Delta) make this step transactional —
+    * documented non-atomic here, same as any direct-to-parquet lake.
+    * Returns the number of data files after compaction.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long = 128L << 20,
+                     sortCols: Seq[String] = Nil): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val src = spark.read.parquet(path)
+    val rewritten =
+      if (sortCols.nonEmpty)
+        src.repartitionByRange(n, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else if (n < dataFiles.length) src.coalesce(n)
+      else src.repartition(n)
+    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
+    val old = new Path(path.stripSuffix("/") + "__compact_old")
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
+      throw new IllegalStateException(s"compaction swap failed for $path")
+    fs.delete(old, true)
+    fs.listStatus(dir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Rewrite `df` in z-order on `cols` (numeric/date/timestamp):
     * each column is linearly range-scaled to `bitsPerCol` bits using
     * its global min/max (ONE tiny extra aggregate — a pair of scalars

@@ -41,6 +41,17 @@ final case class Lake(root: String) {
     case other => throw new IllegalArgumentException(s"Invalid lake format: '$other'")
   }
 
+  /** Schema-evolution read: union the schemas of every parquet footer
+    * in the directory (`mergeSchema`) so batches written before a
+    * column was added read back with that column NULL — the on-read
+    * half of additive schema evolution (the write half is just
+    * appending files with the wider schema). Footer merging scans
+    * metadata, not data; use only where evolution actually happens —
+    * the default single-footer read stays the fast path.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Extract-target write (airflow_etl.py:442-450): bulk append/overwrite. */
   def write(df: DataFrame, path: String, mode: String, format: String = "parquet"): Unit =
     df.write.format(format).mode(mode).save(path)

@@ -84,4 +84,37 @@ class LayoutSpec extends AnyFunSuite {
     // constant column scales out; must not divide by zero
     assert(Layout.zOrderBy(df, Seq("a", "konst"), 2).count() === 3)
   }
+
+  test("compactParquet shrinks a many-small-files dir without changing its rows") {
+    val dir = SparkTestBase.tmpDir("graft_compact") + "/t"
+    val src = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    src.repartition(40).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files() === 40)
+    // huge target -> everything folds into one file
+    val n = Layout.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1 && files() === 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 5000)
+    assert(back.agg(sum($"id")).as[Long].collect()(0) === 5000L * 5001 / 2)
+    // no staging/backup leftovers
+    val parent = new java.io.File(dir).getParentFile.listFiles.map(_.getName)
+    assert(parent.toSeq === Seq("t"), s"leftovers: ${parent.mkString(",")}")
+  }
+
+  test("compactParquet with sortCols range-clusters while rewriting") {
+    val dir = SparkTestBase.tmpDir("graft_compact_sort") + "/t"
+    (1 to 4000).map(i => ((i * 7919) % 4000L, i.toLong)).toDF("k", "v")
+      .repartition(16).write.parquet(dir)
+    // target small enough that the rewrite must produce several files
+    val n = Layout.compactParquet(spark, dir, targetBytes = 4L << 10, sortCols = Seq("k"))
+    assert(n > 1, s"fixture too small to exercise range clustering (n=$n)")
+    // per-file k ranges must be disjoint-ish: max span ~ global/n, not global
+    val back = spark.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+    val spans = back.groupBy("__f").agg((max($"k") - min($"k")).as("span"))
+      .agg(max($"span")).as[Long].collect()(0)
+    assert(spans < 3999 / 2, s"sorted compaction must bound per-file ranges (span=$spans, n=$n)")
+  }
 }

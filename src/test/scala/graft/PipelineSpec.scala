@@ -174,6 +174,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("readEvolved unions batch schemas: pre-evolution rows read with the new column NULL") {
+    val work = SparkTestBase.tmpDir("graft_evolve")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$work/t")
+    Seq((2L, "b", 9L)).toDF("id", "v", "added").write.mode("append").parquet(s"$work/t")
+    val df = Lake(work).readEvolved(spark, s"$work/t")
+    assert(df.columns.sorted.toSeq === Seq("added", "id", "v"))
+    val byId = df.select("id", "added").as[(Long, Option[Long])].collect().toMap
+    assert(byId === Map(1L -> None, 2L -> Some(9L)))
+    // the default single-footer read would have picked ONE schema —
+    // evolution must be an explicit opt-in, not the default cost
+  }
+
   test("dependency via lake path convention") {
     val (ctx, _, work) = mkCtx()
     // lay out <root>/datalake/<sys>/<tag>/<schema>/<table> and read it back

@@ -177,6 +177,27 @@ object ExtQueries {
         col("n_chars_clipped"), col("is_clipped"))
       .orderBy("doc_id")
 
+  /** Distributed dense ids == global row_number, no 1-partition window. */
+  def q57(spark: SparkSession, dir: String): DataFrame =
+    Ids.orderedIds(docs(spark, dir).select(col("doc_id"), col("n_chars")),
+      orderCols = Seq("n_chars", "doc_id"), nPartitions = 8)
+      .orderBy("doc_id")
+
+  /** Data-quality gate over orders: scalar rules in one scan + a
+    * referential orphan check, one report row per rule.
+    */
+  def q58(spark: SparkSession, dir: String): DataFrame = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val scalar = Checks.report(orders, Seq(
+      Checks.Rule("null_custkey", col("o_custkey").isNull),
+      Checks.Rule("totalprice_over_400k", col("o_totalprice") > 400000),
+      Checks.Rule("unknown_status", !col("o_orderstatus").isin("F", "O", "P"))))
+    val ref = Checks.orphans(orders, customer, "orphan_custkey",
+      "o_custkey", "c_custkey")
+    scalar.unionByName(ref).orderBy("rule")
+  }
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -347,7 +368,9 @@ object ExtQueries {
     "q51_duplicated_spans" -> (q51 _),
     "q52_key_terms" -> (q52 _),
     "q54_resample_daily" -> (q54 _),
-    "q56_winsorize" -> (q56 _)
+    "q56_winsorize" -> (q56 _),
+    "q57_ordered_ids" -> (q57 _),
+    "q58_data_quality" -> (q58 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -725,6 +748,38 @@ object ExtQueries {
         |  (n_chars < b.lo OR n_chars > b.hi) AS is_clipped
         |FROM documents d JOIN b USING (lang)
         |ORDER BY doc_id""".stripMargin,
+    // the oracle IS the naive single-window spelling the operator
+    // refuses to plan — identical numbering, different physics
+    "q57_ordered_ids" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-rule counts; DuckDB integer '/' is float division like the
+    // Spark cast-to-double, so violation_frac is IEEE-identical
+    "q58_data_quality" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM orders)
+        |SELECT rule, n_violations, n_rows,
+        |  CAST(n_violations AS DOUBLE) / n_rows AS violation_frac
+        |FROM (
+        |  SELECT 'null_custkey' AS rule,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations, (SELECT n_rows FROM n) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'totalprice_over_400k',
+        |    CAST(sum(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM orders
+        |  UNION ALL
+        |  SELECT 'unknown_status',
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM orders
+        |  UNION ALL
+        |  SELECT 'orphan_custkey',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE o.o_custkey IS NULL
+        |        OR NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)),
+        |    (SELECT n_rows FROM n))
+        |ORDER BY rule""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

@@ -679,6 +679,42 @@ class ExtSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "h").forall(r => !r._4 && r._3 === 7.0))
   }
 
+  test("orderedIds equals global row_number without a single-partition window") {
+    import graft.ext.Ids
+    // shuffled input across many partitions; unique total order on v
+    val df = spark.range(0, 1000).select(
+      (col("id") * 7919 % 1000).as("v"), col("id").as("orig"))
+      .repartition(13)
+    val out = Ids.orderedIds(df, Seq("v"), nPartitions = 7)
+    val got = out.select("v", "row_id").as[(Long, Long)].collect().sortBy(_._1)
+    // v covers 0..999 uniquely -> row_id must be v+1
+    assert(got.forall { case (v, id) => id === v + 1 }, got.take(5).toSeq.toString)
+    // plan audit: no global-sort single-partition window on the data
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [row_number()"), "must not plan the naive global window")
+  }
+
+  test("Checks.report counts all rules in one pass; orphans counts missing and null keys") {
+    import graft.ext.Checks
+    val df = Seq((1L, 10.0, "ok"), (2L, -5.0, "ok"), (3L, 0.0, "bad"), (4L, 2.0, "ok"))
+      .toDF("id", "amount", "status")
+    val rep = Checks.report(df, Seq(
+      Checks.Rule("nonpositive_amount", col("amount") <= 0),
+      Checks.Rule("bad_status", col("status") === "bad")))
+      .select("rule", "n_violations", "n_rows", "violation_frac")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rep.toSeq === Seq(
+      ("bad_status", 1L, 4L, 0.25),
+      ("nonpositive_amount", 2L, 4L, 0.5)))
+    val child = Seq((Some(1L), "a"), (Some(99L), "b"), (None: Option[Long], "c"))
+      .toDF("fk", "x")
+    val parent = Seq(Tuple1(1L), Tuple1(2L)).toDF("pk")
+    val orph = Checks.orphans(child, parent, "orphan_fk", "fk", "pk")
+      .select("rule", "n_violations", "n_rows")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(orph === Seq(("orphan_fk", 2L, 3L)), "99 and NULL are both orphans")
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

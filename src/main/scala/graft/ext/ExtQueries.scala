@@ -198,6 +198,16 @@ object ExtQueries {
     scalar.unionByName(ref).orderBy("rule")
   }
 
+  /** Rolling 7-day z-score anomalies on the gap-filled event series. */
+  def q59(spark: SparkSession, dir: String): DataFrame =
+    TimeSeries.dailyAnomalies(
+      TimeSeries.resampleDaily(graft.Queries.events(spark, dir),
+        keyCol = "event_type", tsCol = "ts"),
+      keyCol = "event_type")
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("zscore"), col("is_anomaly"))
+      .orderBy("event_type", "day")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -370,7 +380,8 @@ object ExtQueries {
     "q54_resample_daily" -> (q54 _),
     "q56_winsorize" -> (q56 _),
     "q57_ordered_ids" -> (q57 _),
-    "q58_data_quality" -> (q58 _)
+    "q58_data_quality" -> (q58 _),
+    "q59_daily_anomalies" -> (q59 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -780,6 +791,44 @@ object ExtQueries {
         |                       WHERE c.c_custkey = o.o_custkey)),
         |    (SELECT n_rows FROM n))
         |ORDER BY rule""".stripMargin,
+    // q54's dense grid + a rolling window; integer window sums, then
+    // the IDENTICAL double expression tree (s2/n - (s/n)*(s/n)) and
+    // the same <=0 variance guard on both engines
+    "q59_daily_anomalies" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |spans AS (
+        |  SELECT event_type, min(day) AS d0, max(day) AS d1
+        |  FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type,
+        |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                CAST(d1 AS TIMESTAMP),
+        |                                INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans),
+        |counts AS (
+        |  SELECT event_type, day, count(*) AS n FROM ev GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT g.event_type, g.day,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |  FROM grid g LEFT JOIN counts c USING (event_type, day)),
+        |roll AS (
+        |  SELECT event_type, day, n_events,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(n_events) OVER w AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) OVER w AS BIGINT) AS s2
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |scored AS (
+        |  SELECT event_type, day, n_events,
+        |    CASE WHEN s2 / n - (s / n) * (s / n) <= 0 THEN 0.0
+        |         ELSE (n_events - s / n) / sqrt(s2 / n - (s / n) * (s / n))
+        |    END AS zscore
+        |  FROM roll)
+        |SELECT event_type, day, n_events, zscore,
+        |  (abs(zscore) > 2.0) AS is_anomaly
+        |FROM scored ORDER BY event_type, day""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

@@ -39,6 +39,44 @@ object TimeSeries {
       .withColumn("cum_events", sum(col("n_events")).over(w))
   }
 
+  /** Rolling z-score anomaly flags over a dense per-key daily series
+    * (compose with [[resampleDaily]] — gaps must already read as 0 or
+    * a quiet day can't be anomalous). For each day: mean/variance of
+    * `valueCol` over the trailing `window` days (the frame the row
+    * actually has — shorter at series start), z = (x − mean)/stddev,
+    * flagged when |z| > `zThreshold`. A zero-variance frame flags
+    * nothing (z = 0): a constant series has no anomalies.
+    *
+    * Cross-engine exactness: the window aggregates are INTEGER sums
+    * (sum, sum-of-squares, count) — order-independent — and the
+    * mean/variance arithmetic is a fixed double expression tree
+    * (s/n, s2/n − mean²) evaluated identically by any IEEE engine; no
+    * libm beyond sqrt, which is correctly rounded. The tiny-negative
+    * variance guard (≤ 0 → z = 0) keeps the cancellation edge exact on
+    * both sides too.
+    *
+    * Scale shape: one per-key window over the dense grid (days, not
+    * events) — partition size = series length, bounded; no extra
+    * shuffle beyond the grid's own key partitioning.
+    */
+  def dailyAnomalies(dense: DataFrame, keyCol: String,
+                     valueCol: String = "n_events",
+                     window: Int = 7, zThreshold: Double = 2.0): DataFrame = {
+    require(window > 1, "window must cover more than one day")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-(window - 1), 0)
+    val v = col(valueCol)
+    val n = count(lit(1)).over(w)
+    val s = sum(v).over(w)
+    val s2 = sum(v * v).over(w)
+    val mean = s / n
+    val variance = s2 / n - mean * mean
+    val z = when(variance <= 0, lit(0.0))
+      .otherwise((v - mean) / sqrt(variance))
+    dense.withColumn("zscore", z)
+      .withColumn("is_anomaly", abs(col("zscore")) > zThreshold)
+  }
+
   /** Forward fill: replace NULLs in `valueCols` with the last non-NULL
     * value in per-key `orderCol` order — resampling's companion for
     * sparse measurements (sensor readings, configuration snapshots).

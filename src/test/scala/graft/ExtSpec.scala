@@ -649,6 +649,27 @@ class ExtSpec extends AnyFunSuite {
       ("b", "2024-02-10", 1L, 1L)))
   }
 
+  test("dailyAnomalies: spike flagged, constant series never flagged, short-start frames ok") {
+    import graft.ext.TimeSeries
+    // key s: constant 5/day for 9 days, then a 50-event spike
+    val rows = (1 to 9).flatMap(d => Seq.fill(5)(("s", f"2024-01-$d%02d 01:00:00"))) ++
+      Seq.fill(50)(("s", "2024-01-10 01:00:00")) ++
+      (1 to 10).flatMap(d => Seq.fill(3)(("c", f"2024-03-$d%02d 12:00:00")))
+    val dense = TimeSeries.resampleDaily(
+      rows.toDF("k", "tss").withColumn("ts", to_timestamp($"tss")), "k", "ts")
+    val out = TimeSeries.dailyAnomalies(dense, "k")
+      .select($"k", $"day".cast("string"), $"zscore", $"is_anomaly")
+      .as[(String, String, Double, Boolean)].collect()
+    val flagged = out.filter(_._4).map(r => (r._1, r._2)).toSet
+    assert(flagged === Set("s" -> "2024-01-10"), s"only the spike day: $out")
+    // the spike's z: frame = six 5s + one 50 -> s=80, s2=2650
+    val spike = out.find(r => r._1 == "s" && r._2 == "2024-01-10").get._3
+    val mean = 80.0 / 7; val varr = 2650.0 / 7 - mean * mean
+    assert(math.abs(spike - (50 - mean) / math.sqrt(varr)) < 1e-12)
+    // constant key: variance 0 on every day -> z exactly 0, never flagged
+    assert(out.filter(_._1 == "c").forall(r => r._3 === 0.0 && !r._4))
+  }
+
   test("forwardFill carries the last non-null per key in order, all-null key stays null") {
     import graft.ext.TimeSeries
     val df = Seq(

@@ -20,12 +20,15 @@ object Checks {
     * (rule, n_violations, n_rows, violation_frac). ALL rules evaluate
     * in a single pass — one scan, one single-row aggregate, zero
     * shuffles of the data; the per-rule rows come from exploding the
-    * 1-row result, not from re-scanning.
+    * 1-row result, not from re-scanning. An EMPTY table reports clean
+    * zeros (not NULL/NaN) — a gate comparing `n_violations > 0` must
+    * see a number either way.
     */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
     val aggs = count(lit(1)).as("__n") +: rules.zipWithIndex.map { case (r, i) =>
-      sum(when(r.violationWhen, 1L).otherwise(0L)).as(s"__v_$i")
+      // sum over zero rows is NULL — fold to 0 so empty stays clean
+      coalesce(sum(when(r.violationWhen, 1L).otherwise(0L)), lit(0L)).as(s"__v_$i")
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(col("__n"), explode(array(rules.zipWithIndex.map { case (r, i) =>
@@ -34,26 +37,30 @@ object Checks {
       .select(col("__x.rule").as("rule"),
         col("__x.n_violations").as("n_violations"),
         col("__n").as("n_rows"))
-      .withColumn("violation_frac",
-        col("n_violations").cast("double") / col("n_rows"))
+      .withColumn("violation_frac", fracOf(col("n_violations"), col("n_rows")))
   }
 
   /** Referential-integrity rule: child rows whose `childKey` has no
     * match in `parent.parentKey` (NULL keys are orphans too — they
-    * reference nothing). One anti join on the key columns; at scale
-    * the parent side is a semi-join-reduced key set, so the shuffle
-    * carries keys, not rows. Output shape matches [[report]] for
-    * unioning into one gate.
+    * reference nothing). ONE left join over the child produces both
+    * the total and the orphan count (no second scan); the parent side
+    * is reduced to its distinct key set first, so the join moves keys,
+    * not rows. Output shape matches [[report]] for unioning into one
+    * gate; an empty child reports clean zeros.
     */
   def orphans(child: DataFrame, parent: DataFrame, ruleName: String,
               childKey: String, parentKey: String): DataFrame = {
     val keys = parent.select(col(parentKey).as(childKey)).distinct()
-    val bad = child.join(keys, Seq(childKey), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    val total = child.agg(count(lit(1)).as("n_rows"))
-    bad.crossJoin(total)
+      .withColumn("__matched", lit(1))
+    child.join(keys, Seq(childKey), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("__matched").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_violations"))
       .select(lit(ruleName).as("rule"), col("n_violations"), col("n_rows"))
-      .withColumn("violation_frac",
-        col("n_violations").cast("double") / col("n_rows"))
+      .withColumn("violation_frac", fracOf(col("n_violations"), col("n_rows")))
   }
+
+  /** 0.0 on an empty table instead of NULL/NaN — gates need numbers. */
+  private def fracOf(violations: Column, rows: Column): Column =
+    when(rows === 0, lit(0.0)).otherwise(violations.cast("double") / rows)
 }

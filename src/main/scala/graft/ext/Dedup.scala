@@ -56,12 +56,10 @@ object Dedup {
                       textCol: String = "text"): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     require(minDocs >= 2, "a span in fewer than 2 docs is not a cross-doc duplicate")
-    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= spanTokens)
-      .select(col(idCol), col("__toks"),
-        explode(sequence(lit(1), size(col("__toks")) - spanTokens + 1)).as("__st"))
-      .select(col(idCol),
-        concat_ws(" ", slice(col("__toks"), col("__st"), lit(spanTokens))).as("span"))
+    // the ordered-window definition is shared with winnowing — one
+    // place for the tokenization/guard semantics to live
+    docs.select(col(idCol),
+        explode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as("span"))
       .groupBy("span")
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col(idCol)).as("n_docs"))

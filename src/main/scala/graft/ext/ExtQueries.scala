@@ -822,7 +822,7 @@ object ExtQueries {
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
         |scored AS (
         |  SELECT event_type, day, n_events,
-        |    CASE WHEN s2 / n - (s / n) * (s / n) <= 0 THEN 0.0
+        |    CASE WHEN s2 / n - (s / n) * (s / n) <= (s2 / n) * 1e-12 THEN 0.0
         |         ELSE (n_events - s / n) / sqrt(s2 / n - (s / n) * (s / n))
         |    END AS zscore
         |  FROM roll)

@@ -19,38 +19,31 @@ object Ids {
     * (unique); uniqueness is what makes the numbering independent of
     * where the sampled range boundaries happen to land.
     *
-    * How: range-repartition + in-partition sort on the order key; the
-    * in-partition position comes from the partition-local counter of
-    * `monotonically_increasing_id` over the sorted rows, and the
-    * partition's global offset from a per-partition count aggregate
-    * (nPartitions rows, broadcast back — its cumulative-sum window is
-    * over that tiny frame, not the data). Two passes over one range
-    * shuffle (Spark reuses the exchange); no row ever leaves its
-    * partition a second time.
+    * How: range-repartition + in-partition sort on the order key, then
+    * `zipWithIndex` over THAT rdd — one light job counting partition
+    * sizes, one narrow map adding offsets; no row leaves its partition
+    * a second time. zipWithIndex is used deliberately instead of a
+    * two-branch DataFrame plan (offsets aggregate + join): both of its
+    * passes run over the SAME RDD, whose range boundaries live in its
+    * partitioner object — a two-branch plan only stays consistent
+    * while exchange reuse happens to deduplicate the shuffle, since
+    * RangePartitioner re-samples per execution. This is an
+    * id-MATERIALIZATION operator: the result is RDD-backed, so apply
+    * it where ids are assigned and persisted, not mid-plan.
     */
   def orderedIds(df: DataFrame, orderCols: Seq[String],
                  nPartitions: Int, idName: String = "row_id"): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     require(nPartitions > 0, "nPartitions must be positive")
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
     val order = orderCols.map(col)
-    val parted = df.repartitionByRange(nPartitions, order: _*)
+    val sorted = df.repartitionByRange(nPartitions, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__mono", monotonically_increasing_id())
-    // per-partition bases/counts: one row per partition. The constant
-    // partitionBy keeps this a (deliberate) single-partition window
-    // over nPartitions rows without tripping Spark's missing-partition
-    // warning in every run log.
-    val w = Window.partitionBy(lit(0)).orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = parted.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"), min("__mono").as("__base"))
-      .withColumn("__offset", coalesce(sum("__cnt").over(w), lit(0L)))
-      .select("__pid", "__base", "__offset")
-    parted.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(idName, col("__mono") - col("__base") + col("__offset") + 1)
-      .drop("__pid", "__mono", "__base", "__offset")
+    val schema = sorted.schema.add(idName, LongType, nullable = false)
+    val withIds = sorted.rdd.zipWithIndex()
+      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    sorted.sparkSession.createDataFrame(withIds, schema)
   }
 
   /** Hash surrogate key: a pure function of the natural key — stable

@@ -52,21 +52,34 @@ object Layout {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val src = spark.read.parquet(path)
-    val rewritten =
-      if (sortCols.nonEmpty)
-        src.repartitionByRange(n, sortCols.map(col): _*)
-          .sortWithinPartitions(sortCols.map(col): _*)
-      else if (n < dataFiles.length) src.coalesce(n)
-      else src.repartition(n)
-    val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
-    val old = new Path(path.stripSuffix("/") + "__compact_old")
-    rewritten.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(dir, old) || !fs.rename(tmp, dir))
-      throw new IllegalStateException(s"compaction swap failed for $path")
-    fs.delete(old, true)
-    fs.listStatus(dir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    if (sortCols.isEmpty && n == dataFiles.length) {
+      // already at the target file count and no re-clustering asked:
+      // a scheduled compactor must not pay a full rewrite for a no-op
+      n
+    } else {
+      val src = spark.read.parquet(path)
+      val rewritten =
+        if (sortCols.nonEmpty)
+          src.repartitionByRange(n, sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+        else if (n < dataFiles.length) src.coalesce(n)
+        else src.repartition(n)
+      val tmp = new Path(path.stripSuffix("/") + "__compact_tmp")
+      val old = new Path(path.stripSuffix("/") + "__compact_old")
+      rewritten.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (!fs.rename(dir, old)) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(s"compaction swap failed for $path (original untouched)")
+      }
+      if (!fs.rename(tmp, dir)) {
+        // restore the original so the table path never stays missing
+        fs.rename(old, dir)
+        throw new IllegalStateException(s"compaction swap failed for $path (original restored)")
+      }
+      fs.delete(old, true)
+      fs.listStatus(dir).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
   }
 
   /** Rewrite `df` in z-order on `cols` (numeric/date/timestamp):

@@ -28,10 +28,17 @@ object Sampling {
     * silently routing null-id rows into one split (or silently dropping
     * them) contaminates exactly the data a pipeline audits by split.
     */
-  def hexBucket(id: Column, salt: String): Column =
+  /** The single definition of a sampling decision's hash base: md5 of
+    * (id, salt), with the null-id RAISE shared by every sampler here —
+    * one place to change the policy or the encoding.
+    */
+  private def guardedMd5(id: Column, salt: String): Column =
     when(id.isNull, raise_error(lit(
       "Sampling: null id — sampling decisions must be a total function of the row")))
-      .otherwise(substring(md5(concat(id.cast("string"), lit(salt))), 1, 4))
+      .otherwise(md5(concat(id.cast("string"), lit(salt))))
+
+  def hexBucket(id: Column, salt: String): Column =
+    substring(guardedMd5(id, salt), 1, 4)
 
   private def hexThreshold(fraction: Double): String = {
     val v = math.floor(fraction * 65536).toLong
@@ -109,10 +116,8 @@ object Sampling {
                      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
     require(k > 0, "k must be positive")
     import org.apache.spark.sql.expressions.Window
-    val order = when(col(idCol).isNull, raise_error(lit(
-      "Sampling: null id — sampling decisions must be a total function of the row")))
-      .otherwise(md5(concat(col(idCol).cast("string"), lit(salt))))
-    val w = Window.partitionBy(col(keyCol)).orderBy(order.asc, col(idCol).asc)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(guardedMd5(col(idCol), salt).asc, col(idCol).asc)
     df.withColumn("__graft_rn", row_number().over(w))
       .where(col("__graft_rn") <= k)
       .drop("__graft_rn")
@@ -137,10 +142,17 @@ object Sampling {
   def winsorizeByGroup(df: DataFrame, keyCol: String, valueCol: String,
                        pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
-    val bounds = df.groupBy(col(keyCol)).agg(
+    // a NULL group key RAISES (temperatureSample's policy): the inner
+    // bounds join would otherwise silently drop every null-key row —
+    // NULL never equi-matches NULL
+    val guarded = df.withColumn(keyCol,
+      when(col(keyCol).isNull, raise_error(lit(
+        s"winsorizeByGroup: null $keyCol — null-key rows would vanish in the bounds join")))
+        .otherwise(col(keyCol)))
+    val bounds = guarded.groupBy(col(keyCol)).agg(
       percentile(col(valueCol), lit(pLo)).as("__lo"),
       percentile(col(valueCol), lit(pHi)).as("__hi"))
-    df.join(broadcast(bounds), Seq(keyCol))
+    guarded.join(broadcast(bounds), Seq(keyCol))
       .withColumn(s"${valueCol}_clipped",
         greatest(col("__lo"), least(col("__hi"), col(valueCol).cast("double"))))
       .withColumn("is_clipped",

@@ -108,8 +108,12 @@ object TextOps {
         .otherwise(array().cast("array<bigint>")))
   }
 
-  /** Ordered (non-distinct) n-word shingles — winnowing needs positions. */
-  private def shinglesOrdered(text: Column, n: Int): Column = {
+  /** Ordered (non-distinct) n-word shingles — winnowing needs
+    * positions, and Dedup.duplicatedSpans counts every occurrence.
+    * THE single definition of a token window: short docs (< n tokens)
+    * yield the empty array.
+    */
+  private[ext] def shinglesOrdered(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) >= n,
       transform(

@@ -24,7 +24,17 @@ object TimeSeries {
     * small by construction even for hot keys.
     */
   def resampleDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val days = df.select(col(keyCol), col(tsCol).cast("date").as("day"))
+    // NULL key or timestamp RAISES: a null key would build a grid row
+    // whose counts join never matches (NULL ≠ NULL in an equi-join),
+    // reporting 0 events on days that HAD events — actively wrong, not
+    // just incomplete; a null timestamp has no day to land on
+    val guardedKey = when(col(keyCol).isNull, raise_error(lit(
+      s"resampleDaily: null $keyCol — the grid join would zero out this key's real counts")))
+      .otherwise(col(keyCol))
+    val guardedDay = when(col(tsCol).isNull, raise_error(lit(
+      s"resampleDaily: null $tsCol — a null timestamp has no day")))
+      .otherwise(col(tsCol).cast("date"))
+    val days = df.select(guardedKey.as(keyCol), guardedDay.as("day"))
     val spans = days.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
     val grid = spans.select(col(keyCol),
@@ -51,9 +61,14 @@ object TimeSeries {
     * (sum, sum-of-squares, count) — order-independent — and the
     * mean/variance arithmetic is a fixed double expression tree
     * (s/n, s2/n − mean²) evaluated identically by any IEEE engine; no
-    * libm beyond sqrt, which is correctly rounded. The tiny-negative
-    * variance guard (≤ 0 → z = 0) keeps the cancellation edge exact on
-    * both sides too.
+    * libm beyond sqrt, which is correctly rounded. The variance guard
+    * is RELATIVE (var ≤ (s2/n)·1e-12 → z = 0), not just ≤ 0: once the
+    * window's sum of squares crosses 2^53 (daily counts beyond ~3·10⁷),
+    * the long→double conversion rounds and a constant series can
+    * produce a tiny spurious positive variance — without the relative
+    * guard that inflates to a huge z and flags every flat day. The
+    * guard expression is mirrored verbatim in the oracle, so exactness
+    * holds on both sides of the branch.
     *
     * Scale shape: one per-key window over the dense grid (days, not
     * events) — partition size = series length, bounded; no extra
@@ -71,7 +86,7 @@ object TimeSeries {
     val s2 = sum(v * v).over(w)
     val mean = s / n
     val variance = s2 / n - mean * mean
-    val z = when(variance <= 0, lit(0.0))
+    val z = when(variance <= (s2 / n) * lit(1e-12), lit(0.0))
       .otherwise((v - mean) / sqrt(variance))
     dense.withColumn("zscore", z)
       .withColumn("is_anomaly", abs(col("zscore")) > zThreshold)

@@ -736,6 +736,37 @@ class ExtSpec extends AnyFunSuite {
     assert(orph === Seq(("orphan_fk", 2L, 3L)), "99 and NULL are both orphans")
   }
 
+  test("null-key guards: winsorize and resample raise instead of silently dropping/zeroing") {
+    import graft.ext.{Sampling, TimeSeries}
+    val wNull = Seq((Some("g"), 1), (None: Option[String], 2)).toDF("k", "v")
+    val e1 = intercept[Exception] {
+      Sampling.winsorizeByGroup(wNull, "k", "v").count()
+    }
+    assert(e1.getMessage.contains("null k") ||
+      Option(e1.getCause).exists(_.getMessage.contains("null k")))
+    val tNull = Seq((Some("g"), "2024-01-01 00:00:00"), (None: Option[String], "2024-01-02 00:00:00"))
+      .toDF("k", "tss").withColumn("ts", to_timestamp($"tss"))
+    val e2 = intercept[Exception] {
+      TimeSeries.resampleDaily(tNull, "k", "ts").count()
+    }
+    assert(e2.getMessage.contains("null k") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null k")))
+  }
+
+  test("Checks on an empty table reports clean zeros, not NULL/NaN") {
+    import graft.ext.Checks
+    val empty = Seq.empty[(Long, Double)].toDF("id", "amount")
+    val rep = Checks.report(empty, Seq(Checks.Rule("neg", col("amount") < 0)))
+      .select("rule", "n_violations", "n_rows", "violation_frac")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(rep === Seq(("neg", 0L, 0L, 0.0)))
+    val orph = Checks.orphans(empty.select(col("id").as("fk")),
+      Seq(Tuple1(1L)).toDF("pk"), "orphan_fk", "fk", "pk")
+      .select("n_violations", "n_rows", "violation_frac")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(orph === Seq((0L, 0L, 0.0)))
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

@@ -103,6 +103,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(parent.toSeq === Seq("t"), s"leftovers: ${parent.mkString(",")}")
   }
 
+  test("compactParquet is a no-op when the dir is already at the target count") {
+    val dir = SparkTestBase.tmpDir("graft_compact_noop") + "/t"
+    (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "p").coalesce(1).write.parquet(dir)
+    def names() = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = names()
+    assert(before.size === 1)
+    // 1 file, huge target -> n == current count -> must NOT rewrite
+    val n = Layout.compactParquet(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1)
+    assert(names() === before, "a no-op compaction must not rewrite files")
+  }
+
   test("compactParquet with sortCols range-clusters while rewriting") {
     val dir = SparkTestBase.tmpDir("graft_compact_sort") + "/t"
     (1 to 4000).map(i => ((i * 7919) % 4000L, i.toLong)).toDF("k", "v")

@@ -538,6 +538,30 @@ object Queries {
     spark.sql(q55Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q61 — distribution-window surface, completing q21's analytic set
+  // with ntile / percent_rank / cume_dist. Deliberately PARTITIONED
+  // (by priority): a global ORDER BY window plans all rows into one
+  // partition — the same scale trap Ids.orderedIds exists to avoid —
+  // and per-group distributions are what reporting actually asks for.
+  // percent_rank ((rank-1)/(n-1)) and cume_dist (rows≤cur / n) are
+  // integer ratios through IEEE division — bit-stable cross-engine.
+  // Unique (price, orderkey) ordering makes every rank deterministic.
+  val q61Sql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  def q61(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q61Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -558,7 +582,8 @@ object Queries {
     "q41_json_extract" -> (q41 _),
     "q43_subqueries" -> (q43 _),
     "q53_grouping_sets" -> (q53 _),
-    "q55_lateral_join" -> (q55 _)
+    "q55_lateral_join" -> (q55 _),
+    "q61_distribution_windows" -> (q61 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -672,6 +697,7 @@ object Queries {
     "q41_json_extract" -> q41Oracle,
     "q43_subqueries" -> q43Sql,
     "q53_grouping_sets" -> q53Sql,
-    "q55_lateral_join" -> q55Sql
+    "q55_lateral_join" -> q55Sql,
+    "q61_distribution_windows" -> q61Sql
   )
 }

@@ -208,6 +208,22 @@ object ExtQueries {
         col("zscore"), col("is_anomaly"))
       .orderBy("event_type", "day")
 
+  /** Column profile of orders (null + exact distinct counts per column). */
+  def q60(spark: SparkSession, dir: String): DataFrame =
+    Checks.profile(spark.read.parquet(s"$dir/orders.parquet"),
+      Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"))
+      .orderBy("col_name")
+
+  /** Salted skew-safe join == plain inner join (the oracle proves it). */
+  def q62(spark: SparkSession, dir: String): DataFrame =
+    Joins.salted(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_name")),
+      keys = Seq("o_custkey"), buckets = 8)
+      .orderBy("o_orderkey")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -381,7 +397,9 @@ object ExtQueries {
     "q56_winsorize" -> (q56 _),
     "q57_ordered_ids" -> (q57 _),
     "q58_data_quality" -> (q58 _),
-    "q59_daily_anomalies" -> (q59 _)
+    "q59_daily_anomalies" -> (q59 _),
+    "q60_profile" -> (q60 _),
+    "q62_salted_join" -> (q62 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -829,6 +847,36 @@ object ExtQueries {
         |SELECT event_type, day, n_events, zscore,
         |  (abs(zscore) > 2.0) AS is_anomaly
         |FROM scored ORDER BY event_type, day""".stripMargin,
+    // COUNT(DISTINCT) excludes NULLs on both engines; one UNION ALL
+    // branch per profiled column
+    "q60_profile" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'o_orderstatus' AS col_name,
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+        |    (SELECT n_rows FROM n) AS n_rows FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority',
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate',
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+        |    (SELECT n_rows FROM n) FROM orders)
+        |ORDER BY col_name""".stripMargin,
+    // the salted join's contract IS the plain inner join
+    "q62_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

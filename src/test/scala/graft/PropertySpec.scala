@@ -167,4 +167,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }, minSuccessful = 30)
   }
+
+  // ---- deterministic sampling / ids vs Scala-side models --------------
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("property: samplePerGroup == md5-order model, invariant under repartitioning") {
+    import graft.ext.Sampling
+    val caseGen = for {
+      ids <- Gen.listOfN(30, Gen.choose(0L, 500L)).map(_.distinct)
+      keys <- Gen.listOfN(30, Gen.oneOf("a", "b", "c"))
+      parts <- Gen.choose(1, 8)
+    } yield (ids.zip(keys), parts)
+    check(Prop.forAll(caseGen) { case (rows0, parts) =>
+      // distinct ids AND distinct (id,key) rows; never empty (>=1 id)
+      val rows = rows0.distinctBy(_._1)
+      val df = rows.toDF("doc_id", "lang").repartition(parts)
+      val got = Sampling.samplePerGroup(df, k = 4, keyCol = "lang")
+        .select("doc_id").as[Long].collect().toSet
+      // model: per group, rank by (md5(id+salt), id), take 4
+      val want = rows.groupBy(_._2).values.flatMap { g =>
+        g.map(_._1).sortBy(id => (md5hex(id.toString + "graft"), id)).take(4)
+      }.toSet
+      got == want
+    }, minSuccessful = 10)
+  }
+
+  test("property: orderedIds == sorted-index model for any partitioning") {
+    import graft.ext.Ids
+    val caseGen = for {
+      vs <- Gen.listOfN(40, Gen.choose(-1000L, 1000L)).map(_.distinct)
+      shuffleParts <- Gen.choose(1, 6)
+      rangeParts <- Gen.choose(1, 6)
+    } yield (vs, shuffleParts, rangeParts)
+    check(Prop.forAll(caseGen) { case (vs, shuffleParts, rangeParts) =>
+      val df = vs.toDF("v").repartition(shuffleParts)
+      val got = Ids.orderedIds(df, Seq("v"), rangeParts)
+        .select("v", "row_id").as[(Long, Long)].collect().toMap
+      val want = vs.sorted.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap
+      got == want
+    }, minSuccessful = 10)
+  }
 }

@@ -120,7 +120,7 @@ final case class Dependency(
     val src = if (source == "greenplum") "warehouse" else source
     if (src != "datalake" && src != "warehouse")
       throw new ConfigException(s"Invalid source type: '$source'")
-    val fmts = Set("jdbc", "hudi", "csv", "parquet", "orc")
+    val fmts = Set("jdbc", "hudi", "csv", "parquet", "orc", "json")
     if (!fmts.contains(format))
       throw new ConfigException(s"Invalid format: '$format'")
     if (format == "jdbc" && src != "warehouse")

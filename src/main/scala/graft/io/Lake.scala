@@ -38,6 +38,9 @@ final case class Lake(root: String) {
     case "hudi" | "parquet" => spark.read.parquet(path)
     case "orc"              => spark.read.orc(path)
     case "csv"              => spark.read.option("header", "true").csv(path) // all strings, by design
+    // JSON-lines: schema inferred from the data (an extra scan — at
+    // scale prefer parquet landings; this is the raw-drop escape hatch)
+    case "json"             => spark.read.json(path)
     case other => throw new IllegalArgumentException(s"Invalid lake format: '$other'")
   }
 

@@ -187,6 +187,22 @@ class PipelineSpec extends AnyFunSuite {
     // evolution must be an explicit opt-in, not the default cost
   }
 
+  test("json-lines dependency: typed columns inferred, nested field reachable") {
+    val (ctx, _, work) = mkCtx()
+    write(s"$work/lakefiles", "ev.json",
+      """{"id": 1, "tag": "a", "meta": {"k": 10}}
+        |{"id": 2, "tag": "b", "meta": {"k": 20}}
+        |""".stripMargin)
+    val ctx2 = ctx.copy(lake = Lake(work))
+    PipelineRunner.loadDependencies(ctx2, Seq(
+      Dependency("datalake", "json", "events_raw", path = Some("lakefiles/ev.json"))))
+    val df = spark.table("events_raw")
+    assert(df.schema("id").dataType.typeName === "long", "json must infer types")
+    import org.apache.spark.sql.functions.col
+    val ks = df.select(col("meta.k")).collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq === Seq(10L, 20L))
+  }
+
   test("dependency via lake path convention") {
     val (ctx, _, work) = mkCtx()
     // lay out <root>/datalake/<sys>/<tag>/<schema>/<table> and read it back

@@ -35,12 +35,24 @@ object TimeSeries {
       s"resampleDaily: null $tsCol — a null timestamp has no day")))
       .otherwise(col(tsCol).cast("date"))
     val days = df.select(guardedKey.as(keyCol), guardedDay.as("day"))
-    val spans = days.groupBy(col(keyCol))
+    resampleFromDailyCounts(
+      days.groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("n_events")),
+      keyCol)
+  }
+
+  /** [[resampleDaily]]'s second half, entered with ALREADY-AGGREGATED
+    * (key, day, n_events) rows — the partial-aggregate path: streaming
+    * micro-batches or distributed pre-counts append partials and this
+    * re-sums them (duplicate (key, day) rows are summed, so partials
+    * from any number of batches are welcome) before densifying.
+    */
+  def resampleFromDailyCounts(dailyCounts: DataFrame, keyCol: String): DataFrame = {
+    val counts = dailyCounts.groupBy(col(keyCol), col("day"))
+      .agg(sum(col("n_events")).as("__n"))
+    val spans = counts.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
     val grid = spans.select(col(keyCol),
       explode(sequence(col("__d0"), col("__d1"))).as("day"))
-    val counts = days.groupBy(col(keyCol), col("day"))
-      .agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(counts, Seq(keyCol, "day"), "left")

@@ -7,6 +7,11 @@ import graft.merge.JournalMerge
 import graft.streaming.StreamingMerge
 import graft.streaming.StreamingMerge.StreamRecord
 
+/** Event fixture for the streaming-anomaly bridge (top-level so the
+  * Product encoder has no outer-class pointer).
+  */
+case class AnomEvent(k: String, ts: Timestamp)
+
 /** Streaming merge must agree with the batch merge on the same data —
   * one merge semantic across both planes.
   */
@@ -248,5 +253,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(master === Map("u1" -> "v2", "u2" -> "w1"))
     // journal fully flipped to historical after the second merge
     assert(wh.read("dwh", "s__journal").where("__record_state = 'A'").count() === 0)
+  }
+
+  test("streaming anomaly report == batch dailyAnomalies over all micro-batches") {
+    import graft.ext.TimeSeries
+    import graft.streaming.StreamingAnomalies
+    implicit val sqlCtx = spark.sqlContext
+    val work = SparkTestBase.tmpDir("graft_stream_anom")
+    val input = MemoryStream[AnomEvent]
+    val q = input.toDS().toDF()
+      .writeStream
+      .foreachBatch(StreamingAnomalies.reportToDir(
+        s"$work/counts", s"$work/report", "k", "ts", zThreshold = 1.2) _)
+      .start()
+    def ev(k: String, t: String) = AnomEvent(k, ts(t))
+    try {
+      // batch 1: two quiet days for key a
+      input.addData((1 to 5).map(i => ev("a", s"2024-01-01 0$i:00:00")) ++
+        (1 to 5).map(i => ev("a", s"2024-01-02 0$i:00:00")): _*)
+      q.processAllAvailable()
+      // batch 2: a spike day for a, plus key b appearing
+      input.addData((1 to 50).map(i => ev("a", s"2024-01-03 ${10 + i % 10}:0${i % 6}:00")) ++
+        (1 to 3).map(i => ev("b", s"2024-01-01 0$i:30:00")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"k", $"day".cast("string"), $"n_events", $"zscore", $"is_anomaly")
+      .as[(String, String, Long, Double, Boolean)].collect().sorted.toSeq
+
+    val streamed = norm(spark.read.parquet(s"$work/report"))
+    // batch reference: same anomaly op over ALL events at once
+    val allEvents = ((1 to 5).map(i => ev("a", s"2024-01-01 0$i:00:00")) ++
+      (1 to 5).map(i => ev("a", s"2024-01-02 0$i:00:00")) ++
+      (1 to 50).map(i => ev("a", s"2024-01-03 ${10 + i % 10}:0${i % 6}:00")) ++
+      (1 to 3).map(i => ev("b", s"2024-01-01 0$i:30:00"))).toDF()
+    // z for the spike day over its 3-day frame is (50-20)/sqrt(450) ≈ 1.41,
+    // so the test threshold sits below it (the default 2.0 needs a
+    // longer quiet history than this fixture carries)
+    val batch = norm(TimeSeries.dailyAnomalies(
+      TimeSeries.resampleDaily(allEvents, "k", "ts"), "k", zThreshold = 1.2))
+    assert(streamed === batch, "stream must equal batch over the same data")
+    assert(streamed.exists(r => r._1 == "a" && r._2 == "2024-01-03" && r._5),
+      "the spike day must be flagged")
   }
 }

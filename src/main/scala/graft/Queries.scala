@@ -562,6 +562,42 @@ object Queries {
     spark.sql(q61Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q63 — UNPIVOT surface, q38's inverse: wide one-row-per-group back to
+  // long (status, count) rows via the native `unpivot` (Spark 3.4+
+  // melt). Engines disagree on NULL cells (Spark keeps them, DuckDB's
+  // UNPIVOT drops them), so absent combos are folded to 0 BEFORE the
+  // melt on the Spark side and spelled as count(CASE)=0 in the oracle —
+  // the portable semantics (a combo with no rows is a 0, not a hole).
+  def q63(spark: SparkSession, dir: String): DataFrame = {
+    val wide = t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    val filled = wide.select(col("o_orderpriority") +:
+      Seq("F", "O", "P").map(s => coalesce(col(s), lit(0L)).as(s)): _*)
+    filled.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")),
+      "status", "n_orders")
+      .orderBy("o_orderpriority", "status")
+  }
+
+  val q63Oracle: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+      |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+      |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt
+      |  FROM orders GROUP BY 1)
+      |SELECT o_orderpriority, status, n_orders FROM (
+      |  SELECT o_orderpriority, 'F' AS status, f_cnt AS n_orders FROM w
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'O', o_cnt FROM w
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'P', p_cnt FROM w)
+      |ORDER BY o_orderpriority, status""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -583,7 +619,8 @@ object Queries {
     "q43_subqueries" -> (q43 _),
     "q53_grouping_sets" -> (q53 _),
     "q55_lateral_join" -> (q55 _),
-    "q61_distribution_windows" -> (q61 _)
+    "q61_distribution_windows" -> (q61 _),
+    "q63_unpivot" -> (q63 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -698,6 +735,7 @@ object Queries {
     "q43_subqueries" -> q43Sql,
     "q53_grouping_sets" -> q53Sql,
     "q55_lateral_join" -> q55Sql,
-    "q61_distribution_windows" -> q61Sql
+    "q61_distribution_windows" -> q61Sql,
+    "q63_unpivot" -> q63Oracle
   )
 }

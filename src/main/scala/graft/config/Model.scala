@@ -108,7 +108,7 @@ object SqlSource {
   */
 final case class Dependency(
     source: String, // "datalake" | "warehouse" ("greenplum" accepted)
-    format: String, // "hudi" | "csv" | "jdbc" | "parquet" | "orc"
+    format: String, // "hudi" | "csv" | "jdbc" | "parquet" | "orc" | "json"
     alias: String,
     sourceSystemName: Option[String] = None,
     sourceSystemTag: Option[String] = None,

@@ -75,16 +75,19 @@ object Checks {
   def profile(df: DataFrame, cols: Seq[String],
               approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct == cols,
+      s"duplicate columns in profile request: ${cols.diff(cols.distinct).mkString(", ")}")
     def nd(c: String): Column =
       if (approx) approx_count_distinct(col(c)) else count_distinct(col(c))
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
-      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$c"),
-      nd(c).as(s"__nd_$c"))
+    // positional aliases: immune to duplicate-prone or dotted names
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"__nn_$i"),
+      nd(c).as(s"__nd_$i"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(col("__n"), explode(array(cols.map { c =>
-        struct(lit(c).as("col_name"), col(s"__nn_$c").as("n_nulls"),
-          col(s"__nd_$c").as("n_distinct"))
+      .select(col("__n"), explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(c).as("col_name"), col(s"__nn_$i").as("n_nulls"),
+          col(s"__nd_$i").as("n_distinct"))
       }: _*)).as("__x"))
       .select(col("__x.col_name").as("col_name"), col("__x.n_nulls").as("n_nulls"),
         col("__x.n_distinct").as("n_distinct"), col("__n").as("n_rows"))

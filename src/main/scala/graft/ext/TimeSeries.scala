@@ -45,9 +45,19 @@ object TimeSeries {
     * micro-batches or distributed pre-counts append partials and this
     * re-sums them (duplicate (key, day) rows are summed, so partials
     * from any number of batches are welcome) before densifying.
+    * Carries the same null RAISE as [[resampleDaily]] — a null key or
+    * day in a partial would silently zero/orphan a series here too.
     */
   def resampleFromDailyCounts(dailyCounts: DataFrame, keyCol: String): DataFrame = {
-    val counts = dailyCounts.groupBy(col(keyCol), col("day"))
+    val guardedKey = when(col(keyCol).isNull, raise_error(lit(
+      s"resampleFromDailyCounts: null $keyCol — the grid join would zero out this key's real counts")))
+      .otherwise(col(keyCol))
+    val guardedDay = when(col("day").isNull, raise_error(lit(
+      "resampleFromDailyCounts: null day — a null day has no grid cell")))
+      .otherwise(col("day"))
+    val counts = dailyCounts
+      .select(guardedKey.as(keyCol), guardedDay.as("day"), col("n_events"))
+      .groupBy(col(keyCol), col("day"))
       .agg(sum(col("n_events")).as("__n"))
     val spans = counts.groupBy(col(keyCol))
       .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))

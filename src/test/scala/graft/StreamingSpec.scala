@@ -297,4 +297,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(r => r._1 == "a" && r._2 == "2024-01-03" && r._5),
       "the spike day must be flagged")
   }
+
+  test("anomaly bridge replay: re-delivering the same batch id does not double-count") {
+    import graft.streaming.StreamingAnomalies
+    val work = SparkTestBase.tmpDir("graft_anom_replay")
+    val sink = StreamingAnomalies.reportToDir(
+      s"$work/counts", s"$work/report", "k", "ts") _
+    val b0 = (1 to 5).map(i => AnomEvent("a", ts(s"2024-01-01 0$i:00:00"))).toDF()
+    sink(b0, 0L)
+    val first = spark.read.parquet(s"$work/report")
+      .select($"n_events").as[Long].collect().sorted.toSeq
+    // at-least-once delivery: the SAME batch id arrives again
+    sink(b0, 0L)
+    val replayed = spark.read.parquet(s"$work/report")
+      .select($"n_events").as[Long].collect().sorted.toSeq
+    assert(replayed === first, "a replayed batch must not change the report")
+    // a genuinely new batch still accumulates
+    sink((1 to 3).map(i => AnomEvent("a", ts(s"2024-01-02 0$i:00:00"))).toDF(), 1L)
+    val extended = spark.read.parquet(s"$work/report").count()
+    assert(extended === 2, "day 2 must appear after batch 1")
+  }
 }

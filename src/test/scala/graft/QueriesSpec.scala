@@ -96,4 +96,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(!ccSchema.contains("p_retailprice") && !ccSchema.contains("p_size"),
       s"char-class scan should prune numeric part columns: $ccSchema")
   }
+
+  test("q52/q56 scans prune to the columns the operators actually touch") {
+    import graft.ext.ExtQueries
+    // keyTerms: only (doc_id, text) should reach the documents scan
+    val ktSchemas = ExtQueries.q52(spark, sf).queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(ktSchemas.nonEmpty && ktSchemas.forall(s =>
+      !s.contains("lang") && !s.contains("n_chars")),
+      s"keyTerms must not read lang/n_chars: $ktSchemas")
+    // winsorize: the text column must never reach either scan
+    val wSchemas = ExtQueries.q56(spark, sf).queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(wSchemas.nonEmpty && wSchemas.forall(!_.contains("text")),
+      s"winsorize must not read the text column: $wSchemas")
+  }
 }

@@ -224,6 +224,13 @@ object ExtQueries {
       keys = Seq("o_custkey"), buckets = 8)
       .orderBy("o_orderkey")
 
+  /** Length-weighted importance sample (~30% of docs, longer preferred). */
+  def q64(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(docs(spark, dir), weightCol = "n_chars",
+      fraction = 0.3)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Temperature (sqrt) rebalancing across languages. */
   def q48(spark: SparkSession, dir: String): DataFrame =
     Sampling.temperatureSample(docs(spark, dir), keyCol = "lang")
@@ -399,7 +406,8 @@ object ExtQueries {
     "q58_data_quality" -> (q58 _),
     "q59_daily_anomalies" -> (q59 _),
     "q60_profile" -> (q60 _),
-    "q62_salted_join" -> (q62 _)
+    "q62_salted_join" -> (q62 _),
+    "q64_weighted_sample" -> (q64 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -877,6 +885,19 @@ object ExtQueries {
       """SELECT o_orderkey, o_custkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // q48's threshold encoding with a per-row rate: the identical
+    // ((w*f)*n)/sumw double tree on both engines, 'g' for clamped rows
+    "q64_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(n_chars) AS DOUBLE) AS sumw, count(*) AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM documents, t
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+        |  CASE WHEN CAST(n_chars AS DOUBLE) * 0.3 * n / sumw >= 1 THEN 'g'
+        |       ELSE printf('%04x', LEAST(CAST(FLOOR(
+        |         CAST(n_chars AS DOUBLE) * 0.3 * n / sumw * 65536) AS INT), 65535))
+        |  END
+        |ORDER BY doc_id""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

@@ -123,6 +123,46 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Importance (weighted) sampling: keep each row with probability
+    * proportional to `weightCol`, targeting an expected `fraction` of
+    * rows overall — the training-mix op for "prefer longer / cleaner /
+    * higher-scoring documents" without an RNG: the keep decision is
+    * the same deterministic (id, salt) hex bucket every sampler here
+    * uses, so the SAME rows come back on any rerun, partitioning, or
+    * engine. Per-row keep rate = min(1, w·f·n / Σw) — mean-normalized
+    * weight times the target fraction, clamped; rows whose rate clamps
+    * at 1 are always kept, so the realized fraction lands UNDER `f`
+    * when weights are extremely skewed (no redistribution pass — a
+    * documented property, not a bug).
+    *
+    * A null or negative weight RAISES (the samplers' total-function
+    * policy: silently scoring such rows corrupts the mix unnoticed).
+    *
+    * Scale shape: one 1-row aggregate (Σw, n) broadcast back; the
+    * corpus side stays a narrow codegen filter. The rate→4-hex
+    * threshold encoding is temperatureSample's (proven bit-exact
+    * cross-engine by q48's oracle): same 'g' keep-all sentinel, same
+    * 65535 clamp.
+    */
+  def weightedSample(df: DataFrame, weightCol: String, fraction: Double,
+                     idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val guardedW = when(col(weightCol).isNull || col(weightCol) < 0, raise_error(lit(
+      s"weightedSample: null/negative $weightCol — weights must be a total, non-negative function of the row")))
+      .otherwise(col(weightCol))
+    val tot = df.agg(sum(guardedW).cast("double").as("__sumw"),
+      count(lit(1)).as("__n"))
+    val rate = col(weightCol).cast("double") * lit(fraction) *
+      col("__n") / col("__sumw")
+    df.crossJoin(broadcast(tot))
+      .withColumn("__graft_thr",
+        when(rate >= 1, lit("g"))
+          .otherwise(lpad(lower(hex(least(
+            floor(rate * 65536).cast("long"), lit(65535L)))), 4, "0")))
+      .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
+      .drop("__sumw", "__n", "__graft_thr")
+  }
+
   /** Winsorize a numeric column per group: clip values outside the
     * group's own [pLo, pHi] exact percentiles and flag the clipped
     * rows — outlier taming for length/score features before

@@ -798,6 +798,29 @@ class ExtSpec extends AnyFunSuite {
     assert(approx >= 1L && approx <= 3L)
   }
 
+  test("weightedSample: clamped heavy rows always kept, light rows rare, deterministic") {
+    import graft.ext.Sampling
+    // 100 light (w=1) + 10 heavy (w=1000): heavy rate = 1000·0.3·110/10100 ≈ 3.3 -> clamped
+    val df = ((1 to 100).map(i => (i.toLong, 1L)) ++
+      (1001 to 1010).map(i => (i.toLong, 1000L))).toDF("doc_id", "n_chars")
+    val kept = Sampling.weightedSample(df, "n_chars", fraction = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert((1001L to 1010L).forall(kept.contains), "clamped heavy rows must all survive")
+    // light rate ≈ 0.0033 -> a handful at most out of 100
+    assert(kept.count(_ <= 100) <= 5, s"too many light rows: $kept")
+    // deterministic: rerun -> identical selection
+    val again = Sampling.weightedSample(df, "n_chars", fraction = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept)
+    // negative weight raises
+    val bad = df.union(Seq((9999L, -1L)).toDF("doc_id", "n_chars"))
+    val e = intercept[Exception] {
+      Sampling.weightedSample(bad, "n_chars", fraction = 0.3).count()
+    }
+    assert(e.getMessage.contains("n_chars") ||
+      Option(e.getCause).exists(_.getMessage.contains("n_chars")))
+  }
+
   test("repetitionMetrics: dup n-gram fractions and top-token share, short-doc zeros") {
     import graft.ext.TextOps
     val out = TextOps.repetitionMetrics(docsDf(

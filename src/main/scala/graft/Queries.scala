@@ -598,6 +598,64 @@ object Queries {
       |  SELECT o_orderpriority, 'P', p_cnt FROM w)
       |ORDER BY o_orderpriority, status""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65 — statistical-moments surface: per-group covariance/correlation
+  // computed from INTEGER moment sums, not the built-in covar_pop/corr.
+  // The builtins accumulate doubles in partition order — order-dependent
+  // and therefore unverifiable across engines; here quantity is integral
+  // and discount becomes integer basis points (exact via DECIMAL(4,2)),
+  // so the five moment sums are exact integers (< 2^53 at any realistic
+  // group size) and the covariance/correlation double tree evaluates
+  // identically everywhere. Zero-variance groups get corr = 0 by guard.
+  // Identical SQL text on both engines.
+  val q65Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS returnflag,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT returnflag, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(d) AS BIGINT) AS sd,
+      |    CAST(SUM(q * d) AS BIGINT) AS sqd,
+      |    CAST(SUM(q * q) AS BIGINT) AS sqq,
+      |    CAST(SUM(d * d) AS BIGINT) AS sdd
+      |  FROM b GROUP BY returnflag)
+      |SELECT returnflag, n,
+      |  CAST(sqd AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)
+      |    AS covar_qd,
+      |  CASE WHEN (CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+      |          * (CAST(sdd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)) <= 0
+      |       THEN 0.0
+      |       ELSE (CAST(sqd AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n))
+      |            / sqrt((CAST(sqq AS DOUBLE) / n - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+      |                 * (CAST(sdd AS DOUBLE) / n - (CAST(sd AS DOUBLE) / n) * (CAST(sd AS DOUBLE) / n)))
+      |  END AS corr_qd
+      |FROM s ORDER BY returnflag""".stripMargin
+
+  def q65(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(q65Sql)
+  }
+
+  // ---------------------------------------------------------------------
+  // q66 — string-similarity surface: Levenshtein distance (exact integer
+  // — the one string-distance both engines define identically) between
+  // each part's name and its type label, banded. Per-row codegen
+  // scalars, no shuffle. Identical SQL text on both engines.
+  val q66Sql: String =
+    """SELECT p_partkey,
+      |  levenshtein(p_name, lower(p_type)) AS name_type_dist,
+      |  CASE WHEN levenshtein(p_name, lower(p_type)) <= 20 THEN 'near'
+      |       WHEN levenshtein(p_name, lower(p_type)) <= 30 THEN 'mid'
+      |       ELSE 'far' END AS dist_band
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  def q66(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "part").createOrReplaceTempView("part")
+    spark.sql(q66Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -620,7 +678,9 @@ object Queries {
     "q53_grouping_sets" -> (q53 _),
     "q55_lateral_join" -> (q55 _),
     "q61_distribution_windows" -> (q61 _),
-    "q63_unpivot" -> (q63 _)
+    "q63_unpivot" -> (q63 _),
+    "q65_group_corr" -> (q65 _),
+    "q66_edit_distance" -> (q66 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -736,6 +796,8 @@ object Queries {
     "q53_grouping_sets" -> q53Sql,
     "q55_lateral_join" -> q55Sql,
     "q61_distribution_windows" -> q61Sql,
-    "q63_unpivot" -> q63Oracle
+    "q63_unpivot" -> q63Oracle,
+    "q65_group_corr" -> q65Sql,
+    "q66_edit_distance" -> q66Sql
   )
 }

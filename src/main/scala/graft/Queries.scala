@@ -656,6 +656,43 @@ object Queries {
     spark.sql(q66Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q67 — funnel analysis: furthest stage per user through
+  // view → click → purchase with strictly-ordered timestamps (each
+  // stage's first event at-or-after the previous stage's), plus the
+  // end-to-end latency for completers. Stage times are conditional MIN
+  // aggregates + equi-joins on user_id — no corpus-wide window, no
+  // pair explosion; the funnel DAG is as deep as the stage list, not
+  // the data. Only the epoch-milliseconds spelling differs per engine
+  // (q25's replace trick); ms integers keep the arithmetic exact.
+  val q67Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (
+      |  SELECT user_id, min(ms) AS t0 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT ev.user_id, min(ms) AS t1 FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ms >= t0 GROUP BY ev.user_id),
+      |p AS (
+      |  SELECT ev.user_id, min(ms) AS t2 FROM ev JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ms >= t1 GROUP BY ev.user_id)
+      |SELECT v.user_id,
+      |  CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+      |       WHEN c.user_id IS NOT NULL THEN 'click'
+      |       ELSE 'view' END AS funnel_stage,
+      |  p.t2 - v.t0 AS view_to_purchase_ms
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  def q67(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_q67")
+    spark.sql(q67Sql.replace("epoch_ms(ts)", "unix_millis(ts)")
+      .replace("FROM events)", "FROM events_q67)"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -680,7 +717,8 @@ object Queries {
     "q61_distribution_windows" -> (q61 _),
     "q63_unpivot" -> (q63 _),
     "q65_group_corr" -> (q65 _),
-    "q66_edit_distance" -> (q66 _)
+    "q66_edit_distance" -> (q66 _),
+    "q67_funnel" -> (q67 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -798,6 +836,7 @@ object Queries {
     "q61_distribution_windows" -> q61Sql,
     "q63_unpivot" -> q63Oracle,
     "q65_group_corr" -> q65Sql,
-    "q66_edit_distance" -> q66Sql
+    "q66_edit_distance" -> q66Sql,
+    "q67_funnel" -> q67Sql
   )
 }

@@ -464,7 +464,7 @@ class ExtSpec extends AnyFunSuite {
     Seq("q12_near_dup_minhash", "q13_near_dup_jaccard",
         "q16_similarity_ann", "q17_near_dup_simhash",
         "q27_asof_join", "q28_range_join",
-        "q46_incremental_near_dup").foreach { name =>
+        "q46_incremental_near_dup", "q62_salted_join").foreach { name =>
       val plan = ExtQueries.all(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$name plans a product join:\n${plan.take(2000)}")

@@ -693,6 +693,37 @@ object Queries {
       .replace("FROM events)", "FROM events_q67)"))
   }
 
+  // ---------------------------------------------------------------------
+  // q68 — cohort retention: users grouped by first-seen week, counted by
+  // how many weeks later they were still active. The warehouse classic:
+  // one first-seen aggregate per user, one (cohort, offset) count — both
+  // map-side-combinable hash aggs on narrow keys; no window, no
+  // self-join explosion (the event→cohort attach is an equi-join on
+  // user_id). date_trunc('week') starts Monday on both engines, so the
+  // truncated dates are week-aligned and the week difference is exact
+  // integer arithmetic; only the week-diff spelling is engine-specific
+  // (DuckDB date_diff('week',a,b) ~ Spark timestampdiff(WEEK,a,b) —
+  // boundary-crossing counts, equal to whole weeks on aligned dates).
+  val q68Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT c.cohort_week,
+      |  CAST(date_diff('week', c.cohort_week, e.wk) AS BIGINT) AS weeks_later,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |GROUP BY c.cohort_week, weeks_later
+      |ORDER BY c.cohort_week, weeks_later""".stripMargin
+
+  def q68(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_q68")
+    spark.sql(q68Sql
+      .replace("date_diff('week', ", "timestampdiff(WEEK, ")
+      .replace("FROM events)", "FROM events_q68)"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -718,7 +749,8 @@ object Queries {
     "q63_unpivot" -> (q63 _),
     "q65_group_corr" -> (q65 _),
     "q66_edit_distance" -> (q66 _),
-    "q67_funnel" -> (q67 _)
+    "q67_funnel" -> (q67 _),
+    "q68_cohort_retention" -> (q68 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -837,6 +869,7 @@ object Queries {
     "q63_unpivot" -> q63Oracle,
     "q65_group_corr" -> q65Sql,
     "q66_edit_distance" -> q66Sql,
-    "q67_funnel" -> q67Sql
+    "q67_funnel" -> q67Sql,
+    "q68_cohort_retention" -> q68Sql
   )
 }

@@ -643,13 +643,18 @@ object Queries {
   // — the one string-distance both engines define identically) between
   // each part's name and its type label, banded. Per-row codegen
   // scalars, no shuffle. Identical SQL text on both engines.
+  // the O(len²) distance is computed ONCE per row in the subquery; the
+  // bands reference the alias (engines may or may not CSE three calls)
   val q66Sql: String =
-    """SELECT p_partkey,
-      |  levenshtein(p_name, lower(p_type)) AS name_type_dist,
-      |  CASE WHEN levenshtein(p_name, lower(p_type)) <= 20 THEN 'near'
-      |       WHEN levenshtein(p_name, lower(p_type)) <= 30 THEN 'mid'
+    """SELECT p_partkey, name_type_dist,
+      |  CASE WHEN name_type_dist <= 20 THEN 'near'
+      |       WHEN name_type_dist <= 30 THEN 'mid'
       |       ELSE 'far' END AS dist_band
-      |FROM part ORDER BY p_partkey""".stripMargin
+      |FROM (
+      |  SELECT p_partkey,
+      |    levenshtein(p_name, lower(p_type)) AS name_type_dist
+      |  FROM part) d
+      |ORDER BY p_partkey""".stripMargin
 
   def q66(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "part").createOrReplaceTempView("part")
@@ -704,16 +709,21 @@ object Queries {
   // integer arithmetic; only the week-diff spelling is engine-specific
   // (DuckDB date_diff('week',a,b) ~ Spark timestampdiff(WEEK,a,b) —
   // boundary-crossing counts, equal to whole weeks on aligned dates).
+  // uw pre-dedups to distinct (user, week) BEFORE the join: the join
+  // and final aggregate see one row per user-week, so the expensive
+  // count(DISTINCT) collapses to a plain count and the join probe side
+  // shrinks from all events to active user-weeks
   val q68Sql: String =
     """WITH ev AS (
       |  SELECT user_id, CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
       |  FROM events),
+      |uw AS (SELECT DISTINCT user_id, wk FROM ev),
       |cohort AS (
-      |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+      |  SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id)
       |SELECT c.cohort_week,
       |  CAST(date_diff('week', c.cohort_week, e.wk) AS BIGINT) AS weeks_later,
-      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
-      |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+      |  CAST(count(*) AS BIGINT) AS n_active
+      |FROM uw e JOIN cohort c ON e.user_id = c.user_id
       |GROUP BY c.cohort_week, weeks_later
       |ORDER BY c.cohort_week, weeks_later""".stripMargin
 

@@ -47,6 +47,18 @@ object Sampling {
     if (v >= 65536) "g" else f"$v%04x"
   }
 
+  /** [[hexThreshold]]'s in-plan form — THE load-bearing cross-engine
+    * encoding (the 'g' keep-all sentinel, the 65535 clamp, the 4-hex
+    * lpad), defined once for every data-derived-rate sampler. `keepAll`
+    * selects the 'g' branch; a rounding-proof integer comparison where
+    * the caller has one (temperatureSample) beats re-deriving it from
+    * the double rate.
+    */
+  private def hexThresholdCol(rate: Column, keepAll: Column): Column =
+    when(keepAll, lit("g"))
+      .otherwise(lpad(lower(hex(least(
+        floor(rate * 65536).cast("long"), lit(65535L)))), 4, "0"))
+
   /** Assign every row a named split by cumulative bucket thresholds,
     * e.g. `Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)`.
     * Fractions must sum to ~1; the last split absorbs rounding.
@@ -136,29 +148,40 @@ object Sampling {
     * documented property, not a bug).
     *
     * A null or negative weight RAISES (the samplers' total-function
-    * policy: silently scoring such rows corrupts the mix unnoticed).
+    * policy: silently scoring such rows corrupts the mix unnoticed),
+    * an all-zero weight total RAISES (a proportional sample of nothing
+    * is a silent empty set otherwise), and the weight column must be
+    * INTEGRAL or DECIMAL — a double weight's sum is accumulation-order
+    * -dependent, which would quietly void the determinism promise near
+    * threshold boundaries; quantize scores (e.g. basis points) first.
     *
     * Scale shape: one 1-row aggregate (Σw, n) broadcast back; the
     * corpus side stays a narrow codegen filter. The rate→4-hex
-    * threshold encoding is temperatureSample's (proven bit-exact
-    * cross-engine by q48's oracle): same 'g' keep-all sentinel, same
-    * 65535 clamp.
+    * threshold encoding is the samplers' shared one (proven bit-exact
+    * cross-engine by q48's oracle): 'g' keep-all sentinel, 65535 clamp.
     */
   def weightedSample(df: DataFrame, weightCol: String, fraction: Double,
                      idCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     require(fraction > 0 && fraction <= 1, "fraction must be in (0, 1]")
+    val wType = df.schema(weightCol).dataType
+    require(wType.isInstanceOf[DecimalType] ||
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"weightedSample: $weightCol is $wType — use an integral or decimal weight " +
+        "(a double sum is accumulation-order-dependent and breaks determinism); " +
+        "quantize fractional scores first, e.g. to basis points")
     val guardedW = when(col(weightCol).isNull || col(weightCol) < 0, raise_error(lit(
       s"weightedSample: null/negative $weightCol — weights must be a total, non-negative function of the row")))
       .otherwise(col(weightCol))
     val tot = df.agg(sum(guardedW).cast("double").as("__sumw"),
       count(lit(1)).as("__n"))
+    val sumw = when(col("__sumw") <= 0, raise_error(lit(
+      s"weightedSample: total $weightCol is zero — a proportional sample of nothing would be a silent empty set")))
+      .otherwise(col("__sumw"))
     val rate = col(weightCol).cast("double") * lit(fraction) *
-      col("__n") / col("__sumw")
+      col("__n") / sumw
     df.crossJoin(broadcast(tot))
-      .withColumn("__graft_thr",
-        when(rate >= 1, lit("g"))
-          .otherwise(lpad(lower(hex(least(
-            floor(rate * 65536).cast("long"), lit(65535L)))), 4, "0")))
+      .withColumn("__graft_thr", hexThresholdCol(rate, keepAll = rate >= 1))
       .where(hexBucket(col(idCol), salt) < col("__graft_thr"))
       .drop("__sumw", "__n", "__graft_thr")
   }
@@ -232,15 +255,9 @@ object Sampling {
       .agg(count(lit(1)).as("__cnt"))
     val minCnt = counts.agg(min(col("__cnt")).as("__min"))
     val thresholds = counts.crossJoin(broadcast(minCnt))
-      // integer guard for the keep-all case (a double >= 1 compare
-      // would work, but the int form is rounding-proof); the 65535
-      // clamp keeps the encoding 4-hex even if sqrt ever rounded a
-      // sub-1 rate up to 1.0 (hexThreshold's 'g' guard, in-plan form)
-      .withColumn("__graft_thr",
-        when(col("__cnt") <= col("__min"), lit("g"))
-          .otherwise(lpad(lower(hex(least(
-            floor(sqrt(col("__min").cast("double") / col("__cnt")) * 65536)
-              .cast("long"), lit(65535L)))), 4, "0")))
+      .withColumn("__graft_thr", hexThresholdCol(
+        sqrt(col("__min").cast("double") / col("__cnt")),
+        keepAll = col("__cnt") <= col("__min")))
       .select("__graft_key", "__graft_thr")
     applyThresholds(df, thresholds, keyCol, idCol, salt)
   }

@@ -734,6 +734,27 @@ object Queries {
       .replace("FROM events)", "FROM events_q68)"))
   }
 
+  // ---------------------------------------------------------------------
+  // q69 — equi-width histogram: value-distribution profiling as one
+  // hash aggregation (the complement of q24's exact quantiles and q61's
+  // rank distributions). Bucket = floor(v / width): integer-exact on
+  // both engines (IEEE divide + floor of 2-dp monetary doubles), counts
+  // are ints, and the per-bucket min/max are element PICKS, not
+  // accumulations — nothing order-dependent anywhere. Identical SQL.
+  val q69Sql: String =
+    """SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS lo,
+      |  MAX(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY bucket
+      |ORDER BY bucket""".stripMargin
+
+  def q69(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(q69Sql)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -760,7 +781,8 @@ object Queries {
     "q65_group_corr" -> (q65 _),
     "q66_edit_distance" -> (q66 _),
     "q67_funnel" -> (q67 _),
-    "q68_cohort_retention" -> (q68 _)
+    "q68_cohort_retention" -> (q68 _),
+    "q69_histogram" -> (q69 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -880,6 +902,7 @@ object Queries {
     "q65_group_corr" -> q65Sql,
     "q66_edit_distance" -> q66Sql,
     "q67_funnel" -> q67Sql,
-    "q68_cohort_retention" -> q68Sql
+    "q68_cohort_retention" -> q68Sql,
+    "q69_histogram" -> q69Sql
   )
 }

@@ -755,6 +755,30 @@ object Queries {
     spark.sql(q69Sql)
   }
 
+  // ---------------------------------------------------------------------
+  // q70 — rolling 7-day active users (WAU): COUNT(DISTINCT) over a
+  // sliding frame, which window functions cannot express (no DISTINCT
+  // in frames on either engine). The standard shape: distinct
+  // (day, user) pairs joined to the tiny day grid on a 7-day range —
+  // the grid side is ONE ROW PER DAY, so the range join broadcasts a
+  // few hundred rows against the deduped activity table, never
+  // events × events. Counts are exact integers. Identical SQL text.
+  val q70Sql: String =
+    """WITH du AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du)
+      |SELECT d.day,
+      |  CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+      |FROM days d
+      |JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day
+      |ORDER BY d.day""".stripMargin
+
+  def q70(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).createOrReplaceTempView("events_q70")
+    spark.sql(q70Sql.replace("FROM events)", "FROM events_q70)"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
     "q02_revenue_asia" -> (q02 _),
@@ -782,7 +806,8 @@ object Queries {
     "q66_edit_distance" -> (q66 _),
     "q67_funnel" -> (q67 _),
     "q68_cohort_retention" -> (q68 _),
-    "q69_histogram" -> (q69 _)
+    "q69_histogram" -> (q69 _),
+    "q70_rolling_active_users" -> (q70 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -903,6 +928,7 @@ object Queries {
     "q66_edit_distance" -> q66Sql,
     "q67_funnel" -> q67Sql,
     "q68_cohort_retention" -> q68Sql,
-    "q69_histogram" -> q69Sql
+    "q69_histogram" -> q69Sql,
+    "q70_rolling_active_users" -> q70Sql
   )
 }

@@ -70,11 +70,14 @@ object Dedup {
 
   /** Connected components over a near-dup pair set: label every member
     * with the smallest doc id reachable through pair edges (min-label
-    * propagation to fixpoint). The iteration runs over the PAIR graph —
-    * tiny relative to the corpus (near-dup rate ≪ 1) — with one
-    * equi-join per round and a driver-side convergence check; round
-    * count is bounded by the component diameter. Returns
-    * (member, component).
+    * propagation to fixpoint, accelerated by pointer doubling). The
+    * iteration runs over the PAIR graph — tiny relative to the corpus
+    * (near-dup rate ≪ 1) — with two equi-joins per round (one-hop
+    * neighbor min, then the L(v) ← L(L(v)) shortcut) and a driver-side
+    * convergence check; the shortcut doubles the propagation reach
+    * each round, so the round count is O(log diameter), not
+    * O(diameter) — the per-round Spark-job cost is what dominates at
+    * 100 TB. Returns (member, component).
     *
     * Checkpointing: per-round materialization bounds the lineage. With
     * `checkpointDir` set, rounds use reliable `Dataset.checkpoint()`
@@ -86,12 +89,22 @@ object Dedup {
     *
     * Exiting via the `maxIterations` cap without a fixpoint would
     * silently return WRONG labels (some member not yet carrying its
-    * component's minimum), so it throws instead; raise the cap to the
-    * expected component diameter (near-dup cliques are shallow — 20
-    * covers any realistic chain).
+    * component's minimum), so it throws instead; with pointer doubling
+    * the default cap of 20 rounds covers component diameters beyond
+    * 2^20 — far past any realistic near-dup chain.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIterations, checkpointDir)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation
+    * rounds it ran — the round count is the real 100 TB cost (one
+    * Spark job per round), so the spec pins it on a crafted long-chain
+    * fixture to hold the logarithmic convergence below.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIterations: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, Int) = {
     val sc = pairs.sparkSession.sparkContext
     // setCheckpointDir is SparkContext-global: restore the caller's dir
     // after the loop so this operator doesn't silently redirect every
@@ -109,7 +122,7 @@ object Dedup {
   }
 
   private def connectedComponentsLoop(pairs: DataFrame, maxIterations: Int,
-                                      mat: DataFrame => DataFrame): DataFrame = {
+                                      mat: DataFrame => DataFrame): (DataFrame, Int) = {
     val edges = mat(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct())
@@ -119,18 +132,30 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each member adopts min(own label, neighbors' labels); the round
-      // carries its own change flag so convergence is a cheap scan of
-      // the just-materialized result, not an extra shuffle join against
-      // the previous labels (which doubled the per-round job count)
+      // step 1 — propagate: each member adopts min(own label,
+      // neighbors' labels), reaching one hop per round
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("member", "dst"), "dst")
         .groupBy(col("src").as("member"))
         .agg(min(col("component")).as("__nbr"))
-      val next = mat(labels.join(viaNeighbors, Seq("member"), "left")
+      val prop = labels.select(col("member"), col("component").as("__old"))
+        .join(viaNeighbors, Seq("member"), "left")
+        .select(col("member"), col("__old"),
+          least(col("__old"), coalesce(col("__nbr"), col("__old"))).as("__p"))
+      // step 2 — pointer doubling (shortcut): L(v) ← L(L(v)). Labels
+      // are always member ids (init = own id, min only moves them to
+      // other members' ids), so every label resolves in the label
+      // table itself; the jump composes two hops into one, making the
+      // reach per round 2d+2 instead of d+1 — rounds ~ log2(diameter)
+      // instead of diameter. One extra equi-join per round buys a
+      // logarithmic job count: a 10 000-long chain converges in ~12
+      // rounds instead of 10 000. The round carries its own change
+      // flag so convergence is a scan of the just-materialized result.
+      val shortMap = prop.select(col("member").as("__lm"), col("__p").as("__lc"))
+      val next = mat(prop.join(shortMap, col("__p") === col("__lm"), "left")
         .select(col("member"),
-          least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"),
-          (col("__nbr").isNotNull && col("__nbr") < col("component")).as("__changed")))
+          coalesce(col("__lc"), col("__p")).as("component"),
+          (coalesce(col("__lc"), col("__p")) < col("__old")).as("__changed")))
       converged = next.where(col("__changed")).isEmpty
       labels = next.select("member", "component")
       i += 1
@@ -139,7 +164,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIterations iterations " +
           "(a component's diameter exceeds the cap); raise maxIterations")
-    labels
+    (labels, i)
   }
 
   /** Near-duplicate REMOVAL: run pair detection, cluster the pairs, and
@@ -439,22 +464,86 @@ object Dedup {
                             idCol: String = "doc_id", textCol: String = "text",
                             shingleSize: Int = 3, threshold: Double = 0.8,
                             numHashes: Int = 128, bands: Int = 32,
-                            seed: Long = 0xC0FFEE): DataFrame = {
+                            seed: Long = 0xC0FFEE): DataFrame =
+    nearDupMinHashAgainstIndex(queryDocs,
+      minHashIndex(corpus, idCol, textCol, shingleSize, numHashes, bands, seed),
+      idCol, textCol, shingleSize, threshold, numHashes, bands, seed)
+
+  /** Build the PERSISTABLE MinHash-LSH corpus index for incremental
+    * dedup: one row per corpus document with its hashed shingle set
+    * (`__hs` — what the exact verify needs) and its banded signature
+    * (`__bands` — what candidate generation needs). Write it as
+    * parquet and probe it forever with
+    * [[nearDupMinHashAgainstIndex]] — at 100 TB the banding IS the
+    * index, and re-deriving it per ingest batch (a full corpus scan +
+    * signature pass) is the cost this removes; the probe then touches
+    * the corpus only through the index columns. Same operational
+    * split as [[Similarity.ivfTrain]]/[[Similarity.ivfTopKWithCentroids]].
+    *
+    * The index is parameter-bound: probes must use the same
+    * (shingleSize, numHashes, bands, seed) or candidates are garbage —
+    * keep them with the index path like any model artifact.
+    */
+  def minHashIndex(corpus: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", shingleSize: Int = 3,
+                   numHashes: Int = 128, bands: Int = 32,
+                   seed: Long = 0xC0FFEE): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    def hashed(df: DataFrame) = df.select(col(idCol),
+    corpus.select(col(idCol),
+        graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
+      .select(col(idCol), col("__hs"),
+        lshBands(col("__sig"), bands, numHashes / bands).as("__bands"))
+  }
+
+  /** Incremental near-dup probe against a PRE-BUILT corpus index (see
+    * [[minHashIndex]]): the query batch is shingled/signed/banded with
+    * the SAME parameters, candidates come from the asymmetric band
+    * equi-join (query bands × index bands — cost ∝ ǀbatchǀ·bands +
+    * collisions, the corpus never re-hashes), and the exact Jaccard
+    * verify reads the index's stored shingle sets. Output:
+    * (a_id = query, b_id = corpus, jaccard), exact-verified —
+    * identical to [[nearDupMinHashAgainst]] by construction (that
+    * operator IS this probe against a just-built index).
+    */
+  def nearDupMinHashAgainstIndex(queryDocs: DataFrame, index: DataFrame,
+                                 idCol: String = "doc_id", textCol: String = "text",
+                                 shingleSize: Int = 3, threshold: Double = 0.8,
+                                 numHashes: Int = 128, bands: Int = 32,
+                                 seed: Long = 0xC0FFEE): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val qh = queryDocs.select(col(idCol),
       graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
-    def banded(hs: DataFrame) = bandedRows(
-      hs.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed)),
+    val qBanded = bandedRows(
+      qh.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed)),
       idCol, bands, numHashes / bands)
-    val qh = hashed(queryDocs)
-    val ch = hashed(corpus)
-    val cands = banded(qh).select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
-      .join(banded(ch).select(col("band_idx"), col("band_hash"), col(idCol).as("b_id")),
+    val cBanded = index
+      .select(col(idCol), explode(col("__bands")).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"), col("b.band_hash").as("band_hash"))
+    val cands = qBanded.select(col("band_idx"), col("band_hash"), col(idCol).as("a_id"))
+      .join(cBanded.select(col("band_idx"), col("band_hash"), col(idCol).as("b_id")),
         Seq("band_idx", "band_hash"))
       .select("a_id", "b_id")
       .distinct()
-    verifyJaccardTwoSided(cands, qh, ch, idCol, threshold)
+    verifyJaccardTwoSided(cands, qh, index.select(col(idCol), col("__hs")), idCol, threshold)
   }
+
+  /** Materialize the near-dup PAIR GRAPH once and share it: computes
+    * [[nearDupMinHash]] and writes (a_id, b_id, jaccard) to `path` as
+    * parquet. Downstream consumers — [[dedupNearDups]] (keep lowest
+    * id), [[dedupNearDupsBest]] (keep best by score), audits — all
+    * accept a `pairs` frame, so one signature+banding+verify job
+    * serves every policy instead of each consumer re-deriving the
+    * identical pipeline (the q23/q44 shape: same pair set, different
+    * keep policy). At 100 TB the pair graph is the expensive artifact;
+    * persist it next to the [[minHashIndex]].
+    */
+  def writePairGraph(docs: DataFrame, path: String, idCol: String = "doc_id",
+                     textCol: String = "text", shingleSize: Int = 3,
+                     threshold: Double = 0.8, numHashes: Int = 128,
+                     bands: Int = 32, seed: Long = 0xC0FFEE): Unit =
+    nearDupMinHash(docs, idCol, textCol, shingleSize, threshold, numHashes, bands, seed)
+      .write.mode("overwrite").parquet(path)
 
   // ---------------------------------------------------------------------
   // SimHash

@@ -32,13 +32,35 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.ArrayExprs.cosine(a, b)
 
+  /** Guard for the two exact-baseline operators below: both are O(n²)
+    * by construction, so a corpus-sized input is a plan that never
+    * finishes, not a slow one. The count is a column-pruned scan
+    * (cheap next to the quadratic join it gates) and turns the silent
+    * scale-killer into an immediate, actionable error. Raise
+    * `maxExactRows` deliberately when a bigger exact baseline is the
+    * point (verification runs); at corpus scale use the
+    * candidate-generating paths instead ([[annTopK]], [[ivfTopK]],
+    * [[Dedup.nearDupMinHash]]).
+    */
+  private def requireExactScale(emb: DataFrame, maxExactRows: Long, op: String): Unit = {
+    val n = emb.count()
+    require(n <= maxExactRows,
+      s"$op is O(n²) and got n=$n rows (maxExactRows=$maxExactRows): " +
+        "this is the exact baseline, not the scale path — use annTopK/ivfTopK " +
+        "(embeddings) or nearDupMinHash (text), or raise maxExactRows deliberately")
+  }
+
   /** Exact top-k neighbors per vector by brute force: all-pairs cosine,
     * per-query window top-k with a deterministic (sim DESC, id ASC)
     * tie-break. Output: (vec_id, neighbor_id, rnk, sim).
-    * O(n²) — correct-by-construction baseline for the LSH path.
+    * O(n²) — correct-by-construction baseline for the LSH path,
+    * size-guarded (`maxExactRows`) so it cannot be pointed at a corpus
+    * by accident.
     */
   def bruteForceTopK(emb: DataFrame, k: Int, idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     maxExactRows: Long = 100000L): DataFrame = {
+    requireExactScale(emb, maxExactRows, "bruteForceTopK")
     val a = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__va"))
     val b = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb"))
     // project the vectors away BEFORE the window: the ranking shuffle
@@ -54,10 +76,13 @@ object Similarity {
 
   /** Near-duplicate embedding pairs: all pairs (a<b) with cosine ≥
     * threshold. Exact; same quadratic caveat as [[bruteForceTopK]] —
-    * at scale run [[annTopK]]-style bucketing first.
+    * at scale run [[annTopK]]-style bucketing first. Size-guarded
+    * (`maxExactRows`) like the top-k baseline.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
+                   vecCol: String = "embedding",
+                   maxExactRows: Long = 100000L): DataFrame = {
+    requireExactScale(emb, maxExactRows, "nearDupPairs")
     val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
     a.join(b, col("a_id") < col("b_id"))

@@ -325,23 +325,25 @@ object TextOps {
     * and one division — cross-engine deterministic.
     *
     * Scale shape: pass 1 derives the stop list ([[topTokens]]: partial
-    * agg + TakeOrdered, topK rows total); pass 2 BROADCASTS it into a
-    * semi join against the exploded tokens and re-aggregates per doc —
-    * the corpus shuffles one (doc, count) row per document, never raw
-    * tokens.
+    * agg + TakeOrdered, topK rows total); pass 2 BROADCASTS it as a
+    * left join against ONE exploded-token scan that aggregates hit and
+    * total counts together (count of join matches / count of rows —
+    * the corpus is tokenized once in this pass, not once for hits and
+    * again for totals) — the shuffle carries one (doc, hits, total)
+    * row per document, never raw tokens.
     */
   def stopwordFraction(docs: DataFrame, topK: Int, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     val stops = topTokens(docs, topK, idCol, textCol).select(col("token"))
-    val hits = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .join(broadcast(stops), Seq("token"), "left_semi")
+    val counts = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(stops.withColumn("__stop", lit(1))), Seq("token"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("__hits"))
-    docs.withColumn("n_tokens", size(tokens(col(textCol))))
-      .join(hits, Seq(idCol), "left")
+      .agg(count(col("__stop")).as("__hits"), count(lit(1)).as("__total"))
+    docs.join(counts, Seq(idCol), "left")
+      .withColumn("n_tokens", coalesce(col("__total"), lit(0L)))
       .withColumn("stopword_frac",
         coalesce(col("__hits"), lit(0L)).cast("double") / col("n_tokens"))
-      .drop("__hits")
+      .drop("__hits", "__total")
   }
 
   /** TF-IDF-style key terms: the top `k` tokens per document scored by

@@ -929,6 +929,71 @@ class ExtSpec extends AnyFunSuite {
     assert(!out.exists(p => p._1 == 1L || p._1 == 2L))
   }
 
+  test("persisted MinHash index: parquet round-trip probe == direct incremental near-dup (q46)") {
+    // the operational shape: build the corpus index ONCE, persist it,
+    // and probe every ingest batch against the files — must reproduce
+    // the direct operator exactly (same bands, same verify)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val query = docs.where($"doc_id" % 10 === 0)
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val direct = Dedup.nearDupMinHashAgainst(query, corpus, shingleSize = 3, threshold = 0.8)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val dir = SparkTestBase.tmpDir("graft_mh_index")
+    Dedup.minHashIndex(corpus, shingleSize = 3).write.mode("overwrite").parquet(dir)
+    val probed = Dedup.nearDupMinHashAgainstIndex(
+      query, spark.read.parquet(dir), shingleSize = 3, threshold = 0.8)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(direct.nonEmpty, "fixture must contain cross-set near-dups")
+    assert(probed === direct, "index probe drifted from the direct operator")
+  }
+
+  test("pair graph persisted once serves both keep policies (the q23/q44 shape)") {
+    // one signature+banding+verify job writes the pair graph; BOTH
+    // dedup policies consume the parquet — outputs must equal the
+    // recompute-per-policy registry paths (q23 / q44)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = SparkTestBase.tmpDir("graft_pair_graph")
+    Dedup.writePairGraph(docs, dir, shingleSize = 3, threshold = 0.8)
+    val pairs = spark.read.parquet(dir)
+    assert(pairs.columns.sorted.toSeq === Seq("a_id", "b_id", "jaccard"))
+    val keptLowest = Dedup.dedupNearDups(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val q23 = ExtQueries.q23(spark, sf).select("doc_id").as[Long].collect().toSeq
+    assert(keptLowest === q23, "shared-pair-graph dedupNearDups != q23")
+    val keptBest = Dedup.dedupNearDupsBest(docs, pairs, scoreCol = "n_chars")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val q44 = ExtQueries.q44(spark, sf).select("doc_id").as[Long].collect().toSeq
+    assert(keptBest === q44, "shared-pair-graph dedupNearDupsBest != q44")
+  }
+
+  test("connectedComponents pointer doubling: long chain converges in O(log d) rounds") {
+    // a 40-link chain has diameter 40: one-hop min propagation alone
+    // needs 41 rounds (it would blow the default cap of 20); with the
+    // L(v) <- L(L(v)) shortcut the reach per round is 2d+2, so the
+    // fixpoint + its confirmation round land well under 8
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIterations = 20)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got === (0L to 40L).map(_ -> 0L).toMap, "chain must collapse to component 0")
+    assert(rounds <= 8, s"pointer doubling regressed: $rounds rounds for diameter 40")
+  }
+
+  test("quadratic exact baselines are size-guarded; override admits deliberately") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet") // 500 rows at sf0.001
+    val eTopK = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(emb, k = 1, maxExactRows = 100L))
+    assert(eTopK.getMessage.contains("O(n²)") && eTopK.getMessage.contains("annTopK"),
+      "guard error must route the caller to the scale path")
+    val ePairs = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(emb, threshold = 0.9, maxExactRows = 100L))
+    assert(ePairs.getMessage.contains("maxExactRows"))
+    // deliberate override: raising the cap runs the exact baseline
+    val n = Similarity.nearDupPairs(emb.limit(120), threshold = 0.99,
+      maxExactRows = 200L).count()
+    assert(n >= 0)
+  }
+
   test("redactPii masks emails, cards, and phones; counts match; dropPii keeps clean") {
     import graft.ext.Privacy
     val df = Seq(

@@ -217,6 +217,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.table("t1dep").count() == 5)
   }
 
+  test("lake format passthrough: unknown connector fails with missing-jar guidance, not a class error") {
+    val work = SparkTestBase.tmpDir("graft_passthrough")
+    val lake = Lake(work)
+    // 'delta' has no connector jar in this environment: the passthrough
+    // must surface an actionable config error naming the format and fix
+    val eRead = intercept[IllegalArgumentException](
+      lake.read(spark, "delta", s"$work/t"))
+    assert(eRead.getMessage.contains("delta") && eRead.getMessage.contains("jar"),
+      s"unhelpful passthrough error: ${eRead.getMessage}")
+    val eWrite = intercept[IllegalArgumentException](
+      lake.write(spark.range(3).toDF("k"), s"$work/t", "overwrite", format = "delta"))
+    assert(eWrite.getMessage.contains("delta") && eWrite.getMessage.contains("jar"))
+    // a registered non-builtin format passes through for real: Spark
+    // ships the text source but Lake.read has no 'text' case
+    import org.apache.spark.sql.functions.col
+    spark.range(2).select(col("id").cast("string").as("value"))
+      .write.text(s"$work/txt")
+    assert(lake.read(spark, "text", s"$work/txt").count() == 2)
+  }
+
+  test("hudi maps to parquet by default; graft.lake.nativeHudi opts into the real connector") {
+    val work = SparkTestBase.tmpDir("graft_hudi_native")
+    val lake = Lake(work)
+    lake.write(spark.range(4).toDF("k"), s"$work/h", "overwrite", format = "hudi")
+    assert(lake.read(spark, "hudi", s"$work/h").count() == 4) // parquet-compat mapping
+    spark.conf.set("graft.lake.nativeHudi", "true")
+    try {
+      // no hudi jar in this sandbox: the opt-in must route to the
+      // DataSource registry and fail with the missing-jar error —
+      // proof the conf actually dispatches to the native connector
+      val e = intercept[IllegalArgumentException](
+        lake.read(spark, "hudi", s"$work/h"))
+      assert(e.getMessage.contains("hudi") && e.getMessage.contains("jar"))
+    } finally spark.conf.unset("graft.lake.nativeHudi")
+  }
+
   test("extract: write-mode defaults from read-mode; delta needs watermark") {
     val (ctx, _, work) = mkCtx()
     val lake = Lake(s"$work/lk")

@@ -146,6 +146,23 @@ object Queries {
       .select("user_id", "event_type", "value")
       .orderBy("user_id")
 
+  /** q71 — q05's full merge routed through the SALTED skew path: the
+    * session conf `graft.merge.saltBuckets` makes every production
+    * merge fan hot keys over (pk, salt) lanes before the global
+    * per-key winner pass ([[graft.merge.JournalMerge.latestPerKeySalted]]).
+    * The comparator is total here (unique `event_id` tiebreak), so the
+    * result must be IDENTICAL to the unsalted q05 — verified by
+    * sharing q05's oracle SQL. The conf is read at plan-build time, so
+    * unsetting it after construction leaves the salted plan intact.
+    */
+  def q71(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set(JournalMerge.SaltBucketsConf, "8")
+    try JournalMerge.full(journalFromEvents(spark, dir, lit(true), lit("A")), Seq("user_id"))
+      .select("user_id", "event_type", "value")
+      .orderBy("user_id")
+    finally spark.conf.unset(JournalMerge.SaltBucketsConf)
+  }
+
   def q06(spark: SparkSession, dir: String): DataFrame = {
     val master = JournalMerge
       .full(journalFromEvents(spark, dir, col("ts") < lit(cutoff).cast("timestamp"), lit("A")),
@@ -785,6 +802,7 @@ object Queries {
     "q03_top_orders" -> (q03 _),
     "q04_latest_order_per_customer" -> (q04 _),
     "q05_merge_full" -> (q05 _),
+    "q71_merge_full_salted" -> (q71 _),
     "q06_merge_delta" -> (q06 _),
     "q18_delta_transform" -> (q18 _),
     "q29_manual_transform" -> (q29 _),
@@ -842,6 +860,17 @@ object Queries {
         |WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
     "q05_merge_full" ->
+      """SELECT user_id, event_type, value
+        |FROM (
+        |  SELECT user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, ts DESC, event_id ASC) AS rnk
+        |  FROM events) t
+        |WHERE rnk = 1
+        |ORDER BY user_id""".stripMargin,
+    // the salted merge must be indistinguishable from the unsalted one:
+    // q71 shares q05's oracle verbatim
+    "q71_merge_full_salted" ->
       """SELECT user_id, event_type, value
         |FROM (
         |  SELECT user_id, event_type, value,

@@ -18,6 +18,27 @@ object ExtQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** The near-dup PAIR GRAPH shared by every keep policy over the same
+    * corpus (q23 keeps the lowest id, q44 keeps the best member): the
+    * signature + banding + exact-verify pipeline runs ONCE per
+    * (session, corpus) and lands as parquet ([[Dedup.writePairGraph]]);
+    * each consumer is then a cheap parquet scan plus its own
+    * clustering/keep pass instead of a full re-derivation. At 100 TB
+    * the pair graph is the expensive artifact — recomputing it per
+    * policy doubles the dominant cost for byte-identical input.
+    */
+  private val pairGraphMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedPairGraph(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir
+    val path = pairGraphMemo.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_pair_graph").toString
+      Dedup.writePairGraph(docs(spark, dir), p, shingleSize = 3, threshold = 0.8)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
   /** Marker-token language profiles (sorted by language, which is the
     * argmax tie-break order).
     */
@@ -79,13 +100,13 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
 
   /** The full near-dedup flow: LSH pairs → connected components → keep
-    * each cluster's lowest-id member.
+    * each cluster's lowest-id member. The pair set comes from the
+    * [[sharedPairGraph]] so q23 and q44 (same pairs, different keep
+    * policy) pay for one signature job, not two.
     */
-  def q23(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    Dedup.dedupNearDups(d, Dedup.nearDupMinHash(d, shingleSize = 3, threshold = 0.8))
+  def q23(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupNearDups(docs(spark, dir), sharedPairGraph(spark, dir))
       .orderBy("doc_id")
-  }
 
   def q26(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(emb(spark, dir), k = 5)
@@ -133,15 +154,14 @@ object ExtQueries {
   }
 
   /** Quality-aware near-dedup: clusters from the same LSH pair set as
-    * q23, but each cluster keeps its LONGEST member (n_chars, ties →
-    * min id) — the keep-the-best-duplicate policy.
+    * q23 — literally the same [[sharedPairGraph]] parquet — but each
+    * cluster keeps its LONGEST member (n_chars, ties → min id), the
+    * keep-the-best-duplicate policy.
     */
-  def q44(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    Dedup.dedupNearDupsBest(d,
-      Dedup.nearDupMinHash(d, shingleSize = 3, threshold = 0.8), scoreCol = "n_chars")
+  def q44(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupNearDupsBest(docs(spark, dir), sharedPairGraph(spark, dir),
+      scoreCol = "n_chars")
       .orderBy("doc_id")
-  }
 
   /** Overlapping 64-token chunks every 48 tokens (RAG windowing). */
   def q49(spark: SparkSession, dir: String): DataFrame =

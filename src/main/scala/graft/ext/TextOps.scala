@@ -473,4 +473,107 @@ object TextOps {
         sum(size(tokens(col(textCol)))).as("sum_tokens"),
         distinctAgg.as("n_distinct_docs"))
   }
+
+  // ---------------------------------------------------------------------
+  // Model-quality scoring (n-gram language model)
+  // ---------------------------------------------------------------------
+
+  /** Bigram language-model perplexity per document, scored against the
+    * corpus's own bigram statistics — the classic LM quality signal for
+    * training-data curation (fluent, ordinary text scores low; garbled
+    * or machine-generated token soup scores high). Add-k smoothing over
+    * the corpus vocabulary keeps unseen bigrams finite:
+    * p(w|prev) = (c(prev,w) + k) / (c(prev) + k·V).
+    *
+    * Output: (id, n_bigrams, cross_entropy, perplexity) with
+    * cross_entropy = -(1/n)·Σ log2 p over the doc's bigrams and
+    * perplexity = 2^cross_entropy; single-token docs have no bigrams →
+    * both NULL.
+    *
+    * Determinism: floating-point sums are order-dependent, so the
+    * per-doc Σ log2 p folds SEQUENTIALLY over the doc's distinct
+    * bigrams in (prev, cur) sort order — `sort_array` + `aggregate` —
+    * making scores bit-identical across runs, partitionings, and
+    * cluster sizes (the q31/cosine sequential-fold contract; repeated
+    * bigrams fold once as multiplicity × log2 p).
+    *
+    * Scale shape: counts are map-side-combinable hash aggs; the doc →
+    * model joins are equi-joins on bigram/context keys carrying one row
+    * per DISTINCT doc-bigram (never one per token); V and the model
+    * tables shuffle once. The per-doc fold groups bounded arrays
+    * (distinct bigrams per doc), never corpus-sized state.
+    */
+  def lmPerplexity(docs: DataFrame, addK: Double = 0.5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (k=0 makes unseen bigrams -inf)")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // per-row bigram array: (arr[i], arr[i+1]) — narrow, no shuffle
+    val bigrams = toks
+      .where(size(col("__t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS prev, __t[i+1] AS cur))"))
+        .as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    // corpus model: bigram counts, context counts, vocab size (1-row, broadcast)
+    val c2 = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("prev").agg(sum(col("__c2")).as("__c1"))
+    val vocab = toks.select(explode(col("__t")).as("token"))
+      .agg(count_distinct(col("token")).cast("double").as("__v"))
+    // distinct doc-bigrams with multiplicity: the join + fold unit
+    val docBg = bigrams.groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__m"))
+    val scored = docBg
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("prev"), col("cur"), col("__m"),
+        (log(2.0, coalesce(col("__c2"), lit(0L)).cast("double") + lit(addK)) -
+          log(2.0, coalesce(col("__c1"), lit(0L)).cast("double") + lit(addK) * col("__v")))
+          .as("__logp"))
+    // sequential fold in (prev, cur) order: deterministic double sum
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("prev"), col("cur"),
+          (col("__m").cast("double") * col("__logp")).as("__mlogp")))).as("__arr"))
+      .select(col(idCol), col("n_bigrams"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x.getField("__mlogp"))
+          .as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (negate(col("__sum")) / col("n_bigrams").cast("double")).as("cross_entropy"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
+  /** Integer-EXACT unigram surprisal profile — the oracle-verifiable
+    * face of LM quality scoring. True cross-entropy needs libm logs,
+    * whose last-ULP behavior differs across engines (documented at q65
+    * for the same reason), so this scores each token by its
+    * BIT-LENGTH surprisal: bitlen(N) - bitlen(cf(t)) ∈ [log2(N/cf),
+    * log2(N/cf) + 1) bits — a within-1-bit integer quantization of
+    * -log2 p(t) computed with pure integer/string ops (`bin` length;
+    * no floating point until one final IEEE division, which is exact
+    * cross-engine). Rare-token-heavy (low-quality or off-distribution)
+    * docs score high, common fluent text scores low — same ranking
+    * signal as [[lmPerplexity]], exactly reproducible anywhere.
+    *
+    * Output: (id, n_tokens, surprisal_bits, avg_bits). Scale shape:
+    * one map-side-combinable token-count agg, an equi-join carrying one
+    * row per distinct doc-token, and integer sums — order-independent
+    * by construction.
+    */
+  def unigramSurprisalBits(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val cf = words.groupBy("token").agg(count(lit(1)).as("__cf"))
+    val total = cf.agg(sum(col("__cf")).as("__n"))
+    val docTok = words.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__m"))
+    docTok.join(cf, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__m") * (length(bin(col("__n"))) - length(bin(col("__cf")))).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("avg_bits",
+        col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -950,7 +950,8 @@ class ExtSpec extends AnyFunSuite {
   test("pair graph persisted once serves both keep policies (the q23/q44 shape)") {
     // one signature+banding+verify job writes the pair graph; BOTH
     // dedup policies consume the parquet — outputs must equal the
-    // recompute-per-policy registry paths (q23 / q44)
+    // registry paths (q23 / q44), which share their own persisted
+    // graph via ExtQueries.sharedPairGraph
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = SparkTestBase.tmpDir("graft_pair_graph")
     Dedup.writePairGraph(docs, dir, shingleSize = 3, threshold = 0.8)
@@ -964,6 +965,25 @@ class ExtSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     val q44 = ExtQueries.q44(spark, sf).select("doc_id").as[Long].collect().toSeq
     assert(keptBest === q44, "shared-pair-graph dedupNearDupsBest != q44")
+  }
+
+  test("q23/q44 registry queries consume ONE persisted pair graph (plan evidence)") {
+    // after the memoized graph exists, both registry queries read the
+    // SAME parquet artifact: the pairs side of each plan is a FileScan,
+    // with no second signature/banding/verify derivation anywhere in it
+    ExtQueries.q23(spark, sf).collect()
+    val shared = ExtQueries.sharedPairGraph(spark, sf)
+    val sharedPlan = shared.queryExecution.executedPlan.toString
+    assert(sharedPlan.contains("FileScan parquet"),
+      s"shared pair graph is not a parquet scan:\n$sharedPlan")
+    for (q <- Seq(ExtQueries.q23(spark, sf), ExtQueries.q44(spark, sf))) {
+      val plan = q.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("shinglehashes") && !plan.contains("minhash"),
+        s"registry query re-derives the pair pipeline instead of scanning the graph:\n$plan")
+    }
+    // and the two artifacts are literally the same files: one memo entry
+    val p23 = ExtQueries.sharedPairGraph(spark, sf).inputFiles.toSet
+    assert(p23.nonEmpty && p23 === shared.inputFiles.toSet)
   }
 
   test("connectedComponents pointer doubling: long chain converges in O(log d) rounds") {

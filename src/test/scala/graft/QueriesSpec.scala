@@ -41,6 +41,16 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan.toString.contains("ASIA"))
   }
 
+  test("q71 salted merge: plans the two-phase salt path, output == q05") {
+    val df = Queries.q71(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("__graft_salt"),
+      "q71 must route through the conf-dispatched salted window")
+    // constructing q71 unsets the conf again: later merges stay plain
+    assert(spark.conf.getOption(graft.merge.JournalMerge.SaltBucketsConf).isEmpty)
+    assert(df.collect().map(_.toSeq).toSeq ===
+      Queries.q05(spark, sf).collect().map(_.toSeq).toSeq)
+  }
+
   test("q18 delta transform: two incremental runs == one full-history merge") {
     val viaDelta = Queries.q18(spark, sf).collect().map(_.toSeq)
     val viaFull = Queries.q05(spark, sf).collect().map(_.toSeq)

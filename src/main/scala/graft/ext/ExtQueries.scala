@@ -385,6 +385,24 @@ object ExtQueries {
       .select("partkey", "digit_frac", "upper_frac", "alpha_frac", "symbol_frac")
       .orderBy("partkey")
 
+  /** Integer-exact unigram surprisal — the oracle-verifiable LM quality
+    * score (bit-length log2, no libm; see
+    * [[TextOps.unigramSurprisalBits]]).
+    */
+  def q72(spark: SparkSession, dir: String): DataFrame =
+    TextOps.unigramSurprisalBits(docs(spark, dir))
+      .orderBy("doc_id")
+
+  /** Bigram LM perplexity (true floating-point cross-entropy). libm
+    * log/pow last-ULP behavior differs across engines, so like
+    * q16/q26 this ships oracle-less: golden-digest-pinned and
+    * property-tested in ExtSpec (determinism under repartition,
+    * hand-computed fixture, ranking agreement with q72).
+    */
+  def q73(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmPerplexity(docs(spark, dir), addK = 0.5)
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -427,7 +445,9 @@ object ExtQueries {
     "q59_daily_anomalies" -> (q59 _),
     "q60_profile" -> (q60 _),
     "q62_salted_join" -> (q62 _),
-    "q64_weighted_sample" -> (q64 _)
+    "q64_weighted_sample" -> (q64 _),
+    "q72_lm_surprisal" -> (q72 _),
+    "q73_lm_perplexity" -> (q73 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -918,6 +938,25 @@ object ExtQueries {
         |         CAST(n_chars AS DOUBLE) * 0.3 * n / sumw * 65536) AS INT), 65535))
         |  END
         |ORDER BY doc_id""".stripMargin,
+    // bit-length surprisal: pure integer/string ops until the single
+    // final IEEE division — exact cross-engine (format('{:b}') length
+    // == Spark length(bin()); both are the integer's bit length)
+    "q72_lm_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |cf AS (SELECT token, count(*) AS cf FROM w GROUP BY token),
+        |n AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf),
+        |dt AS (SELECT doc_id, token, count(*) AS m FROM w GROUP BY doc_id, token),
+        |agg AS (
+        |  SELECT dt.doc_id,
+        |    CAST(sum(dt.m) AS BIGINT) AS n_tokens,
+        |    CAST(sum(dt.m * (length(format('{:b}', n.n)) -
+        |                     length(format('{:b}', cf.cf)))) AS BIGINT) AS surprisal_bits
+        |  FROM dt JOIN cf USING (token) CROSS JOIN n
+        |  GROUP BY dt.doc_id)
+        |SELECT doc_id, n_tokens, surprisal_bits,
+        |  CAST(surprisal_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // the identical count -> sqrt -> floor -> 4-hex pipeline (integer
     // inputs through IEEE correctly-rounded ops = bit-stable across
     // engines); keep-all groups use the 'g' sentinel like q33

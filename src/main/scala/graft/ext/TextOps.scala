@@ -495,7 +495,11 @@ object TextOps {
     * bigrams in (prev, cur) sort order — `sort_array` + `aggregate` —
     * making scores bit-identical across runs, partitionings, and
     * cluster sizes (the q31/cosine sequential-fold contract; repeated
-    * bigrams fold once as multiplicity × log2 p).
+    * bigrams fold once as multiplicity × log2 p). Spark's LOG/POWER
+    * route through StrictMath (fdlibm), so the scores are also
+    * platform-stable — but NOT oracle-comparable against engines on a
+    * different libm, which is why the registry face of this operator
+    * is the integer-exact [[unigramSurprisalBits]].
     *
     * Scale shape: counts are map-side-combinable hash aggs; the doc →
     * model joins are equi-joins on bigram/context keys carrying one row

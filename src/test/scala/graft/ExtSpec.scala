@@ -986,6 +986,70 @@ class ExtSpec extends AnyFunSuite {
     assert(p23.nonEmpty && p23 === shared.inputFiles.toSet)
   }
 
+  test("lmPerplexity: hand-computed bigram model on a crafted corpus") {
+    // corpus: doc 1 "a b a b a" (bigrams ab×2, ba×2), doc 2 "a b c"
+    // (ab, bc); model over BOTH docs: c2(ab)=3, c2(ba)=2, c2(bc)=1,
+    // c1(a)=3, c1(b)=3; V=3; k=0.5 → replicate the operator's exact
+    // double tree (log2 via ln/ln2, sorted-fold, one division, pow)
+    val df = docsDf(1L -> "a b a b a", 2L -> "a b c")
+    val got = TextOps.lmPerplexity(df, addK = 0.5)
+      .select("doc_id", "n_bigrams", "cross_entropy", "perplexity")
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, n, h, p) => d -> ((n, h, p)) }.toMap
+    // Spark's math expressions route through StrictMath (fdlibm), not
+    // java.lang.Math — platform-stable, and what we must replicate here
+    def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    def logp(c2: Long, c1: Long) = log2(c2 + 0.5) - log2(c1 + 0.5 * 3)
+    // doc 1: distinct bigrams sorted (a,b) then (b,a), multiplicities 2,2
+    val sum1 = 2.0 * logp(3, 3) + 2.0 * logp(2, 3)
+    val h1 = -sum1 / 4.0
+    assert(got(1L) === ((4L, h1, StrictMath.pow(2.0, h1))))
+    // doc 2: (a,b) then (b,c), multiplicities 1,1
+    val sum2 = 1.0 * logp(3, 3) + 1.0 * logp(1, 3)
+    val h2 = -sum2 / 2.0
+    assert(got(2L) === ((2L, h2, StrictMath.pow(2.0, h2))))
+  }
+
+  test("lmPerplexity: bit-identical under repartition; single-token docs NULL") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = TextOps.lmPerplexity(docs)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val shuffled = TextOps.lmPerplexity(docs.repartition(7))
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(base === shuffled,
+      "per-doc fold order leaked partitioning into the score")
+    // single-token doc: no bigrams -> NULL entropy/perplexity
+    val single = TextOps.lmPerplexity(docsDf(1L -> "only", 2L -> "two tokens"))
+      .where($"doc_id" === 1L).select("cross_entropy").collect()
+    assert(single.length === 1 && single.head.isNullAt(0))
+  }
+
+  test("lmPerplexity ranks fluent repetition below rare-token soup (agrees with q72 signal)") {
+    // 20 docs of the same common phrase + 1 doc of unique tokens: the
+    // unique doc must carry the highest perplexity AND the highest
+    // integer surprisal (the two scores agree on the outlier)
+    val rows = (1L to 20L).map(i => (i, "the quick brown fox jumps")) :+
+      (21L, "zxq wvu tsr qpo nml")
+    val df = rows.toDF("doc_id", "text")
+    val ppl = TextOps.lmPerplexity(df)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(ppl(21L) > ppl(1L) * 2,
+      s"gibberish ${ppl(21L)} not clearly above fluent ${ppl(1L)}")
+    val bits = TextOps.unigramSurprisalBits(df)
+      .select("doc_id", "avg_bits").as[(Long, Double)].collect().toMap
+    assert(bits(21L) > bits(1L), "integer surprisal disagrees on the outlier")
+  }
+
+  test("golden digest: q73 LM perplexity output is bit-stable at sf0.001") {
+    // the no_oracle row's hard signal (same contract as q16/q26): any
+    // drift in tokenization, counts, smoothing, fold order, or libm
+    // usage changes this digest. Re-pin ONLY for an intentional change.
+    val q73 = ExtQueries.q73(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, n, h, p) => s"$d,$n,$h,$p" }.mkString("\n")
+    assert(md5(q73) === "fe8c81f70b148cd4b3cd7efeb241ac96", "q73 output drifted")
+  }
+
   test("connectedComponents pointer doubling: long chain converges in O(log d) rounds") {
     // a 40-link chain has diameter 40: one-hop min propagation alone
     // needs 41 rounds (it would blow the default cap of 20); with the

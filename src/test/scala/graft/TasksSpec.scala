@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config._
+import graft.exec.{EtlContext, Tasks}
+import graft.io.{FileWarehouse, Lake}
+
+/** Scheduler-invocation surface: task-id parity with the reference's
+  * Airflow factories and the RunTask CLI end-to-end (the DAG-node →
+  * spark-submit mapping).
+  */
+class TasksSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+
+  private def write(dir: String, name: String, text: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name), text)
+  }
+
+  test("task ids reproduce the reference naming (lowercased; folder slashes -> underscores)") {
+    // airflow_etl.py:505-514 / :759-761
+    assert(Tasks.extractTaskId("Flexcube", "MAIN", "Accounts", ReadMode.Full)
+      === "task_extract_flexcube_main_accounts_full")
+    assert(Tasks.extractTaskId("pg", "prod", "t", ReadMode.Delta)
+      === "task_extract_pg_prod_t_delta")
+    assert(Tasks.transformTaskId("dwh/orders", ReadMode.Full)
+      === "task_transform_dwh_orders_full")
+    assert(Tasks.transformTaskId("dm/sales/daily", ReadMode.Manual)
+      === "task_transform_dm_sales_daily_manual")
+  }
+
+  test("transform task factory fails at BUILD time without a config repository") {
+    val ctx = EtlContext(spark, Lake("/nowhere"),
+      new FileWarehouse(spark, SparkTestBase.tmpDir("graft_tasks_wh0")))
+    val e = intercept[ConfigException](Tasks.transformDb(ctx, "dwh/orders"))
+    assert(e.getMessage.contains("sqlRoot"))
+  }
+
+  test("RunTask transform: DAG-node invocation runs config.yaml to a merged master") {
+    val work = SparkTestBase.tmpDir("graft_runtask")
+    // config repository: <sqlRoot>/dwh/seg/config.yaml + step sql
+    write(s"$work/repo/dwh/seg", "seg.sql",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __transform_dt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __load_dt,
+        |  CAST(0 AS BIGINT) AS __seqno, 'A' AS __record_state
+        |FROM cust GROUP BY c_mktsegment""".stripMargin)
+    write(s"$work/repo/dwh/seg", "config.yaml",
+      """- dependencies:
+        |    - source: datalake
+        |      format: parquet
+        |      alias: cust
+        |      path: sf0.001/customer.parquet
+        |  transform:
+        |    full:
+        |      - type: select
+        |        sql: seg.sql
+        |        parameters:
+        |          - name: report_date
+        |            type: report_date
+        |  target:
+        |    target_schema: dwh
+        |    target_table_name: seg_counts""".stripMargin)
+    new FileWarehouse(spark, s"$work/wh")
+      .registerPrimaryKey("dwh", "seg_counts", Seq("c_mktsegment"))
+    val env = Map(
+      "GRAFT_SQL_ROOT" -> s"$work/repo",
+      "GRAFT_LAKE" -> "/root/testdata",
+      "GRAFT_WAREHOUSE" -> s"$work/wh",
+      "REPORT_DATE" -> "1998-09-01")
+    val id = RunTask.run(spark, List("transform", "dwh/seg"), env)
+    assert(id === "task_transform_dwh_seg_full")
+    val master = new FileWarehouse(spark, s"$work/wh").read("dwh", "seg_counts")
+    assert(master.count() > 0 && master.columns.contains("c_mktsegment"))
+  }
+
+  test("RunTask extract: JDBC source to lake path with reference write-mode defaulting") {
+    val url = "jdbc:derby:memory:graftrtask;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE APP.SRC ("id" INT NOT NULL PRIMARY KEY, "v" VARCHAR(8))""")
+      st.execute("INSERT INTO APP.SRC VALUES (1,'a'), (2,'b'), (3,'c')")
+      st.close()
+    } finally c.close()
+    val work = SparkTestBase.tmpDir("graft_runtask_ex")
+    write(s"$work/repo", "src-full.sql", "SELECT * FROM APP.SRC")
+    val env = Map(
+      "GRAFT_SQL_ROOT" -> s"$work/repo",
+      "GRAFT_LAKE" -> s"$work/lake",
+      "GRAFT_WAREHOUSE" -> s"$work/wh",
+      "MAIN_FLEX_CONN" -> "url: jdbc:derby:memory:graftrtask\ndialect: generic")
+    val id = RunTask.run(spark,
+      List("extract", "FLEX", "MAIN", "app", "SRC", "--query", "src-full.sql"), env)
+    assert(id === "task_extract_flex_main_src_full")
+    // lake path uses the lowercased convention (airflow_etl.py:433-439)
+    val extracted = spark.read.parquet(s"$work/lake/datalake/flex/main/app/src")
+    assert(extracted.count() === 3)
+  }
+
+  test("RunTask rejects malformed invocations with actionable errors") {
+    val env = Map("GRAFT_LAKE" -> "/x", "GRAFT_WAREHOUSE" -> "/x")
+    val usage = intercept[ConfigException](RunTask.run(spark, List("frobnicate"), env))
+    assert(usage.getMessage.contains("usage:"))
+    val noEnv = intercept[ConfigException](
+      RunTask.run(spark, List("transform", "t"), Map("GRAFT_LAKE" -> "/x")))
+    assert(noEnv.getMessage.contains("GRAFT_WAREHOUSE"))
+    val noQuery = intercept[ConfigException](
+      RunTask.run(spark, List("extract", "s", "t", "sch", "tbl"), env))
+    assert(noQuery.getMessage.contains("--query"))
+    val dangling = intercept[ConfigException](
+      RunTask.run(spark, List("transform", "t", "--read"), env))
+    assert(dangling.getMessage.contains("--read"))
+  }
+}

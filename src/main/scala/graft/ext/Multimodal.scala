@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled`; and `kind=video` payloads carrying an
   * animated GIF are decoded frame-by-frame, frame-sampled, resized,
   * and feature-extracted through ImageIO's multi-image GIF
-  * reader/writer — no external deps anywhere. Container video
-  * (MP4/H.264 etc., which genuinely needs a native codec the JDK
-  * doesn't ship) remains STUBBED on a deterministic 24-byte "GRFT"
-  * header + synthetic body; [[FakeCodec.decode]] parses that header
-  * and is the seam where an ffmpeg-style call goes. The Spark-side
-  * contract — binary column in, typed struct out, per-partition
-  * batching, partition balance by asset id — is identical for all
-  * paths.
+  * reader/writer — no external deps anywhere. MP4-CLASS CONTAINER
+  * VIDEO IS DEMUXED FOR REAL ([[Codec.readMp4Video]]: ISO BMFF box
+  * walk + stsz/stsc/stco sample-table expansion, pure byte parsing) —
+  * decode metadata (dims, frame count, codec fourcc) and
+  * frame-sampling (encoded access units, exactly what a downstream
+  * GPU decoder consumes) work without any codec; only operations
+  * needing PIXELS from those samples (resize) sit behind the
+  * native-codec seam and fail loudly. [[FakeCodec.decode]]'s
+  * deterministic 24-byte "GRFT" header remains the stand-in for
+  * payloads no real path claims. The Spark-side contract — binary
+  * column in, typed struct out, per-partition batching, partition
+  * balance by asset id — is identical for all paths.
   *
   * Scale notes: payload bytes never transit a shuffle in any operator
   * here — decode/feature/resize are narrow maps; only the extracted
@@ -158,6 +162,117 @@ object Multimodal {
       try (ais.getFormat, ais.readAllBytes()) finally ais.close()
     }
 
+    // ---- ISO BMFF (MP4/MOV) container demux: pure byte parsing. ----
+    // The DEMUX side of container video is plain structure walking the
+    // JDK handles fine (boxes, sample tables); only pixel DECODE of the
+    // H.264/H.265 samples needs a native codec. So sample extraction,
+    // frame counts, and dimensions are REAL here; anything needing
+    // pixels (resize) stays behind the codec seam.
+
+    private val FtypSig = "ftyp".getBytes("US-ASCII")
+
+    def isMp4(payload: Array[Byte]): Boolean =
+      payload.length >= 12 && java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(payload, 4, 8), FtypSig)
+
+    /** One video track's demuxed shape: codec fourcc, pixel dims from
+      * tkhd, and every sample's (offset, size) in the payload — the
+      * encoded access units a downstream GPU decoder consumes.
+      */
+    final case class Mp4Video(codec: String, width: Int, height: Int,
+                              sampleSizes: IndexedSeq[Int],
+                              sampleOffsets: IndexedSeq[Long])
+
+    /** Parse the first `vide`-handler track. Strict on structure it
+      * uses (sample tables must be present and in-bounds), lenient on
+      * everything it doesn't (unknown boxes are skipped by size).
+      */
+    def readMp4Video(payload: Array[Byte]): Mp4Video = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      def u32(at: Long): Long = bb.getInt(at.toInt) & 0xFFFFFFFFL
+      def fourcc(at: Long): String =
+        new String(payload, at.toInt, 4, "US-ASCII")
+      /** (boxType, contentStart, contentEnd) for each box in [start, end). */
+      def boxes(start: Long, end: Long): Seq[(String, Long, Long)] = {
+        val out = Seq.newBuilder[(String, Long, Long)]
+        var p = start
+        while (p + 8 <= end) {
+          val size0 = u32(p)
+          val typ = fourcc(p + 4)
+          val (contentStart, boxEnd) =
+            if (size0 == 1) (p + 16, p + bb.getLong(p.toInt + 8)) // 64-bit largesize
+            else if (size0 == 0) (p + 8, end)                      // box runs to end
+            else (p + 8, p + size0)
+          require(boxEnd > p && boxEnd <= end, s"mp4 box '$typ' overruns its container")
+          out += ((typ, contentStart, boxEnd))
+          p = boxEnd
+        }
+        out.result()
+      }
+      def find(range: Seq[(String, Long, Long)], typ: String): Option[(Long, Long)] =
+        range.collectFirst { case (`typ`, s, e) => (s, e) }
+      val top = boxes(0L, payload.length.toLong)
+      val (moovS, moovE) = find(top, "moov")
+        .getOrElse(throw new IllegalArgumentException("mp4 payload has no moov box"))
+      val videoTrack = boxes(moovS, moovE).collect { case ("trak", ts, te) =>
+        val trak = boxes(ts, te)
+        val mdia = find(trak, "mdia").map { case (s, e) => boxes(s, e) }.getOrElse(Nil)
+        val handler = find(mdia, "hdlr").map { case (s, _) => fourcc(s + 8) }
+        (trak, mdia, handler)
+      }.collectFirst { case t @ (_, _, Some("vide")) => t }
+        .getOrElse(throw new IllegalArgumentException("mp4 payload has no video (vide) track"))
+      val (trak, mdia, _) = videoTrack
+      // tkhd: width/height as 16.16 fixed point; field offsets shift
+      // with the box version (v1 widens the time fields to 64-bit)
+      val (wh: (Int, Int)) = find(trak, "tkhd").map { case (s, _) =>
+        val at = if (payload(s.toInt) == 1) s + 88 else s + 76
+        ((u32(at) >> 16).toInt, (u32(at + 4) >> 16).toInt)
+      }.getOrElse((0, 0))
+      val stbl = find(mdia, "minf").map { case (s, e) => boxes(s, e) }
+        .flatMap(minf => find(minf, "stbl")).map { case (s, e) => boxes(s, e) }
+        .getOrElse(throw new IllegalArgumentException("mp4 video track has no stbl"))
+      def req(typ: String): (Long, Long) = find(stbl, typ).getOrElse(
+        throw new IllegalArgumentException(s"mp4 sample table missing '$typ'"))
+      val codec = { val (s, _) = req("stsd"); fourcc(s + 12) } // first entry's format
+      // stsz: uniform size or per-sample table
+      val sizes: IndexedSeq[Int] = { val (s, _) = req("stsz")
+        val uniform = u32(s + 4); val n = u32(s + 8).toInt
+        if (uniform != 0) IndexedSeq.fill(n)(uniform.toInt)
+        else (0 until n).map(i => u32(s + 12 + 4L * i).toInt)
+      }
+      // stco/co64: chunk offsets (absolute file offsets)
+      val chunkOffsets: IndexedSeq[Long] =
+        find(stbl, "stco").map { case (s, _) =>
+          (0 until u32(s + 4).toInt).map(i => u32(s + 8 + 4L * i))
+        }.orElse(find(stbl, "co64").map { case (s, _) =>
+          (0 until u32(s + 4).toInt).map(i => bb.getLong(s.toInt + 8 + 8 * i))
+        }).getOrElse(throw new IllegalArgumentException("mp4 sample table missing 'stco'/'co64'"))
+      // stsc: (first_chunk, samples_per_chunk) runs -> per-chunk counts
+      val stscRuns: IndexedSeq[(Long, Long)] = { val (s, _) = req("stsc")
+        (0 until u32(s + 4).toInt).map(i =>
+          (u32(s + 8 + 12L * i), u32(s + 12 + 12L * i)))
+      }
+      val offsets = IndexedSeq.newBuilder[Long]
+      var sample = 0
+      for ((chunkOff, ci) <- chunkOffsets.zipWithIndex if sample < sizes.length) {
+        val spc = stscRuns.takeWhile(_._1 <= ci + 1).lastOption.map(_._2.toInt)
+          .getOrElse(throw new IllegalArgumentException("mp4 stsc covers no chunks"))
+        var within = 0L
+        var i = 0
+        while (i < spc && sample < sizes.length) {
+          require(chunkOff + within + sizes(sample) <= payload.length,
+            s"mp4 sample $sample overruns the payload")
+          offsets += chunkOff + within
+          within += sizes(sample)
+          sample += 1
+          i += 1
+        }
+      }
+      require(sample == sizes.length,
+        s"mp4 chunk map covers $sample of ${sizes.length} samples")
+      Mp4Video(codec, wh._1, wh._2, sizes, offsets.result())
+    }
+
     def decode(kind: String, payload: Array[Byte]): MediaMeta =
       if (kind == "image" && isImage(payload)) {
         val img = readImage(payload)
@@ -169,6 +284,9 @@ object Multimodal {
       } else if (kind == "video" && isGif(payload)) {
         val frames = readGifFrames(payload)
         MediaMeta(kind, frames.head.getWidth, frames.head.getHeight, 0, frames.length)
+      } else if (kind == "video" && isMp4(payload)) {
+        val v = readMp4Video(payload)
+        MediaMeta(kind, v.width, v.height, 0, v.sampleSizes.length)
       } else FakeCodec.decode(kind, payload)
   }
 
@@ -262,6 +380,25 @@ object Multimodal {
           px += f.getWidth.toLong * f.getHeight
         }
         total = math.max(1f, px.toFloat)
+      } else if (a.kind == "video" && Codec.isMp4(a.payload)) {
+        // encoded-domain byte histogram over the demuxed video samples
+        // (pixel features need the codec seam); deterministic, and
+        // sample-bounded rather than payload-bounded — container
+        // metadata bytes don't pollute the signature
+        val v = Codec.readMp4Video(a.payload)
+        var n = 0L
+        var s = 0
+        while (s < v.sampleSizes.length) {
+          val start = v.sampleOffsets(s).toInt
+          var i = 0
+          while (i < v.sampleSizes(s)) {
+            counts(java.lang.Byte.toUnsignedInt(a.payload(start + i)) % dim) += 1f
+            i += 1
+          }
+          n += v.sampleSizes(s)
+          s += 1
+        }
+        total = math.max(1f, n.toFloat)
       } else {
         var i = FakeCodec.HeaderLen
         while (i < a.payload.length) {
@@ -326,6 +463,14 @@ object Multimodal {
         val frames = Codec.readGifFrames(a.payload).map(
           rescale(_, width, height, java.awt.image.BufferedImage.TYPE_INT_RGB))
         a.copy(payload = Codec.writeGif(frames))
+      } else if (a.kind == "video" && Codec.isMp4(a.payload)) {
+        // resize needs PIXELS: demux can hand over the encoded samples
+        // (see sampleFrames) but rescaling them means decode+re-encode —
+        // the one genuinely codec-bound operation. Fail loudly rather
+        // than pass through silently at the wrong resolution.
+        throw new UnsupportedOperationException(
+          "MP4 resize requires a pixel codec (H.264/H.265 decode + encode); " +
+            "demux/sampleFrames/decode/extractFeatures are available without one")
       } else {
         val m = FakeCodec.decode(a.kind, a.payload)
         val body = a.payload.length - FakeCodec.HeaderLen
@@ -361,6 +506,16 @@ object Multimodal {
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(frames(f), "png", bos)
           Frame(a.asset_id, f, bos.toByteArray)
+        }
+      } else if (a.kind == "video" && Codec.isMp4(a.payload)) {
+        // real container demux: every strideth SAMPLE (encoded access
+        // unit) extracted via the stsz/stsc/stco tables — exactly the
+        // bytes a downstream GPU decoder consumes; no pixel decode
+        val v = Codec.readMp4Video(a.payload)
+        (0 until v.sampleSizes.length by stride).map { f =>
+          val start = v.sampleOffsets(f)
+          Frame(a.asset_id, f, java.util.Arrays.copyOfRange(
+            a.payload, start.toInt, start.toInt + v.sampleSizes(f)))
         }
       } else {
       val m = FakeCodec.decode(a.kind, a.payload)

@@ -239,4 +239,99 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats === Map("image" -> 10L, "audio" -> 10L, "video" -> 10L))
   }
+
+  // ---- MP4 container demux (ISO BMFF built box-by-box per spec) ----
+
+  private def beInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def mp4Box(typ: String, content: Array[Byte]*): Array[Byte] = {
+    val body = content.flatten.toArray
+    beInt(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+
+  /** 5 samples (sizes 3..7, sample i filled with byte 10·i+1) laid out
+    * as 2 chunks (2 + 3 samples), with an audio trak FIRST so handler
+    * selection is exercised. Offsets: ftyp is 16 bytes, mdat header 8,
+    * so chunk 1 starts at 24 and chunk 2 at 31.
+    */
+  private def mp4Bytes(): (Array[Byte], IndexedSeq[Array[Byte]]) = {
+    val samples = (0 until 5).map(i => Array.fill[Byte](3 + i)((10 * i + 1).toByte))
+    val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beInt(0))
+    val mdat = mp4Box("mdat", samples.flatten.toArray)
+    val tkhd = mp4Box("tkhd", beInt(0), // version 0 + flags
+      Array.fill[Byte](4 * 5 + 8 + 2 + 2 + 2 + 2 + 36)(0), // times/ids/layer/matrix
+      beInt(320 << 16), beInt(240 << 16)) // 16.16 fixed dims
+    val hdlrV = mp4Box("hdlr", beInt(0), beInt(0), "vide".getBytes("US-ASCII"),
+      Array.fill[Byte](13)(0))
+    val hdlrA = mp4Box("hdlr", beInt(0), beInt(0), "soun".getBytes("US-ASCII"),
+      Array.fill[Byte](13)(0))
+    val stsd = mp4Box("stsd", beInt(0), beInt(1),
+      beInt(16), "avc1".getBytes("US-ASCII"), Array.fill[Byte](8)(0))
+    val stsz = mp4Box("stsz", beInt(0), beInt(0), beInt(5),
+      samples.map(s => beInt(s.length)).flatten.toArray)
+    val stsc = mp4Box("stsc", beInt(0), beInt(2),
+      beInt(1), beInt(2), beInt(1),  // chunks 1..1: 2 samples each
+      beInt(2), beInt(3), beInt(1))  // chunks 2..:  3 samples each
+    val stco = mp4Box("stco", beInt(0), beInt(2), beInt(24), beInt(31))
+    val stbl = mp4Box("stbl", stsd, stsz, stsc, stco)
+    val trakA = mp4Box("trak", mp4Box("mdia", hdlrA))
+    val trakV = mp4Box("trak", tkhd, mp4Box("mdia", hdlrV, mp4Box("minf", stbl)))
+    (ftyp ++ mdat ++ mp4Box("moov", trakA, trakV), samples)
+  }
+
+  test("real MP4 demux: dims from tkhd, frame count from stsz, vide track selected") {
+    val (payload, samples) = mp4Bytes()
+    val d = Multimodal.decode(Seq(Asset(1L, "video", payload)).toDS).collect().head
+    assert((d.width, d.height, d.nFrames) === ((320, 240, samples.length)))
+    assert(Multimodal.Codec.readMp4Video(payload).codec === "avc1")
+  }
+
+  test("real MP4 frame sampling extracts the exact encoded access units") {
+    val (payload, samples) = mp4Bytes()
+    val ds = Seq(Asset(7L, "video", payload)).toDS
+    val all = Multimodal.sampleFrames(ds, stride = 1).collect().sortBy(_.frame_idx)
+    assert(all.length === 5)
+    all.foreach(f => assert(f.frame.toSeq === samples(f.frame_idx).toSeq,
+      s"sample ${f.frame_idx} bytes drifted from the stsz/stsc/stco map"))
+    val strided = Multimodal.sampleFrames(ds, stride = 2).collect().map(_.frame_idx).sorted
+    assert(strided.toSeq === Seq(0, 2, 4))
+  }
+
+  test("real MP4 features: encoded-domain histogram over samples only, L1-normalized") {
+    val (payload, _) = mp4Bytes()
+    val ds = Seq(Asset(2L, "video", payload)).toDS
+    val f1 = Multimodal.extractFeatures(ds, dim = 16).collect().head.features
+    val f2 = Multimodal.extractFeatures(ds, dim = 16).collect().head.features
+    assert(f1.toSeq === f2.toSeq)
+    assert(math.abs(f1.sum - 1f) < 1e-5)
+    // 25 sample bytes across 5 distinct values: exactly 5 non-zero bins
+    // iff only SAMPLE bytes (never box/metadata bytes) are histogrammed
+    assert(f1.count(_ > 0f) === 5)
+  }
+
+  test("MP4 resize fails loudly at the pixel-codec seam") {
+    val (payload, _) = mp4Bytes()
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.resize(Seq(Asset(3L, "video", payload)).toDS, 64, 64).collect())
+    assert(e.getMessage.contains("pixel codec") ||
+      e.getCause.getMessage.contains("pixel codec"))
+  }
+
+  test("corrupt MP4 sample tables fail with actionable errors, not garbage frames") {
+    val (payload, _) = mp4Bytes()
+    // point chunk 2 past the end of the payload: the demux must refuse
+    val broken = payload.clone()
+    val stcoAt = {
+      // locate the stco box and its second offset entry
+      val idx = payload.indexOfSlice("stco".getBytes("US-ASCII"))
+      idx + 4 + 4 + 4 + 4 // type + verflags + count + first entry
+    }
+    java.nio.ByteBuffer.wrap(broken).putInt(stcoAt, payload.length + 100)
+    val e = intercept[IllegalArgumentException](Multimodal.Codec.readMp4Video(broken))
+    assert(e.getMessage.contains("overruns"))
+    val noMoov = intercept[IllegalArgumentException](
+      Multimodal.Codec.readMp4Video(mp4Box("ftyp", "isom".getBytes("US-ASCII"), beInt(0))
+        ++ mp4Box("mdat", Array[Byte](1, 2, 3))))
+    assert(noMoov.getMessage.contains("moov"))
+  }
 }

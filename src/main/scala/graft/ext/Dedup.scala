@@ -35,6 +35,28 @@ object Dedup {
     docs.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Persistable digest index for incremental EXACT dedup: one row per
+    * distinct corpus text, as its 16-byte md5 (`__fp`). Write it as
+    * parquet and probe each ingest batch with [[exactAgainst]] — the
+    * exact-dup sibling of [[minHashIndex]]: the corpus is scanned once
+    * at build, never per batch, and the index grows by the batch's own
+    * digests after each ingest (`union` + `distinct`, or just append —
+    * the anti-join semantics tolerate duplicate index rows).
+    */
+  def exactIndex(corpus: DataFrame, textCol: String = "text"): DataFrame =
+    corpus.select(md5(col(textCol)).as("__fp")).distinct()
+
+  /** Incremental exact dedup: drop batch rows whose text already exists
+    * in the corpus index, then keep the lowest id per text within the
+    * batch itself ([[exact]] semantics batch-side). The anti join
+    * shuffles 16-byte digests, never text; at 100 TB the index side is
+    * a digest-only parquet scan.
+    */
+  def exactAgainst(batch: DataFrame, index: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    exact(batch, idCol, textCol)
+      .join(index, md5(col(textCol)) === index("__fp"), "left_anti")
+
   /** Cross-document duplicated spans: every `spanTokens`-token window
     * that occurs in at least `minDocs` distinct documents, with total
     * occurrence counts (within-document repeats included) — the

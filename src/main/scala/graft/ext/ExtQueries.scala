@@ -271,13 +271,31 @@ object ExtQueries {
   /** Incremental near-dup: every 10th doc plays the "incoming batch",
     * matched against the remaining corpus (cross-set pairs only).
     */
-  def q46(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    Dedup.nearDupMinHashAgainst(
-      d.where(col("doc_id") % 10 === 0), d.where(col("doc_id") % 10 =!= 0),
+  /** Incremental near-dup probes the PERSISTED corpus index (built once
+    * per (session, corpus) like [[sharedPairGraph]]) — the operational
+    * model the operator exists for: at 100 TB the banding IS the index
+    * and each ingest batch pays only its own hashing + the band join.
+    * Output ≡ the direct operator by construction (ExtSpec round-trip).
+    */
+  private val minHashIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedMinHashIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir
+    val path = minHashIndexMemo.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
+      Dedup.minHashIndex(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
+        shingleSize = 3).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  def q46(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupMinHashAgainstIndex(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedMinHashIndex(spark, dir),
       shingleSize = 3, threshold = 0.8)
       .orderBy("a_id", "b_id")
-  }
 
   /** Embedding hygiene stats (dims / L2 norm / max |component|). */
   def q31(spark: SparkSession, dir: String): DataFrame =
@@ -393,6 +411,18 @@ object ExtQueries {
     TextOps.unigramSurprisalBits(docs(spark, dir))
       .orderBy("doc_id")
 
+  /** Incremental EXACT dedup: the ingest batch (doc_id % 10 == 0, the
+    * q46 split) against the corpus digest index — kept rows are new
+    * texts, lowest-id-deduped within the batch.
+    */
+  def q74(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.exactAgainst(
+      d.where(col("doc_id") % 10 === 0),
+      Dedup.exactIndex(d.where(col("doc_id") % 10 =!= 0)))
+      .orderBy("doc_id")
+  }
+
   /** Bigram LM perplexity (true floating-point cross-entropy). libm
     * log/pow last-ULP behavior differs across engines, so like
     * q16/q26 this ships oracle-less: golden-digest-pinned and
@@ -447,7 +477,8 @@ object ExtQueries {
     "q62_salted_join" -> (q62 _),
     "q64_weighted_sample" -> (q64 _),
     "q72_lm_surprisal" -> (q72 _),
-    "q73_lm_perplexity" -> (q73 _)
+    "q73_lm_perplexity" -> (q73 _),
+    "q74_exact_incremental" -> (q74 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -490,6 +521,14 @@ object ExtQueries {
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+    // q46's batch/corpus split; batch-side min-id dedup + corpus anti
+    "q74_exact_incremental" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT b.* FROM batch b
+        |WHERE b.doc_id IN (SELECT min(doc_id) FROM batch GROUP BY md5(text))
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
     "q08_text_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -986,6 +986,22 @@ class ExtSpec extends AnyFunSuite {
     assert(p23.nonEmpty && p23 === shared.inputFiles.toSet)
   }
 
+  test("incremental exact dedup probes a persisted digest index") {
+    // corpus holds "seen"; batch has: a corpus dup (drop), an in-batch
+    // dup pair (keep lowest id), and a fresh text (keep)
+    val corpus = docsDf(100L -> "seen", 101L -> "other")
+    val batch = docsDf(1L -> "seen", 2L -> "twice", 3L -> "twice", 4L -> "fresh")
+    val dir = SparkTestBase.tmpDir("graft_exact_index")
+    Dedup.exactIndex(corpus).write.mode("overwrite").parquet(dir)
+    val kept = Dedup.exactAgainst(batch, spark.read.parquet(dir))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L))
+    // appending the batch's own digests rolls the index forward: the
+    // same batch probed again is fully deduplicated
+    Dedup.exactIndex(batch).write.mode("append").parquet(dir)
+    assert(Dedup.exactAgainst(batch, spark.read.parquet(dir)).isEmpty)
+  }
+
   test("lmPerplexity: hand-computed bigram model on a crafted corpus") {
     // corpus: doc 1 "a b a b a" (bigrams ab×2, ba×2), doc 2 "a b c"
     // (ab, bc); model over BOTH docs: c2(ab)=3, c2(ba)=2, c2(bc)=1,

@@ -433,6 +433,16 @@ object ExtQueries {
     TextOps.lmPerplexity(docs(spark, dir), addK = 0.5)
       .orderBy("doc_id")
 
+  /** SemDeDup-style semantic dedup over embeddings (k-means cells +
+    * within-cell cosine + keep-lowest-id). KMeans makes it
+    * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
+    * and exactness-anchored (nClusters=1 ≡ brute force) in ExtSpec.
+    */
+  def q75(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, dir), threshold = 0.45)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -478,7 +488,8 @@ object ExtQueries {
     "q64_weighted_sample" -> (q64 _),
     "q72_lm_surprisal" -> (q72 _),
     "q73_lm_perplexity" -> (q73 _),
-    "q74_exact_incremental" -> (q74 _)
+    "q74_exact_incremental" -> (q74 _),
+    "q75_semantic_dedup" -> (q75 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

@@ -310,4 +310,67 @@ object Similarity {
       .where(col("rnk") <= k)
       .select("vec_id", "neighbor_id", "rnk", "sim")
   }
+
+  /** Semantic (embedding-space) near-dup PAIRS, SemDeDup-style: cluster
+    * the space with the IVF coarse quantizer (seeded k-means,
+    * optionally sample-trained), then run exact pairwise cosine WITHIN
+    * each cell only. Output: (a_id, b_id, sim) with a_id < b_id and
+    * sim ≥ threshold — the embedding-space analogue of
+    * [[Dedup.nearDupMinHash]]'s pair graph, consumable by the same
+    * clustering/keep machinery.
+    *
+    * Scale shape: the quadratic term collapses from corpus² to
+    * Σ cellᵢ² (expected corpus²/k for balanced cells) and each cell's
+    * pairs are generated by one equi-join on the cell id — no
+    * all-pairs stage exists. Centroids are a plan literal (nClusters
+    * rows); assignment is a codegen'd squared-L2 argmin, a narrow
+    * projection. Boundary caveat, inherent to the published SemDeDup
+    * recipe: near-dups straddling two cells are missed (cells
+    * PARTITION the space, unlike q12's overlapping LSH bands) — raise
+    * nClusters for speed, lower it for recall.
+    */
+  def semanticNearDupPairs(emb: DataFrame, threshold: Double,
+                           nClusters: Int = 16, idCol: String = "vec_id",
+                           vecCol: String = "embedding", seed: Long = 7L,
+                           maxIter: Int = 20,
+                           trainFraction: Double = 1.0): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    // one cell = the exact all-pairs path (no quantizer to train; this
+    // is also the spec's exactness anchor for the clustered path)
+    val assign: Column = if (nClusters == 1) lit(0) else {
+      val centroids = ivfTrain(emb, nClusters, vecCol, seed, maxIter, trainFraction)
+      val cents: Seq[(Int, Seq[Float])] = centroids
+        .select(col("cluster"), col("__centroid"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      val centLit = typedlit(cents)
+      element_at(array_sort(transform(centLit, c =>
+        struct(
+          graft.functions.ArrayExprs.squaredL2(col(vecCol), c.getField("_2")).as("d"),
+          c.getField("_1").as("cluster")))), 1).getField("cluster")
+    }
+    val m = emb.select(col(idCol), assign.as("__cell"), col(vecCol))
+    val a = m.select(col("__cell"), col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = m.select(col("__cell"), col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    a.join(b, "__cell")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("__va"), col("__vb")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** Semantic near-dup REMOVAL: [[semanticNearDupPairs]] → connected
+    * components → keep each group's lowest id (plus everything
+    * unpaired). Returns the kept rows of `emb`, all columns — the
+    * SemDeDup pass of a curation pipeline, sharing
+    * [[Dedup.dedupNearDups]]'s clustering/anti-join machinery (and its
+    * guarantees: non-convergence throws, losers-only anti join).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    seed: Long = 7L, maxIter: Int = 20,
+                    trainFraction: Double = 1.0): DataFrame =
+    Dedup.dedupNearDups(emb,
+      semanticNearDupPairs(emb, threshold, nClusters, idCol, vecCol, seed,
+        maxIter, trainFraction),
+      idCol)
 }

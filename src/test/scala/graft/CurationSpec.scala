@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.{Dedup, Sampling, TextOps}
+import graft.ext.{Dedup, Sampling, Similarity, TextOps}
 
 /** End-to-end LLM data-curation pipeline — the composition a real user
   * of this library runs, chained exactly as the operators are meant to
@@ -27,8 +27,20 @@ class CurationSpec extends AnyFunSuite {
     val exactDeduped = Dedup.exact(raw)
     val pairs = Dedup.nearDupMinHash(exactDeduped, threshold = 0.8)
     val nearDeduped = Dedup.dedupNearDups(exactDeduped, pairs)
-    val clean = TextOps.decontaminate(nearDeduped, bench, shingleSize = 8)
-    val quality = TextOps.qualityMetrics(clean)
+    // semantic pass: embedding-space near-dedup joins back by doc id
+    // (the embeddings fixture is keyed vec_id == doc_id)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val semanticKept = Similarity.semanticDedup(emb, threshold = 0.9, nClusters = 4)
+      .select($"vec_id".as("doc_id"))
+    val semDeduped = nearDeduped.join(semanticKept, Seq("doc_id"), "left_semi")
+    val clean = TextOps.decontaminate(semDeduped, bench, shingleSize = 8)
+    // model-quality gate alongside the heuristic one: drop the worst
+    // perplexity decile (rare-token soup) before the band filter
+    val ppl = TextOps.lmPerplexity(clean).select($"doc_id", $"perplexity")
+    val cut = ppl.agg(expr("percentile(perplexity, 0.9)")).as[Double].collect()(0)
+    val fluent = clean.join(ppl.where($"perplexity" <= cut || $"perplexity".isNull),
+      Seq("doc_id"), "left_semi")
+    val quality = TextOps.qualityMetrics(fluent)
       .where($"quality_band" === "ok")
       .select(raw.columns.map(col): _*)
     val balanced = Sampling.temperatureSample(quality, keyCol = "lang")

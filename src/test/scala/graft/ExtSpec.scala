@@ -986,6 +986,44 @@ class ExtSpec extends AnyFunSuite {
     assert(p23.nonEmpty && p23 === shared.inputFiles.toSet)
   }
 
+  test("semantic near-dup pairs: nClusters=1 is EXACTLY the brute-force pair set") {
+    // with one cell, the within-cell join IS the all-pairs join — the
+    // exactness anchor for the clustered approximation (same cosine
+    // expression, so sims must be bit-equal too)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.nearDupPairs(emb, threshold = 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    val oneCell = Similarity.semanticNearDupPairs(emb, threshold = 0.45, nClusters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(oneCell === exact)
+    // clustered: a SUBSET of the exact pairs (cells only ever drop
+    // cross-cell pairs, never invent or perturb one), and it still
+    // finds pairs. No recall-ratio floor here: the sf0.001 fixture has
+    // only 7 exact pairs (near-random vectors), so a ratio would gate
+    // on sampling noise — recall discipline for this family lives in
+    // the q16/q26 ANN floors; the q75 digest pins THIS keep set.
+    val clustered = Similarity.semanticNearDupPairs(emb, threshold = 0.45, nClusters = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(clustered.subsetOf(exact), "clustered pairs must come from the exact set")
+    assert(clustered.nonEmpty, "16-cell partition found no within-cell pairs at all")
+  }
+
+  test("semanticDedup keeps one representative per embedding-duplicate group") {
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      5L -> Array(1f, 0f, 0f), 9L -> Array(1f, 0f, 0f), 2L -> Array(0.999f, 0.01f, 0f),
+      7L -> Array(0f, 1f, 0f), 8L -> Array(0f, 1f, 0f),
+      3L -> Array(0f, 0f, 1f)) // unpaired: survives
+    val emb = rows.toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(emb, threshold = 0.95, nClusters = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L, 7L))
+  }
+
+  test("golden digest: q75 semantic dedup keep set is bit-stable at sf0.001") {
+    val q75 = ExtQueries.q75(spark, sf).as[Long].collect().mkString("\n")
+    assert(md5(q75) === "bd87c72fad4085aaaf174b19fcc201bf", "q75 output drifted")
+  }
+
   test("incremental exact dedup probes a persisted digest index") {
     // corpus holds "seen"; batch has: a corpus dup (drop), an in-batch
     // dup pair (keep lowest id), and a fresh text (keep)

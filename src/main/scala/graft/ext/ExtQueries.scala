@@ -391,6 +391,19 @@ object ExtQueries {
   def q40(spark: SparkSession, dir: String): DataFrame =
     TextOps.topTokens(docs(spark, dir), k = 50)
 
+  /** Domain blocklist filter over the URL-enriched corpus (q37's
+    * enrichment): drop docs linking to the mirror host or to src7's
+    * site; survivors joined back for their metadata.
+    */
+  def q76(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = docs(spark, dir).select(col("doc_id"), urlText.as("text"))
+    val kept = TextOps.dropByDomain(enriched,
+      Seq("mirror.example.net", "src7.example.com"))
+    docs(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
   /** Character-class composition over part labels (name+brand+type —
     * the fixtures' only mixed-case/digit/punctuation text).
     */
@@ -489,7 +502,8 @@ object ExtQueries {
     "q72_lm_surprisal" -> (q72 _),
     "q73_lm_perplexity" -> (q73 _),
     "q74_exact_incremental" -> (q74 _),
-    "q75_semantic_dedup" -> (q75 _)
+    "q75_semantic_dedup" -> (q75 _),
+    "q76_domain_blocklist" -> (q76 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -776,6 +790,22 @@ object ExtQueries {
          |  count(*) AS n_urls,
          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
          |FROM u GROUP BY domain ORDER BY domain""".stripMargin,
+    // q37's enrichment; blocklist hits via the same extract-then-domain
+    // pipeline, survivors anti-joined
+    "q76_domain_blocklist" ->
+      s"""WITH enriched AS (
+         |  SELECT doc_id, $urlTextSql AS text FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS url
+         |  FROM enriched),
+         |hits AS (
+         |  SELECT DISTINCT doc_id FROM u
+         |  WHERE regexp_extract(url, '${TextOps.DomainPattern}', 1)
+         |    IN ('mirror.example.net', 'src7.example.com'))
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q40_top_tokens" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

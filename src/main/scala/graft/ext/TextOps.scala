@@ -302,6 +302,26 @@ object TextOps {
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col(idCol)).as("n_docs"))
 
+  /** Domain blocklist filter: drop every document containing a URL
+    * whose domain is on the list — the C4/RefinedWeb-style source
+    * filter that runs before any content heuristics. Scale shape:
+    * codegen regex extraction per row; the blocklist (small by nature)
+    * BROADCASTS into a semi join on the exploded (doc, domain) pairs,
+    * and only matched doc ids reach the anti join — the corpus itself
+    * never shuffles.
+    */
+  def dropByDomain(docs: DataFrame, blocked: Seq[String],
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist: nothing to drop")
+    import docs.sparkSession.implicits._
+    val hits = docs
+      .select(col(idCol), explode(extractUrls(col(textCol))).as("__url"))
+      .select(col(idCol), urlDomain(col("__url")).as("domain"))
+      .join(broadcast(blocked.toDF("domain")), Seq("domain"), "left_semi")
+      .select(idCol).distinct()
+    docs.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Global top-k token frequencies (occurrences + document frequency),
     * deterministic tie-break (count DESC, token ASC). Scale shape:
     * explode → hash aggregation with map-side combine (the shuffle

@@ -32,4 +32,43 @@ object StreamingDedup {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("__graft_fp")
       .drop("__graft_fp")
+
+  /** foreachBatch sink: EXACT dedup across the WHOLE stream history,
+    * against the persisted digest index ([[graft.ext.Dedup.exactIndex]]
+    * layout). Per micro-batch: probe the index (drop texts any earlier
+    * batch carried, keep the lowest id within the batch), land
+    * survivors under `outRoot/b<batchId>`, and roll the index forward
+    * by writing the batch's digests under `indexRoot/b<batchId>`.
+    *
+    * Complements [[exactWithinWatermark]] from the other end of the
+    * state spectrum: watermark state is bounded but forgets; the
+    * digest index REMEMBERS everything at 16 bytes per distinct text —
+    * unbounded but tiny, and durable across restarts.
+    *
+    * Replay-safe by construction: both writes land in the batch's own
+    * Hive-style partition directory (`__batch=<id>`, an idempotent
+    * overwrite that partition discovery folds into whole-root reads),
+    * and the probe sees STRICTLY EARLIER batches only
+    * (`__batch < batchId`) — exactly the index state the batch saw on
+    * its first delivery, so a replay reproduces its original output
+    * even if later partitions already exist on disk.
+    */
+  def exactAgainstIndexSink(indexRoot: String, outRoot: String,
+                            idCol: String = "doc_id", textCol: String = "text")
+                           (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    val kept = prior match {
+      case Some(index) => graft.ext.Dedup.exactAgainst(batch, index, idCol, textCol)
+      case None        => graft.ext.Dedup.exact(batch, idCol, textCol)
+    }
+    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    graft.ext.Dedup.exactIndex(batch, textCol)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+  }
 }

@@ -1024,6 +1024,18 @@ class ExtSpec extends AnyFunSuite {
     assert(md5(q75) === "bd87c72fad4085aaaf174b19fcc201bf", "q75 output drifted")
   }
 
+  test("domain blocklist drops exactly the linking docs; blocklist joins as a broadcast") {
+    val df = docsDf(
+      1L -> "a http://bad.example.com/x b",
+      2L -> "plain text no urls",
+      3L -> "see https://ok.example.org/y",
+      4L -> "http://bad.example.com/z plus https://ok.example.org/w")
+    val out = TextOps.dropByDomain(df, Seq("bad.example.com"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 3L))
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+      "the blocklist must broadcast, never shuffle the corpus side")
+  }
+
   test("incremental exact dedup probes a persisted digest index") {
     // corpus holds "seen"; batch has: a corpus dup (drop), an in-batch
     // dup pair (keep lowest id), and a fresh text (keep)

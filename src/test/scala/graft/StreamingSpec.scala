@@ -317,4 +317,30 @@ class StreamingSpec extends AnyFunSuite {
     val extended = spark.read.parquet(s"$work/report").count()
     assert(extended === 2, "day 2 must appear after batch 1")
   }
+
+  test("index-backed streaming exact dedup: whole-history dedup, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_idx")
+    val sink = StreamingDedup.exactAgainstIndexSink(s"$work/index", s"$work/out") _
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // b0: in-batch dup (1,2 same text); b1: cross-batch dup of b0 (id 11)
+    // + fresh; b2: dup of b1's fresh + fresh
+    sink(batchDf(1L -> "alpha", 2L -> "alpha", 3L -> "beta"), 0L)
+    sink(batchDf(11L -> "alpha", 12L -> "gamma"), 1L)
+    sink(batchDf(21L -> "gamma", 22L -> "delta"), 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === Seq(1L, 3L, 12L, 22L))
+    // the streamed keep set == batch exact dedup over the full history
+    // (ids increase with arrival order, so first-arrival == lowest id)
+    val full = batchDf(1L -> "alpha", 2L -> "alpha", 3L -> "beta",
+      11L -> "alpha", 12L -> "gamma", 21L -> "gamma", 22L -> "delta")
+    val batchKeep = graft.ext.Dedup.exact(full)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === batchKeep, "stream history dedup drifted from batch semantics")
+    // REPLAY batch 1 (failure recovery): per-batch overwrite + own-batch
+    // exclusion must reproduce the identical state, not double-drop
+    sink(batchDf(11L -> "alpha", 12L -> "gamma"), 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+  }
 }

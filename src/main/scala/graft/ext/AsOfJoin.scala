@@ -51,7 +51,7 @@ object AsOfJoin {
         left.columns.map(c => col(c).as(s"__l_$c")): _*)
     val rAligned = rTagged.select(
       (rTagged.columns.map(col) ++
-        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))).toIndexedSeq: _*)
     rAligned.unionByName(lTagged)
   }
 
@@ -60,9 +60,9 @@ object AsOfJoin {
                      rightPayload: Seq[String]): DataFrame =
     matched.where(col("__side") === 1 && asofCol.isNotNull)
       .select(
-        left.columns.map(c => col(s"__l_$c").as(c)) ++
+        (left.columns.map(c => col(s"__l_$c").as(c)) ++
           Seq(asofCol.getField("__ts").as("asof_ts")) ++
-          rightPayload.map(p => asofCol.getField(p).as(p)): _*)
+          rightPayload.map(p => asofCol.getField(p).as(p))).toIndexedSeq: _*)
 
   def asOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTs: String, rightTs: String, tieBreak: String,

@@ -100,7 +100,7 @@ final class FileWarehouse(val spark: SparkSession, val root: String) extends War
       require(existing.toSet == incoming,
         s"truncateAppend schema mismatch for $schema.$table: " +
           s"table has ${existing.mkString(",")}; data has ${df.columns.mkString(",")}")
-      replace(df.select(existing.map(df.col): _*), schema, table)
+      replace(df.select(existing.map(df.col).toIndexedSeq: _*), schema, table)
     } else replace(df, schema, table)
   }
 

@@ -118,7 +118,7 @@ object JournalMerge {
     val active = journal.where(col(RecordState) === "A")
     val changedKeys = active.select(pks.map(col): _*).distinct()
     val kept = master.join(changedKeys, pks, "left_anti")
-    kept.unionByName(latest(active, pks).select(master.columns.map(col): _*))
+    kept.unionByName(latest(active, pks).select(master.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Post-merge record-state flip 'A' -> 'H' (airflow_etl.py:216-223). */

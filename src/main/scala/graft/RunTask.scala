@@ -79,11 +79,20 @@ object RunTask {
         val queryFile = flags.getOrElse("query",
           throw new ConfigException("extract requires --query <sql-file under GRAFT_SQL_ROOT>"))
         val query = ctx.sqlText(SqlSource.File(queryFile))
-        val delta = flags.get("delta-column").map(c =>
-          PipelineRunner.DeltaSpec(c, flags.getOrElse("delta-last",
-            throw new ConfigException("--delta-column requires --delta-last <watermark>"))))
-        Tasks.extractDb(ctx, sysName, tag, schema, table, query,
-          readMode, flags.get("write").map(WriteMode.parse), delta)
+        (flags.get("delta-column"), flags.get("delta-last")) match {
+          // no explicit watermark -> the durable-watermark loop
+          case (Some(column), None) =>
+            Tasks.extractDbTracked(ctx, sysName, tag, schema, table, query, column)
+          case (Some(column), Some(last)) =>
+            Tasks.extractDb(ctx, sysName, tag, schema, table, query,
+              readMode, flags.get("write").map(WriteMode.parse),
+              Some(PipelineRunner.DeltaSpec(column, last)))
+          case (None, Some(_)) =>
+            throw new ConfigException("--delta-last requires --delta-column <col>")
+          case (None, None) =>
+            Tasks.extractDb(ctx, sysName, tag, schema, table, query,
+              readMode, flags.get("write").map(WriteMode.parse), None)
+        }
       case other => throw new ConfigException(
         s"usage: transform <tableFolder> | extract <system> <tag> <schema> <table>; got: ${other.mkString(" ")}")
     }

@@ -223,4 +223,38 @@ object PipelineRunner {
     extractDf(ctx, withSource.load(), systemName, systemTag, schema, table,
       readMode, writeMode, delta)
   }
+
+  /** The delta-extract OPERATIONAL LOOP: [[extractDb]] driven by the
+    * durable [[graft.io.Watermarks]] store instead of a caller-supplied
+    * watermark. First run (no mark): full read, overwrite landing —
+    * the bootstrap. Every later run: delta read `column > mark`,
+    * append landing. After each run the mark advances to
+    * `max(column)` over the landed table (a column-pruned scan of the
+    * lake path; monotone, so append accumulation is exactly right) —
+    * an empty delta leaves the mark untouched. Rerunning after a crash
+    * BEFORE the mark update re-extracts the same slice into an append
+    * landing: duplicates land, and the journal→master merge is the
+    * dedup boundary (same at-least-once + merge contract as the
+    * reference's whole pipeline).
+    */
+  def extractDbDeltaTracked(ctx: EtlContext, systemName: String, systemTag: String,
+                            schema: String, table: String, query: String,
+                            column: String): String = {
+    import org.apache.spark.sql.functions.{col => c, max}
+    val wm = graft.io.Watermarks(ctx.lake.root)
+    val key = Seq(systemName, systemTag, schema, table)
+      .map(_.toLowerCase).mkString("/")
+    val path = wm.get(ctx.spark, key) match {
+      case Some(mark) =>
+        extractDb(ctx, systemName, systemTag, schema, table, query,
+          ReadMode.Delta, Some(WriteMode.Append), Some(DeltaSpec(column, mark)))
+      case None =>
+        extractDb(ctx, systemName, systemTag, schema, table, query,
+          ReadMode.Full, Some(WriteMode.Overwrite), None)
+    }
+    val newMark = ctx.spark.read.parquet(path)
+      .agg(max(c(column)).cast("string")).collect()(0)
+    if (!newMark.isNullAt(0)) wm.set(ctx.spark, key, newMark.getString(0))
+    path
+  }
 }

@@ -54,6 +54,21 @@ object Tasks {
         readMode, writeMode, delta))
   }
 
+  /** Build the WATERMARK-TRACKED delta extract task: the delta loop
+    * driven by the durable [[graft.io.Watermarks]] store
+    * ([[PipelineRunner.extractDbDeltaTracked]]) — no per-run watermark
+    * argument; the task is rerunnable as-is on any schedule.
+    */
+  def extractDbTracked(ctx: EtlContext, systemName: String, systemTag: String,
+                       schema: String, table: String, query: String,
+                       column: String): EtlTask = {
+    val id = extractTaskId(systemName, systemTag, table, ReadMode.Delta)
+    EtlTask(id, () =>
+      PipelineRunner.extractDbDeltaTracked(ctx.copy(taskId = id),
+        systemName.toLowerCase, systemTag.toLowerCase,
+        schema.toLowerCase, table.toLowerCase, query, column))
+  }
+
   /** Build the transform task (EP2): the table folder holds
     * `config.yaml` (+ sql files + optional `migration.sql`), resolved
     * under the context's sqlRoot like the reference resolves under its

@@ -210,4 +210,45 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, minSuccessful = 10)
   }
+
+  // ---- lmPerplexity vs an independent sequential model ----------------
+
+  test("property: lmPerplexity matches an independent Scala bigram model bit-for-bit") {
+    import graft.ext.TextOps
+    // small alphabet forces real bigram collisions across docs
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    val k = 0.5
+    check(Prop.forAll(corpusGen) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = TextOps.lmPerplexity(df, addK = k)
+        .select("doc_id", "n_bigrams", "cross_entropy")
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+          else Some((r.getLong(1), r.getDouble(2))))).toMap
+      // independent model: plain Scala maps + the SAME double tree the
+      // operator promises (StrictMath log2, multiplicity-folded in
+      // (prev, cur) sort order, one division)
+      def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+      val bigrams = docs.map(_.sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toList)
+      val c2 = bigrams.flatten.groupBy(identity).map { case (bg, xs) => bg -> xs.length }
+      val c1 = c2.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+      val v = docs.flatten.distinct.length.toDouble
+      val want = docs.indices.map { i =>
+        val bgs = bigrams(i)
+        i.toLong -> (if (bgs.isEmpty) None else {
+          val byBg = bgs.groupBy(identity).view.mapValues(_.length).toList
+            .sortBy(_._1) // (prev, cur) lexicographic = the operator's fold order
+          val sum = byBg.foldLeft(0.0) { case (acc, (bg, m)) =>
+            acc + m.toDouble * (log2(c2(bg) + k) - log2(c1(bg._1) + k * v))
+          }
+          Some((bgs.length.toLong, -sum / bgs.length.toDouble))
+        })
+      }.toMap
+      got == want
+    }, minSuccessful = 15)
+  }
 }

@@ -12,6 +12,7 @@ import graft.io.{FileWarehouse, Lake}
   */
 class TasksSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
+  import spark.implicits._
 
   private def write(dir: String, name: String, text: String): Unit = {
     Files.createDirectories(Paths.get(dir))
@@ -97,6 +98,40 @@ class TasksSpec extends AnyFunSuite {
     // lake path uses the lowercased convention (airflow_etl.py:433-439)
     val extracted = spark.read.parquet(s"$work/lake/datalake/flex/main/app/src")
     assert(extracted.count() === 3)
+  }
+
+  test("tracked delta extract: full bootstrap, then only-new-rows, durable marks") {
+    val url = "jdbc:derby:memory:graftwm;create=true"
+    def exec(sql: String*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); sql.foreach(st.execute); st.close() }
+      finally c.close()
+    }
+    exec("""CREATE TABLE APP.INC ("id" INT NOT NULL PRIMARY KEY, "v" VARCHAR(8))""",
+      "INSERT INTO APP.INC VALUES (1,'a'), (2,'b'), (3,'c')")
+    val work = SparkTestBase.tmpDir("graft_wm")
+    val ctx = EtlContext(spark, Lake(s"$work/lake"),
+      new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("MAIN_FLEX_CONN" -> "url: jdbc:derby:memory:graftwm\ndialect: generic"))
+    val task = Tasks.extractDbTracked(ctx, "FLEX", "MAIN", "app", "inc",
+      "SELECT * FROM APP.INC", "id")
+    assert(task.id === "task_extract_flex_main_inc_delta")
+    val wm = graft.io.Watermarks(s"$work/lake")
+
+    task.run() // bootstrap: no mark -> full read, overwrite landing
+    val lakePath = s"$work/lake/datalake/flex/main/app/inc"
+    assert(spark.read.parquet(lakePath).count() === 3)
+    assert(wm.get(spark, "flex/main/app/inc") === Some("3"))
+
+    exec("INSERT INTO APP.INC VALUES (4,'d'), (5,'e')")
+    task.run() // delta: id > 3 only, append landing
+    val ids = spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
+    assert(ids === Seq(1, 2, 3, 4, 5), "delta run must append exactly the new rows once")
+    assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
+
+    task.run() // empty delta: nothing lands, mark untouched
+    assert(spark.read.parquet(lakePath).count() === 5)
+    assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
   }
 
   test("RunTask rejects malformed invocations with actionable errors") {

@@ -211,6 +211,35 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 10)
   }
 
+  test("property: salted merge == plain merge on random journals (unique winners)") {
+    // the q71 contract under fuzzing, not just hot-key fixtures: with
+    // the same comparator, two-phase (pk, salt) -> pk dedup must pick
+    // the identical winner wherever the winner is UNIQUE (full-chain
+    // ties are broken arbitrarily in both variants, like the
+    // reference's unordered row_number ties)
+    val journalGen = Gen.listOfN(12, recGen)
+      .map(rs => rs.groupBy(r => (r.id, r.t, r.l, r.s)).map(_._2.head).toList)
+    check(Prop.forAll(journalGen) { rs =>
+      rs.isEmpty || {
+        val df = rs.map(r => (r.id, r.v,
+            r.t.map(i => java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00")).orNull,
+            r.l.map(i => java.sql.Timestamp.valueOf(s"2024-01-0${i + 1} 00:00:00")).orNull,
+            r.s.map(_.toLong).map(java.lang.Long.valueOf).orNull))
+          .toDF("id", "v", "__transform_dt", "__load_dt", "__seqno")
+          .withColumn("__record_state", org.apache.spark.sql.functions.lit("A"))
+        val plain = JournalMerge.latestPerKey(df, Seq("id"))
+          .select("id", "v").as[(Int, String)].collect().toMap
+        val salted = JournalMerge.latestPerKeySalted(df, Seq("id"), saltBuckets = 4)
+          .select("id", "v").as[(Int, String)].collect().toMap
+        rs.groupBy(_.id).forall { case (id, group) =>
+          val winner = group.reduceLeft((a, b) => if (beats(b, a)) b else a)
+          val coWinners = group.filterNot(g => beats(winner, g))
+          coWinners.size > 1 || (plain(id) == salted(id))
+        }
+      }
+    }, minSuccessful = 20)
+  }
+
   // ---- lmPerplexity vs an independent sequential model ----------------
 
   test("property: lmPerplexity matches an independent Scala bigram model bit-for-bit") {

@@ -528,21 +528,62 @@ object TextOps {
     * (distinct bigrams per doc), never corpus-sized state.
     */
   def lmPerplexity(docs: DataFrame, addK: Double = 0.5,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(addK > 0, "addK must be positive (k=0 makes unseen bigrams -inf)")
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-    // per-row bigram array: (arr[i], arr[i+1]) — narrow, no shuffle
-    val bigrams = toks
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lmPerplexityAgainst(docs, lmTrain(docs, idCol, textCol), addK, idCol, textCol)
+
+  /** Per-row bigram pairs of a document table — shared derivation of
+    * [[lmTrain]] and [[lmPerplexityAgainst]] (narrow, no shuffle).
+    */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__t"))
       .where(size(col("__t")) >= 2)
       .select(col(idCol), explode(expr(
         "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS prev, __t[i+1] AS cur))"))
         .as("__bg"))
       .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
-    // corpus model: bigram counts, context counts, vocab size (1-row, broadcast)
-    val c2 = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("__c2"))
+
+  /** Train the bigram LM ONCE and get a persistable model — the CCNet
+    * operational shape: fit on a trusted corpus, write the model as
+    * parquet, score every candidate batch against it with
+    * [[lmPerplexityAgainst]] (the LM sibling of [[Dedup.minHashIndex]]
+    * and [[Similarity.ivfTrain]]).
+    *
+    * Model layout, one DataFrame: bigram rows (prev, cur, __c2) plus a
+    * single VOCAB MARKER row (prev NULL, cur NULL, __c2 = vocabulary
+    * size — the count of distinct corpus tokens, which smoothing needs
+    * and bigram rows alone can't recover: a token seen only in
+    * single-token documents appears in no bigram). Context counts
+    * derive from the bigram rows at score time (a model-sized
+    * aggregate, never a corpus rescan).
+    */
+  def lmTrain(corpus: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val c2 = docBigrams(corpus, idCol, textCol)
+      .groupBy("prev", "cur").agg(count(lit(1)).as("__c2"))
+    val vocabRow = corpus
+      .select(explode(tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("__c2"))
+      .select(lit(null).cast("string").as("prev"),
+        lit(null).cast("string").as("cur"), col("__c2"))
+    c2.unionByName(vocabRow)
+  }
+
+  /** Score a document batch against a PRE-TRAINED bigram model (see
+    * [[lmTrain]]): add-k smoothing handles bigrams and contexts the
+    * model never saw (count 0), so out-of-domain text scores HIGH
+    * perplexity rather than failing — which is the point of the
+    * operator. Same determinism contract as [[lmPerplexity]] (sorted
+    * sequential fold, StrictMath): scoring the training corpus against
+    * its own model reproduces [[lmPerplexity]] bit-for-bit.
+    */
+  def lmPerplexityAgainst(docs: DataFrame, model: DataFrame, addK: Double = 0.5,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(addK > 0, "addK must be positive (k=0 makes unseen bigrams -inf)")
+    val c2 = model.where(col("prev").isNotNull)
     val c1 = c2.groupBy("prev").agg(sum(col("__c2")).as("__c1"))
-    val vocab = toks.select(explode(col("__t")).as("token"))
-      .agg(count_distinct(col("token")).cast("double").as("__v"))
+    val vocab = model.where(col("prev").isNull)
+      .select(col("__c2").cast("double").as("__v"))
+    val bigrams = docBigrams(docs, idCol, textCol)
     // distinct doc-bigrams with multiplicity: the join + fold unit
     val docBg = bigrams.groupBy(col(idCol), col("prev"), col("cur"))
       .agg(count(lit(1)).as("__m"))

@@ -1106,6 +1106,34 @@ class ExtSpec extends AnyFunSuite {
     assert(bits(21L) > bits(1L), "integer surprisal disagrees on the outlier")
   }
 
+  test("persisted LM model: parquet round-trip score == lmPerplexity; unseen text scores high") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = SparkTestBase.tmpDir("graft_lm_model")
+    TextOps.lmTrain(docs).write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val direct = TextOps.lmPerplexity(docs)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val viaModel = TextOps.lmPerplexityAgainst(docs, model)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(viaModel === direct,
+      "scoring the corpus against its own persisted model drifted from lmPerplexity")
+    // a batch of tokens the model never saw: smoothing keeps the score
+    // finite, and it lands above every in-domain score (the operator's
+    // whole point: out-of-domain text is flagged, not crashed on)
+    val alien = docsDf(900L -> "zzq wwx vvy uut ssr")
+    val alienPpl = TextOps.lmPerplexityAgainst(alien, model)
+      .select("perplexity").as[Double].collect().head
+    assert(!alienPpl.isNaN && !alienPpl.isInfinite && alienPpl > 0)
+    // all-unseen text converges to the smoothing ceiling ppl ≈ V (a
+    // 31-token fixture vocabulary), which individual rare-bigram docs
+    // can exceed — so the discriminative claim is against the TYPICAL
+    // in-domain score, not the max
+    val meanInDomain = TextOps.lmPerplexity(docs)
+      .agg(avg($"perplexity")).as[Double].collect().head
+    assert(alienPpl > meanInDomain,
+      s"unseen-token batch ($alienPpl) must out-score the in-domain mean ($meanInDomain)")
+  }
+
   test("golden digest: q73 LM perplexity output is bit-stable at sf0.001") {
     // the no_oracle row's hard signal (same contract as q16/q26): any
     // drift in tokenization, counts, smoothing, fold order, or libm

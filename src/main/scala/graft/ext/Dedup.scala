@@ -189,6 +189,33 @@ object Dedup {
     (labels, i)
   }
 
+  /** Dedup IMPACT REPORT: what near-dup removal would do, per group
+    * (source, language, …) — the accounting every production curation
+    * run ships next to its output: docs seen, kept, removed
+    * (keep-lowest-id policy, [[dedupNearDups]]), and distinct dup
+    * clusters touching the group (a cluster spanning two sources
+    * counts in both — that cross-source overlap is itself the signal).
+    * Scale shape: one CC pass over the PAIR graph (≪ corpus), a
+    * left join back on ids, and a map-side-combinable aggregation on
+    * the low-cardinality group key.
+    */
+  def impactReport(docs: DataFrame, pairs: DataFrame, groupCols: Seq[String],
+                   idCol: String = "doc_id", maxIterations: Int = 20,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "impactReport needs at least one group column")
+    val comp = connectedComponents(pairs, maxIterations, checkpointDir)
+      .withColumnRenamed("member", idCol)
+    docs.join(comp, Seq(idCol), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull && col(idCol) =!= col("component"), 1L)
+          .otherwise(0L)).as("n_removed"),
+        (count(lit(1)) - sum(when(col("component").isNotNull && col(idCol) =!= col("component"), 1L)
+          .otherwise(0L))).as("n_kept"),
+        count_distinct(col("component")).as("n_clusters"))
+  }
+
   /** Near-duplicate REMOVAL: run pair detection, cluster the pairs, and
     * keep only each cluster's lowest-id member (plus every document in
     * no cluster). The anti-join ships only the small loser set.

@@ -424,6 +424,13 @@ object ExtQueries {
     TextOps.unigramSurprisalBits(docs(spark, dir))
       .orderBy("doc_id")
 
+  /** Per-language dedup impact accounting over the shared pair graph
+    * (q23/q44's pairs; keep-lowest-id policy).
+    */
+  def q77(spark: SparkSession, dir: String): DataFrame =
+    Dedup.impactReport(docs(spark, dir), sharedPairGraph(spark, dir), Seq("lang"))
+      .orderBy("lang")
+
   /** Incremental EXACT dedup: the ingest batch (doc_id % 10 == 0, the
     * q46 split) against the corpus digest index — kept rows are new
     * texts, lowest-id-deduped within the batch.
@@ -503,7 +510,8 @@ object ExtQueries {
     "q73_lm_perplexity" -> (q73 _),
     "q74_exact_incremental" -> (q74 _),
     "q75_semantic_dedup" -> (q75 _),
-    "q76_domain_blocklist" -> (q76 _)
+    "q76_domain_blocklist" -> (q76 _),
+    "q77_dedup_impact" -> (q77 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -629,6 +637,31 @@ object ExtQueries {
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)
          |ORDER BY doc_id""".stripMargin,
+    // same component CTE as q23; per-lang accounting of the
+    // keep-lowest-id policy (NULL components = unpaired docs)
+    "q77_dedup_impact" ->
+      s"""WITH RECURSIVE ${jaccardPairsCte(3, 0.8)},
+         |edges AS (
+         |  SELECT a_id AS s, b_id AS d FROM jpairs
+         |  UNION SELECT b_id, a_id FROM jpairs),
+         |walk(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.s, e.d FROM walk w JOIN edges e ON w.d = e.s),
+         |comp AS (
+         |  SELECT s AS member, least(s, min(d)) AS component
+         |  FROM walk GROUP BY s),
+         |lab AS (
+         |  SELECT d.lang, d.doc_id, c.component
+         |  FROM documents d LEFT JOIN comp c ON c.member = d.doc_id)
+         |SELECT lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN component IS NOT NULL AND doc_id <> component
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(count(*) - sum(CASE WHEN component IS NOT NULL AND doc_id <> component
+         |                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  count(DISTINCT component) AS n_clusters
+         |FROM lab GROUP BY lang ORDER BY lang""".stripMargin,
     // as-of semantics expressed relationally: per (event, user), the
     // order with max (time, orderkey) among orders at/before the event
     "q27_asof_join" ->

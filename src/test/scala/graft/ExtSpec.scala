@@ -1036,6 +1036,23 @@ class ExtSpec extends AnyFunSuite {
       "the blocklist must broadcast, never shuffle the corpus side")
   }
 
+  test("dedup impact report: per-group kept/removed/cluster accounting, cross-group clusters") {
+    // cluster A = {1,2,3,30} (comp 1, spans en+fr), cluster B = {10,11}
+    // (comp 10, de); 20 is unpaired
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "en"), (10L, "de"), (11L, "de"),
+      (20L, "de"), (30L, "fr")).toDF("doc_id", "lang")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 30L)).toDF("a_id", "b_id")
+    val got = Dedup.impactReport(docs, pairs, Seq("lang"))
+      .select("lang", "n_docs", "n_removed", "n_kept", "n_clusters")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("en") === (("en", 3L, 2L, 1L, 1L)))  // 1 kept (the component min)
+    assert(got("de") === (("de", 3L, 1L, 2L, 1L)))  // 20 unpaired, 11 removed
+    assert(got("fr") === (("fr", 1L, 1L, 0L, 1L)))  // 30's keeper lives in en
+    // totals must agree with the removal operator itself
+    val removed = got.values.map(_._3).sum
+    assert(docs.count() - Dedup.dedupNearDups(docs, pairs).count() === removed)
+  }
+
   test("incremental exact dedup probes a persisted digest index") {
     // corpus holds "seen"; batch has: a corpus dup (drop), an in-batch
     // dup pair (keep lowest id), and a fresh text (keep)

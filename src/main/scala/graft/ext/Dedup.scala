@@ -189,6 +189,45 @@ object Dedup {
     (labels, i)
   }
 
+  /** Per-document BOILERPLATE FRACTION: the share of a document's token
+    * positions covered by some `spanTokens`-token window that also
+    * occurs in at least `minDocs` distinct documents — the C4-style
+    * templated-text quality signal, document-level where
+    * [[duplicatedSpans]] is corpus-level (a doc that is 80% license
+    * header scores 0.8 even if no whole-document near-dup exists).
+    * Exact integers until one final IEEE division — oracle-comparable.
+    *
+    * Scale shape: windows explode to one row per token position
+    * carrying (id, span, pos); duplicated spans come from the same
+    * map-side-combined hash agg as [[duplicatedSpans]] and ship into a
+    * semi join; position coverage is a bounded explode (spanTokens per
+    * covered window) + distinct on (id, pos) — never corpus × corpus.
+    * At 100 TB pre-hash the span strings to 8 bytes (same note as
+    * [[duplicatedSpans]]); the plan shape is unchanged.
+    */
+  def boilerplateFraction(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    require(minDocs >= 2, "a span in fewer than 2 docs is not boilerplate")
+    val w = docs.select(col(idCol),
+        posexplode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as(Seq("pos", "span")))
+    val dup = w.groupBy("span")
+      .agg(count_distinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("span")
+    val covered = w.join(dup, Seq("span"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("__p"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__covered"))
+    docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("boilerplate_frac",
+        coalesce(col("__covered"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+      .drop("__covered")
+  }
+
   /** Dedup IMPACT REPORT: what near-dup removal would do, per group
     * (source, language, …) — the accounting every production curation
     * run ships next to its output: docs seen, kept, removed

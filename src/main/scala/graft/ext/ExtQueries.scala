@@ -431,6 +431,15 @@ object ExtQueries {
     Dedup.impactReport(docs(spark, dir), sharedPairGraph(spark, dir), Seq("lang"))
       .orderBy("lang")
 
+  /** Per-doc boilerplate fraction: share of token positions covered by
+    * 8-token spans occurring in ≥2 documents (q51's span unit,
+    * document-level).
+    */
+  def q78(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateFraction(docs(spark, dir), spanTokens = 8)
+      .select(col("doc_id"), col("n_tokens"), col("boilerplate_frac"))
+      .orderBy("doc_id")
+
   /** Incremental EXACT dedup: the ingest batch (doc_id % 10 == 0, the
     * q46 split) against the corpus digest index — kept rows are new
     * texts, lowest-id-deduped within the batch.
@@ -511,7 +520,8 @@ object ExtQueries {
     "q74_exact_incremental" -> (q74 _),
     "q75_semantic_dedup" -> (q75 _),
     "q76_domain_blocklist" -> (q76 _),
-    "q77_dedup_impact" -> (q77 _)
+    "q77_dedup_impact" -> (q77 _),
+    "q78_boilerplate_fraction" -> (q78 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -637,6 +647,27 @@ object ExtQueries {
          |SELECT * FROM documents
          |WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)
          |ORDER BY doc_id""".stripMargin,
+    // 1-based window starts (vs Spark's 0-based): coverage is a
+    // position-SET size, identical under the shift; integers until the
+    // final division
+    "q78_boilerplate_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |w AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |spans AS (
+        |  SELECT doc_id, st, array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM w),
+        |dup AS (
+        |  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |cov0 AS (
+        |  SELECT s.doc_id, s.st, unnest(generate_series(0, 7)) AS k
+        |  FROM spans s JOIN dup USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, st + k AS p FROM cov0),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.sp) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.covered, 0) / CAST(len(t.sp) AS DOUBLE) AS boilerplate_frac
+        |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // same component CTE as q23; per-lang accounting of the
     // keep-lowest-id policy (NULL components = unpaired docs)
     "q77_dedup_impact" ->

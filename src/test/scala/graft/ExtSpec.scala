@@ -1036,6 +1036,19 @@ class ExtSpec extends AnyFunSuite {
       "the blocklist must broadcast, never shuffle the corpus side")
   }
 
+  test("boilerplate fraction: overlapping covered positions, short docs, unshared docs") {
+    val df = docsDf(1L -> "a b c d", 2L -> "a b x y", 3L -> "q r s",
+      4L -> "a b a b", 5L -> "z")
+    val got = Dedup.boilerplateFraction(df, spanTokens = 2)
+      .select("doc_id", "n_tokens", "boilerplate_frac")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((4L, 0.5)))  // "a b" covers positions 0,1 of 4
+    assert(got(2L) === ((4L, 0.5)))
+    assert(got(3L) === ((3L, 0.0)))  // nothing shared
+    assert(got(4L) === ((4L, 1.0)))  // "a b" at 0 and 2: overlap unions to all 4
+    assert(got(5L) === ((1L, 0.0)))  // shorter than the span: no windows
+  }
+
   test("dedup impact report: per-group kept/removed/cluster accounting, cross-group clusters") {
     // cluster A = {1,2,3,30} (comp 1, spans en+fr), cluster B = {10,11}
     // (comp 10, de); 20 is unpaired

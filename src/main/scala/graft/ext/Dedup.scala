@@ -205,8 +205,12 @@ object Dedup {
     * At 100 TB pre-hash the span strings to 8 bytes (same note as
     * [[duplicatedSpans]]); the plan shape is unchanged.
     */
-  def boilerplateFraction(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** Distinct (id, position) pairs covered by a cross-doc duplicated
+    * span — the shared core of [[boilerplateFraction]] (measure) and
+    * [[stripBoilerplate]] (act).
+    */
+  private def coveredPositions(docs: DataFrame, spanTokens: Int, minDocs: Int,
+                               idCol: String, textCol: String): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     require(minDocs >= 2, "a span in fewer than 2 docs is not boilerplate")
     val w = docs.select(col(idCol),
@@ -215,10 +219,15 @@ object Dedup {
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
       .select("span")
-    val covered = w.join(dup, Seq("span"), "left_semi")
+    w.join(dup, Seq("span"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("__p"))
       .distinct()
+  }
+
+  def boilerplateFraction(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val covered = coveredPositions(docs, spanTokens, minDocs, idCol, textCol)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__covered"))
     docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
@@ -226,6 +235,39 @@ object Dedup {
       .withColumn("boilerplate_frac",
         coalesce(col("__covered"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
       .drop("__covered")
+  }
+
+  /** Boilerplate REMOVAL: rewrite each document with every token
+    * position covered by a cross-doc duplicated span dropped —
+    * [[boilerplateFraction]]'s measure turned into the cleanup act
+    * (strip shared license headers / templated chrome, keep the
+    * document's own prose; a fully-templated doc rewrites to the empty
+    * string — downstream length filters catch it). Output: the input
+    * columns plus (clean_text, n_tokens, n_removed).
+    *
+    * Scale shape: coverage as in [[boilerplateFraction]]; the rebuild
+    * is an anti join on (id, pos) followed by a per-doc sorted
+    * reassembly whose arrays are token-count-bounded (the same bound
+    * as [[TextOps.packSequencesText]]'s per-bin arrays), never
+    * corpus-sized.
+    */
+  def stripBoilerplate(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val covered = coveredPositions(docs, spanTokens, minDocs, idCol, textCol)
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__p", "__tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("__p"), col("__tok")))),
+            x => x.getField("__tok"))).as("clean_text"))
+    docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+      .withColumn("n_removed",
+        col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+      .drop("__n_kept")
   }
 
   /** Dedup IMPACT REPORT: what near-dup removal would do, per group

@@ -440,6 +440,14 @@ object ExtQueries {
       .select(col("doc_id"), col("n_tokens"), col("boilerplate_frac"))
       .orderBy("doc_id")
 
+  /** Boilerplate removal: q78's covered spans stripped from the text
+    * (the measure turned into the act).
+    */
+  def q79(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(docs(spark, dir), spanTokens = 8)
+      .select(col("doc_id"), col("clean_text"), col("n_tokens"), col("n_removed"))
+      .orderBy("doc_id")
+
   /** Incremental EXACT dedup: the ingest batch (doc_id % 10 == 0, the
     * q46 split) against the corpus digest index — kept rows are new
     * texts, lowest-id-deduped within the batch.
@@ -521,7 +529,8 @@ object ExtQueries {
     "q75_semantic_dedup" -> (q75 _),
     "q76_domain_blocklist" -> (q76 _),
     "q77_dedup_impact" -> (q77 _),
-    "q78_boilerplate_fraction" -> (q78 _)
+    "q78_boilerplate_fraction" -> (q78 _),
+    "q79_strip_boilerplate" -> (q79 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -668,6 +677,40 @@ object ExtQueries {
         |SELECT t.doc_id, CAST(len(t.sp) AS BIGINT) AS n_tokens,
         |  COALESCE(c.covered, 0) / CAST(len(t.sp) AS DOUBLE) AS boilerplate_frac
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // q78's coverage CTEs; kept tokens reassembled in position order
+    // (string_agg ORDER BY = Spark's sorted-struct rebuild)
+    "q79_strip_boilerplate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |w AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |spans AS (
+        |  SELECT doc_id, st, array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM w),
+        |dup AS (
+        |  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |cov0 AS (
+        |  SELECT s.doc_id, s.st, unnest(generate_series(0, 7)) AS k
+        |  FROM spans s JOIN dup USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, st + k AS p FROM cov0),
+        |toks AS (
+        |  SELECT doc_id, unnest(sp) AS tok,
+        |         unnest(generate_series(1, len(sp))) AS p
+        |  FROM t),
+        |kept AS (
+        |  SELECT tk.doc_id, tk.p, tk.tok FROM toks tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                    WHERE cov.doc_id = tk.doc_id AND cov.p = tk.p)),
+        |r AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(tok, ' ' ORDER BY p), '') AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(r.clean_text, '') AS clean_text,
+        |  CAST(len(t.sp) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.sp) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // same component CTE as q23; per-lang accounting of the
     // keep-lowest-id policy (NULL components = unpaired docs)
     "q77_dedup_impact" ->

@@ -1049,6 +1049,24 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) === ((1L, 0.0)))  // shorter than the span: no windows
   }
 
+  test("stripBoilerplate removes exactly the covered positions, keeps order, empties full-template docs") {
+    val df = docsDf(1L -> "a b c d", 2L -> "x a b y", 3L -> "a b", 4L -> "q r s")
+    // span "a b" (2-token) shared by docs 1,2,3
+    val got = Dedup.stripBoilerplate(df, spanTokens = 2)
+      .select("doc_id", "clean_text", "n_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === (("c d", 2L)))
+    assert(got(2L) === (("x y", 2L)))   // interior strip keeps surrounding order
+    assert(got(3L) === (("", 2L)))      // fully templated -> empty string
+    assert(got(4L) === (("q r s", 0L))) // untouched
+    // consistency: n_removed == covered-position count from the measure
+    val frac = Dedup.boilerplateFraction(df, spanTokens = 2)
+      .select("doc_id", "n_tokens", "boilerplate_frac")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> math.round(r._2 * r._3)).toMap
+    assert(got.view.mapValues(_._2).toMap === frac)
+  }
+
   test("dedup impact report: per-group kept/removed/cluster accounting, cross-group clusters") {
     // cluster A = {1,2,3,30} (comp 1, spans en+fr), cluster B = {10,11}
     // (comp 10, de); 20 is unpaired

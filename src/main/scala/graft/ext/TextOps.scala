@@ -498,8 +498,9 @@ object TextOps {
   // Model-quality scoring (n-gram language model)
   // ---------------------------------------------------------------------
 
-  /** Bigram language-model perplexity per document, scored against the
-    * corpus's own bigram statistics — the classic LM quality signal for
+  /** N-gram language-model perplexity per document (default bigram;
+    * `n=3` for trigram contexts and up), scored against the
+    * corpus's own n-gram statistics — the classic LM quality signal for
     * training-data curation (fluent, ordinary text scores low; garbled
     * or machine-generated token soup scores high). Add-k smoothing over
     * the corpus vocabulary keeps unseen bigrams finite:
@@ -528,21 +529,32 @@ object TextOps {
     * (distinct bigrams per doc), never corpus-sized state.
     */
   def lmPerplexity(docs: DataFrame, addK: Double = 0.5,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    lmPerplexityAgainst(docs, lmTrain(docs, idCol, textCol), addK, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   n: Int = 2): DataFrame =
+    lmPerplexityAgainst(docs, lmTrain(docs, idCol, textCol, n), addK, idCol, textCol, n)
 
-  /** Per-row bigram pairs of a document table — shared derivation of
-    * [[lmTrain]] and [[lmPerplexityAgainst]] (narrow, no shuffle).
+  /** Per-row n-gram (context, token) pairs of a document table — the
+    * shared derivation of [[lmTrain]] and [[lmPerplexityAgainst]]
+    * (narrow, no shuffle). `prev` is the n−1-token context joined on
+    * spaces (tokens contain no spaces by the tokenizer's definition,
+    * so the join is unambiguous); n=2 keeps the original bigram
+    * columns exactly.
     */
-  private def docBigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def docNgrams(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    require(n >= 2, s"an n-gram LM needs n >= 2 (context + token), got $n")
+    val ctx = (0 until n - 1).map(j => s"__t[i+$j]").mkString("concat_ws(' ', ", ", ", ")")
     docs.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .where(size(col("__t")) >= 2)
+      .where(size(col("__t")) >= n)
       .select(col(idCol), explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS prev, __t[i+1] AS cur))"))
+        s"transform(sequence(0, size(__t) - $n), i -> struct($ctx AS prev, __t[i+${n - 1}] AS cur))"))
         .as("__bg"))
       .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+  }
 
-  /** Train the bigram LM ONCE and get a persistable model — the CCNet
+  /** Train the n-gram LM ONCE (default bigram; the model is bound to
+    * its training `n` like the MinHash index is to its banding — score
+    * with the same order) and get a persistable model — the CCNet
     * operational shape: fit on a trusted corpus, write the model as
     * parquet, score every candidate batch against it with
     * [[lmPerplexityAgainst]] (the LM sibling of [[Dedup.minHashIndex]]
@@ -557,8 +569,8 @@ object TextOps {
     * aggregate, never a corpus rescan).
     */
   def lmTrain(corpus: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    val c2 = docBigrams(corpus, idCol, textCol)
+              textCol: String = "text", n: Int = 2): DataFrame = {
+    val c2 = docNgrams(corpus, idCol, textCol, n)
       .groupBy("prev", "cur").agg(count(lit(1)).as("__c2"))
     val vocabRow = corpus
       .select(explode(tokens(col(textCol))).as("token"))
@@ -577,13 +589,14 @@ object TextOps {
     * its own model reproduces [[lmPerplexity]] bit-for-bit.
     */
   def lmPerplexityAgainst(docs: DataFrame, model: DataFrame, addK: Double = 0.5,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(addK > 0, "addK must be positive (k=0 makes unseen bigrams -inf)")
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 2): DataFrame = {
+    require(addK > 0, "addK must be positive (k=0 makes unseen n-grams -inf)")
     val c2 = model.where(col("prev").isNotNull)
     val c1 = c2.groupBy("prev").agg(sum(col("__c2")).as("__c1"))
     val vocab = model.where(col("prev").isNull)
       .select(col("__c2").cast("double").as("__v"))
-    val bigrams = docBigrams(docs, idCol, textCol)
+    val bigrams = docNgrams(docs, idCol, textCol, n)
     // distinct doc-bigrams with multiplicity: the join + fold unit
     val docBg = bigrams.groupBy(col(idCol), col("prev"), col("cur"))
       .agg(count(lit(1)).as("__m"))

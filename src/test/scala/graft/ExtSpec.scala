@@ -1182,6 +1182,24 @@ class ExtSpec extends AnyFunSuite {
       s"unseen-token batch ($alienPpl) must out-score the in-domain mean ($meanInDomain)")
   }
 
+  test("trigram LM (n=3): hand-computed scores on a crafted corpus") {
+    // corpus: "a b c a b c" (4 trigrams: abc, bca, cab, abc) + "a b d"
+    // (abd); contexts: "a b"->{c:2, d:1}, "b c"->{a:1}, "c a"->{b:1};
+    // V=4 (a,b,c,d); k=0.5
+    val df = docsDf(1L -> "a b c a b c", 2L -> "a b d")
+    val got = TextOps.lmPerplexity(df, addK = 0.5, n = 3)
+      .select("doc_id", "n_bigrams", "cross_entropy")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    def logp(c: Long, ctx: Long) = log2(c + 0.5) - log2(ctx + 0.5 * 4)
+    // doc 1 distinct trigrams sorted by (prev, cur):
+    // ("a b","c")x2, ("b c","a")x1, ("c a","b")x1
+    val s1 = 2.0 * logp(2, 3) + 1.0 * logp(1, 1) + 1.0 * logp(1, 1)
+    assert(got(1L) === ((4L, -s1 / 4.0)))
+    // doc 2: ("a b","d")x1
+    assert(got(2L) === ((1L, -(1.0 * logp(1, 3)) / 1.0)))
+  }
+
   test("golden digest: q73 LM perplexity output is bit-stable at sf0.001") {
     // the no_oracle row's hard signal (same contract as q16/q26): any
     // drift in tokenization, counts, smoothing, fold order, or libm

@@ -376,6 +376,30 @@ object Dedup {
     * at r=4, b=32: s=0.8 → 1−5e−8 (recall ~1), s=0.3 → 0.23 (cheap
     * false candidates, killed by the exact verify).
     */
+  /** Choose LSH banding (bands, rowsPerBand) for a target Jaccard
+    * threshold: among the divisor splits b·r = numHashes, pick the
+    * LONGEST rows (fewest bands — fewest candidate collisions, i.e.
+    * cheapest verify stage) whose detection probability at the
+    * threshold, 1 − (1 − t^r)^b, still meets `minRecall`. Longer rows
+    * sharpen the S-curve (precision); more bands push recall — this
+    * resolves the trade explicitly instead of via magic constants. The
+    * defaults (128 hashes, t = 0.8, recall 1−10⁻⁶) yield (32, 4) —
+    * exactly the pair the operators ship with (SURVEY: recall 1−5·10⁻⁸
+    * at J = 0.8). Pure arithmetic, deterministic.
+    */
+  def chooseBanding(numHashes: Int, threshold: Double,
+                    minRecall: Double = 0.999999): (Int, Int) = {
+    require(numHashes > 0 && threshold > 0 && threshold < 1,
+      s"need numHashes > 0 and threshold in (0, 1), got ($numHashes, $threshold)")
+    require(minRecall > 0 && minRecall < 1, s"minRecall must be in (0, 1), got $minRecall")
+    def recall(b: Int, r: Int): Double =
+      1.0 - StrictMath.pow(1.0 - StrictMath.pow(threshold, r), b)
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    splits.filter { case (b, r) => recall(b, r) >= minRecall }
+      .minBy(_._1) // fewest bands among the qualifying splits
+  }
+
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), j =>
       struct(j.as("band_idx"), hash(slice(sig, j * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))

@@ -1049,6 +1049,27 @@ class ExtSpec extends AnyFunSuite {
     assert(got(5L) === ((1L, 0.0)))  // shorter than the span: no windows
   }
 
+  test("chooseBanding: recovers the shipped constants; recall/threshold trade moves as designed") {
+    // the operators' shipped (bands=32, r=4) at 128 hashes is the
+    // cheapest split meeting recall >= 1-1e-6 at the 0.8 threshold
+    assert(Dedup.chooseBanding(128, 0.8) === ((32, 4)))
+    // a higher threshold admits longer rows at the same recall floor
+    val (bStrict, rStrict) = Dedup.chooseBanding(128, 0.95)
+    assert(bStrict < 32 && rStrict > 4)
+    // a laxer recall floor also admits longer rows (cheaper verify)
+    val (bLax, rLax) = Dedup.chooseBanding(128, 0.8, minRecall = 0.9)
+    assert(bLax < 32 && rLax > 4)
+    // the chosen split always divides the signature exactly and meets
+    // the floor by construction
+    for (t <- Seq(0.3, 0.6, 0.9); n <- Seq(64, 128, 256)) {
+      val (b, r) = Dedup.chooseBanding(n, t)
+      assert(b * r === n)
+      assert(1.0 - math.pow(1.0 - math.pow(t, r), b) >= 0.999999)
+    }
+    val e = intercept[IllegalArgumentException](Dedup.chooseBanding(128, 1.0))
+    assert(e.getMessage.contains("threshold"))
+  }
+
   test("stripBoilerplate removes exactly the covered positions, keeps order, empties full-template docs") {
     val df = docsDf(1L -> "a b c d", 2L -> "x a b y", 3L -> "a b", 4L -> "q r s")
     // span "a b" (2-token) shared by docs 1,2,3

@@ -179,7 +179,15 @@ object PipelineRunner {
     })
     val data = (readMode, delta) match {
       case (ReadMode.Delta, Some(d)) =>
-        df.where(org.apache.spark.sql.functions.col(d.column) > d.lastValue)
+        // Inclusive (>=) so rows committed after the previous run with a
+        // delta value EQUAL to the mark (same-second timestamps, in-flight
+        // transactions at extract time) are not silently lost; the
+        // journal->master merge is the dedup boundary for the re-extracted
+        // boundary slice. The literal is cast to the column's own type —
+        // string-vs-bigint comparison would coerce both sides to double
+        // and lose watermark precision past 2^53.
+        import org.apache.spark.sql.functions.{col, lit}
+        df.where(col(d.column) >= lit(d.lastValue).cast(df.schema(d.column).dataType))
       case (ReadMode.Delta, None) =>
         throw new ConfigException("delta extract requires a DeltaSpec watermark")
       case _ => df
@@ -227,8 +235,8 @@ object PipelineRunner {
   /** The delta-extract OPERATIONAL LOOP: [[extractDb]] driven by the
     * durable [[graft.io.Watermarks]] store instead of a caller-supplied
     * watermark. First run (no mark): full read, overwrite landing —
-    * the bootstrap. Every later run: delta read `column > mark`,
-    * append landing. After each run the mark advances to
+    * the bootstrap. Every later run: delta read `column >= mark`
+    * (inclusive — see [[extractDf]]), append landing. After each run the mark advances to
     * `max(column)` over the landed table (a column-pruned scan of the
     * lake path; monotone, so append accumulation is exactly right) —
     * an empty delta leaves the mark untouched. Rerunning after a crash

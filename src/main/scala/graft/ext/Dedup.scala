@@ -396,8 +396,12 @@ object Dedup {
       1.0 - StrictMath.pow(1.0 - StrictMath.pow(threshold, r), b)
     val splits = (1 to numHashes).filter(numHashes % _ == 0)
       .map(b => (b, numHashes / b))
-    splits.filter { case (b, r) => recall(b, r) >= minRecall }
-      .minBy(_._1) // fewest bands among the qualifying splits
+    val qualifying = splits.filter { case (b, r) => recall(b, r) >= minRecall }
+    require(qualifying.nonEmpty,
+      f"no (bands, rows) split of $numHashes hashes reaches recall $minRecall%.6g at " +
+        f"threshold $threshold; the best achievable is ${recall(numHashes, 1)}%.6g with " +
+        f"(bands=$numHashes, rows=1) — lower minRecall or raise numHashes")
+    qualifying.minBy(_._1) // fewest bands among the qualifying splits
   }
 
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =

@@ -1068,6 +1068,11 @@ class ExtSpec extends AnyFunSuite {
     }
     val e = intercept[IllegalArgumentException](Dedup.chooseBanding(128, 1.0))
     assert(e.getMessage.contains("threshold"))
+    // an unreachable recall floor fails with the floor named and the best
+    // achievable split suggested, not an opaque empty.minBy
+    val unreachable = intercept[IllegalArgumentException](Dedup.chooseBanding(4, 0.2))
+    assert(unreachable.getMessage.contains("best achievable") &&
+      unreachable.getMessage.contains("bands=4"))
   }
 
   test("stripBoilerplate removes exactly the covered positions, keeps order, empties full-template docs") {

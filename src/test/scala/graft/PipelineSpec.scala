@@ -262,10 +262,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(p).count() == 10) // full -> overwrite
     PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab") // overwrite again
     assert(spark.read.parquet(p).count() == 10)
-    // delta appends only rows past the watermark
+    // delta appends rows at-or-past the watermark (inclusive: the boundary
+    // slice re-extracts so same-valued late commits are never lost; the
+    // merge is the dedup boundary)
     PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab",
       readMode = ReadMode.Delta, delta = Some(PipelineRunner.DeltaSpec("ts", "7")))
-    assert(spark.read.parquet(p).count() == 12) // + "8","9"
+    assert(spark.read.parquet(p).count() == 13) // + "7","8","9"
     assertThrows[ConfigException](
       PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab", readMode = ReadMode.Delta))
   }

@@ -124,14 +124,33 @@ class TasksSpec extends AnyFunSuite {
     assert(wm.get(spark, "flex/main/app/inc") === Some("3"))
 
     exec("INSERT INTO APP.INC VALUES (4,'d'), (5,'e')")
-    task.run() // delta: id > 3 only, append landing
+    task.run() // delta: id >= 3 (inclusive boundary), append landing
     val ids = spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
-    assert(ids === Seq(1, 2, 3, 4, 5), "delta run must append exactly the new rows once")
+    assert(ids === Seq(1, 2, 3, 3, 4, 5),
+      "delta run appends every new row plus the re-extracted boundary row " +
+        "(at-least-once: a same-valued late commit must never be lost; the merge dedups)")
     assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
 
-    task.run() // empty delta: nothing lands, mark untouched
-    assert(spark.read.parquet(lakePath).count() === 5)
+    task.run() // no new rows: only the boundary row re-lands, mark untouched
+    assert(spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
+      === Seq(1, 2, 3, 3, 4, 5, 5))
     assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
+  }
+
+  test("watermarks: traversal keys rejected; swap-write survives a stale temp") {
+    val work = SparkTestBase.tmpDir("graft_wm_safety")
+    val wm = graft.io.Watermarks(s"$work/lake")
+    intercept[IllegalArgumentException](wm.get(spark, "../../escape"))
+    intercept[IllegalArgumentException](wm.set(spark, "/abs/key", "1"))
+    intercept[IllegalArgumentException](wm.get(spark, "a//b"))
+    // a temp left by a crashed writer must not break the next set; the
+    // committed value is whole and the temp is gone afterwards
+    wm.set(spark, "sys/tag/sch/t", "41")
+    val dir = Paths.get(s"$work/lake/_watermarks/sys/tag/sch")
+    Files.writeString(dir.resolve(".t.tmp"), "torn")
+    wm.set(spark, "sys/tag/sch/t", "42")
+    assert(wm.get(spark, "sys/tag/sch/t") === Some("42"))
+    assert(!Files.exists(dir.resolve(".t.tmp")))
   }
 
   test("RunTask rejects malformed invocations with actionable errors") {

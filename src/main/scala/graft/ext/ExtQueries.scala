@@ -18,21 +18,45 @@ object ExtQueries {
   private def emb(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Spark-visible scratch location for session-shared artifacts (the
+    * pair graph, the MinHash index). `graft.scratch.dir` may point to
+    * any URI every executor can reach — the lake root, an HDFS/S3
+    * scratch bucket; the artifact lands under
+    * `<root>/<artifact>/<appId>_<corpusHash>`. Without the conf, LOCAL
+    * masters fall back to a driver temp dir (bench/test plumbing), and
+    * a non-local deployment fails fast instead of silently writing
+    * parquet to per-node local disks that no other executor can read.
+    */
+  private def scratchPath(spark: SparkSession, artifact: String, dir: String): String = {
+    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    spark.conf.getOption("graft.scratch.dir") match {
+      case Some(root) =>
+        s"$root/$artifact/${spark.sparkContext.applicationId}_$tag"
+      case None =>
+        require(spark.sparkContext.isLocal,
+          s"graft.scratch.dir must be set on a cluster: the shared $artifact " +
+            "artifact needs a location every executor can read (lake root or " +
+            "an HDFS/S3 scratch URI); a driver-local temp dir only works in local mode")
+        java.nio.file.Files.createTempDirectory(s"graft_$artifact").toString
+    }
+  }
+
   /** The near-dup PAIR GRAPH shared by every keep policy over the same
     * corpus (q23 keeps the lowest id, q44 keeps the best member): the
     * signature + banding + exact-verify pipeline runs ONCE per
-    * (session, corpus) and lands as parquet ([[Dedup.writePairGraph]]);
-    * each consumer is then a cheap parquet scan plus its own
-    * clustering/keep pass instead of a full re-derivation. At 100 TB
-    * the pair graph is the expensive artifact — recomputing it per
-    * policy doubles the dominant cost for byte-identical input.
+    * (session, corpus) and lands as parquet ([[Dedup.writePairGraph]])
+    * under [[scratchPath]]; each consumer is then a cheap parquet scan
+    * plus its own clustering/keep pass instead of a full re-derivation.
+    * At 100 TB the pair graph is the expensive artifact — recomputing
+    * it per policy doubles the dominant cost for byte-identical input.
     */
   private val pairGraphMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def sharedPairGraph(spark: SparkSession, dir: String): DataFrame = {
-    val key = spark.sparkContext.applicationId + "@" + dir
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
     val path = pairGraphMemo.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_pair_graph").toString
+      val p = scratchPath(spark, "pair_graph", dir)
       Dedup.writePairGraph(docs(spark, dir), p, shingleSize = 3, threshold = 0.8)
       p
     })
@@ -280,9 +304,10 @@ object ExtQueries {
   private val minHashIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def sharedMinHashIndex(spark: SparkSession, dir: String): DataFrame = {
-    val key = spark.sparkContext.applicationId + "@" + dir
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
     val path = minHashIndexMemo.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_mh_index").toString
+      val p = scratchPath(spark, "mh_index", dir)
       Dedup.minHashIndex(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
         shingleSize = 3).write.mode("overwrite").parquet(p)
       p

@@ -1075,6 +1075,22 @@ class ExtSpec extends AnyFunSuite {
       unreachable.getMessage.contains("bands=4"))
   }
 
+  test("sharedPairGraph lands under graft.scratch.dir when set (cluster-safe artifact path)") {
+    val corpus = SparkTestBase.tmpDir("graft_scratch_corpus")
+    docsDf(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val scratch = SparkTestBase.tmpDir("graft_scratch_root")
+    spark.conf.set("graft.scratch.dir", scratch)
+    try {
+      val pairs = ExtQueries.sharedPairGraph(spark, corpus)
+      assert(pairs.count() === 1) // docs 1 and 2 are identical
+      val artifacts = new java.io.File(s"$scratch/pair_graph").listFiles()
+      assert(artifacts != null && artifacts.nonEmpty,
+        "the pair graph must materialize under the conf'd Spark-visible scratch root")
+      assert(artifacts.head.getName.startsWith(spark.sparkContext.applicationId))
+    } finally spark.conf.unset("graft.scratch.dir")
+  }
+
   test("stripBoilerplate removes exactly the covered positions, keeps order, empties full-template docs") {
     val df = docsDf(1L -> "a b c d", 2L -> "x a b y", 3L -> "a b", 4L -> "q r s")
     // span "a b" (2-token) shared by docs 1,2,3

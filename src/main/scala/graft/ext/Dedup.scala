@@ -65,13 +65,16 @@ object Dedup {
     * document-level dedup never sees). Top `topK` by occurrence count,
     * token-text tiebreak, for a stable report.
     *
-    * Scale shape: windows explode to ~one row per token position but
-    * carry only (id, span); the aggregate is a hash group-by with
-    * map-side combine, so the shuffle moves one row per distinct span
-    * per partition. At 100 TB, pre-hash the span (xxhash64 → 8-byte
-    * shuffle key, text as a carried example) and raise `spanTokens` to
-    * the 50-token regime of the published dedup pipelines; the plan
-    * shape is unchanged. Top-k is a TakeOrdered, not a global sort.
+    * Scale shape: windows explode to ~one row per token position, but
+    * the GROUP KEY is the span's xxhash64 — the shuffle hashes and
+    * compares 8-byte longs, and the span text rides along only as the
+    * report's example (min per group, shipped once per distinct span
+    * per partition by the map-side combine). A 64-bit fingerprint can
+    * in principle alias two distinct spans (P ≈ n²/2⁶⁵ — negligible
+    * below ~10¹² distinct spans; the same trade every published
+    * suffix/span dedup pipeline makes). Raise `spanTokens` to the
+    * 50-token regime of those pipelines at 100 TB; the plan shape is
+    * unchanged. Top-k is a TakeOrdered, not a global sort.
     */
   def duplicatedSpans(docs: DataFrame, spanTokens: Int, minDocs: Int = 2,
                       topK: Int = 100, idCol: String = "doc_id",
@@ -82,10 +85,12 @@ object Dedup {
     // place for the tokenization/guard semantics to live
     docs.select(col(idCol),
         explode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as("span"))
-      .groupBy("span")
-      .agg(count(lit(1)).as("n_occurrences"),
+      .groupBy(xxhash64(col("span")).as("__h"))
+      .agg(min(col("span")).as("span"),
+        count(lit(1)).as("n_occurrences"),
         count_distinct(col(idCol)).as("n_docs"))
       .where(col("n_docs") >= minDocs)
+      .select("span", "n_occurrences", "n_docs")
       .orderBy(col("n_occurrences").desc, col("span").asc)
       .limit(topK)
   }
@@ -197,13 +202,13 @@ object Dedup {
     * header scores 0.8 even if no whole-document near-dup exists).
     * Exact integers until one final IEEE division — oracle-comparable.
     *
-    * Scale shape: windows explode to one row per token position
-    * carrying (id, span, pos); duplicated spans come from the same
-    * map-side-combined hash agg as [[duplicatedSpans]] and ship into a
-    * semi join; position coverage is a bounded explode (spanTokens per
+    * Scale shape: windows explode to one row per token position, but
+    * the span text is dropped at the source — only (id, pos,
+    * xxhash64(span)) transits the plan, so both shuffles (the
+    * duplicated-span agg and the coverage semi join) move 8-byte keys;
+    * position coverage is then a bounded explode (spanTokens per
     * covered window) + distinct on (id, pos) — never corpus × corpus.
-    * At 100 TB pre-hash the span strings to 8 bytes (same note as
-    * [[duplicatedSpans]]); the plan shape is unchanged.
+    * Fingerprint aliasing as in [[duplicatedSpans]] (P ≈ n²/2⁶⁵).
     */
   /** Distinct (id, position) pairs covered by a cross-doc duplicated
     * span — the shared core of [[boilerplateFraction]] (measure) and
@@ -215,11 +220,12 @@ object Dedup {
     require(minDocs >= 2, "a span in fewer than 2 docs is not boilerplate")
     val w = docs.select(col(idCol),
         posexplode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as(Seq("pos", "span")))
-    val dup = w.groupBy("span")
+      .select(col(idCol), col("pos"), xxhash64(col("span")).as("__h"))
+    val dup = w.groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
-      .select("span")
-    w.join(dup, Seq("span"), "left_semi")
+      .select("__h")
+    w.join(dup, Seq("__h"), "left_semi")
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("__p"))
       .distinct()

@@ -537,17 +537,37 @@ object Dedup {
     * their rarest shingle — i.e. docs whose distinguishing content is
     * entirely stopwords, which is [[nearDupMinHash]] territory. With
     * `None` (default) the operator is exact with no caveat.
+    *
+    * `maxCountDocFreq` (count strategy only): the full postings
+    * self-join costs Σ f(s)² pairs — quadratic in each shingle's
+    * document frequency, so ONE viral shingle (f = 10⁶ docs) is a
+    * 10¹²-pair join on its own. Like
+    * [[Similarity.bruteForceTopK]]'s `maxExactRows`, the guard turns
+    * that silent scale-killer into an immediate error: the hottest
+    * shingle's df is checked (a map-side-combined agg, cheap next to
+    * the join it gates) and the error routes to the prefix strategy,
+    * whose `maxDocFreqFraction` cut handles Zipfian tails by design.
+    * Raise it deliberately for verification runs on small corpora.
     */
   def nearDupNgramJaccard(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", shingleSize: Int = 2,
                           threshold: Double = 0.7,
                           strategy: String = "prefix",
-                          maxDocFreqFraction: Option[Double] = None): DataFrame = {
+                          maxDocFreqFraction: Option[Double] = None,
+                          maxCountDocFreq: Long = 10000L): DataFrame = {
     val hs = docs.select(col(idCol),
       graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
     val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
     strategy match {
       case "count" =>
+        val hottest = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
+          .agg(max(col("__df"))).collect()(0)
+        val fMax = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+        require(fMax <= maxCountDocFreq,
+          s"nearDupNgramJaccard(strategy=count) self-joins every posting list and got a " +
+            s"shingle in $fMax documents (maxCountDocFreq=$maxCountDocFreq): that one list " +
+            s"alone is a ${fMax}²-pair join — use strategy=prefix (with maxDocFreqFraction " +
+            "for Zipfian corpora), or raise maxCountDocFreq deliberately")
         val sizes = hs.select(col(idCol), size(col("__hs")).as("__n"))
         val inter = postings.select(col("__s"), col(idCol).as("a_id"))
           .join(postings.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))

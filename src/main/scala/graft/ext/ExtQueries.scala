@@ -495,6 +495,40 @@ object ExtQueries {
     TextOps.lmPerplexity(docs(spark, dir), addK = 0.5)
       .orderBy("doc_id")
 
+  /** The PERSISTED LM, trained once per (session, corpus) on the held
+    * corpus (doc_id % 10 != 0 — the q46/q74 split) and landed as
+    * parquet under [[scratchPath]] — the CCNet operational shape
+    * (train on trusted text, score every candidate batch forever).
+    */
+  private val lmModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedLmModel(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = lmModelMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "lm_model", dir)
+      TextOps.lmTrain(docs(spark, dir).where(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Persisted-LM probe: the ingest batch (doc_id % 10 == 0) scored
+    * against the PRE-TRAINED parquet model — q73's operator in its
+    * operational train-once/score-forever split. Bit-identical to
+    * scoring against the in-memory model by the
+    * [[TextOps.lmTrain]]/[[TextOps.lmPerplexityAgainst]] contract
+    * (exact integer counts round-trip through parquet; ExtSpec pins
+    * the equality). libm-bound like q73 → golden-pinned, no SQL
+    * oracle.
+    */
+  def q80(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lmPerplexityAgainst(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedLmModel(spark, dir), addK = 0.5)
+      .orderBy("doc_id")
+
   /** SemDeDup-style semantic dedup over embeddings (k-means cells +
     * within-cell cosine + keep-lowest-id). KMeans makes it
     * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
@@ -555,7 +589,8 @@ object ExtQueries {
     "q76_domain_blocklist" -> (q76 _),
     "q77_dedup_impact" -> (q77 _),
     "q78_boilerplate_fraction" -> (q78 _),
-    "q79_strip_boilerplate" -> (q79 _)
+    "q79_strip_boilerplate" -> (q79 _),
+    "q80_lm_persisted_probe" -> (q80 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

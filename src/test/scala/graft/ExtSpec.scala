@@ -82,6 +82,23 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("count strategy guards against viral shingles (quadratic posting list)") {
+    // 12 docs all sharing the bigram "the same": its posting list is a
+    // 12²-pair self-join — over a cap of 10 it must fail fast with the
+    // prefix strategy named, not silently run the quadratic plan
+    val docs = docsDf((1L to 12L).map(i => i -> s"the same tail$i"): _*)
+    val e = intercept[IllegalArgumentException](
+      Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.9,
+        strategy = "count", maxCountDocFreq = 10L).collect())
+    assert(e.getMessage.contains("maxCountDocFreq") && e.getMessage.contains("prefix"))
+    // deliberately raised, the exact semantics are unchanged
+    val raised = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.9,
+      strategy = "count", maxCountDocFreq = 12L)
+    val viaPrefix = Dedup.nearDupNgramJaccard(docs, shingleSize = 2, threshold = 0.9)
+    assert(raised.select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      === viaPrefix.select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("near-dup clustering: chains collapse to one representative") {
     // components: {1,2,3} (chain), {10,11}, singleton 99 untouched
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
@@ -1250,6 +1267,31 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Double)].collect()
       .map { case (d, n, h, p) => s"$d,$n,$h,$p" }.mkString("\n")
     assert(md5(q73) === "fe8c81f70b148cd4b3cd7efeb241ac96", "q73 output drifted")
+  }
+
+  test("q80 persisted-LM probe: parquet round-trip scores bit-identical to the in-memory model") {
+    // the model is exact integer counts (+ the vocab marker), so the
+    // parquet round-trip must change NOTHING about scoring — this
+    // equality is the operational split's correctness anchor
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.where($"doc_id" % 10 === 0)
+    val direct = TextOps.lmPerplexityAgainst(batch,
+      TextOps.lmTrain(docs.where($"doc_id" % 10 =!= 0)), addK = 0.5)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaParquet = ExtQueries.q80(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaParquet === direct,
+      "persisted-model scoring drifted from the in-memory model")
+  }
+
+  test("golden digest: q80 persisted-LM probe output is bit-stable at sf0.001") {
+    // same contract as q73: no SQL oracle (libm), so any drift in the
+    // split, training counts, smoothing, or fold order changes this
+    // digest. Re-pin ONLY for an intentional change.
+    val q80 = ExtQueries.q80(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, n, h, p) => s"$d,$n,$h,$p" }.mkString("\n")
+    assert(md5(q80) === "a51bb52e0461a0b539922fbe02ff85ae", "q80 output drifted")
   }
 
   test("connectedComponents pointer doubling: long chain converges in O(log d) rounds") {

@@ -253,6 +253,21 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.lake.nativeHudi")
   }
 
+  test("lake passthrough round-trips a real SPI-registered connector (demolake)") {
+    // graft.testlake.DemoLakeSource registers through META-INF/services —
+    // the same DataSourceRegister SPI Hudi/Delta/Iceberg use — so this
+    // proves the passthrough resolves and drives an actual pluggable
+    // connector, not just the missing-jar error path
+    val work = SparkTestBase.tmpDir("graft_demolake")
+    val lake = Lake(s"$work/lk")
+    lake.write(spark.range(5).toDF("k"), s"$work/lk/t", "overwrite", format = "demolake")
+    assert(Files.exists(Paths.get(s"$work/lk/t/_demolake")),
+      "the write must reach the connector, not a builtin branch")
+    val back = lake.read(spark, "demolake", s"$work/lk/t")
+    assert(back.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === (0L until 5L).toSeq)
+  }
+
   test("extract: write-mode defaults from read-mode; delta needs watermark") {
     val (ctx, _, work) = mkCtx()
     val lake = Lake(s"$work/lk")

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up derivation tool: replicate the driver's deterministic
+  * testdata by an integer factor while PRESERVING its statistical
+  * shape, so measured runtimes across a decade of data answer "is this
+  * operator's cost linear?" rather than "what does a degenerate corpus
+  * cost?". Nothing new is synthesized — every copy is the driver's own
+  * data under a structure-preserving rename:
+  *
+  *  - TPC-H-ish tables: copy i shifts every primary key by i × stride
+  *    (stride = max(key)+1) and shifts foreign keys by the SAME stride,
+  *    so each copy joins exactly like the original — join selectivity
+  *    and per-key fanout are unchanged; totals grow ×factor.
+  *    region/nation stay single-copy (fixed dimensions, like TPC-H
+  *    itself at every SF).
+  *  - documents: copy i > 0 rewrites each token t → "t_i". Within a
+  *    copy, near-dup/span/LM structure is EXACTLY the original's;
+  *    across copies no shingle is shared — so dup-rate, posting-list
+  *    df distribution, and boilerplate coverage stay constant where
+  *    naive text replication would make every doc a 10-way exact
+  *    duplicate and every span "boilerplate".
+  *  - embeddings: copy i adds a tiny deterministic per-copy offset
+  *    (±0.003 max, pattern varying with the element index) so copies
+  *    are near but not bit-equal — neighborhood structure per copy is
+  *    the original's, with no artificial cosine=1 twins.
+  *  - events: ids and user ids shift per copy; timestamps are kept, so
+  *    per-user session shapes replicate unchanged.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <destDir> <factor>
+  */
+object ScaleUp {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <destDir> <factor>")
+    val Array(src, dest, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = SparkSession.builder()
+      .appName("graft-scaleup")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try run(spark, src, dest, factor) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).collect()(0).getLong(0) + 1L
+
+    // fixed dimensions: single copy at every factor (TPC-H semantics)
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    val sc = stride(read("customer"), "c_custkey")
+    val so = stride(read("orders"), "o_orderkey")
+    val sp = stride(read("part"), "p_partkey")
+    val ss = stride(read("supplier"), "s_suppkey")
+
+    def copies(df: DataFrame): DataFrame =
+      df.withColumn("__i", explode(sequence(lit(0L), lit(factor - 1L))))
+    def shifted(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      shifts.foldLeft(copies(df)) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + col("__i") * s)
+      }.drop("__i")
+
+    write(shifted(read("customer"), "c_custkey" -> sc), "customer")
+    write(shifted(read("supplier"), "s_suppkey" -> ss), "supplier")
+    write(shifted(read("part"), "p_partkey" -> sp), "part")
+    write(shifted(read("orders"), "o_orderkey" -> so, "o_custkey" -> sc), "orders")
+    write(shifted(read("lineitem"),
+      "l_orderkey" -> so, "l_partkey" -> sp, "l_suppkey" -> ss), "lineitem")
+
+    val ev = read("events")
+    write(shifted(ev, "event_id" -> stride(ev, "event_id"),
+      "user_id" -> stride(ev, "user_id")), "events")
+
+    val docs = read("documents")
+    val docsScaled = copies(docs)
+      .withColumn("doc_id", col("doc_id") + col("__i") * stride(docs, "doc_id"))
+      .withColumn("text", when(col("__i") === 0, col("text"))
+        .otherwise(concat_ws(" ",
+          transform(split(col("text"), " "), t => concat(t, lit("_"), col("__i"))))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__i")
+    write(docsScaled, "documents")
+
+    val emb = read("embeddings")
+    val embScaled = copies(emb)
+      .withColumn("vec_id", col("vec_id") + col("__i") * stride(emb, "vec_id"))
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, j) -> CAST(x + __i * 0.0005 * ((j % 7) - 3) AS FLOAT))"))
+      .drop("__i")
+    write(embScaled, "embeddings")
+  }
+}

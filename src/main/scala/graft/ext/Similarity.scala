@@ -108,6 +108,32 @@ object Similarity {
       aggregate(vd, lit(0.0), (acc, x) => greatest(acc, abs(x))).as("max_abs"))
   }
 
+  /** Capacity derivation for the ANN index structures. A FIXED index
+    * capacity is the quiet scale-killer of both ANN paths (measured on
+    * the 10× scale-up: 28–40× runtime growth for 10× data): with the
+    * bucket/cell COUNT constant, 10× data makes every bucket 10×
+    * denser, and the within-bucket candidate join grows ~100×. Holding
+    * bucket/cell SIZE constant instead keeps candidate cost linear in
+    * the corpus. Derived from the corpus count (one column-pruned count
+    * job, trivial next to the join it sizes) with floors that keep
+    * small-corpus behavior — and the pinned fixed-seed outputs at the
+    * test SFs — exactly unchanged.
+    */
+  private[graft] def deriveBits(n: Long, targetBucketSize: Int = 32, floor: Int = 6): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize))
+      / math.log(2.0)).toInt
+    math.min(30, math.max(floor, needed))
+  }
+
+  /** Cell count for [[ivfTopK]]/[[ivfTrain]]: corpus/targetCellSize,
+    * floored (small corpora) and capped (spark.ml KMeans is practical
+    * to ~tens of thousands of centroids; past the cap, grow
+    * targetCellSize / go hierarchical and train on a sample —
+    * `trainFraction`).
+    */
+  private[graft] def deriveCells(n: Long, targetCellSize: Int = 128, floor: Int = 16): Int =
+    math.min(65536, math.max(floor, math.ceil(n.toDouble / targetCellSize).toInt))
+
   /** Deterministic pseudo-random hyperplanes: `tables` independent
     * signature tables of `bits` hyperplanes each, dims-dimensional,
     * seeded — identical across runs and executors (shipped as a
@@ -169,14 +195,16 @@ object Similarity {
     (withVec, model)
   }
 
-  def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 16, nProbe: Int = 3,
+  def ivfTopK(emb: DataFrame, k: Int, nClusters: Int = 0, nProbe: Int = 3,
               idCol: String = "vec_id", vecCol: String = "embedding",
               seed: Long = 7L, maxIter: Int = 20,
               trainFraction: Double = 1.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // nClusters = 0 (default): hold cell SIZE constant — see deriveCells
+    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
     val (withVec, model) =
-      trainKMeans(emb, nClusters, vecCol, seed, maxIter, trainFraction)
+      trainKMeans(emb, cells, vecCol, seed, maxIter, trainFraction)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -210,12 +238,13 @@ object Similarity {
     * operational ANN shape: train once on a sample, probe forever.
     * Same seeding/params as [[ivfTopK]]'s internal training.
     */
-  def ivfTrain(emb: DataFrame, nClusters: Int = 16,
+  def ivfTrain(emb: DataFrame, nClusters: Int = 0,
                vecCol: String = "embedding", seed: Long = 7L,
                maxIter: Int = 20, trainFraction: Double = 1.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (_, model) = trainKMeans(emb, nClusters, vecCol, seed, maxIter, trainFraction)
+    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
+    val (_, model) = trainKMeans(emb, cells, vecCol, seed, maxIter, trainFraction)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -287,13 +316,18 @@ object Similarity {
     * spikes are host noise (shared-hypervisor neighbor load / GC), not
     * an AQE plan flip; no config change is warranted.
     */
-  def annTopK(emb: DataFrame, k: Int, tables: Int = 12, bits: Int = 6,
+  def annTopK(emb: DataFrame, k: Int, tables: Int = 12, bits: Int = 0,
               dims: Int = 64, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 0x5EED): DataFrame = {
+    // bits = 0 (default): hold bucket SIZE constant as the corpus grows
+    // (see deriveBits). More bits lower per-table recall for a true
+    // neighbor at angle θ ((1−θ/π)^bits per table); hold recall by
+    // raising `tables` alongside — the standard capacity/recall trade.
+    val b0 = if (bits == 0) deriveBits(emb.count()) else bits
     // candidate ids first (narrow dedup: the distinct shuffles 16-byte
     // pairs, never the vectors), vectors re-joined after
     val withBuckets = emb.select(col(idCol),
-      posexplode(lshBuckets(col(vecCol), tables, bits, dims, seed)).as(Seq("t", "bucket")))
+      posexplode(lshBuckets(col(vecCol), tables, b0, dims, seed)).as(Seq("t", "bucket")))
     val a = withBuckets.select(col("t"), col("bucket"), col(idCol).as("vec_id"))
     val b = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"))
     val candIds = a.join(b, Seq("t", "bucket"))
@@ -330,15 +364,16 @@ object Similarity {
     * nClusters for speed, lower it for recall.
     */
   def semanticNearDupPairs(emb: DataFrame, threshold: Double,
-                           nClusters: Int = 16, idCol: String = "vec_id",
+                           nClusters: Int = 0, idCol: String = "vec_id",
                            vecCol: String = "embedding", seed: Long = 7L,
                            maxIter: Int = 20,
                            trainFraction: Double = 1.0): DataFrame = {
-    require(nClusters >= 1, s"nClusters must be >= 1, got $nClusters")
+    require(nClusters >= 0, s"nClusters must be >= 0 (0 = derive), got $nClusters")
+    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
     // one cell = the exact all-pairs path (no quantizer to train; this
     // is also the spec's exactness anchor for the clustered path)
-    val assign: Column = if (nClusters == 1) lit(0) else {
-      val centroids = ivfTrain(emb, nClusters, vecCol, seed, maxIter, trainFraction)
+    val assign: Column = if (cells == 1) lit(0) else {
+      val centroids = ivfTrain(emb, cells, vecCol, seed, maxIter, trainFraction)
       val cents: Seq[(Int, Seq[Float])] = centroids
         .select(col("cluster"), col("__centroid"))
         .collect().toSeq
@@ -365,7 +400,7 @@ object Similarity {
     * [[Dedup.dedupNearDups]]'s clustering/anti-join machinery (and its
     * guarantees: non-convergence throws, losers-only anti join).
     */
-  def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 16,
+  def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 7L, maxIter: Int = 20,
                     trainFraction: Double = 1.0): DataFrame =

@@ -234,6 +234,24 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"index-based IVF top-1 recall $recall collapsed")
   }
 
+  test("ANN capacity derivation: constant bucket/cell size, floors keep small corpora pinned") {
+    import graft.ext.Similarity.{deriveBits, deriveCells}
+    // at the test SFs the derivation lands exactly on the historical
+    // constants (bits=6, cells=16), so the golden digests stay valid
+    assert(deriveBits(500) === 6 && deriveBits(2000) === 6 && deriveBits(2048) === 6)
+    assert(deriveCells(500) === 16 && deriveCells(2000) === 16 && deriveCells(2048) === 16)
+    // past the floor, capacity tracks the corpus: bucket/cell size is
+    // held ~constant instead of buckets going 10x denser (the measured
+    // 28-40x blowup on the 10x scale-up)
+    assert(deriveBits(20000) === 10)      // ~20 vecs/bucket per table
+    assert(deriveCells(20000) === 157)    // 128 vecs/cell
+    assert(deriveBits(2000000) === 16)
+    assert(deriveCells(2000000) === 15625)
+    // caps: bits bounded for int bucket keys, cells bounded for KMeans
+    assert(deriveBits(Long.MaxValue) === 30)
+    assert(deriveCells(Long.MaxValue) === 65536)
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -179,6 +179,23 @@ object Similarity {
     * fixed-seed outputs stable; the sampled path is seeded and
     * deterministic too.
     */
+  /** Training knobs for a DERIVED cell count. Holding cell size
+    * constant makes the k·n·iter training term quadratic in the corpus
+    * (k ∝ n) — measured as a 3× regression on the 10× scale-up — so
+    * when the derivation is past its floor (corpus > floor×cellSize)
+    * and the caller left training at the full-data defaults, train on
+    * a seeded sample of ~50 vectors per centroid with a tighter
+    * iteration cap: training cost returns to O(k·sample) = O(n), and
+    * centroid quality holds (it depends on vectors-per-centroid, not
+    * corpus fraction). Below the floor — every test SF — nothing
+    * changes, so the pinned fixed-seed outputs stay stable.
+    */
+  private def autoTrain(n: Long, cells: Int, derived: Boolean,
+                        trainFraction: Double, maxIter: Int): (Double, Int) =
+    if (derived && cells > 16 && trainFraction == 1.0)
+      (math.min(1.0, 50.0 * cells / n), math.min(maxIter, 10))
+    else (trainFraction, maxIter)
+
   private def trainKMeans(emb: DataFrame, nClusters: Int, vecCol: String,
                           seed: Long, maxIter: Int, trainFraction: Double)
       : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
@@ -202,9 +219,11 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     // nClusters = 0 (default): hold cell SIZE constant — see deriveCells
-    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
+    val n = if (nClusters == 0) emb.count() else 0L
+    val cells = if (nClusters == 0) deriveCells(n) else nClusters
+    val (tf, mi) = autoTrain(n, cells, nClusters == 0, trainFraction, maxIter)
     val (withVec, model) =
-      trainKMeans(emb, cells, vecCol, seed, maxIter, trainFraction)
+      trainKMeans(emb, cells, vecCol, seed, mi, tf)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -243,8 +262,10 @@ object Similarity {
                maxIter: Int = 20, trainFraction: Double = 1.0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
-    val (_, model) = trainKMeans(emb, cells, vecCol, seed, maxIter, trainFraction)
+    val n = if (nClusters == 0) emb.count() else 0L
+    val cells = if (nClusters == 0) deriveCells(n) else nClusters
+    val (tf, mi) = autoTrain(n, cells, nClusters == 0, trainFraction, maxIter)
+    val (_, model) = trainKMeans(emb, cells, vecCol, seed, mi, tf)
     model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
       .toDF("cluster", "__centroid")
@@ -369,11 +390,13 @@ object Similarity {
                            maxIter: Int = 20,
                            trainFraction: Double = 1.0): DataFrame = {
     require(nClusters >= 0, s"nClusters must be >= 0 (0 = derive), got $nClusters")
-    val cells = if (nClusters == 0) deriveCells(emb.count()) else nClusters
+    val n = if (nClusters == 0) emb.count() else 0L
+    val cells = if (nClusters == 0) deriveCells(n) else nClusters
     // one cell = the exact all-pairs path (no quantizer to train; this
     // is also the spec's exactness anchor for the clustered path)
     val assign: Column = if (cells == 1) lit(0) else {
-      val centroids = ivfTrain(emb, cells, vecCol, seed, maxIter, trainFraction)
+      val (tf, mi) = autoTrain(n, cells, nClusters == 0, trainFraction, maxIter)
+      val centroids = ivfTrain(emb, cells, vecCol, seed, mi, tf)
       val cents: Seq[(Int, Seq[Float])] = centroids
         .select(col("cluster"), col("__centroid"))
         .collect().toSeq

@@ -147,20 +147,16 @@ object Similarity {
   /** Random-hyperplane LSH bucket keys: for each table, an int whose
     * bit r is sign(v · plane_r). P[two vectors agree on one bit] =
     * 1 − θ/π; a table of `bits` planes buckets together vectors close
-    * in angle. More tables → higher recall, linear cost.
+    * in angle. More tables → higher recall, linear cost. The signature
+    * arithmetic runs as a native tight loop
+    * ([[graft.functions.ArrayExprs.hyperplaneSignatures]]) — it was an
+    * interpreted tables×bits×dims HOF pyramid, which dominated the ANN
+    * scan on the 10× scale-up; output buckets are bit-identical.
     */
   def lshBuckets(vec: Column, tables: Int, bits: Int, dims: Int,
-                 seed: Long = 0x5EED): Column = {
-    val planes = typedlit(hyperplanes(tables, bits, dims, seed))
-    val vd = asDouble(vec)
-    transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(sequence(lit(0), lit(bits - 1)), lit(0), (acc, r) => {
-        val plane = element_at(element_at(planes, t + 1), r + 1)
-        val dot = aggregate(
-          zip_with(vd, plane, (x, p) => x * p), lit(0.0), (s, v) => s + v)
-        acc * 2 + when(dot > 0, 1).otherwise(0)
-      }))
-  }
+                 seed: Long = 0x5EED): Column =
+    graft.functions.ArrayExprs.hyperplaneSignatures(
+      vec, hyperplanes(tables, bits, dims, seed))
 
   /** IVF (inverted-file) approximate top-k: partition the vector space
     * with k-means, then search only each query's `nProbe` nearest

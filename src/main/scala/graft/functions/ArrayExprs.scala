@@ -54,6 +54,10 @@ object ArrayExprs {
   def squaredL2(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredL2Distance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-table random-hyperplane LSH bucket keys of a float vector. */
+  def hyperplaneSignatures(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(HyperplaneSignatures(ColumnBridge.expression(vec), planes))
 }
 
 /** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
@@ -406,6 +410,58 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+/** Random-hyperplane LSH signatures: for each table, an int whose bit r
+  * (first plane = highest bit) is sign(v · plane_r), i.e. the bucket
+  * key of [[graft.ext.Similarity.lshBuckets]]. Replaces a
+  * tables×bits×dims interpreted HOF pyramid (`transform`/`aggregate`/
+  * `zip_with`) with one straight triple loop — the signature job was
+  * the dominant cost of the ANN scan at the 10× scale factor. Numeric
+  * contract is the HOF chain's, reproduced exactly: sequential double
+  * accumulation in element order, strict `> 0` sign test,
+  * `acc*2 + bit` packing — bit-identical buckets (the pinned q16
+  * digest verifies this).
+  */
+case class HyperplaneSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
+  extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(planes.nonEmpty && planes.head.nonEmpty, "need >= 1 table of >= 1 plane")
+
+  @transient private lazy val planeArr: Array[Array[Array[Double]]] =
+    planes.map(_.map(_.toArray).toArray).toArray
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_signatures"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val tables = planeArr.length
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      val tPlanes = planeArr(t)
+      var acc = 0
+      var r = 0
+      while (r < tPlanes.length) {
+        val plane = tPlanes(r)
+        val n = math.min(v.numElements(), plane.length)
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          dot += v.getFloat(j).toDouble * plane(j)
+          j += 1
+        }
+        acc = acc * 2 + (if (dot > 0) 1 else 0)
+        r += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 64-bit SimHash of a token-hash multiset, returned as four 16-bit

@@ -1142,6 +1142,13 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
       .map(r => r._1 -> math.round(r._2 * r._3)).toMap
     assert(got.view.mapValues(_._2).toMap === frac)
+    // plan evidence for the 8-byte shuffle currency: the span text is
+    // fingerprinted (xxhash64) before the agg/semi join, and no raw
+    // `span` column survives into the coverage aggregation
+    val plan = Dedup.boilerplateFraction(df, spanTokens = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"),
+      "covered-position derivation must shuffle span fingerprints, not span strings")
   }
 
   test("dedup impact report: per-group kept/removed/cluster accounting, cross-group clusters") {

@@ -49,6 +49,9 @@ object ScaleUp {
   }
 
   def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    // events.parquet is TIMESTAMP(NANOS) — readable only as long (the
+    // same conf every events consumer sets, e.g. Queries.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dest/$t.parquet")

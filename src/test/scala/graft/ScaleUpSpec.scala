@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scale-validation derivation must PRESERVE the corpus's
+  * statistical shape — these invariants are what make the measured
+  * growth ratios in BASELINE.md meaningful.
+  */
+class ScaleUpSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val dest = {
+    val d = SparkTestBase.tmpDir("graft_scaleup") + "/x3"
+    ScaleUp.run(spark, "/root/testdata/sf0.001", d, 3)
+    d
+  }
+
+  test("row counts scale by the factor; fixed dimensions stay single-copy") {
+    def n(t: String) = spark.read.parquet(s"$dest/$t.parquet").count()
+    def n0(t: String) = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings"))
+      assert(n(t) === 3 * n0(t), t)
+    for (t <- Seq("region", "nation"))
+      assert(n(t) === n0(t), t)
+  }
+
+  test("key-stride shifts preserve FK integrity (no orphans, no fanout change)") {
+    val li = spark.read.parquet(s"$dest/lineitem.parquet")
+    val o = spark.read.parquet(s"$dest/orders.parquet")
+    assert(li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").isEmpty,
+      "every scaled lineitem must still join its order")
+    assert(o.join(spark.read.parquet(s"$dest/customer.parquet"),
+      o("o_custkey") === $"c_custkey", "left_anti").isEmpty,
+      "every scaled order must still join its customer")
+    // per-key fanout unchanged: max lineitems per order is the original's
+    val mf = li.groupBy("l_orderkey").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    val mf0 = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_orderkey").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(mf === mf0)
+  }
+
+  test("documents: dup-rate constant (x-factor distinct texts), no cross-copy shingles") {
+    val docs = spark.read.parquet(s"$dest/documents.parquet")
+    val d0 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(docs.select("text").distinct().count() === 3 * d0.select("text").distinct().count(),
+      "token salting must keep the duplicate-text rate exactly the original's")
+    assert(docs.select("doc_id").distinct().count() === docs.count(), "ids stay unique")
+  }
+
+  test("embeddings: copies are perturbed, not bit-equal twins") {
+    val emb = spark.read.parquet(s"$dest/embeddings.parquet")
+    val distinctVecs = emb.select("embedding").distinct().count()
+    assert(distinctVecs > emb.count() / 3,
+      "per-copy offsets must prevent artificial cosine=1 twin sets")
+  }
+}

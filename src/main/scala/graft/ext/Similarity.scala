@@ -129,7 +129,12 @@ object Similarity {
     * floored (small corpora) and capped (spark.ml KMeans is practical
     * to ~tens of thousands of centroids; past the cap, grow
     * targetCellSize / go hierarchical and train on a sample —
-    * `trainFraction`).
+    * `trainFraction`). Near the cap, note the centroid-literal paths
+    * ([[ivfTopKWithCentroids]], the semantic-dedup assignment): 65536
+    * cells × 64 float dims ≈ 16 MB embedded in the plan — still a
+    * per-executor constant, but at that scale prefer an explicit
+    * (lower) nClusters with a larger cell size: the within-cell term
+    * grows linearly in cell size but the plan stays kilobytes.
     */
   private[graft] def deriveCells(n: Long, targetCellSize: Int = 128, floor: Int = 16): Int =
     math.min(65536, math.max(floor, math.ceil(n.toDouble / targetCellSize).toInt))

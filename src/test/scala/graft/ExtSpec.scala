@@ -234,6 +234,14 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"index-based IVF top-1 recall $recall collapsed")
   }
 
+  test("annTopK plan runs the native signature expression, not interpreted HOFs") {
+    import graft.ext.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.annTopK(emb, k = 1).queryExecution.optimizedPlan.toString
+    assert(plan.contains("hyperplane_signatures"),
+      "bucket signatures must come from the native tight loop (the 10x-scale fix)")
+  }
+
   test("ANN capacity derivation: constant bucket/cell size, floors keep small corpora pinned") {
     import graft.ext.Similarity.{deriveBits, deriveCells}
     // at the test SFs the derivation lands exactly on the historical

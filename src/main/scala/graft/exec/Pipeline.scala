@@ -177,24 +177,84 @@ object PipelineRunner {
       case ReadMode.Full => WriteMode.Overwrite
       case _             => WriteMode.Append
     })
+    val path = ctx.lake.tablePath("datalake", systemName, systemTag, schema, table)
     val data = (readMode, delta) match {
-      case (ReadMode.Delta, Some(d)) =>
-        // Inclusive (>=) so rows committed after the previous run with a
-        // delta value EQUAL to the mark (same-second timestamps, in-flight
-        // transactions at extract time) are not silently lost; the
-        // journal->master merge is the dedup boundary for the re-extracted
-        // boundary slice. The literal is cast to the column's own type —
-        // string-vs-bigint comparison would coerce both sides to double
-        // and lose watermark precision past 2^53.
-        import org.apache.spark.sql.functions.{col, lit}
-        df.where(col(d.column) >= lit(d.lastValue).cast(df.schema(d.column).dataType))
+      case (ReadMode.Delta, Some(d)) => deltaSlice(ctx, df, d, path)
       case (ReadMode.Delta, None) =>
         throw new ConfigException("delta extract requires a DeltaSpec watermark")
       case _ => df
     }
-    val path = ctx.lake.tablePath("datalake", systemName, systemTag, schema, table)
     ctx.lake.write(data, path, mode.name)
     path
+  }
+
+  /** The watermarked slice `column >= mark`, with the boundary rows
+    * (`== mark`) deduplicated against what already landed at that value.
+    *
+    * Inclusive `>=` is the at-least-once contract: rows committed after
+    * the previous run with a delta value EQUAL to the mark (same-second
+    * timestamps, in-flight transactions at extract time) must not be
+    * silently lost. But re-landing the whole boundary slice on EVERY run
+    * would grow the append landing without bound — with a coarse
+    * watermark column (a date, say) every no-op run would re-land the
+    * full boundary-day slice. So the `== mark` rows are anti-joined
+    * (null-safe, all columns) against the landed rows at that value:
+    * steady-state no-op runs land nothing, while a late commit sharing
+    * the mark value still lands because no landed row matches it. The
+    * landed probe side is read with `column == mark` pushed to the
+    * parquet scan — row-group stats prune everything but the boundary
+    * files, so the probe is O(boundary slice), not O(table history).
+    * The source is scanned twice (`> mark` and `== mark`, disjoint
+    * pushed predicates), so total rows shipped from the source still
+    * equal the one `>=` slice.
+    *
+    * The literal is cast to the column's own type — string-vs-bigint
+    * comparison would coerce both sides to double and lose watermark
+    * precision past 2^53.
+    *
+    * Caveat (documented, not handled): the anti-join is set-based — if
+    * the source legitimately holds N identical full-row copies of one
+    * boundary row and any copy landed, all N count as landed. Exact
+    * multiplicity would need a per-row count diff; the journal→master
+    * merge dedups per PK anyway, so identical copies are
+    * indistinguishable downstream.
+    */
+  private[graft] def deltaSlice(ctx: EtlContext, df: DataFrame, d: DeltaSpec,
+                                path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val mark = lit(d.lastValue).cast(df.schema(d.column).dataType)
+    landedBoundary(ctx, path, d.column, mark, df.schema) match {
+      case Some(prior) =>
+        val boundary = df.where(col(d.column) === mark)
+        val cond = df.columns.map(c => boundary(c) <=> prior(c)).reduce(_ && _)
+        df.where(col(d.column) > mark)
+          .unionByName(boundary.join(prior, cond, "left_anti"))
+      case None =>
+        df.where(col(d.column) >= mark)
+    }
+  }
+
+  /** Already-landed rows at exactly the mark value, or None when the
+    * landing doesn't exist yet or its schema drifted (a column added or
+    * retyped since the last run makes the all-columns anti-join
+    * unsound — fall back to landing the whole boundary slice:
+    * at-least-once is preserved, the dedup is best-effort).
+    */
+  private def landedBoundary(ctx: EtlContext, path: String, column: String,
+                             mark: org.apache.spark.sql.Column,
+                             incoming: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else {
+      val landed = ctx.spark.read.parquet(path)
+      val comparable = incoming.fields.forall(f =>
+        landed.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+      if (!comparable) None
+      else Some(landed.where(col(column) === mark)
+        .select(incoming.fieldNames.toSeq.map(col): _*))
+    }
   }
 
   /** F24 with a JDBC source: resolve the connection from variables
@@ -213,7 +273,17 @@ object PipelineRunner {
                 schema: String, table: String, query: String,
                 readMode: ReadMode = ReadMode.Full,
                 writeMode: Option[WriteMode] = None,
-                delta: Option[DeltaSpec] = None): String = {
+                delta: Option[DeltaSpec] = None): String =
+    extractDf(ctx, jdbcSource(ctx, systemName, systemTag, query),
+      systemName, systemTag, schema, table, readMode, writeMode, delta)
+
+  /** The JDBC source DataFrame for an extract query — separated from
+    * [[extractDb]] so specs can plan-assert that delta predicates reach
+    * this scan as pushed filters (an unpushed watermark predicate would
+    * ship the full source table on every delta pull).
+    */
+  private[graft] def jdbcSource(ctx: EtlContext, systemName: String, systemTag: String,
+                                query: String): DataFrame = {
     val conn = Connections.get(ctx.variables, systemName, systemTag)
     val reader = ctx.spark.read.format("jdbc")
       .option("url", conn.url)
@@ -228,30 +298,32 @@ object PipelineRunner {
       if (conn.partitionColumn.isDefined)
         conn.applyPartitioning(withOpts).option("dbtable", s"($query) graft_extract")
       else withOpts.option("query", query)
-    extractDf(ctx, withSource.load(), systemName, systemTag, schema, table,
-      readMode, writeMode, delta)
+    withSource.load()
   }
 
   /** The delta-extract OPERATIONAL LOOP: [[extractDb]] driven by the
     * durable [[graft.io.Watermarks]] store instead of a caller-supplied
     * watermark. First run (no mark): full read, overwrite landing —
-    * the bootstrap. Every later run: delta read `column >= mark`
-    * (inclusive — see [[extractDf]]), append landing. After each run the mark advances to
-    * `max(column)` over the landed table (a column-pruned scan of the
-    * lake path; monotone, so append accumulation is exactly right) —
-    * an empty delta leaves the mark untouched. Rerunning after a crash
-    * BEFORE the mark update re-extracts the same slice into an append
-    * landing: duplicates land, and the journal→master merge is the
-    * dedup boundary (same at-least-once + merge contract as the
-    * reference's whole pipeline).
+    * the bootstrap. Every later run: delta read `column >= mark` with
+    * the boundary slice deduplicated at landing (see [[deltaSlice]]),
+    * append landing. After each run the mark advances to `max(column)`
+    * over ONLY the files that run landed (a before/after listing diff
+    * of the lake path — O(delta slice), where a full-table rescan would
+    * grow with landed history); a run that lands nothing leaves the
+    * mark untouched. The mark is monotone because every landed row
+    * satisfied `>= mark`. Rerunning after a crash BEFORE the mark
+    * update re-extracts the same slice, and the landing dedup plus the
+    * journal→master merge absorb it (same at-least-once + merge
+    * contract as the reference's whole pipeline).
     */
   def extractDbDeltaTracked(ctx: EtlContext, systemName: String, systemTag: String,
                             schema: String, table: String, query: String,
                             column: String): String = {
-    import org.apache.spark.sql.functions.{col => c, max}
     val wm = graft.io.Watermarks(ctx.lake.root)
     val key = Seq(systemName, systemTag, schema, table)
       .map(_.toLowerCase).mkString("/")
+    val landing = ctx.lake.tablePath("datalake", systemName, systemTag, schema, table)
+    val before = dataFiles(ctx.spark, landing)
     val path = wm.get(ctx.spark, key) match {
       case Some(mark) =>
         extractDb(ctx, systemName, systemTag, schema, table, query,
@@ -260,9 +332,46 @@ object PipelineRunner {
         extractDb(ctx, systemName, systemTag, schema, table, query,
           ReadMode.Full, Some(WriteMode.Overwrite), None)
     }
-    val newMark = ctx.spark.read.parquet(path)
-      .agg(max(c(column)).cast("string")).collect()(0)
-    if (!newMark.isNullAt(0)) wm.set(ctx.spark, key, newMark.getString(0))
+    val newFiles = (dataFiles(ctx.spark, path) -- before).toSeq.sorted
+    maxOverFiles(ctx.spark, newFiles, column).foreach(wm.set(ctx.spark, key, _))
     path
+  }
+
+  /** Recursive data-file listing of a lake path (part files only —
+    * `_SUCCESS` and hidden files skipped); empty when the path doesn't
+    * exist. A listing is O(file count) metadata — the cheap side of the
+    * before/after diff that identifies what one run landed (Spark part
+    * file names carry a per-job UUID, so an overwrite never reuses a
+    * previous run's names).
+    */
+  private[graft] def dataFiles(spark: SparkSession, path: String): Set[String] = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Set.empty
+    else {
+      val it = fs.listFiles(hp, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) b += f.getPath.toString
+      }
+      b.result()
+    }
+  }
+
+  /** `max(column)` over exactly the given parquet files (as a string,
+    * the watermark store's representation). Column-pruned scan of only
+    * those files — the watermark advance never touches landed history.
+    */
+  private[graft] def maxOverFiles(spark: SparkSession, files: Seq[String],
+                                  column: String): Option[String] = {
+    import org.apache.spark.sql.functions.{col, max}
+    if (files.isEmpty) None
+    else {
+      val row = spark.read.parquet(files: _*)
+        .agg(max(col(column)).cast("string")).collect()(0)
+      if (row.isNullAt(0)) None else Some(row.getString(0))
+    }
   }
 }

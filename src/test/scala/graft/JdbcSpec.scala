@@ -127,6 +127,45 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts === 4, s"expected 4 part files from 4 JDBC partitions, got $parts")
   }
 
+  test("delta watermark predicate is pushed into the JDBC scan (query-wrapped and partitioned)") {
+    import graft.exec.{EtlContext, PipelineRunner}
+    import graft.io.Lake
+    // an unpushed watermark predicate would ship the FULL source table on
+    // every delta pull and filter Spark-side — the silent scale killer this
+    // test pins down for both reader shapes
+    ddl("""CREATE TABLE DWH.PUSH ("id" INT NOT NULL PRIMARY KEY, "name" VARCHAR(8))""",
+      "INSERT INTO DWH.PUSH VALUES (1,'a'), (2,'b'), (3,'c')")
+    val work = SparkTestBase.tmpDir("graft_jdbc_push")
+    def ctxFor(connYaml: String) = EtlContext(spark, Lake(work), wh,
+      variables = Map("MAIN_FLEX_CONN" -> connYaml))
+    def planFor(connYaml: String, landing: String): String = {
+      val ctx = ctxFor(connYaml)
+      val src = PipelineRunner.jdbcSource(ctx, "flex", "main", "SELECT * FROM DWH.PUSH")
+      PipelineRunner.deltaSlice(ctx, src, PipelineRunner.DeltaSpec("id", "2"), landing)
+        .queryExecution.executedPlan.toString
+    }
+    val simple = planFor("url: jdbc:derby:memory:graftjdbc\ndialect: generic",
+      s"$work/no_landing_yet")
+    assert(simple.contains("PushedFilters") && simple.contains("GreaterThanOrEqual(id,2)"),
+      s"query-wrapped read must push the >= watermark to the source:\n$simple")
+    val partitioned = planFor(
+      """url: jdbc:derby:memory:graftjdbc
+        |dialect: generic
+        |partition_column: id
+        |num_partitions: 2
+        |lower_bound: 0
+        |upper_bound: 10""".stripMargin,
+      s"$work/no_landing_yet")
+    assert(partitioned.contains("GreaterThanOrEqual(id,2)"),
+      s"partitioned (dbtable-wrapped) read must push the >= watermark:\n$partitioned")
+    // with an existing landing the boundary-dedup branch plans TWO source
+    // scans with disjoint predicates; both must be pushed
+    Seq((2, "b")).toDF("id", "name").write.parquet(s"$work/landed")
+    val both = planFor("url: jdbc:derby:memory:graftjdbc\ndialect: generic", s"$work/landed")
+    assert(both.contains("GreaterThan(id,2)") && both.contains("EqualTo(id,2)"),
+      s"boundary-dedup branch must push > and = to the source scans:\n$both")
+  }
+
   test("jdbc dependency (source: greenplum) registers a live warehouse view") {
     import graft.config.Dependency
     import graft.exec.{EtlContext, PipelineRunner}

@@ -277,12 +277,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(p).count() == 10) // full -> overwrite
     PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab") // overwrite again
     assert(spark.read.parquet(p).count() == 10)
-    // delta appends rows at-or-past the watermark (inclusive: the boundary
-    // slice re-extracts so same-valued late commits are never lost; the
-    // merge is the dedup boundary)
+    // delta appends rows at-or-past the watermark; the boundary row
+    // (ts == "7") was already landed identically, so the landing dedup
+    // drops it — only the strictly-newer rows append
     PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab",
       readMode = ReadMode.Delta, delta = Some(PipelineRunner.DeltaSpec("ts", "7")))
-    assert(spark.read.parquet(p).count() == 13) // + "7","8","9"
+    assert(spark.read.parquet(p).count() == 12) // + "8","9"; boundary "7" dedup'd
     assertThrows[ConfigException](
       PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab", readMode = ReadMode.Delta))
   }

@@ -100,41 +100,73 @@ class TasksSpec extends AnyFunSuite {
     assert(extracted.count() === 3)
   }
 
-  test("tracked delta extract: full bootstrap, then only-new-rows, durable marks") {
+  test("tracked delta extract: bootstrap, boundary dedup, late same-valued commit, durable marks") {
     val url = "jdbc:derby:memory:graftwm;create=true"
     def exec(sql: String*): Unit = {
       val c = java.sql.DriverManager.getConnection(url)
       try { val st = c.createStatement(); sql.foreach(st.execute); st.close() }
       finally c.close()
     }
-    exec("""CREATE TABLE APP.INC ("id" INT NOT NULL PRIMARY KEY, "v" VARCHAR(8))""",
-      "INSERT INTO APP.INC VALUES (1,'a'), (2,'b'), (3,'c')")
+    // watermark column "ts" is deliberately NOT the PK: a late commit can
+    // share the mark value with already-landed rows (same-second commits)
+    exec("""CREATE TABLE APP.INC ("id" INT NOT NULL PRIMARY KEY, "ts" INT, "v" VARCHAR(8))""",
+      "INSERT INTO APP.INC VALUES (1,1,'a'), (2,2,'b'), (3,3,'c')")
     val work = SparkTestBase.tmpDir("graft_wm")
     val ctx = EtlContext(spark, Lake(s"$work/lake"),
       new FileWarehouse(spark, s"$work/wh"),
       variables = Map("MAIN_FLEX_CONN" -> "url: jdbc:derby:memory:graftwm\ndialect: generic"))
     val task = Tasks.extractDbTracked(ctx, "FLEX", "MAIN", "app", "inc",
-      "SELECT * FROM APP.INC", "id")
+      "SELECT * FROM APP.INC", "ts")
     assert(task.id === "task_extract_flex_main_inc_delta")
     val wm = graft.io.Watermarks(s"$work/lake")
+    val lakePath = s"$work/lake/datalake/flex/main/app/inc"
+    def landedIds: Seq[Int] =
+      spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
 
     task.run() // bootstrap: no mark -> full read, overwrite landing
-    val lakePath = s"$work/lake/datalake/flex/main/app/inc"
-    assert(spark.read.parquet(lakePath).count() === 3)
+    assert(landedIds === Seq(1, 2, 3))
     assert(wm.get(spark, "flex/main/app/inc") === Some("3"))
 
-    exec("INSERT INTO APP.INC VALUES (4,'d'), (5,'e')")
-    task.run() // delta: id >= 3 (inclusive boundary), append landing
-    val ids = spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
-    assert(ids === Seq(1, 2, 3, 3, 4, 5),
-      "delta run appends every new row plus the re-extracted boundary row " +
-        "(at-least-once: a same-valued late commit must never be lost; the merge dedups)")
+    exec("INSERT INTO APP.INC VALUES (4,4,'d'), (5,5,'e')")
+    task.run() // delta ts >= 3: boundary row 3 re-extracted but dedup'd at landing
+    assert(landedIds === Seq(1, 2, 3, 4, 5),
+      "delta run lands every new row exactly once — the re-extracted boundary " +
+        "row is anti-joined away")
     assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
 
-    task.run() // no new rows: only the boundary row re-lands, mark untouched
-    assert(spark.read.parquet(lakePath).select("id").as[Int].collect().sorted.toSeq
-      === Seq(1, 2, 3, 3, 4, 5, 5))
+    task.run() // steady-state no-op: NOTHING lands, mark untouched
+    assert(landedIds === Seq(1, 2, 3, 4, 5),
+      "a no-op run must not grow the landing (the round-7 inclusive-boundary leak)")
     assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
+
+    // late commit AT the mark value (same-second timestamp): must land —
+    // the at-least-once half of the inclusive-boundary contract
+    exec("INSERT INTO APP.INC VALUES (6,5,'f')")
+    task.run()
+    assert(landedIds === Seq(1, 2, 3, 4, 5, 6),
+      "a late commit sharing the mark value must not be silently lost")
+    assert(wm.get(spark, "flex/main/app/inc") === Some("5"))
+
+    exec("INSERT INTO APP.INC VALUES (7,6,'g')")
+    task.run() // normal advance past the crowded boundary
+    assert(landedIds === Seq(1, 2, 3, 4, 5, 6, 7))
+    assert(wm.get(spark, "flex/main/app/inc") === Some("6"))
+  }
+
+  test("watermark advance reads only the newly-landed files (O(delta), not O(history))") {
+    import graft.exec.PipelineRunner
+    val work = SparkTestBase.tmpDir("graft_wm_files")
+    // two separately-written files; the "old history" file holds the LARGER
+    // ts — if maxOverFiles read anything beyond the given files, the result
+    // would be 100, not 5
+    Seq((1, 100)).toDF("id", "ts").coalesce(1).write.parquet(s"$work/t")
+    val before = PipelineRunner.dataFiles(spark, s"$work/t")
+    assert(before.size === 1)
+    Seq((2, 5)).toDF("id", "ts").coalesce(1).write.mode("append").parquet(s"$work/t")
+    val newFiles = (PipelineRunner.dataFiles(spark, s"$work/t") -- before).toSeq
+    assert(newFiles.size === 1)
+    assert(PipelineRunner.maxOverFiles(spark, newFiles, "ts") === Some("5"))
+    assert(PipelineRunner.maxOverFiles(spark, Nil, "ts") === None)
   }
 
   test("watermarks: traversal keys rejected; swap-write survives a stale temp") {

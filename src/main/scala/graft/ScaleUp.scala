@@ -22,10 +22,17 @@ import org.apache.spark.sql.functions._
   *    df distribution, and boilerplate coverage stay constant where
   *    naive text replication would make every doc a 10-way exact
   *    duplicate and every span "boilerplate".
-  *  - embeddings: copy i adds a tiny deterministic per-copy offset
-  *    (±0.003 max, pattern varying with the element index) so copies
-  *    are near but not bit-equal — neighborhood structure per copy is
-  *    the original's, with no artificial cosine=1 twins.
+  *  - embeddings: copy i > 0 applies a deterministic per-(copy,
+  *    element) SIGN FLIP (a reflection, hence an isometry): within a
+  *    copy every cosine/L2 relation is bit-exactly the original's
+  *    ((−x)·(−y) = x·y in IEEE arithmetic, same fold order), while
+  *    cross-copy cosines collapse to ~0 (random-signed sums of
+  *    squares, |E| ≈ 1/√dims), so the scaled corpus has NO artificial
+  *    near-twin clusters at any practical threshold. (The earlier
+  *    additive-offset scheme left copies at cosine ≈ 1−ε: every vector
+  *    gained factor−1 near-twins, superlinearly inflating ANN /
+  *    semantic-dedup candidate counts — the exact growth signal the
+  *    scale measurements exist to isolate.)
   *  - events: ids and user ids shift per copy; timestamps are kept, so
   *    per-user session shapes replicate unchanged.
   *
@@ -98,7 +105,10 @@ object ScaleUp {
     val embScaled = copies(emb)
       .withColumn("vec_id", col("vec_id") + col("__i") * stride(emb, "vec_id"))
       .withColumn("embedding", expr(
-        "transform(embedding, (x, j) -> CAST(x + __i * 0.0005 * ((j % 7) - 3) AS FLOAT))"))
+        // copy 0 is the original; copy i>0 reflects by a deterministic
+        // per-(copy, element) sign — see the class doc
+        "transform(embedding, (x, j) -> CAST(CASE WHEN __i = 0 OR pmod(xxhash64(__i, j), 2) = 0" +
+          " THEN x ELSE -x END AS FLOAT))"))
       .drop("__i")
     write(embScaled, "embeddings")
   }

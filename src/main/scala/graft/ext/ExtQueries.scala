@@ -28,7 +28,12 @@ object ExtQueries {
     * parquet to per-node local disks that no other executor can read.
     */
   private def scratchPath(spark: SparkSession, artifact: String, dir: String): String = {
-    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    // full MD5 of the corpus dir: a 32-bit tag gives two corpora in one
+    // application a ~2⁻³² path collision, where the second build would
+    // silently overwrite parquet the first may still be reading — an
+    // artifact path is not a place to spend collision probability
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     spark.conf.getOption("graft.scratch.dir") match {
       case Some(root) =>
         s"$root/$artifact/${spark.sparkContext.applicationId}_$tag"

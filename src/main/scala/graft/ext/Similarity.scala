@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Cosine similarity of two float-array columns, computed in double —
@@ -138,6 +140,39 @@ object Similarity {
     */
   private[graft] def deriveCells(n: Long, targetCellSize: Int = 128, floor: Int = 16): Int =
     math.min(65536, math.max(floor, math.ceil(n.toDouble / targetCellSize).toInt))
+
+  /** Per-bit agreement probability for two vectors at the design-point
+    * similarity (cosine 0.8) — the operating point the recall-holding
+    * derivations below are anchored to.
+    */
+  private val designPointAgree: Double = 1.0 - math.acos(0.8) / math.Pi
+
+  /** Companion derivation to [[deriveBits]]: more bits per table lower
+    * per-table recall ((1−θ/π)^bits for a true neighbor at angle θ), so
+    * a growing corpus with derived bits and FIXED tables would silently
+    * trade recall for speed. Derived tables hold the expected recall at
+    * the design point (cosine 0.8) equal to the small-corpus
+    * configuration (bits=6, tables=12 → recall ≈ 0.97):
+    * T(b) = ⌈12 · ln(1−p⁶) / ln(1−p^b)⌉, capped at 64 — past the cap
+    * (a ~10⁹-vector corpus at default bucket size) the recall slide
+    * resumes and is LOGGED, the caller's signal to raise
+    * targetBucketSize or partition the index. At the floor bits the
+    * ratio is exactly 1, so the historical 12-table configuration — and
+    * every pinned test-SF digest — is unchanged.
+    */
+  private[graft] def deriveTables(bits: Int, baseBits: Int = 6, baseTables: Int = 12): Int = {
+    // ln of the per-table miss probability 1 − p^bits
+    def lnMiss(b: Int) = math.log1p(-math.pow(designPointAgree, b))
+    val t = math.ceil(baseTables * lnMiss(baseBits) / lnMiss(bits)).toInt
+    math.min(64, math.max(1, t))
+  }
+
+  /** Expected recall for a design-point neighbor under (tables, bits):
+    * 1 − (1 − p^bits)^tables. Logged by [[annTopK]] so large-corpus
+    * callers see the operating point their derived capacity landed on.
+    */
+  private[graft] def expectedRecall(bits: Int, tables: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(designPointAgree, bits), tables)
 
   /** Deterministic pseudo-random hyperplanes: `tables` independent
     * signature tables of `bits` hyperplanes each, dims-dimensional,
@@ -338,18 +373,22 @@ object Similarity {
     * spikes are host noise (shared-hypervisor neighbor load / GC), not
     * an AQE plan flip; no config change is warranted.
     */
-  def annTopK(emb: DataFrame, k: Int, tables: Int = 12, bits: Int = 0,
+  def annTopK(emb: DataFrame, k: Int, tables: Int = 0, bits: Int = 0,
               dims: Int = 64, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 0x5EED): DataFrame = {
     // bits = 0 (default): hold bucket SIZE constant as the corpus grows
-    // (see deriveBits). More bits lower per-table recall for a true
-    // neighbor at angle θ ((1−θ/π)^bits per table); hold recall by
-    // raising `tables` alongside — the standard capacity/recall trade.
+    // (see deriveBits); tables = 0 (default): hold expected RECALL
+    // constant as bits grow (see deriveTables) — deriving one without
+    // the other silently trades recall for speed. The landed
+    // (bits, tables, recall) operating point is logged either way.
     val b0 = if (bits == 0) deriveBits(emb.count()) else bits
+    val t0 = if (tables == 0) deriveTables(b0) else tables
+    log.info(f"annTopK capacity: bits=$b0 tables=$t0 " +
+      f"expected design-point recall=${expectedRecall(b0, t0)}%.3f")
     // candidate ids first (narrow dedup: the distinct shuffles 16-byte
     // pairs, never the vectors), vectors re-joined after
     val withBuckets = emb.select(col(idCol),
-      posexplode(lshBuckets(col(vecCol), tables, b0, dims, seed)).as(Seq("t", "bucket")))
+      posexplode(lshBuckets(col(vecCol), t0, b0, dims, seed)).as(Seq("t", "bucket")))
     val a = withBuckets.select(col("t"), col("bucket"), col(idCol).as("vec_id"))
     val b = withBuckets.select(col("t"), col("bucket"), col(idCol).as("neighbor_id"))
     val candIds = a.join(b, Seq("t", "bucket"))

@@ -445,14 +445,22 @@ case class HyperplaneSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]]
       var r = 0
       while (r < tPlanes.length) {
         val plane = tPlanes(r)
-        val n = math.min(v.numElements(), plane.length)
-        var dot = 0.0
-        var j = 0
-        while (j < n) {
-          dot += v.getFloat(j).toDouble * plane(j)
-          j += 1
+        // length mismatch -> bit 0, reproducing the HOF chain's
+        // zip_with null-padding (the padded products made the dot NULL,
+        // and NULL > 0 is false) — NOT a truncated dot, which would
+        // bucket short vectors by a different function than the one
+        // documented
+        var bit = 0
+        if (v.numElements() == plane.length) {
+          var dot = 0.0
+          var j = 0
+          while (j < plane.length) {
+            dot += v.getFloat(j).toDouble * plane(j)
+            j += 1
+          }
+          if (dot > 0) bit = 1
         }
-        acc = acc * 2 + (if (dot > 0) 1 else 0)
+        acc = acc * 2 + bit
         r += 1
       }
       out(t) = acc

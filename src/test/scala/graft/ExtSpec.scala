@@ -260,6 +260,44 @@ class ExtSpec extends AnyFunSuite {
     assert(deriveCells(Long.MaxValue) === 65536)
   }
 
+  test("derived tables hold expected recall as derived bits grow") {
+    import graft.ext.Similarity.{deriveTables, expectedRecall}
+    // at the floor the historical configuration is reproduced exactly —
+    // pinned q16 digests depend on this
+    assert(deriveTables(6) === 12)
+    val base = expectedRecall(6, 12) // ≈ 0.97 at the cos=0.8 design point
+    assert(base > 0.95 && base < 0.99)
+    // a 10x-scale corpus derives more bits; tables must grow alongside
+    // or recall silently slides (the round-7 fixed-12-tables gap)
+    val t10 = deriveTables(10)
+    assert(t10 > 12, s"bits=10 needs >12 tables, derived $t10")
+    assert(expectedRecall(10, t10) >= base - 0.01,
+      "derived tables must hold the design-point recall")
+    assert(expectedRecall(10, 12) < base - 0.05,
+      "fixed 12 tables at bits=10 WOULD have slid — the derivation exists for this")
+    // cap: very large corpora hit the 64-table ceiling (logged slide)
+    assert(deriveTables(16) === 64)
+  }
+
+  test("hyperplane signatures: length-mismatched vectors get bit 0 (HOF null semantics)") {
+    import graft.ext.Similarity
+    // the native expression must reproduce the zip_with chain it
+    // replaced: a vector shorter or longer than the plane null-pads the
+    // dot product -> NULL > 0 is false -> bit 0, NOT a truncated dot
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.9f, 0.9f, 0.9f)), // matches dims=4
+      (2L, Seq(0.9f, 0.9f, 0.9f)),       // short
+      (3L, Seq(0.9f, 0.9f, 0.9f, 0.9f, 0.9f))) // long
+      .toDF("vec_id", "embedding")
+    val out = rows.select($"vec_id",
+        Similarity.lshBuckets($"embedding", tables = 2, bits = 3, dims = 4).as("b"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(2L) === Seq(0, 0) && out(3L) === Seq(0, 0),
+      "mismatched lengths must bucket to all-zero signatures")
+    assert(out(1L).exists(_ != 0),
+      "a dims-length positive vector should set at least one sign bit")
+  }
+
   private def md5(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -51,10 +51,35 @@ class ScaleUpSpec extends AnyFunSuite {
     assert(docs.select("doc_id").distinct().count() === docs.count(), "ids stay unique")
   }
 
-  test("embeddings: copies are perturbed, not bit-equal twins") {
+  test("embeddings: copies are reflections — within-copy geometry exact, no cross-copy twins") {
     val emb = spark.read.parquet(s"$dest/embeddings.parquet")
-    val distinctVecs = emb.select("embedding").distinct().count()
-    assert(distinctVecs > emb.count() / 3,
-      "per-copy offsets must prevent artificial cosine=1 twin sets")
+    val e0 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stride = e0.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .collect()(0).getLong(0) + 1
+    val byId = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    // the engine's numeric contract: sequential double fold in element order
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < a.length) {
+        dot += a(j).toDouble * b(j).toDouble
+        na += a(j).toDouble * a(j).toDouble
+        nb += b(j).toDouble * b(j).toDouble
+        j += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = e0.select("vec_id").as[Long].collect().sorted.take(8).toSeq
+    for (pair <- ids.combinations(2)) {
+      val Seq(u, v) = pair
+      // a sign flip is an isometry: (−x)(−y) = xy exactly in IEEE
+      // arithmetic and the fold order is unchanged, so every within-copy
+      // cosine is BIT-equal to the original's
+      assert(cos(byId(u + stride), byId(v + stride)) === cos(byId(u), byId(v)),
+        s"within-copy cosine must be bit-exact for ($u,$v)")
+    }
+    for (u <- ids)
+      assert(math.abs(cos(byId(u), byId(u + stride))) < 0.8,
+        s"vector $u must NOT be a near-twin of its own copy (the additive-offset " +
+          "scheme left copies at cosine≈1, inflating ANN growth superlinearly)")
   }
 }

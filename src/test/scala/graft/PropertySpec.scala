@@ -280,4 +280,59 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, minSuccessful = 15)
   }
+
+  // ---- SimHash vs an exhaustive all-pairs model -----------------------
+
+  test("property: nearDupSimHash == exhaustive all-pairs model on randomized corpora") {
+    import graft.ext.Dedup
+    // the differential closes q17's oracle gap two ways: the signature
+    // math (bit-count accumulation, 16-bit chunk packing) is recomputed
+    // independently, and the pair set comes from brute-force ALL-PAIRS
+    // Hamming over full signatures — so equality also proves the
+    // 4-chunk pigeonhole index generates every <=3-Hamming candidate
+    val vocab = (0 until 48).map(i => s"tok$i")
+    // token hashes are the model's INPUT encoding (Spark's xxhash64,
+    // fetched once); everything after the hash is independent Scala
+    val hashOf: Map[String, Long] = vocab.toDF("w")
+      .select($"w", org.apache.spark.sql.functions.xxhash64($"w").as("h"))
+      .as[(String, Long)].collect().toMap
+    def modelSig(tokens: Seq[String]): Seq[Long] = {
+      val counts = new Array[Int](64)
+      for (t <- tokens; b <- 0 until 64)
+        if (((hashOf(t) >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      (0 until 4).map { c =>
+        (0 until 16).foldLeft(0L)((acc, i) =>
+          acc * 2 + (if (counts(c * 16 + i) > 0) 1L else 0L))
+      }
+    }
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // corpora of base docs plus light mutations: nmut=0 yields exact
+    // duplicates (Hamming 0), small nmut lands near the <=3 boundary —
+    // both sides of the cut get exercised every run
+    val corpusGen: Gen[Seq[Seq[String]]] = Gen.choose(2, 3).flatMap { nBase =>
+      Gen.listOfN(nBase, for {
+        base <- Gen.listOfN(40, Gen.oneOf(vocab))
+        k <- Gen.choose(1, 3)
+        muts <- Gen.listOfN(k, for {
+          nmut <- Gen.choose(0, 3)
+          pw <- Gen.listOfN(nmut, Gen.zip(Gen.choose(0, 39), Gen.oneOf(vocab)))
+        } yield pw.foldLeft(base.toVector) { case (v, (p, w)) =>
+          v.updated(p, w)
+        }.toSeq)
+      } yield base.toSeq +: muts).map(_.flatten)
+    }
+    check(Prop.forAll(corpusGen) { docs =>
+      val sigs = docs.zipWithIndex.map { case (ts, i) => (i.toLong, modelSig(ts)) }
+      val want = (for {
+        (a, sa) <- sigs
+        (b, sb) <- sigs if a < b
+        h = hamming(sa, sb) if h <= 3
+      } yield (a, b, h)).toSet
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.nearDupSimHash(df).as[(Long, Long, Int)].collect().toSet
+      got == want
+    }, minSuccessful = 10)
+  }
 }

@@ -71,4 +71,62 @@ object StreamingDedup {
     graft.ext.Dedup.exactIndex(batch, textCol)
       .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
   }
+
+  /** foreachBatch sink: NEAR-dup dedup across the whole stream history
+    * against the persisted MinHash-LSH index
+    * ([[graft.ext.Dedup.minHashIndex]] layout) — the ingest loop a
+    * production curation pipeline runs ("is this incoming doc a
+    * near-copy of anything we already hold?"). Per micro-batch:
+    *
+    *  1. probe the index with the asymmetric band join
+    *     ([[graft.ext.Dedup.nearDupMinHashAgainstIndex]]) and drop every
+    *     batch doc that near-dups the retained corpus — cost ∝
+    *     |batch|·bands + collisions, the corpus never re-hashes;
+    *  2. cluster near-dups WITHIN the survivors and keep each
+    *     cluster's lowest id ([[graft.ext.Dedup.dedupNearDups]]);
+    *  3. land the kept docs under `outRoot/__batch=<id>` and roll the
+    *     index forward with the KEPT docs' signatures (the index is the
+    *     retained corpus, so dropped near-dups never bloat it).
+    *
+    * Same replay contract as [[exactAgainstIndexSink]]: both writes are
+    * per-batch partition overwrites and the probe reads STRICTLY
+    * EARLIER batches, so re-delivering a batch id reproduces its
+    * original output byte-for-byte.
+    *
+    * The index is parameter-bound (shingleSize/numHashes/bands/seed
+    * must match across the stream's lifetime — keep them with the
+    * index path like any model artifact). Candidate recall is the
+    * banding's: pairs near the threshold may be missed with the usual
+    * LSH probability; every reported drop is exact-Jaccard-verified.
+    */
+  def nearDupAgainstIndexSink(indexRoot: String, outRoot: String,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              shingleSize: Int = 3, threshold: Double = 0.8,
+                              numHashes: Int = 128, bands: Int = 32,
+                              seed: Long = 0xC0FFEE)
+                             (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    val afterIndex = prior match {
+      case Some(index) =>
+        val hits = graft.ext.Dedup.nearDupMinHashAgainstIndex(batch, index,
+            idCol, textCol, shingleSize, threshold, numHashes, bands, seed)
+          .select(col("a_id").as(idCol)).distinct()
+        batch.join(hits, Seq(idCol), "left_anti")
+      case None => batch
+    }
+    val kept = graft.ext.Dedup.dedupNearDups(afterIndex,
+      graft.ext.Dedup.nearDupMinHash(afterIndex, idCol, textCol, shingleSize,
+        threshold, numHashes, bands, seed),
+      idCol)
+    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    graft.ext.Dedup.minHashIndex(kept, idCol, textCol, shingleSize,
+        numHashes, bands, seed)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+  }
 }

@@ -343,4 +343,41 @@ class StreamingSpec extends AnyFunSuite {
     sink(batchDf(11L -> "alpha", 12L -> "gamma"), 1L)
     assert(out() === batchKeep, "replay of a delivered batch changed the output")
   }
+
+  test("index-backed streaming NEAR-dup dedup: whole-history, stream == batch, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_neardup_idx")
+    val sink = StreamingDedup.nearDupAgainstIndexSink(
+      s"$work/index", s"$work/out", threshold = 0.6) _
+    // 30-token docs; a one-token edit leaves 3-shingle Jaccard ≈ 0.81
+    def base(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val (tA, tB, tC, tD) = (base("a"), base("b"), base("c"), base("d"))
+    val tA2 = tA.replace("a15", "zz") // near-dup of tA
+    val tA3 = tA.replace("a17", "yy") // near-dup of tA, arrives a batch later
+    val tC2 = tC.replace("c20", "qq") // near-dup of tC
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // b0: in-batch near-dup pair (1,2) + fresh; b1: cross-batch near-dup
+    // of the INDEXED survivor + fresh; b2: near-dup of b1's fresh + fresh
+    sink(batchDf(1L -> tA, 2L -> tA2, 3L -> tB), 0L)
+    sink(batchDf(11L -> tA3, 12L -> tC), 1L)
+    sink(batchDf(21L -> tC2, 22L -> tD), 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === Seq(1L, 3L, 12L, 22L))
+    // streamed keep set == one-shot batch near-dup dedup over the full
+    // history (ids increase with arrival, so first-arrival == lowest id)
+    val full = batchDf(1L -> tA, 2L -> tA2, 3L -> tB,
+      11L -> tA3, 12L -> tC, 21L -> tC2, 22L -> tD)
+    val batchKeep = graft.ext.Dedup.dedupNearDups(full,
+        graft.ext.Dedup.nearDupMinHash(full, threshold = 0.6), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === batchKeep, "stream history near-dup drifted from batch semantics")
+    // the rolled-forward index holds only the RETAINED corpus
+    assert(spark.read.parquet(s"$work/index").select("doc_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 12L, 22L))
+    // replay batch 1: strictly-earlier probe + per-batch overwrite must
+    // reproduce the identical state
+    sink(batchDf(11L -> tA3, 12L -> tC), 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+  }
 }

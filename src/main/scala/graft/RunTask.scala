@@ -36,11 +36,28 @@ import graft.io.{Connections, FileWarehouse, JdbcWarehouse, Lake}
   */
 object RunTask {
 
+  /** Production session conf for the pipeline path. AQE is pinned ON
+    * (explicitly, not by Spark-version default): at cluster scale
+    * runtime statistics beat static planning — post-shuffle partition
+    * coalescing right-sizes reducers per stage so `shuffle.partitions`
+    * only needs to be a sane ceiling, and the skew-join split absorbs
+    * hot keys the static plan cannot see. The deterministic salted
+    * operators (`ext.Joins.saltedJoin`, the salted journal merge)
+    * remain the explicit alternative where reproducible partitioning
+    * matters more than adaptivity. Bench/Verify deliberately do NOT
+    * share this conf: their plans are measurement artifacts and stay
+    * pinned static.
+    */
+  private[graft] val sessionDefaults: Seq[(String, String)] = Seq(
+    "spark.sql.shuffle.partitions" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true")
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = sessionDefaults
+      .foldLeft(SparkSession.builder()) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     try run(spark, args.toList, sys.env)
     finally spark.stop()

@@ -185,6 +185,18 @@ class TasksSpec extends AnyFunSuite {
     assert(!Files.exists(dir.resolve(".t.tmp")))
   }
 
+  test("RunTask production defaults pin AQE coalescing + skew-join ON") {
+    // cluster posture, asserted (not trusted to Spark-version defaults):
+    // runtime re-plan is the pipeline path's skew/sizing answer, the
+    // salted operators the deterministic alternative
+    val d = RunTask.sessionDefaults.toMap
+    assert(d("spark.sql.adaptive.enabled") === "true")
+    assert(d("spark.sql.adaptive.coalescePartitions.enabled") === "true")
+    assert(d("spark.sql.adaptive.skewJoin.enabled") === "true")
+    assert(d.contains("spark.sql.shuffle.partitions") &&
+      d("spark.sql.session.timeZone") === "UTC")
+  }
+
   test("RunTask rejects malformed invocations with actionable errors") {
     val env = Map("GRAFT_LAKE" -> "/x", "GRAFT_WAREHOUSE" -> "/x")
     val usage = intercept[ConfigException](RunTask.run(spark, List("frobnicate"), env))

@@ -7,24 +7,35 @@ import org.apache.spark.sql.SparkSession
   * serialized, unlike `count()` which lets Spark elide column work).
   *
   * Each query is timed over `SPARK_GRAFT_BENCH_RUNS` passes (default 3)
-  * and reported as its per-query MINIMUM plus the raw samples: this
-  * host's A/A measurements (BASELINE.md) show single samples swinging
-  * 3-10x in both directions under shared-hypervisor noise, so a
-  * single-sample artifact is unjudgeable — steady-state minima over >=3
-  * runs are the repo's measurement contract. Passes iterate the full
-  * registry round-robin (run 1 of every query, then run 2, ...) so one
-  * query's repeats don't sit in a single noise window.
+  * and reported as its per-query MINIMUM: this host's A/A measurements
+  * (BASELINE.md) show single samples swinging 3-10x in both directions
+  * under shared-hypervisor noise, so a single-sample artifact is
+  * unjudgeable — steady-state minima over >=3 runs are the repo's
+  * measurement contract. Passes iterate the full registry round-robin
+  * (run 1 of every query, then run 2, ...) so one query's repeats
+  * don't sit in a single noise window.
   *
-  * Failures are loud: the error is printed to stderr and recorded
-  * per-query in the JSON, and a query with no successful sample
-  * contributes a sentinel -1 minimum instead of silently benching ~0 s.
-  * Output contract: exactly ONE JSON line on stdout.
+  * Output contract: exactly ONE JSON line on stdout, and the harness
+  * that collects it keeps only the TAIL of stdout — so the line is
+  * ordered least-critical-first (per-query raw samples live in a side
+  * file, `bench_samples.json`, not on stdout at all) and the headline
+  * `queries`/`value`/`failed` fields come LAST. Minima are rounded to
+  * 0.1 ms to keep the tail small; raw full-precision samples are in
+  * the side file.
+  *
+  * Failures are loud and unambiguous: the error is printed to stderr
+  * and recorded per-query, and a query that failed on ANY pass
+  * reports a sentinel -1 minimum (never a valid-looking number from
+  * its surviving passes) — a minimum >= 0 therefore always means
+  * "every pass succeeded". Per-query success counts and raw samples,
+  * including those of partially-failed queries, are in the side file.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val samplesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,22 +70,36 @@ object Bench {
         errors.getOrElseUpdate(name, e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
       }
     }
+    // 0.1 ms resolution keeps the tail-captured stdout line compact;
+    // full-precision samples go to the side file.
+    def round4(d: Double): Double = math.rint(d * 1e4) / 1e4
     def minOf(name: String): Double =
-      samples.getOrElse(name, Vector.empty) match {
+      if (errors.contains(name)) -1.0 // any-pass failure => sentinel, never a plausible number
+      else samples.getOrElse(name, Vector.empty) match {
         case v if v.isEmpty => -1.0
-        case v              => v.min
+        case v              => round4(v.min)
       }
     def fmtMins(names: Seq[String]) =
       names.map(k => s"\"" + k + "\":" + minOf(k)).mkString("{", ",", "}")
     val (head, ext) = registry.map(_._1).partition(headline.contains)
-    def total(names: Seq[String]) = names.map(minOf).filter(_ >= 0).sum
+    def total(names: Seq[String]) = round4(names.map(minOf).filter(_ >= 0).sum)
     val samplesJson = registry.map { case (k, _) =>
       s"\"" + k + "\":" + samples.getOrElse(k, Vector.empty).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val okRuns = registry.map { case (k, _) =>
+      s"\"" + k + "\":" + samples.getOrElse(k, Vector.empty).size
     }.mkString("{", ",", "}")
     val errs = errors.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val nFailed = errors.size
-    println(s"""{"metric":"total","value":${total(head)},"unit":"sec","runs":$runs,"queries":${fmtMins(head)},"ext_total":${total(ext)},"ext_queries":${fmtMins(ext)},"samples":$samplesJson,"errors":$errs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val sideFile =
+      s"""{"metric":"samples","runs":$runs,"sf":"$sfDir","samples":$samplesJson,"ok_runs":$okRuns,"errors":$errs,"failed":$nFailed}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(samplesPath),
+      (sideFile + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] samples side-file write failed: $e") }
+    // Tail-capture ordering: the harness keeps the END of stdout, so
+    // headline value/queries/failed go last; droppable context first.
+    println(s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","samples_file":"$samplesPath","errors":$errs,"ext_queries":${fmtMins(ext)},"ext_total":${total(ext)},"queries":${fmtMins(head)},"value":${total(head)},"failed":$nFailed}""")
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -50,4 +50,28 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Queries.oracles ++ graft.ext.ExtQueries.oracles
+
+  /** The registry keys with NO DuckDB oracle, each mapped to the spec
+    * that gates it instead — machine-readable so correctness consumers
+    * can distinguish "approximate/libm-bound, verified by a pinned
+    * spec" from "broken". Every key in [[queries]] is in exactly one
+    * of [[oracleSql]] or this map (SparkEntrySpec pins the invariant);
+    * Verify dumps it next to oracle_sql.json as approx_verified.json.
+    */
+  def approxVerified: Map[String, String] = Map(
+    "q16_similarity_ann" -> ("approximate (hyperplane-LSH candidates): ExtSpec "
+      + "'ANN top-1 recall vs brute force pinned at fixed-seed measurement' recall floor "
+      + "+ golden digest 'q16 output digest pinned'"),
+    "q17_near_dup_simhash" -> ("Hamming-ball semantics DuckDB can't spell: PropertySpec "
+      + "ScalaCheck differential vs exhaustive all-pairs Hamming model "
+      + "+ ExtSpec planted-pair fixture"),
+    "q26_similarity_ivf" -> ("approximate (IVF nProbe cells): ExtSpec "
+      + "'IVF top-1 recall pinned at fixed-seed measurement' recall floor "
+      + "+ golden digest"),
+    "q73_lm_perplexity" -> ("libm-bound (ln/exp differ across engines past 1 ulp): ExtSpec "
+      + "hand-computed StrictMath fixtures + fuzzed-model PropertySpec round-trip"),
+    "q75_semantic_dedup" -> ("approximate (KMeans cells partition the space): ExtSpec "
+      + "nClusters=1 ≡ brute-force bit-exact anchor + clustered-path recall spec"),
+    "q80_lm_persisted_probe" -> ("libm-bound like q73, via the persisted model: ExtSpec "
+      + "persisted-vs-direct equivalence + StrictMath fixtures"))
 }

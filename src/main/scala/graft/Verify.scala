@@ -37,6 +37,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the no-oracle registry rows, each naming the spec that gates it —
+    // lets correctness consumers tell "approximate, spec-verified"
+    // apart from "broken" instead of reading no_oracle as a forever-err
+    val approx = SparkEntry.approxVerified
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/approx_verified.json"), approx)
     spark.stop()
   }
 }

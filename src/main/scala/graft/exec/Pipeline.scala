@@ -178,8 +178,14 @@ object PipelineRunner {
       case _             => WriteMode.Append
     })
     val path = ctx.lake.tablePath("datalake", systemName, systemTag, schema, table)
+    // The boundary dedup probes the landing path, which is only sound
+    // (and only meaningful) when this run APPENDS to that landing: under
+    // an explicit Overwrite the landing is about to be replaced, and a
+    // plan that reads the same path it overwrites fails in Spark anyway
+    // ("Cannot overwrite a path that is also being read from").
+    val landingPath = if (mode == WriteMode.Append) Some(path) else None
     val data = (readMode, delta) match {
-      case (ReadMode.Delta, Some(d)) => deltaSlice(ctx, df, d, path)
+      case (ReadMode.Delta, Some(d)) => deltaSlice(ctx, df, d, landingPath)
       case (ReadMode.Delta, None) =>
         throw new ConfigException("delta extract requires a DeltaSpec watermark")
       case _ => df
@@ -220,10 +226,10 @@ object PipelineRunner {
     * indistinguishable downstream.
     */
   private[graft] def deltaSlice(ctx: EtlContext, df: DataFrame, d: DeltaSpec,
-                                path: String): DataFrame = {
+                                path: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val mark = lit(d.lastValue).cast(df.schema(d.column).dataType)
-    landedBoundary(ctx, path, d.column, mark, df.schema) match {
+    path.flatMap(landedBoundary(ctx, _, d.column, mark, df.schema)) match {
       case Some(prior) =>
         val boundary = df.where(col(d.column) === mark)
         val cond = df.columns.map(c => boundary(c) <=> prior(c)).reduce(_ && _)
@@ -235,26 +241,30 @@ object PipelineRunner {
   }
 
   /** Already-landed rows at exactly the mark value, or None when the
-    * landing doesn't exist yet or its schema drifted (a column added or
+    * landing doesn't exist yet, its schema drifted (a column added or
     * retyped since the last run makes the all-columns anti-join
-    * unsound — fall back to landing the whole boundary slice:
-    * at-least-once is preserved, the dedup is best-effort).
+    * unsound), or it is unreadable (e.g. only a `_temporary` directory
+    * left by a crashed first write — schema inference throws). In every
+    * None case the caller falls back to landing the whole boundary
+    * slice: at-least-once is preserved, the dedup is best-effort.
     */
   private def landedBoundary(ctx: EtlContext, path: String, column: String,
                              mark: org.apache.spark.sql.Column,
                              incoming: org.apache.spark.sql.types.StructType): Option[DataFrame] = {
     import org.apache.spark.sql.functions.col
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) None
-    else {
-      val landed = ctx.spark.read.parquet(path)
-      val comparable = incoming.fields.forall(f =>
-        landed.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
-      if (!comparable) None
-      else Some(landed.where(col(column) === mark)
-        .select(incoming.fieldNames.toSeq.map(col): _*))
-    }
+    scala.util.Try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(ctx.spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else {
+        val landed = ctx.spark.read.parquet(path)
+        val comparable = incoming.fields.forall(f =>
+          landed.schema.fields.exists(g => g.name == f.name && g.dataType == f.dataType))
+        if (!comparable) None
+        else Some(landed.where(col(column) === mark)
+          .select(incoming.fieldNames.toSeq.map(col): _*))
+      }
+    }.getOrElse(None)
   }
 
   /** F24 with a JDBC source: resolve the connection from variables

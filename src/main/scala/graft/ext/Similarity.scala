@@ -198,6 +198,32 @@ object Similarity {
     graft.functions.ArrayExprs.hyperplaneSignatures(
       vec, hyperplanes(tables, bits, dims, seed))
 
+  /** One narrow pass over the corpus: row count plus how many vectors
+    * disagree with `dims`. A length-mismatched vector gets the
+    * all-zero signature in EVERY table (the documented zip_with
+    * null-padding contract of [[lshBuckets]]), so all mismatched
+    * vectors collide in one bucket per table — a wrong `dims` argument
+    * silently degenerates the candidate join to O(m²) pairs of garbage
+    * neighbors. Surfaced loudly instead: any mismatch is counted and
+    * warned with its magnitude; a corpus where EVERY vector mismatches
+    * (unambiguously a miscalled `dims`, not a few stray rows) throws.
+    * Returns (rows, mismatched). Null vectors don't count as
+    * mismatched — they produce null signatures and drop out of the
+    * bucket explode on their own.
+    */
+  private[graft] def dimsAudit(emb: DataFrame, vecCol: String, dims: Int): (Long, Long) = {
+    val r = emb.agg(count(lit(1)).as("n"),
+      count(when(size(col(vecCol)) =!= dims, 1)).as("bad")).head()
+    val (n, bad) = (r.getLong(0), r.getLong(1))
+    if (n > 0 && bad == n)
+      throw new IllegalArgumentException(
+        s"every one of $n vectors in '$vecCol' has size != dims=$dims — wrong dims argument")
+    if (bad > 0)
+      log.warn(s"$bad of $n vectors in '$vecCol' have size != dims=$dims; each gets " +
+        "the all-zero LSH signature and all of them collide in one bucket per table")
+    (n, bad)
+  }
+
   /** IVF (inverted-file) approximate top-k: partition the vector space
     * with k-means, then search only each query's `nProbe` nearest
     * cells. The classic ANN index structure — centroids are broadcast
@@ -381,7 +407,10 @@ object Similarity {
     // constant as bits grow (see deriveTables) — deriving one without
     // the other silently trades recall for speed. The landed
     // (bits, tables, recall) operating point is logged either way.
-    val b0 = if (bits == 0) deriveBits(emb.count()) else bits
+    // The same pass audits vector lengths against `dims` (dimsAudit:
+    // a wrong dims otherwise degenerates to one garbage mega-bucket).
+    val (n, _) = dimsAudit(emb, vecCol, dims)
+    val b0 = if (bits == 0) deriveBits(n) else bits
     val t0 = if (tables == 0) deriveTables(b0) else tables
     log.info(f"annTopK capacity: bits=$b0 tables=$t0 " +
       f"expected design-point recall=${expectedRecall(b0, t0)}%.3f")

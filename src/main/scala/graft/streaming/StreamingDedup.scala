@@ -98,6 +98,22 @@ object StreamingDedup {
     * index path like any model artifact). Candidate recall is the
     * banding's: pairs near the threshold may be missed with the usual
     * LSH probability; every reported drop is exact-Jaccard-verified.
+    *
+    * GREEDY vs batch connected-components, documented divergence: the
+    * sink is an ONLINE greedy filter — a doc is kept iff it near-dups
+    * nothing in the RETAINED corpus at arrival time. For transitive
+    * chains A~B~C with A≁C split across batches (A kept, B dropped
+    * against A, then C arrives), C near-dups only the already-dropped
+    * B, so the sink KEEPS C — while batch [[graft.ext.Dedup
+    * .dedupNearDups]] (connected components over the all-pairs graph)
+    * puts A,B,C in one cluster and drops C. The greedy result is the
+    * intended curation semantics here: every retained doc is
+    * pairwise-distant from every other retained doc (C is genuinely
+    * not a near-copy of anything you kept), whereas CC transitivity
+    * can discard documents arbitrarily far from everything retained.
+    * Stream==batch equivalence therefore holds exactly for star-shaped
+    * dup clusters (all members near-dup the kept representative) and
+    * is pinned for chains as intentionally divergent in StreamingSpec.
     */
   def nearDupAgainstIndexSink(indexRoot: String, outRoot: String,
                               idCol: String = "doc_id", textCol: String = "text",

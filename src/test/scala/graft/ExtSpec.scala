@@ -234,6 +234,25 @@ class ExtSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"index-based IVF top-1 recall $recall collapsed")
   }
 
+  test("dims audit: all-mismatched corpus throws, partial mismatch is counted not fatal") {
+    import graft.ext.Similarity
+    // a wrong dims argument zeroes EVERY signature -> one O(m²) garbage
+    // mega-bucket per table; the audit turns that silent blowup into a
+    // loud failure when the whole corpus disagrees with dims
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](Similarity.annTopK(emb, 1, dims = 48))
+    assert(e.getMessage.contains("dims=48"))
+    // a few stray bad rows are tolerated (warned + counted), and the
+    // audit reports their exact count
+    val mixed = emb.union(emb.limit(3).withColumn("embedding",
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 10)))
+    assert(Similarity.dimsAudit(mixed, "embedding", 64) === (emb.count() + 3, 3L))
+    // null vectors are not "mismatched" — they drop out of the explode
+    val withNull = emb.union(emb.limit(1).withColumn("embedding",
+      org.apache.spark.sql.functions.lit(null).cast("array<float>")))
+    assert(Similarity.dimsAudit(withNull, "embedding", 64)._2 === 0L)
+  }
+
   test("annTopK plan runs the native signature expression, not interpreted HOFs") {
     import graft.ext.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -141,7 +141,7 @@ class JdbcSpec extends AnyFunSuite with BeforeAndAfterAll {
     def planFor(connYaml: String, landing: String): String = {
       val ctx = ctxFor(connYaml)
       val src = PipelineRunner.jdbcSource(ctx, "flex", "main", "SELECT * FROM DWH.PUSH")
-      PipelineRunner.deltaSlice(ctx, src, PipelineRunner.DeltaSpec("id", "2"), landing)
+      PipelineRunner.deltaSlice(ctx, src, PipelineRunner.DeltaSpec("id", "2"), Some(landing))
         .queryExecution.executedPlan.toString
     }
     val simple = planFor("url: jdbc:derby:memory:graftjdbc\ndialect: generic",

@@ -287,6 +287,37 @@ class PipelineSpec extends AnyFunSuite {
       PipelineRunner.extractDf(c, df, "sys", "main", "sch", "tab", readMode = ReadMode.Delta))
   }
 
+  test("delta extract with explicit Overwrite skips the landing probe (no read-from-overwritten-path)") {
+    val (ctx, _, work) = mkCtx()
+    val c = ctx.copy(lake = Lake(s"$work/lk"))
+    val df = spark.range(10).toDF("k").withColumn("ts", col("k").cast("string"))
+    val p = PipelineRunner.extractDf(c, df, "sys", "main", "sch", "ow")
+    assert(spark.read.parquet(p).count() == 10)
+    // Delta read + explicit Overwrite: the landing is about to be
+    // replaced, so the boundary dedup must NOT probe it — doing so
+    // builds a plan that reads the path it overwrites and Spark fails
+    // with "Cannot overwrite a path that is also being read from"
+    PipelineRunner.extractDf(c, df, "sys", "main", "sch", "ow",
+      readMode = ReadMode.Delta, writeMode = Some(WriteMode.Overwrite),
+      delta = Some(PipelineRunner.DeltaSpec("ts", "7")))
+    assert(spark.read.parquet(p).count() == 3) // plain >= slice: "7","8","9"
+  }
+
+  test("unreadable landing (crashed first write) falls back to the full boundary slice") {
+    val (ctx, _, work) = mkCtx()
+    val c = ctx.copy(lake = Lake(s"$work/lk"))
+    val df = spark.range(10).toDF("k").withColumn("ts", col("k").cast("string"))
+    // simulate a crashed first write: the landing dir exists but holds
+    // no readable parquet footer — only a _temporary remnant
+    val p = c.lake.tablePath("datalake", "sys", "main", "sch", "crashed")
+    Files.createDirectories(Paths.get(p, "_temporary"))
+    PipelineRunner.extractDf(c, df, "sys", "main", "sch", "crashed",
+      readMode = ReadMode.Delta, delta = Some(PipelineRunner.DeltaSpec("ts", "7")))
+    // at-least-once preserved: the whole >= slice lands, nothing throws
+    assert(spark.read.parquet(p).select("ts").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("7", "8", "9"))
+  }
+
   test("warehouse engine step: whole query runs against warehouse catalog") {
     val (ctx, wh, _) = mkCtx()
     wh.replace(spark.range(3).toDF("k"), "stg", "nums")

@@ -10,6 +10,19 @@ class QueriesSpec extends AnyFunSuite {
   private val spark = SparkTestBase.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("registry invariant: every query has exactly one of a DuckDB oracle or an approxVerified gate") {
+    val keys = SparkEntry.queries.keySet
+    val oracled = SparkEntry.oracleSql.keySet
+    val approx = SparkEntry.approxVerified.keySet
+    assert((oracled & approx).isEmpty,
+      s"queries claiming both an oracle and approx gating: ${(oracled & approx).toSeq.sorted}")
+    assert(oracled.subsetOf(keys) && approx.subsetOf(keys),
+      s"stale non-registry keys: ${((oracled ++ approx) -- keys).toSeq.sorted}")
+    val unverified = keys -- oracled -- approx
+    assert(unverified.isEmpty,
+      s"registry queries with neither oracle nor named gating spec: ${unverified.toSeq.sorted}")
+  }
+
   test("q01 pushes the shipdate filter into the parquet scan") {
     val plan = Queries.q01(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

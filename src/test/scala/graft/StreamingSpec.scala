@@ -380,4 +380,36 @@ class StreamingSpec extends AnyFunSuite {
     sink(batchDf(11L -> tA3, 12L -> tC), 1L)
     assert(out() === batchKeep, "replay of a delivered batch changed the output")
   }
+
+  test("streaming NEAR-dup on a transitive chain: greedy keeps the far end (pinned divergence from batch CC)") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_neardup_chain")
+    val sink = StreamingDedup.nearDupAgainstIndexSink(
+      s"$work/index", s"$work/out", threshold = 0.6) _
+    // chain A~B~C with A!~C: B shares 25 leading tokens with A and 25
+    // trailing tokens with C; A and C share only the middle 20.
+    // 3-shingle Jaccard: J(A,B)=J(B,C)=23/33≈0.70 > 0.6; J(A,C)=18/38≈0.47 < 0.6
+    val mid = (6 to 25).map(i => s"x$i").mkString(" ")
+    val tA = (1 to 5).map(i => s"a$i").mkString(" ") + " " + mid + " " + (26 to 30).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 5).map(i => s"a$i").mkString(" ") + " " + mid + " " + (26 to 30).map(i => s"c$i").mkString(" ")
+    val tC = (1 to 5).map(i => s"c$i").mkString(" ") + " " + mid + " " + (26 to 30).map(i => s"c$i").mkString(" ")
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    sink(batchDf(1L -> tA), 0L) // A kept, indexed
+    sink(batchDf(2L -> tB), 1L) // B near-dups retained A -> dropped, NOT indexed
+    sink(batchDf(3L -> tC), 2L) // C near-dups only the dropped B -> kept
+    val streamed = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // greedy/online semantics: every retained doc is pairwise-distant
+    // from every other retained doc — C stays because it is genuinely
+    // not a near-copy of anything retained
+    assert(streamed === Seq(1L, 3L))
+    // batch connected-components over the same corpus merges the chain
+    // into one cluster and drops C — the documented divergence
+    val full = batchDf(1L -> tA, 2L -> tB, 3L -> tC)
+    val batchKeep = graft.ext.Dedup.dedupNearDups(full,
+        graft.ext.Dedup.nearDupMinHash(full, threshold = 0.6), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(batchKeep === Seq(1L),
+      "batch CC semantics changed — revisit the documented greedy-vs-CC divergence")
+  }
 }

@@ -73,5 +73,8 @@ object SparkEntry {
     "q75_semantic_dedup" -> ("approximate (KMeans cells partition the space): ExtSpec "
       + "nClusters=1 ≡ brute-force bit-exact anchor + clustered-path recall spec"),
     "q80_lm_persisted_probe" -> ("libm-bound like q73, via the persisted model: ExtSpec "
-      + "persisted-vs-direct equivalence + StrictMath fixtures"))
+      + "persisted-vs-direct equivalence + StrictMath fixtures"),
+    "q81_ann_persisted_probe" -> ("approximate (hyperplane-LSH, persisted index): ExtSpec "
+      + "'persisted ANN index: probing the corpus against its own index == annTopK' "
+      + "bit-equality + cross-frame recall floor + golden digest"))
 }

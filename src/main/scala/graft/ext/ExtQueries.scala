@@ -534,6 +534,38 @@ object ExtQueries {
       sharedLmModel(spark, dir), addK = 0.5)
       .orderBy("doc_id")
 
+  /** The PERSISTED hyperplane-LSH ANN index, built once per (session,
+    * corpus) over the held corpus (vec_id % 10 != 0 — the q46/q74/q80
+    * split) and landed as parquet under [[scratchPath]] — the
+    * embedding-space build-once/probe-forever shape
+    * ([[Similarity.annIndex]]).
+    */
+  private val annIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedAnnIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = annIndexMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "ann_index", dir)
+      Similarity.annIndex(emb(spark, dir).where(col("vec_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Persisted-ANN probe: the ingest batch (vec_id % 10 == 0) top-k'd
+    * against the PRE-BUILT signature index — q16's operator in its
+    * operational split, never re-signing the corpus. Approximate and
+    * seeded like q16 → no SQL oracle; ExtSpec pins probe-vs-direct
+    * bit-equality, a cross-frame recall floor, and a golden digest.
+    */
+  def q81(spark: SparkSession, dir: String): DataFrame =
+    Similarity.annTopKAgainstIndex(
+      emb(spark, dir).where(col("vec_id") % 10 === 0),
+      sharedAnnIndex(spark, dir), k = 3)
+      .orderBy("vec_id", "rnk")
+
   /** SemDeDup-style semantic dedup over embeddings (k-means cells +
     * within-cell cosine + keep-lowest-id). KMeans makes it
     * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
@@ -595,7 +627,8 @@ object ExtQueries {
     "q77_dedup_impact" -> (q77 _),
     "q78_boilerplate_fraction" -> (q78 _),
     "q79_strip_boilerplate" -> (q79 _),
-    "q80_lm_persisted_probe" -> (q80 _)
+    "q80_lm_persisted_probe" -> (q80 _),
+    "q81_ann_persisted_probe" -> (q81 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

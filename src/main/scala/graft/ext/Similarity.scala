@@ -435,6 +435,108 @@ object Similarity {
       .select("vec_id", "neighbor_id", "rnk", "sim")
   }
 
+  /** Build the PERSISTABLE hyperplane-LSH ANN index: one row per
+    * corpus vector with its id, the vector itself (what the exact
+    * cosine verify needs), and its per-table bucket signature
+    * (`__buckets`, position = table index — what candidate generation
+    * needs). Write it as parquet and probe it forever with
+    * [[annTopKAgainstIndex]]/[[annPairsAgainstIndex]] — the
+    * embedding-space analogue of [[Dedup.minHashIndex]] and the LSH
+    * counterpart of [[ivfTrain]]: at 100 TB re-signing the corpus per
+    * ingest batch (a full scan through the signature expression) is
+    * the cost this removes; the planes are seeded literals, so the
+    * signature family is reproducible from (tables, bits, dims, seed)
+    * alone.
+    *
+    * The index is parameter-bound: probes must use the same
+    * (tables, bits, dims, seed) or the bucket join is garbage — keep
+    * them with the index path like any model artifact. The 0-defaults
+    * derive (bits, tables) from THIS corpus's size (constant bucket
+    * size, constant expected recall — see [[annTopK]]); an index that
+    * will GROW by incremental appends must pass them explicitly, or
+    * later batches would re-derive different signature families.
+    */
+  def annIndex(emb: DataFrame, tables: Int = 0, bits: Int = 0, dims: Int = 64,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seed: Long = 0x5EED): DataFrame = {
+    val (n, _) = dimsAudit(emb, vecCol, dims)
+    val b0 = if (bits == 0) deriveBits(n) else bits
+    val t0 = if (tables == 0) deriveTables(b0) else tables
+    emb.select(col(idCol), col(vecCol),
+      lshBuckets(col(vecCol), t0, b0, dims, seed).as("__buckets"))
+  }
+
+  /** Candidate generation + exact cosine against a PRE-BUILT
+    * [[annIndex]]: the query batch is signed fresh with the same
+    * seeded planes, candidates come from the asymmetric bucket
+    * equi-join (query buckets × stored index buckets — cost ∝
+    * |batch|·tables + collisions, the corpus never re-signs), and the
+    * exact cosine reads the index's stored vectors. Ids shared
+    * between the two frames are treated as the same vector (the
+    * self-match is excluded, matching [[annTopK]]'s self-join) — so
+    * probing a corpus against its own index reproduces [[annTopK]]
+    * exactly, and an ingest batch with fresh ids loses nothing.
+    */
+  private def annScoredAgainstIndex(query: DataFrame, index: DataFrame,
+                                    tables: Int, bits: Int, dims: Int,
+                                    idCol: String, vecCol: String,
+                                    seed: Long): DataFrame = {
+    // capacity must match the BUILD's: with the 0-defaults both sides
+    // derive from the same corpus (the index IS the corpus, so its
+    // count reproduces the build-time derivation); explicit values are
+    // the caller's contract, no count needed
+    val b0 = if (bits == 0) deriveBits(index.count()) else bits
+    val t0 = if (tables == 0) deriveTables(b0) else tables
+    dimsAudit(query, vecCol, dims) // wrong dims => loud, not a mega-bucket
+    val qBuckets = query.select(col(idCol).as("vec_id"),
+      posexplode(lshBuckets(col(vecCol), t0, b0, dims, seed)).as(Seq("t", "bucket")))
+    val cBuckets = index.select(col(idCol).as("neighbor_id"),
+      posexplode(col("__buckets")).as(Seq("t", "bucket")))
+    val candIds = qBuckets.join(cBuckets, Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("neighbor_id"))
+      .select("vec_id", "neighbor_id")
+      .distinct()
+    candIds
+      .join(query.select(col(idCol).as("vec_id"), col(vecCol).as("__va")), "vec_id")
+      .join(index.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vb")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("__va"), col("__vb")).as("sim"))
+  }
+
+  /** Approximate top-k of each query vector against a persisted
+    * [[annIndex]] — [[annTopK]] in its operational build-once/
+    * probe-forever split (the q80 pattern). Probing the corpus against
+    * its own index is bit-identical to [[annTopK]] (pinned in
+    * ExtSpec); probe cost scales with the batch, not the corpus.
+    */
+  def annTopKAgainstIndex(query: DataFrame, index: DataFrame, k: Int,
+                          tables: Int = 0, bits: Int = 0, dims: Int = 64,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          seed: Long = 0x5EED): DataFrame = {
+    val scored = annScoredAgainstIndex(query, index, tables, bits, dims, idCol, vecCol, seed)
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("vec_id", "neighbor_id", "rnk", "sim")
+  }
+
+  /** Semantic near-dup PAIRS of a query batch against a persisted
+    * [[annIndex]]: (a_id = query, b_id = corpus, sim) with
+    * sim ≥ threshold, exact-cosine-verified — the embedding-space
+    * analogue of [[Dedup.nearDupMinHashAgainstIndex]], consumable by
+    * the same anti-join drop ("is this incoming doc a near-copy of
+    * anything we already hold?"). Recall is the LSH banding's
+    * (overlapping tables, unlike IVF's partitioning cells), so a
+    * near-dup missed by one table still collides in another.
+    */
+  def annPairsAgainstIndex(query: DataFrame, index: DataFrame, threshold: Double,
+                           tables: Int = 0, bits: Int = 0, dims: Int = 64,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           seed: Long = 0x5EED): DataFrame =
+    annScoredAgainstIndex(query, index, tables, bits, dims, idCol, vecCol, seed)
+      .where(col("sim") >= threshold)
+      .select(col("vec_id").as("a_id"), col("neighbor_id").as("b_id"), col("sim"))
+
   /** Semantic (embedding-space) near-dup PAIRS, SemDeDup-style: cluster
     * the space with the IVF coarse quantizer (seeded k-means,
     * optionally sample-trained), then run exact pairwise cosine WITHIN

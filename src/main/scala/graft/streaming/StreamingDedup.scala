@@ -115,6 +115,74 @@ object StreamingDedup {
     * dup clusters (all members near-dup the kept representative) and
     * is pinned for chains as intentionally divergent in StreamingSpec.
     */
+  /** foreachBatch sink: SEMANTIC (embedding-space) dedup across the
+    * whole stream history against the persisted hyperplane-LSH ANN
+    * index ([[graft.ext.Similarity.annIndex]] layout) — the ingest
+    * loop of an embedding-curated corpus ("is this incoming doc a
+    * near-copy, in meaning space, of anything we already hold?").
+    * Per micro-batch:
+    *
+    *  1. probe the index with the asymmetric bucket join
+    *     ([[graft.ext.Similarity.annPairsAgainstIndex]]) and drop
+    *     every batch vector whose exact cosine against a retained
+    *     corpus vector reaches `threshold` — cost ∝ |batch|·tables +
+    *     collisions, the corpus never re-signs;
+    *  2. dedup WITHIN the survivors
+    *     ([[graft.ext.Similarity.semanticDedup]]; `inBatchClusters`
+    *     defaults to 1 = the exact all-pairs path, bounded by the
+    *     micro-batch size — raise it for very large batches);
+    *  3. land the kept vectors under `outRoot/__batch=<id>` and roll
+    *     the index forward with the KEPT vectors' signatures.
+    *
+    * Same replay contract as [[exactAgainstIndexSink]]: both writes
+    * are per-batch partition overwrites and the probe reads STRICTLY
+    * EARLIER batches, so re-delivering a batch id reproduces its
+    * original output byte-for-byte.
+    *
+    * The index is parameter-bound AND capacity-bound: (tables, bits,
+    * dims, seed) must stay fixed across the stream's lifetime — the
+    * defaults here are the EXPLICIT design floor (bits=6, tables=12),
+    * not the corpus-size derivation, because an index grown by
+    * incremental appends must never re-derive a different signature
+    * family per batch. Keep the parameters with the index path like
+    * any model artifact.
+    *
+    * Greedy-vs-batch-CC divergence: identical to
+    * [[nearDupAgainstIndexSink]]'s documented contract — transitive
+    * chains split across batches keep the far end (every retained
+    * vector is pairwise-distant from every other retained vector);
+    * stream==batch equivalence holds exactly for star-shaped
+    * clusters.
+    */
+  def semanticAgainstIndexSink(indexRoot: String, outRoot: String,
+                               threshold: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               tables: Int = 12, bits: Int = 6, dims: Int = 64,
+                               seed: Long = 0x5EED, inBatchClusters: Int = 1)
+                              (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    val afterIndex = prior match {
+      case Some(index) =>
+        val hits = graft.ext.Similarity.annPairsAgainstIndex(batch, index,
+            threshold, tables, bits, dims, idCol, vecCol, seed)
+          .select(col("a_id").as(idCol)).distinct()
+        batch.join(hits, Seq(idCol), "left_anti")
+      case None => batch
+    }
+    val kept = graft.ext.Similarity.semanticDedup(afterIndex, threshold,
+      inBatchClusters, idCol, vecCol)
+    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    graft.ext.Similarity.annIndex(kept, tables, bits, dims, idCol, vecCol, seed)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+  }
+
   def nearDupAgainstIndexSink(indexRoot: String, outRoot: String,
                               idCol: String = "doc_id", textCol: String = "text",
                               shingleSize: Int = 3, threshold: Double = 0.8,

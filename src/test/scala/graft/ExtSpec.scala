@@ -253,6 +253,63 @@ class ExtSpec extends AnyFunSuite {
     assert(Similarity.dimsAudit(withNull, "embedding", 64)._2 === 0L)
   }
 
+  test("persisted ANN index: probing the corpus against its own index == annTopK (bit-for-bit)") {
+    // the build-once/probe-forever split must change NOTHING about the
+    // answer: same derived capacity, same candidates, same cosine,
+    // same tie-breaks — through a parquet round-trip
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = SparkTestBase.tmpDir("graft_ann_index")
+    Similarity.annIndex(emb).write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val direct = Similarity.annTopK(emb, 5)
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val probed = Similarity.annTopKAgainstIndex(emb, index, 5)
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    assert(probed === direct, "index probe drifted from direct annTopK")
+  }
+
+  test("persisted ANN probe plan signs only the query side (the corpus never re-signs)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dir = SparkTestBase.tmpDir("graft_ann_index_plan")
+    Similarity.annIndex(emb.where(col("vec_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet(dir)
+    val plan = Similarity.annTopKAgainstIndex(
+        emb.where(col("vec_id") % 10 === 0), spark.read.parquet(dir), k = 3)
+      .queryExecution.optimizedPlan.toString
+    val signs = "hyperplane_signatures".r.findAllIn(plan).size
+    assert(signs === 1,
+      s"expected exactly one signature computation (query side); got $signs in:\n$plan")
+  }
+
+  test("persisted ANN cross-frame probe (q81): full coverage, recall floor, golden digest") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val query = all.where(col("vec_id") % 10 === 0)
+    val corpus = all.where(col("vec_id") % 10 =!= 0)
+    val probed = ExtQueries.q81(spark, sf)
+    val top1 = probed.where(col("rnk") === 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1.size === query.count(), "probe must cover every query vector")
+    // exact cross-frame top-1 baseline (test-only cross join, 250×2250)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val bf = query.select(col("vec_id"), col("embedding").as("__qa"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("__qb")))
+      .select(col("vec_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qa"), col("__qb")).as("sim"))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") === 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = bf.count { case (v, n) => top1.get(v).contains(n) }.toDouble / bf.size
+    // measured 0.42 on the near-uniform synthetic embeddings (the
+    // q16 in-frame measurement is 0.464) — deterministic at the fixed
+    // seed; a floor just below catches recall regressions
+    assert(recall >= 0.40, s"cross-frame ANN top-1 recall $recall below pinned 0.40 (measured 0.42)")
+    // golden digest — the q81 no-oracle hard signal (see q16/q26)
+    val digest = md5(probed.as[(Long, Long, Int, Double)].collect()
+      .map { case (v, n, r, s) => s"$v,$n,$r,$s" }.mkString("\n"))
+    assert(digest === "dd714dd245755a68c441c38358258efb", s"q81 output drifted (digest $digest)")
+  }
+
   test("annTopK plan runs the native signature expression, not interpreted HOFs") {
     import graft.ext.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -381,6 +381,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out() === batchKeep, "replay of a delivered batch changed the output")
   }
 
+  test("index-backed streaming SEMANTIC dedup: whole-history, stream == batch, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_semantic_idx")
+    val sink = StreamingDedup.semanticAgainstIndexSink(
+      s"$work/index", s"$work/out", threshold = 0.9, dims = 8) _
+    // star-shaped clusters in an 8-dim space: tiny perturbations of a
+    // base vector have cosine ≈ 0.9997 (>= 0.9); distinct bases are
+    // orthogonal (cosine 0 < 0.9)
+    def v(base: Int, eps: Float): Array[Float] = {
+      val a = Array.fill(8)(0f); a(base) = 1f; a((base + 1) % 8) = eps; a
+    }
+    def batchDf(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    // b0: in-batch twin pair (1,2) + fresh; b1: cross-batch twin of the
+    // INDEXED survivor + fresh; b2: twin of b1's fresh + fresh
+    sink(batchDf(1L -> v(0, 0f), 2L -> v(0, 0.02f), 3L -> v(1, 0f)), 0L)
+    sink(batchDf(11L -> v(0, 0.03f), 12L -> v(2, 0f)), 1L)
+    sink(batchDf(21L -> v(2, 0.02f), 22L -> v(3, 0f)), 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out() === Seq(1L, 3L, 12L, 22L))
+    // streamed keep set == one-shot batch semantic dedup over the full
+    // history (ids increase with arrival, so first-arrival == lowest id;
+    // nClusters=1 = the exact all-pairs anchor path)
+    val full = batchDf(1L -> v(0, 0f), 2L -> v(0, 0.02f), 3L -> v(1, 0f),
+      11L -> v(0, 0.03f), 12L -> v(2, 0f), 21L -> v(2, 0.02f), 22L -> v(3, 0f))
+    val batchKeep = graft.ext.Similarity.semanticDedup(full, threshold = 0.9, nClusters = 1)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(out() === batchKeep, "stream history semantic dedup drifted from batch semantics")
+    // the rolled-forward index holds only the RETAINED corpus
+    assert(spark.read.parquet(s"$work/index").select("vec_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 12L, 22L))
+    // replay batch 1: strictly-earlier probe + per-batch overwrite must
+    // reproduce the identical state
+    sink(batchDf(11L -> v(0, 0.03f), 12L -> v(2, 0f)), 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+  }
+
   test("streaming NEAR-dup on a transitive chain: greedy keeps the far end (pinned divergence from batch CC)") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_neardup_chain")

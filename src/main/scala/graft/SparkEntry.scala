@@ -76,5 +76,8 @@ object SparkEntry {
       + "persisted-vs-direct equivalence + StrictMath fixtures"),
     "q81_ann_persisted_probe" -> ("approximate (hyperplane-LSH, persisted index): ExtSpec "
       + "'persisted ANN index: probing the corpus against its own index == annTopK' "
-      + "bit-equality + cross-frame recall floor + golden digest"))
+      + "bit-equality + cross-frame recall floor + golden digest"),
+    "q82_image_near_dup" -> ("ImageIO decode + bilinear downsample DuckDB can't spell: "
+      + "MultimodalSpec planted-pair dHash tests, brute-force pixel-distance "
+      + "differential, and the pinned sf0.001 pair set"))
 }

@@ -755,19 +755,34 @@ object Dedup {
     * 4 chunks). Output: (a_id, b_id, hamming).
     */
   def nearDupSimHash(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+                     textCol: String = "text", maxHamming: Int = 3): DataFrame =
+    nearDupChunkSigs(
+      docs.select(col(idCol), simHashChunks(col(textCol)).as("__sig")),
+      idCol, "__sig", maxHamming)
+
+  /** Near-dup pairs from PRE-COMPUTED 64-bit signatures in the 4×16-bit
+    * chunk layout — the signature-agnostic core of [[nearDupSimHash]],
+    * shared with any other 64-bit fingerprint family (e.g. the
+    * perceptual image dHash, [[Multimodal.dHash]]): by pigeonhole, two
+    * signatures within Hamming distance 3 agree on at least one chunk,
+    * so candidates come from an equi-join on (chunk_idx, chunk_value),
+    * never all-pairs; every candidate is verified by full Hamming
+    * distance. The 8-byte join key (chunk_idx, chunk_value ints) is
+    * all that shuffles besides the two 16-byte signature arrays.
+    */
+  def nearDupChunkSigs(sigs: DataFrame, idCol: String, sigCol: String,
+                       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk index is only complete for Hamming distance <= 3")
-    val sigs = docs.select(col(idCol), simHashChunks(col(textCol)).as("__sim"))
-    val chunks = sigs.select(col(idCol), col("__sim"),
-        posexplode(col("__sim")).as(Seq("chunk_idx", "chunk_value")))
+    val chunks = sigs.select(col(idCol), col(sigCol).as("__sig"),
+        posexplode(col(sigCol)).as(Seq("chunk_idx", "chunk_value")))
     val a = chunks.select(col("chunk_idx"), col("chunk_value"),
-      col(idCol).as("a_id"), col("__sim").as("__sima"))
+      col(idCol).as("a_id"), col("__sig").as("__siga"))
     val b = chunks.select(col("chunk_idx"), col("chunk_value"),
-      col(idCol).as("b_id"), col("__sim").as("__simb"))
+      col(idCol).as("b_id"), col("__sig").as("__sigb"))
     a.join(b, Seq("chunk_idx", "chunk_value"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        hammingDistance(col("__sima"), col("__simb")).as("hamming"))
+        hammingDistance(col("__siga"), col("__sigb")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }

@@ -566,6 +566,25 @@ object ExtQueries {
       sharedAnnIndex(spark, dir), k = 3)
       .orderBy("vec_id", "rnk")
 
+  /** End-to-end MULTIMODAL near-dup: each document rendered to a real
+    * PNG ([[Multimodal.renderTextImage]] — deterministic bytes→pixels
+    * bridge from the text testdata), then PNG-decode → 9×8 luminance
+    * downsample → 64-bit perceptual dHash → chunked Hamming join
+    * ([[Multimodal.nearDupImages]]). Near-dup documents render to
+    * near-identical images, so the pairs are real planted structure.
+    * ImageIO decode + bilinear resampling can't be spelled in DuckDB
+    * → no SQL oracle; MultimodalSpec verifies planted pairs against
+    * brute-force pixel distance and pins the sf0.001 pair set.
+    */
+  def q82(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val assets = docs(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        Multimodal.Asset(id, "image", Multimodal.renderTextImage(text)) }
+    Multimodal.nearDupImages(assets, maxHamming = 3).orderBy("a_id", "b_id")
+  }
+
   /** SemDeDup-style semantic dedup over embeddings (k-means cells +
     * within-cell cosine + keep-lowest-id). KMeans makes it
     * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
@@ -628,7 +647,8 @@ object ExtQueries {
     "q78_boilerplate_fraction" -> (q78 _),
     "q79_strip_boilerplate" -> (q79 _),
     "q80_lm_persisted_probe" -> (q80 _),
-    "q81_ann_persisted_probe" -> (q81 _)
+    "q81_ann_persisted_probe" -> (q81 _),
+    "q82_image_near_dup" -> (q82 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

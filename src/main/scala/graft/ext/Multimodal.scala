@@ -530,6 +530,113 @@ object Multimodal {
     })
   }
 
+  /** One 64-bit perceptual signature per asset, in the SimHash 4×16-bit
+    * chunk layout. */
+  final case class ChunkSig(asset_id: Long, phash: Array[Int])
+
+  /** The 9-wide × 8-high luminance grid a [[dHash]] is computed from. */
+  private def gridLum(img: java.awt.image.BufferedImage): Array[Int] = {
+    val g = rescale(img, 9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new Array[Int](72)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = g.getRGB(x, y)
+        out(y * 9 + x) = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual difference-hash (dHash) per asset: decode,
+    * bilinear-downsample to a 9×8 luminance grid, and set bit (y,x)
+    * iff the pixel is darker than its right neighbor — the classic
+    * row-gradient fingerprint, robust to resizing/re-encoding/small
+    * edits because gradients survive what raw pixels don't. Returned
+    * in the SimHash 4×16-bit chunk layout (chunk 0 = the 16 highest
+    * bits), so image near-dup rides the SAME pigeonhole chunk
+    * equi-join as text SimHash ([[Dedup.nearDupChunkSigs]]): Hamming
+    * ≤ 3 candidates collide on at least one chunk, never all-pairs.
+    *
+    * Real images hash their pixels; GIF videos hash their first frame
+    * (a video-level hash would want per-frame signatures — that's
+    * [[sampleFrames]] + this); GRFT and other undecodable payloads
+    * hash their body bytes laid out as the 9×8 grid directly — the
+    * deterministic stand-in keeping the pipeline testable without
+    * codecs. Scale shape: one narrow mapPartitions, payloads never
+    * shuffle; only (id, 16-byte signature) leaves the scan.
+    */
+  def dHash(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val lum: Array[Int] =
+        if (a.kind == "image" && Codec.isImage(a.payload))
+          gridLum(Codec.readImage(a.payload))
+        else if (a.kind == "video" && Codec.isGif(a.payload))
+          gridLum(Codec.readGifFrames(a.payload).head)
+        else {
+          val start = if (a.kind != "image" && a.payload.length >= FakeCodec.HeaderLen &&
+            ByteBuffer.wrap(a.payload, 0, 4).getInt == FakeCodec.Magic) FakeCodec.HeaderLen else 0
+          val out = new Array[Int](72)
+          var i = 0
+          while (i < 72) {
+            out(i) = if (start + i < a.payload.length) a.payload(start + i) & 0xFF else 0
+            i += 1
+          }
+          out
+        }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          bits = (bits << 1) | (if (lum(y * 9 + x) < lum(y * 9 + x + 1)) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      ChunkSig(a.asset_id, Array.tabulate(4)(c => ((bits >>> (48 - 16 * c)) & 0xFFFF).toInt))
+    }).toDF()
+  }
+
+  /** Near-duplicate IMAGE pairs: [[dHash]] signatures through the
+    * chunked Hamming join — (a_id, b_id, hamming) with hamming ≤
+    * maxHamming, complete for maxHamming ≤ 3. The end-to-end
+    * multimodal dedup: near-identical images (re-encodes, small
+    * overlays, slight crops) collide while distinct images stay
+    * apart; MultimodalSpec verifies the planted pairs against
+    * brute-force pixel distance.
+    */
+  def nearDupImages(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
+    Dedup.nearDupChunkSigs(dHash(assets), "asset_id", "phash", maxHamming)
+
+  /** Deterministic text → real-PNG rendering: the document's UTF-8
+    * bytes laid out as the 9×8 grayscale pixel grid, PNG-encoded via
+    * ImageIO. The registry's bridge from the text testdata to the
+    * image dedup path (q82): near-dup DOCUMENTS render to
+    * near-identical IMAGES, so the image near-dup finds real planted
+    * structure while exercising the genuine PNG encode→decode→
+    * downsample→hash pipeline.
+    */
+  def renderTextImage(text: String): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 72) {
+      val v = if (i < bytes.length) bytes(i) & 0xFF else 0
+      img.setRGB(i % 9, i / 9, (v << 16) | (v << 8) | v)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Metadata facet profile of an asset table — the typed-metadata side
     * of the contract: group on small decoded columns, payloads pruned
     * from the scan entirely.

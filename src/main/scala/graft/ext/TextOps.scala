@@ -221,10 +221,19 @@ object TextOps {
     * partition; sharding (by source/language/file-group) is what makes
     * it parallel, and is also semantically right: training shards are
     * packed independently anyway. One shuffle on the shard keys.
+    *
+    * `tokenCount` plugs in the caller's tokenizer: real training
+    * pipelines pack by BPE/SentencePiece token counts, not whitespace
+    * words. Pass any integral Column — a precomputed count column
+    * carried on the frame (the operational shape: tokenize once
+    * upstream, reuse everywhere) or an inline counting expression.
+    * Default (None) keeps the whitespace counter, so existing outputs
+    * (q34/q47 oracles) are unchanged.
     */
   def packSequences(docs: DataFrame, capacity: Int, shardCols: Seq[String],
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    binnedDocs(docs, capacity, shardCols, idCol, textCol)
+                    idCol: String = "doc_id", textCol: String = "text",
+                    tokenCount: Option[Column] = None): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount)
       .groupBy((shardCols :+ "bin_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).cast("long").as("sum_tokens"),
@@ -241,8 +250,9 @@ object TextOps {
     */
   def packSequencesText(docs: DataFrame, capacity: Int, shardCols: Seq[String],
                         idCol: String = "doc_id", textCol: String = "text",
-                        sep: String = " "): DataFrame =
-    binnedDocs(docs, capacity, shardCols, idCol, textCol)
+                        sep: String = " ",
+                        tokenCount: Option[Column] = None): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount)
       .groupBy((shardCols :+ "bin_id").map(col): _*)
       .agg(
         array_join(
@@ -253,9 +263,12 @@ object TextOps {
         count(lit(1)).as("n_docs"),
         sum(col("__n")).cast("long").as("sum_tokens"))
 
-  /** Shared first-fit binning: adds `__n` (token count) and `bin_id`. */
+  /** Shared first-fit binning: adds `__n` (token count — the caller's
+    * `tokenCount` expression, or the whitespace counter) and `bin_id`.
+    */
   private def binnedDocs(docs: DataFrame, capacity: Int, shardCols: Seq[String],
-                         idCol: String, textCol: String): DataFrame = {
+                         idCol: String, textCol: String,
+                         tokenCount: Option[Column] = None): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(shardCols.nonEmpty,
       "packing needs shard columns: a global order would serialize into one partition")
@@ -267,7 +280,7 @@ object TextOps {
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .withColumn("__n", size(tokens(col(textCol))))
+      .withColumn("__n", tokenCount.getOrElse(size(tokens(col(textCol)))))
       .withColumn("__cum", sum(col("__n")).over(w))
       // exclusive prefix sum / capacity = first-fit-by-order bin id
       .withColumn("bin_id", floor((col("__cum") - col("__n")) / capacity).cast("long"))
@@ -430,17 +443,27 @@ object TextOps {
     * window may be shorter. Scale shape: per-row array slicing +
     * explode — narrow, no shuffle; output size is the token count
     * over stride, bounded and predictable.
+    *
+    * `tokensCol` plugs in the caller's tokenizer: pass any
+    * array<string> Column (a precomputed BPE/SentencePiece piece
+    * array, or an inline splitting expression) and the windows are
+    * cut on THOSE token boundaries; `sep` is how a chunk's tokens are
+    * reassembled into `chunk_text` (subword pieces usually want "").
+    * Default (None) keeps the whitespace tokenizer and " " separator,
+    * so existing outputs (the q49 oracle) are unchanged.
     */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, stride: Int,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                     idCol: String = "doc_id", textCol: String = "text",
+                     tokensCol: Option[Column] = None,
+                     sep: String = " "): DataFrame = {
     require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
-    val toks = tokens(col(textCol))
+    val toks = tokensCol.getOrElse(tokens(col(textCol)))
     docs
       .select(col(idCol), toks.as("__toks"),
         explode(sequence(lit(1), size(toks), lit(stride))).as("__st"))
       .select(col(idCol),
         (((col("__st") - 1) / stride).cast("long")).as("chunk_idx"),
-        concat_ws(" ", slice(col("__toks"), col("__st"), lit(chunkTokens))).as("chunk_text"),
+        concat_ws(sep, slice(col("__toks"), col("__st"), lit(chunkTokens))).as("chunk_text"),
         size(slice(col("__toks"), col("__st"), lit(chunkTokens))).cast("long").as("chunk_tokens"))
   }
 

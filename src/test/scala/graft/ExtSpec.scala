@@ -1011,6 +1011,48 @@ class ExtSpec extends AnyFunSuite {
       TextOps.packSequences(df, capacity = 5, shardCols = Nil))
   }
 
+  test("packSequences with a pluggable token counter (the bring-your-own-tokenizer seam)") {
+    import graft.ext.TextOps
+    // BPE-ish counter: words AND punctuation marks count as tokens —
+    // "a,b." is 2 whitespace tokens ("a,b.") vs 4 BPE-ish (a , b .)
+    val bpeish = size(regexp_extract_all(col("text"), lit("\\w+|[^\\w\\s]"), lit(0)))
+    val df = Seq(
+      (1L, "A", "a, b."), (2L, "A", "c! d?"), (3L, "A", "e f"),
+      (4L, "B", "just plain words")).toDF("doc_id", "shard", "text")
+    // whitespace counts: 2,2,2 -> capacity 4 puts docs 1+2 in bin 0
+    val ws = TextOps.packSequences(df, capacity = 4, shardCols = Seq("shard"))
+      .select("shard", "bin_id", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(ws === Set(("A", 0L, 2L, 4L), ("A", 1L, 1L, 2L), ("B", 0L, 1L, 3L)))
+    // BPE-ish counts: 4,4,2 -> doc 1 alone crosses capacity 4, so each
+    // punctuated doc takes its own bin; sum_tokens is the CUSTOM count
+    val bpe = TextOps.packSequences(df, capacity = 4, shardCols = Seq("shard"),
+        tokenCount = Some(bpeish))
+      .select("shard", "bin_id", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(bpe === Set(("A", 0L, 1L, 4L), ("A", 1L, 1L, 4L), ("A", 2L, 1L, 2L),
+      ("B", 0L, 1L, 3L)))
+    // a PRECOMPUTED count column works the same way (tokenize once
+    // upstream, reuse everywhere — the operational shape)
+    val pre = TextOps.packSequences(df.withColumn("n_bpe", bpeish),
+        capacity = 4, shardCols = Seq("shard"), tokenCount = Some(col("n_bpe")))
+      .select("shard", "bin_id", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(pre === bpe)
+  }
+
+  test("chunkDocuments with a pluggable tokenizer cuts windows on the caller's boundaries") {
+    import graft.ext.TextOps
+    val df = Seq((1L, "ab|cd|ef|gh|ij")).toDF("doc_id", "text")
+    // caller's tokenizer: pipe-split pieces, reassembled with no
+    // separator (the subword shape)
+    val out = TextOps.chunkDocuments(df, chunkTokens = 2, stride = 2,
+        tokensCol = Some(split(col("text"), "\\|")), sep = "")
+      .select("chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((0L, "abcd", 2L), (1L, "efgh", 2L), (2L, "ij", 1L)))
+  }
+
   test("packSequencesText materializes bins as id-ordered concatenations") {
     import graft.ext.TextOps
     val df = Seq(

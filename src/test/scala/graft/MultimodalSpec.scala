@@ -317,6 +317,66 @@ class MultimodalSpec extends AnyFunSuite {
       e.getCause.getMessage.contains("pixel codec"))
   }
 
+  private def grayPng(w: Int, h: Int)(lum: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, lum(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image near-dup: perturbed twin pairs up, distinct image stays apart, pixel distance agrees") {
+    // "photo"-like smooth gradient; its twin adds a small bright
+    // overlay (a watermark/logo edit); the third image reverses the
+    // gradient — near-identical pixels vs structurally different ones
+    def base(x: Int, y: Int) = 40 + x * 3 + y * 2
+    def twin(x: Int, y: Int) =
+      base(x, y) + (if (x >= 20 && x < 26 && y >= 20 && y < 26) 25 else 0)
+    def other(x: Int, y: Int) = 220 - x * 3 + (y % 7) * 4
+    val assets = Seq(Asset(1L, "image", grayPng(64, 64)(base)),
+      Asset(2L, "image", grayPng(64, 64)(twin)),
+      Asset(3L, "image", grayPng(64, 64)(other))).toDS()
+    val pairs = Multimodal.nearDupImages(assets)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"expected only the planted twin pair, got $pairs")
+    // brute-force pixel distance (mean abs luminance diff) confirms the
+    // dHash verdict with a wide margin: the paired images are ~50x
+    // closer than any unpaired combination
+    def dist(f: (Int, Int) => Int, g: (Int, Int) => Int): Double =
+      (for (y <- 0 until 64; x <- 0 until 64)
+        yield math.abs(f(x, y) - g(x, y)).toDouble).sum / 4096.0
+    assert(dist(base, twin) < 1.0, "planted twin must be pixel-close")
+    assert(dist(base, other) > 40 && dist(twin, other) > 40,
+      "unpaired images must be pixel-far")
+  }
+
+  test("dHash survives re-encode and 2x resize (gradients outlive the pixels)") {
+    // the same scene at 64x64 and 128x128: raw bytes differ everywhere,
+    // but the 9x8 downsampled gradient signs — the dHash — agree
+    def scene(x: Int, y: Int) = 30 + x * 2 + (y * y) / 20
+    val assets = Seq(
+      Asset(1L, "image", grayPng(64, 64)((x, y) => scene(x, y))),
+      Asset(2L, "image", grayPng(128, 128)((x, y) => scene(x / 2, y / 2)))).toDS()
+    val pairs = Multimodal.nearDupImages(assets)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), "resized re-encode of the same scene must near-dup")
+  }
+
+  test("q82: document-rendered PNG near-dup pair set is pinned at sf0.001") {
+    // end-to-end: text -> real PNG -> ImageIO decode -> downsample ->
+    // dHash -> chunked Hamming join; deterministic, so pinned exactly
+    val rows = graft.ext.ExtQueries.q82(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 28, s"q82 pair count drifted: ${rows.length}")
+    val s = rows.map(r => r.getLong(0) + "," + r.getLong(1) + "," + r.getInt(2)).mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5 === "dba2e6f242a10690f27050cdc94f9a97", s"q82 pair set drifted ($md5)")
+  }
+
   test("corrupt MP4 sample tables fail with actionable errors, not garbage frames") {
     val (payload, _) = mp4Bytes()
     // point chunk 2 past the end of the payload: the demux must refuse

@@ -197,6 +197,50 @@ class TasksSpec extends AnyFunSuite {
       d("spark.sql.session.timeZone") === "UTC")
   }
 
+  test("AQE under RunTask.sessionDefaults actually splits a skewed join (plan-level, not conf-level)") {
+    // the conf test above pins the WIRING; this pins the BEHAVIOR: a
+    // crafted hot-key join executed under the production defaults must
+    // show skew=true in the final adaptive plan, so the conf can't rot
+    // into a no-op (renamed key, AQE silently disabled upstream, ...)
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val keys = RunTask.sessionDefaults.map(_._1) ++ Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      RunTask.sessionDefaults.foreach { case (k, v) => conf.set(k, v) }
+      // shrink the skew thresholds to test scale: one ~6 MB hot
+      // partition among KB-sized ones is "skewed" the same way one
+      // 6 GB partition among MB-sized ones is in production
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+      // the pad must SURVIVE column pruning (it's aggregated below) and
+      // resist shuffle compression (hex digests), or the hot partition's
+      // shuffle bytes fall under the skew threshold and nothing splits
+      val left = spark.range(0, 100000).select(
+        when(col("id") < 95000, 0L).otherwise(col("id") % 37 + 1).as("k"),
+        sha2(col("id").cast("string"), 256).as("pad"))
+      val right = spark.range(0, 40).toDF("k")
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      // every left key (0 and 1..37) matches exactly one right row.
+      // collect() on `joined` ITSELF: the skew split only exists in the
+      // final adaptive plan of the executed QueryExecution
+      assert(joined.collect()(0).getLong(0) === 100000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected the adaptive plan to take the skew-split path:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("RunTask rejects malformed invocations with actionable errors") {
     val env = Map("GRAFT_LAKE" -> "/x", "GRAFT_WAREHOUSE" -> "/x")
     val usage = intercept[ConfigException](RunTask.run(spark, List("frobnicate"), env))

@@ -174,6 +174,36 @@ object Similarity {
   private[graft] def expectedRecall(bits: Int, tables: Int): Double =
     1.0 - math.pow(1.0 - math.pow(designPointAgree, bits), tables)
 
+  /** Joint (bits, tables) derivation bounding CANDIDATES PER VECTOR.
+    * [[deriveBits]] alone holds bucket size constant and
+    * [[deriveTables]] alone holds recall constant — but together they
+    * let the total candidate budget drift: more tables × a constant
+    * bucket = more candidates per vector (measured 12.9× at the 10×
+    * corpus — the one superlinear term left after the round-7 fixes).
+    * So when BOTH knobs are defaulted, bits are raised past the
+    * bucket-size point until tables·(n/2^bits) fits the design-point
+    * budget (the historical 12 tables × 32-vector buckets = 384
+    * candidates/vector): candidates then scale EXACTLY ∝ n, recall
+    * stays at the design point by construction (tables re-derived per
+    * bits), and the extra signature work is polylog — a native tight
+    * loop, not a shuffle. At the pinned test SFs (n ≤ 2048) the
+    * derivation lands on the historical (6, 12), so every golden
+    * digest is unchanged. Past the 64-table cap the recall point
+    * erodes slowly (documented in [[deriveTables]]) — the explicit
+    * (bits, tables) overrides are the escape hatch.
+    */
+  private[graft] def deriveCapacity(n: Long, targetBucketSize: Int = 32,
+                                    floor: Int = 6,
+                                    candBudgetPerVec: Int = 384): (Int, Int) = {
+    var b = deriveBits(n, targetBucketSize, floor)
+    var t = deriveTables(b)
+    while (b < 30 && t * (n.toDouble / (1L << b)) > candBudgetPerVec) {
+      b += 1
+      t = deriveTables(b)
+    }
+    (b, t)
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables` independent
     * signature tables of `bits` hyperplanes each, dims-dimensional,
     * seeded — identical across runs and executors (shipped as a
@@ -402,16 +432,20 @@ object Similarity {
   def annTopK(emb: DataFrame, k: Int, tables: Int = 0, bits: Int = 0,
               dims: Int = 64, idCol: String = "vec_id",
               vecCol: String = "embedding", seed: Long = 0x5EED): DataFrame = {
-    // bits = 0 (default): hold bucket SIZE constant as the corpus grows
-    // (see deriveBits); tables = 0 (default): hold expected RECALL
-    // constant as bits grow (see deriveTables) — deriving one without
-    // the other silently trades recall for speed. The landed
-    // (bits, tables, recall) operating point is logged either way.
-    // The same pass audits vector lengths against `dims` (dimsAudit:
-    // a wrong dims otherwise degenerates to one garbage mega-bucket).
+    // both defaulted: the joint derivation (deriveCapacity) holds the
+    // candidate budget ∝ n AND the recall point; a single explicit
+    // knob keeps the one-sided derivations (bucket size via
+    // deriveBits, recall via deriveTables). The landed operating
+    // point is logged either way. The same pass audits vector lengths
+    // against `dims` (dimsAudit: a wrong dims otherwise degenerates
+    // to one garbage mega-bucket).
     val (n, _) = dimsAudit(emb, vecCol, dims)
-    val b0 = if (bits == 0) deriveBits(n) else bits
-    val t0 = if (tables == 0) deriveTables(b0) else tables
+    val (b0, t0) =
+      if (bits == 0 && tables == 0) deriveCapacity(n)
+      else {
+        val b = if (bits == 0) deriveBits(n) else bits
+        (b, if (tables == 0) deriveTables(b) else tables)
+      }
     log.info(f"annTopK capacity: bits=$b0 tables=$t0 " +
       f"expected design-point recall=${expectedRecall(b0, t0)}%.3f")
     // candidate ids first (narrow dedup: the distinct shuffles 16-byte
@@ -460,8 +494,12 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding",
                seed: Long = 0x5EED): DataFrame = {
     val (n, _) = dimsAudit(emb, vecCol, dims)
-    val b0 = if (bits == 0) deriveBits(n) else bits
-    val t0 = if (tables == 0) deriveTables(b0) else tables
+    val (b0, t0) =
+      if (bits == 0 && tables == 0) deriveCapacity(n)
+      else {
+        val b = if (bits == 0) deriveBits(n) else bits
+        (b, if (tables == 0) deriveTables(b) else tables)
+      }
     emb.select(col(idCol), col(vecCol),
       lshBuckets(col(vecCol), t0, b0, dims, seed).as("__buckets"))
   }
@@ -485,8 +523,12 @@ object Similarity {
     // derive from the same corpus (the index IS the corpus, so its
     // count reproduces the build-time derivation); explicit values are
     // the caller's contract, no count needed
-    val b0 = if (bits == 0) deriveBits(index.count()) else bits
-    val t0 = if (tables == 0) deriveTables(b0) else tables
+    val (b0, t0) =
+      if (bits == 0 && tables == 0) deriveCapacity(index.count())
+      else {
+        val b = if (bits == 0) deriveBits(index.count()) else bits
+        (b, if (tables == 0) deriveTables(b) else tables)
+      }
     dimsAudit(query, vecCol, dims) // wrong dims => loud, not a mega-bucket
     val qBuckets = query.select(col(idCol).as("vec_id"),
       posexplode(lshBuckets(col(vecCol), t0, b0, dims, seed)).as(Seq("t", "bucket")))

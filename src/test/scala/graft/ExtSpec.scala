@@ -336,6 +336,27 @@ class ExtSpec extends AnyFunSuite {
     assert(deriveCells(Long.MaxValue) === 65536)
   }
 
+  test("ANN joint capacity derivation bounds candidates/vector at the design budget") {
+    import graft.ext.Similarity.{deriveCapacity, deriveTables, expectedRecall}
+    // the test SFs land on the historical (6, 12) — golden digests safe
+    assert(deriveCapacity(500) === ((6, 12)) && deriveCapacity(2000) === ((6, 12)))
+    // at the 10x corpus the one-sided derivations gave (10, 33) = 644
+    // candidates/vector (the measured 12.9x sf1 growth); jointly bits
+    // rise until the budget fits — candidates scale ∝ n again
+    assert(deriveCapacity(20000) === ((12, 53)))
+    for (n <- Seq(20000L, 200000L, 5000000L)) {
+      val (b, t) = deriveCapacity(n)
+      assert(t === deriveTables(b), s"tables must re-derive for the landed bits at n=$n")
+      assert(t * (n.toDouble / (1L << b)) <= 384.0,
+        s"candidate budget exceeded at n=$n: ($b, $t)")
+      // recall holds at the design point until the 64-table cap; past
+      // it the erosion is the documented cost/recall trade (explicit
+      // overrides are the escape hatch)
+      if (t < 64) assert(expectedRecall(b, t) >= 0.95, s"recall eroded below cap at n=$n")
+      else assert(t === 64)
+    }
+  }
+
   test("derived tables hold expected recall as derived bits grow") {
     import graft.ext.Similarity.{deriveTables, expectedRecall}
     // at the floor the historical configuration is reproduced exactly —

@@ -79,5 +79,8 @@ object SparkEntry {
       + "bit-equality + cross-frame recall floor + golden digest"),
     "q82_image_near_dup" -> ("ImageIO decode + bilinear downsample DuckDB can't spell: "
       + "MultimodalSpec planted-pair dHash tests, brute-force pixel-distance "
-      + "differential, and the pinned sf0.001 pair set"))
+      + "differential, and the pinned sf0.001 pair set"),
+    "q83_image_dedup_incremental" -> ("non-SQL like q82, via the persisted signature "
+      + "index: MultimodalSpec probe-vs-full cross-frame equivalence at sf0.001 "
+      + "(the full pair set itself is q82's pinned family)"))
 }

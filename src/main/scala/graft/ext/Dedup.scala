@@ -786,4 +786,35 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** Incremental chunk-signature probe against a PRE-BUILT signature
+    * index — the build-once/probe-forever shape for EVERY 64-bit
+    * fingerprint family ([[nearDupSimHash]] text, [[Multimodal.dHash]]
+    * images, [[Multimodal.audioHash]] audio): the corpus signatures
+    * live as parquet (16 bytes + id per asset — the payloads
+    * themselves never re-read), the query batch brings its own
+    * signatures, and candidates come from the asymmetric chunk
+    * equi-join — cost ∝ |batch|·4 + collisions, never |corpus|.
+    * Output: (a_id = query, b_id = corpus, hamming ≤ maxHamming),
+    * complete for maxHamming ≤ 3 by the pigeonhole argument. Ids
+    * shared between the frames are treated as the same asset (the
+    * self-match is excluded), so probing a corpus against its own
+    * index reproduces [[nearDupChunkSigs]] exactly (up to the a<b
+    * canonicalization, which the caller applies when ids overlap).
+    */
+  def nearDupChunkSigsAgainstIndex(querySigs: DataFrame, indexSigs: DataFrame,
+                                   idCol: String, sigCol: String,
+                                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk index is only complete for Hamming distance <= 3")
+    val q = querySigs.select(col(idCol).as("a_id"), col(sigCol).as("__siga"),
+      posexplode(col(sigCol)).as(Seq("chunk_idx", "chunk_value")))
+    val c = indexSigs.select(col(idCol).as("b_id"), col(sigCol).as("__sigb"),
+      posexplode(col(sigCol)).as(Seq("chunk_idx", "chunk_value")))
+    q.join(c, Seq("chunk_idx", "chunk_value"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hammingDistance(col("__siga"), col("__sigb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -585,6 +585,50 @@ object ExtQueries {
     Multimodal.nearDupImages(assets, maxHamming = 3).orderBy("a_id", "b_id")
   }
 
+  /** The PERSISTED image-signature index: dHash chunk signatures of
+    * the held corpus (doc_id % 10 != 0, rendered to real PNGs), built
+    * once per (session, corpus) and landed as parquet under
+    * [[scratchPath]] — 16 bytes + id per image; probes never re-read
+    * or re-decode the corpus payloads.
+    */
+  private val imgSigIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedImageSigIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = imgSigIndexMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "img_sig_index", dir)
+      import spark.implicits._
+      Multimodal.dHash(docs(spark, dir).where(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, text) =>
+            Multimodal.Asset(id, "image", Multimodal.renderTextImage(text)) })
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Incremental IMAGE dedup: the ingest batch (doc_id % 10 == 0,
+    * rendered + dHashed fresh) probed against the PRE-BUILT signature
+    * index — q82's operator in its operational split (the q74/q80/q81
+    * pattern, now for the image modality). Probe cost ∝ batch; the
+    * corpus payloads are never re-decoded. Non-SQL-expressible like
+    * q82 → no oracle; MultimodalSpec pins probe-vs-full equivalence
+    * and the sf0.001 output.
+    */
+  def q83(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val batchSigs = Multimodal.dHash(
+      docs(spark, dir).where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.Asset(id, "image", Multimodal.renderTextImage(text)) })
+    Dedup.nearDupChunkSigsAgainstIndex(batchSigs, sharedImageSigIndex(spark, dir),
+        "asset_id", "phash", maxHamming = 3)
+      .orderBy("a_id", "b_id")
+  }
+
   /** SemDeDup-style semantic dedup over embeddings (k-means cells +
     * within-cell cosine + keep-lowest-id). KMeans makes it
     * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
@@ -648,7 +692,8 @@ object ExtQueries {
     "q79_strip_boilerplate" -> (q79 _),
     "q80_lm_persisted_probe" -> (q80 _),
     "q81_ann_persisted_probe" -> (q81 _),
-    "q82_image_near_dup" -> (q82 _)
+    "q82_image_near_dup" -> (q82 _),
+    "q83_image_dedup_incremental" -> (q83 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

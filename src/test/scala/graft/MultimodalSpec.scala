@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, lit}
 import graft.ext.Multimodal
 import graft.ext.Multimodal._
 
@@ -364,6 +365,80 @@ class MultimodalSpec extends AnyFunSuite {
     val pairs = Multimodal.nearDupImages(assets)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)), "resized re-encode of the same scene must near-dup")
+  }
+
+  private def wavOf(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio near-dup: gain-scaled/noisy twin pairs up, different envelope stays apart") {
+    // a 440-ish tone under a rising-then-falling envelope; its twin is
+    // the same material at 60% gain with light noise (gradients of the
+    // energy envelope survive both); the third clip decays
+    // monotonically — structurally different audio (a symmetric
+    // envelope is its own reverse, so "reversed" would NOT differ)
+    val n = 6500
+    def env(i: Int): Double = if (i < n / 2) i.toDouble / (n / 2) else (n - i).toDouble / (n / 2)
+    def tone(i: Int): Double = math.sin(i * 0.35)
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(n)(i => (env(i) * tone(i) * 16000).toInt.toShort)
+    val twin = Array.tabulate(n)(i =>
+      (env(i) * tone(i) * 9600 + rnd.nextInt(201) - 100).toInt.toShort)
+    val other = Array.tabulate(n)(i => ((1.0 - i.toDouble / n) * tone(i) * 16000).toInt.toShort)
+    val assets = Seq(Asset(1L, "audio", wavOf(base)),
+      Asset(2L, "audio", wavOf(twin)),
+      Asset(3L, "audio", wavOf(other))).toDS()
+    val pairs = Multimodal.nearDupAudio(assets)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)), s"expected only the planted twin pair, got $pairs")
+    // brute-force differential on what the hash measures: the
+    // GAIN-NORMALIZED energy envelope (raw PCM distance would punish
+    // the twin's 60% gain — exactly the difference a perceptual hash
+    // must ignore). The twin's normalized envelope is far closer to
+    // the base's than any unpaired combination
+    def envelope(x: Array[Short]): Array[Double] = {
+      val w = Array.fill(65)(0.0); val c = Array.fill(65)(0)
+      for (i <- x.indices) { val k = (i.toLong * 65 / x.length).toInt; w(k) += math.abs(x(i).toDouble); c(k) += 1 }
+      val m = w.indices.map(k => w(k) / c(k))
+      val mean = m.sum / m.size
+      m.map(_ / mean).toArray
+    }
+    def dist(x: Array[Short], y: Array[Short]): Double = {
+      val (ex, ey) = (envelope(x), envelope(y))
+      ex.indices.map(k => math.abs(ex(k) - ey(k))).sum / 65
+    }
+    assert(dist(base, twin) < dist(base, other) / 4 && dist(base, twin) < dist(twin, other) / 4,
+      s"planted twin must be envelope-closer: ${dist(base, twin)} vs ${dist(base, other)}, ${dist(twin, other)}")
+  }
+
+  test("incremental chunk-sig probe == full pair set (cross-frame), corpus never re-decodes") {
+    // split the q82-style corpus: index on doc_id%10!=0, probe the rest;
+    // the probe must reproduce exactly the cross-frame slice of the
+    // full-corpus pair set
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def assetsOf(pred: org.apache.spark.sql.Column) =
+      docs.where(pred).select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => Asset(id, "image", Multimodal.renderTextImage(text)) }
+    val full = Multimodal.nearDupImages(assetsOf(lit(true)))
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val crossFrameFull = full.filter { case (a, b, _) =>
+      (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, h) => if (a % 10 == 0) (a, b, h) else (b, a, h) }
+    val probed = graft.ext.ExtQueries.q83(spark, sf)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(probed === crossFrameFull,
+      "persisted-index probe drifted from the full-corpus cross-frame pairs")
   }
 
   test("q82: document-rendered PNG near-dup pair set is pinned at sf0.001") {

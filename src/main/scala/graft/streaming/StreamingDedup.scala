@@ -183,6 +183,63 @@ object StreamingDedup {
       .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
   }
 
+  /** foreachBatch sink: MULTIMODAL near-dup dedup across the whole
+    * stream history against a persisted chunk-signature index
+    * ([[graft.ext.Dedup.nearDupChunkSigsAgainstIndex]] layout) — the
+    * ingest loop for binary assets ("is this incoming image/clip a
+    * near-copy of anything we already hold?"). The batch must carry
+    * the Asset schema (asset_id, kind, payload); `sigOf` picks the
+    * fingerprint family ([[graft.ext.Multimodal.dHash]] for images —
+    * the default — or [[graft.ext.Multimodal.audioHash]] for audio).
+    * Per micro-batch:
+    *
+    *  1. hash the batch payloads ONCE (narrow mapPartitions — the
+    *     only place payload bytes are touched), probe the index with
+    *     the asymmetric chunk join and drop every batch asset within
+    *     `maxHamming` of the retained corpus — the corpus side is
+    *     16 bytes + id per asset, its payloads never re-decode;
+    *  2. dedup WITHIN the survivors (chunk join + connected
+    *     components, keep lowest id);
+    *  3. land the kept ORIGINAL rows (with payloads) under
+    *     `outRoot/__batch=<id>` and roll the index forward with the
+    *     kept signatures only.
+    *
+    * Same replay contract as the text sinks (per-batch partition
+    * overwrites, strictly-earlier probe) and the same documented
+    * greedy-vs-batch-CC divergence on transitive chains.
+    */
+  def chunkSigAgainstIndexSink(indexRoot: String, outRoot: String,
+                               maxHamming: Int = 3,
+                               sigOf: org.apache.spark.sql.Dataset[graft.ext.Multimodal.Asset] =>
+                                 DataFrame = graft.ext.Multimodal.dHash)
+                              (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigs = sigOf(batch.select(col("asset_id"), col("kind"), col("payload"))
+      .as[graft.ext.Multimodal.Asset])
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    val afterIndex = prior match {
+      case Some(index) =>
+        val hits = graft.ext.Dedup.nearDupChunkSigsAgainstIndex(sigs, index,
+            "asset_id", "phash", maxHamming)
+          .select(col("a_id").as("asset_id")).distinct()
+        sigs.join(hits, Seq("asset_id"), "left_anti")
+      case None => sigs
+    }
+    val keptSigs = graft.ext.Dedup.dedupNearDups(afterIndex,
+      graft.ext.Dedup.nearDupChunkSigs(afterIndex, "asset_id", "phash", maxHamming),
+      "asset_id")
+    batch.join(keptSigs.select("asset_id"), Seq("asset_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    keptSigs.select("asset_id", "phash")
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+  }
+
   def nearDupAgainstIndexSink(indexRoot: String, outRoot: String,
                               idCol: String = "doc_id", textCol: String = "text",
                               shingleSize: Int = 3, threshold: Double = 0.8,

@@ -441,6 +441,18 @@ class MultimodalSpec extends AnyFunSuite {
       "persisted-index probe drifted from the full-corpus cross-frame pairs")
   }
 
+  test("q83 plan: index side is a bare signature parquet scan — corpus payloads never re-decode") {
+    val plan = graft.ext.ExtQueries.q83(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    // exactly ONE hash pipeline (the query batch's render+dHash); the
+    // corpus enters as a two-column parquet relation of signatures
+    val hashPipelines = "MapPartitions".r.findAllIn(plan).size
+    assert(hashPipelines === 1,
+      s"expected one dHash mapPartitions (query side only), got $hashPipelines:\n$plan")
+    assert(plan.contains("Relation [asset_id") && plan.contains("phash"),
+      s"index side must be the signature parquet scan:\n$plan")
+  }
+
   test("q82: document-rendered PNG near-dup pair set is pinned at sf0.001") {
     // end-to-end: text -> real PNG -> ImageIO decode -> downsample ->
     // dHash -> chunked Hamming join; deterministic, so pinned exactly

@@ -418,6 +418,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(out() === batchKeep, "replay of a delivered batch changed the output")
   }
 
+  test("index-backed streaming IMAGE dedup: whole-history, stream == batch, payloads land, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    import graft.ext.Multimodal
+    import graft.ext.Multimodal.Asset
+    val work = SparkTestBase.tmpDir("graft_stream_img_idx")
+    val sink = StreamingDedup.chunkSigAgainstIndexSink(s"$work/index", s"$work/out") _
+    def grayPng(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // scenes: 9 vertical bands with distinct alternation patterns —
+    // pairwise dHash distance 48-64 bits (a monotone gradient would
+    // hash every scene to the same all-ones pattern); the twin's
+    // small +25 overlay can't flip any 200-step band gradient
+    val bandsOf = Map(
+      0 -> Array(30, 230, 30, 230, 30, 230, 30, 230, 30),
+      1 -> Array(30, 30, 230, 230, 30, 30, 230, 230, 30),
+      2 -> Array(230, 30, 230, 30, 230, 30, 230, 30, 230),
+      3 -> Array(230, 230, 30, 30, 230, 230, 30, 30, 230))
+    def scene(s: Int)(x: Int, y: Int) = bandsOf(s)(x * 9 / 64)
+    def twin(s: Int)(x: Int, y: Int) =
+      scene(s)(x, y) + (if (x >= 20 && x < 26 && y >= 20 && y < 26) 25 else 0)
+    def batchDf(rows: (Long, Array[Byte])*) =
+      rows.map { case (id, p) => Asset(id, "image", p) }.toDF()
+    // b0: in-batch twin pair (1,2) + a fresh scene; b1: cross-batch twin
+    // of the INDEXED survivor + fresh; b2: twin of b1's fresh + fresh
+    sink(batchDf(1L -> grayPng(scene(0)), 2L -> grayPng(twin(0)), 3L -> grayPng(scene(1))), 0L)
+    sink(batchDf(11L -> grayPng(twin(0)), 12L -> grayPng(scene(2))), 1L)
+    sink(batchDf(21L -> grayPng(twin(2)), 22L -> grayPng(scene(3))), 2L)
+    def out() = spark.read.parquet(s"$work/out")
+    assert(out().select("asset_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 12L, 22L))
+    // the landing carries the PAYLOADS (curated corpus, not just ids)
+    assert(out().where($"asset_id" === 1L).select("payload").as[Array[Byte]].head()
+      .sameElements(grayPng(scene(0))))
+    // streamed keep set == one-shot batch image dedup over full history
+    val full = batchDf(1L -> grayPng(scene(0)), 2L -> grayPng(twin(0)), 3L -> grayPng(scene(1)),
+      11L -> grayPng(twin(0)), 12L -> grayPng(scene(2)), 21L -> grayPng(twin(2)),
+      22L -> grayPng(scene(3))).as[Asset]
+    val batchKeep = graft.ext.Dedup.dedupNearDups(Multimodal.dHash(full),
+        Multimodal.nearDupImages(full), "asset_id")
+      .select("asset_id").as[Long].collect().sorted.toSeq
+    assert(out().select("asset_id").as[Long].collect().sorted.toSeq === batchKeep,
+      "stream history image dedup drifted from batch semantics")
+    // index holds only retained signatures; replay reproduces state
+    assert(spark.read.parquet(s"$work/index").select("asset_id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 3L, 12L, 22L))
+    sink(batchDf(11L -> grayPng(twin(0)), 12L -> grayPng(scene(2))), 1L)
+    assert(out().select("asset_id").as[Long].collect().sorted.toSeq === batchKeep,
+      "replay of a delivered batch changed the output")
+  }
+
   test("streaming NEAR-dup on a transitive chain: greedy keeps the far end (pinned divergence from batch CC)") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_neardup_chain")

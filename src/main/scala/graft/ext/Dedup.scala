@@ -787,6 +787,30 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** The PERSISTABLE SimHash corpus index: one row per document with
+    * its 4×16-bit chunk signature — 16 bytes + id, the text itself
+    * never lands. Write as parquet and probe forever with
+    * [[nearDupSimHashAgainstIndex]]: the SimHash face of the
+    * build-once/probe-forever split ([[minHashIndex]], `exactIndex`,
+    * [[Multimodal.dHash]] + `sharedImageSigIndex`).
+    */
+  def simHashIndex(corpus: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    corpus.select(col(idCol), simHashChunks(col(textCol)).as("__sig"))
+
+  /** Incremental SimHash near-dup probe: the query batch is hashed
+    * fresh, candidates and verification run through the asymmetric
+    * chunk join against the stored index signatures — cost ∝
+    * |batch|·4 + collisions, the corpus text is never re-read.
+    * Output: (a_id = query, b_id = corpus, hamming ≤ maxHamming).
+    */
+  def nearDupSimHashAgainstIndex(queryDocs: DataFrame, index: DataFrame,
+                                 idCol: String = "doc_id", textCol: String = "text",
+                                 maxHamming: Int = 3): DataFrame =
+    nearDupChunkSigsAgainstIndex(
+      queryDocs.select(col(idCol), simHashChunks(col(textCol)).as("__sig")),
+      index, idCol, "__sig", maxHamming)
+
   /** Incremental chunk-signature probe against a PRE-BUILT signature
     * index — the build-once/probe-forever shape for EVERY 64-bit
     * fingerprint family ([[nearDupSimHash]] text, [[Multimodal.dHash]]

@@ -310,6 +310,23 @@ class ExtSpec extends AnyFunSuite {
     assert(digest === "dd714dd245755a68c441c38358258efb", s"q81 output drifted (digest $digest)")
   }
 
+  test("persisted SimHash index probe == full-corpus cross-frame pair slice") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = SparkTestBase.tmpDir("graft_simhash_idx")
+    Dedup.simHashIndex(docs.where(col("doc_id") % 10 =!= 0))
+      .write.mode("overwrite").parquet(dir)
+    val probed = Dedup.nearDupSimHashAgainstIndex(
+        docs.where(col("doc_id") % 10 === 0), spark.read.parquet(dir))
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val full = Dedup.nearDupSimHash(docs)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    val crossFrame = full.filter { case (a, b, _) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b, h) => if (a % 10 == 0) (a, b, h) else (b, a, h) }
+    assert(probed === crossFrame,
+      "persisted SimHash probe drifted from the full-corpus cross-frame pairs")
+    assert(probed.nonEmpty, "fixture must exercise at least one cross-frame pair")
+  }
+
   test("annTopK plan runs the native signature expression, not interpreted HOFs") {
     import graft.ext.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -746,9 +746,16 @@ object Dedup {
     graft.functions.ArrayExprs.simHashChunks(
       transform(TextOps.tokens(text), t => xxhash64(t)))
 
-  /** Hamming distance between two chunked signatures. */
+  /** Hamming distance between two chunked signatures — a native
+    * codegen expression ([[graft.functions.ArrayExprs.chunkHamming]]):
+    * the interpreted `aggregate(zip_with(bit_count(^)))` HOF chain it
+    * replaces ran TWICE per candidate (Catalyst inlines the verify
+    * into the chunk-join condition and again in the project) and broke
+    * whole-stage codegen in the hottest loop of every signature
+    * family. Same null contract (length mismatch → NULL).
+    */
   def hammingDistance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v)
+    graft.functions.ArrayExprs.chunkHamming(a, b)
 
   /** Near-dup pairs by SimHash: chunk-collision candidates, verified by
     * full Hamming distance ≤ maxHamming (exact for maxHamming ≤ 3 with

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -36,6 +37,11 @@ object ArrayExprs {
   /** Intersection size of two SORTED long arrays (merge scan). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Hamming distance between two chunked 64-bit signatures. */
+  def chunkHamming(a: Column, b: Column): Column =
+    ColumnBridge.column(ChunkHammingDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Sorted distinct 64-bit hashes of a text's n-word shingles. */
@@ -423,6 +429,86 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
   * `acc*2 + bit` packing — bit-identical buckets (the pinned q16
   * digest verifies this).
   */
+/** Hamming distance between two chunked int signatures: Σ
+  * bit_count(a(i) ^ b(i)). Replaces the interpreted
+  * `aggregate(zip_with(...))` HOF chain in the chunk-join verify —
+  * HOFs don't participate in whole-stage codegen, and Catalyst inlines
+  * the verify into the join CONDITION (it runs once per candidate,
+  * then again in the project), so the interpreted chain sat twice in
+  * the hottest loop of every chunk-signature family (text SimHash,
+  * image dHash, audio hash). Null semantics match the HOF chain:
+  * length-mismatched signatures (zip_with's null padding would null
+  * the sum) return NULL, never a truncated distance that could
+  * under-count into a false near-dup.
+  */
+case class ChunkHammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // both chunk layouts exist in the wild: SimHashChunks64 emits
+  // array<bigint>, the perceptual hashes emit array<int> — accept
+  // either (same width both sides) with NO inserted cast, so neither
+  // family pays a per-row array conversion in the join loop
+  private def elemOf(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(IntegerType, _) => Some(IntegerType)
+    case ArrayType(LongType, _)    => Some(LongType)
+    case _                         => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemOf(left.dataType), elemOf(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two arrays of the same integral chunk type " +
+          s"(array<int> or array<bigint>), got ${left.dataType.simpleString} " +
+          s"and ${right.dataType.simpleString}")
+    }
+
+  private lazy val longChunks =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "chunk_hamming"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0
+      var i = 0
+      while (i < x.numElements()) {
+        acc += (if (longChunks) java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+                else java.lang.Integer.bitCount(x.getInt(i) ^ y.getInt(i)))
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val xor =
+        if (longChunks) s"java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i))"
+        else s"java.lang.Integer.bitCount($a.getInt($i) ^ $b.getInt($i))"
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    $acc += $xor;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class HyperplaneSignatures(child: Expression, planes: Seq[Seq[Seq[Double]]])
   extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(planes.nonEmpty && planes.head.nonEmpty, "need >= 1 table of >= 1 plane")

@@ -335,4 +335,22 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, minSuccessful = 10)
   }
+
+  test("property: native chunk_hamming == the HOF chain it replaced (incl. mismatched lengths)") {
+    import org.apache.spark.sql.functions.{aggregate, bit_count, col, lit, zip_with}
+    val sigGen = Gen.choose(2, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 0xFFFF)).map(_.toArray))
+    check(Prop.forAll(Gen.listOfN(24, Gen.zip(sigGen, sigGen))) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }.toDF("i", "a", "b")
+      val out = df.select(col("i"),
+          graft.functions.ArrayExprs.chunkHamming(col("a"), col("b")).as("native"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) => bit_count(x.bitwiseXOR(y))),
+            lit(0), (acc, v) => acc + v).as("hof"))
+        .collect()
+      out.forall { r =>
+        // equal lengths: identical distance; mismatched: both NULL
+        (r.isNullAt(1) && r.isNullAt(2)) || (!r.isNullAt(1) && r.getInt(1) == r.getInt(2))
+      }
+    }, minSuccessful = 20)
+  }
 }

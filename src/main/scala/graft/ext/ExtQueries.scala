@@ -629,6 +629,21 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  def q84(spark: SparkSession, dir: String): DataFrame =
+    TextOps.encodingProfile(docs(spark, dir)).orderBy("doc_id")
+
+  /** Normalize-then-dedup: exact dedup keyed on the canonicalized text
+    * ([[TextOps.normalizeText]]) — catches case/whitespace-variant
+    * duplicates the byte-exact q07 misses, the usual first dedup pass
+    * of a curation pipeline. Same narrow md5-key shuffle as q07.
+    */
+  def q85(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      docs(spark, dir).withColumn("__norm", TextOps.normalizeText(col("text"))),
+      "doc_id", "__norm")
+      .drop("__norm")
+      .orderBy("doc_id")
+
   /** SemDeDup-style semantic dedup over embeddings (k-means cells +
     * within-cell cosine + keep-lowest-id). KMeans makes it
     * approximate/seeded like q16/q26 → no SQL oracle; golden-pinned
@@ -693,7 +708,9 @@ object ExtQueries {
     "q80_lm_persisted_probe" -> (q80 _),
     "q81_ann_persisted_probe" -> (q81 _),
     "q82_image_near_dup" -> (q82 _),
-    "q83_image_dedup_incremental" -> (q83 _)
+    "q83_image_dedup_incremental" -> (q83 _),
+    "q84_encoding_profile" -> (q84 _),
+    "q85_normalized_dedup" -> (q85 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -842,6 +859,24 @@ object ExtQueries {
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // q78's coverage CTEs; kept tokens reassembled in position order
     // (string_agg ORDER BY = Spark's sorted-struct rebuild)
+    "q84_encoding_profile" ->
+      """SELECT doc_id,
+        |  CAST(len(text) - len(regexp_replace(text, '�', '', 'g')) AS BIGINT)
+        |    AS replacement_chars,
+        |  CAST(len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT)
+        |    AS control_chars,
+        |  CAST(len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) AS BIGINT)
+        |    AS mojibake_marks,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE CAST(len(text) - len(regexp_replace(text, '[\x20-\x7E\x09\x0A\x0D]', '', 'g'))
+        |              AS DOUBLE) / len(text) END AS ascii_frac
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q85_normalized_dedup" ->
+      """SELECT * FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin,
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |w AS (

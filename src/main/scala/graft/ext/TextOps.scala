@@ -436,6 +436,43 @@ object TextOps {
       .withColumn("symbol_frac", frac("[^A-Za-z0-9 ]"))
   }
 
+  /** Encoding-health profile — the corruption signals a web-scale
+    * ingest pipeline filters on before any modeling: U+FFFD
+    * replacement characters (a decoder already gave up), C0 control
+    * characters outside tab/newline/CR (binary junk in "text"),
+    * classic UTF-8-as-Latin-1 mojibake marker characters (Ã, Â, €),
+    * and the ASCII fraction (prose vs binary-ish payloads). All four
+    * are codegen regex length-diffs in the RE2 ∩ Java subset (the q42
+    * construction) — exactly oracle-replayable, narrow projection, no
+    * shuffle.
+    */
+  def encodingProfile(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val len = length(t)
+    def cnt(pat: String): Column =
+      (len - length(regexp_replace(t, pat, ""))).cast("long")
+    df.select(col(idCol),
+      cnt("�").as("replacement_chars"),
+      cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("control_chars"),
+      cnt("[ÃÂ€]").as("mojibake_marks"),
+      when(len === 0, lit(0.0))
+        .otherwise(cnt("[\\x20-\\x7E\\x09\\x0A\\x0D]").cast("double") / len.cast("double"))
+        .as("ascii_frac"))
+  }
+
+  /** Canonical text normalization for dedup (the CCNet-style
+    * pre-dedup pass): lowercase, trim, squeeze whitespace runs to one
+    * space. Kept in the RE2 ∩ Java regex subset and ASCII semantics so
+    * the normalize-then-dedup output is exactly oracle-replayable;
+    * callers wanting unicode NFC bring their own expression (the
+    * dedup machinery only sees a text column).
+    */
+  def normalizeText(text: Column): Column =
+    // squeeze BEFORE trim: trim strips spaces only, so a leading tab
+    // must first become a space to be trimmed (both engines agree)
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Document chunking: split each document into fixed-size token
     * windows starting every `stride` tokens (overlapping when
     * stride < chunkTokens) — the pre-embedding/RAG windowing step.

@@ -327,6 +327,31 @@ class ExtSpec extends AnyFunSuite {
     assert(probed.nonEmpty, "fixture must exercise at least one cross-frame pair")
   }
 
+  test("encoding profile flags replacement chars, control bytes, mojibake marks; ascii fraction") {
+    val (s2, s3, s4) = ("bad \uFFFD char \uFFFD here", "ctrl\u0001here\u0007end\ttab ok", "x \u00C3 y \u00C2 z \u20AC w")
+    val df = docsDf(1L -> "clean ascii text", 2L -> s2, 3L -> s3, 4L -> s4, 5L -> "")
+    val out = TextOps.encodingProfile(df)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((0L, 0L, 0L, 1.0)))
+    assert(out(2L) === ((2L, 0L, 0L, (s2.length - 2).toDouble / s2.length)))
+    // tab is NOT a control violation and IS ascii
+    assert(out(3L) === ((0L, 2L, 0L, (s3.length - 2).toDouble / s3.length)))
+    assert(out(4L) === ((0L, 0L, 3L, (s4.length - 3).toDouble / s4.length)))
+    assert(out(5L) === ((0L, 0L, 0L, 0.0))) // empty text -> all zero
+  }
+
+  test("normalize-then-dedup collapses case/whitespace variants to the lowest id") {
+    assert(spark.range(1).select(
+        TextOps.normalizeText(lit("  Hello   WORLD \t x ")).as("n"))
+      .as[String].head() === "hello world x")
+    val df = docsDf(1L -> "a b", 2L -> "A  b ", 3L -> "c", 4L -> "\tA B")
+    val kept = Dedup.exact(
+        df.withColumn("__norm", TextOps.normalizeText(col("text"))), "doc_id", "__norm")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 3L), "case/whitespace variants must dedup to the first doc")
+  }
+
   test("annTopK plan runs the native signature expression, not interpreted HOFs") {
     import graft.ext.Similarity
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -341,6 +341,20 @@ class ExtSpec extends AnyFunSuite {
     assert(out(5L) === ((0L, 0L, 0L, 0.0))) // empty text -> all zero
   }
 
+  test("q84/q85 plan shapes: profile is shuffle-free; normalized dedup shuffles only md5 keys") {
+    // q84: the corruption profile is a pure per-row projection — its
+    // only Exchange is the final presentation orderBy
+    val p84 = ExtQueries.q84(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p84).size === 1,
+      s"encoding profile must add no shuffle beyond the output sort:\n$p84")
+    // q85: one aggregation keyed on the 16-byte md5 of the NORMALIZED
+    // text (never the text itself) + the winner semi-join, like q07
+    val p85 = ExtQueries.q85(spark, sf).queryExecution.executedPlan.toString
+    assert(p85.contains("md5"), s"dedup key must be the md5 digest:\n$p85")
+    assert("HashAggregate".r.findAllIn(p85).size <= 4, // partial+final x (min, distinct-side)
+      s"normalized dedup must stay one narrow agg + semi join:\n$p85")
+  }
+
   test("normalize-then-dedup collapses case/whitespace variants to the lowest id") {
     assert(spark.range(1).select(
         TextOps.normalizeText(lit("  Hello   WORLD \t x ")).as("n"))

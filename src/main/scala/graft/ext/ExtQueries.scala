@@ -875,7 +875,7 @@ object ExtQueries {
       """SELECT * FROM documents
         |WHERE doc_id IN (
         |  SELECT min(doc_id) FROM documents
-        |  GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+        |  GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),

@@ -579,7 +579,10 @@ object Multimodal {
         else if (a.kind == "video" && Codec.isGif(a.payload))
           gridLum(Codec.readGifFrames(a.payload).head)
         else {
-          val start = if (a.kind != "image" && a.payload.length >= FakeCodec.HeaderLen &&
+          // skip the GRFT header unconditionally (any kind): the hash
+          // must cover body bytes, not magic/kind/dims — matching
+          // audioHash and the documented contract
+          val start = if (a.payload.length >= FakeCodec.HeaderLen &&
             ByteBuffer.wrap(a.payload, 0, 4).getInt == FakeCodec.Magic) FakeCodec.HeaderLen else 0
           val out = new Array[Int](72)
           var i = 0

@@ -470,8 +470,12 @@ object TextOps {
     */
   def normalizeText(text: Column): Column =
     // squeeze BEFORE trim: trim strips spaces only, so a leading tab
-    // must first become a space to be trimmed (both engines agree)
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    // must first become a space to be trimmed (both engines agree).
+    // Whitespace class spelled byte-for-byte: Java \s includes \x0B
+    // (vertical tab) but RE2's does not, so \s+ would diverge between
+    // Spark and an RE2-based oracle on any document containing VT —
+    // exactly the control bytes encodingProfile exists to flag.
+    trim(regexp_replace(lower(text), "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Document chunking: split each document into fixed-size token
     * windows starting every `stride` tokens (overlapping when

@@ -469,6 +469,13 @@ case class ChunkHammingDistance(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "chunk_hamming"
 
+  // produces null beyond child-null (length mismatch), so nullability
+  // cannot be inherited from the children: with two non-nullable inputs
+  // the inherited `false` would make codegen assign to a constant
+  // isNull literal (Janino failure → interpreted fallback) and let
+  // nullSafeEval hand an undeclared null downstream
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

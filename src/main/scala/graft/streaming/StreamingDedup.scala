@@ -217,27 +217,33 @@ object StreamingDedup {
     import spark.implicits._
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the signature frame feeds FOUR plan branches (index probe,
+    // in-batch self-join — two lineage copies — and the survivors'
+    // anti-join); without a cache the payload-decoding mapPartitions
+    // would re-execute per branch, breaking the hashed-ONCE contract
     val sigs = sigOf(batch.select(col("asset_id"), col("kind"), col("payload"))
-      .as[graft.ext.Multimodal.Asset])
+      .as[graft.ext.Multimodal.Asset]).cache()
     val prior: Option[DataFrame] =
       if (fs.exists(idxPath))
         Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
       else None // first batch ever
-    val afterIndex = prior match {
-      case Some(index) =>
-        val hits = graft.ext.Dedup.nearDupChunkSigsAgainstIndex(sigs, index,
-            "asset_id", "phash", maxHamming)
-          .select(col("a_id").as("asset_id")).distinct()
-        sigs.join(hits, Seq("asset_id"), "left_anti")
-      case None => sigs
-    }
-    val keptSigs = graft.ext.Dedup.dedupNearDups(afterIndex,
-      graft.ext.Dedup.nearDupChunkSigs(afterIndex, "asset_id", "phash", maxHamming),
-      "asset_id")
-    batch.join(keptSigs.select("asset_id"), Seq("asset_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    keptSigs.select("asset_id", "phash")
-      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    try {
+      val afterIndex = prior match {
+        case Some(index) =>
+          val hits = graft.ext.Dedup.nearDupChunkSigsAgainstIndex(sigs, index,
+              "asset_id", "phash", maxHamming)
+            .select(col("a_id").as("asset_id")).distinct()
+          sigs.join(hits, Seq("asset_id"), "left_anti")
+        case None => sigs
+      }
+      val keptSigs = graft.ext.Dedup.dedupNearDups(afterIndex,
+        graft.ext.Dedup.nearDupChunkSigs(afterIndex, "asset_id", "phash", maxHamming),
+        "asset_id")
+      batch.join(keptSigs.select("asset_id"), Seq("asset_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      keptSigs.select("asset_id", "phash")
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally sigs.unpersist()
   }
 
   def nearDupAgainstIndexSink(indexRoot: String, outRoot: String,

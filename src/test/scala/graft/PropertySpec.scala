@@ -353,4 +353,26 @@ class PropertySpec extends AnyFunSuite {
       }
     }, minSuccessful = 20)
   }
+
+  test("chunk_hamming: non-nullable mismatched-width inputs yield NULL under codegen") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    // array(lit...) columns are non-nullable: without the expression's
+    // `nullable = true` override the generated `isNull = true;` would
+    // assign to a constant false literal (Janino failure → silent
+    // interpreted fallback) and eval could hand an undeclared null
+    // downstream. This pins the declared contract.
+    val df = spark.range(2).select(
+      array(lit(1), lit(2)).as("a"),
+      array(lit(1), lit(2), lit(3)).as("b"))
+    assert(!df.schema("a").nullable && !df.schema("b").nullable)
+    val out = df.select(
+      graft.functions.ArrayExprs.chunkHamming(col("a"), col("b")).as("d"),
+      graft.functions.ArrayExprs.chunkHamming(col("a"), col("a")).as("same"))
+    assert(out.schema("d").nullable,
+      "chunk_hamming must declare nullable: it produces null beyond child-null")
+    out.collect().foreach { r =>
+      assert(r.isNullAt(0), "mismatched widths must be NULL, not truncated")
+      assert(r.getInt(1) == 0)
+    }
+  }
 }

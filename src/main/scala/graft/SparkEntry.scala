@@ -82,5 +82,10 @@ object SparkEntry {
       + "differential, and the pinned sf0.001 pair set"),
     "q83_image_dedup_incremental" -> ("non-SQL like q82, via the persisted signature "
       + "index: MultimodalSpec probe-vs-full cross-frame equivalence at sf0.001 "
-      + "(the full pair set itself is q82's pinned family)"))
+      + "(the full pair set itself is q82's pinned family)"),
+    "q86_quality_score" -> ("libm-bound (ln/exp in NB weights + sigmoid): ExtSpec "
+      + "hand-computed StrictMath fixture, repartition determinism, planted-signal "
+      + "ranking + golden digest"),
+    "q87_quality_persisted_probe" -> ("libm-bound like q86, via the persisted model: "
+      + "ExtSpec persisted-vs-direct bit-equality + golden digest"))
 }

@@ -654,6 +654,51 @@ object ExtQueries {
       .select(col("vec_id"))
       .orderBy("vec_id")
 
+  /** Trainable quality-classifier score over the corpus, self-trained
+    * with the `lang = 'en'` weak label (the classic "trusted slice vs
+    * the rest" recipe on this corpus's only categorical text facet).
+    * libm-bound like q73 (ln/exp in weights and sigmoid) → no SQL
+    * oracle; golden-pinned and fixture-verified in ExtSpec.
+    */
+  def q86(spark: SparkSession, dir: String): DataFrame =
+    QualityModel.qualityScore(
+      docs(spark, dir).withColumn("label", col("lang") === "en"))
+      .orderBy("doc_id")
+
+  /** The PERSISTED quality model, trained once per (session, corpus)
+    * on the held corpus (doc_id % 10 != 0 — the q46/q74/q80 split)
+    * and landed as parquet under [[scratchPath]] — train-once/
+    * score-forever, the GPT-3 quality-filter operational shape.
+    */
+  private val qualityModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedQualityModel(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = qualityModelMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "quality_model", dir)
+      QualityModel.qualityTrain(
+        docs(spark, dir).where(col("doc_id") % 10 =!= 0)
+          .withColumn("label", col("lang") === "en"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Persisted-quality-model probe: the ingest batch (doc_id % 10 ==
+    * 0) scored against the PRE-TRAINED parquet model — q86's operator
+    * in its operational split, the model never refit. Bit-identical
+    * to the in-memory model (exact integer counts round-trip through
+    * parquet; ExtSpec pins the equality). libm-bound like q86 →
+    * golden-pinned, no SQL oracle.
+    */
+  def q87(spark: SparkSession, dir: String): DataFrame =
+    QualityModel.qualityScoreAgainst(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedQualityModel(spark, dir))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -710,7 +755,9 @@ object ExtQueries {
     "q82_image_near_dup" -> (q82 _),
     "q83_image_dedup_incremental" -> (q83 _),
     "q84_encoding_profile" -> (q84 _),
-    "q85_normalized_dedup" -> (q85 _)
+    "q85_normalized_dedup" -> (q85 _),
+    "q86_quality_score" -> (q86 _),
+    "q87_quality_persisted_probe" -> (q87 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

@@ -1674,4 +1674,143 @@ class ExtSpec extends AnyFunSuite {
       assert(math.abs(a - n).toDouble / n < 0.15, s"HLL for $lang: $a vs exact $n")
     }
   }
+
+  // -------------------------------------------------------------------
+  // Trainable quality classifier (hashed n-gram linear model)
+  // -------------------------------------------------------------------
+
+  test("qualityScore: hand-computed StrictMath fixture (counts, smoothing, fold order)") {
+    import graft.ext.QualityModel
+    val B = 1 << 18
+    val alpha = 0.5
+    val labeled = Seq(
+      (1L, "good fine good", true),
+      (2L, "fine good", true),
+      (3L, "bad awful", false),
+      (4L, "bad fine", false)).toDF("doc_id", "text", "label")
+    // independent model: features = unigrams ++ word bigrams, hashed
+    // with Spark's xxhash64 (the hash IS part of the model family —
+    // fastText's hashing trick), all classifier math in StrictMath
+    def feats(text: String): Seq[String] = {
+      val t = text.split(" ").toSeq
+      t ++ t.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val rows = Seq(1L -> "good fine good", 2L -> "fine good",
+      3L -> "bad awful", 4L -> "bad fine")
+    val allFeats = rows.flatMap { case (_, t) => feats(t) }.distinct
+    val bucketOf: Map[String, Long] = allFeats.zip(
+      allFeats.toDF("f")
+        .select(pmod(xxhash64($"f"), lit(B.toLong)).as("b"))
+        .as[Long].collect()).toMap
+    val posDocs = Set(1L, 2L)
+    def classCount(pos: Boolean): Map[Long, Long] = rows
+      .filter(r => posDocs.contains(r._1) == pos)
+      .flatMap { case (_, t) => feats(t).map(bucketOf) }
+      .groupBy(identity).map { case (b, occ) => b -> occ.size.toLong }
+    val posC = classCount(pos = true)
+    val negC = classCount(pos = false)
+    val posT = posC.values.sum.toDouble
+    val negT = negC.values.sum.toDouble
+    val aB = alpha * B
+    import java.lang.StrictMath.{exp, log}
+    def w(b: Long): Double =
+      (log(posC.getOrElse(b, 0L).toDouble + alpha) - log(posT + aB)) -
+        (log(negC.getOrElse(b, 0L).toDouble + alpha) - log(negT + aB))
+    val prior = log(2.0 + alpha) - log(2.0 + alpha)
+    def score(text: String): (Long, Double, Double) = {
+      val bs = feats(text).map(bucketOf)
+      val contribs = bs.groupBy(identity).toSeq.sortBy(_._1)
+        .map { case (b, occ) => occ.size.toDouble * w(b) }
+      val sum = contribs.foldLeft(0.0)(_ + _)
+      val logit = prior + sum / bs.size.toDouble
+      (bs.size.toLong, logit, 1.0 / (1.0 + exp(-logit)))
+    }
+    val want = rows.map { case (id, t) => id -> score(t) }.toMap
+    val got = QualityModel.qualityScore(labeled)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want, "operator drifted from the hand-computed NB model")
+    // pos-vocab docs must out-score neg-vocab docs on this fixture
+    assert(got(1L)._3 > got(3L)._3 && got(2L)._3 > got(4L)._3)
+  }
+
+  test("qualityScoreAgainst: unseen buckets get the smoothed floor, never NaN/inf") {
+    import graft.ext.QualityModel
+    val labeled = Seq(
+      (1L, "good fine good", true), (2L, "fine good", true),
+      (3L, "bad awful", false), (4L, "bad fine", false))
+      .toDF("doc_id", "text", "label")
+    val model = QualityModel.qualityTrain(labeled)
+    val alien = docsDf(900L -> "zzq wwx vvy")
+    val out = QualityModel.qualityScoreAgainst(alien, model)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length === 1)
+    val (_, n, logit, q) = out.head
+    assert(n === 5L) // 3 unigrams + 2 bigrams
+    assert(!logit.isNaN && !logit.isInfinite && q > 0.0 && q < 1.0)
+    // every alien bucket carries the SAME unseen weight w0 =
+    // ln(0.5/(posT+aB)) - ln(0.5/(negT+aB)); with equal doc priors the
+    // logit collapses to exactly w0 (mean of n identical contributions)
+    val B = 1 << 18
+    import java.lang.StrictMath.log
+    // posT = 5 + 3, negT = 3 + 3 feature occurrences (uni + bigrams)
+    val w0 = (log(0.5) - log(8.0 + 0.5 * B)) - (log(0.5) - log(6.0 + 0.5 * B))
+    assert(math.abs(logit - w0) < 1e-12,
+      s"alien logit $logit should collapse to the unseen-bucket weight $w0")
+  }
+
+  test("quality model: parquet round-trip scores bit-identical to the in-memory model") {
+    import graft.ext.QualityModel
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("label", $"lang" === "en")
+    val dir = SparkTestBase.tmpDir("graft_quality_model")
+    QualityModel.qualityTrain(docs).write.mode("overwrite").parquet(dir)
+    val model = spark.read.parquet(dir)
+    val direct = QualityModel.qualityScoreAgainst(docs, QualityModel.qualityTrain(docs))
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaParquet = QualityModel.qualityScoreAgainst(docs, model)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaParquet === direct,
+      "integer-count model must round-trip through parquet exactly")
+  }
+
+  test("qualityScore: bit-identical under repartition") {
+    import graft.ext.QualityModel
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("label", $"lang" === "en")
+    val base = QualityModel.qualityScore(docs)
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    val shuffled = QualityModel.qualityScore(docs.repartition(7))
+      .select("doc_id", "logit").as[(Long, Double)].collect().toMap
+    assert(base === shuffled,
+      "per-doc fold order leaked partitioning into the score")
+  }
+
+  test("golden digests: q86 quality score and q87 persisted probe are bit-stable at sf0.001") {
+    // the no_oracle rows' hard signal (q73/q80 contract): any drift in
+    // tokenization, hashing, counts, smoothing, fold order, or libm
+    // usage changes these digests. Re-pin ONLY for an intentional change.
+    def dump(df: org.apache.spark.sql.DataFrame): String =
+      df.as[(Long, Long, Double, Double)].collect()
+        .map { case (d, n, l, q) => s"$d,$n,$l,$q" }.mkString("\n")
+    assert(md5(dump(ExtQueries.q86(spark, sf))) === "1faf9655185de5b372d383e50235054f",
+      "q86 output drifted")
+    assert(md5(dump(ExtQueries.q87(spark, sf))) === "e619153699b6677fcda7739a789945ad",
+      "q87 output drifted")
+  }
+
+  test("qualityScore learns a planted vocabulary signal on held-out docs") {
+    import graft.ext.QualityModel
+    // train: 20 docs of trusted vocab vs 20 of junk vocab; score two
+    // HELD-OUT docs (ids the training never saw, same vocab split)
+    val train = ((1L to 20L).map(i => (i, s"clear prose reads well sentence $i", true)) ++
+      (21L to 40L).map(i => (i, s"zzz spam spam click here buy $i", false)))
+      .toDF("doc_id", "text", "label")
+    val model = QualityModel.qualityTrain(train)
+    val heldOut = docsDf(100L -> "clear prose reads well", 101L -> "spam click here buy")
+    val got = QualityModel.qualityScoreAgainst(heldOut, model)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(got(100L) > 0.9 && got(101L) < 0.1,
+      s"planted signal not separated: pos=${got(100L)} neg=${got(101L)}")
+  }
 }

@@ -21,7 +21,10 @@ import org.apache.spark.sql.SparkSession
   * file, `bench_samples.json`, not on stdout at all) and the headline
   * `queries`/`value`/`failed` fields come LAST. Minima are rounded to
   * 0.1 ms to keep the tail small; raw full-precision samples are in
-  * the side file.
+  * the side file. Because the tail cap can still clip early
+  * `ext_queries` entries off a long registry, the identical minima
+  * line is ALSO written whole to `bench_minima.json` — the
+  * self-contained artifact no tail cap can touch.
   *
   * Failures are loud and unambiguous: the error is printed to stderr
   * and recorded per-query, and a query that failed on ANY pass
@@ -36,6 +39,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val samplesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")
+    val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA", "bench_minima.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -99,7 +103,16 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] samples side-file write failed: $e") }
     // Tail-capture ordering: the harness keeps the END of stdout, so
     // headline value/queries/failed go last; droppable context first.
-    println(s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","samples_file":"$samplesPath","errors":$errs,"ext_queries":${fmtMins(ext)},"ext_total":${total(ext)},"queries":${fmtMins(head)},"value":${total(head)},"failed":$nFailed}""")
+    val line =
+      s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","samples_file":"$samplesPath","errors":$errs,"ext_queries":${fmtMins(ext)},"ext_total":${total(ext)},"queries":${fmtMins(head)},"value":${total(head)},"failed":$nFailed}"""
+    // The stdout line is tail-capped by the collecting harness, which
+    // can clip the FRONT (the ext_queries minima) off a long registry.
+    // The same line therefore also lands whole in a side file next to
+    // bench_samples.json: no consumer should depend on the tail cap.
+    try java.nio.file.Files.write(java.nio.file.Paths.get(minimaPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] minima side-file write failed: $e") }
+    println(line)
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.EtlContext
+
+/** The full curation pipeline as ONE composable chain — the product's
+  * actual usage shape: encoding gate → normalize-dedup → MinHash
+  * near-dup removal → decontamination → mixture sampling → sequence
+  * packing, each stage feeding the next's survivor set. Every stage is
+  * an already-oracled operator (q84/q85/q12+q23/q30/q33/q34); the
+  * chain is their composition with the SAME constants, so the chain
+  * itself stays exactly SQL-replayable end-to-end (q88).
+  *
+  * Two faces, same code:
+  *  - [[run]] — the direct DataFrame composition (registry q88);
+  *  - [[fns]] — the stages as NAMED fn steps for the framework's
+  *    Step machinery ([[graft.config.Step.Fn]]), so a YAML pipeline
+  *    drives the identical chain through `PipelineRunner` and lands
+  *    the result via journal→merge (reference EP2 lifecycle,
+  *    airflow_etl.py:669-734). PipelineSpec pins framework ≡ direct.
+  *
+  * Scale shape: stages only shrink the corpus (gate → dedup → decon →
+  * sample) before the one order-defined stage (packing) runs on the
+  * smallest set, sharded by language. No stage adds a shuffle beyond
+  * its operator's own documented shape; the raw `text` column rides
+  * along but never widens a shuffle that the standalone operators
+  * don't already pay.
+  */
+object CurationChain {
+
+  /** Chain constants — shared by [[run]], [[fns]], and the q88 oracle
+    * (they must stay in lockstep with the per-stage registry queries
+    * they compose: q12's banding, q30's bench split, q33's rates,
+    * q34's capacity).
+    */
+  val ShingleSize = 3
+  val JaccardThreshold = 0.8
+  val DeconShingleSize = 5
+  val BenchMod = 20
+  val MixtureRates: Map[String, Double] =
+    Map("de" -> 0.5, "en" -> 1.0, "es" -> 0.25, "fr" -> 0.0)
+  val PackCapacity = 2048
+
+  /** Stage 1 — encoding-health gate (q84's profile as a filter): drop
+    * documents with U+FFFD replacement chars, C0 control bytes, or
+    * mojibake marker chars. Narrow projection, no shuffle.
+    */
+  def encodingGate(d: DataFrame): DataFrame =
+    d.join(TextOps.encodingProfile(d)
+        .where(col("replacement_chars") === 0 && col("control_chars") === 0 &&
+          col("mojibake_marks") === 0)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
+  /** Stage 2 — normalize-then-exact-dedup (q85): keep the lowest id
+    * per canonicalized text.
+    */
+  def normalizeDedup(d: DataFrame): DataFrame =
+    Dedup.exact(d.withColumn("__norm", TextOps.normalizeText(col("text"))),
+      "doc_id", "__norm")
+      .drop("__norm")
+
+  /** Stage 3 — MinHash-LSH near-dup removal (q12 pairs + q23 keep
+    * policy) over the CURRENT survivor set: detect ≥ threshold
+    * shingle-Jaccard pairs, cluster, keep each cluster's lowest id.
+    */
+  def nearDupDedup(d: DataFrame): DataFrame =
+    Dedup.dedupNearDups(d,
+      Dedup.nearDupMinHash(d, shingleSize = ShingleSize,
+        threshold = JaccardThreshold),
+      "doc_id")
+
+  /** Stage 4 — decontamination (q30's split): the benchmark set is the
+    * ORIGINAL corpus's `doc_id % BenchMod == 0` slice (an eval set is
+    * defined independently of what earlier gates dropped); benchmark
+    * members leave the training set, and so does any survivor sharing
+    * a 5-gram with the benchmark.
+    */
+  def decontaminate(d: DataFrame, corpus: DataFrame): DataFrame =
+    TextOps.decontaminate(
+      d.where(col("doc_id") % BenchMod =!= 0),
+      corpus.where(col("doc_id") % BenchMod === 0),
+      shingleSize = DeconShingleSize)
+
+  /** Stage 5 — per-language mixture sampling (q33's rates: unlisted
+    * languages drop entirely).
+    */
+  def mixture(d: DataFrame): DataFrame =
+    Sampling.mixtureSample(d, MixtureRates, keyCol = "lang")
+
+  /** Stage 6 — sequence packing (q34): contiguous id-ordered bins per
+    * language shard.
+    */
+  def pack(d: DataFrame): DataFrame =
+    TextOps.packSequences(d, capacity = PackCapacity, shardCols = Seq("lang"))
+
+  /** The whole chain, corpus in → packing summary out. */
+  def run(corpus: DataFrame): DataFrame =
+    pack(mixture(decontaminate(
+      nearDupDedup(normalizeDedup(encodingGate(corpus))), corpus)))
+
+  /** The view each fn step reads its input from and registers its
+    * output as — the chain's hand-off convention inside a pipeline run.
+    */
+  val CurationView = "curation"
+  /** The dependency alias the raw corpus must be registered under
+    * (the decontamination stage reads the ORIGINAL corpus from it).
+    */
+  val CorpusView = "documents"
+
+  private def step(name: String)(f: (SparkSession, DataFrame) => DataFrame)
+    : (String, (SparkSession, EtlContext) => Option[DataFrame]) =
+    name -> { (spark: SparkSession, _: EtlContext) =>
+      val out = f(spark, spark.table(CurationView))
+      out.createOrReplaceTempView(CurationView)
+      Some(out)
+    }
+
+  /** The chain as named fn steps for `EtlContext.fns`. `curation_init`
+    * seeds the hand-off view from the `documents` dependency alias;
+    * each later step transforms view → view, and the last
+    * data-producing step's output is what the runner journals+merges
+    * (F18 semantics).
+    */
+  def fns: Map[String, (SparkSession, EtlContext) => Option[DataFrame]] = Map(
+    ("curation_init" -> { (spark: SparkSession, _: EtlContext) =>
+      val out = spark.table(CorpusView)
+      out.createOrReplaceTempView(CurationView)
+      Some(out)
+    }),
+    step("encoding_gate")((_, d) => encodingGate(d)),
+    step("normalize_dedup")((_, d) => normalizeDedup(d)),
+    step("near_dup_dedup")((_, d) => nearDupDedup(d)),
+    step("decontaminate")((s, d) => decontaminate(d, s.table(CorpusView))),
+    step("mixture_sample")((_, d) => mixture(d)),
+    step("pack_sequences")((_, d) => pack(d)))
+}

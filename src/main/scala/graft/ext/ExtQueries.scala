@@ -699,6 +699,18 @@ object ExtQueries {
       sharedQualityModel(spark, dir))
       .orderBy("doc_id")
 
+  /** The FULL curation chain composed end-to-end (encoding gate →
+    * normalize-dedup → MinHash near-dup removal → decontamination →
+    * mixture sample → sequence packing; [[CurationChain]]): every
+    * stage is an already-oracled operator with the same constants, so
+    * the composition stays exactly SQL-replayable — the one oracled
+    * query that proves the stages compose, not just pass in isolation.
+    * PipelineSpec additionally pins that driving the SAME stages
+    * through PipelineRunner as YAML fn steps lands this exact result.
+    */
+  def q88(spark: SparkSession, dir: String): DataFrame =
+    CurationChain.run(docs(spark, dir)).orderBy("lang", "bin_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -757,7 +769,8 @@ object ExtQueries {
     "q84_encoding_profile" -> (q84 _),
     "q85_normalized_dedup" -> (q85 _),
     "q86_quality_score" -> (q86 _),
-    "q87_quality_persisted_probe" -> (q87 _)
+    "q87_quality_persisted_probe" -> (q87 _),
+    "q88_curation_chain" -> (q88 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -924,6 +937,91 @@ object ExtQueries {
         |  SELECT min(doc_id) FROM documents
         |  GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
+    // the q84→q85→q12/q23→q30→q33→q34 composition: each CTE block is
+    // the corresponding standalone oracle re-rooted on the previous
+    // stage's survivor set (bench 5-grams stay rooted on the FULL
+    // corpus — an eval set is defined independently of the gates)
+    "q88_curation_chain" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT * FROM documents
+        |  WHERE len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
+        |normed AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM gated
+        |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM normed),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1 JOIN w t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
+        |            JOIN w t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |  UNION SELECT b_id, a_id FROM jpairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
+        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+        |dd AS (
+        |  SELECT * FROM normed
+        |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
+        |wb AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT DISTINCT
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |wt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM dd WHERE doc_id % 20 <> 0),
+        |tsh AS (SELECT DISTINCT t1.doc_id,
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
+        |clean AS (
+        |  SELECT * FROM dd
+        |  WHERE doc_id % 20 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |mix AS (
+        |  SELECT * FROM clean
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+        |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
+        |              WHEN 'es' THEN '4000' ELSE '0000' END),
+        |sized AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n,
+        |    SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM mix)
+        |SELECT lang,
+        |  CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc,
+        |  MAX(doc_id) AS last_doc
+        |FROM sized GROUP BY lang, bin_id
+        |ORDER BY lang, bin_id""".stripMargin,
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |w AS (

@@ -1799,6 +1799,46 @@ class ExtSpec extends AnyFunSuite {
       "q87 output drifted")
   }
 
+  test("curation chain: every stage drops its planted target, survivors pack") {
+    import graft.ext.CurationChain
+    // one planted victim per stage, disjoint vocabularies so stages
+    // can't interfere: id2 control byte (stage 1), id3 case/whitespace
+    // variant of id1 (stage 2), id5 near-dup of id4 (stage 3), id20
+    // benchmark member + id6 sharing a 5-gram with it (stage 4), id7
+    // unlisted language (stage 5); ids 1 and 4 survive to packing
+    val a = (1 to 30).map(i => s"a$i").mkString(" ")         // id4 base
+    val a5 = (1 to 29).map(i => s"a$i").mkString(" ") + " zz" // last token changed
+    val corpus = Seq(
+      (1L, "clean text one two three four five six", "en"),
+      (2L, "binary junk \u0001 inside", "en"),
+      (3L, "Clean   TEXT one two three four five six", "en"),
+      (4L, a, "en"),
+      (5L, a5, "en"),
+      (6L, "q1 q2 alpha beta gamma delta epsilon q3 q4", "en"),
+      (7L, "zh only doc tokens here", "zh"),
+      (20L, "bench doc holds alpha beta gamma delta epsilon phrase", "en"))
+      .toDF("doc_id", "text", "lang")
+    // stage-by-stage survivor sets
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val gated = CurationChain.encodingGate(corpus)
+    assert(ids(gated) === Set(1L, 3L, 4L, 5L, 6L, 7L, 20L))
+    val normed = CurationChain.normalizeDedup(gated)
+    assert(ids(normed) === Set(1L, 4L, 5L, 6L, 7L, 20L))
+    val dd = CurationChain.nearDupDedup(normed)
+    assert(ids(dd) === Set(1L, 4L, 6L, 7L, 20L), "id5 is a >=0.8 Jaccard twin of id4")
+    val clean = CurationChain.decontaminate(dd, corpus)
+    assert(ids(clean) === Set(1L, 4L, 7L),
+      "id20 is benchmark, id6 shares a 5-gram with it")
+    val mixed = CurationChain.mixture(clean)
+    assert(ids(mixed) === Set(1L, 4L), "zh has no mixture rate -> dropped")
+    val packed = CurationChain.run(corpus)
+      .select("lang", "bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(packed === Seq(("en", 0L, 2L, 38L, 1L, 4L)),
+      "survivors 1 (8 tokens) and 4 (30 tokens) pack into en bin 0")
+  }
+
   test("qualityScore learns a planted vocabulary signal on held-out docs") {
     import graft.ext.QualityModel
     // train: 20 docs of trusted vocab vs 20 of junk vocab; score two

@@ -335,4 +335,64 @@ class PipelineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       wh.truncateAppend(spark.range(2).toDF("other"), "dwh", "t10"))
   }
+
+  test("curation chain as YAML fn steps: PipelineRunner lands exactly the direct chain result") {
+    // the product's actual usage shape (reference EP2): the whole
+    // multi-stage curation run driven through config.yaml — fn steps
+    // hand off via the `curation` view, the last step's output is
+    // journaled and merged — must land bit-for-bit what the direct
+    // CurationChain.run composition (registry q88) computes
+    val (ctx0, wh, work) = mkCtx()
+    val ctx = ctx0.copy(fns = graft.ext.CurationChain.fns)
+    wh.registerPrimaryKey("dwh", "curated_pack", Seq("lang", "bin_id"))
+    write(s"$work/sql", "finalize.sql",
+      """SELECT lang, bin_id, n_docs, sum_tokens, first_doc, last_doc,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __transform_dt,
+        |  TIMESTAMP '{report_date} 00:00:00' AS __load_dt,
+        |  CAST(0 AS BIGINT) AS __seqno, 'A' AS __record_state
+        |FROM curation""".stripMargin)
+    write(work, "config.yaml",
+      """- dependencies:
+        |    - source: datalake
+        |      format: parquet
+        |      alias: documents
+        |      path: sf0.001/documents.parquet
+        |  transform:
+        |    full:
+        |      - type: fn
+        |        fn: curation_init
+        |      - type: fn
+        |        fn: encoding_gate
+        |      - type: fn
+        |        fn: normalize_dedup
+        |      - type: fn
+        |        fn: near_dup_dedup
+        |      - type: fn
+        |        fn: decontaminate
+        |      - type: fn
+        |        fn: mixture_sample
+        |      - type: fn
+        |        fn: pack_sequences
+        |      - type: select
+        |        sql: finalize.sql
+        |        parameters:
+        |          - name: report_date
+        |            type: report_date
+        |  target:
+        |    target_schema: dwh
+        |    target_table_name: curated_pack""".stripMargin)
+    val cfg = graft.config.Yaml.parsePipelineFile(s"$work/config.yaml")
+    PipelineRunner.run(ctx, cfg)
+    val cols = Seq("lang", "bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+    val master = wh.read("dwh", "curated_pack")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val direct = graft.ext.ExtQueries.q88(spark, "/root/testdata/sf0.001")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(master.nonEmpty, "curation pipeline landed nothing")
+    assert(master === direct,
+      "framework-driven curation drifted from the direct chain composition")
+    // journal flipped after merge — the EP2 lifecycle completed
+    assert(wh.read("dwh", "curated_pack__journal")
+      .where("__record_state = 'A'").count() == 0)
+  }
 }

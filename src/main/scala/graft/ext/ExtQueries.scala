@@ -711,6 +711,26 @@ object ExtQueries {
   def q88(spark: SparkSession, dir: String): DataFrame =
     CurationChain.run(docs(spark, dir)).orderBy("lang", "bin_id")
 
+  /** Near-dup VIDEO pairs over clips rendered from the documents table
+    * (each doc → a 4-frame scrolling-window GIF, the q82
+    * text-to-pixels bridge one modality up): near-dup documents
+    * render to clips sharing most frames, which the frame-level
+    * chunk join + per-pair aggregation must find. GIF encode/decode +
+    * per-frame dHash are non-SQL like q82 → no oracle; MultimodalSpec
+    * pins planted twin-clip semantics (GIF + MP4 + GRFT paths) and
+    * the sf0.001 pair set.
+    */
+  def q89(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.nearDupVideos(
+      docs(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.Asset(id, "video", Multimodal.renderTextGif(text)) },
+      stride = 1)
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -770,7 +790,8 @@ object ExtQueries {
     "q85_normalized_dedup" -> (q85 _),
     "q86_quality_score" -> (q86 _),
     "q87_quality_persisted_probe" -> (q87 _),
-    "q88_curation_chain" -> (q88 _)
+    "q88_curation_chain" -> (q88 _),
+    "q89_video_near_dup" -> (q89 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

@@ -570,6 +570,38 @@ object Multimodal {
     * codecs. Scale shape: one narrow mapPartitions, payloads never
     * shuffle; only (id, 16-byte signature) leaves the scan.
     */
+  /** Byte range laid out as the 9×8 luminance grid — the deterministic
+    * stand-in for payloads with no pixel decoder (GRFT bodies, encoded
+    * MP4 access units): byte i is cell i, short ranges zero-pad.
+    */
+  private def byteGrid(payload: Array[Byte], start: Int, end: Int): Array[Int] = {
+    val out = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      out(i) = if (start + i < end && start + i < payload.length)
+        payload(start + i) & 0xFF else 0
+      i += 1
+    }
+    out
+  }
+
+  /** The dHash bit computation on a 9×8 luminance grid, in the SimHash
+    * 4×16-bit chunk layout (chunk 0 = the 16 highest bits).
+    */
+  private def dhashChunks(lum: Array[Int]): Array[Int] = {
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        bits = (bits << 1) | (if (lum(y * 9 + x) < lum(y * 9 + x + 1)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(4)(c => ((bits >>> (48 - 16 * c)) & 0xFFFF).toInt)
+  }
+
   def dHash(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
@@ -584,25 +616,9 @@ object Multimodal {
           // audioHash and the documented contract
           val start = if (a.payload.length >= FakeCodec.HeaderLen &&
             ByteBuffer.wrap(a.payload, 0, 4).getInt == FakeCodec.Magic) FakeCodec.HeaderLen else 0
-          val out = new Array[Int](72)
-          var i = 0
-          while (i < 72) {
-            out(i) = if (start + i < a.payload.length) a.payload(start + i) & 0xFF else 0
-            i += 1
-          }
-          out
+          byteGrid(a.payload, start, a.payload.length)
         }
-      var bits = 0L
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          bits = (bits << 1) | (if (lum(y * 9 + x) < lum(y * 9 + x + 1)) 1L else 0L)
-          x += 1
-        }
-        y += 1
-      }
-      ChunkSig(a.asset_id, Array.tabulate(4)(c => ((bits >>> (48 - 16 * c)) & 0xFFFF).toInt))
+      ChunkSig(a.asset_id, dhashChunks(lum))
     }).toDF()
   }
 
@@ -616,6 +632,102 @@ object Multimodal {
     */
   def nearDupImages(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
     Dedup.nearDupChunkSigs(dHash(assets), "asset_id", "phash", maxHamming)
+
+  /** One 64-bit signature per SAMPLED FRAME of a video asset — the
+    * frame-level fingerprint family that closes the modality matrix
+    * (text SimHash / image dHash / audio gradient hash are one
+    * signature per asset; video needs one per frame because two clips
+    * relate through their frame SETS, not a single hash). Same frame
+    * dispatch as [[sampleFrames]]: GIF videos dHash every `stride`th
+    * DECODED frame's pixels; MP4 videos hash every `stride`th demuxed
+    * access unit's BYTES (no pixel decoder in this environment — the
+    * byte grid is the documented stand-in, deterministic on the exact
+    * encoded bytes); GRFT payloads hash per-frame body slices.
+    * Non-video kinds are ignored (images/audio have their own
+    * single-signature families).
+    *
+    * Scale shape: one narrow mapPartitions; payloads never shuffle —
+    * only (id, frame_idx, 16-byte signature) leaves the scan, ~24
+    * bytes per sampled frame.
+    */
+  def videoFrameSigs(assets: Dataset[Asset], stride: Int = 2): DataFrame = {
+    import assets.sparkSession.implicits._
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    assets.filter(_.kind == "video").mapPartitions(_.flatMap { a =>
+      val grids: Seq[(Int, Array[Int])] =
+        if (Codec.isGif(a.payload)) {
+          val frames = Codec.readGifFrames(a.payload)
+          (0 until frames.length by stride).map(f => f -> gridLum(frames(f)))
+        } else if (Codec.isMp4(a.payload)) {
+          val v = Codec.readMp4Video(a.payload)
+          (0 until v.sampleSizes.length by stride).map { f =>
+            val start = v.sampleOffsets(f).toInt
+            f -> byteGrid(a.payload, start, start + v.sampleSizes(f))
+          }
+        } else {
+          val m = FakeCodec.decode(a.kind, a.payload)
+          val body = a.payload.length - FakeCodec.HeaderLen
+          val perFrame = math.max(1, body / math.max(1, m.nFrames))
+          (0 until m.nFrames by stride).map { f =>
+            val start = FakeCodec.HeaderLen + f * perFrame
+            f -> byteGrid(a.payload, start,
+              math.min(a.payload.length, start + perFrame))
+          }
+        }
+      grids.map { case (f, g) => FrameSig(a.asset_id, f, dhashChunks(g)) }
+    }).toDF()
+  }
+
+  /** One row per sampled video frame with its 64-bit chunked dHash. */
+  final case class FrameSig(asset_id: Long, frame_idx: Int, phash: Array[Int])
+
+  /** Near-duplicate VIDEO pairs: re-encodes, trims, and small edits of
+    * a clip share most sampled-frame fingerprints, so two videos are
+    * near-dups when ≥ `minMatchFrac` of the shorter clip's sampled
+    * frames have a ≤ `maxHamming` counterpart in the other clip.
+    * Frame-level candidates ride the SAME pigeonhole chunk equi-join
+    * as every other 64-bit family (a ≤ 3-Hamming frame pair agrees on
+    * one of its 4 chunks — never all-pairs, and never order-sensitive,
+    * so a trimmed/offset clip still matches); the per-pair aggregation
+    * then counts DISTINCT matched frames of the a-side.
+    *
+    * Output: (a_id, b_id, matched_frames, n_frames_a, n_frames_b)
+    * with a_id < b_id. Scale shape: the chunk join shuffles ~24-byte
+    * frame rows; the aggregation groups on (a_id, b_id) — state is
+    * one count per COLLIDING clip pair, never quadratic in clips.
+    */
+  def nearDupVideos(assets: Dataset[Asset], stride: Int = 2,
+                    maxHamming: Int = 3,
+                    minMatchFrac: Double = 0.5): DataFrame = {
+    require(minMatchFrac > 0 && minMatchFrac <= 1,
+      s"minMatchFrac must be in (0, 1], got $minMatchFrac")
+    val sigs = videoFrameSigs(assets, stride)
+    val chunks = sigs.select(col("asset_id"), col("frame_idx"), col("phash"),
+      posexplode(col("phash")).as(Seq("chunk_idx", "chunk_value")))
+    val a = chunks.select(col("chunk_idx"), col("chunk_value"),
+      col("asset_id").as("a_id"), col("frame_idx").as("a_frame"),
+      col("phash").as("__siga"))
+    val b = chunks.select(col("chunk_idx"), col("chunk_value"),
+      col("asset_id").as("b_id"), col("frame_idx").as("b_frame"),
+      col("phash").as("__sigb"))
+    val framePairs = a.join(b, Seq("chunk_idx", "chunk_value"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_frame"), col("b_frame"),
+        Dedup.hammingDistance(col("__siga"), col("__sigb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    val matches = framePairs.groupBy("a_id", "b_id")
+      .agg(count_distinct(col("a_frame")).as("matched_frames"))
+    val counts = sigs.groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+    matches
+      .join(counts.select(col("asset_id").as("a_id"),
+        col("n_frames").as("n_frames_a")), Seq("a_id"))
+      .join(counts.select(col("asset_id").as("b_id"),
+        col("n_frames").as("n_frames_b")), Seq("b_id"))
+      .where(col("matched_frames") >=
+        ceil(least(col("n_frames_a"), col("n_frames_b")) * lit(minMatchFrac)))
+      .select("a_id", "b_id", "matched_frames", "n_frames_a", "n_frames_b")
+  }
 
   /** Mean-abs amplitude per window, n samples split into `w` windows
     * (the audio analogue of the 9×8 pixel grid): window k covers
@@ -710,18 +822,39 @@ object Multimodal {
     * downsample→hash pipeline.
     */
   def renderTextImage(text: String): Array[Byte] = {
-    val bytes = text.getBytes("UTF-8")
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(renderTextFrame(text.getBytes("UTF-8"), 0), "png", bos)
+    bos.toByteArray
+  }
+
+  /** One 9×8 grayscale frame from byte window [off, off+72) of `bytes`
+    * (zero-padded past the end) — the shared raster of
+    * [[renderTextImage]] (off = 0) and [[renderTextGif]].
+    */
+  private def renderTextFrame(bytes: Array[Byte], off: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(9, 8,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var i = 0
     while (i < 72) {
-      val v = if (i < bytes.length) bytes(i) & 0xFF else 0
+      val v = if (off + i < bytes.length) bytes(off + i) & 0xFF else 0
       img.setRGB(i % 9, i / 9, (v << 16) | (v << 8) | v)
       i += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
+  }
+
+  /** Deterministic animated GIF from a document: frame f rasterizes
+    * byte window [9·f, 9·f + 72) — consecutive frames overlap by 7 of
+    * 8 rows, a scrolling read of the text. The registry's bridge from
+    * the text testdata to the VIDEO near-dup path (q89, the q82
+    * pattern one modality up): near-dup documents render to clips
+    * sharing most frames, so [[nearDupVideos]] finds real planted
+    * structure while exercising the genuine GIF encode → multi-frame
+    * decode → per-frame dHash pipeline.
+    */
+  def renderTextGif(text: String, nFrames: Int = 4): Array[Byte] = {
+    val bytes = text.getBytes("UTF-8")
+    Codec.writeGif((0 until nFrames).map(f => renderTextFrame(bytes, 9 * f)))
   }
 
   /** Metadata facet profile of an asset table — the typed-metadata side

@@ -255,8 +255,9 @@ class MultimodalSpec extends AnyFunSuite {
     * selection is exercised. Offsets: ftyp is 16 bytes, mdat header 8,
     * so chunk 1 starts at 24 and chunk 2 at 31.
     */
-  private def mp4Bytes(): (Array[Byte], IndexedSeq[Array[Byte]]) = {
-    val samples = (0 until 5).map(i => Array.fill[Byte](3 + i)((10 * i + 1).toByte))
+  private def mp4Bytes(fill: (Int, Int) => Byte = (i, _) => (10 * i + 1).toByte)
+    : (Array[Byte], IndexedSeq[Array[Byte]]) = {
+    val samples = (0 until 5).map(i => Array.tabulate[Byte](3 + i)(j => fill(i, j)))
     val ftyp = mp4Box("ftyp", "isom".getBytes("US-ASCII"), beInt(0))
     val mdat = mp4Box("mdat", samples.flatten.toArray)
     val tkhd = mp4Box("tkhd", beInt(0), // version 0 + flags
@@ -462,6 +463,117 @@ class MultimodalSpec extends AnyFunSuite {
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(md5 === "dba2e6f242a10690f27050cdc94f9a97", s"q82 pair set drifted ($md5)")
+  }
+
+  // ---- video near-dup (frame-sampled dHash family) ----
+
+  /** Avalanched deterministic byte — distinct (seed, i) give ~random
+    * grids, so distinct frames sit FAR apart in Hamming space while
+    * identical seeds reproduce identical frames.
+    */
+  private def noise(seed: Int, i: Int): Int = {
+    var h = seed * 0x9E3779B1 + i * 0x85EBCA77
+    h ^= h >>> 13; h *= 0xC2B2AE3D; h ^= h >>> 16
+    h & 0xFF
+  }
+
+  /** One 9×8 grayscale frame of avalanche noise per seed. */
+  private def noiseFrame(seed: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (i <- 0 until 72) {
+      val v = noise(seed, i)
+      img.setRGB(i % 9, i / 9, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def gifClip(frameSeeds: Int*): Array[Byte] =
+    Multimodal.Codec.writeGif(frameSeeds.map(noiseFrame))
+
+  test("video near-dup (GIF path): twin clips sharing 3 of 4 decoded frames pair, disjoint clips don't") {
+    val clips = Seq(
+      Asset(1L, "video", gifClip(11, 12, 13, 14)),
+      Asset(2L, "video", gifClip(11, 12, 13, 99)), // one frame re-shot
+      Asset(3L, "video", gifClip(51, 52, 53, 54)), // unrelated clip
+      Asset(9L, "image", gifClip(11, 12, 13, 14))) // image kind: not a video
+    val got = Multimodal.nearDupVideos(clips.toDS(), stride = 1)
+      .select("a_id", "b_id", "matched_frames", "n_frames_a", "n_frames_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L, 4L, 4L)),
+      s"expected exactly the planted twin pair, got $got")
+  }
+
+  test("video near-dup (GIF path): a trimmed clip still matches (order-free frame sets)") {
+    // clip 2 = clip 1 missing its FIRST frame: frame indices shift,
+    // which must not matter — matching is on frame content, not index
+    val clips = Seq(
+      Asset(1L, "video", gifClip(21, 22, 23, 24)),
+      Asset(2L, "video", gifClip(22, 23, 24)))
+    val got = Multimodal.nearDupVideos(clips.toDS(), stride = 1)
+      .select("a_id", "b_id", "matched_frames")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L)),
+      "all 3 frames of the trimmed clip should match despite the index shift")
+  }
+
+  test("video near-dup (MP4 path): re-encode of one access unit keeps the pair") {
+    val (payload, _) = mp4Bytes((i, j) => noise(i, j).toByte)
+    val twin = payload.clone()
+    // corrupt sample 0 (chunk 1 starts at byte 24, sample 0 is 3 bytes)
+    twin(24) = (twin(24) ^ 0x55).toByte
+    twin(25) = (twin(25) ^ 0x55).toByte
+    val clips = Seq(Asset(1L, "video", payload), Asset(2L, "video", twin))
+    val got = Multimodal.nearDupVideos(clips.toDS(), stride = 1)
+      .select("a_id", "b_id", "matched_frames", "n_frames_a")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.length === 1 && got.head._1 === 1L && got.head._2 === 2L)
+    assert(got.head._3 >= 4L && got.head._4 === 5L,
+      s"at least the 4 untouched samples must match: $got")
+  }
+
+  test("video near-dup (GRFT path): per-frame body twins pair, full re-shoots don't") {
+    def grftClip(id: Long, frameSeeds: Seq[Int], perFrame: Int = 72): Array[Byte] = {
+      val p = FakeCodec.encode(
+        MediaMeta("video", 8, 8, 0, frameSeeds.length), id, perFrame * frameSeeds.length)
+      for (f <- frameSeeds.indices; j <- 0 until perFrame)
+        p(FakeCodec.HeaderLen + f * perFrame + j) = noise(frameSeeds(f), j).toByte
+      p
+    }
+    val clips = Seq(
+      Asset(1L, "video", grftClip(1L, Seq(31, 32, 33, 34))),
+      Asset(2L, "video", grftClip(2L, Seq(31, 32, 99, 34))),
+      Asset(3L, "video", grftClip(3L, Seq(61, 62, 63, 64))))
+    val got = Multimodal.nearDupVideos(clips.toDS(), stride = 1)
+      .select("a_id", "b_id", "matched_frames")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 3L)), s"got $got")
+  }
+
+  test("videoFrameSigs: stride samples every strideth frame; non-video kinds are skipped") {
+    val clips = Seq(
+      Asset(1L, "video", gifClip(1, 2, 3, 4, 5, 6, 7)),
+      Asset(2L, "image", gifClip(1)),
+      Asset(3L, "audio", gifClip(1)))
+    val got = Multimodal.videoFrameSigs(clips.toDS(), stride = 2)
+      .select("asset_id", "frame_idx")
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(got === Seq((1L, 0), (1L, 2), (1L, 4), (1L, 6)))
+  }
+
+  test("golden pair set: q89 video near-dup at sf0.001 is exactly pinned") {
+    // the no_oracle row's hard signal (q82 contract, one modality up):
+    // any drift in GIF encode, frame decode, per-frame dHash, the
+    // chunk join, or the match-fraction gate changes this set.
+    // Re-pin ONLY for an intentional change.
+    val rows = graft.ext.ExtQueries.q89(spark, "/root/testdata/sf0.001")
+      .select("a_id", "b_id", "matched_frames", "n_frames_a", "n_frames_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val s = rows.map(r => s"${r._1},${r._2},${r._3},${r._4},${r._5}").mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.nonEmpty, "q89 should find the corpus's rendered near-dup clips")
+    assert(md5 === "1475cf7499b95963458fcf46c2159997", s"q89 pair set drifted ($md5, ${rows.length} rows)")
   }
 
   test("corrupt MP4 sample tables fail with actionable errors, not garbage frames") {

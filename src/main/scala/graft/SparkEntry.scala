@@ -90,5 +90,8 @@ object SparkEntry {
       + "ExtSpec persisted-vs-direct bit-equality + golden digest"),
     "q89_video_near_dup" -> ("GIF encode/decode + per-frame dHash DuckDB can't spell "
       + "(non-SQL like q82): MultimodalSpec planted twin-clip specs across the "
-      + "GIF/MP4/GRFT frame paths + the pinned sf0.001 pair set"))
+      + "GIF/MP4/GRFT frame paths + the pinned sf0.001 pair set"),
+    "q90_bpe_packing" -> ("BPE segmentation is not SQL-expressible: ExtSpec "
+      + "hand-computed fit, parquet round-trip, repartition determinism, "
+      + "inline==precomputed packing equivalence + golden digest"))
 }

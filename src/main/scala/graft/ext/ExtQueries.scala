@@ -731,6 +731,42 @@ object ExtQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** The PERSISTED BPE merge table, trained once per (session, corpus)
+    * on the held corpus (doc_id % 10 != 0, the standard split) and
+    * landed as parquet under [[scratchPath]] — tokenize-once/
+    * segment-forever ([[Bpe]]).
+    */
+  private val bpeModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = bpeModelMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "bpe_model", dir)
+      Bpe.bpeTrain(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
+          numMerges = 100)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    Bpe.loadMerges(spark.read.parquet(path))
+  }
+
+  /** Sequence packing by SUBWORD (BPE) token counts from the persisted
+    * in-engine tokenizer — q34's operator fed through the
+    * bring-your-own-tokenizer seam with a model trained on the held
+    * split. The BPE segmentation itself is not SQL-expressible →
+    * no oracle; ExtSpec pins the hand-computed fit, the parquet
+    * round-trip, repartition determinism, and this query's golden
+    * digest (q34's own whitespace default stays oracled separately).
+    */
+  def q90(spark: SparkSession, dir: String): DataFrame = {
+    val merges = sharedBpeMerges(spark, dir)
+    TextOps.packSequences(docs(spark, dir), capacity = 2048,
+        shardCols = Seq("lang"),
+        tokenCount = Some(size(Bpe.tokens(col("text"), merges))))
+      .orderBy("lang", "bin_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -791,7 +827,8 @@ object ExtQueries {
     "q86_quality_score" -> (q86 _),
     "q87_quality_persisted_probe" -> (q87 _),
     "q88_curation_chain" -> (q88 _),
-    "q89_video_near_dup" -> (q89 _)
+    "q89_video_near_dup" -> (q89 _),
+    "q90_bpe_packing" -> (q90 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

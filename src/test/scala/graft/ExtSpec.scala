@@ -1839,6 +1839,79 @@ class ExtSpec extends AnyFunSuite {
       "survivors 1 (8 tokens) and 4 (30 tokens) pack into en bin 0")
   }
 
+  // -------------------------------------------------------------------
+  // Native BPE tokenizer (train/apply)
+  // -------------------------------------------------------------------
+
+  test("BPE train: hand-computed merges on a crafted corpus") {
+    import graft.ext.Bpe
+    // word freqs: ab -> 3, abc -> 2. Pair (a,b) count 5 -> merge 0;
+    // then abc = [ab, c] gives (ab, c) count 2 -> merge 1; no pair
+    // occurs twice after that -> stop (numMerges budget unused)
+    val model = Bpe.bpeTrain(docsDf(1L -> "ab ab ab", 2L -> "abc abc"), numMerges = 10)
+    assert(Bpe.loadMerges(model) === Seq(("a", "b"), ("ab", "c")))
+  }
+
+  test("BPE apply: rank-ordered segmentation; model round-trips through parquet") {
+    import graft.ext.Bpe
+    val model = Bpe.bpeTrain(docsDf(1L -> "ab ab ab", 2L -> "abc abc"), numMerges = 10)
+    val dir = SparkTestBase.tmpDir("graft_bpe_model")
+    model.write.mode("overwrite").parquet(dir)
+    val merges = Bpe.loadMerges(spark.read.parquet(dir))
+    assert(merges === Bpe.loadMerges(model),
+      "integer-rank merge table must round-trip through parquet exactly")
+    // ab -> [ab]; abc -> [abc]; abd -> [ab, d]; xy -> [x, y] (unseen
+    // symbols pass through as code points)
+    val got = docsDf(9L -> "ab abc abd xy")
+      .select(Bpe.tokens($"text", merges).as("t"))
+      .as[Seq[String]].collect().head
+    assert(got === Seq("ab", "abc", "ab", "d", "x", "y"))
+    // empty text -> empty piece array, not a crash
+    val empty = docsDf(10L -> "")
+      .select(Bpe.tokens($"text", merges).as("t"))
+      .as[Seq[String]].collect().head
+    assert(empty === Seq.empty)
+  }
+
+  test("BPE train is bit-identical under repartition (deterministic fit)") {
+    import graft.ext.Bpe
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Bpe.loadMerges(Bpe.bpeTrain(docs, numMerges = 50))
+    val b = Bpe.loadMerges(Bpe.bpeTrain(docs.repartition(7), numMerges = 50))
+    assert(a === b, "merge list must not depend on partitioning")
+    assert(a.length === 50, "a real corpus should exhaust the merge budget")
+  }
+
+  test("BPE feeds the packing seam: pack by BPE counts == pack by precomputed counts") {
+    import graft.ext.Bpe
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Bpe.loadMerges(Bpe.bpeTrain(docs, numMerges = 50))
+    val direct = TextOps.packSequences(docs, capacity = 2048,
+        shardCols = Seq("lang"),
+        tokenCount = Some(size(Bpe.tokens($"text", merges))))
+      .collect().map(_.toSeq).toSet
+    // precompute the counts, carry them as a materialized column (the
+    // operational tokenize-once shape), pack by that column instead
+    val counts = docs.select($"doc_id",
+      size(Bpe.tokens($"text", merges)).as("__bpe_n"))
+    val precomputed = TextOps.packSequences(docs.join(counts, Seq("doc_id")),
+        capacity = 2048, shardCols = Seq("lang"),
+        tokenCount = Some($"__bpe_n"))
+      .collect().map(_.toSeq).toSet
+    assert(direct.nonEmpty && direct === precomputed,
+      "inline BPE counting and precomputed-column counting must pack identically")
+  }
+
+  test("golden digest: q90 BPE-packed sequences are bit-stable at sf0.001") {
+    // the no_oracle row's hard signal: any drift in the BPE fit (word
+    // cap, tie-breaks, stop rule), the segmentation, or the packing
+    // changes this digest. Re-pin ONLY for an intentional change.
+    val q90 = ExtQueries.q90(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => s"${r._1},${r._2},${r._3},${r._4},${r._5},${r._6}").mkString("\n")
+    assert(md5(q90) === "cfc4599f01ddf1c506566b2d959b15fd", "q90 output drifted")
+  }
+
   test("qualityScore learns a planted vocabulary signal on held-out docs") {
     import graft.ext.QualityModel
     // train: 20 docs of trusted vocab vs 20 of junk vocab; score two

@@ -595,19 +595,28 @@ object Similarity {
     * projection. Boundary caveat, inherent to the published SemDeDup
     * recipe: near-dups straddling two cells are missed (cells
     * PARTITION the space, unlike q12's overlapping LSH bands) — raise
-    * nClusters for speed, lower it for recall.
+    * nClusters for speed, lower it for recall, or set `nProbe` > 1:
+    * each vector then joins under its nProbe NEAREST cells (the IVF
+    * multi-probe recipe moved to the pair-generation side), so a pair
+    * straddling a boundary still meets in the cell both rank highly.
+    * Cost is an nProbe× row multiplier into the cell join (pairs
+    * sharing several cells are generated once per shared cell and
+    * deduplicated); nProbe=1 keeps the exact published-SemDeDup plan.
     */
   def semanticNearDupPairs(emb: DataFrame, threshold: Double,
                            nClusters: Int = 0, idCol: String = "vec_id",
                            vecCol: String = "embedding", seed: Long = 7L,
                            maxIter: Int = 20,
-                           trainFraction: Double = 1.0): DataFrame = {
+                           trainFraction: Double = 1.0,
+                           nProbe: Int = 1): DataFrame = {
     require(nClusters >= 0, s"nClusters must be >= 0 (0 = derive), got $nClusters")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
     val n = if (nClusters == 0) emb.count() else 0L
     val cells = if (nClusters == 0) deriveCells(n) else nClusters
+    val probe = math.min(nProbe, cells)
     // one cell = the exact all-pairs path (no quantizer to train; this
     // is also the spec's exactness anchor for the clustered path)
-    val assign: Column = if (cells == 1) lit(0) else {
+    val assign: Column = if (cells == 1) array(lit(0)) else {
       val (tf, mi) = autoTrain(n, cells, nClusters == 0, trainFraction, maxIter)
       val centroids = ivfTrain(emb, cells, vecCol, seed, mi, tf)
       val cents: Seq[(Int, Seq[Float])] = centroids
@@ -615,18 +624,24 @@ object Similarity {
         .collect().toSeq
         .map(r => (r.getInt(0), r.getSeq[Float](1)))
       val centLit = typedlit(cents)
-      element_at(array_sort(transform(centLit, c =>
+      // nProbe nearest cells by (distance, cluster) — deterministic
+      transform(slice(array_sort(transform(centLit, c =>
         struct(
           graft.functions.ArrayExprs.squaredL2(col(vecCol), c.getField("_2")).as("d"),
-          c.getField("_1").as("cluster")))), 1).getField("cluster")
+          c.getField("_1").as("cluster")))), 1, probe),
+        s => s.getField("cluster"))
     }
-    val m = emb.select(col(idCol), assign.as("__cell"), col(vecCol))
+    val m = emb.select(col(idCol), explode(assign).as("__cell"), col(vecCol))
     val a = m.select(col("__cell"), col(idCol).as("a_id"), col(vecCol).as("__va"))
     val b = m.select(col("__cell"), col(idCol).as("b_id"), col(vecCol).as("__vb"))
-    a.join(b, "__cell")
+    val pairs = a.join(b, "__cell")
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("__va"), col("__vb")).as("sim"))
       .where(col("sim") >= threshold)
+    // a pair can meet in up to nProbe shared cells; the cosine is the
+    // same deterministic double each time, so distinct() collapses the
+    // copies. nProbe=1 can't duplicate — keep its plan shuffle-free.
+    if (probe > 1) pairs.distinct() else pairs
   }
 
   /** Semantic near-dup REMOVAL: [[semanticNearDupPairs]] → connected
@@ -639,9 +654,9 @@ object Similarity {
   def semanticDedup(emb: DataFrame, threshold: Double, nClusters: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     seed: Long = 7L, maxIter: Int = 20,
-                    trainFraction: Double = 1.0): DataFrame =
+                    trainFraction: Double = 1.0, nProbe: Int = 1): DataFrame =
     Dedup.dedupNearDups(emb,
       semanticNearDupPairs(emb, threshold, nClusters, idCol, vecCol, seed,
-        maxIter, trainFraction),
+        maxIter, trainFraction, nProbe),
       idCol)
 }

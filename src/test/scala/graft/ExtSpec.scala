@@ -1284,6 +1284,35 @@ class ExtSpec extends AnyFunSuite {
     assert(clustered.nonEmpty, "16-cell partition found no within-cell pairs at all")
   }
 
+  test("multi-probe semantic pairs: monotone recall toward the exact anchor at fixed seed") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Similarity.semanticNearDupPairs(emb, threshold = 0.45, nClusters = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    def clustered(nProbe: Int): Set[(Long, Long, Double)] =
+      Similarity.semanticNearDupPairs(emb, threshold = 0.45, nClusters = 16,
+          nProbe = nProbe)
+        .as[(Long, Long, Double)].collect().toSet
+    val p1 = clustered(1)
+    val p2 = clustered(2)
+    val p4 = clustered(4)
+    // by construction: a pair meeting under nProbe=k still meets under
+    // nProbe>k (both keep their top-k cells), and probing never invents
+    // a pair the exact all-pairs join wouldn't have
+    assert(p1.subsetOf(p2) && p2.subsetOf(p4) && p4.subsetOf(exact),
+      "multi-probe must grow recall monotonically inside the exact set")
+    // fixed-seed measurement pinned (the q16/q26 recall-floor pattern):
+    // 16 cells miss cross-cell pairs at nProbe=1; probing the second
+    // cell must recover at least one of them on this fixture
+    assert(p2.size > p1.size,
+      s"nProbe=2 recovered no boundary pair (p1=${p1.size}, p2=${p2.size}, exact=${exact.size})")
+    // more pairs can only merge dedup components: survivor count is
+    // non-increasing in nProbe, and the pairs plumb through semanticDedup
+    val kept1 = Similarity.semanticDedup(emb, threshold = 0.45, nClusters = 16).count()
+    val kept4 = Similarity.semanticDedup(emb, threshold = 0.45, nClusters = 16,
+      nProbe = 4).count()
+    assert(kept4 <= kept1)
+  }
+
   test("semanticDedup keeps one representative per embedding-duplicate group") {
     val rows: Seq[(Long, Array[Float])] = Seq(
       5L -> Array(1f, 0f, 0f), 9L -> Array(1f, 0f, 0f), 2L -> Array(0.999f, 0.01f, 0f),

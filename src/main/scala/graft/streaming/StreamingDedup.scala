@@ -276,4 +276,71 @@ object StreamingDedup {
         numHashes, bands, seed)
       .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
   }
+
+  /** Maintenance op for any roll-forward `__batch=<id>` index the sinks
+    * above accrete (digest / MinHash / ANN / chunk-signature — the
+    * layout is shared): fold every partition EXCEPT the latest into a
+    * single partition, sized toward `targetBytes` per file.
+    *
+    * Why it exists: each micro-batch appends one partition directory
+    * forever, so after a week at a 10 s trigger the index is ~60k
+    * directories of KB-files — listing, footer parses, and task
+    * scheduling start to dominate every probe (the same small-files
+    * disease [[graft.ext.Layout.compactParquet]] cures for plain
+    * tables, compounded by partition discovery).
+    *
+    * Replay contract preserved BY CONSTRUCTION: the merged rows are
+    * exactly `__batch < latest` — what a redelivery of the latest
+    * batch is entitled to see — relabeled as one partition at the
+    * SECOND-highest id (still `< latest`, still `< batchId` for every
+    * future batch). The latest partition is never touched, because
+    * after a crash it may belong to an uncommitted batch that will be
+    * redelivered and must overwrite its own directory untouched by us.
+    *
+    * Not atomic (two rename windows), same documented posture as
+    * [[graft.ext.Layout.compactParquet]]: run it between restarts or
+    * while the stream is quiesced. The staging and trash directories
+    * carry no `=` in their names, so Spark's partition discovery never
+    * sees them even mid-swap. Returns the number of batch partitions
+    * folded away (0 = nothing to do).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+                   targetBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val root = new Path(indexRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val partIds = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+      .map(_.getPath.getName.stripPrefix("__batch=").toLong)
+      .sorted
+    if (partIds.length <= 2) return 0 // one data + one live partition: nothing to fold
+    val latest = partIds.last
+    val mergeIds = partIds.dropRight(1)
+    val keepId = mergeIds.last
+    val mergeDirs = mergeIds.map(i => new Path(s"$indexRoot/__batch=$i"))
+    val mergeBytes = mergeDirs.flatMap(fs.listStatus(_))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(mergeBytes.toDouble / targetBytes).toInt)
+    // the probe spelling, verbatim — the fold IS the probe state
+    val merged = spark.read.parquet(indexRoot)
+      .where(col("__batch") < latest).drop("__batch")
+    val tmp = new Path(s"$indexRoot/__compact_tmp")
+    fs.delete(tmp, true) // stray staging from a crashed prior run
+    merged.coalesce(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val trash = mergeDirs.map { d =>
+      val t = new Path(s"$indexRoot/__compact_old_${d.getName.stripPrefix("__batch=")}")
+      if (!fs.rename(d, t))
+        throw new IllegalStateException(s"compaction swap failed moving $d (index readable, staging left)")
+      t
+    }
+    if (!fs.rename(tmp, new Path(s"$indexRoot/__batch=$keepId"))) {
+      trash.zip(mergeDirs).foreach { case (t, d) => fs.rename(t, d) } // restore
+      throw new IllegalStateException(s"compaction swap failed for $indexRoot (original restored)")
+    }
+    trash.foreach(fs.delete(_, true))
+    mergeIds.length - 1
+  }
 }

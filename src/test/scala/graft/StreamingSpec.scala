@@ -507,4 +507,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKeep === Seq(1L),
       "batch CC semantics changed — revisit the documented greedy-vs-CC divergence")
   }
+
+  test("compactIndex folds all-but-latest partitions; every probe and the sink survive") {
+    import graft.streaming.StreamingDedup
+    import org.apache.hadoop.fs.Path
+    val work = SparkTestBase.tmpDir("graft_idx_compact")
+    val indexRoot = s"$work/index"
+    val sink = StreamingDedup.exactAgainstIndexSink(indexRoot, s"$work/out") _
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    sink(batchDf(1L -> "alpha", 2L -> "beta"), 0L)
+    sink(batchDf(11L -> "gamma"), 1L)
+    sink(batchDf(21L -> "delta", 22L -> "epsilon"), 2L)
+    sink(batchDf(31L -> "zeta"), 3L)
+    def digests() = spark.read.parquet(indexRoot).drop("__batch")
+      .as[String].collect().sorted.toSeq
+    def probe(batchId: Long) = spark.read.parquet(indexRoot)
+      .where($"__batch" < batchId).drop("__batch")
+      .as[String].collect().sorted.toSeq
+    val allBefore = digests()
+    val latestReplayBefore = probe(3L) // what a redelivery of b3 sees
+    val folded = StreamingDedup.compactIndex(spark, indexRoot)
+    assert(folded === 2, "expected partitions 0..2 folded into one")
+    val fs = new Path(indexRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(indexRoot)).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+    assert(dirs === Seq("__batch=2", "__batch=3"),
+      s"latest untouched + one folded partition expected, got $dirs")
+    // no staging/trash leftovers
+    assert(!dirs.exists(d => d.contains("compact")))
+    assert(digests() === allBefore, "compaction changed the index contents")
+    assert(probe(3L) === latestReplayBefore,
+      "replay view of the latest batch changed — replay contract broken")
+    assert(probe(4L) === allBefore, "next batch's probe view changed")
+    // the sink still dedups against the folded history
+    sink(batchDf(41L -> "alpha", 42L -> "eta"), 4L)
+    val out = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(1L, 2L, 11L, 21L, 22L, 31L, 42L),
+      "post-compaction batch failed to dedup against folded history")
+    // idempotent maintenance: a second run right away is a no-op
+    assert(StreamingDedup.compactIndex(spark, indexRoot) === 1,
+      "expected exactly the two pre-latest partitions to fold")
+    assert(StreamingDedup.compactIndex(spark, indexRoot) === 0,
+      "expected a no-op once only one folded + latest partition remain")
+    // b4 rolled the index forward with the WHOLE batch's digests
+    assert(digests() === (allBefore ++ graft.ext.Dedup
+      .exactIndex(batchDf(41L -> "alpha", 42L -> "eta")).as[String].collect()).sorted)
+  }
 }

@@ -57,6 +57,65 @@ object Dedup {
     exact(batch, idCol, textCol)
       .join(index, md5(col(textCol)) === index("__fp"), "left_anti")
 
+  /** Bloom membership sketch OVER a digest index ([[exactIndex]]'s
+    * `__fp` frame): one treeAggregate pass, no shuffle, ~1.2 bytes/key
+    * at 1% fpp vs the index's 16-byte digests. Returned as a one-row
+    * frame `(n_items, fpp, bloom)` — persist it as parquet next to the
+    * index and hand it to [[exactAgainstBloom]].
+    *
+    * The inserted key is `xxhash64(__fp)` — derivable from BOTH the
+    * index and raw text (`xxhash64(md5(text))`), which is what lets
+    * the filter rebuild from the rolled-forward index alone (the
+    * compaction cadence: index appends per batch, bloom rebuilds from
+    * the compacted index — one digest-only columnar scan, no text).
+    * A 64-bit pre-hash can alias two digests (P ≈ n²/2⁶⁵ — the
+    * duplicatedSpans trade), which only ever ADDS a false positive;
+    * the anti-join confirm keeps the result exact regardless.
+    */
+  def bloomOfIndex(index: DataFrame, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val hashed = index.select(xxhash64(col("__fp")).as("__h"))
+    val n = math.max(hashed.count(), 1L)
+    val bf = hashed.stat.bloomFilter("__h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val spark = index.sparkSession
+    import spark.implicits._
+    Seq((n, fpp, bos.toByteArray)).toDF("n_items", "fpp", "bloom")
+  }
+
+  /** [[exactAgainst]] with a Bloom prefilter: batch rows whose text
+    * hash is bloom-NEGATIVE are definitely new and bypass the digest
+    * anti-join entirely — they flow through a narrow codegen'd filter
+    * with no shuffle. Only bloom-positive rows (true dups + the fpp
+    * sliver) enter the join. No false negatives → the kept set is
+    * EXACTLY [[exactAgainst]]'s (the q91 oracle is q74's), so the
+    * filter is a pure shuffle-avoidance lever: on a fresh-content
+    * ingest at 100 TB the join's probe side shrinks to ~fpp of the
+    * batch, and when AQE sees it empty the index scan short-circuits.
+    *
+    * The filter deserializes once on the driver and ships as a
+    * BROADCAST ([[graft.functions.BloomMightContainLong]]) — fetched
+    * per executor, never per task. The two result branches share the
+    * deduped-batch subplan; its aggregation exchange is reused
+    * (ReuseExchange), so the batch is deduped once. A production
+    * ingest loop that probes many indexes would `.persist()` the
+    * deduped batch first; at one probe per batch the re-scan is noise.
+    */
+  def exactAgainstBloom(batch: DataFrame, index: DataFrame, bloom: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bytes = bloom.select(col("bloom")).head().getAs[Array[Byte]](0)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val flagged = exact(batch, idCol, textCol).withColumn("__maybe",
+      graft.functions.ArrayExprs.bloomMightContainLong(xxhash64(md5(col(textCol))), bc))
+    val fresh = flagged.where(!col("__maybe")).drop("__maybe")
+    val confirmed = flagged.where(col("__maybe")).drop("__maybe")
+      .join(index, md5(col(textCol)) === index("__fp"), "left_anti")
+    fresh.unionByName(confirmed)
+  }
+
   /** Cross-document duplicated spans: every `spanTokens`-token window
     * that occurs in at least `minDocs` distinct documents, with total
     * occurrence counts (within-document repeats included) — the

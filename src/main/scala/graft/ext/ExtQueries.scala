@@ -490,6 +490,44 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The PERSISTED exact-dedup artifacts: the corpus digest index AND
+    * its Bloom sketch, built once per (session, corpus) on the held
+    * split and round-tripped through parquet under [[scratchPath]] —
+    * the operational shape of [[Dedup.bloomOfIndex]]'s maintenance
+    * story (index rolls forward per batch; bloom rebuilds from the
+    * compacted index).
+    */
+  private val bloomIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def sharedBloomIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val (ip, bp) = bloomIndexMemo.computeIfAbsent(key, _ => {
+      val ip = scratchPath(spark, "exact_index", dir)
+      val bp = scratchPath(spark, "exact_bloom", dir)
+      Dedup.exactIndex(docs(spark, dir).where(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(ip)
+      Dedup.bloomOfIndex(spark.read.parquet(ip))
+        .write.mode("overwrite").parquet(bp)
+      (ip, bp)
+    })
+    (spark.read.parquet(ip), spark.read.parquet(bp))
+  }
+
+  /** q74's incremental exact dedup THROUGH the Bloom prefilter: the
+    * ingest batch (doc_id % 10 == 0) probed against the persisted
+    * digest index and its parquet-round-tripped Bloom sketch. The
+    * bloom admits no false negatives and the anti-join confirms every
+    * positive, so this shares q74's oracle VERBATIM — the oracled
+    * proof the prefilter changes the plan, never the answer.
+    */
+  def q91(spark: SparkSession, dir: String): DataFrame = {
+    val (idx, bloom) = sharedBloomIndex(spark, dir)
+    Dedup.exactAgainstBloom(
+      docs(spark, dir).where(col("doc_id") % 10 === 0), idx, bloom)
+      .orderBy("doc_id")
+  }
+
   /** Bigram LM perplexity (true floating-point cross-entropy). libm
     * log/pow last-ULP behavior differs across engines, so like
     * q16/q26 this ships oracle-less: golden-digest-pinned and
@@ -828,7 +866,8 @@ object ExtQueries {
     "q87_quality_persisted_probe" -> (q87 _),
     "q88_curation_chain" -> (q88 _),
     "q89_video_near_dup" -> (q89 _),
-    "q90_bpe_packing" -> (q90 _)
+    "q90_bpe_packing" -> (q90 _),
+    "q91_exact_bloom_probe" -> (q91 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -873,6 +912,15 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     // q46's batch/corpus split; batch-side min-id dedup + corpus anti
     "q74_exact_incremental" ->
+      """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT b.* FROM batch b
+        |WHERE b.doc_id IN (SELECT min(doc_id) FROM batch GROUP BY md5(text))
+        |  AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
+    // q74's oracle VERBATIM: the Bloom prefilter is semantically
+    // transparent (no false negatives; positives confirmed exactly)
+    "q91_exact_bloom_probe" ->
       """WITH batch AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
         |corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0)
         |SELECT b.* FROM batch b

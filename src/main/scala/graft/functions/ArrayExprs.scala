@@ -64,6 +64,11 @@ object ArrayExprs {
   /** Per-table random-hyperplane LSH bucket keys of a float vector. */
   def hyperplaneSignatures(vec: Column, planes: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(HyperplaneSignatures(ColumnBridge.expression(vec), planes))
+
+  /** Probabilistic membership probe of a broadcast Bloom filter. */
+  def bloomMightContainLong(hash: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column =
+    ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(hash), bloom))
 }
 
 /** `cos(a, b) = a·b / (√|a|² · √|b|²)`, computed in double precision in
@@ -605,6 +610,41 @@ case class SimHashChunks64(child: Expression)
       c += 1
     }
     new GenericArrayData(chunks)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Membership probe of a BROADCAST Bloom filter: `true` iff the 64-bit
+  * key might be in the set the filter was built over (no false
+  * negatives; false positives at the filter's configured fpp). The
+  * filter rides a `Broadcast` handle — tasks fetch it once per
+  * executor via the block manager, so a multi-hundred-MB filter (10⁹
+  * keys at 1% fpp ≈ 1.2 GB) never travels inside the task binary or
+  * the generated code, and the probe itself stays inside whole-stage
+  * codegen (`addReferenceObj` + one virtual call per row).
+  *
+  * Used by Dedup.exactAgainstBloom as the shuffle-avoidance gate of
+  * incremental exact dedup: bloom-negative rows are DEFINITELY new and
+  * skip the digest anti-join entirely.
+  */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(h: Any): Any =
+    bloom.value.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+         |  $bcRef.value()).mightContainLong($c);""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

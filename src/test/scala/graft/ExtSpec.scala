@@ -1454,6 +1454,56 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.exactAgainst(batch, spark.read.parquet(dir)).isEmpty)
   }
 
+  test("bloom prefilter: exactAgainstBloom == exactAgainst through a parquet round-trip") {
+    // the crafted mix exactAgainst's own test uses: a corpus dup, an
+    // in-batch dup pair, a fresh text — plus enough fresh rows that
+    // the bloom-negative fast path is certainly exercised
+    val corpus = docsDf((100L -> "seen") +: (101L to 140L).map(i => i -> s"corpus $i"): _*)
+    val batch = docsDf((1L -> "seen") +: (2L -> "twice") +: (3L -> "twice") +:
+      (4L to 40L).map(i => i -> s"fresh $i"): _*)
+    val idxDir = SparkTestBase.tmpDir("graft_bloom_idx")
+    val bloomDir = SparkTestBase.tmpDir("graft_bloom_bf")
+    Dedup.exactIndex(corpus).write.mode("overwrite").parquet(idxDir)
+    val idx = spark.read.parquet(idxDir)
+    Dedup.bloomOfIndex(idx).write.mode("overwrite").parquet(bloomDir)
+    val bloom = spark.read.parquet(bloomDir)
+    val expect = Dedup.exactAgainst(batch, idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val got = Dedup.exactAgainstBloom(batch, idx, bloom)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got === expect)
+    assert(got.take(3) === Seq(2L, 4L, 5L))
+    // equivalence must hold at ANY fpp — a sloppy filter only grows
+    // the confirm set, never the answer
+    val sloppy = Dedup.bloomOfIndex(idx, fpp = 0.5)
+    assert(Dedup.exactAgainstBloom(batch, idx, sloppy)
+      .select("doc_id").as[Long].collect().sorted.toSeq === expect)
+  }
+
+  test("bloom membership expression: no false negatives, codegen path") {
+    val idx = Dedup.exactIndex(docsDf((1L to 50L).map(i => i -> s"doc $i"): _*))
+    val bloomDf = Dedup.bloomOfIndex(idx)
+    assert(bloomDf.select("n_items").as[Long].head() === 50L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomDf.select("bloom").head().getAs[Array[Byte]](0)))
+    val bc = spark.sparkContext.broadcast(bf)
+    // every inserted key answers true THROUGH the expression (i.e. in
+    // a distributed plan, not just driver-side bf.mightContainLong)
+    val hits = idx.withColumn("__hit",
+        graft.functions.ArrayExprs.bloomMightContainLong(xxhash64($"__fp"), bc))
+      .where(!$"__hit").count()
+    assert(hits === 0L, "a Bloom filter must have zero false negatives")
+    // and the expression survives whole-stage codegen: same answers
+    // with the interpreter fallback forced off is implied by the run
+    // above; here pin that at 1% fpp absent keys are mostly rejected
+    val absent = (1000L to 1199L).map(i => i -> s"absent $i")
+    val fp = docsDf(absent: _*)
+      .withColumn("__hit", graft.functions.ArrayExprs.bloomMightContainLong(
+        xxhash64(org.apache.spark.sql.functions.md5($"text")), bc))
+      .where($"__hit").count()
+    assert(fp <= 20L, s"~1% fpp expected on 200 absent keys, got $fp")
+  }
+
   test("lmPerplexity: hand-computed bigram model on a crafted corpus") {
     // corpus: doc 1 "a b a b a" (bigrams ab×2, ba×2), doc 2 "a b c"
     // (ab, bc); model over BOTH docs: c2(ab)=3, c2(ba)=2, c2(bc)=1,

@@ -23,14 +23,37 @@ object Queries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and floor to microseconds.
-    * (Integer division — nanos-since-epoch exceeds double's 2^53.)
+  /** Driver fixture generations have shipped `events.ts` in two parquet
+    * spellings: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so it's read as raw long nanos under `nanosAsLong` and
+    * floored to microseconds here (integer division: nanos-since-epoch
+    * exceeds double's 2^53) — and a native TIMESTAMP(MICROS) column
+    * that needs no conversion. Adapt on the OBSERVED read type so
+    * either vintage works; every events consumer goes through this
+    * helper (or [[eventsTsIsRawNanos]] for inline-SQL spellings).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = t(spark, dir, "events")
+    if (eventsTsIsRawNanos(spark, dir))
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else
+      // the native vintage reads as TIMESTAMP_NTZ; cast to TIMESTAMP so
+      // downstream unix_millis/unix_micros resolve. Session tz is pinned
+      // UTC everywhere (Verify/Bench/specs), so the cast preserves both
+      // the instant and every wall-clock field.
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+  }
+
+  /** True iff `events.ts` reads as a raw long (the TIMESTAMP(NANOS)
+    * vintage under `nanosAsLong`); false for the native-timestamp
+    * vintage. Sets the legacy conf as a side effect so the subsequent
+    * read succeeds on the nanos vintage.
+    */
+  def eventsTsIsRawNanos(spark: SparkSession, dir: String): Boolean = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    t(spark, dir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
   }
 
   /** Exact decimal view of a 2-dp monetary double. Widths are chosen so
@@ -183,19 +206,24 @@ object Queries {
     import graft.config._
     import graft.exec.{EtlContext, PipelineRunner}
     import graft.io.{FileWarehouse, Lake}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = java.nio.file.Files.createTempDirectory("graft_q18").toString
     val wh = new FileWarehouse(spark, s"$work/wh")
     wh.registerPrimaryKey("dwh", "user_state", Seq("user_id"))
     val sfName = new java.io.File(dir).getName
+    // inline-SQL spellings for BOTH events.ts vintages (see events()):
+    // tsDt = ts as a timestamp; tsNs = ts as epoch nanos (the watermark
+    // unit — unix_micros*1000 stays well inside Long for any real date)
+    val (tsDt, tsNs) =
+      if (eventsTsIsRawNanos(spark, dir)) ("timestamp_micros(ts DIV 1000)", "ts")
+      else ("CAST(ts AS TIMESTAMP)", "unix_micros(CAST(ts AS TIMESTAMP)) * 1000")
     val stepSql =
-      """SELECT user_id, event_type, value,
-        |  timestamp_micros(ts DIV 1000) AS __transform_dt,
-        |  timestamp_micros(ts DIV 1000) AS __load_dt,
-        |  event_id AS __seqno,
-        |  'A' AS __record_state
-        |FROM events_src
-        |WHERE ts > {wm_low} AND ts <= {wm_high}""".stripMargin
+      s"""SELECT user_id, event_type, value,
+         |  $tsDt AS __transform_dt,
+         |  $tsDt AS __load_dt,
+         |  event_id AS __seqno,
+         |  'A' AS __record_state
+         |FROM events_src
+         |WHERE $tsNs > {wm_low} AND $tsNs <= {wm_high}""".stripMargin
     val cfg = TableConfig(
       dependencies = Seq(Dependency(
         source = "datalake", format = "parquet", alias = "events_src",
@@ -236,15 +264,19 @@ object Queries {
     import graft.config._
     import graft.exec.{EtlContext, PipelineRunner}
     import graft.io.{FileWarehouse, Lake}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val work = java.nio.file.Files.createTempDirectory("graft_q29").toString
     val wh = new FileWarehouse(spark, s"$work/wh")
     wh.registerPrimaryKey("dwh", "user_state_manual", Seq("user_id"))
     val sfName = new java.io.File(dir).getName
+    // ts-as-timestamp spelling for whichever events.ts vintage is on
+    // disk (see events())
+    val tsDt =
+      if (eventsTsIsRawNanos(spark, dir)) "timestamp_micros(ts DIV 1000)"
+      else "CAST(ts AS TIMESTAMP)"
     def stepSql(pred: String) =
       s"""SELECT user_id, event_type, value,
-         |  timestamp_micros(ts DIV 1000) AS __transform_dt,
-         |  timestamp_micros(ts DIV 1000) AS __load_dt,
+         |  $tsDt AS __transform_dt,
+         |  $tsDt AS __load_dt,
          |  event_id AS __seqno,
          |  'A' AS __record_state
          |FROM events_src
@@ -261,14 +293,14 @@ object Queries {
     val fullCfg = TableConfig(dependencies = deps, target = target,
       transform = Map(ReadMode.Full -> Seq(Step.Select(
         sql = SqlSource.Inline(stepSql(
-          "timestamp_micros(ts DIV 1000) < TIMESTAMP '{report_date} 00:00:00'")),
+          s"$tsDt < TIMESTAMP '{report_date} 00:00:00'")),
         parameters = Seq(Param.ReportDate("report_date"))))))
     PipelineRunner.runTable(ctx, fullCfg, ReadMode.Full, WriteMode.Overwrite, MergeMode.Full)
     // manual re-load of exactly the REPORT_DATE day
     val manualCfg = TableConfig(dependencies = deps, target = target,
       transform = Map(ReadMode.Manual -> Seq(Step.Select(
         sql = SqlSource.Inline(stepSql(
-          "CAST(timestamp_micros(ts DIV 1000) AS DATE) = DATE '{report_date}'")),
+          s"CAST($tsDt AS DATE) = DATE '{report_date}'")),
         parameters = Seq(Param.ReportDate("report_date"))))))
     PipelineRunner.runTable(ctx, manualCfg, ReadMode.Manual, WriteMode.Append, MergeMode.Delta)
     wh.read("dwh", "user_state_manual")

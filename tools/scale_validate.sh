@@ -16,20 +16,25 @@ DEST="scratch/sf_x$FACTOR"
 
 sbt -batch "runMain graft.ScaleUp /root/testdata/sf0.1 $PWD/$DEST $FACTOR"
 
-# Spark cannot write parquet TIMESTAMP(NANOS); ScaleUp lands events.ts as
-# BIGINT nanos (reading it with nanosAsLong, like every Spark consumer
-# here). The DuckDB oracle needs the driver's nanos-timestamp type, so
-# restore it with pyarrow (dev-side tool, like selfcheck itself).
+# Driver fixtures have shipped events.ts as TIMESTAMP(NANOS) and as
+# TIMESTAMP(MICROS) across generations. On the nanos vintage Spark can
+# only read/write it as BIGINT nanos (nanosAsLong), so ScaleUp lands a
+# BIGINT column the DuckDB oracle can't treat as a timestamp — restore
+# the nanos-timestamp type with pyarrow (dev-side tool, like selfcheck).
+# On the native-timestamp vintage ScaleUp already writes a real
+# timestamp column: leave it exactly as the driver ships it.
 python3 - "$PWD/$DEST" <<'PYEOF'
 import pyarrow as pa, pyarrow.parquet as pq, glob, shutil, sys, os
 dest = sys.argv[1]
 path = f"{dest}/events.parquet"
 if os.path.isdir(path):
-    tbl = pa.concat_tables([pq.read_table(f) for f in sorted(glob.glob(f"{path}/*.parquet"))])
-    i = tbl.schema.get_field_index('ts')
-    tbl = tbl.set_column(i, pa.field('ts', pa.timestamp('ns')), tbl.column('ts').cast(pa.timestamp('ns')))
-    shutil.rmtree(path)
-    pq.write_table(tbl, path)
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    if files and pq.read_schema(files[0]).field('ts').type == pa.int64():
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        i = tbl.schema.get_field_index('ts')
+        tbl = tbl.set_column(i, pa.field('ts', pa.timestamp('ns')), tbl.column('ts').cast(pa.timestamp('ns')))
+        shutil.rmtree(path)
+        pq.write_table(tbl, path)
 PYEOF
 
 for i in $(seq 1 "$RUNS"); do

@@ -100,6 +100,52 @@ object CurationChain {
     pack(mixture(decontaminate(
       nearDupDedup(normalizeDedup(encodingGate(corpus))), corpus)))
 
+  /** Per-document drop-stage attribution — the "why was my document
+    * removed" debugging surface of the chain (q92): one row per
+    * ORIGINAL corpus document naming the FIRST stage that removed it
+    * (`encoding`, `exact_dup`, `near_dup`, `benchmark`,
+    * `contaminated`, `mixture`) or `kept` for chain survivors
+    * (packing only groups, it never drops). Stage semantics and
+    * constants are [[run]]'s exactly, so the audit stays end-to-end
+    * SQL-replayable (q92's oracle shares q88's CTE chain).
+    *
+    * Scale shape: each stage contributes only its survivor doc_id set
+    * (8-byte keys; text never rides into the audit joins), and the
+    * five id-joins reuse one hash-partitioning on doc_id. The chain
+    * stages themselves are computed once each — the audit adds no
+    * second pass over payloads.
+    */
+  def audit(corpus: DataFrame): DataFrame = {
+    val s1 = encodingGate(corpus)
+    val s2 = normalizeDedup(s1)
+    val s3 = nearDupDedup(s2)
+    val s4 = decontaminate(s3, corpus)
+    val s5 = mixture(s4)
+    def ids(d: DataFrame, flag: String): DataFrame =
+      d.select(col("doc_id")).withColumn(flag, lit(true))
+    // stage-4 split: the benchmark slice leaves the training set by
+    // definition (attributed directly from doc_id), so `contaminated`
+    // is exactly "survived near-dup, not benchmark, missing from the
+    // decontaminated set"
+    val contam = s3.where(col("doc_id") % BenchMod =!= 0)
+      .join(s4.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).withColumn("__contam", lit(true))
+    corpus.select(col("doc_id"), col("lang"))
+      .join(ids(s1, "__gated"), Seq("doc_id"), "left")
+      .join(ids(s2, "__normed"), Seq("doc_id"), "left")
+      .join(ids(s3, "__deduped"), Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .join(ids(s5, "__mixed"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("__gated").isNull, "encoding")
+          .when(col("__normed").isNull, "exact_dup")
+          .when(col("__deduped").isNull, "near_dup")
+          .when(col("doc_id") % BenchMod === 0, "benchmark")
+          .when(col("__contam").isNotNull, "contaminated")
+          .when(col("__mixed").isNull, "mixture")
+          .otherwise("kept").as("drop_stage"))
+  }
+
   /** The view each fn step reads its input from and registers its
     * output as — the chain's hand-off convention inside a pipeline run.
     */

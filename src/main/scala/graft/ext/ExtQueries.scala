@@ -749,6 +749,13 @@ object ExtQueries {
   def q88(spark: SparkSession, dir: String): DataFrame =
     CurationChain.run(docs(spark, dir)).orderBy("lang", "bin_id")
 
+  /** q92 — per-document drop-stage audit of the q88 chain: the
+    * curation-debugging surface ("why was my document removed"),
+    * exact-oracled against the same CTE pipeline as q88.
+    */
+  def q92(spark: SparkSession, dir: String): DataFrame =
+    CurationChain.audit(docs(spark, dir)).orderBy("doc_id")
+
   /** Near-dup VIDEO pairs over clips rendered from the documents table
     * (each doc → a 4-frame scrolling-window GIF, the q82
     * text-to-pixels bridge one modality up): near-dup documents
@@ -867,7 +874,8 @@ object ExtQueries {
     "q88_curation_chain" -> (q88 _),
     "q89_video_near_dup" -> (q89 _),
     "q90_bpe_packing" -> (q90 _),
-    "q91_exact_bloom_probe" -> (q91 _)
+    "q91_exact_bloom_probe" -> (q91 _),
+    "q92_curation_audit" -> (q92 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -904,6 +912,82 @@ object ExtQueries {
   private val langProfileValues = langProfiles
     .map { case (l, ms) => s"('$l', [${ms.map(m => s"'$m'").mkString(",")}])" }
     .mkString(", ")
+
+  /** The q88 chain as ONE DuckDB CTE pipeline through the `mix`
+    * survivor set — shared verbatim by the q88 packing oracle and the
+    * q92 per-document audit oracle, so both replay the SAME stage
+    * semantics (gated \u2192 normed \u2192 shingle-walk near-dup \u2192 dd \u2192
+    * contaminated \u2192 clean \u2192 mix).
+    */
+  private val curationCtes: String =
+      """WITH RECURSIVE gated AS (
+        |  SELECT * FROM documents
+        |  WHERE len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
+        |normed AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM gated
+        |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM normed),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1 JOIN w t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
+        |            JOIN w t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT a_id, b_id
+        |  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |  UNION SELECT b_id, a_id FROM jpairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
+        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+        |dd AS (
+        |  SELECT * FROM normed
+        |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
+        |wb AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT DISTINCT
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |wt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM dd WHERE doc_id % 20 <> 0),
+        |tsh AS (SELECT DISTINCT t1.doc_id,
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
+        |clean AS (
+        |  SELECT * FROM dd
+        |  WHERE doc_id % 20 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |mix AS (
+        |  SELECT * FROM clean
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+        |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
+        |              WHEN 'es' THEN '4000' ELSE '0000' END)
+        |""".stripMargin.trim
+
 
   val oracles: Map[String, String] = Map(
     "q07_dedup_exact" ->
@@ -1047,73 +1131,8 @@ object ExtQueries {
     // the corresponding standalone oracle re-rooted on the previous
     // stage's survivor set (bench 5-grams stay rooted on the FULL
     // corpus — an eval set is defined independently of the gates)
-    "q88_curation_chain" ->
-      """WITH RECURSIVE gated AS (
-        |  SELECT * FROM documents
-        |  WHERE len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
-        |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
-        |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
-        |normed AS (
-        |  SELECT * FROM gated
-        |  WHERE doc_id IN (
-        |    SELECT min(doc_id) FROM gated
-        |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
-        |w AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-        |  FROM normed),
-        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
-        |  FROM w t1 JOIN w t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
-        |            JOIN w t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
-        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jpairs AS (
-        |  SELECT a_id, b_id
-        |  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
-        |  UNION SELECT b_id, a_id FROM jpairs),
-        |walk(s, d) AS (
-        |  SELECT s, d FROM edges
-        |  UNION
-        |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
-        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
-        |dd AS (
-        |  SELECT * FROM normed
-        |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
-        |wb AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-        |  FROM documents WHERE doc_id % 20 = 0),
-        |bsh AS (SELECT DISTINCT
-        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
-        |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
-        |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
-        |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
-        |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |wt AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
-        |  FROM dd WHERE doc_id % 20 <> 0),
-        |tsh AS (SELECT DISTINCT t1.doc_id,
-        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
-        |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
-        |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
-        |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
-        |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
-        |clean AS (
-        |  SELECT * FROM dd
-        |  WHERE doc_id % 20 <> 0
-        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |mix AS (
-        |  SELECT * FROM clean
-        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
-        |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
-        |              WHEN 'es' THEN '4000' ELSE '0000' END),
+    "q88_curation_chain" -> (curationCtes +
+      """,
         |sized AS (
         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n,
         |    SUM(len(string_split(text, ' ')))
@@ -1127,7 +1146,21 @@ object ExtQueries {
         |  MIN(doc_id) AS first_doc,
         |  MAX(doc_id) AS last_doc
         |FROM sized GROUP BY lang, bin_id
-        |ORDER BY lang, bin_id""".stripMargin,
+        |ORDER BY lang, bin_id""".stripMargin),
+    // q92 — the audit is a CASE over the SAME survivor CTEs, first
+    // missing set wins; `benchmark` outranks `contaminated` exactly as
+    // the chain removes the eval slice before the 5-gram check
+    "q92_curation_audit" -> (curationCtes +
+      """
+        |SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM gated) THEN 'encoding'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM normed) THEN 'exact_dup'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'near_dup'
+        |       WHEN d.doc_id % 20 = 0 THEN 'benchmark'
+        |       WHEN d.doc_id IN (SELECT doc_id FROM contaminated) THEN 'contaminated'
+        |       WHEN d.doc_id NOT IN (SELECT doc_id FROM mix) THEN 'mixture'
+        |       ELSE 'kept' END AS drop_stage
+        |FROM documents d ORDER BY d.doc_id""".stripMargin),
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |w AS (

@@ -82,4 +82,32 @@ class CurationSpec extends AnyFunSuite {
     assert(again === first, "curation must be deterministic end-to-end")
     out.unpersist()
   }
+
+  test("curation audit: exact partition of the corpus, consistent with the chain's survivors") {
+    import graft.ext.CurationChain
+    val audit = CurationChain.audit(docs).cache()
+
+    // one row per corpus document, stage names from the closed set
+    assert(audit.count() === docs.count())
+    val stages = audit.select("drop_stage").distinct().as[String].collect().toSet
+    assert(stages.subsetOf(Set("encoding", "exact_dup", "near_dup",
+      "benchmark", "contaminated", "mixture", "kept")))
+
+    // `kept` is EXACTLY the chain's pre-packing survivor set (packing
+    // groups, never drops)
+    val kept = audit.where($"drop_stage" === "kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val survivors = CurationChain.mixture(CurationChain.decontaminate(
+        CurationChain.nearDupDedup(CurationChain.normalizeDedup(
+          CurationChain.encodingGate(docs))), docs))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === survivors)
+
+    // the benchmark slice is attributed by id, never lost to a later stage
+    val benchRows = audit.where($"doc_id" % CurationChain.BenchMod === 0)
+      .select("drop_stage").distinct().as[String].collect().toSet
+    assert(benchRows.subsetOf(Set("encoding", "exact_dup", "near_dup", "benchmark")),
+      s"benchmark docs leaked past stage-4 attribution: $benchRows")
+    audit.unpersist()
+  }
 }

@@ -93,5 +93,8 @@ object SparkEntry {
       + "GIF/MP4/GRFT frame paths + the pinned sf0.001 pair set"),
     "q90_bpe_packing" -> ("BPE segmentation is not SQL-expressible: ExtSpec "
       + "hand-computed fit, parquet round-trip, repartition determinism, "
-      + "inline==precomputed packing equivalence + golden digest"))
+      + "inline==precomputed packing equivalence + golden digest"),
+    "q94_distinct_sketch" -> ("approximate by contract (DataSketches HLL "
+      + "estimates): SketchSpec 3-sigma error envelope vs exact distinct "
+      + "counts, merge ≡ rebuild, parquet round-trip + golden digest"))
 }

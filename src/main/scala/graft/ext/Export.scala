@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded training-corpus export (§2c extension): deterministic
+  * hash-assignment of documents to a fixed number of output shards,
+  * a per-shard MANIFEST (docs / tokens / bytes / content checksum),
+  * and a physical parquet writer that lands exactly one file per
+  * shard and returns the manifest recomputed FROM the landed files —
+  * a witness that what's on disk is what was intended.
+  *
+  * Why not `df.randomSplit` / `spark.write` alone: a training-data
+  * export must be (a) reproducible — the same corpus always lands in
+  * the same shard layout regardless of partitioning or cluster size,
+  * (b) auditable — a manifest any engine can recompute and compare
+  * byte-for-byte, and (c) self-describing — shard counts and
+  * checksums travel WITH the data. Shard assignment is a pure
+  * function of the row id (md5, like [[Sampling]]'s split
+  * assignment), the checksum is an order-insensitive XOR of a
+  * 60-bit content hash — commutative, so it needs no global sort
+  * and no single reducer.
+  *
+  * Scale shape: assignment is a narrow codegen'd projection (no
+  * shuffle); the manifest is one partial-aggregated groupBy on a
+  * small key domain (nShards rows out); the writer's only shuffle is
+  * the repartition that co-locates each shard into one task. At
+  * 100 TB you'd raise nShards to keep shards at file-system-friendly
+  * sizes — the layout stays one-file-per-shard by construction.
+  */
+object Export {
+
+  /** 60-bit integer view of an md5: first 15 hex chars as a long.
+    * Cross-engine replayable — DuckDB: `('0x' || substr(md5(x),1,15))::BIGINT`.
+    * 60 bits keeps the value comfortably positive in a signed 64-bit
+    * long in every engine (no sign-bit edge cases).
+    */
+  def md5Long60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic shard of an id: `md5(id || salt)` folded to 60 bits,
+    * mod nShards. Null ids RAISE ([[Sampling]]'s total-function rule:
+    * silently routing null-id rows to one shard corrupts the export).
+    * Modulo bias over a 60-bit base is ≤ nShards/2^60 — immaterial.
+    */
+  def shardOf(id: Column, nShards: Int, salt: String = "graft"): Column = {
+    require(nShards > 0, "shardOf: nShards must be positive")
+    when(id.isNull, raise_error(lit(
+      "Export: null id — shard assignment must be a total function of the row")))
+      .otherwise(md5Long60(concat(id.cast("string"), lit(salt))) % nShards)
+  }
+
+  /** Per-document 60-bit content hash: md5 of `id || ':' || content`.
+    * Binding the id in makes the checksum detect id↔content swaps, not
+    * just content-set changes.
+    */
+  def contentHash(id: Column, content: Column): Column =
+    md5Long60(concat(id.cast("string"), lit(":"), content))
+
+  /** The manifest: one row per shard —
+    * `(shard, n_docs, n_tokens, n_bytes, checksum)`. Tokens are the
+    * repo's whitespace tokens ([[TextOps.tokens]]) unless the caller
+    * plugs a `tokenCount` expression (same seam as packing); bytes are
+    * UTF-8 `octet_length`; checksum is `bit_xor` of [[contentHash]] —
+    * order-insensitive and overflow-free, so two manifests are
+    * comparable with plain equality.
+    */
+  def shardManifest(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    salt: String = "graft",
+                    tokenCount: Option[Column] = None): DataFrame =
+    docs
+      .select(
+        shardOf(col(idCol), nShards, salt).as("shard"),
+        tokenCount.getOrElse(size(TextOps.tokens(col(textCol)))).cast("long").as("__ntok"),
+        octet_length(col(textCol)).cast("long").as("__nbytes"),
+        contentHash(col(idCol), col(textCol)).as("__h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nbytes")).as("n_bytes"),
+        expr("bit_xor(__h)").as("checksum"))
+
+  /** Physical export: land `docs` under `outDir` as
+    * `shard=<k>/part-*.parquet` with EXACTLY one data file per shard
+    * (each shard is co-located into one task by the repartition on the
+    * shard column, and `partitionBy` then splits tasks by directory),
+    * write the source-side manifest to `outDir/_manifest`, and return
+    * the manifest recomputed from the landed files. Callers assert
+    * returned == intended (ExportSpec does) — a disagreement means
+    * the write lost or duplicated rows.
+    */
+  def exportShards(spark: SparkSession, docs: DataFrame, outDir: String,
+                   nShards: Int, idCol: String = "doc_id",
+                   textCol: String = "text", salt: String = "graft",
+                   tokenCount: Option[Column] = None): DataFrame = {
+    val intended = shardManifest(docs, nShards, idCol, textCol, salt, tokenCount)
+    docs
+      .withColumn("shard", shardOf(col(idCol), nShards, salt))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    intended.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    val landed = spark.read.parquet(s"$outDir/data")
+    // recompute from what actually landed; shard column is read back
+    // from the directory layout, so a row in the wrong directory shows
+    // up as a manifest mismatch, not silence
+    landed
+      .select(
+        col("shard").cast("long").as("shard"),
+        tokenCount.getOrElse(size(TextOps.tokens(col(textCol)))).cast("long").as("__ntok"),
+        octet_length(col(textCol)).cast("long").as("__nbytes"),
+        contentHash(col(idCol), col(textCol)).as("__h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nbytes")).as("n_bytes"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
+}

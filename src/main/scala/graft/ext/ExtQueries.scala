@@ -812,6 +812,48 @@ object ExtQueries {
       .orderBy("lang", "bin_id")
   }
 
+  /** Sharded-export manifest over the corpus: deterministic md5 shard
+    * assignment (8 shards) with per-shard doc/token/byte counts and an
+    * order-insensitive XOR content checksum — the audit record a
+    * training-data export ships with ([[Export]]). Exact-oracled: the
+    * shard hash, whitespace token count, UTF-8 byte length, and
+    * 60-bit XOR checksum are all replayable verbatim in DuckDB.
+    */
+  def q93(spark: SparkSession, dir: String): DataFrame =
+    Export.shardManifest(docs(spark, dir), nShards = 8).orderBy("shard")
+
+  /** Mergeable per-(source, lang) HLL distinct-count sketches of the
+    * NORMALIZED corpus text ([[Sketches]]) — "how many distinct docs
+    * after normalization, per facet" without an exact
+    * count(distinct)'s full re-shuffle. HLL estimates are
+    * approximate by contract → no SQL oracle; SketchSpec pins the
+    * 3-sigma error envelope vs exact counts, merge ≡ rebuild, the
+    * parquet round-trip, and this query's golden digest.
+    */
+  def q94(spark: SparkSession, dir: String): DataFrame =
+    Sketches.estimates(
+      Sketches.build(
+        docs(spark, dir).withColumn("__norm", TextOps.normalizeText(col("text"))),
+        Seq("source", "lang"), "__norm"),
+      Seq("source", "lang"))
+      .orderBy("source", "lang")
+
+  /** Snapshot diff of a normalize-then-dedup run ([[Diff]]): per-doc
+    * status between the raw corpus and the q85 survivor set carrying
+    * its normalized text — `removed` (dedup loser), `changed`
+    * (normalization rewrote the text), `unchanged`. The audit surface
+    * for "what did this run do", and the driver of incremental
+    * re-processing (only changed docs re-embed). Exact-oracled.
+    */
+  def q95(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val survivors = Dedup.exact(
+        d.withColumn("__norm", TextOps.normalizeText(col("text"))),
+        "doc_id", "__norm")
+      .select(col("doc_id"), col("__norm").as("text"))
+    Diff.snapshotDiff(d, survivors).orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -875,7 +917,10 @@ object ExtQueries {
     "q89_video_near_dup" -> (q89 _),
     "q90_bpe_packing" -> (q90 _),
     "q91_exact_bloom_probe" -> (q91 _),
-    "q92_curation_audit" -> (q92 _)
+    "q92_curation_audit" -> (q92 _),
+    "q93_shard_manifest" -> (q93 _),
+    "q94_distinct_sketch" -> (q94 _),
+    "q95_snapshot_diff" -> (q95 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH
@@ -1161,6 +1206,47 @@ object ExtQueries {
         |       WHEN d.doc_id NOT IN (SELECT doc_id FROM mix) THEN 'mixture'
         |       ELSE 'kept' END AS drop_stage
         |FROM documents d ORDER BY d.doc_id""".stripMargin),
+    // q93 — the shard hash and checksum are spelled with DuckDB's
+    // ('0x'||hex)::BIGINT parse of the same md5 prefixes Spark folds
+    // via conv(..,16,10); sums cast back to BIGINT (DuckDB widens SUM
+    // to HUGEINT, which would stringify differently only when negative
+    // — cast anyway for symmetry with the Spark LongType columns)
+    "q93_shard_manifest" ->
+      """WITH s AS (
+        |  SELECT
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::BIGINT) % 8
+        |      AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(strlen(text) AS BIGINT) AS nbytes,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT
+        |      AS h
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
+        |  bit_xor(h) AS checksum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    // q95 — survivors replay q85's min-id-per-normalized-digest rule;
+    // a CASE over digest presence/equality replays the diff statuses
+    // (no 'added' arm: the new snapshot is a subset of the old by
+    // construction — ExtSpec exercises 'added' on the generic op)
+    "q95_snapshot_diff" ->
+      """WITH nd AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS ntext
+        |  FROM documents),
+        |surv AS (
+        |  SELECT doc_id, ntext FROM nd
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM nd GROUP BY md5(ntext))),
+        |d AS (
+        |  SELECT o.doc_id, md5(o.text) AS old_fp, md5(s.ntext) AS new_fp
+        |  FROM documents o LEFT JOIN surv s USING (doc_id))
+        |SELECT doc_id,
+        |  CASE WHEN new_fp IS NULL THEN 'removed'
+        |       WHEN old_fp <> new_fp THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  old_fp, new_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |w AS (

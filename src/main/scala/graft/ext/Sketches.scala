@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (§2c extension): per-facet
+  * DataSketches HLL sketches of a corpus — the scan-once /
+  * merge-forever answer to "how many distinct users / documents /
+  * normalized texts per (source, lang)" at 100 TB, where an exact
+  * `count(distinct)` re-shuffles the whole corpus on every refresh.
+  *
+  * The sketch column is an opaque `binary` any DataSketches-speaking
+  * engine can consume. The lifecycle mirrors the repo's other
+  * persisted indexes (digest / MinHash / ANN): BUILD once over the
+  * corpus ([[build]]), persist as parquet ([[write]]), then keep
+  * current by merging each ingest batch's sketch in ([[merge]]) —
+  * the old data is never rescanned. Estimates come out via
+  * [[estimates]].
+  *
+  * Scale shape: build is one partial-aggregated groupBy (HLL partials
+  * combine map-side; only ~2^lgK-byte sketches shuffle, never
+  * values); merge is a groupBy over (facets × generations) rows —
+  * index-scale, not corpus-scale. Estimate error is the standard HLL
+  * bound ~1.04/sqrt(2^lgK) RSE (lgK=12 → ~1.6%); SketchSpec pins a
+  * 3-sigma envelope against exact counts plus the merge≡rebuild and
+  * parquet round-trip contracts.
+  */
+object Sketches {
+
+  /** One HLL sketch per `groupCols` facet over `valueCol`:
+    * `(groupCols…, sketch: binary)`. `lgK` trades size for accuracy
+    * (2^lgK registers; 12 → 4 KiB / ~1.6% RSE — the DataSketches
+    * default tradeoff for corpus stats).
+    */
+  def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
+            lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "Sketches.build: need at least one facet column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Merge two sketch tables (same facets, same lgK — differing lgK
+    * RAISES via the underlying union, surfacing config drift rather
+    * than silently degrading accuracy): one sketch per facet over the
+    * union of both inputs' value sets.
+    */
+  def merge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false).as("sketch"))
+
+  /** Read the estimates off a sketch table:
+    * `(groupCols…, distinct_est: double)` — rounded estimate as a
+    * whole number of values (still a double: HLL's contract).
+    */
+  def estimates(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.select(
+      groupCols.map(col) :+
+        round(hll_sketch_estimate(col("sketch"))).as("distinct_est"): _*)
+
+  /** Persist / reload a sketch table (plain parquet; the sketch is an
+    * engine-portable DataSketches binary).
+    */
+  def write(sketches: DataFrame, path: String): Unit =
+    sketches.write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

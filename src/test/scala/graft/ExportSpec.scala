@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Diff, Export, Sketches, TextOps}
+
+/** Sharded export, sketch statistics, and snapshot diff — the corpus
+  * lifecycle operators around a curation run. The oracled behavior is
+  * covered by the driver's DuckDB gate (q93/q95); these pin the
+  * crafted-input semantics, the writer's physical layout, the HLL
+  * error/merge/round-trip contracts (q94's no-oracle gate), and the
+  * independent-reimplementation checks on the hash spellings.
+  */
+class ExportSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  /** Independent JVM-side replay of the md5Long60 fold. */
+  private def md5Long60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("shardOf matches an independent JVM md5 replay and stays in range") {
+    val ids = Seq(0L, 1L, 7L, 12345L, 999999L)
+    val got = ids.toDF("id")
+      .select($"id", Export.shardOf($"id", 8).as("shard"))
+      .as[(Long, Long)].collect().toMap
+    for (id <- ids) {
+      val want = md5Long60(id.toString + "graft") % 8
+      assert(got(id) === want, s"shard of $id")
+      assert(got(id) >= 0 && got(id) < 8)
+    }
+  }
+
+  test("shardOf: null id raises, not silently routes") {
+    val e = intercept[Exception] {
+      Seq[java.lang.Long](1L, null).toDF("id")
+        .select(Export.shardOf($"id", 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("null id"))
+  }
+
+  test("shardManifest: hand-computed fixture (counts, tokens, bytes, xor checksum)") {
+    // two docs in shard A, one in shard B — derive shards first, then
+    // assert the per-shard rollup against scalar arithmetic
+    val df = docsDf(1L -> "a b c", 2L -> "déjà vu", 3L -> "x")
+    val shards = Map(1L -> md5Long60("1graft") % 4,
+      2L -> md5Long60("2graft") % 4, 3L -> md5Long60("3graft") % 4)
+    val texts = Map(1L -> "a b c", 2L -> "déjà vu", 3L -> "x")
+    val m = Export.shardManifest(df, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    for (shard <- shards.values.toSeq.distinct) {
+      val members = shards.filter(_._2 == shard).keys.toSeq
+      val wantTok = members.map(id => texts(id).split(" ", -1).length.toLong).sum
+      val wantBytes = members.map(id => texts(id).getBytes("UTF-8").length.toLong).sum
+      val wantCk = members.map(id => md5Long60(s"$id:${texts(id)}")).foldLeft(0L)(_ ^ _)
+      assert(m(shard) === ((members.size.toLong, wantTok, wantBytes, wantCk)), s"shard $shard")
+    }
+    assert(m.keySet === shards.values.toSet, "only populated shards appear")
+  }
+
+  test("shardManifest is invariant under repartition") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Export.shardManifest(d, 8).orderBy("shard").collect().toSeq
+    val b = Export.shardManifest(d.repartition(7, $"lang"), 8)
+      .orderBy("shard").collect().toSeq
+    assert(a === b)
+  }
+
+  test("exportShards: landed manifest == intended, one file per shard, rows survive") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = SparkTestBase.tmpDir("graft_export")
+    val landed = Export.exportShards(spark, d, out, nShards = 4)
+      .orderBy("shard").collect().toSeq
+    val intended = Export.shardManifest(d, 4).orderBy("shard").collect().toSeq
+    assert(landed === intended, "manifest recomputed from landed files must match the intent")
+    // the persisted manifest matches too
+    val persisted = spark.read.parquet(s"$out/_manifest").orderBy("shard").collect().toSeq
+    assert(persisted === intended)
+    // physical layout: every shard directory holds exactly ONE data file
+    val dirs = new java.io.File(s"$out/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length === 4)
+    for (dir <- dirs) {
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"${dir.getName} must hold one data file, got ${files.length}")
+    }
+    // round trip: nothing lost, nothing duplicated
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() === d.count())
+    assert(back.select("doc_id").distinct().count() === d.count())
+  }
+
+  // --- Sketches ---------------------------------------------------------
+
+  test("HLL estimates are near-exact for small cardinalities and within 3 sigma at 50k") {
+    // small: sparse/coupon mode — near-exact (the estimator corrects
+    // for coupon hash collisions, so e.g. 500 -> 502, not exactly 500)
+    val small = (1 to 500).map(i => ("s", s"v$i")).toDF("g", "v")
+    val estS = Sketches.estimates(Sketches.build(small, Seq("g"), "v"), Seq("g"))
+      .as[(String, Double)].collect().head._2
+    assert(math.abs(estS - 500.0) <= 5.0, s"small-cardinality estimate drifted: $estS")
+    // large: 3-sigma envelope of the lgK=12 RSE (1.04/sqrt(4096) ~ 1.6%)
+    val n = 50000
+    val large = (1 to n).map(i => ("l", s"value_$i")).toDF("g", "v")
+    val estL = Sketches.estimates(Sketches.build(large, Seq("g"), "v"), Seq("g"))
+      .as[(String, Double)].collect().head._2
+    val rse = 1.04 / math.sqrt(1 << 12)
+    assert(math.abs(estL - n) <= 3 * rse * n,
+      s"estimate $estL outside 3-sigma of $n")
+  }
+
+  test("HLL merge of halves == single-pass build (estimates), incl. parquet round-trip") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("__norm", TextOps.normalizeText($"text"))
+    val full = Sketches.estimates(
+      Sketches.build(d, Seq("source"), "__norm"), Seq("source"))
+      .orderBy("source").collect().toSeq
+    val h1 = Sketches.build(d.where($"doc_id" % 2 === 0), Seq("source"), "__norm")
+    val h2 = Sketches.build(d.where($"doc_id" % 2 =!= 0), Seq("source"), "__norm")
+    val merged = Sketches.estimates(Sketches.merge(h1, h2, Seq("source")), Seq("source"))
+      .orderBy("source").collect().toSeq
+    assert(merged === full, "merge of disjoint halves must estimate like the single-pass build")
+    // the persisted-index lifecycle: write half 1, reload, merge batch 2
+    val path = SparkTestBase.tmpDir("graft_sketch") + "/idx"
+    Sketches.write(h1, path)
+    val viaDisk = Sketches.estimates(
+      Sketches.merge(Sketches.read(spark, path), h2, Seq("source")), Seq("source"))
+      .orderBy("source").collect().toSeq
+    assert(viaDisk === full, "parquet round-trip must not change the union")
+  }
+
+  test("HLL lgK drift raises on merge instead of silently degrading") {
+    val a = Sketches.build(Seq(("g", "x")).toDF("g", "v"), Seq("g"), "v", lgK = 12)
+    val b = Sketches.build(Seq(("g", "y")).toDF("g", "v"), Seq("g"), "v", lgK = 13)
+    val e = intercept[Exception] { Sketches.merge(a, b, Seq("g")).collect() }
+    assert(e.getMessage.toLowerCase.matches("(?s).*(lgconfigk|sketch|union).*"),
+      s"expected an lgK/union error, got: ${e.getMessage.take(200)}")
+  }
+
+  test("golden digest: q94 per-facet estimates are bit-stable at sf0.001") {
+    val rows = ext.ExtQueries.all("q94_distinct_sketch")(spark, sf)
+      .as[(String, String, Double)].collect()
+      .map { case (s, l, e) => s"$s|$l|$e" }.mkString("\n")
+    val digest = md5Hex(rows)
+    assert(digest === "28796f96062fb5588ab08c719c1d835c", s"q94 output drifted (digest $digest)")
+  }
+
+  // --- Diff -------------------------------------------------------------
+
+  test("snapshotDiff: all four statuses on crafted snapshots") {
+    val old = docsDf(1L -> "same", 2L -> "before", 3L -> "dropped")
+    val neu = docsDf(1L -> "same", 2L -> "after", 4L -> "brand new")
+    val got = Diff.snapshotDiff(old, neu).orderBy("doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toSeq
+    assert(got === Seq(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val sum = Diff.diffSummary(old, neu).as[(String, Long)].collect().toMap
+    assert(sum === Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+    // digests travel with the row: absent side is null
+    val fps = Diff.snapshotDiff(old, neu).where($"doc_id" === 4L)
+      .select("old_fp", "new_fp").collect().head
+    assert(fps.isNullAt(0) && fps.getString(1) === md5Hex("brand new"))
+  }
+
+  test("snapshotDiff digests never shuffle text (plan audit)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = Diff.snapshotDiff(d, d.withColumn("text", upper($"text")))
+      .queryExecution.executedPlan.toString
+    // both Exchange inputs must be (id, fp) projections — the full text
+    // column may appear only below the md5 projection, never post-shuffle
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected a shuffle for the full-outer join")
+    assert(!plan.contains("text#") || {
+      // crude but effective: text must not be a join output attribute
+      val joinLine = plan.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+      !joinLine.contains("text#")
+    }, s"text column must not survive into the join:\n$plan")
+  }
+}

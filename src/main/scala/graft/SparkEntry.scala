@@ -96,5 +96,8 @@ object SparkEntry {
       + "inline==precomputed packing equivalence + golden digest"),
     "q94_distinct_sketch" -> ("approximate by contract (DataSketches HLL "
       + "estimates): SketchSpec 3-sigma error envelope vs exact distinct "
-      + "counts, merge ≡ rebuild, parquet round-trip + golden digest"))
+      + "counts, merge ≡ rebuild, parquet round-trip + golden digest"),
+    "q96_overlap_sketch" -> ("approximate by contract (DataSketches theta "
+      + "set algebra): ExportSpec below-nominal exactness vs the exact SQL "
+      + "intersection, 3-sigma envelope at 50k, merge ≡ rebuild + golden digest"))
 }

@@ -854,6 +854,25 @@ object ExtQueries {
     Diff.snapshotDiff(d, survivors).orderBy("doc_id")
   }
 
+  /** Cross-split content-leakage estimate via THETA sketch overlap
+    * ([[Sketches.overlap]]): per source, the distinct normalized
+    * texts of the q32 train split vs the test split and their
+    * estimated intersection — duplicate content straddling the
+    * train/test boundary, the sketch-scale sibling of q30's exact
+    * decontamination. Theta estimates are approximate by contract →
+    * no SQL oracle; ExportSpec pins below-nominal exactness vs the
+    * exact SQL intersection, merge ≡ rebuild, and this query's golden
+    * digest.
+    */
+  def q96(spark: SparkSession, dir: String): DataFrame = {
+    val d = Sampling.assignSplit(
+      docs(spark, dir).withColumn("__norm", TextOps.normalizeText(col("text"))),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val tr = Sketches.thetaBuild(d.where(col("split") === "train"), Seq("source"), "__norm")
+    val te = Sketches.thetaBuild(d.where(col("split") === "test"), Seq("source"), "__norm")
+    Sketches.overlap(tr, te, Seq("source")).orderBy("source")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q08_text_stats" -> (q08 _),
@@ -920,7 +939,8 @@ object ExtQueries {
     "q92_curation_audit" -> (q92 _),
     "q93_shard_manifest" -> (q93 _),
     "q94_distinct_sketch" -> (q94 _),
-    "q95_snapshot_diff" -> (q95 _)
+    "q95_snapshot_diff" -> (q95 _),
+    "q96_overlap_sketch" -> (q96 _)
   )
 
   /** DuckDB shingle-set Jaccard (the exact ground truth the Spark LSH

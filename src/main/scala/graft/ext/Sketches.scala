@@ -66,4 +66,56 @@ object Sketches {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // --- theta sketches: the set ALGEBRA (intersect / subtract) HLL
+  // --- doesn't have — corpus overlap and novelty estimation.
+
+  /** One THETA sketch per facet over `valueCol`:
+    * `(groupCols…, sketch: binary)`. Estimates are EXACT below 2^lgK
+    * distinct values per facet, ~1/sqrt(2^lgK) RSE above. Same
+    * map-side partial-aggregation shape as [[build]].
+    */
+  def thetaBuild(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 lgK: Int = 12): DataFrame = {
+    require(groupCols.nonEmpty, "Sketches.thetaBuild: need at least one facet column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.ThetaExprs.thetaSketchAgg(col(valueCol), lgK).as("sketch"))
+  }
+
+  /** Merge two theta sketch tables. `lgK` must be the family's build
+    * value: a smaller union silently DOWNSAMPLES (theta's contract —
+    * there is no strict mode like the HLL aggregate's), so this is a
+    * parameter, not a guess, and [[thetaBuild]]'s default matches.
+    */
+  def thetaMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                 lgK: Int = 12): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.ThetaExprs.thetaUnionAgg(col("sketch"), lgK).as("sketch"))
+
+  /** Estimates off a theta sketch table (same shape as [[estimates]]). */
+  def thetaEstimates(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.select(
+      groupCols.map(col) :+
+        round(graft.functions.ThetaExprs.thetaEstimate(col("sketch"))).as("distinct_est"): _*)
+
+  /** Per-facet OVERLAP report between two theta sketch tables (inner
+    * join on the facets — a facet absent from either side has no
+    * overlap to report): distinct estimates of each side, of the
+    * intersection, and of A-only/B-only. THE scalable contamination /
+    * drift estimator: at 100 TB both sides reduce to facet-cardinality
+    * sketch tables before this join ever runs.
+    */
+  def overlap(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import graft.functions.ThetaExprs._
+    val an = a.select(groupCols.map(col) :+ col("sketch").as("__a"): _*)
+    val bn = b.select(groupCols.map(col) :+ col("sketch").as("__b"): _*)
+    an.join(bn, groupCols)
+      .select(groupCols.map(col) :+
+        round(thetaEstimate(col("__a"))).as("a_distinct") :+
+        round(thetaEstimate(col("__b"))).as("b_distinct") :+
+        round(thetaEstimate(thetaIntersect(col("__a"), col("__b")))).as("overlap_est") :+
+        round(thetaEstimate(thetaANotB(col("__a"), col("__b")))).as("a_only_est") :+
+        round(thetaEstimate(thetaANotB(col("__b"), col("__a")))).as("b_only_est"): _*)
+  }
 }

@@ -157,6 +157,73 @@ class ExportSpec extends AnyFunSuite {
     assert(digest === "28796f96062fb5588ab08c719c1d835c", s"q94 output drifted (digest $digest)")
   }
 
+  // --- Theta sketches ---------------------------------------------------
+
+  test("theta estimates and set algebra are exact below nominal entries") {
+    // A = {v1..v300}, B = {v201..v500}: |A|=300, |B|=300, |A∩B|=100
+    val a = (1 to 300).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (201 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val sa = Sketches.thetaBuild(a, Seq("g"), "v")
+    val sb = Sketches.thetaBuild(b, Seq("g"), "v")
+    val row = Sketches.overlap(sa, sb, Seq("g"))
+      .as[(String, Double, Double, Double, Double, Double)].collect().head
+    assert(row === (("g", 300.0, 300.0, 100.0, 200.0, 200.0)),
+      "theta is exact below 2^lgK distinct values — any drift is a bug, not noise")
+  }
+
+  test("theta 50k estimate within 3 sigma; merge of halves == single-pass build") {
+    val n = 50000
+    val large = (1 to n).map(i => ("l", s"value_$i")).toDF("g", "v")
+    val est = Sketches.thetaEstimates(
+      Sketches.thetaBuild(large, Seq("g"), "v"), Seq("g"))
+      .as[(String, Double)].collect().head._2
+    val rse = 1.0 / math.sqrt(1 << 12)
+    assert(math.abs(est - n) <= 3 * rse * n, s"theta estimate $est outside 3-sigma of $n")
+    // merge ≡ rebuild through the parquet round-trip (the persisted-index lifecycle)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("__norm", TextOps.normalizeText($"text"))
+    val full = Sketches.thetaEstimates(
+      Sketches.thetaBuild(d, Seq("source"), "__norm"), Seq("source"))
+      .orderBy("source").collect().toSeq
+    val h1 = Sketches.thetaBuild(d.where($"doc_id" % 2 === 0), Seq("source"), "__norm")
+    val h2 = Sketches.thetaBuild(d.where($"doc_id" % 2 =!= 0), Seq("source"), "__norm")
+    val path = SparkTestBase.tmpDir("graft_theta") + "/idx"
+    Sketches.write(h1, path)
+    val merged = Sketches.thetaEstimates(
+      Sketches.thetaMerge(Sketches.read(spark, path), h2, Seq("source")), Seq("source"))
+      .orderBy("source").collect().toSeq
+    assert(merged === full)
+  }
+
+  test("q96 overlap matches the exact SQL intersection at sf0.001 (below nominal)") {
+    val got = ext.ExtQueries.all("q96_overlap_sketch")(spark, sf)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // exact ground truth, same split + normalization spelling
+    val d = ext.Sampling.assignSplit(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .withColumn("__norm", TextOps.normalizeText($"text")),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val tr = d.where($"split" === "train").select($"source", $"__norm").distinct()
+    val te = d.where($"split" === "test").select($"source", $"__norm").distinct()
+    val exactA = tr.groupBy("source").count().as[(String, Long)].collect().toMap
+    val exactB = te.groupBy("source").count().as[(String, Long)].collect().toMap
+    val exactI = tr.intersect(te).groupBy("source").count().as[(String, Long)].collect().toMap
+    for ((src, (aEst, bEst, iEst)) <- got) {
+      assert(aEst === exactA(src).toDouble, s"$src a_distinct")
+      assert(bEst === exactB(src).toDouble, s"$src b_distinct")
+      assert(iEst === exactI.getOrElse(src, 0L).toDouble, s"$src overlap")
+    }
+  }
+
+  test("golden digest: q96 overlap report is bit-stable at sf0.001") {
+    val rows = ext.ExtQueries.all("q96_overlap_sketch")(spark, sf)
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => s"${r._1}|${r._2}|${r._3}|${r._4}|${r._5}|${r._6}").mkString("\n")
+    val digest = md5Hex(rows)
+    assert(digest === "e58f46c645e40f23bfa361cca1c468b1", s"q96 output drifted (digest $digest)")
+  }
+
   // --- Diff -------------------------------------------------------------
 
   test("snapshotDiff: all four statuses on crafted snapshots") {

@@ -554,4 +554,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(digests() === (allBefore ++ graft.ext.Dedup
       .exactIndex(batchDf(41L -> "alpha", 42L -> "eta")).as[String].collect()).sorted)
   }
+
+  test("streaming theta sketch index: stream == batch estimates, replay-idempotent, compactable") {
+    import graft.streaming.{StreamingDedup, StreamingSketches}
+    val work = SparkTestBase.tmpDir("graft_stream_sketch")
+    val indexRoot = s"$work/sketches"
+    val sink = StreamingSketches.thetaStatsSink(indexRoot, Seq("src"), "text") _
+    def batchDf(rows: (String, String)*) = rows.toDF("src", "text")
+    // overlapping values across batches: distinct-per-src must reflect
+    // the UNION of history, not the sum of batches
+    sink(batchDf("a" -> "t1", "a" -> "t2", "b" -> "u1"), 0L)
+    sink(batchDf("a" -> "t2", "a" -> "t3", "b" -> "u1"), 1L)
+    sink(batchDf("a" -> "t1", "b" -> "u2"), 2L)
+    def est() = StreamingSketches.currentEstimates(spark, indexRoot, Seq("src"))
+      .as[(String, Double)].collect().toMap
+    assert(est() === Map("a" -> 3.0, "b" -> 2.0),
+      "stream history estimates must equal batch-over-union (exact below nominal)")
+    // stream == batch: same estimates as a single build over all rows
+    val full = batchDf("a" -> "t1", "a" -> "t2", "b" -> "u1",
+      "a" -> "t2", "a" -> "t3", "b" -> "u1", "a" -> "t1", "b" -> "u2")
+    val batchEst = graft.ext.Sketches.thetaEstimates(
+      graft.ext.Sketches.thetaBuild(full, Seq("src"), "text"), Seq("src"))
+      .as[(String, Double)].collect().toMap
+    assert(est() === batchEst, "stream sketch index drifted from batch semantics")
+    // replay: redelivering batch 1 overwrites its own partition, no drift
+    sink(batchDf("a" -> "t2", "a" -> "t3", "b" -> "u1"), 1L)
+    assert(est() === batchEst, "replay of a delivered batch changed the estimates")
+    // the generic index compaction applies to this layout unchanged
+    assert(StreamingDedup.compactIndex(spark, indexRoot) >= 1)
+    assert(est() === batchEst, "compaction changed the merged estimates")
+    // two indexes compose: overlap of this index against itself is total
+    val cur = StreamingSketches.currentSketches(spark, indexRoot, Seq("src"))
+    val ov = graft.ext.Sketches.overlap(cur, cur, Seq("src"))
+      .as[(String, Double, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(ov === Map("a" -> 3.0, "b" -> 2.0))
+  }
 }

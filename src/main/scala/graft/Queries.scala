@@ -828,8 +828,39 @@ object Queries {
     spark.sql(q70Sql.replace("FROM events)", "FROM events_q70)"))
   }
 
+  // ---------------------------------------------------------------------
+  // q97/q98 — SCD2 (Type-2) history over the SAME synthesized journal as
+  // q05: every event_type change per user opens an interval row; the
+  // as-of read reconstructs the dimension at the q06 cutoff. The
+  // chronological comparator is the exact reverse of the merge
+  // comparator, so the open interval row == q05's merge winner
+  // (MergeSpec pins that consistency).
+  def q97(spark: SparkSession, dir: String): DataFrame = {
+    import graft.merge.Scd2
+    Scd2.history(journalFromEvents(spark, dir, lit(true), lit("A")),
+        Seq("user_id"), trackCols = Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col(Scd2.ValidFrom).as("valid_from"),
+        col(Scd2.ValidTo).as("valid_to"),
+        col(Scd2.IsCurrent).as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  def q98(spark: SparkSession, dir: String): DataFrame = {
+    import graft.merge.Scd2
+    Scd2.asOf(
+        Scd2.history(journalFromEvents(spark, dir, lit(true), lit("A")),
+          Seq("user_id"), trackCols = Seq("event_type")),
+        lit(cutoff).cast("timestamp"))
+      .select(col("user_id"), col("event_type"), col("value"),
+        col(Scd2.ValidFrom).as("valid_from"))
+      .orderBy("user_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01 _),
+    "q97_scd2_history" -> (q97 _),
+    "q98_scd2_asof" -> (q98 _),
     "q02_revenue_asia" -> (q02 _),
     "q03_top_orders" -> (q03 _),
     "q04_latest_order_per_customer" -> (q04 _),
@@ -934,6 +965,51 @@ object Queries {
          |    FROM active) t
          |  WHERE rnk = 1)
          |SELECT * FROM kept UNION ALL SELECT * FROM ins
+         |ORDER BY user_id""".stripMargin,
+    // q97/q98 — SCD2 intervals: retain event_type-change rows in
+    // chronological order (the reverse of the merge comparator: larger
+    // event_id is OLDER within a ts tie, mirroring q05's `event_id ASC`
+    // latest-first rank), then lead() the next retained ts as valid_to.
+    "q97_scd2_history" ->
+      """WITH retained AS (
+        |  SELECT user_id, event_type, value, ts, event_id
+        |  FROM (
+        |    SELECT user_id, event_type, value, ts, event_id,
+        |      LAG(event_type) OVER (PARTITION BY user_id
+        |                            ORDER BY ts ASC, ts ASC, event_id DESC) AS prev,
+        |      row_number() OVER (PARTITION BY user_id
+        |                         ORDER BY ts ASC, ts ASC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+        |iv AS (
+        |  SELECT user_id, event_type, value, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts ASC, ts ASC, event_id DESC) AS valid_to
+        |  FROM retained)
+        |SELECT user_id, event_type, value, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM iv
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q98_scd2_asof" ->
+      s"""WITH retained AS (
+         |  SELECT user_id, event_type, value, ts, event_id
+         |  FROM (
+         |    SELECT user_id, event_type, value, ts, event_id,
+         |      LAG(event_type) OVER (PARTITION BY user_id
+         |                            ORDER BY ts ASC, ts ASC, event_id DESC) AS prev,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY ts ASC, ts ASC, event_id DESC) AS rn
+         |    FROM events) t
+         |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         |iv AS (
+         |  SELECT user_id, event_type, value, ts AS valid_from,
+         |    LEAD(ts) OVER (PARTITION BY user_id
+         |                   ORDER BY ts ASC, ts ASC, event_id DESC) AS valid_to
+         |  FROM retained)
+         |SELECT user_id, event_type, value, valid_from
+         |FROM iv
+         |WHERE valid_from <= TIMESTAMP '$cutoff'
+         |  AND (valid_to IS NULL OR TIMESTAMP '$cutoff' < valid_to)
          |ORDER BY user_id""".stripMargin,
     // two sequential delta merges over a complete journal == one full merge
     "q18_delta_transform" ->

@@ -99,5 +99,9 @@ object SparkEntry {
       + "counts, merge ≡ rebuild, parquet round-trip + golden digest"),
     "q96_overlap_sketch" -> ("approximate by contract (DataSketches theta "
       + "set algebra): ExportSpec below-nominal exactness vs the exact SQL "
-      + "intersection, 3-sigma envelope at 50k, merge ≡ rebuild + golden digest"))
+      + "intersection, 3-sigma envelope at 50k, merge ≡ rebuild + golden digest"),
+    "q99_heavy_hitters" -> ("approximate by contract (Misra-Gries frequent "
+      + "items): ExportSpec below-capacity exactness vs exact counts, "
+      + "[lb,ub] bracketing + no-false-negative completeness above capacity, "
+      + "merge ≡ rebuild through parquet + golden digest"))
 }

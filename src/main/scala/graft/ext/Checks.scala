@@ -92,4 +92,64 @@ object Checks {
       .select(col("__x.col_name").as("col_name"), col("__x.n_nulls").as("n_nulls"),
         col("__x.n_distinct").as("n_distinct"), col("__n").as("n_rows"))
   }
+
+  // --- shuffle-key skew diagnosis ---------------------------------------
+  // The decision input for the repo's skew levers (Joins.salted,
+  // JournalMerge.latestPerKeySalted, AQE skew splits): measure a
+  // prospective shuffle key's distribution BEFORE the big job runs.
+  // All three reports reduce to ONE map-side-combinable per-key count;
+  // everything downstream is key-cardinality-scale, never row-scale.
+
+  /** Per-key counts of a prospective shuffle key — the shared first
+    * pass of the skew reports.
+    */
+  private def keyCounts(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Log2 histogram of key frequencies: one row per occupied bucket
+    * `floor(log2(cnt))` with the key count and the bucket's min/max
+    * frequency. The bucket is computed as `length(bin(cnt)) - 1` —
+    * integer bit-length arithmetic, no libm, so it is exact and
+    * engine-portable. A healthy key reads as a tight low-bucket
+    * cluster; a hot key shows up as a lone high bucket.
+    */
+  def skewHistogram(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyCounts(df, keyCols)
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("bucket"), col("cnt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("cnt")).as("min_count"),
+        max(col("cnt")).as("max_count"))
+      .orderBy("bucket")
+
+  /** The `k` heaviest keys (count DESC, keys ASC — total order):
+    * the candidates for an explicit salt or a skew-join hint.
+    * TakeOrdered — k rows to the driver, never a full sort.
+    */
+  def skewTopKeys(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame =
+    keyCounts(df, keyCols)
+      .orderBy(col("cnt").desc +: keyCols.map(c => col(c).asc): _*)
+      .limit(k)
+
+  /** One-row skew summary: row/key counts, the hottest key's share,
+    * `skew_ratio` = max/mean key frequency, and `salt_buckets` =
+    * ceil(max/mean) in exact integer arithmetic — the fan-out that
+    * levels the hottest key to an average-sized partition, feedable
+    * straight into [[Joins.salted]] / `graft.merge.saltBuckets`.
+    * A table with no skew recommends 1 (no salting).
+    */
+  def skewStats(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    keyCounts(df, keyCols)
+      .agg(sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_count"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        (col("n_rows").cast("double") / col("n_keys")).as("mean_count"),
+        (col("max_count") / (col("n_rows").cast("double") / col("n_keys")))
+          .as("skew_ratio"),
+        greatest(lit(1L),
+          expr("(max_count * n_keys + n_rows - 1) div n_rows"))
+          .as("salt_buckets"))
 }

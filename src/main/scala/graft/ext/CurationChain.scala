@@ -146,6 +146,74 @@ object CurationChain {
           .otherwise("kept").as("drop_stage"))
   }
 
+  // --- incremental chain: a new batch against persisted corpus state ---
+
+  /** The persisted corpus state the incremental chain probes: the
+    * NORMALIZED-text digest index (stage-2 exact dedup, q74's shape on
+    * q85's normalization) and the MinHash-LSH index (stage-3 near-dup,
+    * q46's shape). Both are plain parquet frames — build once, roll
+    * forward per batch with [[rollForward]], never rescan the corpus.
+    */
+  def corpusState(corpus: DataFrame): (DataFrame, DataFrame) =
+    (Dedup.exactIndex(
+        corpus.withColumn("__norm", TextOps.normalizeText(col("text"))), "__norm"),
+      Dedup.minHashIndex(corpus, shingleSize = ShingleSize))
+
+  /** [[run]]'s production sibling for INCREMENTAL ingest: curate a new
+    * batch against the persisted corpus state instead of re-running the
+    * whole corpus. Stage-for-stage the same semantics and constants:
+    *  1. encoding gate (stateless);
+    *  2. within-batch normalize-dedup, then drop batch texts already in
+    *     the corpus digest index (first-seen wins — the corpus holds
+    *     the copy that arrived first);
+    *  3. drop batch docs near-duplicating ANY corpus document (the
+    *     LSH probe against the MinHash index, exact-Jaccard-verified),
+    *     then within-batch near-dup clustering, keep-min-id;
+    *  4. decontaminate against the benchmark slice of
+    *     `benchmarkSource` (the eval set is defined on the ORIGINAL
+    *     reference corpus, exactly as in [[run]]);
+    *  5. mixture sampling. (Packing is an export-time step over the
+    *     accumulated corpus, not a per-batch step.)
+    *
+    * Returns the curated batch ready to append; pass it to
+    * [[rollForward]] to update the state for the next batch. Cross-set
+    * drops are FIRST-SEEN-WINS (batch loses to corpus regardless of
+    * id), matching the streaming sinks; within-batch policy is [[run]]'s
+    * keep-min-id. CurationSpec pins incremental ≡ full-chain-on-union
+    * where the two policies coincide (corpus ids below batch ids, no
+    * transitive chains through corpus losers).
+    */
+  def runIncremental(batch: DataFrame, normDigestIndex: DataFrame,
+                     corpusMinHashIndex: DataFrame,
+                     benchmarkSource: DataFrame): DataFrame = {
+    val s1 = encodingGate(batch)
+    val s2 = Dedup.exactAgainst(
+        s1.withColumn("__norm", TextOps.normalizeText(col("text"))),
+        normDigestIndex, "doc_id", "__norm")
+      .drop("__norm")
+    val vsCorpus = Dedup.nearDupMinHashAgainstIndex(s2, corpusMinHashIndex,
+        shingleSize = ShingleSize, threshold = JaccardThreshold)
+      .select(col("a_id").as("doc_id")).distinct()
+    val s3 = nearDupDedup(s2.join(vsCorpus, Seq("doc_id"), "left_anti"))
+    val s4 = decontaminate(s3, benchmarkSource)
+    mixture(s4)
+  }
+
+  /** Fold a curated batch into the corpus state: union the batch's
+    * normalized digests and MinHash index rows in. Index-scale work —
+    * the digests distinct on 16-byte keys, the MinHash rows append-only
+    * (compact with `StreamingDedup.compactIndex` when the partition
+    * count accretes).
+    */
+  def rollForward(normDigestIndex: DataFrame, corpusMinHashIndex: DataFrame,
+                  curatedBatch: DataFrame): (DataFrame, DataFrame) =
+    (normDigestIndex.unionByName(
+        Dedup.exactIndex(
+          curatedBatch.withColumn("__norm", TextOps.normalizeText(col("text"))),
+          "__norm")).distinct(),
+      corpusMinHashIndex.unionByName(
+        Dedup.minHashIndex(curatedBatch, shingleSize = ShingleSize)))
+
   /** The view each fn step reads its input from and registers its
     * output as — the chain's hand-off convention inside a pipeline run.
     */

@@ -873,8 +873,73 @@ object ExtQueries {
     Sketches.overlap(tr, te, Seq("source")).orderBy("source")
   }
 
+  /** Per-source heavy-hitter tokens via the mergeable frequent-items
+    * (Misra-Gries) sketch ([[Sketches.freqBuild]]/[[Sketches.freqTopK]])
+    * — the sketch-scale sibling of q40's exact top-k: partials keep at
+    * most `maxMapSize` (item, count) pairs, so only bounded sketches
+    * shuffle at 100 TB, never the distinct-token table. `maxMapSize`
+    * 256 purges at this corpus size (honestly approximate at the
+    * gate), with per-item [lb, ub] bounds and the facet's max_err in
+    * the output. Approximate by contract → no SQL oracle; ExportSpec
+    * pins below-capacity exactness vs exact counts, bound bracketing
+    * and completeness above capacity, merge ≡ rebuild through parquet,
+    * and this query's golden digest.
+    */
+  def q99(spark: SparkSession, dir: String): DataFrame =
+    Sketches.freqTopK(
+      Sketches.freqBuild(
+        docs(spark, dir).select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("token")),
+        Seq("source"), "token", maxMapSize = 256),
+      Seq("source"), k = 10)
+      .orderBy(col("source"), col("est").desc, col("item"))
+
+  /** Shuffle-key skew diagnosis of `events.user_id`
+    * ([[Checks.skewHistogram]]/[[Checks.skewStats]]): the log2
+    * key-frequency histogram with the one-row summary (total rows/keys,
+    * mean frequency, hottest-key ratio, and the exact-integer
+    * `salt_buckets` = ceil(max/mean) recommendation that feeds
+    * [[Joins.salted]] / `graft.merge.saltBuckets`). Everything is
+    * integer arithmetic or single IEEE divisions — exact-oracled. The
+    * stats side is one row, so the cross join is a broadcast of one row,
+    * not a shuffle.
+    */
+  def q100(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Queries.events(spark, dir)
+    val stats = Checks.skewStats(ev, Seq("user_id"))
+      .select(col("n_rows").as("total_rows"), col("n_keys").as("total_keys"),
+        col("mean_count"), col("skew_ratio"), col("salt_buckets"))
+    Checks.skewHistogram(ev, Seq("user_id"))
+      .crossJoin(broadcast(stats))
+      .orderBy("bucket")
+  }
+
+  /** INCREMENTAL curation ([[CurationChain.runIncremental]]): the q88
+    * chain's production sibling — the `doc_id % 10 == 0` batch curated
+    * against the persisted state of the rest of the corpus (normalized
+    * digest index + the q46 MinHash index, both parquet-shaped) instead
+    * of re-running the whole corpus. Exact-oracled end-to-end: every
+    * stage is exact (encoding regexes, md5 digests, exact-Jaccard
+    * verify, 5-gram decontamination, md5-rate mixture), with cross-set
+    * first-seen-wins semantics on the two index probes.
+    */
+  def q101(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val batch = d.where(col("doc_id") % 10 === 0)
+    val corpus = d.where(col("doc_id") % 10 =!= 0)
+    val digestIdx = Dedup.exactIndex(
+      corpus.withColumn("__norm", TextOps.normalizeText(col("text"))), "__norm")
+    CurationChain.runIncremental(batch, digestIdx,
+        sharedMinHashIndex(spark, dir), benchmarkSource = d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
+    "q99_heavy_hitters" -> (q99 _),
+    "q100_skew_report" -> (q100 _),
+    "q101_incremental_curation" -> (q101 _),
     "q08_text_stats" -> (q08 _),
     "q09_text_quality" -> (q09 _),
     "q10_lang_id" -> (q10 _),
@@ -1267,6 +1332,119 @@ object ExtQueries {
         |       ELSE 'unchanged' END AS status,
         |  old_fp, new_fp
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q100 — the log2 bucket is integer bit-length (length of the binary
+    // string, no libm); mean/ratio are single IEEE divisions spelled
+    // identically; salt_buckets is exact integer ceil-division (DuckDB
+    // `//` == Spark `div`).
+    "q100_skew_report" ->
+      """WITH kc AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |hist AS (
+        |  SELECT length(bin(cnt)) - 1 AS bucket, count(*) AS n_keys,
+        |         min(cnt) AS min_count, max(cnt) AS max_count
+        |  FROM kc GROUP BY 1),
+        |stats AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS total_keys,
+        |         CAST(sum(cnt) AS DOUBLE) / count(*) AS mean_count,
+        |         max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)) AS skew_ratio,
+        |         CAST(greatest(1, (max(cnt) * count(*) + sum(cnt) - 1) // sum(cnt))
+        |              AS BIGINT) AS salt_buckets
+        |  FROM kc)
+        |SELECT h.bucket, h.n_keys, h.min_count, h.max_count,
+        |       s.total_rows, s.total_keys, s.mean_count, s.skew_ratio, s.salt_buckets
+        |FROM hist h CROSS JOIN stats s
+        |ORDER BY h.bucket""".stripMargin,
+    // q101 — the incremental chain: q88's stage CTEs with cross-set
+    // semantics. Batch = doc_id%10=0, corpus state = the rest; the two
+    // index probes are first-seen-wins (any match drops the batch doc),
+    // the within-batch stages replay q88's rules verbatim.
+    "q101_incremental_curation" ->
+      """WITH RECURSIVE gated AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id % 10 = 0
+        |    AND len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
+        |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
+        |bnormed AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id IN (
+        |    SELECT min(doc_id) FROM gated
+        |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
+        |fresh AS (
+        |  SELECT * FROM bnormed
+        |  WHERE md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) NOT IN (
+        |    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
+        |    FROM documents WHERE doc_id % 10 <> 0)),
+        |w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1 JOIN w t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |            JOIN w t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |xinter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id IN (SELECT doc_id FROM fresh) AND b.doc_id % 10 <> 0
+        |  GROUP BY 1, 2),
+        |crossdrop AS (
+        |  SELECT DISTINCT a_id AS doc_id
+        |  FROM xinter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |bkept AS (
+        |  SELECT * FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)),
+        |binter AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM bkept)
+        |    AND b.doc_id IN (SELECT doc_id FROM bkept)
+        |  GROUP BY 1, 2),
+        |jpairs AS (
+        |  SELECT a_id, b_id
+        |  FROM binter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |  UNION SELECT b_id, a_id FROM jpairs),
+        |walk(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
+        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+        |dd AS (
+        |  SELECT * FROM bkept
+        |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
+        |wb AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT DISTINCT
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |wt AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM dd WHERE doc_id % 20 <> 0),
+        |tsh AS (SELECT DISTINCT t1.doc_id,
+        |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+        |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+        |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+        |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
+        |clean AS (
+        |  SELECT * FROM dd
+        |  WHERE doc_id % 20 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |mix AS (
+        |  SELECT * FROM clean
+        |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+        |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
+        |              WHEN 'es' THEN '4000' ELSE '0000' END)
+        |SELECT doc_id, lang, source FROM mix ORDER BY doc_id""".stripMargin,
     "q79_strip_boilerplate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
         |w AS (

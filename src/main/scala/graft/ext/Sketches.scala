@@ -99,6 +99,58 @@ object Sketches {
       groupCols.map(col) :+
         round(graft.functions.ThetaExprs.thetaEstimate(col("sketch"))).as("distinct_est"): _*)
 
+  // --- frequent-items (Misra-Gries) sketches: mergeable HEAVY-HITTER
+  // --- summaries — which tokens/domains dominate, without q40's full
+  // --- distinct-token shuffle.
+
+  /** One frequent-items sketch per facet over `valueCol`:
+    * `(groupCols…, sketch: binary)`. Optional `weightCol` feeds
+    * pre-aggregated (item, count) tables without re-expanding rows.
+    * `maxMapSize` must be a power of 2; estimates are EXACT while a
+    * facet stays under 0.75·maxMapSize distinct items, and within
+    * n/maxMapSize above ([[graft.functions.FreqExprs]] contract).
+    */
+  def freqBuild(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                maxMapSize: Int = 256, weightCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "Sketches.freqBuild: need at least one facet column")
+    val agg = weightCol match {
+      case Some(w) => graft.functions.FreqExprs.freqSketchAgg(
+        col(valueCol), col(w).cast("long"), maxMapSize)
+      case None => graft.functions.FreqExprs.freqSketchAgg(col(valueCol), maxMapSize)
+    }
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("sketch"))
+  }
+
+  /** Merge two frequent-items sketch tables — same family `maxMapSize`
+    * (the merged buffer keeps ITS size; mixing sizes silently loosens
+    * the error bound, so thread one value per family, as with theta lgK).
+    */
+  def freqMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                maxMapSize: Int = 256): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.FreqExprs.freqMergeAgg(col("sketch"), maxMapSize).as("sketch"))
+
+  /** Top-k heavy hitters per facet off a sketch table, EXPLODED to one
+    * row per item: `(groupCols…, item, est, lb, ub, max_err)` ordered
+    * within a facet by (est DESC, item ASC). `max_err` 0 ⇒ the facet's
+    * estimates are exact (the sketch never purged).
+    */
+  def freqTopK(sketches: DataFrame, groupCols: Seq[String], k: Int,
+               noFalsePositives: Boolean = false): DataFrame = {
+    import graft.functions.FreqExprs._
+    sketches
+      .select(groupCols.map(col) :+
+        freqMaxError(col("sketch")).as("max_err") :+
+        explode(freqTopItems(col("sketch"), k, noFalsePositives)).as("__it"): _*)
+      .select(groupCols.map(col) :+
+        col("__it.item").as("item") :+
+        col("__it.est").as("est") :+
+        col("__it.lb").as("lb") :+
+        col("__it.ub").as("ub") :+
+        col("max_err"): _*)
+  }
+
   /** Per-facet OVERLAP report between two theta sketch tables (inner
     * join on the facets — a facet absent from either side has no
     * overlap to report): distinct estimates of each side, of the

@@ -110,4 +110,35 @@ class CurationSpec extends AnyFunSuite {
       s"benchmark docs leaked past stage-4 attribution: $benchRows")
     audit.unpersist()
   }
+
+  test("incremental curation: crafted cross-set semantics, then roll-forward idempotence") {
+    import graft.ext.CurationChain
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta", "en", "src1"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch = Seq(
+      // normalized exact duplicate of corpus doc 1 → digest-index drop
+      (21L, "Alpha  Beta GAMMA delta", "en", "src2"),
+      // near-dup of corpus doc 2 (10/11 shared 3-gram shingles = 0.909) → index probe drop
+      (41L, "one two three four five six seven eight nine ten eleven twelve thirteen", "en", "src2"),
+      // brand new → kept
+      (61L, "completely novel content nothing shares these tokens", "en", "src2"),
+      // within-batch exact twins → keep-min-id keeps 81
+      (81L, "batch twin text appearing twice in this batch", "en", "src2"),
+      (101L, "batch twin text appearing twice in this batch", "en", "src2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val (dig, mh) = CurationChain.corpusState(corpus)
+    val curated = CurationChain.runIncremental(batch, dig, mh,
+      benchmarkSource = corpus.unionByName(batch))
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq === Seq(61L, 81L))
+
+    // roll the curated batch into the state: re-running the SAME batch
+    // must now come back empty (every survivor digest-matches the
+    // index; every loser falls at the same stage it fell before)
+    val (dig2, mh2) = CurationChain.rollForward(dig, mh, curated)
+    val rerun = CurationChain.runIncremental(batch, dig2, mh2,
+      benchmarkSource = corpus.unionByName(batch))
+    assert(rerun.count() === 0L, "re-ingesting an already-folded batch must drop everything")
+  }
 }

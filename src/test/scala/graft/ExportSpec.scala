@@ -254,4 +254,84 @@ class ExportSpec extends AnyFunSuite {
       !joinLine.contains("text#")
     }, s"text column must not survive into the join:\n$plan")
   }
+
+  // --- Frequent-items (Misra-Gries) sketches ----------------------------
+
+  test("freq sketch below capacity: estimates EXACT, max_err 0, (est DESC, item ASC) order") {
+    // 40 distinct items with distinct counts — capacity 256 never purges
+    val rows = (1 to 40).flatMap(i => Seq.fill(41 - i)(("g", f"t$i%02d")))
+    val sk = Sketches.freqBuild(rows.toDF("g", "v"), Seq("g"), "v", maxMapSize = 256)
+    val top = Sketches.freqTopK(sk, Seq("g"), k = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(top === Seq(
+      ("g", "t01", 40L, 40L, 40L, 0L),
+      ("g", "t02", 39L, 39L, 39L, 0L),
+      ("g", "t03", 38L, 38L, 38L, 0L),
+      ("g", "t04", 37L, 37L, 37L, 0L),
+      ("g", "t05", 36L, 36L, 36L, 0L)))
+  }
+
+  test("freq weighted build from a pre-aggregated (item, count) table == raw-row build") {
+    val raw = Seq.fill(7)(("g", "a")) ++ Seq.fill(3)(("g", "b")) ++ Seq(("g", "c"))
+    val agg = Seq(("g", "a", 7L), ("g", "b", 3L), ("g", "c", 1L))
+    val fromRaw = Sketches.freqTopK(
+      Sketches.freqBuild(raw.toDF("g", "v"), Seq("g"), "v"), Seq("g"), 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val fromAgg = Sketches.freqTopK(
+      Sketches.freqBuild(agg.toDF("g", "v", "n"), Seq("g"), "v",
+        weightCol = Some("n")), Seq("g"), 3)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(fromRaw === fromAgg)
+    assert(fromRaw.map(t => (t._2, t._3)) === Seq(("a", 7L), ("b", 3L), ("c", 1L)))
+  }
+
+  test("freq above capacity: bounds bracket true counts, heavy hitter always reported") {
+    // one dominant item among 4000 singletons forces purging at maxMapSize=64
+    val heavy = Seq.fill(500)(("g", "HEAVY"))
+    val noise = (1 to 4000).map(i => ("g", s"n$i"))
+    val df = (heavy ++ noise).toDF("g", "v").repartition(8)
+    val sk = Sketches.freqBuild(df, Seq("g"), "v", maxMapSize = 64)
+    val top = Sketches.freqTopK(sk, Seq("g"), k = 100)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val n = 4500L
+    val maxErr = top.head._6
+    // DataSketches' a-priori guarantee is epsilon = 3.5/maxMapSize
+    // (purging drops the map's median count, not the minimum)
+    assert(maxErr > 0 && maxErr <= n * 3.5 / 64,
+      s"max_err $maxErr outside the 3.5n/maxMapSize bound")
+    val hh = top.find(_._2 == "HEAVY")
+    assert(hh.nonEmpty, "NO_FALSE_NEGATIVES must report the dominant item")
+    assert(hh.get._4 <= 500L && 500L <= hh.get._5, "bounds must bracket the true count")
+    // every noise item reported has true count 1 — its lb can never exceed 1
+    top.filter(_._2.startsWith("n")).foreach { t =>
+      assert(t._4 <= 1L && t._5 >= 1L, s"bounds of ${t._2} don't bracket 1: $t")
+    }
+  }
+
+  test("freq merge of halves == single-pass build below capacity, incl. parquet round-trip") {
+    val rows = (1 to 300).map(i => ("g", s"v$i", (i % 5) + 1L))
+      .flatMap { case (g, v, n) => Seq.fill(n.toInt)((g, v)) }
+    val df = rows.toDF("g", "v")
+    val full = Sketches.freqTopK(
+      Sketches.freqBuild(df, Seq("g"), "v", maxMapSize = 1024), Seq("g"), 300)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val h1 = Sketches.freqBuild(df.where(crc32($"v") % 2 === 0), Seq("g"), "v", maxMapSize = 1024)
+    val h2 = Sketches.freqBuild(df.where(crc32($"v") % 2 =!= 0), Seq("g"), "v", maxMapSize = 1024)
+    val path = SparkTestBase.tmpDir("graft_freq") + "/idx"
+    Sketches.write(h1, path)
+    val merged = Sketches.freqTopK(
+      Sketches.freqMerge(Sketches.read(spark, path), h2, Seq("g"), maxMapSize = 1024),
+      Seq("g"), 300)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(merged === full,
+      "below capacity no purge ever happens, so merge must be EXACTLY the single-pass build")
+  }
+
+  test("golden digest: q99 per-source heavy hitters are bit-stable at sf0.001") {
+    val rows = ext.ExtQueries.all("q99_heavy_hitters")(spark, sf)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (s, it, e, lb, ub, me) => s"$s|$it|$e|$lb|$ub|$me" }.mkString("\n")
+    val digest = md5Hex(rows)
+    assert(digest === "92a6bacac5af97012d80b914bc6b34ef", s"q99 output drifted (digest $digest)")
+  }
 }

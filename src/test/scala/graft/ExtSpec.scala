@@ -2005,4 +2005,33 @@ class ExtSpec extends AnyFunSuite {
     assert(got(100L) > 0.9 && got(101L) < 0.1,
       s"planted signal not separated: pos=${got(100L)} neg=${got(101L)}")
   }
+
+  // --- shuffle-key skew diagnosis (q100 family) -------------------------
+
+  test("skew diagnosis: hand-computed histogram, top keys, stats and salt recommendation") {
+    import graft.ext.Checks
+    // h×8, a×2, b×2, c/d/e/f×1 → 16 rows over 7 keys; max=8, mean=16/7
+    val rows = Seq.fill(8)("h") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b") ++
+      Seq("c", "d", "e", "f")
+    val df = rows.toDF("k").repartition(4)
+    assert(Checks.skewHistogram(df, Seq("k"))
+      .as[(Long, Long, Long, Long)].collect().toSeq === Seq(
+        (0L, 4L, 1L, 1L),   // the four singletons
+        (1L, 2L, 2L, 2L),   // a, b
+        (3L, 1L, 8L, 8L)))  // the hot key
+    assert(Checks.skewTopKeys(df, Seq("k"), 3)
+      .as[(String, Long)].collect().toSeq === Seq(("h", 8L), ("a", 2L), ("b", 2L)))
+    val s = Checks.skewStats(df, Seq("k"))
+      .as[(Long, Long, Long, Double, Double, Long)].collect().head
+    assert(s === ((16L, 7L, 8L, 16.0 / 7, 8 / (16.0 / 7), 4L)),
+      s"stats drifted: $s") // ceil(8/(16/7)) = ceil(3.5) = 4 salt buckets
+  }
+
+  test("skew diagnosis: uniform keys recommend salt_buckets = 1 (no salting)") {
+    import graft.ext.Checks
+    val df = (1 to 12).map(i => s"k${i % 4}").toDF("k")
+    val s = Checks.skewStats(df, Seq("k"))
+      .as[(Long, Long, Long, Double, Double, Long)].collect().head
+    assert(s._6 === 1L, s"uniform distribution must not recommend salting: $s")
+  }
 }

@@ -201,4 +201,89 @@ class MergeSpec extends AnyFunSuite {
     val viaFull = winners(JournalMerge.full(journal(allRows: _*), Seq("id")))
     assert(viaDelta == viaFull)
   }
+
+  // --- SCD2 (Type-2) history over the same journal contract ---
+  import graft.merge.Scd2
+
+  private def intervals(df: DataFrame): Seq[(Int, String, String, String, Boolean)] =
+    df.orderBy("id", Scd2.ValidFrom).collect().toSeq.map { r =>
+      (r.getInt(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+        Option(r.getTimestamp(r.fieldIndex(Scd2.ValidFrom))).map(_.toString).orNull,
+        Option(r.getTimestamp(r.fieldIndex(Scd2.ValidTo))).map(_.toString).orNull,
+        r.getBoolean(r.fieldIndex(Scd2.IsCurrent)))
+    }
+
+  test("scd2: tracked-change rows open intervals, unchanged versions collapse") {
+    val j = journal(
+      (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "A", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2L, "A"), // collapses
+      (1, "B", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 3L, "A"),
+      (1, "A", "2024-01-04 00:00:00", "2024-01-04 00:00:00", 4L, "A"), // A again: NEW interval
+      (2, "X", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 5L, "A"))
+    val h = Scd2.history(j, Seq("id"), trackCols = Seq("v"))
+    assert(intervals(h) == Seq(
+      (1, "A", "2024-01-01 00:00:00.0", "2024-01-03 00:00:00.0", false),
+      (1, "B", "2024-01-03 00:00:00.0", "2024-01-04 00:00:00.0", false),
+      (1, "A", "2024-01-04 00:00:00.0", null, true),
+      (2, "X", "2024-01-01 00:00:00.0", null, true)))
+  }
+
+  test("scd2: empty trackCols retains every version") {
+    val j = journal(
+      (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "A", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2L, "A"))
+    assert(Scd2.history(j, Seq("id")).count() == 2)
+  }
+
+  test("scd2: current view == journal merge winner (comparator reversal consistency)") {
+    // includes a ts tie where the SMALLER seqno is the merge winner —
+    // chronologically LAST under the reversed comparator
+    val j = journal(
+      (1, "a", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "b", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 7L, "A"),
+      (1, "c", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3L, "A"),
+      (2, "x", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 2L, "A"))
+    val cur = winners(Scd2.current(Scd2.history(j, Seq("id"))).select("id", "v"))
+    assert(cur == winners(JournalMerge.full(j, Seq("id")).select("id", "v")))
+  }
+
+  test("scd2: asOf reconstructs the dimension at a point in time") {
+    val j = journal(
+      (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "B", "2024-01-03 00:00:00", "2024-01-03 00:00:00", 2L, "A"),
+      (2, "X", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 3L, "A"))
+    val h = Scd2.history(j, Seq("id"), trackCols = Seq("v"))
+    import org.apache.spark.sql.functions.{lit, col}
+    // before anything existed
+    assert(Scd2.asOf(h, lit("2023-12-31 00:00:00").cast("timestamp")).count() == 0)
+    // mid-history: key 1 still A, key 2 not yet born
+    assert(winners(Scd2.asOf(h, lit("2024-01-01 12:00:00").cast("timestamp"))
+      .select("id", "v")) == Map(1 -> "A"))
+    // far future == current rows
+    assert(winners(Scd2.asOf(h, lit("2099-01-01 00:00:00").cast("timestamp"))
+      .select("id", "v")) == winners(Scd2.current(h).select("id", "v")))
+    // interval boundary is [from, to): AT the change instant the NEW row holds
+    assert(winners(Scd2.asOf(h, lit("2024-01-03 00:00:00").cast("timestamp"))
+      .select("id", "v")) == Map(1 -> "B", 2 -> "X"))
+  }
+
+  test("scd2: merge roll-forward over monotone batches == full-journal history") {
+    val b1 = Seq(
+      (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "A", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2L, "A"),
+      (2, "X", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 3L, "A"),
+      (3, "q", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 4L, "A"))
+    val b2 = Seq(
+      (1, "B", "2024-01-05 00:00:00", "2024-01-05 00:00:00", 5L, "A"),
+      (2, "X", "2024-01-06 00:00:00", "2024-01-06 00:00:00", 6L, "A")) // unchanged: collapses
+    def box(s: Seq[(Int, String, String, String, Long, String)]) =
+      s.map(t => (t._1, t._2, t._3, t._4, java.lang.Long.valueOf(t._5), t._6))
+    val h1 = Scd2.history(journal(box(b1): _*), Seq("id"), trackCols = Seq("v"))
+    val rolled = Scd2.merge(h1, journal(box(b2): _*), Seq("id"), trackCols = Seq("v"))
+    val full = Scd2.history(journal(box(b1 ++ b2): _*), Seq("id"), trackCols = Seq("v"))
+    assert(intervals(rolled) == intervals(full))
+    // untouched key 3 passed through byte-identical (single interval, still open)
+    assert(intervals(rolled).filter(_._1 == 3) ==
+      Seq((3, "q", "2024-01-01 00:00:00.0", null, true)))
+  }
 }

@@ -103,5 +103,10 @@ object SparkEntry {
     "q99_heavy_hitters" -> ("approximate by contract (Misra-Gries frequent "
       + "items): ExportSpec below-capacity exactness vs exact counts, "
       + "[lb,ub] bracketing + no-false-negative completeness above capacity, "
-      + "merge ≡ rebuild through parquet + golden digest"))
+      + "merge ≡ rebuild through parquet + golden digest"),
+    "q102_quantile_sketch" -> ("approximate by contract (deterministic "
+      + "mergeable quantile compactor): QuantileSpec below-capacity "
+      + "exactness vs sorted order statistics, measured rank-error "
+      + "envelope above capacity, merge ≡ build below capacity, k-drift "
+      + "raise, parquet round-trip + golden digest"))
 }

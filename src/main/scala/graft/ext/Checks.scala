@@ -133,6 +133,35 @@ object Checks {
       .orderBy(col("cnt").desc +: keyCols.map(c => col(c).asc): _*)
       .limit(k)
 
+  /** The combined report (q100): the [[skewHistogram]] rows, each
+    * carrying the [[skewStats]] summary columns — in ONE pass over the
+    * data. The summary is derived FROM the histogram (per-bucket sums
+    * roll up to exact totals) via a global window over the ≤64-row
+    * histogram frame, so the corpus is scanned and key-shuffled exactly
+    * once — unlike a naive histogram⨯stats cross join, which would
+    * recompute the per-key counts for each branch.
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    keyCounts(df, keyCols)
+      .select((length(bin(col("cnt"))) - 1).cast("long").as("bucket"), col("cnt"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("cnt")).as("min_count"),
+        max(col("cnt")).as("max_count"),
+        sum(col("cnt")).as("__sum"))
+      .withColumn("total_rows", sum(col("__sum")).over(w))
+      .withColumn("total_keys", sum(col("n_keys")).over(w))
+      .withColumn("__gmax", max(col("max_count")).over(w))
+      .withColumn("mean_count", col("total_rows").cast("double") / col("total_keys"))
+      .withColumn("skew_ratio",
+        col("__gmax") / (col("total_rows").cast("double") / col("total_keys")))
+      .withColumn("salt_buckets", greatest(lit(1L),
+        expr("(__gmax * total_keys + total_rows - 1) div total_rows")))
+      .drop("__sum", "__gmax")
+      .orderBy("bucket")
+  }
+
   /** One-row skew summary: row/key counts, the hottest key's share,
     * `skew_ratio` = max/mean key frequency, and `salt_buckets` =
     * ceil(max/mean) in exact integer arithmetic — the fan-out that

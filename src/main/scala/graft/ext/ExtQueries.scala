@@ -900,19 +900,13 @@ object ExtQueries {
     * mean frequency, hottest-key ratio, and the exact-integer
     * `salt_buckets` = ceil(max/mean) recommendation that feeds
     * [[Joins.salted]] / `graft.merge.saltBuckets`). Everything is
-    * integer arithmetic or single IEEE divisions — exact-oracled. The
-    * stats side is one row, so the cross join is a broadcast of one row,
-    * not a shuffle.
+    * integer arithmetic or single IEEE divisions — exact-oracled. ONE
+    * pass: the summary is derived from the histogram's per-bucket sums
+    * (plan-pinned single scan in ExtSpec), so the corpus is never
+    * counted twice.
     */
-  def q100(spark: SparkSession, dir: String): DataFrame = {
-    val ev = graft.Queries.events(spark, dir)
-    val stats = Checks.skewStats(ev, Seq("user_id"))
-      .select(col("n_rows").as("total_rows"), col("n_keys").as("total_keys"),
-        col("mean_count"), col("skew_ratio"), col("salt_buckets"))
-    Checks.skewHistogram(ev, Seq("user_id"))
-      .crossJoin(broadcast(stats))
-      .orderBy("bucket")
-  }
+  def q100(spark: SparkSession, dir: String): DataFrame =
+    Checks.skewReport(graft.Queries.events(spark, dir), Seq("user_id"))
 
   /** INCREMENTAL curation ([[CurationChain.runIncremental]]): the q88
     * chain's production sibling — the `doc_id % 10 == 0` batch curated
@@ -935,11 +929,31 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source text-length quantiles via the deterministic mergeable
+    * quantile sketch ([[Sketches.quantBuild]]/[[Sketches.quantEstimates]])
+    * — build-once/merge-forever percentile summaries, the persistable
+    * sibling of q24's one-shot GK pass. The deterministic compactor
+    * (alternating keep-offset, no KLL coin flip) keeps the output
+    * bit-stable for a fixed input order → golden-pinned; approximate
+    * by contract above capacity → no SQL oracle; QuantileSpec pins
+    * below-capacity EXACTNESS vs sorted order statistics, a measured
+    * error envelope, merge ≡ single build below capacity, k-drift
+    * raise, and the parquet round-trip.
+    */
+  def q102(spark: SparkSession, dir: String): DataFrame =
+    Sketches.quantEstimates(
+      Sketches.quantBuild(
+        docs(spark, dir).withColumn("__len", length(col("text"))),
+        Seq("source"), "__len", k = 64),
+      Seq("source"), qs = Seq(0.1, 0.5, 0.9, 0.99))
+      .orderBy("source")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
     "q101_incremental_curation" -> (q101 _),
+    "q102_quantile_sketch" -> (q102 _),
     "q08_text_stats" -> (q08 _),
     "q09_text_quality" -> (q09 _),
     "q10_lang_id" -> (q10 _),

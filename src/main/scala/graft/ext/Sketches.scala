@@ -151,6 +151,46 @@ object Sketches {
         col("max_err"): _*)
   }
 
+  // --- quantile sketches: mergeable percentile summaries (the
+  // --- persistable sibling of facetQuantiles' one-shot GK pass).
+
+  /** One deterministic quantile sketch per facet over `valueCol`
+    * (cast to double): `(groupCols…, sketch: binary)`. Estimates are
+    * EXACT below `k` values per facet (nothing compacts); the
+    * deterministic-compactor envelope applies above
+    * ([[graft.functions.QuantileExprs]] contract).
+    */
+  def quantBuild(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                 k: Int = 256): DataFrame = {
+    require(groupCols.nonEmpty, "Sketches.quantBuild: need at least one facet column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileExprs
+        .quantSketchAgg(col(valueCol).cast("double"), k).as("sketch"))
+  }
+
+  /** Merge two quantile sketch tables — a `k` mismatch RAISES (the
+    * buffer checks), like the HLL strict mode.
+    */
+  def quantMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                 k: Int = 256): DataFrame =
+    a.unionByName(b)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.QuantileExprs.quantMergeAgg(col("sketch"), k).as("sketch"))
+
+  /** Read quantile estimates off a sketch table: one row per facet
+    * with `n` and a `q<pct>` column per requested quantile.
+    */
+  def quantEstimates(sketches: DataFrame, groupCols: Seq[String],
+                     qs: Seq[Double]): DataFrame = {
+    import graft.functions.QuantileExprs._
+    require(qs.nonEmpty, "Sketches.quantEstimates: need at least one quantile")
+    sketches.select(
+      groupCols.map(col) ++
+        (quantCount(col("sketch")).as("n") +:
+          qs.map(q => quantEstimate(col("sketch"), lit(q))
+            .as(s"q${math.round(q * 100)}"))): _*)
+  }
+
   /** Per-facet OVERLAP report between two theta sketch tables (inner
     * join on the facets — a facet absent from either side has no
     * overlap to report): distinct estimates of each side, of the

@@ -49,15 +49,35 @@ object JournalMerge {
     * journal versions (a hot account re-written every batch) and the
     * single window partition becomes the straggler. Results are
     * identical to the unsalted path (same comparator, two-phase).
+    *
+    * `auto` MEASURES instead of guessing: one extra counting pass over
+    * the journal keys ([[derivedSaltBuckets]], the
+    * `graft.ext.Checks.skewStats` arithmetic) derives ceil(max/mean) —
+    * the fan-out that levels the hottest key to an average-sized
+    * window partition — and salts only when it exceeds 1. The explicit
+    * opt-in prices the diagnosis pass against the straggler it
+    * prevents.
     */
   val SaltBucketsConf = "graft.merge.saltBuckets"
 
-  private def configuredSaltBuckets(df: DataFrame): Int =
-    df.sparkSession.conf.getOption(SaltBucketsConf).map(_.toInt).getOrElse(0)
+  /** ceil(hottest-key share / mean-key share) of the journal — the
+    * measured salt fan-out `auto` uses (exact integer arithmetic;
+    * 1 means "no skew, don't salt").
+    */
+  def derivedSaltBuckets(journal: DataFrame, pks: Seq[String]): Int =
+    graft.ext.Checks.skewStats(journal, pks)
+      .select("salt_buckets").head().getLong(0).toInt
+
+  private def configuredSaltBuckets(df: DataFrame, pks: Seq[String]): Int =
+    df.sparkSession.conf.getOption(SaltBucketsConf) match {
+      case Some("auto") => derivedSaltBuckets(df, pks)
+      case Some(v) => v.toInt
+      case None => 0
+    }
 
   /** Dispatch: salted dedup when the session opts in, plain otherwise. */
   private def latest(journal: DataFrame, pks: Seq[String]): DataFrame = {
-    val buckets = configuredSaltBuckets(journal)
+    val buckets = configuredSaltBuckets(journal, pks)
     if (buckets > 1) latestPerKeySalted(journal, pks, buckets)
     else latestPerKey(journal, pks)
   }

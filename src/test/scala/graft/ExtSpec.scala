@@ -2027,6 +2027,26 @@ class ExtSpec extends AnyFunSuite {
       s"stats drifted: $s") // ceil(8/(16/7)) = ceil(3.5) = 4 salt buckets
   }
 
+  test("skewReport: one scan (plan-pinned), values == histogram + stats composed") {
+    import graft.ext.Checks
+    val path = SparkTestBase.tmpDir("graft_skewrep") + "/t"
+    (Seq.fill(8)("h") ++ Seq.fill(2)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d", "e", "f"))
+      .toDF("k").write.parquet(path)
+    val df = spark.read.parquet(path)
+    val report = Checks.skewReport(df, Seq("k"))
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("FileScan")) === 1,
+      s"the summary must derive from the histogram, not rescan the data:\n$plan")
+    val rows = report.as[(Long, Long, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    val hist = Checks.skewHistogram(df, Seq("k"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val stats = Checks.skewStats(df, Seq("k"))
+      .as[(Long, Long, Long, Double, Double, Long)].collect().head
+    assert(rows === hist.map(h =>
+      (h._1, h._2, h._3, h._4, stats._1, stats._2, stats._4, stats._5, stats._6)))
+  }
+
   test("skew diagnosis: uniform keys recommend salt_buckets = 1 (no salting)") {
     import graft.ext.Checks
     val df = (1 to 12).map(i => s"k${i % 4}").toDF("k")

@@ -202,6 +202,26 @@ class MergeSpec extends AnyFunSuite {
     assert(viaDelta == viaFull)
   }
 
+  test("saltBuckets=auto measures the journal: hot key salts, uniform does not, results identical") {
+    // one key with 8 of 12 versions → ceil(8/(12/5)) = 4 lanes
+    val hot = (1 to 8).map(i =>
+      (1, s"v$i", s"2024-01-0$i 00:00:00", s"2024-01-0$i 00:00:00", i.toLong, "A")) ++
+      Seq(2, 3, 4, 5).zipWithIndex.map { case (id, i) =>
+        (id, "x", "2024-01-01 00:00:00", "2024-01-01 00:00:00", (20 + i).toLong, "A") }
+    val j = journal(hot.map(t => (t._1, t._2, t._3, t._4, java.lang.Long.valueOf(t._5), t._6)): _*)
+    assert(JournalMerge.derivedSaltBuckets(j, Seq("id")) === 4)
+    // uniform journal derives 1 — auto must NOT salt
+    val uni = journal((1 to 4).map(i =>
+      (i, "x", "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+        java.lang.Long.valueOf(i.toLong), "A")): _*)
+    assert(JournalMerge.derivedSaltBuckets(uni, Seq("id")) === 1)
+    // auto-dispatched merge == plain merge on the hot journal
+    val plain = winners(JournalMerge.full(j, Seq("id")))
+    spark.conf.set(JournalMerge.SaltBucketsConf, "auto")
+    try assert(winners(JournalMerge.full(j, Seq("id"))) === plain)
+    finally spark.conf.unset(JournalMerge.SaltBucketsConf)
+  }
+
   // --- SCD2 (Type-2) history over the same journal contract ---
   import graft.merge.Scd2
 
@@ -265,6 +285,19 @@ class MergeSpec extends AnyFunSuite {
     // interval boundary is [from, to): AT the change instant the NEW row holds
     assert(winners(Scd2.asOf(h, lit("2024-01-03 00:00:00").cast("timestamp"))
       .select("id", "v")) == Map(1 -> "B", 2 -> "X"))
+  }
+
+  test("scd2: ONE shuffle serves both windows (collapse lag + interval lead share the sort)") {
+    val j = journal(
+      (1, "A", "2024-01-01 00:00:00", "2024-01-01 00:00:00", 1L, "A"),
+      (1, "B", "2024-01-02 00:00:00", "2024-01-02 00:00:00", 2L, "A"))
+    val plan = Scd2.history(j, Seq("id"), trackCols = Seq("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"the filter between the windows preserves partitioning — expected 1 Exchange, got $exchanges:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) === 1,
+      s"expected the lead window to reuse the lag window's sort:\n$plan")
   }
 
   test("scd2: merge roll-forward over monotone batches == full-journal history") {

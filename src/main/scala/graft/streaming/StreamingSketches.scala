@@ -55,4 +55,47 @@ object StreamingSketches {
                        groupCols: Seq[String], lgK: Int = 12): DataFrame =
     Sketches.thetaEstimates(
       currentSketches(spark, indexRoot, groupCols, lgK), groupCols)
+
+  // --- the same append-only sink shape for the OTHER two mergeable
+  // --- sketch families: heavy hitters and quantiles.
+
+  /** foreachBatch sink: the batch's per-facet frequent-items sketch
+    * under `indexRoot/__batch=<batchId>` — running heavy-hitter
+    * tracking over an unbounded stream in bounded state.
+    */
+  def freqStatsSink(indexRoot: String, groupCols: Seq[String],
+                    valueCol: String, maxMapSize: Int = 256)
+                   (batch: DataFrame, batchId: Long): Unit =
+    Sketches.freqBuild(batch, groupCols, valueCol, maxMapSize)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+
+  /** Current per-facet top-k heavy hitters of the whole stream history. */
+  def currentTopK(spark: SparkSession, indexRoot: String,
+                  groupCols: Seq[String], k: Int,
+                  maxMapSize: Int = 256): DataFrame =
+    Sketches.freqTopK(
+      spark.read.parquet(indexRoot).drop("__batch")
+        .groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.FreqExprs.freqMergeAgg(col("sketch"), maxMapSize).as("sketch")),
+      groupCols, k)
+
+  /** foreachBatch sink: the batch's per-facet quantile sketch under
+    * `indexRoot/__batch=<batchId>` — running percentile tracking
+    * (latency/length distributions) without re-scanning history.
+    */
+  def quantStatsSink(indexRoot: String, groupCols: Seq[String],
+                     valueCol: String, k: Int = 256)
+                    (batch: DataFrame, batchId: Long): Unit =
+    Sketches.quantBuild(batch, groupCols, valueCol, k)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+
+  /** Current per-facet quantile estimates of the whole stream history. */
+  def currentQuantiles(spark: SparkSession, indexRoot: String,
+                       groupCols: Seq[String], qs: Seq[Double],
+                       k: Int = 256): DataFrame =
+    Sketches.quantEstimates(
+      spark.read.parquet(indexRoot).drop("__batch")
+        .groupBy(groupCols.map(col): _*)
+        .agg(graft.functions.QuantileExprs.quantMergeAgg(col("sketch"), k).as("sketch")),
+      groupCols, qs)
 }

@@ -375,4 +375,46 @@ class PropertySpec extends AnyFunSuite {
       assert(r.getInt(1) == 0)
     }
   }
+
+  test("property: quantile compactor rank error stays in envelope; split-merge == whole below capacity") {
+    import graft.functions.QuantileBuffer
+    // random multisets, random k: every grid quantile's RANK error must
+    // stay within the deterministic-compactor envelope; and with
+    // n < k the estimate must be the exact order statistic
+    val caseGen = for {
+      k <- Gen.oneOf(64, 128, 256)
+      n <- Gen.choose(1, 4000)
+      vs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield (k, vs)
+    check(Prop.forAll(caseGen) { case (k, vs) =>
+      val buf = new QuantileBuffer(k)
+      vs.foreach(buf.update)
+      val sorted = vs.sorted
+      val n = vs.size
+      Seq(0.0, 0.1, 0.5, 0.9, 1.0).forall { q =>
+        val est = buf.estimate(q).get
+        if (n < k) {
+          est == sorted(math.floor(q * (n - 1)).toInt)
+        } else {
+          // rank of the estimate vs the target rank, both as fractions.
+          // The envelope scales with 1/k: the top compaction level's
+          // value spacing alone is ~2·n/k ranks, plus the uncancelled
+          // half-compaction per level — 6/k covers both with margin.
+          val rank = sorted.count(_ <= est).toDouble
+          val target = q * (n - 1) + 1
+          math.abs(rank - target) / n <= 6.0 / k
+        }
+      }
+    }, minSuccessful = 40)
+    // split-merge == whole, below capacity (no compaction anywhere)
+    check(Prop.forAll(Gen.listOfN(100, Gen.choose(-100.0, 100.0)), Gen.choose(1, 99)) {
+      (vs: List[Double], cut: Int) =>
+        val whole = new QuantileBuffer(256)
+        vs.foreach(whole.update)
+        val a = new QuantileBuffer(256); vs.take(cut).foreach(a.update)
+        val b = new QuantileBuffer(256); vs.drop(cut).foreach(b.update)
+        a.merge(b)
+        Seq(0.0, 0.25, 0.5, 0.75, 1.0).forall(q => a.estimate(q) == whole.estimate(q))
+    }, minSuccessful = 40)
+  }
 }

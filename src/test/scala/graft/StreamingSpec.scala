@@ -590,4 +590,97 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r._1 -> r._4).toMap
     assert(ov === Map("a" -> 3.0, "b" -> 2.0))
   }
+
+  test("streaming freq + quantile sketch indexes: stream == batch, replay-idempotent, compactable") {
+    import graft.streaming.{StreamingDedup, StreamingSketches}
+    val work = SparkTestBase.tmpDir("graft_stream_fq")
+    // heavy hitters: counts must be the SUM of history (below capacity → exact)
+    val fRoot = s"$work/freq"
+    val fSink = StreamingSketches.freqStatsSink(fRoot, Seq("src"), "tok") _
+    def fDf(rows: (String, String)*) = rows.toDF("src", "tok")
+    fSink(fDf("a" -> "x", "a" -> "x", "a" -> "y"), 0L)
+    fSink(fDf("a" -> "x", "a" -> "z"), 1L)
+    def top() = StreamingSketches.currentTopK(spark, fRoot, Seq("src"), k = 10)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(top() === Seq(("a", "x", 3L, 3L, 3L, 0L), ("a", "y", 1L, 1L, 1L, 0L),
+      ("a", "z", 1L, 1L, 1L, 0L)))
+    fSink(fDf("a" -> "x", "a" -> "z"), 1L) // replay
+    assert(top() === Seq(("a", "x", 3L, 3L, 3L, 0L), ("a", "y", 1L, 1L, 1L, 0L),
+      ("a", "z", 1L, 1L, 1L, 0L)), "replay of a delivered batch changed the counts")
+    assert(StreamingDedup.compactIndex(spark, fRoot) >= 0)
+    assert(top().map(t => (t._2, t._3)) === Seq("x" -> 3L, "y" -> 1L, "z" -> 1L))
+
+    // quantiles: history distribution, exact below capacity
+    val qRoot = s"$work/quant"
+    val qSink = StreamingSketches.quantStatsSink(qRoot, Seq("src"), "v") _
+    def qDf(vs: Double*) = vs.map("a" -> _).toDF("src", "v")
+    qSink(qDf(1, 2, 3), 0L)
+    qSink(qDf(4, 5), 1L)
+    def med() = StreamingSketches.currentQuantiles(spark, qRoot, Seq("src"), Seq(0.5))
+      .select("src", "n", "q50").as[(String, Long, Double)].collect().head
+    assert(med() === (("a", 5L, 3.0)), "history median must fold all batches")
+    qSink(qDf(4, 5), 1L) // replay
+    assert(med() === (("a", 5L, 3.0)), "replay changed the quantile state")
+  }
+
+  test("streaming SCD2 sink: stream == batch history, touched-buckets-only rewrite, replay-idempotent") {
+    import graft.merge.Scd2
+    import graft.streaming.StreamingScd2
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val root = SparkTestBase.tmpDir("graft_stream_scd2") + "/history"
+    def jdf(rows: (Int, String, String, Long)*) =
+      rows.toDF("id", "v", "__t", "__seqno")
+        .withColumn("__transform_dt", to_timestamp(col("__t")))
+        .withColumn("__load_dt", to_timestamp(col("__t")))
+        .withColumn("__record_state", lit("A"))
+        .drop("__t")
+    val nB = 8
+    val sink = StreamingScd2.scd2Sink(root, Seq("id"), trackCols = Seq("v"), nBuckets = nB) _
+    val b0 = jdf((1, "A", "2024-01-01 00:00:00", 1L), (2, "X", "2024-01-01 00:00:00", 2L))
+    val b1 = jdf((1, "B", "2024-01-03 00:00:00", 3L)) // closes key 1's interval
+    val b2 = jdf((3, "Q", "2024-01-04 00:00:00", 4L)) // fresh key, other bucket
+    sink(b0, 0L); sink(b1, 1L)
+
+    def hist(): Seq[(Int, String, String, Boolean)] =
+      StreamingScd2.readHistory(spark, root)
+        .orderBy("id", Scd2.ValidFrom).collect().toSeq.map { r =>
+          (r.getInt(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+            r.getTimestamp(r.fieldIndex(Scd2.ValidFrom)).toString,
+            r.getBoolean(r.fieldIndex(Scd2.IsCurrent)))
+        }
+    assert(hist() === Seq(
+      (1, "A", "2024-01-01 00:00:00.0", false),
+      (1, "B", "2024-01-03 00:00:00.0", true),
+      (2, "X", "2024-01-01 00:00:00.0", true)))
+
+    // bucket isolation: b2 touches only key 3's bucket — key 2's
+    // partition files must be byte-identical afterwards
+    val buckets = Seq(1, 2, 3).map(i => i ->
+      jdf((i, "?", "2024-01-01 00:00:00", 0L))
+        .select(StreamingScd2.bucketOf(Seq("id"), nB)).head().getLong(0)).toMap
+    assert(buckets(3) !== buckets(2), "fixture ids must land in different buckets")
+    def partFiles(b: Long): Map[String, Long] = {
+      val d = new java.io.File(s"$root/${StreamingScd2.BucketCol}=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = partFiles(buckets(2))
+    sink(b2, 2L)
+    assert(partFiles(buckets(2)) === before,
+      "a batch must not rewrite partitions its keys don't touch")
+    assert(hist().map(_._1).toSet === Set(1, 2, 3))
+
+    // stream == batch over the full journal
+    val full = Scd2.history(b0.unionByName(b1).unionByName(b2), Seq("id"), Seq("v"))
+      .orderBy("id", Scd2.ValidFrom).collect().toSeq.map { r =>
+        (r.getInt(r.fieldIndex("id")), r.getString(r.fieldIndex("v")),
+          r.getTimestamp(r.fieldIndex(Scd2.ValidFrom)).toString,
+          r.getBoolean(r.fieldIndex(Scd2.IsCurrent)))
+      }
+    assert(hist() === full, "streamed history drifted from the batch rebuild")
+
+    // replay of a delivered batch reproduces identical state
+    sink(b1, 1L)
+    assert(hist() === full, "replay of a delivered batch changed the history")
+  }
 }

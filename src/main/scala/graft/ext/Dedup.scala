@@ -692,6 +692,109 @@ object Dedup {
     }
   }
 
+  /** DIRECTED shingle-set CONTAINMENT pairs: `(a_id, b_id,
+    * containment)` where containment = |S(a) ∩ S(b)| / |S(a)| — the
+    * fraction of a's distinct `shingleSize`-gram shingles that also
+    * appear in b. Catches the asymmetric duplication symmetric Jaccard
+    * (q13) structurally misses: a short document wholly quoted inside
+    * a long one scores containment ≈ 1 while its Jaccard is ≈
+    * |A|/|B| — arbitrarily far below any Jaccard threshold. This is
+    * the subset-duplicate / quotation detector of curation pipelines.
+    * Both directions are emitted independently (a-in-b and b-in-a each
+    * judged against `threshold`); self-pairs never appear.
+    *
+    * Exact and oracle-comparable: integer intersection and set sizes,
+    * one final IEEE division. Fingerprint aliasing as in
+    * [[nearDupNgramJaccard]] (64-bit shingle hashes, P ≈ n²/2⁶⁵).
+    *
+    * Scale shape: a postings self-join on the 8-byte shingle hash —
+    * only 16-byte (hash, id) rows transit — then a pair-count
+    * aggregate and two narrow size joins. Cost is Σ_s f(s)² like the
+    * count strategy of [[nearDupNgramJaccard]], and the same viral-
+    * shingle guard applies: PPJoin-style prefix pruning is NOT valid
+    * for containment (the prefix bound assumes symmetric Jaccard), so
+    * at Zipfian 100 TB scale pre-drop corpus-wide stop shingles from
+    * BOTH sides (which redefines the shingle universe, uniformly for
+    * every pair) before calling — the guard routes there loudly
+    * instead of letting one hot shingle cost f² pairs silently.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", shingleSize: Int = 3,
+                       threshold: Double = 0.9,
+                       maxCountDocFreq: Long = 10000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "containment threshold must be in (0, 1]")
+    val hs = docs.select(col(idCol),
+      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+    val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
+    val hottest = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .agg(max(col("__df"))).collect()(0)
+    val fMax = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    require(fMax <= maxCountDocFreq,
+      s"containmentPairs self-joins every posting list and got a shingle in $fMax " +
+        s"documents (maxCountDocFreq=$maxCountDocFreq): that one list alone is a " +
+        s"${fMax}²-pair join — drop corpus-wide stop shingles from the shingle " +
+        "universe first, or raise maxCountDocFreq deliberately")
+    val sizes = hs.select(col(idCol), size(col("__hs")).as("__n"))
+    val inter = postings.select(col("__s"), col(idCol).as("a_id"))
+      .join(postings.select(col("__s"), col(idCol).as("b_id")), Seq("__s"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__inter"))
+    val withSizes = inter
+      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+    withSizes.select(col("a_id"), col("b_id"),
+        (col("__inter").cast("double") / col("__na").cast("double")).as("containment"))
+      .unionAll(withSizes.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment")))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Per-document CONTAMINATION FRACTION against a benchmark corpus:
+    * the share of a document's token positions covered by some
+    * `spanTokens`-token window that appears verbatim in the benchmark.
+    * [[graft.ext.TextOps.contamination]] counts shared shingles (a
+    * drop/keep signal); this measures HOW MUCH of each document is
+    * benchmark text — the per-document contamination-rate statistic
+    * training-data audits report, and the graded sibling of
+    * [[boilerplateFraction]] with the flagged-span set coming from an
+    * external corpus instead of cross-document duplication.
+    * Exact integers until one final IEEE division — oracle-comparable.
+    *
+    * Scale shape: the corpus side explodes to one (id, pos, 8-byte
+    * hash) row per token position; the benchmark span set — eval sets
+    * are tiny next to a training corpus — is distinct-ed and BROADCAST
+    * into a semi join, so the corpus never shuffles for the match;
+    * position coverage is then a bounded explode (`spanTokens` rows
+    * per covered window) + per-doc distinct. Matching on 64-bit
+    * hashes can only ever over-count (aliasing P ≈ n²/2⁶⁵) —
+    * conservative in the safe direction for contamination.
+    */
+  def contaminationFraction(docs: DataFrame, benchmark: DataFrame,
+                            spanTokens: Int, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            benchTextCol: String = "text"): DataFrame = {
+    require(spanTokens > 0, "spanTokens must be positive")
+    val w = docs.select(col(idCol),
+        posexplode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as(Seq("pos", "span")))
+      .select(col(idCol), col("pos"), xxhash64(col("span")).as("__h"))
+    val flagged = benchmark.select(
+        explode(TextOps.shinglesOrdered(col(benchTextCol), spanTokens)).as("span"))
+      .select(xxhash64(col("span")).as("__h"))
+      .distinct()
+    val covered = w.join(broadcast(flagged), Seq("__h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(spanTokens - 1))).as("__p"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__covered"))
+    docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("contaminated_frac",
+        coalesce(col("__covered"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+      .drop("__covered")
+  }
+
   /** Incremental near-dup: match NEW documents against an EXISTING
     * corpus (the ingest-time dedup — "is this incoming doc a near-copy
     * of anything we already hold?"). Same MinHash-LSH machinery as

@@ -47,4 +47,50 @@ object Diff {
                   contentCol: String = "text"): DataFrame =
     snapshotDiff(older, newer, idCol, contentCol)
       .groupBy("status").agg(count(lit(1)).as("n_docs"))
+
+  /** COMPOSITION DRIFT between two corpus snapshots, per band of a
+    * categorical column (language, source, length bucket, quality
+    * band, …): did a curation run — or a month of ingest — shift the
+    * corpus mixture? The monitoring step every production pipeline
+    * runs next to its diff: [[snapshotDiff]] says which documents
+    * changed, this says whether the DISTRIBUTION changed.
+    *
+    * One row per band seen in either snapshot: exact counts, each
+    * side's share, the share delta, and the chi-square contribution
+    * `(share_new − share_old)² / share_old` (null where the band is
+    * new — no baseline to compare against). Chi-square terms are kept
+    * PER BAND rather than summed: each term is exact integer counts
+    * followed by a fixed tree of IEEE double ops (reproducible across
+    * engines), while a cross-partition double sum would be
+    * order-dependent. Callers wanting a scalar can sum the column
+    * after a sort, or read the bands directly — at report scale the
+    * bands ARE the answer ("es fell 2 points, zh doubled").
+    *
+    * Scale shape: one map-side-combined count aggregate per side —
+    * band cardinality rows each, never document rows — then a
+    * band-cardinality full-outer join and a broadcast of the 1-row
+    * totals frame. At 100 TB the corpus is scanned once per side with
+    * only (band, count) partials shuffling.
+    */
+  def bandDrift(older: DataFrame, newer: DataFrame,
+                bandCol: String = "lang"): DataFrame = {
+    def side(df: DataFrame, cnt: String): DataFrame =
+      df.groupBy(col(bandCol).as("band")).agg(count(lit(1)).as(cnt))
+    val joined = side(older, "n_old")
+      .join(side(newer, "n_new"), Seq("band"), "full_outer")
+      .select(col("band"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("__tot_old"),
+      sum(col("n_new")).as("__tot_new"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("share_old",
+        col("n_old").cast("double") / col("__tot_old").cast("double"))
+      .withColumn("share_new",
+        col("n_new").cast("double") / col("__tot_new").cast("double"))
+      .withColumn("share_diff", col("share_new") - col("share_old"))
+      .withColumn("chi2_term", when(col("n_old") > 0,
+        col("share_diff") * col("share_diff") / col("share_old")))
+      .drop("__tot_old", "__tot_new")
+  }
 }

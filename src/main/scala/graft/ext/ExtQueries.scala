@@ -948,12 +948,63 @@ object ExtQueries {
       Seq("source"), qs = Seq(0.1, 0.5, 0.9, 0.99))
       .orderBy("source")
 
+  /** Composition drift ([[Diff.bandDrift]]): the per-language mixture
+    * shift a length gate (n_chars ≥ 300) introduces — exact counts,
+    * per-band shares/deltas and chi-square terms, all integer counts +
+    * fixed IEEE double trees → exact-oracled.
+    */
+  def q103(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Diff.bandDrift(d, d.where(col("n_chars") >= 300), bandCol = "lang")
+      .orderBy("band")
+  }
+
+  /** Directed containment pairs ([[Dedup.containmentPairs]]): documents
+    * ≥ 60% of whose 3-gram shingle set appears inside another document
+    * — the subset-duplicate/quotation detector symmetric Jaccard (q13)
+    * misses. Exact integer intersections + one division → exact-oracled.
+    */
+  def q104(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(spark, dir), shingleSize = 3, threshold = 0.6)
+      .orderBy("a_id", "b_id")
+
+  /** Per-doc contamination fraction ([[Dedup.contaminationFraction]]):
+    * share of each training document's token positions covered by a
+    * 5-gram that appears in the benchmark split (`doc_id % 20 == 0`,
+    * the q30 split) — q30 grades drop/keep, this grades HOW MUCH.
+    */
+  def q105(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dedup.contaminationFraction(
+        d.where(col("doc_id") % 20 =!= 0),
+        d.where(col("doc_id") % 20 === 0), spanTokens = 5)
+      .select(col("doc_id"), col("n_tokens"), col("contaminated_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture epoch plan ([[Sampling.epochPlan]]): what a 1M-token run
+    * at fixed per-language weights costs against the held corpus —
+    * epochs, keep-rates, and the needs-upsampling flag per language.
+    */
+  def q106(spark: SparkSession, dir: String): DataFrame =
+    Sampling.epochPlan(docs(spark, dir), epochPlanWeights,
+        tokenBudget = 1000000L, keyCol = "lang")
+      .orderBy("lang")
+
+  /** The q106 mixture design, shared with its oracle's VALUES list. */
+  private val epochPlanWeights: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.1)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
     "q101_incremental_curation" -> (q101 _),
     "q102_quantile_sketch" -> (q102 _),
+    "q103_drift_report" -> (q103 _),
+    "q104_containment" -> (q104 _),
+    "q105_contamination_frac" -> (q105 _),
+    "q106_epoch_plan" -> (q106 _),
     "q08_text_stats" -> (q08 _),
     "q09_text_quality" -> (q09 _),
     "q10_lang_id" -> (q10 _),
@@ -1368,6 +1419,106 @@ object ExtQueries {
         |       s.total_rows, s.total_keys, s.mean_count, s.skew_ratio, s.salt_buckets
         |FROM hist h CROSS JOIN stats s
         |ORDER BY h.bucket""".stripMargin,
+    // q103 — exact counts; shares/deltas/chi-square spelled as the SAME
+    // fixed tree of double ops as the Spark side (two divisions, one
+    // subtraction, square/divide) so both engines round identically.
+    "q103_drift_report" ->
+      """WITH o AS (SELECT lang AS band, count(*) AS c FROM documents GROUP BY 1),
+        |n AS (SELECT lang AS band, count(*) AS c FROM documents
+        |      WHERE n_chars >= 300 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(o.band, n.band) AS band,
+        |         CAST(COALESCE(o.c, 0) AS BIGINT) AS n_old,
+        |         CAST(COALESCE(n.c, 0) AS BIGINT) AS n_new
+        |  FROM o FULL JOIN n ON o.band = n.band),
+        |t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+        |             CAST(SUM(n_new) AS BIGINT) AS tot_new FROM j)
+        |SELECT j.band, j.n_old, j.n_new,
+        |  CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE) AS share_old,
+        |  CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE) AS share_new,
+        |  CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |    - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE) AS share_diff,
+        |  CASE WHEN j.n_old > 0 THEN
+        |    (CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |      - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE))
+        |    * (CAST(j.n_new AS DOUBLE) / CAST(t.tot_new AS DOUBLE)
+        |      - CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE))
+        |    / (CAST(j.n_old AS DOUBLE) / CAST(t.tot_old AS DOUBLE)) END AS chi2_term
+        |FROM j CROSS JOIN t ORDER BY band""".stripMargin,
+    // q104 — directed containment over exact distinct 3-gram shingle
+    // sets: integer intersection counts, one division per direction.
+    "q104_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1 JOIN w t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |            JOIN w t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT i.a_id, i.b_id,
+        |         CAST(i.c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+        |  UNION ALL
+        |  SELECT i.b_id, i.a_id,
+        |         CAST(i.c AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment
+        |  FROM inter i JOIN sz sb ON sb.doc_id = i.b_id)
+        |SELECT a_id, b_id, containment FROM dir
+        |WHERE containment >= 0.6 ORDER BY a_id, b_id""".stripMargin,
+    // q105 — q78's coverage CTEs with the flagged-span set drawn from
+    // the benchmark split instead of cross-document duplication.
+    "q105_contamination_frac" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp
+        |           FROM documents WHERE doc_id % 20 <> 0),
+        |bt AS (SELECT string_split(text, ' ') AS sp
+        |       FROM documents WHERE doc_id % 20 = 0),
+        |w AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 4)) AS st
+        |  FROM t WHERE len(sp) >= 5),
+        |spans AS (
+        |  SELECT doc_id, st, array_to_string(list_slice(sp, st, st + 4), ' ') AS span
+        |  FROM w),
+        |bw AS (
+        |  SELECT sp, unnest(generate_series(1, len(sp) - 4)) AS st
+        |  FROM bt WHERE len(sp) >= 5),
+        |bspans AS (
+        |  SELECT DISTINCT array_to_string(list_slice(sp, st, st + 4), ' ') AS span
+        |  FROM bw),
+        |cov0 AS (
+        |  SELECT s.doc_id, s.st, unnest(generate_series(0, 4)) AS k
+        |  FROM spans s JOIN bspans USING (span)),
+        |cov AS (SELECT DISTINCT doc_id, st + k AS p FROM cov0),
+        |c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.sp) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.covered, 0) / CAST(len(t.sp) AS DOUBLE) AS contaminated_frac
+        |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // q106 — weights as explicit DOUBLE casts (DuckDB parses bare 0.15
+    // as DECIMAL); target/epochs/rate spelled as the same double tree.
+    "q106_epoch_plan" ->
+      """WITH wts AS (
+        |  SELECT 'de' AS lang, CAST(0.15 AS DOUBLE) AS weight
+        |  UNION ALL SELECT 'en', CAST(0.5 AS DOUBLE)
+        |  UNION ALL SELECT 'es', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'fr', CAST(0.15 AS DOUBLE)
+        |  UNION ALL SELECT 'zh', CAST(0.1 AS DOUBLE)),
+        |a AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT a.lang, a.n_docs, a.n_tokens, w.weight,
+        |         CAST(FLOOR(CAST(1000000 AS DOUBLE) * w.weight) AS BIGINT) AS target_tokens
+        |  FROM a JOIN wts w USING (lang))
+        |SELECT lang, n_docs, n_tokens, weight, target_tokens,
+        |  CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+        |  LEAST(1.0, CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS sample_rate,
+        |  CAST(target_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 1.0 AS needs_upsampling
+        |FROM p ORDER BY lang""".stripMargin,
     // q101 — the incremental chain: q88's stage CTEs with cross-set
     // semantics. Batch = doc_id%10=0, corpus state = the rest; the two
     // index probes are first-seen-wins (any match drops the batch doc),

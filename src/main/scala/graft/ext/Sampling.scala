@@ -261,4 +261,53 @@ object Sampling {
       .select("__graft_key", "__graft_thr")
     applyThresholds(df, thresholds, keyCol, idCol, salt)
   }
+
+  /** MIXTURE EPOCH PLAN: given target mixture weights per group and a
+    * total token budget, report — per group — what honoring the
+    * mixture actually requires: available tokens, the group's token
+    * target, the implied number of epochs (passes over the group), and
+    * the keep-rate to feed [[mixtureSample]] for groups that must be
+    * downsampled. `needs_upsampling` flags groups whose target exceeds
+    * their data (epochs > 1) — the repetition decision every
+    * data-constrained training run confronts, surfaced as a number
+    * instead of discovered mid-training.
+    *
+    * The planner is the arithmetic bridge between a mixture DESIGN
+    * (weights) and the sampling OPERATORS ([[mixtureSample]] /
+    * [[temperatureSample]]): weights say what the training stream
+    * should look like; this says what that costs against the corpus
+    * actually held. Groups absent from `weights` are excluded (weight
+    * 0 — not part of the mixture); weighted groups absent from the
+    * corpus simply don't appear (there is nothing to plan over).
+    *
+    * Determinism: token counts are exact longs; `target_tokens` is one
+    * double product floored to a long; `epochs`/`sample_rate` are one
+    * IEEE division each — oracle-comparable.
+    *
+    * Scale shape: one map-side-combined aggregate to group-cardinality
+    * rows, then a broadcast join against the literal weights frame.
+    * The corpus is scanned once; only (group, count, token-sum)
+    * partials move.
+    */
+  def epochPlan(df: DataFrame, weights: Map[String, Double],
+                tokenBudget: Long, keyCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "epochPlan needs at least one group weight")
+    require(weights.values.forall(w => w >= 0.0 && w.isFinite),
+      "mixture weights must be finite and non-negative")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.sortBy(_._1).toDF(keyCol, "weight")
+    val avail = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    avail.join(broadcast(w), Seq(keyCol))
+      .withColumn("target_tokens",
+        floor(lit(tokenBudget).cast("double") * col("weight")).cast("long"))
+      .withColumn("epochs",
+        col("target_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("sample_rate", least(lit(1.0), col("epochs")))
+      .withColumn("needs_upsampling", col("epochs") > 1.0)
+  }
 }

@@ -2054,4 +2054,97 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double, Double, Long)].collect().head
     assert(s._6 === 1L, s"uniform distribution must not recommend salting: $s")
   }
+
+  test("bandDrift: hand-computed shares, deltas, chi-square; new band gets null term") {
+    import graft.ext.Diff
+    val older = Seq("a", "a", "b", "b").toDF("lang")
+    val newer = Seq("a", "a", "b", "c").toDF("lang")
+    val out = Diff.bandDrift(older, newer)
+      .orderBy("band")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("a", 2L, 2L, 0.5, 0.5, 0.0, Some(0.0)),
+      ("b", 2L, 1L, 0.5, 0.25, -0.25, Some(-0.25 * -0.25 / 0.5)),
+      ("c", 0L, 1L, 0.0, 0.25, 0.25, None)))
+  }
+
+  test("bandDrift: a band dropped entirely keeps its baseline and a full-loss term") {
+    import graft.ext.Diff
+    val older = Seq("a", "b").toDF("lang")
+    val newer = Seq("a").toDF("lang")
+    val out = Diff.bandDrift(older, newer)
+      .orderBy("band")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 1L, 0.5, 1.0, 0.5, Some(0.5 * 0.5 / 0.5)),
+      ("b", 1L, 0L, 0.5, 0.0, -0.5, Some(-0.5 * -0.5 / 0.5))))
+  }
+
+  test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
+    // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
+    // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes
+    // τ = 0.9. The symmetric Jaccard is 4/8 = 0.5: invisible to q13's
+    // 0.7 threshold, which is exactly the case this operator exists for.
+    val df = docsDf(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f g h i j",
+      3L -> "z1 z2 z3 z4 z5")
+    val out = Dedup.containmentPairs(df, shingleSize = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 2L, 1.0)))
+    // lowering τ to 0.5 admits the reverse direction at exactly 4/8
+    val both = Dedup.containmentPairs(df, shingleSize = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(both === Set((1L, 2L, 1.0), (2L, 1L, 0.5)))
+  }
+
+  test("containmentPairs: viral-shingle guard raises; override admits deliberately") {
+    val df = docsDf((1L to 12L).map(i => i -> "same same same words here"): _*)
+    val e = intercept[IllegalArgumentException](
+      Dedup.containmentPairs(df, shingleSize = 2, threshold = 0.9,
+        maxCountDocFreq = 4L).collect())
+    assert(e.getMessage.contains("maxCountDocFreq"))
+    // all 12 docs identical: every directed pair at containment 1.0
+    val n = Dedup.containmentPairs(df, shingleSize = 2, threshold = 0.9,
+      maxCountDocFreq = 100L).count()
+    assert(n === 12L * 11L)
+  }
+
+  test("contaminationFraction: hand-computed coverage; overlapping spans count once") {
+    val train = docsDf(
+      1L -> "t1 t2 t3 t4 t5 t6 t7 t8", // "t3 t4 t5" at pos 2 covers {2,3,4} → 3/8
+      2L -> "u1 u2 u3 u4")             // clean → 0.0
+    val bench = Seq("x0 t3 t4 t5 x1").toDF("text")
+    val rows = Dedup.contaminationFraction(train, bench, spanTokens = 3)
+      .select("doc_id", "n_tokens", "contaminated_frac")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.map(r => r._1 -> r._2).toMap === Map(1L -> 8L, 2L -> 4L))
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) === 3.0 / 8.0)
+    assert(byId(2L) === 0.0)
+    // two overlapping benchmark spans: covered positions union, not sum
+    val bench2 = Seq("t1 t2 t3", "t3 t4 t5").toDF("text")
+    val byId2 = Dedup.contaminationFraction(train, bench2, spanTokens = 3)
+      .select("doc_id", "contaminated_frac").as[(Long, Double)].collect().toMap
+    assert(byId2(1L) === 5.0 / 8.0) // {0,1,2} ∪ {2,3,4}
+  }
+
+  test("epochPlan: hand-computed targets, epochs, rates; unweighted groups excluded") {
+    import graft.ext.Sampling
+    val df = Seq(
+      ("en", "w1 w2 w3"), ("en", "w4 w5 w6"), // 6 tokens
+      ("de", "x1 x2 x3 x4"),                  // 4 tokens
+      ("fr", "y1 y2")                         // not in the mixture
+    ).toDF("lang", "text")
+    val out = Sampling.epochPlan(df, Map("en" -> 0.75, "de" -> 0.25),
+        tokenBudget = 12L, keyCol = "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Double, Long, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("de", 1L, 4L, 0.25, 3L, 0.75, 0.75, false),
+      ("en", 2L, 6L, 0.75, 9L, 1.5, 1.0, true)))
+  }
 }

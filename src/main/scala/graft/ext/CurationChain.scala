@@ -95,10 +95,27 @@ object CurationChain {
   def pack(d: DataFrame): DataFrame =
     TextOps.packSequences(d, capacity = PackCapacity, shardCols = Seq("lang"))
 
+  /** Materialize a stage boundary: every stage consumes its input on
+    * 2-4 internal plan branches (gate = profile semi-join, dedups =
+    * pair graph + anti join, decontamination = shingle join + final
+    * join), so an unmaterialized chain RE-RUNS each upstream stage
+    * once per downstream branch — multiplicatively. The framework face
+    * ([[fns]] through the Step machinery) already materializes between
+    * steps via the step cache; this is the direct face's equivalent.
+    * Local checkpoint (executor storage) is the
+    * [[Dedup.connectedComponents]] trade — at 100 TB drive the chain
+    * through the Step machinery's durable cache instead.
+    */
+  private def mat(d: DataFrame): DataFrame = d.localCheckpoint(true)
+
   /** The whole chain, corpus in → packing summary out. */
-  def run(corpus: DataFrame): DataFrame =
-    pack(mixture(decontaminate(
-      nearDupDedup(normalizeDedup(encodingGate(corpus))), corpus)))
+  def run(corpus: DataFrame): DataFrame = {
+    val s1 = mat(encodingGate(corpus))
+    val s2 = mat(normalizeDedup(s1))
+    val s3 = mat(nearDupDedup(s2))
+    val s4 = mat(decontaminate(s3, corpus))
+    pack(mixture(s4))
+  }
 
   /** Per-document drop-stage attribution — the "why was my document
     * removed" debugging surface of the chain (q92): one row per
@@ -116,11 +133,11 @@ object CurationChain {
     * second pass over payloads.
     */
   def audit(corpus: DataFrame): DataFrame = {
-    val s1 = encodingGate(corpus)
-    val s2 = normalizeDedup(s1)
-    val s3 = nearDupDedup(s2)
-    val s4 = decontaminate(s3, corpus)
-    val s5 = mixture(s4)
+    val s1 = mat(encodingGate(corpus))
+    val s2 = mat(normalizeDedup(s1))
+    val s3 = mat(nearDupDedup(s2))
+    val s4 = mat(decontaminate(s3, corpus))
+    val s5 = mat(mixture(s4))
     def ids(d: DataFrame, flag: String): DataFrame =
       d.select(col("doc_id")).withColumn(flag, lit(true))
     // stage-4 split: the benchmark slice leaves the training set by
@@ -187,14 +204,14 @@ object CurationChain {
                      corpusMinHashIndex: DataFrame,
                      benchmarkSource: DataFrame): DataFrame = {
     val s1 = encodingGate(batch)
-    val s2 = Dedup.exactAgainst(
+    val s2 = mat(Dedup.exactAgainst(
         s1.withColumn("__norm", TextOps.normalizeText(col("text"))),
         normDigestIndex, "doc_id", "__norm")
-      .drop("__norm")
+      .drop("__norm"))
     val vsCorpus = Dedup.nearDupMinHashAgainstIndex(s2, corpusMinHashIndex,
         shingleSize = ShingleSize, threshold = JaccardThreshold)
       .select(col("a_id").as("doc_id")).distinct()
-    val s3 = nearDupDedup(s2.join(vsCorpus, Seq("doc_id"), "left_anti"))
+    val s3 = mat(nearDupDedup(s2.join(vsCorpus, Seq("doc_id"), "left_anti")))
     val s4 = decontaminate(s3, benchmarkSource)
     mixture(s4)
   }

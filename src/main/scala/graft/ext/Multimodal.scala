@@ -631,7 +631,24 @@ object Multimodal {
     * brute-force pixel distance.
     */
   def nearDupImages(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
-    Dedup.nearDupChunkSigs(dHash(assets), "asset_id", "phash", maxHamming)
+    Dedup.nearDupChunkSigs(materializedSigs(dHash(assets)),
+      "asset_id", "phash", maxHamming)
+
+  /** Decode ONCE, join many: the chunked Hamming self-join consumes its
+    * signature frame on both join sides (and [[nearDupVideos]] adds a
+    * per-clip frame count), so an unmaterialized lineage would re-run
+    * the payload-decoding `mapPartitions` once per plan branch — the
+    * batch-side mirror of the streaming sink's hashed-ONCE cache
+    * (`streaming/StreamingDedup.scala`, `multimodalSinkBatch`). An
+    * eager local checkpoint materializes the tiny signature rows
+    * (id + 16 bytes; payloads are NOT carried) and truncates the
+    * decode lineage. Executor-loss recovery is the documented
+    * [[Dedup.connectedComponents]] trade; the durable 100 TB path is
+    * the persisted parquet signature index (q83's shape), where the
+    * decode runs exactly once by construction.
+    */
+  private def materializedSigs(sigs: DataFrame): DataFrame =
+    sigs.localCheckpoint(true)
 
   /** One 64-bit signature per SAMPLED FRAME of a video asset — the
     * frame-level fingerprint family that closes the modality matrix
@@ -701,7 +718,9 @@ object Multimodal {
                     minMatchFrac: Double = 0.5): DataFrame = {
     require(minMatchFrac > 0 && minMatchFrac <= 1,
       s"minMatchFrac must be in (0, 1], got $minMatchFrac")
-    val sigs = videoFrameSigs(assets, stride)
+    // three consumers (both chunk-join sides + the per-clip frame
+    // count) — decode once, see materializedSigs
+    val sigs = materializedSigs(videoFrameSigs(assets, stride))
     val chunks = sigs.select(col("asset_id"), col("frame_idx"), col("phash"),
       posexplode(col("phash")).as(Seq("chunk_idx", "chunk_value")))
     val a = chunks.select(col("chunk_idx"), col("chunk_value"),
@@ -811,7 +830,8 @@ object Multimodal {
     * different material stays apart).
     */
   def nearDupAudio(assets: Dataset[Asset], maxHamming: Int = 3): DataFrame =
-    Dedup.nearDupChunkSigs(audioHash(assets), "asset_id", "phash", maxHamming)
+    Dedup.nearDupChunkSigs(materializedSigs(audioHash(assets)),
+      "asset_id", "phash", maxHamming)
 
   /** Deterministic text → real-PNG rendering: the document's UTF-8
     * bytes laid out as the 9×8 grayscale pixel grid, PNG-encoded via

@@ -721,7 +721,19 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", shingleSize: Int = 3,
                        threshold: Double = 0.9,
-                       maxCountDocFreq: Long = 10000L): DataFrame = {
+                       maxCountDocFreq: Long = 10000L): DataFrame =
+    containmentPairsWithSizes(docs, idCol, textCol, shingleSize, threshold,
+      maxCountDocFreq)
+      .select("a_id", "b_id", "containment")
+
+  /** [[containmentPairs]] plus the two shingle-set sizes (`__na` of the
+    * contained side, `__nb` of the containing side) — the internal
+    * shape [[dedupContained]]'s absorption policy needs.
+    */
+  private def containmentPairsWithSizes(docs: DataFrame, idCol: String,
+                                        textCol: String, shingleSize: Int,
+                                        threshold: Double,
+                                        maxCountDocFreq: Long): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
     val hs = docs.select(col(idCol),
@@ -744,10 +756,41 @@ object Dedup {
       .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
     withSizes.select(col("a_id"), col("b_id"),
-        (col("__inter").cast("double") / col("__na").cast("double")).as("containment"))
+        (col("__inter").cast("double") / col("__na").cast("double")).as("containment"),
+        col("__na"), col("__nb"))
       .unionAll(withSizes.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
-        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment")))
+        (col("__inter").cast("double") / col("__nb").cast("double")).as("containment"),
+        col("__nb").as("__na"), col("__na").as("__nb")))
       .where(col("containment") >= threshold)
+  }
+
+  /** CONTAINMENT DEDUP — the keep-superset policy over
+    * [[containmentPairs]]: drop every document absorbed by a STRICTLY
+    * LARGER document (more distinct shingles; equal sizes tie-break to
+    * the lower id, so two mutually-contained near-copies keep exactly
+    * one). Absorption is judged against ANY absorber, surviving or
+    * not: if a ⊑ b and b ⊑ c, both a and b drop and c stays — the
+    * conservative choice (the dropped content is still ≥ τ-covered by
+    * SOME kept document through the size ordering, since absorption
+    * chains are acyclic: sizes strictly decrease or ids strictly
+    * increase along a chain). Returns the surviving rows of `docs`
+    * unchanged.
+    *
+    * Scale shape: [[containmentPairs]]'s postings join produces the
+    * absorbed-id set (8-byte keys), then one anti join back to `docs`
+    * — the corpus transits once.
+    */
+  def dedupContained(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", shingleSize: Int = 3,
+                     threshold: Double = 0.9,
+                     maxCountDocFreq: Long = 10000L): DataFrame = {
+    val absorbed = containmentPairsWithSizes(docs, idCol, textCol, shingleSize,
+        threshold, maxCountDocFreq)
+      .where(col("__nb") > col("__na") ||
+        (col("__nb") === col("__na") && col("b_id") < col("a_id")))
+      .select(col("a_id").as(idCol))
+      .distinct()
+    docs.join(absorbed, Seq(idCol), "left_anti")
   }
 
   /** Per-document CONTAMINATION FRACTION against a benchmark corpus:

@@ -995,6 +995,24 @@ object ExtQueries {
   private val epochPlanWeights: Map[String, Double] =
     Map("en" -> 0.5, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.1)
 
+  /** Containment dedup ([[Dedup.dedupContained]]): drop documents ≥ 60%
+    * of whose 3-gram shingle set sits inside a strictly-larger (or
+    * tie-lower-id) document — q104's pair set turned into the
+    * keep-superset act.
+    */
+  def q107(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupContained(docs(spark, dir), shingleSize = 3, threshold = 0.6)
+      .orderBy("doc_id")
+
+  /** Consistent 100-doc panel ([[Sampling.consistentSample]]): the
+    * bottom-100 by md5(id‖salt) — a fixed-size eval panel stable under
+    * corpus growth, exact-oracled (DuckDB computes the same md5 order).
+    */
+  def q108(spark: SparkSession, dir: String): DataFrame =
+    Sampling.consistentSample(docs(spark, dir), k = 100)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
@@ -1005,6 +1023,8 @@ object ExtQueries {
     "q104_containment" -> (q104 _),
     "q105_contamination_frac" -> (q105 _),
     "q106_epoch_plan" -> (q106 _),
+    "q107_dedup_contained" -> (q107 _),
+    "q108_consistent_sample" -> (q108 _),
     "q08_text_stats" -> (q08 _),
     "q09_text_quality" -> (q09 _),
     "q10_lang_id" -> (q10 _),
@@ -1497,6 +1517,48 @@ object ExtQueries {
         |SELECT t.doc_id, CAST(len(t.sp) AS BIGINT) AS n_tokens,
         |  COALESCE(c.covered, 0) / CAST(len(t.sp) AS DOUBLE) AS contaminated_frac
         |FROM t LEFT JOIN c USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // q107 — q104's directed pair set with the absorption predicate
+    // (strictly larger, or equal-size lower id) as an anti join.
+    "q107_dedup_contained" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |  FROM w t1 JOIN w t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+        |            JOIN w t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dir AS (
+        |  SELECT i.a_id, i.b_id,
+        |         CAST(i.c AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment,
+        |         sa.n AS na, sb.n AS nb
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+        |               JOIN sz sb ON sb.doc_id = i.b_id
+        |  UNION ALL
+        |  SELECT i.b_id, i.a_id,
+        |         CAST(i.c AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment,
+        |         sb.n, sa.n
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+        |               JOIN sz sb ON sb.doc_id = i.b_id),
+        |absorbed AS (
+        |  SELECT DISTINCT a_id AS doc_id FROM dir
+        |  WHERE containment >= 0.6
+        |    AND (nb > na OR (nb = na AND b_id < a_id)))
+        |SELECT * FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM absorbed)
+        |ORDER BY doc_id""".stripMargin,
+    // q108 — the identical md5-hex bottom-k in DuckDB (BIGINT || VARCHAR
+    // concat casts the id the same way Spark's cast-to-string does).
+    "q108_consistent_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id
+        |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     // q106 — weights as explicit DOUBLE casts (DuckDB parses bare 0.15
     // as DECIMAL); target/epochs/rate spelled as the same double tree.
     "q106_epoch_plan" ->

@@ -262,6 +262,28 @@ object Sampling {
     applyThresholds(df, thresholds, keyCol, idCol, salt)
   }
 
+  /** CONSISTENT fixed-size sample: the k rows whose `md5(id ‖ salt)`
+    * sorts lowest (id tie-break) — a deterministic "random" panel of
+    * exactly k documents with the CONSISTENCY property rate-based
+    * samplers can't give: as the corpus grows, a held panel changes
+    * only by new low-hash arrivals displacing the highest-hash members
+    * — it is never reshuffled wholesale, so human eval sets and
+    * regression panels stay comparable across corpus snapshots. Same
+    * md5-of-(id,salt) decision base as every sampler here (audit-
+    * replayable in any engine with md5; null ids RAISE), new salt =
+    * independent redraw.
+    *
+    * Scale shape: a global bottom-k = Spark's TakeOrdered — each
+    * partition keeps its local k, only k-row heaps move to the driver;
+    * no global sort, no full shuffle. (Mergeable for free: bottom-k of
+    * a union = bottom-k of the per-shard bottom-k's.)
+    */
+  def consistentSample(df: DataFrame, k: Int, idCol: String = "doc_id",
+                       salt: String = "graft"): DataFrame = {
+    require(k > 0, "sample size k must be positive")
+    df.orderBy(guardedMd5(col(idCol), salt), col(idCol)).limit(k)
+  }
+
   /** MIXTURE EPOCH PLAN: given target mixture weights per group and a
     * total token budget, report — per group — what honoring the
     * mixture actually requires: available tokens, the group's token

@@ -2131,6 +2131,43 @@ class ExtSpec extends AnyFunSuite {
     assert(byId2(1L) === 5.0 / 8.0) // {0,1,2} ∪ {2,3,4}
   }
 
+  test("dedupContained: keep-superset policy, tie to lower id, chains collapse to the largest") {
+    // subset chain a ⊑ b ⊑ c: only the largest survives (absorption is
+    // judged against any absorber, surviving or not)
+    val chain = docsDf(
+      1L -> "a b c",
+      2L -> "a b c d",
+      3L -> "a b c d e f",
+      9L -> "z1 z2 z3 z4 z5")
+    val kept = Dedup.dedupContained(chain, shingleSize = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Seq(3L, 9L))
+    // two identical docs: mutual containment at equal size — lower id wins
+    val twins = docsDf(5L -> "p q r s t", 4L -> "p q r s t")
+    val keptTwins = Dedup.dedupContained(twins, shingleSize = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptTwins === Seq(4L))
+  }
+
+  test("consistentSample: exact size, repartition-stable, growth only displaces") {
+    import graft.ext.Sampling
+    val small = (1L to 10L).toDF("doc_id")
+    val s1 = Sampling.consistentSample(small, 3).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1.size === 3)
+    val s1b = Sampling.consistentSample(small.repartition(7), 3).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s1b === s1)
+    // consistency: bottom-k(S ∪ T) ⊆ bottom-k(S) ∪ T — growing the
+    // corpus can only displace panel members with new arrivals, never
+    // reshuffle the held panel
+    val grown = (1L to 20L).toDF("doc_id")
+    val s2 = Sampling.consistentSample(grown, 3).select("doc_id")
+      .as[Long].collect().toSet
+    assert(s2.size === 3)
+    assert(s2.forall(id => s1.contains(id) || id > 10L))
+  }
+
   test("epochPlan: hand-computed targets, epochs, rates; unweighted groups excluded") {
     import graft.ext.Sampling
     val df = Seq(

@@ -73,11 +73,26 @@ object Diff {
     * only (band, count) partials shuffling.
     */
   def bandDrift(older: DataFrame, newer: DataFrame,
-                bandCol: String = "lang"): DataFrame = {
-    def side(df: DataFrame, cnt: String): DataFrame =
-      df.groupBy(col(bandCol).as("band")).agg(count(lit(1)).as(cnt))
-    val joined = side(older, "n_old")
-      .join(side(newer, "n_new"), Seq("band"), "full_outer")
+                bandCol: String = "lang"): DataFrame =
+    bandDriftFromCounts(bandCounts(older, bandCol), bandCounts(newer, bandCol))
+
+  /** One (band, n) row per distinct value of `bandCol` — the
+    * band-cardinality summary [[bandDrift]] compares and the
+    * per-micro-batch unit `streaming.StreamingDrift` persists (band
+    * counts are sum-mergeable, so a stream's composition is the sum of
+    * its batches' counts — no corpus re-scan ever).
+    */
+  def bandCounts(df: DataFrame, bandCol: String): DataFrame =
+    df.groupBy(col(bandCol).as("band")).agg(count(lit(1)).as("n"))
+
+  /** [[bandDrift]] over PRE-AGGREGATED (band, n) frames — the core the
+    * streaming monitor reuses against a persisted baseline. Inputs are
+    * [[bandCounts]]-shaped; output is identical to [[bandDrift]].
+    */
+  def bandDriftFromCounts(oldCounts: DataFrame, newCounts: DataFrame): DataFrame = {
+    val joined = oldCounts.select(col("band"), col("n").as("n_old"))
+      .join(newCounts.select(col("band"), col("n").as("n_new")),
+        Seq("band"), "full_outer")
       .select(col("band"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))

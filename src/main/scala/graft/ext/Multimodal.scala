@@ -83,13 +83,30 @@ object Multimodal {
     * codecs work headless.
     */
   object Codec {
-    // ImageIO defaults to DISK-backed stream caches: without this,
-    // every decode/encode of an in-memory byte-array payload creates
-    // and deletes a temp FILE (FileCacheImageInputStream) — measured as
+    // ImageIO defaults to DISK-backed stream caches: left alone, every
+    // decode/encode of an in-memory byte-array payload creates and
+    // deletes a temp FILE (FileCacheImageInputStream) — measured as
     // executor threads spending most of their time in UnixFileSystem
     // .delete during the 10× multimodal bench. Payloads here are always
-    // small in-memory arrays; memory caching is strictly better.
-    javax.imageio.ImageIO.setUseCache(false)
+    // small in-memory arrays, so every ImageIO call below wraps its
+    // bytes in an explicit MemoryCache image stream PER STREAM rather
+    // than flipping the process-global ImageIO.setUseCache default —
+    // co-resident application code in the same JVM (possibly reading
+    // images too large to buffer on heap) keeps its own trade-off.
+    private def memIn(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+
+    /** PNG bytes via an explicitly memory-cached output stream. */
+    def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      // close() flushes all pending cached data to `bos` before release
+      try require(javax.imageio.ImageIO.write(img, "png", ios),
+        "no ImageIO PNG writer available")
+      finally ios.close()
+      bos.toByteArray
+    }
 
     private val PngSig = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
     private val JpegSig = Array(0xFF, 0xD8, 0xFF).map(_.toByte)
@@ -108,7 +125,8 @@ object Multimodal {
         startsWith(payload, GifSig) || startsWith(payload, BmpSig)
 
     def readImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // the ImageInputStream overload closes the stream after reading
+      val img = javax.imageio.ImageIO.read(memIn(payload))
       require(img != null, "undecodable image payload")
       img
     }
@@ -121,9 +139,7 @@ object Multimodal {
       * full frames (including [[writeGif]]) round-trip exactly.
       */
     def readGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      require(iis != null, "ImageIO produced no input stream for GIF payload")
+      val iis = memIn(payload)
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         require(readers.hasNext, "no ImageIO reader for GIF payload")
@@ -143,7 +159,7 @@ object Multimodal {
     def writeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
       require(frames.nonEmpty, "cannot encode a zero-frame GIF")
       val bos = new java.io.ByteArrayOutputStream()
-      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
       try {
         writer.setOutput(ios)
@@ -462,9 +478,7 @@ object Multimodal {
       } else if (a.kind == "image" && Codec.isImage(a.payload)) {
         val scaled = rescale(Codec.readImage(a.payload), width, height,
           java.awt.image.BufferedImage.TYPE_INT_ARGB)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(scaled, "png", bos)
-        a.copy(payload = bos.toByteArray)
+        a.copy(payload = Codec.writePng(scaled))
       } else if (a.kind == "video" && Codec.isGif(a.payload)) {
         // per-frame bilinear rescale, re-encoded as an animated GIF
         // (TYPE_INT_RGB: the GIF writer quantizes opaque frames itself)
@@ -511,9 +525,7 @@ object Multimodal {
         // as a standalone PNG (lossless, single-frame container)
         val frames = Codec.readGifFrames(a.payload)
         (0 until frames.length by stride).map { f =>
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(frames(f), "png", bos)
-          Frame(a.asset_id, f, bos.toByteArray)
+          Frame(a.asset_id, f, Codec.writePng(frames(f)))
         }
       } else if (a.kind == "video" && Codec.isMp4(a.payload)) {
         // real container demux: every strideth SAMPLE (encoded access
@@ -849,11 +861,8 @@ object Multimodal {
     * structure while exercising the genuine PNG encode→decode→
     * downsample→hash pipeline.
     */
-  def renderTextImage(text: String): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(renderTextFrame(text.getBytes("UTF-8"), 0), "png", bos)
-    bos.toByteArray
-  }
+  def renderTextImage(text: String): Array[Byte] =
+    Codec.writePng(renderTextFrame(text.getBytes("UTF-8"), 0))
 
   /** One 9×8 grayscale frame from byte window [off, off+72) of `bytes`
     * (zero-padded past the end) — the shared raster of

@@ -141,4 +141,65 @@ class CurationSpec extends AnyFunSuite {
       benchmarkSource = corpus.unionByName(batch))
     assert(rerun.count() === 0L, "re-ingesting an already-folded batch must drop everything")
   }
+
+  test("durable chain materialization: preempted run resumes from last landed stage") {
+    import graft.ext.CurationChain
+    import CurationChain.StageMaterializer
+
+    // spy: records which stage BODIES were evaluated — a skipped body
+    // means nothing upstream of that stage ran either
+    class Spy(inner: StageMaterializer) extends StageMaterializer {
+      val evaluated = scala.collection.mutable.ListBuffer.empty[String]
+      def apply(stage: String)(d: => org.apache.spark.sql.DataFrame) =
+        inner(stage) { evaluated += stage; d }
+    }
+    // bomb: the "executor preempted / session killed" stand-in — dies
+    // before a chosen stage lands, leaving earlier landings on disk
+    class Bomb(inner: StageMaterializer, failAt: String) extends StageMaterializer {
+      def apply(stage: String)(d: => org.apache.spark.sql.DataFrame) = {
+        if (stage == failAt) throw new RuntimeException(s"preempted before $stage")
+        inner(stage)(d)
+      }
+    }
+    def landedFiles(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f =>
+        f.getAbsolutePath.stripPrefix(dir) -> f.lastModified()).toMap
+    }
+
+    val expected = CurationChain.run(docs).orderBy("lang", "bin_id")
+      .collect().toSeq
+
+    val dir = SparkTestBase.tmpDir("graft_chain_durable")
+    val durable = CurationChain.DurableMaterializer(spark, dir)
+    // first attempt dies before stage 3: s1 + s2 land, s3/s4 never run
+    intercept[RuntimeException] {
+      CurationChain.run(docs, new Bomb(durable, "s3_near_dup_dedup"))
+    }
+    assert(new java.io.File(s"$dir/s2_normalize_dedup/_SUCCESS").isFile,
+      "stage 2 must have landed before the preemption")
+    assert(!new java.io.File(s"$dir/s3_near_dup_dedup").exists())
+    val landedBefore = landedFiles(dir)
+
+    // resume: landed stages are NOT recomputed (bodies unevaluated) and
+    // their landings are untouched byte-for-byte (same files, same mtimes)
+    val spy = new Spy(durable)
+    val resumed = CurationChain.run(docs, spy).orderBy("lang", "bin_id")
+      .collect().toSeq
+    assert(spy.evaluated.toList ===
+      List("s3_near_dup_dedup", "s4_decontaminate"),
+      "resume must evaluate exactly the unlanded stages")
+    assert(landedFiles(dir).view.filterKeys(landedBefore.contains).toMap
+      === landedBefore,
+      "resume must not rewrite already-landed stages")
+    assert(resumed === expected,
+      "resumed durable run must equal the single-session localCheckpoint run")
+
+    // a fully-landed dir re-runs with ZERO stage evaluation
+    val spy2 = new Spy(durable)
+    val rerun = CurationChain.run(docs, spy2).orderBy("lang", "bin_id")
+      .collect().toSeq
+    assert(spy2.evaluated.isEmpty && rerun === expected)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (exact, MinHash-LSH, SimHash, n-gram
@@ -1059,5 +1060,150 @@ object Dedup {
         hammingDistance(col("__siga"), col("__sigb")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- exact-substring dedup (arbitrary-boundary duplicated runs) ----
+  //
+  // The published training-data dedup family the fixed-shingle span ops
+  // ([[duplicatedSpans]], [[boilerplateFraction]], [[stripBoilerplate]])
+  // deliberately do not cover: a duplicated token run is flagged
+  // wherever it starts and however long it is — the "ExactSubstr"
+  // recipe of Lee et al. 2022, "Deduplicating Training Data Makes
+  // Language Models Better" (their released pipeline builds a global
+  // suffix array, finds duplicated byte ranges of length ≥ 50, MERGES
+  // overlapping ranges, and cuts them, keeping one occurrence).
+  //
+  // Semantics here (token-level, exactly SQL-replayable): token
+  // position q of a document is DUPLICATED iff some `minTokens`-token
+  // window covering q occurs at least twice in the corpus — another
+  // document or another offset of the same one. This is equivalent to
+  // "q lies inside some exact duplicated substring of ≥ minTokens
+  // tokens" (such a substring contributes all its windows twice;
+  // conversely a twice-occurring window IS such a substring). Maximal
+  // runs of duplicated positions are the reported REGIONS: every
+  // region is ≥ minTokens long, and adjacent/overlapping duplicated
+  // substrings merge into one region — possibly chaining matches
+  // against DIFFERENT partners, which is precisely the range-merge the
+  // published recipe performs before cutting.
+  //
+  // Scale shape — seed-anchored, never a global suffix array and never
+  // a document-pair join: ONE shuffle of (64-bit window hash, doc, pos)
+  // rows builds per-window occurrence stats with map-side partial
+  // aggregation (the corpus text never shuffles); ONE equi-join flags
+  // each window occurrence against its single stat row (a viral
+  // boilerplate window costs f matched rows, never f²; AQE splits the
+  // hot partition); coverage and region merge are one per-document
+  // window-function pass (a sliding max over minTokens rows, then
+  // gaps-and-islands) — documents are the partition unit, so a 100 TB
+  // corpus spreads per-document across executors. Window equality is
+  // by 64-bit content hash (aliasing P ≈ n²/2⁶⁵, the repo-wide
+  // fingerprint caveat); all other arithmetic is integer-exact.
+
+  /** Per-window occurrence rows: one (id, pos, 8-byte hash) per full
+    * `minTokens`-token window — the shared seed pass of
+    * [[duplicatedSubstringRegions]] and [[stripExactSubstrings]].
+    */
+  private def substringWindows(docs: DataFrame, minTokens: Int,
+                               idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(TextOps.shinglesOrdered(col(textCol), minTokens))
+          .as(Seq("pos", "__span")))
+      .select(col(idCol), col("pos"), xxhash64(col("__span")).as("__h"))
+
+  /** Duplicated-position coverage per document: every token position of
+    * `docs` with a 0/1 `__dup` flag — 1 iff some flagged window (a row
+    * of `starts`, keyed (idCol, pos)) covers it. The sliding-max trick:
+    * position q is covered iff a flagged window STARTS in
+    * [q-minTokens+1, q], i.e. max of the start flag over the trailing
+    * minTokens-row frame.
+    */
+  private def coverage(docs: DataFrame, starts: DataFrame, minTokens: Int,
+                       idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("q"))
+      .rowsBetween(-(minTokens - 1), Window.currentRow)
+    docs.select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("q", "__tok")))
+      .join(starts.select(col(idCol), col("pos").as("q"), lit(1).as("__s")),
+        Seq(idCol, "q"), "left")
+      .withColumn("__dup", max(coalesce(col("__s"), lit(0))).over(w))
+      .drop("__s")
+  }
+
+  /** All maximal duplicated regions: one row `(doc_id, start_pos,
+    * region_len)` per maximal run of duplicated token positions
+    * (0-based start; see the section comment for the exact semantics
+    * and the scale shape). Documents with no duplicated run of
+    * ≥ `minTokens` tokens contribute no rows.
+    */
+  def duplicatedSubstringRegions(docs: DataFrame, minTokens: Int,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val occ = substringWindows(docs, minTokens, idCol, textCol)
+    val dupStarts = occ.join(
+      occ.groupBy("__h").agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 2).select("__h"),
+      Seq("__h"), "left_semi")
+    val cov = coverage(docs, dupStarts, minTokens, idCol, textCol)
+    // gaps-and-islands over the per-doc position axis: a region opens
+    // where the flag rises 0→1; the running sum of opens numbers the
+    // regions, and each region aggregates to (start, length)
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("q"))
+    cov.withColumn("__open",
+        when(col("__dup") === 1 &&
+          coalesce(lag(col("__dup"), 1).over(ord), lit(0)) === 0, 1).otherwise(0))
+      .withColumn("__rid", sum(col("__open")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("__dup") === 1)
+      .groupBy(col(idCol), col("__rid"))
+      .agg(min(col("q")).cast("long").as("start_pos"),
+        count(lit(1)).as("region_len"))
+      .select(col(idCol), col("start_pos"), col("region_len"))
+  }
+
+  /** Cut every duplicated region, KEEPING the corpus-wide first
+    * occurrence (Lee et al.'s keep-one policy made deterministic): a
+    * window occurrence is a REPEAT iff a lexicographically earlier
+    * occurrence `(doc, pos)` of the same window exists anywhere, and a
+    * token is cut iff a repeat window covers it — so of N copies of a
+    * duplicated substring, exactly the (id, pos)-first survives.
+    * Returns `docs` with `textCol` rewritten to the surviving tokens
+    * (single-space joined; a fully-duplicated later copy becomes the
+    * empty string — filter downstream if empty documents should drop)
+    * plus an exact `n_cut_tokens` count. Documents with nothing cut
+    * keep their text VERBATIM — the rewrite only touches documents
+    * that lost tokens, so byte-identical round-trips are the common
+    * case, not a tokenize/rejoin approximation.
+    */
+  def stripExactSubstrings(docs: DataFrame, minTokens: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val occ = substringWindows(docs, minTokens, idCol, textCol)
+    val repeats = occ.join(
+        occ.groupBy("__h")
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col(idCol), col("pos"))).as("__first"))
+          .where(col("__n") >= 2),
+        Seq("__h"))
+      .where(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+    val cov = coverage(docs, repeats, minTokens, idCol, textCol)
+    val rewritten = cov.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__dup") === 0, struct(col("q"), col("__tok"))))),
+            s => s.getField("__tok")),
+          " ").as("__clean"),
+        sum(col("__dup")).cast("long").as("n_cut_tokens"))
+    val outCols = docs.columns.map {
+      case c if c == textCol =>
+        when(col("n_cut_tokens") > 0, col("__clean"))
+          .otherwise(col(textCol)).as(textCol)
+      case c => col(c)
+    } :+ coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens")
+    docs.join(rewritten, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
   }
 }

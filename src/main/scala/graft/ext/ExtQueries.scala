@@ -1028,7 +1028,27 @@ object ExtQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Exact-substring duplication ([[Dedup.duplicatedSubstringRegions]]):
+    * every maximal run of token positions covered by a ≥2×-occurring
+    * 8-token window — arbitrary-boundary duplicated substrings, merged
+    * Lee-et-al-style, where q51 only surfaces whole fixed windows.
+    */
+  def q109(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSubstringRegions(docs(spark, dir), minTokens = 8)
+      .orderBy("doc_id", "start_pos")
+
+  /** Exact-substring cut ([[Dedup.stripExactSubstrings]]): remove every
+    * duplicated ≥8-token run except its corpus-wide (doc, pos)-first
+    * occurrence; untouched documents keep their text verbatim.
+    */
+  def q110(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripExactSubstrings(docs(spark, dir), minTokens = 8)
+      .select(col("doc_id"), col("text"), col("n_cut_tokens"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_dup_substring_regions" -> (q109 _),
+    "q110_strip_substrings" -> (q110 _),
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
@@ -1573,6 +1593,81 @@ object ExtQueries {
         |  SELECT doc_id, lang, source FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft'), doc_id
         |  LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+    // q109 — the exact replay of duplicatedSubstringRegions: duplicated
+    // 8-token window starts (grouped by span STRING where Spark groups
+    // by its 64-bit hash), trailing-frame coverage max, then
+    // gaps-and-islands; min(q)-1 converts DuckDB's 1-based positions to
+    // Spark's 0-based starts.
+    "q109_dup_substring_regions" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |w AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |spans AS (
+        |  SELECT doc_id, st, array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM w),
+        |dup AS (SELECT span FROM spans GROUP BY span HAVING count(*) >= 2),
+        |starts AS (SELECT doc_id, st FROM spans WHERE span IN (SELECT span FROM dup)),
+        |tok AS (SELECT doc_id, unnest(generate_series(1, len(sp))) AS q FROM t),
+        |cov AS (
+        |  SELECT tok.doc_id, tok.q,
+        |    max(CASE WHEN s.st IS NOT NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY tok.doc_id ORDER BY tok.q
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS dup
+        |  FROM tok LEFT JOIN starts s ON s.doc_id = tok.doc_id AND s.st = tok.q),
+        |lagd AS (
+        |  SELECT doc_id, q, dup,
+        |    coalesce(lag(dup) OVER (PARTITION BY doc_id ORDER BY q), 0) AS prev
+        |  FROM cov),
+        |isl AS (
+        |  SELECT doc_id, q, dup,
+        |    SUM(CASE WHEN dup = 1 AND prev = 0 THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY doc_id ORDER BY q) AS rid
+        |  FROM lagd)
+        |SELECT doc_id, CAST(min(q) - 1 AS BIGINT) AS start_pos,
+        |  count(*) AS region_len
+        |FROM isl WHERE dup = 1 GROUP BY doc_id, rid
+        |ORDER BY doc_id, start_pos""".stripMargin,
+    // q110 — stripExactSubstrings replayed: a window occurrence is a
+    // repeat iff it is not the (doc_id, st)-first of its span;
+    // coverage as in q109; survivors re-join with single spaces, and
+    // untouched documents keep their verbatim text (ncut = 0 branch).
+    "q110_strip_substrings" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS sp FROM documents),
+        |w AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |spans AS (
+        |  SELECT doc_id, st, array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM w),
+        |rep AS (
+        |  SELECT doc_id, st FROM (
+        |    SELECT doc_id, st,
+        |      row_number() OVER (PARTITION BY span ORDER BY doc_id, st) AS rn,
+        |      count(*) OVER (PARTITION BY span) AS n
+        |    FROM spans) x
+        |  WHERE n >= 2 AND rn > 1),
+        |tok AS (
+        |  SELECT doc_id, q, sp[q] AS token FROM (
+        |    SELECT doc_id, sp, unnest(generate_series(1, len(sp))) AS q FROM t)),
+        |cov AS (
+        |  SELECT tok.doc_id, tok.q, tok.token,
+        |    max(CASE WHEN r.st IS NOT NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY tok.doc_id ORDER BY tok.q
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS dup
+        |  FROM tok LEFT JOIN rep r ON r.doc_id = tok.doc_id AND r.st = tok.q),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN dup = 0 THEN token END, ' ' ORDER BY q), '') AS clean,
+        |    CAST(SUM(dup) AS BIGINT) AS ncut
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
+        |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_tokens
+        |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q106 — weights as explicit DOUBLE casts (DuckDB parses bare 0.15
     // as DECIMAL); target/epochs/rate spelled as the same double tree.

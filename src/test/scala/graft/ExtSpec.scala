@@ -2092,6 +2092,55 @@ class ExtSpec extends AnyFunSuite {
       ("b", 1L, 0L, 0.5, 0.0, -0.5, Some(-0.5 * -0.5 / 0.5))))
   }
 
+  test("duplicatedSubstringRegions: arbitrary-boundary runs, cross-doc and within-doc merge") {
+    val df = docsDf(
+      1L -> "a1 a2 a3 a4 a5 a6",
+      // shares the 4-token run a2..a5 with doc 1 at a DIFFERENT offset
+      2L -> "b1 b2 a2 a3 a4 a5 b3",
+      // exactly one unique window -> no region
+      3L -> "c1 c2 c3",
+      // within-doc verbatim repeat: both copies' covered positions are
+      // adjacent, so they merge into ONE region spanning the whole doc
+      4L -> "d1 d2 d3 d4 d1 d2 d3 d4")
+    val got = Dedup.duplicatedSubstringRegions(df, minTokens = 3)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 1L, 4L), (2L, 2L, 4L), (4L, 0L, 8L)))
+
+    // a region is ALWAYS >= minTokens long even when matches chain
+    // through different partners (the Lee-et-al range merge)
+    assert(got.forall(_._3 >= 3))
+  }
+
+  test("stripExactSubstrings: keeps the (doc,pos)-first occurrence, cuts every later copy") {
+    val df = docsDf(
+      1L -> "a1 a2 a3 a4 a5 a6",
+      2L -> "b1 b2 a2 a3 a4 a5 b3",
+      3L -> "c1 c2 c3",
+      4L -> "d1 d2 d3 d4 d1 d2 d3 d4")
+    val got = Dedup.stripExactSubstrings(df, minTokens = 3)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      // doc 1 holds the first occurrence of the shared run -> verbatim
+      (1L, "a1 a2 a3 a4 a5 a6", 0L),
+      // doc 2's copy is later -> the whole shared run is cut
+      (2L, "b1 b2 b3", 4L),
+      (3L, "c1 c2 c3", 0L),
+      // within-doc: the second d1..d4 copy cuts, the first survives
+      (4L, "d1 d2 d3 d4", 4L)))
+
+    // original non-text columns ride through unchanged
+    val cols = Dedup.stripExactSubstrings(df, minTokens = 3).columns.toSeq
+    assert(cols === Seq("doc_id", "text", "n_chars", "n_cut_tokens"))
+
+    // a doc whose every token is a later copy becomes the empty string
+    val twins = docsDf(10L -> "t1 t2 t3 t4", 20L -> "t1 t2 t3 t4")
+    val t = Dedup.stripExactSubstrings(twins, minTokens = 3)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(t === Seq((10L, "t1 t2 t3 t4", 0L), (20L, "", 4L)))
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

@@ -1175,63 +1175,63 @@ object ExtQueries {
         |  WHERE len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
         |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
         |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
-        |normed AS (
+        |normed AS MATERIALIZED (
         |  SELECT * FROM gated
         |  WHERE doc_id IN (
         |    SELECT min(doc_id) FROM gated
         |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM normed),
-        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
         |  FROM w t1 JOIN w t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
         |            JOIN w t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
-        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |inter AS (
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |inter AS MATERIALIZED (
         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |jpairs AS (
+        |jpairs AS MATERIALIZED (
         |  SELECT a_id, b_id
         |  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |edges AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM jpairs
         |  UNION SELECT b_id, a_id FROM jpairs),
         |walk(s, d) AS (
         |  SELECT s, d FROM edges
         |  UNION
         |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
-        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
-        |dd AS (
+        |comp AS MATERIALIZED (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+        |dd AS MATERIALIZED (
         |  SELECT * FROM normed
         |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
-        |wb AS (
+        |wb AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM documents WHERE doc_id % 20 = 0),
-        |bsh AS (SELECT DISTINCT
+        |bsh AS MATERIALIZED (SELECT DISTINCT
         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
         |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
         |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
         |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
         |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |wt AS (
+        |wt AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM dd WHERE doc_id % 20 <> 0),
-        |tsh AS (SELECT DISTINCT t1.doc_id,
+        |tsh AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
         |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
         |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
         |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
         |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
-        |clean AS (
+        |contaminated AS MATERIALIZED (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
+        |clean AS MATERIALIZED (
         |  SELECT * FROM dd
         |  WHERE doc_id % 20 <> 0
         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |mix AS (
+        |mix AS MATERIALIZED (
         |  SELECT * FROM clean
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
         |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'
@@ -1702,81 +1702,81 @@ object ExtQueries {
         |    AND len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
         |    AND len(text) - len(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) = 0
         |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
-        |bnormed AS (
+        |bnormed AS MATERIALIZED (
         |  SELECT * FROM gated
         |  WHERE doc_id IN (
         |    SELECT min(doc_id) FROM gated
         |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))),
-        |fresh AS (
+        |fresh AS MATERIALIZED (
         |  SELECT * FROM bnormed
         |  WHERE md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) NOT IN (
         |    SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
         |    FROM documents WHERE doc_id % 10 <> 0)),
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM documents),
-        |sh AS (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+        |sh AS MATERIALIZED (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
         |  FROM w t1 JOIN w t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
         |            JOIN w t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2),
-        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-        |xinter AS (
+        |sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+        |xinter AS MATERIALIZED (
         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
         |  FROM sh a JOIN sh b ON a.s = b.s
         |  WHERE a.doc_id IN (SELECT doc_id FROM fresh) AND b.doc_id % 10 <> 0
         |  GROUP BY 1, 2),
-        |crossdrop AS (
+        |crossdrop AS MATERIALIZED (
         |  SELECT DISTINCT a_id AS doc_id
         |  FROM xinter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
-        |bkept AS (
+        |bkept AS MATERIALIZED (
         |  SELECT * FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM crossdrop)),
-        |binter AS (
+        |binter AS MATERIALIZED (
         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  WHERE a.doc_id IN (SELECT doc_id FROM bkept)
         |    AND b.doc_id IN (SELECT doc_id FROM bkept)
         |  GROUP BY 1, 2),
-        |jpairs AS (
+        |jpairs AS MATERIALIZED (
         |  SELECT a_id, b_id
         |  FROM binter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
-        |edges AS (SELECT a_id AS s, b_id AS d FROM jpairs
+        |edges AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM jpairs
         |  UNION SELECT b_id, a_id FROM jpairs),
         |walk(s, d) AS (
         |  SELECT s, d FROM edges
         |  UNION
         |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
-        |comp AS (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
-        |dd AS (
+        |comp AS MATERIALIZED (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+        |dd AS MATERIALIZED (
         |  SELECT * FROM bkept
         |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
-        |wb AS (
+        |wb AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM documents WHERE doc_id % 20 = 0),
-        |bsh AS (SELECT DISTINCT
+        |bsh AS MATERIALIZED (SELECT DISTINCT
         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
         |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
         |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
         |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
         |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |wt AS (
+        |wt AS MATERIALIZED (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
         |  FROM dd WHERE doc_id % 20 <> 0),
-        |tsh AS (SELECT DISTINCT t1.doc_id,
+        |tsh AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
         |  FROM wt t1 JOIN wt t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
         |             JOIN wt t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
         |             JOIN wt t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
         |             JOIN wt t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
-        |contaminated AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
-        |clean AS (
+        |contaminated AS MATERIALIZED (SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b ON t.s = b.s),
+        |clean AS MATERIALIZED (
         |  SELECT * FROM dd
         |  WHERE doc_id % 20 <> 0
         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        |mix AS (
+        |mix AS MATERIALIZED (
         |  SELECT * FROM clean
         |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
         |    CASE lang WHEN 'de' THEN '8000' WHEN 'en' THEN 'g'

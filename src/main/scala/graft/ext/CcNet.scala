@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.exec.EtlContext
+
+/** CCNet-style per-language LM bucketing (Wenzek et al. 2020,
+  * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data") — the composed pipeline: language-ID partitions the corpus,
+  * a per-language LM scores every document, per-language score
+  * TERCILES band it into head/middle/tail, and a band-keyed mixture
+  * rule keeps the head, samples the middle, and drops the tail.
+  *
+  * Composition of already-oracled operators with the SAME semantics
+  * and constants as their registry queries: [[TextOps.languageId]]
+  * (q10), a per-language grouping of [[TextOps.unigramSurprisalBits]]
+  * (q72's integer-exact LM score — chosen over [[TextOps.lmPerplexity]]
+  * precisely so the WHOLE composed pipeline keeps an exact DuckDB
+  * oracle; the perplexity path stays available through
+  * [[TextOps.lmPerplexityAgainst]] for users who want the real
+  * cross-entropy), exact terciles ([[TextOps.groupQuantiles]]'s exact
+  * percentile path, q24), and [[Sampling.mixtureSample]]'s md5
+  * threshold rule (q33) keyed by band. Registry query q111.
+  *
+  * Like [[CurationChain]], two faces drive identical code: [[curate]]
+  * directly, [[fns]] through the Step machinery (CurationSpec pins
+  * fn-steps ≡ direct).
+  *
+  * Scale shape: language-ID is one broadcast cross join with map-side
+  * argmax; the per-language LM is frequency aggregation on (lang,
+  * token) with map-side partials — training and scoring are the SAME
+  * single pass, no per-language loop, no driver-side iteration over
+  * languages; tercile cuts are one tiny per-language aggregate
+  * broadcast back; the band act is a broadcast threshold join. Nothing
+  * is quadratic and no stage carries document text past the scoring
+  * join.
+  */
+object CcNet {
+
+  /** The CCNet act: keep the fluent third whole, half the middle, none
+    * of the tail (shared with the q111 oracle's CASE thresholds).
+    */
+  val DefaultBandRates: Map[String, Double] =
+    Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.0)
+
+  /** Per-language integer-exact unigram LM score: q72's bit-length
+    * surprisal with token frequencies computed WITHIN each `langCol`
+    * group — each language is its own model, trained and applied in
+    * one aggregation pass. Output: (id, lang, n_tokens,
+    * surprisal_bits, avg_bits).
+    */
+  def perLanguageSurprisal(docs: DataFrame, langCol: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), col(langCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+    val cf = words.groupBy(col(langCol), col("token"))
+      .agg(count(lit(1)).as("__cf"))
+    val total = words.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    val docTok = words.groupBy(col(idCol), col(langCol), col("token"))
+      .agg(count(lit(1)).as("__m"))
+    docTok.join(cf, Seq(langCol, "token"))
+      .join(broadcast(total), Seq(langCol))
+      .groupBy(col(idCol), col(langCol))
+      .agg(sum(col("__m")).as("n_tokens"),
+        sum(col("__m") *
+            (length(bin(col("__n"))) - length(bin(col("__cf")))).cast("long"))
+          .as("surprisal_bits"))
+      .withColumn("avg_bits",
+        col("surprisal_bits").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Head/middle/tail banding by EXACT per-language terciles of
+    * `scoreCol` (lower surprisal = more fluent = head). Cuts are one
+    * row per language, broadcast back; ties at a cut land in the lower
+    * band in both engines (`<=`).
+    */
+  def surprisalBands(scored: DataFrame, langCol: String,
+                     scoreCol: String = "avg_bits"): DataFrame = {
+    val cuts = scored.groupBy(col(langCol))
+      .agg(percentile(col(scoreCol), lit(1.0 / 3)).as("__lo"),
+        percentile(col(scoreCol), lit(2.0 / 3)).as("__hi"))
+    scored.join(broadcast(cuts), Seq(langCol))
+      .withColumn("band",
+        when(col(scoreCol) <= col("__lo"), "head")
+          .when(col(scoreCol) <= col("__hi"), "middle")
+          .otherwise("tail"))
+      .drop("__lo", "__hi")
+  }
+
+  /** The whole pipeline: corpus in → banded survivors out, columns
+    * (id, lang_cand, n_tokens, surprisal_bits, avg_bits, band).
+    */
+  def curate(docs: DataFrame, profiles: Seq[(String, Seq[String])],
+             bandRates: Map[String, Double] = DefaultBandRates,
+             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lid = TextOps.languageId(docs, profiles, idCol, textCol)
+    val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
+    val banded = surprisalBands(scored, "lang_cand")
+    Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
+  }
+
+  /** The view each fn step reads/writes — [[CurationChain.CurationView]]'s
+    * convention for this pipeline.
+    */
+  val CcNetView = "ccnet"
+
+  private def step(name: String)(f: (SparkSession, DataFrame) => DataFrame)
+    : (String, (SparkSession, EtlContext) => Option[DataFrame]) =
+    name -> { (spark: SparkSession, _: EtlContext) =>
+      val out = f(spark, spark.table(CcNetView))
+      out.createOrReplaceTempView(CcNetView)
+      Some(out)
+    }
+
+  /** The pipeline as named fn steps for `EtlContext.fns` — seeded from
+    * the `documents` dependency alias, one step per stage, identical
+    * code to [[curate]].
+    */
+  def fns(profiles: Seq[(String, Seq[String])],
+          bandRates: Map[String, Double] = DefaultBandRates)
+      : Map[String, (SparkSession, EtlContext) => Option[DataFrame]] = Map(
+    ("ccnet_init" -> { (spark: SparkSession, _: EtlContext) =>
+      val out = spark.table(CurationChain.CorpusView)
+      out.createOrReplaceTempView(CcNetView)
+      Some(out)
+    }),
+    step("ccnet_lang_id")((_, d) => TextOps.languageId(d, profiles)),
+    step("ccnet_score")((_, d) => perLanguageSurprisal(d, "lang_cand")),
+    step("ccnet_band")((_, d) => surprisalBands(d, "lang_cand")),
+    step("ccnet_keep")((_, d) =>
+      Sampling.mixtureSample(d, bandRates, keyCol = "band")))
+}

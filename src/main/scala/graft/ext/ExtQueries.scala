@@ -1046,9 +1046,22 @@ object ExtQueries {
       .select(col("doc_id"), col("text"), col("n_cut_tokens"))
       .orderBy("doc_id")
 
+  /** CCNet-style per-language LM bucketing ([[CcNet.curate]]):
+    * language-ID → per-language integer-exact LM scoring → tercile
+    * banding → band-keyed keep. The composed pipeline stays exactly
+    * DuckDB-replayable because the LM score is q72's bit-length
+    * surprisal, not libm cross-entropy.
+    */
+  def q111(spark: SparkSession, dir: String): DataFrame =
+    CcNet.curate(docs(spark, dir), langProfiles)
+      .select(col("doc_id"), col("lang_cand"), col("n_tokens"),
+        col("surprisal_bits"), col("avg_bits"), col("band"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
+    "q111_ccnet_buckets" -> (q111 _),
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
@@ -1630,6 +1643,53 @@ object ExtQueries {
         |  count(*) AS region_len
         |FROM isl WHERE dup = 1 GROUP BY doc_id, rid
         |ORDER BY doc_id, start_pos""".stripMargin,
+    // q111 — the composed CCNet pipeline replayed stage for stage:
+    // q10's argmax language-ID, q72's bit-length surprisal with
+    // per-language frequencies, exact terciles (quantile_cont ==
+    // Spark's percentile, verified by q24), and q33's md5 threshold
+    // rule keyed by band (1.0 -> 'g', 0.5 -> '8000', 0.0 -> '0000').
+    "q111_ccnet_buckets" ->
+      s"""WITH prof AS (SELECT * FROM (VALUES $$LANGPROFILES) p(lang_cand, markers)),
+         |s0 AS (
+         |  SELECT d.doc_id, d.text, p.lang_cand,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |                         t -> list_contains(p.markers, t))) AS BIGINT) AS score
+         |  FROM documents d CROSS JOIN prof p),
+         |lid AS MATERIALIZED (
+         |  SELECT doc_id, text, lang_cand FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                 ORDER BY score DESC, lang_cand ASC) AS rn
+         |    FROM s0) WHERE rn = 1),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, lang_cand, unnest(string_split(text, ' ')) AS token FROM lid),
+         |cf AS (SELECT lang_cand, token, count(*) AS cf FROM w GROUP BY 1, 2),
+         |tot AS (SELECT lang_cand, count(*) AS n FROM w GROUP BY 1),
+         |dt AS (SELECT doc_id, lang_cand, token, count(*) AS m FROM w GROUP BY 1, 2, 3),
+         |sc AS MATERIALIZED (
+         |  SELECT dt.doc_id, dt.lang_cand,
+         |    CAST(sum(dt.m) AS BIGINT) AS n_tokens,
+         |    CAST(sum(dt.m * (length(format('{:b}', tot.n)) -
+         |                     length(format('{:b}', cf.cf)))) AS BIGINT) AS surprisal_bits
+         |  FROM dt JOIN cf USING (lang_cand, token) JOIN tot USING (lang_cand)
+         |  GROUP BY 1, 2),
+         |av AS (
+         |  SELECT doc_id, lang_cand, n_tokens, surprisal_bits,
+         |    CAST(surprisal_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS avg_bits
+         |  FROM sc),
+         |cuts AS (
+         |  SELECT lang_cand, quantile_cont(avg_bits, 1.0/3) AS lo,
+         |         quantile_cont(avg_bits, 2.0/3) AS hi
+         |  FROM av GROUP BY 1),
+         |banded AS (
+         |  SELECT av.doc_id, av.lang_cand, av.n_tokens, av.surprisal_bits, av.avg_bits,
+         |    CASE WHEN avg_bits <= lo THEN 'head'
+         |         WHEN avg_bits <= hi THEN 'middle' ELSE 'tail' END AS band
+         |  FROM av JOIN cuts USING (lang_cand))
+         |SELECT doc_id, lang_cand, n_tokens, surprisal_bits, avg_bits, band
+         |FROM banded
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+         |  CASE band WHEN 'head' THEN 'g' WHEN 'middle' THEN '8000' ELSE '0000' END
+         |ORDER BY doc_id""".stripMargin.replace("$LANGPROFILES", langProfileValues),
     // q110 — stripExactSubstrings replayed: a window occurrence is a
     // repeat iff it is not the (doc_id, st)-first of its span;
     // coverage as in q109; survivors re-join with single spaces, and

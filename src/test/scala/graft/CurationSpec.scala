@@ -142,6 +142,47 @@ class CurationSpec extends AnyFunSuite {
     assert(rerun.count() === 0L, "re-ingesting an already-folded batch must drop everything")
   }
 
+  test("ccnet pipeline: fn-step path == direct composition; bands partition each language") {
+    import graft.ext.{CcNet, ExtQueries}
+    import graft.exec.EtlContext
+    docs.createOrReplaceTempView("documents")
+    val direct = CcNet.curate(docs, ExtQueries.langProfiles)
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(direct.nonEmpty)
+
+    // the fn-step face runs the same stages through the Step registry
+    val ctx = EtlContext(spark, null, null,
+      fns = CcNet.fns(ExtQueries.langProfiles))
+    val stepNames = Seq("ccnet_init", "ccnet_lang_id", "ccnet_score",
+      "ccnet_band", "ccnet_keep")
+    val viaSteps = stepNames.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      (_, name) => ctx.fns(name)(spark, ctx)
+    }.get.select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(viaSteps === direct, "fn-step ccnet must equal the direct composition")
+
+    // banding sanity: within every language, terciles partition the
+    // scored set and the head is never larger than a third + ties
+    val banded = CcNet.surprisalBands(
+      CcNet.perLanguageSurprisal(
+        graft.ext.TextOps.languageId(docs, ExtQueries.langProfiles), "lang_cand"),
+      "lang_cand")
+    val byLang = banded.groupBy("lang_cand").pivot("band").count().collect()
+    byLang.foreach { r =>
+      val head = Option(r.getAs[java.lang.Long]("head")).map(_.toLong).getOrElse(0L)
+      val mid = Option(r.getAs[java.lang.Long]("middle")).map(_.toLong).getOrElse(0L)
+      val tail = Option(r.getAs[java.lang.Long]("tail")).map(_.toLong).getOrElse(0L)
+      val n = head + mid + tail
+      assert(n > 0)
+      // <= exact-tercile bound plus tie slack: every band boundary can
+      // only absorb ties downward, so head is at most ceil(n/3) + ties;
+      // assert the coarse invariant that no band swallows everything
+      assert(head < n && tail < n,
+        s"degenerate banding for ${r.getString(0)}: head=$head middle=$mid tail=$tail")
+    }
+  }
+
   test("durable chain materialization: preempted run resumes from last landed stage") {
     import graft.ext.CurationChain
     import CurationChain.StageMaterializer

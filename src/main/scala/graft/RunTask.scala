@@ -116,7 +116,30 @@ object RunTask {
     task.run()
     // the one stdout line an orchestrator health-checks on
     println(s"graft task ${task.id} completed")
+    // echo this run's ledger row (newest row for the task id) so the
+    // orchestrator log carries the run manifest without a lake query
+    ledgerLine(ctx, task.id).foreach(println)
     task.id
+  }
+
+  /** The latest [[graft.exec.RunLedger]] row for a task id, rendered
+    * for an orchestrator log. None when the task kind writes no ledger
+    * row (e.g. a transform with no target).
+    */
+  private[graft] def ledgerLine(ctx: EtlContext, taskId: String): Option[String] = {
+    import org.apache.spark.sql.functions.col
+    scala.util.Try {
+      graft.exec.RunLedger.read(ctx.spark, graft.exec.RunLedger.dirFor(ctx))
+        .where(col("task_id") === taskId).limit(1).collect().headOption
+    }.toOption.flatten.map { r =>
+      s"graft ledger task_id=${r.getAs[String]("task_id")} " +
+        s"kind=${r.getAs[String]("kind")} " +
+        s"inputs=${r.getAs[Seq[String]]("inputs").mkString(";")} " +
+        s"watermark=${Option(r.getAs[String]("watermark")).getOrElse("-")} " +
+        s"rows_out=${r.getAs[Long]("rows_out")} " +
+        s"landed=${r.getAs[String]("landed_path")} " +
+        s"wall_ms=${r.getAs[Long]("wall_ms")}"
+    }
   }
 
   /** `cmd a b --k v --k2 v2` → (List(cmd, a, b), Map(k->v, k2->v2)). */

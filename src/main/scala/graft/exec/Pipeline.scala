@@ -24,7 +24,10 @@ final case class EtlContext(
       * (airflow_etl.py:627-641) made safe: unknown names fail at config
       * parse, not mid-run. */
     fns: Map[String, (SparkSession, EtlContext) => Option[DataFrame]] = Map.empty,
-    taskId: String = "task") {
+    taskId: String = "task",
+    /** Run-ledger landing override; None = `<dumpDir>/_graft_run_ledger`
+      * (see [[RunLedger]]). */
+    ledgerDir: Option[String] = None) {
 
   def sqlText(src: SqlSource): String = src match {
     case SqlSource.Inline(text) => text
@@ -139,16 +142,26 @@ object PipelineRunner {
         if (exists) ctx.warehouse.execute(ctx.sqlText(f))
       case inline @ SqlSource.Inline(_) => ctx.warehouse.execute(ctx.sqlText(inline))
     }
+    val started = System.currentTimeMillis()
     loadDependencies(ctx, tc.dependencies)
     val result = StepRunner.runSteps(ctx, tc.transform.getOrElse(readMode, Nil))
     tc.target.foreach { t =>
-      result.foreach { df =>
+      val rowsOut = result.map(df => RunLedger.countDuring(df) { observed =>
         writeMode match {
-          case WriteMode.Overwrite => ctx.warehouse.truncateAppend(df, t.schema, t.journalTable)
-          case WriteMode.Append    => ctx.warehouse.append(df, t.schema, t.journalTable)
+          case WriteMode.Overwrite => ctx.warehouse.truncateAppend(observed, t.schema, t.journalTable)
+          case WriteMode.Append    => ctx.warehouse.append(observed, t.schema, t.journalTable)
         }
-      }
+      }).getOrElse(0L)
       JournalMerge.run(ctx.warehouse, t.schema, t.table, mergeMode)
+      // wall time covers the whole unit (deps → steps → journal →
+      // merge), matching what the reference's Airflow task timed
+      RunLedger.append(ctx.spark, RunLedger.dirFor(ctx), RunLedger.Entry(
+        ctx.taskId, "transform",
+        inputs = tc.dependencies.map(d => s"${d.alias} (${d.source})"),
+        watermark = ctx.variables.get("REPORT_DATE")
+          .map(d => s"REPORT_DATE = $d (${readMode.name})"),
+        rows_out = rowsOut, landed_path = s"${t.schema}.${t.journalTable}",
+        started_ms = started, wall_ms = System.currentTimeMillis() - started))
     }
     result
   }
@@ -173,6 +186,7 @@ object PipelineRunner {
                 schema: String, table: String, readMode: ReadMode = ReadMode.Full,
                 writeMode: Option[WriteMode] = None,
                 delta: Option[DeltaSpec] = None): String = {
+    val started = System.currentTimeMillis()
     val mode = writeMode.getOrElse(readMode match {
       case ReadMode.Full => WriteMode.Overwrite
       case _             => WriteMode.Append
@@ -190,7 +204,13 @@ object PipelineRunner {
         throw new ConfigException("delta extract requires a DeltaSpec watermark")
       case _ => df
     }
-    ctx.lake.write(data, path, mode.name)
+    val rowsOut = RunLedger.countDuring(data)(ctx.lake.write(_, path, mode.name))
+    RunLedger.append(ctx.spark, RunLedger.dirFor(ctx), RunLedger.Entry(
+      ctx.taskId, "extract",
+      inputs = Seq(s"$systemName/$systemTag/$schema/$table (${readMode.name})"),
+      watermark = delta.map(d => s"${d.column} >= ${d.lastValue}"),
+      rows_out = rowsOut, landed_path = path,
+      started_ms = started, wall_ms = System.currentTimeMillis() - started))
     path
   }
 

@@ -153,6 +153,51 @@ class TasksSpec extends AnyFunSuite {
     assert(wm.get(spark, "flex/main/app/inc") === Some("6"))
   }
 
+  test("run ledger: every completed run appends ONE row with landed counts; RunTask echoes it") {
+    import graft.exec.RunLedger
+    val url = "jdbc:derby:memory:graftledger;create=true"
+    def exec(sql: String*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); sql.foreach(st.execute); st.close() }
+      finally c.close()
+    }
+    exec("""CREATE TABLE APP.LED ("id" INT NOT NULL PRIMARY KEY, "ts" INT, "v" VARCHAR(8))""",
+      "INSERT INTO APP.LED VALUES (1,1,'a'), (2,2,'b'), (3,3,'c')")
+    val work = SparkTestBase.tmpDir("graft_ledger")
+    val ctx = EtlContext(spark, Lake(s"$work/lake"),
+      new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("MAIN_FLEX_CONN" -> "url: jdbc:derby:memory:graftledger\ndialect: generic"),
+      dumpDir = s"$work/dump")
+    val task = Tasks.extractDbTracked(ctx, "FLEX", "MAIN", "app", "led",
+      "SELECT * FROM APP.LED", "ts")
+    val dir = RunLedger.dirFor(ctx)
+
+    task.run() // bootstrap: full read, 3 rows
+    val l1 = RunLedger.read(spark, dir).collect()
+    assert(l1.length === 1, "one completed run = exactly one ledger row")
+    assert(l1(0).getAs[String]("task_id") === task.id)
+    assert(l1(0).getAs[String]("kind") === "extract")
+    assert(l1(0).getAs[Long]("rows_out") === 3L)
+    assert(l1(0).getAs[String]("landed_path").endsWith("/lake/datalake/flex/main/app/led"))
+    assert(l1(0).isNullAt(l1(0).fieldIndex("watermark")),
+      "the bootstrap full read carries no watermark")
+    assert(l1(0).getAs[Long]("wall_ms") >= 0L)
+
+    exec("INSERT INTO APP.LED VALUES (4,4,'d'), (5,5,'e')")
+    task.run() // delta ts >= 3: 2 genuinely new rows land (boundary dedup'd)
+    val l2 = RunLedger.read(spark, dir).collect() // newest first
+    assert(l2.length === 2, "a re-run appends, never overwrites (run history)")
+    assert(l2(0).getAs[Long]("rows_out") === 2L,
+      "rows_out is what actually landed after boundary dedup, not what was extracted")
+    assert(l2(0).getAs[String]("watermark") === "ts >= 3")
+
+    // the CLI echo renders the same newest row
+    val line = RunTask.ledgerLine(ctx, task.id)
+    assert(line.exists(s => s.contains(s"task_id=${task.id}") &&
+      s.contains("rows_out=2") && s.contains("watermark=ts >= 3")),
+      s"unexpected ledger echo: $line")
+  }
+
   test("watermark advance reads only the newly-landed files (O(delta), not O(history))") {
     import graft.exec.PipelineRunner
     val work = SparkTestBase.tmpDir("graft_wm_files")

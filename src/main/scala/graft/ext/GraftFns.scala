@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.exec.EtlContext
+
+/** TABLE-LEVEL operators as named fn steps — the SQL-pipeline seam for
+  * everything a scalar function cannot express.
+  *
+  * The exposure model, in one place (FunctionsSpec pins the matrix and
+  * README documents it):
+  *  - ROW-level expressions (cosine similarity, shingle hashes,
+  *    simhash, Morton codes, …) register as real SQL functions via
+  *    [[graft.functions.GraftFunctions]] — use them inside any SQL
+  *    step.
+  *  - TABLE-level operators (dedup families, decontamination,
+  *    boilerplate/substring stripping) cannot be SQL scalar functions
+  *    — they consume and produce whole tables. Their seam is the
+  *    framework's fn STEP (F17): a YAML pipeline interleaves them with
+  *    SQL steps through the shared temp-view hand-off below. The
+  *    composed pipelines keep their own registries with pipeline-
+  *    specific stage names ([[CurationChain.fns]], [[CcNet.fns]]); the
+  *    sketch/aggregate states (HLL, theta, quantile, Misra-Gries) are
+  *    SQL-reachable as grouped expressions through GraftFunctions'
+  *    aggregate registrations where defined, and as DataFrame ops in
+  *    [[Sketches]] otherwise.
+  *
+  * Conventions (all overridable through pipeline variables, so YAML
+  * drives them without code):
+  *  - steps transform the temp view named `GRAFT_FN_VIEW` (default
+  *    `graft`); `graft_init` seeds it from the view/dependency alias
+  *    named `GRAFT_FN_SOURCE` (default `documents`);
+  *  - id/text columns come from `GRAFT_ID_COL`/`GRAFT_TEXT_COL`
+  *    (defaults `doc_id`/`text`);
+  *  - `graft_decontaminate` reads its benchmark side from the view
+  *    named `GRAFT_BENCH_VIEW` (required — there is no safe default
+  *    for an eval set);
+  *  - span/shingle widths come from `GRAFT_MIN_TOKENS` (default 8)
+  *    and `GRAFT_SHINGLE_SIZE` (default 3).
+  *
+  * Register with `ctx.copy(fns = GraftFns.standard ++ yourOwn)`.
+  */
+object GraftFns {
+
+  val DefaultView = "graft"
+
+  private def view(ctx: EtlContext): String =
+    ctx.variables.getOrElse("GRAFT_FN_VIEW", DefaultView)
+  private def idCol(ctx: EtlContext): String =
+    ctx.variables.getOrElse("GRAFT_ID_COL", "doc_id")
+  private def textCol(ctx: EtlContext): String =
+    ctx.variables.getOrElse("GRAFT_TEXT_COL", "text")
+  private def minTokens(ctx: EtlContext): Int =
+    ctx.variables.getOrElse("GRAFT_MIN_TOKENS", "8").toInt
+  private def shingleSize(ctx: EtlContext): Int =
+    ctx.variables.getOrElse("GRAFT_SHINGLE_SIZE", "3").toInt
+
+  private def step(name: String)(f: (EtlContext, DataFrame) => DataFrame)
+    : (String, (SparkSession, EtlContext) => Option[DataFrame]) =
+    name -> { (spark: SparkSession, ctx: EtlContext) =>
+      val out = f(ctx, spark.table(view(ctx)))
+      out.createOrReplaceTempView(view(ctx))
+      Some(out)
+    }
+
+  def standard: Map[String, (SparkSession, EtlContext) => Option[DataFrame]] = Map(
+    ("graft_init" -> { (spark: SparkSession, ctx: EtlContext) =>
+      val out = spark.table(ctx.variables.getOrElse("GRAFT_FN_SOURCE", "documents"))
+      out.createOrReplaceTempView(view(ctx))
+      Some(out)
+    }),
+    step("graft_exact_dedup")((ctx, d) =>
+      Dedup.exact(d, idCol(ctx), textCol(ctx))),
+    step("graft_normalize_dedup")((ctx, d) =>
+      Dedup.exact(d.withColumn("__norm",
+          TextOps.normalizeText(org.apache.spark.sql.functions.col(textCol(ctx)))),
+        idCol(ctx), "__norm").drop("__norm")),
+    step("graft_near_dup_dedup")((ctx, d) =>
+      Dedup.dedupNearDups(d,
+        Dedup.nearDupMinHash(d, idCol(ctx), textCol(ctx),
+          shingleSize = shingleSize(ctx)),
+        idCol(ctx))),
+    step("graft_decontaminate")((ctx, d) =>
+      TextOps.decontaminate(d,
+        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_BENCH_VIEW",
+          throw new graft.config.ConfigException(
+            "graft_decontaminate requires the GRAFT_BENCH_VIEW variable"))),
+        shingleSize = minTokens(ctx), idCol = idCol(ctx), textCol = textCol(ctx))),
+    step("graft_strip_boilerplate")((ctx, d) =>
+      Dedup.stripBoilerplate(d, spanTokens = minTokens(ctx),
+        idCol = idCol(ctx), textCol = textCol(ctx))),
+    step("graft_strip_exact_substrings")((ctx, d) =>
+      Dedup.stripExactSubstrings(d, minTokens = minTokens(ctx),
+        idCol(ctx), textCol(ctx))))
+}

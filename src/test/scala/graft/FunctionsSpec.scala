@@ -52,4 +52,54 @@ class FunctionsSpec extends AnyFunSuite {
         |FROM docs a JOIN docs b ON a.doc_id < b.doc_id""".stripMargin)))
     assert(out.as[(Long, Long, Int)].collect().toSeq === Seq((1L, 2L, 2)))
   }
+
+  test("exposure matrix: every SQL function and table-op fn step is pinned and documented") {
+    // ROW-level expressions -> real SQL functions
+    val sqlFns = GraftFunctions.functions.map(_._1.funcName).toSet
+    assert(sqlFns === Set("cosine_similarity", "shingle_hashes", "simhash_chunks",
+      "sorted_intersect_count", "max_token_multiplicity", "interleave_bits"))
+    // TABLE-level operators -> named fn steps (F17); composed pipelines
+    // keep their own stage registries
+    assert(graft.ext.GraftFns.standard.keySet === Set("graft_init",
+      "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
+      "graft_decontaminate", "graft_strip_boilerplate",
+      "graft_strip_exact_substrings"))
+    assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
+      "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
+      "mixture_sample", "pack_sequences"))
+    assert(graft.ext.CcNet.fns(graft.ext.ExtQueries.langProfiles).keySet ===
+      Set("ccnet_init", "ccnet_lang_id", "ccnet_score", "ccnet_band", "ccnet_keep"))
+    // README documents every exposed name — the matrix stays honest
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    (sqlFns ++ graft.ext.GraftFns.standard.keySet).foreach(name =>
+      assert(readme.contains(name), s"README.md does not document '$name'"))
+  }
+
+  test("a YAML pipeline interleaves SQL steps with a table-op fn step end-to-end") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner, PipelineRunner}
+    import graft.io.{FileWarehouse, Lake}
+    val work = SparkTestBase.tmpDir("graft_tablefn")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "raw_docs"),
+      fns = graft.ext.GraftFns.standard)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents_src")
+    // SQL step (projection) -> table-op fn step (exact dedup) -> SQL step
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, text, lang FROM documents_src"),
+        cache = Some(CacheSpec("raw_docs", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_exact_dedup"),
+      Step.Select(SqlSource.Inline(
+        "SELECT lang, COUNT(*) AS n FROM graft GROUP BY lang")))).get
+    // oracle: the same chain composed directly
+    val direct = graft.ext.Dedup.exact(
+        docs.select("doc_id", "text", "lang"))
+      .groupBy("lang").count().withColumnRenamed("count", "n")
+    assert(result.orderBy("lang").collect().toSeq ===
+      direct.orderBy("lang").collect().toSeq)
+  }
 }

@@ -1188,6 +1188,16 @@ object Dedup {
         Seq("__h"))
       .where(struct(col(idCol), col("pos")) =!= col("__first"))
       .select(col(idCol), col("pos"))
+    cutCovered(docs, repeats, minTokens, idCol, textCol)
+  }
+
+  /** Shared rebuild tail of the substring cutters: cut every token
+    * covered by a window in `repeats` (keyed (idCol, pos)), rejoin the
+    * survivors in order, keep untouched documents byte-verbatim, and
+    * report exact cut counts.
+    */
+  private def cutCovered(docs: DataFrame, repeats: DataFrame, minTokens: Int,
+                         idCol: String, textCol: String): DataFrame = {
     val cov = coverage(docs, repeats, minTokens, idCol, textCol)
     val rewritten = cov.groupBy(col(idCol))
       .agg(
@@ -1206,4 +1216,50 @@ object Dedup {
     } :+ coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens")
     docs.join(rewritten, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
   }
+
+  /** Persisted EXACT-SUBSTRING window index — the build-once/
+    * probe-forever sibling every other dedup family already has
+    * ([[minHashIndex]], [[simHashIndex]], [[exactIndex]]): one row per
+    * distinct `minTokens`-window hash in the corpus with its occurrence
+    * count. A few-KB-per-document parquet frame; probe batches against
+    * it with [[stripExactSubstringsAgainstIndex]] and fold curated
+    * batches back in with [[substringIndexRollForward]] — the corpus
+    * text is never rescanned.
+    */
+  def substringIndex(corpus: DataFrame, minTokens: Int,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    substringWindows(corpus, minTokens, idCol, textCol)
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+
+  /** Cut every batch token duplicated AGAINST THE CORPUS: a batch
+    * window is a repeat iff its hash exists in the index (the corpus
+    * holds the first occurrence by definition — first-seen-wins, the
+    * cross-set policy of [[exactAgainst]]/[[nearDupMinHashAgainstIndex]]).
+    * Within-batch duplication is deliberately out of scope — run
+    * [[stripExactSubstrings]] on the batch first (or after) for that.
+    *
+    * Scale shape: only the BATCH is tokenized and windowed; the index
+    * side is a two-column semi join on 8-byte hashes — probe cost
+    * ∝ ǀbatchǀ + matched hashes, never ∝ corpus.
+    */
+  def stripExactSubstringsAgainstIndex(batch: DataFrame, index: DataFrame,
+                                       minTokens: Int,
+                                       idCol: String = "doc_id",
+                                       textCol: String = "text"): DataFrame = {
+    require(minTokens > 0, "minTokens must be positive")
+    val repeats = substringWindows(batch, minTokens, idCol, textCol)
+      .join(index.select("__h"), Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    cutCovered(batch, repeats, minTokens, idCol, textCol)
+  }
+
+  /** Fold a (curated) batch's windows into the index: union + one
+    * re-aggregation on the 8-byte hash — index-scale work.
+    */
+  def substringIndexRollForward(index: DataFrame, batch: DataFrame,
+                                minTokens: Int, idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame =
+    index.unionByName(substringIndex(batch, minTokens, idCol, textCol))
+      .groupBy("__h").agg(sum(col("__n")).as("__n"))
 }

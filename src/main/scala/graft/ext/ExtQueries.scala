@@ -323,6 +323,35 @@ object ExtQueries {
     */
   private val minHashIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Persisted substring-window index (corpus = `doc_id % 10 <> 0`),
+    * parquet-round-tripped once per session like [[sharedMinHashIndex]].
+    */
+  private val substringIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedSubstringIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = substringIndexMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "substr_index", dir)
+      Dedup.substringIndex(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
+        minTokens = 8).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Incremental exact-substring cut ([[Dedup.stripExactSubstringsAgainstIndex]]):
+    * strip from the `doc_id % 10 = 0` batch every ≥8-token run that
+    * already exists in the corpus's persisted window index — the
+    * cross-set, first-seen-wins face of q110 (q74's batch/corpus split).
+    */
+  def q112(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripExactSubstringsAgainstIndex(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedSubstringIndex(spark, dir), minTokens = 8)
+      .select(col("doc_id"), col("text"), col("n_cut_tokens"))
+      .orderBy("doc_id")
   private[graft] def sharedMinHashIndex(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + "@" + dir + "@" +
       spark.conf.getOption("graft.scratch.dir").getOrElse("")
@@ -1062,6 +1091,7 @@ object ExtQueries {
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
     "q111_ccnet_buckets" -> (q111 _),
+    "q112_strip_substrings_incremental" -> (q112 _),
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
@@ -1690,6 +1720,49 @@ object ExtQueries {
          |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
          |  CASE band WHEN 'head' THEN 'g' WHEN 'middle' THEN '8000' ELSE '0000' END
          |ORDER BY doc_id""".stripMargin.replace("$LANGPROFILES", langProfileValues),
+    // q112 — the cross-set cut replayed: a batch window is a repeat iff
+    // its span exists anywhere in the corpus slice (first-seen-wins:
+    // the corpus holds the first occurrence by definition); coverage
+    // and rebuild exactly as q110, restricted to the batch side.
+    "q112_strip_substrings_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS sp
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cw AS MATERIALIZED (
+        |  SELECT DISTINCT array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |  FROM (
+        |    SELECT sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |    FROM (SELECT string_split(text, ' ') AS sp
+        |          FROM documents WHERE doc_id % 10 <> 0)
+        |    WHERE len(sp) >= 8)),
+        |bw AS (
+        |  SELECT doc_id, sp, unnest(generate_series(1, len(sp) - 7)) AS st
+        |  FROM t WHERE len(sp) >= 8),
+        |rep AS (
+        |  SELECT doc_id, st FROM (
+        |    SELECT doc_id, st,
+        |      array_to_string(list_slice(sp, st, st + 7), ' ') AS span
+        |    FROM bw)
+        |  WHERE span IN (SELECT span FROM cw)),
+        |tok AS (
+        |  SELECT doc_id, q, sp[q] AS token FROM (
+        |    SELECT doc_id, sp, unnest(generate_series(1, len(sp))) AS q FROM t)),
+        |cov AS (
+        |  SELECT tok.doc_id, tok.q, tok.token,
+        |    max(CASE WHEN r.st IS NOT NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY tok.doc_id ORDER BY tok.q
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS dup
+        |  FROM tok LEFT JOIN rep r ON r.doc_id = tok.doc_id AND r.st = tok.q),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN dup = 0 THEN token END, ' ' ORDER BY q), '') AS clean,
+        |    CAST(SUM(dup) AS BIGINT) AS ncut
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
+        |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_tokens
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // q110 — stripExactSubstrings replayed: a window occurrence is a
     // repeat iff it is not the (doc_id, st)-first of its span;
     // coverage as in q109; survivors re-join with single spaces, and

@@ -2141,6 +2141,34 @@ class ExtSpec extends AnyFunSuite {
     assert(t === Seq((10L, "t1 t2 t3 t4", 0L), (20L, "", 4L)))
   }
 
+  test("substring index probe: corpus-duplicated runs cut from batch; round-trip; roll-forward") {
+    val corpus = docsDf(1L -> "c1 c2 c3 c4 c5", 2L -> "u1 u2 u3 u4")
+    val batch = docsDf(
+      // embeds corpus doc 1's full run at an inner offset -> c1..c5 cut
+      10L -> "b1 c1 c2 c3 c4 c5 b2",
+      // novel -> byte-verbatim
+      20L -> "n1 n2 n3 n4 n5")
+    val idx = Dedup.substringIndex(corpus, minTokens = 3)
+    def probe(index: org.apache.spark.sql.DataFrame) =
+      Dedup.stripExactSubstringsAgainstIndex(batch, index, minTokens = 3)
+        .select("doc_id", "text", "n_cut_tokens")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(probe(idx) === Seq((10L, "b1 b2", 5L), (20L, "n1 n2 n3 n4 n5", 0L)))
+
+    // the persisted shape: parquet round-trip probes identically
+    val dir = SparkTestBase.tmpDir("graft_substr_idx")
+    idx.write.mode("overwrite").parquet(dir)
+    assert(probe(spark.read.parquet(dir)) === probe(idx))
+
+    // roll-forward: once the batch is folded in, re-probing the SAME
+    // batch cuts everything (every window now exists in the index) —
+    // the re-ingest-drops-everything property of the other indexes
+    val idx2 = Dedup.substringIndexRollForward(idx, batch, minTokens = 3)
+    val reprobe = probe(idx2)
+    assert(reprobe.map(_._2) === Seq("", ""))
+    assert(reprobe.map(_._3) === Seq(7L, 5L))
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

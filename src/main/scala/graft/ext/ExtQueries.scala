@@ -1087,11 +1087,35 @@ object ExtQueries {
         col("surprisal_bits"), col("avg_bits"), col("band"))
       .orderBy("doc_id")
 
+  /** DSIR importance scoring ([[Dsir.dsirScore]]): every document's
+    * hashed-unigram+bigram importance weight against an in-corpus
+    * target domain (lang='en'), bit-length-quantized so the composed
+    * score stays integer-exact and DuckDB-replayable.
+    */
+  def q113(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dsir.dsirScore(d, d.where(col("lang") === "en"))
+      .orderBy("doc_id")
+  }
+
+  /** DSIR selection ([[Dsir.dsirSelect]]): the 200 most target-like
+    * documents by (weight_bits DESC, doc_id) — the deterministic face
+    * of the paper's resample step.
+    */
+  def q114(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Dsir.dsirSelect(d, d.where(col("lang") === "en"), k = 200)
+      .select(col("doc_id"), col("lang"), col("source"), col("weight_bits"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
     "q111_ccnet_buckets" -> (q111 _),
     "q112_strip_substrings_incremental" -> (q112 _),
+    "q113_dsir_score" -> (q113 _),
+    "q114_dsir_select" -> (q114 _),
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
@@ -1283,6 +1307,77 @@ object ExtQueries {
 
 
   val oracles: Map[String, String] = Map(
+    // q113 — the DSIR score replayed: hashed unigram∪bigram features
+    // (md5 4-hex buckets, the engine's verbatim hashing), add-one-
+    // smoothed bit-length surprisal under raw vs target models, one
+    // final IEEE division (q72's exactness argument applies term for
+    // term; 65536 = the bucket count = the smoothing mass).
+    "q113_dsir_score" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        |fb AS (
+        |  SELECT doc_id, substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT doc_id,
+        |      unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok)),
+        |rawcf AS (SELECT b, count(*) AS cf FROM fb GROUP BY b),
+        |rn AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM rawcf),
+        |tfb AS (
+        |  SELECT substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok JOIN documents USING (doc_id) WHERE documents.lang = 'en')),
+        |tgtcf AS (SELECT b, count(*) AS tcf FROM tfb GROUP BY b),
+        |tn AS (SELECT CAST(coalesce(sum(tcf), 0) AS BIGINT) AS n FROM tgtcf),
+        |agg AS (
+        |  SELECT fb.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(
+        |      (length(format('{:b}', rn.n + 65536)) - length(format('{:b}', rawcf.cf + 1)))
+        |      - (length(format('{:b}', tn.n + 65536))
+        |         - length(format('{:b}', coalesce(tgtcf.tcf, 0) + 1)))) AS BIGINT)
+        |      AS weight_bits
+        |  FROM fb JOIN rawcf USING (b) LEFT JOIN tgtcf USING (b)
+        |  CROSS JOIN rn CROSS JOIN tn
+        |  GROUP BY fb.doc_id)
+        |SELECT doc_id, n_features, weight_bits,
+        |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // q114 — q113's score joined back and cut to the top 200 by
+    // (weight_bits DESC, doc_id): a total order, so both engines
+    // select the identical set.
+    "q114_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+        |fb AS (
+        |  SELECT doc_id, substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT doc_id,
+        |      unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok)),
+        |rawcf AS (SELECT b, count(*) AS cf FROM fb GROUP BY b),
+        |rn AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM rawcf),
+        |tfb AS (
+        |  SELECT substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok JOIN documents USING (doc_id) WHERE documents.lang = 'en')),
+        |tgtcf AS (SELECT b, count(*) AS tcf FROM tfb GROUP BY b),
+        |tn AS (SELECT CAST(coalesce(sum(tcf), 0) AS BIGINT) AS n FROM tgtcf),
+        |agg AS (
+        |  SELECT fb.doc_id,
+        |    CAST(sum(
+        |      (length(format('{:b}', rn.n + 65536)) - length(format('{:b}', rawcf.cf + 1)))
+        |      - (length(format('{:b}', tn.n + 65536))
+        |         - length(format('{:b}', coalesce(tgtcf.tcf, 0) + 1)))) AS BIGINT)
+        |      AS weight_bits
+        |  FROM fb JOIN rawcf USING (b) LEFT JOIN tgtcf USING (b)
+        |  CROSS JOIN rn CROSS JOIN tn
+        |  GROUP BY fb.doc_id)
+        |SELECT doc_id, lang, source, weight_bits FROM (
+        |  SELECT d.doc_id, d.lang, d.source, agg.weight_bits
+        |  FROM documents d JOIN agg USING (doc_id)
+        |  ORDER BY agg.weight_bits DESC, d.doc_id LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
     "q07_dedup_exact" ->
       """SELECT * FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))

@@ -90,5 +90,12 @@ object GraftFns {
         idCol = idCol(ctx), textCol = textCol(ctx))),
     step("graft_strip_exact_substrings")((ctx, d) =>
       Dedup.stripExactSubstrings(d, minTokens = minTokens(ctx),
-        idCol(ctx), textCol(ctx))))
+        idCol(ctx), textCol(ctx))),
+    step("graft_dsir_select")((ctx, d) =>
+      Dsir.dsirSelect(d,
+        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_TARGET_VIEW",
+          throw new graft.config.ConfigException(
+            "graft_dsir_select requires the GRAFT_TARGET_VIEW variable"))),
+        k = ctx.variables.getOrElse("GRAFT_TOP_K", "1000").toInt,
+        idCol = idCol(ctx), textCol = textCol(ctx))))
 }

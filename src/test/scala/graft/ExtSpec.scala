@@ -2271,4 +2271,98 @@ class ExtSpec extends AnyFunSuite {
       ("de", 1L, 4L, 0.25, 3L, 0.75, 0.75, false),
       ("en", 2L, 6L, 0.75, 9L, 1.5, 1.0, true)))
   }
+
+  // ---- DSIR importance scoring/selection (Dsir) ----
+
+  /** Independent reference implementation of the DSIR bit-length
+    * weight: plain Scala loops over the same feature/hash/smoothing
+    * definitions — a from-first-principles differential check, not a
+    * re-run of the Spark plan.
+    */
+  private def dsirRef(cand: Seq[(Long, String)], tgt: Seq[String])
+      : Map[Long, (Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(t: String): Seq[String] = {
+      val l = t.split(" ", -1).toSeq
+      l ++ l.zip(l.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(f: String): String = md5hex(f + "graft").substring(0, 4)
+    def bl(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val rawB = cand.flatMap(c => feats(c._2)).map(bucket)
+    val tgtB = tgt.flatMap(feats).map(bucket)
+    val rawCf = rawB.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tgtCf = tgtB.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rn = rawB.size.toLong
+    val tn = tgtB.size.toLong
+    cand.map { case (id, t) =>
+      val bs = feats(t).map(bucket)
+      val w = bs.map(b =>
+        (bl(rn + 65536L) - bl(rawCf(b) + 1L)) -
+          (bl(tn + 65536L) - bl(tgtCf.getOrElse(b, 0L) + 1L))).sum
+      id -> ((bs.size.toLong, w))
+    }.toMap
+  }
+
+  test("dsirScore: exact agreement with a from-scratch reference on a mixed corpus") {
+    import graft.ext.Dsir
+    val cand = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat sleeps on the warm mat",
+      3L -> "zxq vvk wop qnd lrm zxq vvk wop",
+      4L -> "one two",
+      5L -> "single")
+    val tgtRows = Seq(
+      "the quick brown fox runs over the green hill",
+      "the lazy dog sleeps under the warm sun")
+    val got = Dsir.dsirScore(cand.toDF("doc_id", "text"),
+        tgtRows.map(t => (100L, t)).toDF("doc_id", "text"))
+      .select("doc_id", "n_features", "weight_bits")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    assert(got === dsirRef(cand, tgtRows))
+  }
+
+  test("dsirScore: target-like docs outscore off-target docs; avg is the IEEE ratio") {
+    import graft.ext.Dsir
+    val cand = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "zxq vvk wop qnd lrm zxq vvk wop")
+    val tgt = Seq(200L -> "the quick brown fox runs over the lazy dog",
+      201L -> "the lazy dog and the quick fox")
+    val rows = Dsir.dsirScore(cand.toDF("doc_id", "text"), tgt.toDF("doc_id", "text"))
+      .select("doc_id", "n_features", "weight_bits", "avg_bits")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(1L)._3 > rows(3L)._3,
+      s"target-like doc must outscore gibberish: ${rows(1L)} vs ${rows(3L)}")
+    rows.values.foreach { case (_, n, w, avg) =>
+      assert(avg === w.toDouble / n.toDouble)
+    }
+  }
+
+  test("dsirSelect: top-k by (weight DESC, id ASC), full rows ride along") {
+    import graft.ext.Dsir
+    val cand = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat sleeps on the warm mat",
+      3L -> "zxq vvk wop qnd lrm zxq vvk wop",
+      4L -> "the lazy dog naps near the quick fox",
+      5L -> "qqq rrr sss ttt uuu")
+    val tgtRows = Seq(
+      "the quick brown fox runs over the green hill",
+      "the lazy dog sleeps under the warm sun")
+    val candDf = cand.toDF("doc_id", "text")
+    val tgtDf = tgtRows.map(t => (100L, t)).toDF("doc_id", "text")
+    val ref = dsirRef(cand, tgtRows)
+    val wantOrder = cand.map(_._1).sortBy(id => (-ref(id)._2, id)).take(3)
+    val got = Dsir.dsirSelect(candDf, tgtDf, k = 3)
+      .select("doc_id", "text", "weight_bits")
+      .as[(Long, String, Long)].collect()
+    assert(got.map(_._1).toSeq === wantOrder)
+    got.foreach { case (id, text, w) =>
+      assert(text === cand.toMap.apply(id))
+      assert(w === ref(id)._2)
+    }
+  }
 }

@@ -64,13 +64,29 @@ object Dsir {
   }
 
   /** One corpus's hashed-feature model: (__bucket, __cf) with ≤
-    * [[NumBuckets]] rows — broadcast-sized by construction. The total
-    * feature count N rides along as a literal-free 1-row cross join at
-    * the call site (exactly q72's shape).
+    * [[NumBuckets]] rows — broadcast-sized by construction, and the
+    * PERSISTABLE state of the operator (the build-once/probe-forever
+    * face every index family here has): land it as parquet, score
+    * arriving batches with [[dsirScoreAgainstModels]] without ever
+    * rescanning the corpus, and fold curated batches back in with
+    * [[dsirModelRollForward]]. The total feature count N is
+    * `sum(__cf)` — derived at probe time (one ≤65536-row aggregate),
+    * so the model needs no side-channel metadata.
     */
-  private def model(docs: DataFrame, textCol: String, salt: String): DataFrame =
-    docs.select(explode(featureBuckets(col(textCol), salt)).as("__bucket"))
+  def dsirModel(corpus: DataFrame, textCol: String = "text",
+                salt: String = "graft"): DataFrame =
+    corpus.select(explode(featureBuckets(col(textCol), salt)).as("__bucket"))
       .groupBy("__bucket").agg(count(lit(1)).as("__cf"))
+
+  /** Fold a batch's features into a persisted model: union + one
+    * re-aggregation on the ≤65536-row bucket key — model-scale work,
+    * the corpus is never rescanned.
+    */
+  def dsirModelRollForward(model: DataFrame, batch: DataFrame,
+                           textCol: String = "text",
+                           salt: String = "graft"): DataFrame =
+    model.unionByName(dsirModel(batch, textCol, salt))
+      .groupBy("__bucket").agg(sum(col("__cf")).as("__cf"))
 
   /** Bit-length of (n + add): `length(bin(n + add))` — the integer
     * `⌊log2⌋ + 1` both engines agree on exactly.
@@ -92,25 +108,40 @@ object Dsir {
     */
   def dsirScore(candidates: DataFrame, target: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text",
-                salt: String = "graft"): DataFrame = {
-    val rawCf = model(candidates, textCol, salt)
-    val tgtCf = model(target, textCol, salt)
-      .withColumnRenamed("__cf", "__tcf")
-    val rawN = rawCf.agg(sum(col("__cf")).as("__rn"))
+                salt: String = "graft"): DataFrame =
+    dsirScoreAgainstModels(candidates,
+      dsirModel(candidates, textCol, salt),
+      dsirModel(target, textCol, salt), idCol, textCol, salt)
+
+  /** Score a batch against PERSISTED models — the incremental face:
+    * the raw/target models were built once ([[dsirModel]], typically
+    * landed as parquet) and only the batch tokenizes here; probe cost
+    * ∝ ǀbatchǀ plus two ≤65536-row broadcasts, never ∝ corpus.
+    * Features unseen by a model take the smoothed count 1 (left join +
+    * coalesce 0, then the uniform +1) — so a batch with brand-new
+    * vocabulary still scores, integer-exactly.
+    */
+  def dsirScoreAgainstModels(batch: DataFrame, rawModel: DataFrame,
+                             tgtModel: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             salt: String = "graft"): DataFrame = {
+    val rawCf = rawModel.select(col("__bucket"), col("__cf"))
+    val tgtCf = tgtModel.select(col("__bucket"), col("__cf").as("__tcf"))
+    val rawN = rawCf.agg(coalesce(sum(col("__cf")), lit(0L)).as("__rn"))
     val tgtN = tgtCf.agg(coalesce(sum(col("__tcf")), lit(0L)).as("__tn"))
-    val feats = candidates.select(col(idCol),
+    val feats = batch.select(col(idCol),
       explode(featureBuckets(col(textCol), salt)).as("__bucket"))
     // s_raw − s_target per feature OCCURRENCE (the weight is linear in
     // occurrences, so no per-(doc,bucket) pre-count is needed — one
     // per-doc sum does it all)
     feats
-      .join(broadcast(rawCf), Seq("__bucket"))
+      .join(broadcast(rawCf), Seq("__bucket"), "left")
       .join(broadcast(tgtCf), Seq("__bucket"), "left")
       .crossJoin(broadcast(rawN)).crossJoin(broadcast(tgtN))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_features"),
         sum((bitlen(col("__rn"), NumBuckets.toLong) -
-             bitlen(col("__cf"), 1L)) -
+             bitlen(coalesce(col("__cf"), lit(0L)), 1L)) -
             (bitlen(col("__tn"), NumBuckets.toLong) -
              bitlen(coalesce(col("__tcf"), lit(0L)), 1L)))
           .as("weight_bits"))

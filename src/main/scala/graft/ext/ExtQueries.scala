@@ -1109,6 +1109,36 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  private val dsirModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def sharedDsirModels(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val (rawP, tgtP) = dsirModelMemo.computeIfAbsent(key, _ => {
+      val corpus = docs(spark, dir).where(col("doc_id") % 10 =!= 0)
+      val rp = scratchPath(spark, "dsir_raw_model", dir)
+      val tp = scratchPath(spark, "dsir_tgt_model", dir)
+      Dsir.dsirModel(corpus).write.mode("overwrite").parquet(rp)
+      Dsir.dsirModel(corpus.where(col("lang") === "en"))
+        .write.mode("overwrite").parquet(tp)
+      (rp, tp)
+    })
+    (spark.read.parquet(rawP), spark.read.parquet(tgtP))
+  }
+
+  /** Incremental DSIR ([[Dsir.dsirScoreAgainstModels]]): the
+    * `doc_id % 10 = 0` batch scored against PERSISTED raw/target
+    * models built once from the corpus side — only the batch
+    * tokenizes; q74's batch/corpus split applied to q113.
+    */
+  def q115(spark: SparkSession, dir: String): DataFrame = {
+    val (raw, tgt) = sharedDsirModels(spark, dir)
+    Dsir.dsirScoreAgainstModels(
+      docs(spark, dir).where(col("doc_id") % 10 === 0), raw, tgt)
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
@@ -1116,6 +1146,7 @@ object ExtQueries {
     "q112_strip_substrings_incremental" -> (q112 _),
     "q113_dsir_score" -> (q113 _),
     "q114_dsir_select" -> (q114 _),
+    "q115_dsir_incremental" -> (q115 _),
     "q07_dedup_exact" -> (q07 _),
     "q99_heavy_hitters" -> (q99 _),
     "q100_skew_report" -> (q100 _),
@@ -1340,6 +1371,48 @@ object ExtQueries {
         |  FROM fb JOIN rawcf USING (b) LEFT JOIN tgtcf USING (b)
         |  CROSS JOIN rn CROSS JOIN tn
         |  GROUP BY fb.doc_id)
+        |SELECT doc_id, n_features, weight_bits,
+        |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // q115 — the incremental probe replayed: models over the corpus
+    // side (doc_id % 10 <> 0; target = its lang='en' subset), batch
+    // features left-joined with coalesce-0 on BOTH models (the
+    // persisted model may miss batch vocabulary), same +1 smoothing.
+    "q115_dsir_incremental" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |cfb AS (
+        |  SELECT substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok WHERE doc_id % 10 <> 0)),
+        |rawcf AS (SELECT b, count(*) AS cf FROM cfb GROUP BY b),
+        |rn AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM rawcf),
+        |tfb AS (
+        |  SELECT substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok JOIN documents USING (doc_id)
+        |    WHERE tok.doc_id % 10 <> 0 AND documents.lang = 'en')),
+        |tgtcf AS (SELECT b, count(*) AS tcf FROM tfb GROUP BY b),
+        |tn AS (SELECT CAST(coalesce(sum(tcf), 0) AS BIGINT) AS n FROM tgtcf),
+        |bfb AS (
+        |  SELECT doc_id, substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT doc_id,
+        |      unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok WHERE doc_id % 10 = 0)),
+        |agg AS (
+        |  SELECT bfb.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(
+        |      (length(format('{:b}', rn.n + 65536))
+        |       - length(format('{:b}', coalesce(rawcf.cf, 0) + 1)))
+        |      - (length(format('{:b}', tn.n + 65536))
+        |         - length(format('{:b}', coalesce(tgtcf.tcf, 0) + 1)))) AS BIGINT)
+        |      AS weight_bits
+        |  FROM bfb LEFT JOIN rawcf USING (b) LEFT JOIN tgtcf USING (b)
+        |  CROSS JOIN rn CROSS JOIN tn
+        |  GROUP BY bfb.doc_id)
         |SELECT doc_id, n_features, weight_bits,
         |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
         |FROM agg ORDER BY doc_id""".stripMargin,

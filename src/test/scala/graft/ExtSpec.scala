@@ -2341,6 +2341,65 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirScore: a corpus scored against itself weighs identically zero") {
+    import graft.ext.Dsir
+    val cand = Seq(
+      1L -> "the quick brown fox", 2L -> "zxq vvk wop", 3L -> "one two three")
+    val d = cand.toDF("doc_id", "text")
+    val ws = Dsir.dsirScore(d, d).select("weight_bits").as[Long].collect()
+    assert(ws.length === 3 && ws.forall(_ === 0L),
+      s"target == raw must cancel term for term, got ${ws.toSeq}")
+  }
+
+  test("dsir persisted models: parquet round-trip probe == direct score; roll-forward == rebuild") {
+    import graft.ext.Dsir
+    val cand = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat sleeps on the warm mat",
+      3L -> "zxq vvk wop qnd lrm zxq vvk wop")
+    val tgtRows = Seq(100L -> "the quick brown fox runs over the green hill")
+    val candDf = cand.toDF("doc_id", "text")
+    val tgtDf = tgtRows.toDF("doc_id", "text")
+    val dir = SparkTestBase.tmpDir("dsir_models")
+    Dsir.dsirModel(candDf).write.parquet(s"$dir/raw")
+    Dsir.dsirModel(tgtDf).write.parquet(s"$dir/tgt")
+    val probed = Dsir.dsirScoreAgainstModels(candDf,
+        spark.read.parquet(s"$dir/raw"), spark.read.parquet(s"$dir/tgt"))
+      .select("doc_id", "n_features", "weight_bits")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val direct = Dsir.dsirScore(candDf, tgtDf)
+      .select("doc_id", "n_features", "weight_bits")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(probed === direct)
+    // folding a second batch into the persisted model == rebuilding
+    // the model from the concatenated corpus
+    val batch2 = Seq(4L -> "the lazy dog naps near the quick fox").toDF("doc_id", "text")
+    val rolled = Dsir.dsirModelRollForward(
+        spark.read.parquet(s"$dir/raw"), batch2)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val rebuilt = Dsir.dsirModel(candDf.unionByName(batch2))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(rolled === rebuilt)
+  }
+
+  test("dsirScoreAgainstModels: batch with vocabulary unseen by both models still scores") {
+    import graft.ext.Dsir
+    val corpus = Seq(1L -> "the quick brown fox").toDF("doc_id", "text")
+    val tgt = Seq(100L -> "the quick fox").toDF("doc_id", "text")
+    val batch = Seq(9L -> "entirely novel words here").toDF("doc_id", "text")
+    val out = Dsir.dsirScoreAgainstModels(batch,
+        Dsir.dsirModel(corpus), Dsir.dsirModel(tgt))
+      .select("doc_id", "n_features", "weight_bits")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (_, n, w) = out.head
+    assert(n === 7L) // 4 unigrams + 3 bigrams
+    // every feature unseen by both models: per-term weight is
+    // bitlen(rn+B) - bitlen(tn+B) with the same smoothed cf=1
+    def bl(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    assert(w === 7L * (bl(7L + 65536L) - bl(5L + 65536L)))
+  }
+
   test("dsirSelect: top-k by (weight DESC, id ASC), full rows ride along") {
     import graft.ext.Dsir
     val cand = Seq(

@@ -454,4 +454,48 @@ class PropertySpec extends AnyFunSuite {
         Seq(0.0, 0.25, 0.5, 0.75, 1.0).forall(q => a.estimate(q) == whole.estimate(q))
     }, minSuccessful = 40)
   }
+
+  test("property: dsirScore == independent hashed-feature importance model") {
+    import graft.ext.Dsir
+    // small vocab FORCES shared features and bucket collisions between
+    // random candidate/target corpora — the smoothing, the left-join
+    // coalesce, and the bit-length quantization all get exercised on
+    // every run; the model recomputes everything from MessageDigest up
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feats(toks: Seq[String]): Seq[String] =
+      toks ++ toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }
+    def bucket(f: String): String = md5hex(f + "graft").substring(0, 4)
+    def bl(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+    val vocab = (0 until 10).map(i => s"w$i")
+    val docGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val caseGen = for {
+      cand <- Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+      tgt <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, docGen))
+    } yield (cand, tgt)
+    check(Prop.forAll(caseGen) { case (cand, tgt) =>
+      val rawB = cand.flatMap(d => feats(d)).map(bucket)
+      val tgtB = tgt.flatMap(d => feats(d)).map(bucket)
+      val rawCf = rawB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tgtCf = tgtB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val rn = rawB.size.toLong
+      val tn = tgtB.size.toLong
+      val want = cand.zipWithIndex.map { case (d, i) =>
+        val bs = feats(d).map(bucket)
+        i.toLong -> ((bs.size.toLong, bs.map(b =>
+          (bl(rn + 65536L) - bl(rawCf(b) + 1L)) -
+            (bl(tn + 65536L) - bl(tgtCf.getOrElse(b, 0L) + 1L))).sum))
+      }.toMap
+      val candDf = cand.zipWithIndex
+        .map { case (d, i) => (i.toLong, d.mkString(" ")) }.toDF("doc_id", "text")
+      val tgtDf = tgt.zipWithIndex
+        .map { case (d, i) => (1000L + i, d.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dsir.dsirScore(candDf, tgtDf)
+        .select("doc_id", "n_features", "weight_bits")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, w) => id -> ((n, w)) }.toMap
+      got == want
+    }, minSuccessful = 10)
+  }
 }

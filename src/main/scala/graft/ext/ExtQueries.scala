@@ -1139,7 +1139,17 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher rule-set report ([[TextOps.gopherRules]]): every document
+    * with the published quality statistics, per-rule flags, and the
+    * conjunction `keep` — integer counting + one IEEE division per
+    * ratio, so the whole report (threshold booleans included) is
+    * exactly DuckDB-replayable.
+    */
+  def q116(spark: SparkSession, dir: String): DataFrame =
+    TextOps.gopherRules(docs(spark, dir)).orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_gopher_rules" -> (q116 _),
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
     "q111_ccnet_buckets" -> (q111 _),
@@ -1374,6 +1384,62 @@ object ExtQueries {
         |SELECT doc_id, n_features, weight_bits,
         |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q116 — the Gopher rule report replayed: integer counts per
+    // statistic, one division per ratio, threshold comparisons on the
+    // identical IEEE doubles; the stop list is the q40 top-k with its
+    // deterministic (count DESC, token ASC) tie-break.
+    "q116_gopher_rules" ->
+      """WITH stops AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop_hits FROM (
+        |    SELECT DISTINCT doc_id, token FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents))
+        |  WHERE token IN (SELECT token FROM stops) GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> ends_with(x, '...'))) AS BIGINT) AS n_ell_end
+        |  FROM documents),
+        |r AS (
+        |  SELECT s.doc_id, s.n_words,
+        |    CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS mean_word_len,
+        |    CAST(3 * s.n_hash + s.ell_chars AS DOUBLE)
+        |      / CAST(3 * s.n_words AS DOUBLE) AS symbol_ratio,
+        |    CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS alpha_word_frac,
+        |    CAST(s.n_bullet AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS bullet_line_frac,
+        |    CAST(s.n_ell_end AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS ellipsis_line_frac,
+        |    coalesce(sh.n_stop_hits, 0) AS n_stop_hits
+        |  FROM s LEFT JOIN sh USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+        |  bullet_line_frac, ellipsis_line_frac, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        |  (symbol_ratio <= 0.1) AS ok_symbols,
+        |  (alpha_word_frac >= 0.8) AS ok_alpha,
+        |  (n_stop_hits >= 2) AS ok_stops,
+        |  (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS ok_lines,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+        |    AND n_stop_hits >= 2
+        |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q115 — the incremental probe replayed: models over the corpus
     // side (doc_id % 10 <> 0; target = its lang='en' subset), batch
     // features left-joined with coalesce-0 on BOTH models (the

@@ -91,6 +91,12 @@ object GraftFns {
     step("graft_strip_exact_substrings")((ctx, d) =>
       Dedup.stripExactSubstrings(d, minTokens = minTokens(ctx),
         idCol(ctx), textCol(ctx))),
+    step("graft_gopher_filter")((ctx, d) => {
+      val report = TextOps.gopherRules(d, idCol = idCol(ctx),
+        textCol = textCol(ctx))
+      d.join(report.where(org.apache.spark.sql.functions.col("keep"))
+        .select(org.apache.spark.sql.functions.col(idCol(ctx))), Seq(idCol(ctx)))
+    }),
     step("graft_dsir_select")((ctx, d) =>
       Dsir.dsirSelect(d,
         d.sparkSession.table(ctx.variables.getOrElse("GRAFT_TARGET_VIEW",

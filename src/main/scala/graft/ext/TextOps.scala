@@ -350,6 +350,101 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("token").asc)
       .limit(k)
 
+  /** The Gopher quality-rule set (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A1.1) as ONE composed report: per document, the measured
+    * statistics behind each published rule, a boolean per rule, and
+    * the conjunction `keep` — the standard pre-filter a curation
+    * pipeline runs before dedup. The document set is NOT filtered
+    * (every input row gets a report row); `.where(col("keep"))` is the
+    * act, and the per-rule flags are the audit.
+    *
+    * Rules (thresholds are the paper's, overridable):
+    *  - word count in [minWords, maxWords];
+    *  - mean word length in [minMeanWordLen, maxMeanWordLen];
+    *  - symbol-to-word ratio (`#` plus `...` occurrences per word)
+    *    ≤ maxSymbolRatio;
+    *  - fraction of words with ≥1 alphabetic char ≥ minAlphaWordFrac;
+    *  - ≥ minStopHits DISTINCT stop words present — the paper uses a
+    *    fixed English function-word list; here the list is the
+    *    corpus's own top-`stopTopK` tokens ([[topTokens]], the
+    *    [[stopwordFraction]] adaptation that works for any language
+    *    the corpus is actually in);
+    *  - ≤ maxBulletLineFrac of lines starting with a bullet and
+    *    ≤ maxEllipsisLineFrac ending with an ellipsis.
+    *
+    * Exactness: every statistic is integer counting (array/string
+    * ops) until one final IEEE division per ratio, so the whole
+    * report — including the double threshold comparisons — is
+    * bit-reproducible in any engine (the q72 argument). The symbol
+    * ratio is computed as `(3·#hash + ellipsisChars) / (3·words)` to
+    * keep the numerator integral (ellipsis occurrences = chars/3).
+    *
+    * Scale shape: one row-local projection computes everything except
+    * the stop-hit count (array expressions, no explode, no shuffle);
+    * stop hits add one exploded-distinct-token pass joined against the
+    * BROADCAST ≤stopTopK-row stop list and one per-doc count — the
+    * same two-pass shape as [[stopwordFraction]]. Nothing else
+    * shuffles; the report joins back on the 8-byte id.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  minAlphaWordFrac: Double = 0.8,
+                  stopTopK: Int = 20, minStopHits: Int = 2,
+                  maxBulletLineFrac: Double = 0.9,
+                  maxEllipsisLineFrac: Double = 0.3,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val stops = topTokens(docs, stopTopK, idCol, textCol).select(col("token"))
+    val stopHits = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .distinct()
+      .join(broadcast(stops), Seq("token"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__stop_hits"))
+    val toks = tokens(col(textCol))
+    val lines = split(col(textCol), "\n")
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+    val nAlpha = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val nHash = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))).cast("long")
+    val ellChars = (length(col(textCol)) -
+      length(replace(col(textCol), lit("..."), lit("")))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, x =>
+      x.startsWith("- ") || x.startsWith("* ") || x.startsWith("•")))
+      .cast("long")
+    val nEllEnd = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val stats = docs.select(col(idCol),
+        nWords.as("n_words"),
+        (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
+        ((lit(3L) * nHash + ellChars).cast("double") /
+          (lit(3L) * nWords).cast("double")).as("symbol_ratio"),
+        (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
+        (nBullet.cast("double") / nLines.cast("double")).as("bullet_line_frac"),
+        (nEllEnd.cast("double") / nLines.cast("double")).as("ellipsis_line_frac"))
+      .join(stopHits, Seq(idCol), "left")
+      .withColumn("n_stop_hits", coalesce(col("__stop_hits"), lit(0L)))
+      .drop("__stop_hits")
+    stats
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen)
+      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_alpha", col("alpha_word_frac") >= minAlphaWordFrac)
+      .withColumn("ok_stops", col("n_stop_hits") >= minStopHits)
+      .withColumn("ok_lines",
+        col("bullet_line_frac") <= maxBulletLineFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisLineFrac)
+      .withColumn("keep",
+        col("ok_words") && col("ok_word_len") && col("ok_symbols") &&
+          col("ok_alpha") && col("ok_stops") && col("ok_lines"))
+  }
+
   /** Corpus-derived stopword fraction: share of each document's tokens
     * that fall in the corpus's own top-`topK` tokens — the
     * distribution-aware cousin of a fixed stopword list (works for any

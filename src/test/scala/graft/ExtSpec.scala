@@ -2272,6 +2272,42 @@ class ExtSpec extends AnyFunSuite {
       ("en", 2L, 6L, 0.75, 9L, 1.5, 1.0, true)))
   }
 
+  test("gopherRules: hand-computed stats, per-rule flags, and keep on crafted docs") {
+    val df = docsDf(
+      1L -> "aa bb aa bb aa cc",
+      2L -> "xx yy",
+      3L -> "aa # ... zz",
+      4L -> "- one aa\n- two bb\nplain zz...")
+    val rows = TextOps.gopherRules(df,
+        minWords = 3, maxWords = 10, minMeanWordLen = 1.0,
+        maxMeanWordLen = 3.0, maxSymbolRatio = 0.1,
+        minAlphaWordFrac = 0.5, stopTopK = 2, minStopHits = 2,
+        maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // corpus top-2 stop list: aa (4 occurrences), bb (2)
+    val d1 = rows(1L)
+    assert(d1.getAs[Long]("n_words") === 6L)
+    assert(d1.getAs[Double]("mean_word_len") === 2.0)
+    assert(d1.getAs[Double]("symbol_ratio") === 0.0)
+    assert(d1.getAs[Double]("alpha_word_frac") === 1.0)
+    assert(d1.getAs[Long]("n_stop_hits") === 2L)
+    assert(d1.getAs[Boolean]("keep"))
+    // too short + no stop hits
+    val d2 = rows(2L)
+    assert(!d2.getAs[Boolean]("ok_words") && !d2.getAs[Boolean]("ok_stops"))
+    assert(!d2.getAs[Boolean]("keep"))
+    // symbol-heavy: 1 '#' + 1 '...' over 4 words = (3+3)/12 = 0.5
+    val d3 = rows(3L)
+    assert(d3.getAs[Double]("symbol_ratio") === 0.5)
+    assert(d3.getAs[Double]("alpha_word_frac") === 0.5)
+    assert(!d3.getAs[Boolean]("ok_symbols") && !d3.getAs[Boolean]("keep"))
+    // line rules: 2 of 3 lines bulleted, 1 of 3 ends with ellipsis
+    val d4 = rows(4L)
+    assert(d4.getAs[Double]("bullet_line_frac") === 2.0 / 3.0)
+    assert(d4.getAs[Double]("ellipsis_line_frac") === 1.0 / 3.0)
+    assert(!d4.getAs[Boolean]("ok_lines"))
+  }
+
   // ---- DSIR importance scoring/selection (Dsir) ----
 
   /** Independent reference implementation of the DSIR bit-length

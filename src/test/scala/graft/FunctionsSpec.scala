@@ -63,7 +63,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(graft.ext.GraftFns.standard.keySet === Set("graft_init",
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
-      "graft_strip_exact_substrings", "graft_dsir_select"))
+      "graft_strip_exact_substrings", "graft_dsir_select",
+      "graft_gopher_filter"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
       "mixture_sample", "pack_sequences"))

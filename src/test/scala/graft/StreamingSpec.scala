@@ -715,4 +715,41 @@ class StreamingSpec extends AnyFunSuite {
     sink(b1, 1L)
     assert(hist() === full, "replay of a delivered batch changed the history")
   }
+
+  test("streaming DSIR scoring: rolled raw model == batch-built prior models, replay-idempotent") {
+    import graft.streaming.StreamingDsir
+    import graft.ext.Dsir
+    val work = SparkTestBase.tmpDir("graft_stream_dsir")
+    def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val corpus = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "zxq vvk wop qnd lrm")
+    val target = docsDf(100L -> "the quick brown fox runs over the green hill")
+    // seed: corpus raw model under __batch=-1, frozen target model
+    Dsir.dsirModel(corpus).write.parquet(s"$work/raw/__batch=-1")
+    Dsir.dsirModel(target).write.parquet(s"$work/tgt")
+    val sink = StreamingDsir.scoreSink(s"$work/raw", s"$work/tgt", s"$work/out") _
+    val b0 = docsDf(10L -> "the lazy dog sleeps", 11L -> "ppq rrs ttu")
+    val b1 = docsDf(20L -> "the quick fox naps near the lazy dog")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    def scored() = StreamingDsir.scores(spark, s"$work/out")
+      .select("doc_id", "n_features", "weight_bits")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // batch equivalent: each batch scored against corpus + strictly
+    // earlier batches (raw) and the frozen target
+    def direct(batch: org.apache.spark.sql.DataFrame,
+               priorRaw: org.apache.spark.sql.DataFrame) =
+      Dsir.dsirScoreAgainstModels(batch, Dsir.dsirModel(priorRaw),
+          spark.read.parquet(s"$work/tgt"))
+        .select("doc_id", "n_features", "weight_bits")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val want = (direct(b0, corpus) ++ direct(b1, corpus.unionByName(b0)))
+      .sortBy(_._1)
+    assert(scored() === want, "streamed scores drifted from the batch rebuild")
+    // replay of batch 0: strictly-earlier probe must reproduce the
+    // original scores even though batch 1's model partition exists
+    sink(b0, 0L)
+    assert(scored() === want, "replay of a delivered batch changed its scores")
+  }
 }

@@ -1148,7 +1148,31 @@ object ExtQueries {
   def q116(spark: SparkSession, dir: String): DataFrame =
     TextOps.gopherRules(docs(spark, dir)).orderBy("doc_id")
 
+  /** Composed selection pipeline, every stage exact: Gopher rule keep
+    * ([[TextOps.gopherRules]]) → exact dedup ([[Dedup.exact]]) → DSIR
+    * top-k toward the in-corpus target ([[Dsir.dsirSelect]]) — the
+    * quality-then-dedup-then-match chain a curation run actually
+    * executes, end-to-end DuckDB-replayable because each stage is.
+    */
+  def q117(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // stage boundaries MATERIALIZE (the CurationChain.mat trade): the
+    // dedup consumes its input twice and dsirSelect consumes ITS input
+    // four ways (raw model, target model, feature explode, final
+    // join) — unmaterialized, the gopher+dedup lineage re-runs per
+    // branch (~10 corpus rescans; the q88 trap exactly)
+    val kept = d.join(
+        TextOps.gopherRules(d).where(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      .localCheckpoint(true)
+    val deduped = Dedup.exact(kept).localCheckpoint(true)
+    Dsir.dsirSelect(deduped, deduped.where(col("lang") === "en"), k = 100)
+      .select(col("doc_id"), col("lang"), col("source"), col("weight_bits"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_selection_pipeline" -> (q117 _),
     "q116_gopher_rules" -> (q116 _),
     "q109_dup_substring_regions" -> (q109 _),
     "q110_strip_substrings" -> (q110 _),
@@ -1384,6 +1408,84 @@ object ExtQueries {
         |SELECT doc_id, n_features, weight_bits,
         |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q117 — the composed chain replayed stage for stage: q116's keep
+    // conjunction selects, q07's min-id-per-md5 dedups, q113/q114's
+    // DSIR machinery scores the DEDUPED set against its own lang='en'
+    // subset and cuts the top 100 by the total (weight DESC, id) order.
+    "q117_selection_pipeline" ->
+      """WITH stops AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop_hits FROM (
+        |    SELECT DISTINCT doc_id, token FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents))
+        |  WHERE token IN (SELECT token FROM stops) GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> ends_with(x, '...'))) AS BIGINT) AS n_ell_end
+        |  FROM documents),
+        |g AS (
+        |  SELECT s.doc_id FROM s LEFT JOIN sh USING (doc_id)
+        |  WHERE s.n_words >= 50 AND s.n_words <= 100000
+        |    AND CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) >= 3.0
+        |    AND CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) <= 10.0
+        |    AND CAST(3 * s.n_hash + s.ell_chars AS DOUBLE)
+        |        / CAST(3 * s.n_words AS DOUBLE) <= 0.1
+        |    AND CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) >= 0.8
+        |    AND coalesce(sh.n_stop_hits, 0) >= 2
+        |    AND CAST(s.n_bullet AS DOUBLE) / CAST(s.n_lines AS DOUBLE) <= 0.9
+        |    AND CAST(s.n_ell_end AS DOUBLE) / CAST(s.n_lines AS DOUBLE) <= 0.3),
+        |kept AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+        |dd AS (SELECT * FROM kept
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM dd),
+        |fb AS (
+        |  SELECT doc_id, substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT doc_id,
+        |      unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok)),
+        |rawcf AS (SELECT b, count(*) AS cf FROM fb GROUP BY b),
+        |rn AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM rawcf),
+        |tfb AS (
+        |  SELECT substr(md5(f || 'graft'), 1, 4) AS b FROM (
+        |    SELECT unnest(list_concat(l,
+        |        list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]))) AS f
+        |    FROM tok JOIN dd USING (doc_id) WHERE dd.lang = 'en')),
+        |tgtcf AS (SELECT b, count(*) AS tcf FROM tfb GROUP BY b),
+        |tn AS (SELECT CAST(coalesce(sum(tcf), 0) AS BIGINT) AS n FROM tgtcf),
+        |agg AS (
+        |  SELECT fb.doc_id,
+        |    CAST(sum(
+        |      (length(format('{:b}', rn.n + 65536))
+        |       - length(format('{:b}', coalesce(rawcf.cf, 0) + 1)))
+        |      - (length(format('{:b}', tn.n + 65536))
+        |         - length(format('{:b}', coalesce(tgtcf.tcf, 0) + 1)))) AS BIGINT)
+        |      AS weight_bits
+        |  FROM fb LEFT JOIN rawcf USING (b) LEFT JOIN tgtcf USING (b)
+        |  CROSS JOIN rn CROSS JOIN tn
+        |  GROUP BY fb.doc_id)
+        |SELECT doc_id, lang, source, weight_bits FROM (
+        |  SELECT dd.doc_id, dd.lang, dd.source, agg.weight_bits
+        |  FROM dd JOIN agg USING (doc_id)
+        |  ORDER BY agg.weight_bits DESC, dd.doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     // q116 — the Gopher rule report replayed: integer counts per
     // statistic, one division per ratio, threshold comparisons on the
     // identical IEEE doubles; the stop list is the q40 top-k with its

@@ -455,6 +455,61 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 40)
   }
 
+  test("property: gopherRules == independent rule model on randomized punctuated corpora") {
+    import graft.ext.TextOps
+    // vocab deliberately hits every rule: short/long tokens, '#' and
+    // '...' symbols, non-alphabetic tokens, bullet and ellipsis line
+    // shapes; docs are 1-3 LINES of 1-12 tokens
+    val vocab = Seq("aa", "bb", "cc", "dd", "longword", "x", "#", "...",
+      "12", "zz...")
+    val lineGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+      .flatMap(toks => Gen.oneOf("", "- ", "* ").map(pfx => pfx + toks.mkString(" ")))
+    val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, lineGen))
+      .map(_.mkString("\n"))
+    val corpusGen = Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, docGen))
+    val (minW, maxW, minL, maxL, maxSym, minAl, topK, minStops, maxBul, maxEll) =
+      (3, 20, 1.0, 4.0, 0.2, 0.5, 3, 1, 0.5, 0.4)
+    check(Prop.forAll(corpusGen) { docs =>
+      // independent model: plain Scala over the same rule definitions
+      val tokOf = (t: String) => t.split(" ", -1).toSeq
+      val counts = docs.flatMap(tokOf).groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+      val stops = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(topK)
+        .map(_._1).toSet
+      val want = docs.zipWithIndex.map { case (text, i) =>
+        val toks = tokOf(text)
+        val lines = text.split("\n", -1).toSeq
+        val nW = toks.size.toLong
+        val meanLen = toks.map(_.length).sum.toDouble / nW
+        val nHash = text.count(_ == '#').toLong
+        val ellChars = (text.length - text.replace("...", "").length).toLong
+        val sym = (3L * nHash + ellChars).toDouble / (3L * nW)
+        val alpha = toks.count(_.exists(c =>
+          (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nW
+        val bul = lines.count(l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("•")).toDouble / lines.size
+        val ell = lines.count(_.endsWith("...")).toDouble / lines.size
+        val hits = toks.distinct.count(stops.contains).toLong
+        val keep = nW >= minW && nW <= maxW && meanLen >= minL &&
+          meanLen <= maxL && sym <= maxSym && alpha >= minAl &&
+          hits >= minStops && bul <= maxBul && ell <= maxEll
+        i.toLong -> ((nW, meanLen, sym, alpha, bul, ell, hits, keep))
+      }.toMap
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextOps.gopherRules(df, minW, maxW, minL, maxL, maxSym,
+          minAl, topK, minStops, maxBul, maxEll)
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+          "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
+          "n_stop_hits", "keep")
+        .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+        .collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+        .toMap
+      got == want
+    }, minSuccessful = 10)
+  }
+
   test("property: dsirScore == independent hashed-feature importance model") {
     import graft.ext.Dsir
     // small vocab FORCES shared features and bucket collisions between

@@ -28,7 +28,13 @@ import graft.ext.Dsir
   * Scale shape per micro-batch: merging the rolled model partitions is
   * a ≤65536-row-per-partition aggregation (model-scale, not
   * corpus-scale); scoring is [[Dsir.dsirScoreAgainstModels]]'s
-  * explode → two broadcast joins → one per-batch-doc sum.
+  * explode → two broadcast joins → one per-batch-doc sum. A
+  * long-lived stream accretes one small partition per batch under the
+  * model root; [[StreamingDedup.compactIndex]] folds them verbatim
+  * (it rewrites rows without aggregating, and the probe re-aggregates
+  * per bucket on read — StreamingSpec pins score equality across a
+  * compaction), with its documented trade: replays of batches at or
+  * below the fold point see the folded state.
   */
 object StreamingDsir {
 

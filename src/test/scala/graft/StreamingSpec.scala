@@ -752,4 +752,39 @@ class StreamingSpec extends AnyFunSuite {
     sink(b0, 0L)
     assert(scored() === want, "replay of a delivered batch changed its scores")
   }
+
+  test("streaming DSIR: cold start scores exactly; model compaction preserves scores") {
+    import graft.streaming.{StreamingDsir, StreamingDedup}
+    import graft.ext.Dsir
+    val work = SparkTestBase.tmpDir("graft_stream_dsir_cold")
+    def docsDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val target = docsDf(100L -> "the quick brown fox")
+    Dsir.dsirModel(target).write.parquet(s"$work/tgt")
+    val sink = StreamingDsir.scoreSink(s"$work/raw", s"$work/tgt", s"$work/out") _
+    // NO raw-model seed: batch 0 scores against the empty model (every
+    // count smooths to 1) — compare against the direct probe spelling
+    val b0 = docsDf(10L -> "the lazy dog", 11L -> "ppq rrs")
+    sink(b0, 0L)
+    val direct0 = Dsir.dsirScoreAgainstModels(b0,
+        Dsir.dsirModel(b0.limit(0)), spark.read.parquet(s"$work/tgt"))
+      .select("doc_id", "weight_bits").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    def outFor(ids: Set[Long]) = spark.read.parquet(s"$work/out")
+      .select("doc_id", "weight_bits").as[(Long, Long)].collect()
+      .filter(r => ids.contains(r._1)).sortBy(_._1).toSeq
+    assert(outFor(Set(10L, 11L)) === direct0, "cold-start scores drifted")
+    // accrete two more batches, then fold the model partitions: the
+    // NEXT batch must score identically to the uncompacted state
+    sink(docsDf(20L -> "the quick dog"), 1L)
+    sink(docsDf(30L -> "ppq the fox"), 2L)
+    val wantNext = Dsir.dsirScoreAgainstModels(docsDf(40L -> "the lazy fox runs"),
+        Dsir.dsirModel(b0.unionByName(docsDf(20L -> "the quick dog"))
+          .unionByName(docsDf(30L -> "ppq the fox"))),
+        spark.read.parquet(s"$work/tgt"))
+      .select("doc_id", "weight_bits").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val folded = StreamingDedup.compactIndex(spark, s"$work/raw")
+    assert(folded > 0, "compaction should fold at least one partition")
+    sink(docsDf(40L -> "the lazy fox runs"), 3L)
+    assert(outFor(Set(40L)) === wantNext,
+      "scores after model compaction drifted from the uncompacted rebuild")
+  }
 }

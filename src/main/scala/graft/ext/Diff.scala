@@ -108,4 +108,46 @@ object Diff {
         col("share_diff") * col("share_diff") / col("share_old")))
       .drop("__tot_old", "__tot_new")
   }
+
+  /** TOKEN-level drift between two corpus snapshots — the finest lens
+    * of the drift family ([[snapshotDiff]] = which documents,
+    * [[bandDrift]] = which bands, this = which WORDS): the `k` tokens
+    * whose share of the corpus moved most between `older` and `newer`,
+    * ranked by |share delta| — "what vocabulary did this ingest/
+    * curation run actually add or lose?" Surfaces topic shifts and
+    * boilerplate floods a band-level mixture check cannot see.
+    *
+    * Exact and cross-engine: integer occurrence counts per side, one
+    * IEEE division per share, a subtraction, and a total (|delta|
+    * DESC, token ASC) order for the cut — no log, no estimate.
+    *
+    * Scale shape: one map-side-combinable token count per side
+    * (vocabulary-cardinality rows shuffle, never occurrences), a
+    * vocabulary-scale full-outer join, broadcast 1-row totals, and a
+    * TakeOrdered top-k — the corpus is scanned once per side.
+    */
+  def tokenDrift(older: DataFrame, newer: DataFrame, k: Int,
+                 textCol: String = "text"): DataFrame = {
+    require(k > 0, "tokenDrift requires k > 0")
+    def counts(df: DataFrame) = df
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val joined = counts(older).select(col("token"), col("n").as("n_old"))
+      .join(counts(newer).select(col("token"), col("n").as("n_new")),
+        Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("__tot_old"),
+      sum(col("n_new")).as("__tot_new"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("share_old",
+        col("n_old").cast("double") / col("__tot_old").cast("double"))
+      .withColumn("share_new",
+        col("n_new").cast("double") / col("__tot_new").cast("double"))
+      .withColumn("share_diff", col("share_new") - col("share_old"))
+      .drop("__tot_old", "__tot_new")
+      .orderBy(abs(col("share_diff")).desc, col("token").asc)
+      .limit(k)
+  }
 }

@@ -1171,7 +1171,20 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Token-level drift ([[Diff.tokenDrift]]): the 200 tokens whose
+    * corpus share moved most between the corpus side and the held-out
+    * tenth — the vocabulary lens of the drift family (q95 documents,
+    * q103 bands, this words).
+    */
+  def q118(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    Diff.tokenDrift(d.where(col("doc_id") % 10 =!= 0),
+        d.where(col("doc_id") % 10 === 0), k = 200)
+      .orderBy("token")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_token_drift" -> (q118 _),
     "q117_selection_pipeline" -> (q117 _),
     "q116_gopher_rules" -> (q116 _),
     "q109_dup_substring_regions" -> (q109 _),
@@ -1408,6 +1421,35 @@ object ExtQueries {
         |SELECT doc_id, n_features, weight_bits,
         |  CAST(weight_bits AS DOUBLE) / CAST(n_features AS DOUBLE) AS avg_bits
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // q118 — token drift replayed: per-side occurrence counts, one
+    // division per share, |delta| ranked with the (abs DESC, token)
+    // total order — identical doubles, identical ties, identical cut.
+    "q118_token_drift" ->
+      """WITH oc AS (
+        |  SELECT token, count(*) AS n_old FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 <> 0) GROUP BY token),
+        |nc AS (
+        |  SELECT token, count(*) AS n_new FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token
+        |    FROM documents WHERE doc_id % 10 = 0) GROUP BY token),
+        |j AS (
+        |  SELECT token,
+        |    CAST(coalesce(n_old, 0) AS BIGINT) AS n_old,
+        |    CAST(coalesce(n_new, 0) AS BIGINT) AS n_new
+        |  FROM oc FULL OUTER JOIN nc USING (token)),
+        |t AS (SELECT CAST(sum(n_old) AS BIGINT) AS tot_old,
+        |             CAST(sum(n_new) AS BIGINT) AS tot_new FROM j),
+        |r AS (
+        |  SELECT token, n_old, n_new,
+        |    CAST(n_old AS DOUBLE) / CAST(tot_old AS DOUBLE) AS share_old,
+        |    CAST(n_new AS DOUBLE) / CAST(tot_new AS DOUBLE) AS share_new,
+        |    CAST(n_new AS DOUBLE) / CAST(tot_new AS DOUBLE)
+        |      - CAST(n_old AS DOUBLE) / CAST(tot_old AS DOUBLE) AS share_diff
+        |  FROM j CROSS JOIN t)
+        |SELECT token, n_old, n_new, share_old, share_new, share_diff FROM (
+        |  SELECT * FROM r ORDER BY abs(share_diff) DESC, token ASC LIMIT 200)
+        |ORDER BY token""".stripMargin,
     // q117 — the composed chain replayed stage for stage: q116's keep
     // conjunction selects, q07's min-id-per-md5 dedups, q113/q114's
     // DSIR machinery scores the DEDUPED set against its own lang='en'

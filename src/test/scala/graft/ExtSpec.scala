@@ -2308,6 +2308,20 @@ class ExtSpec extends AnyFunSuite {
     assert(!d4.getAs[Boolean]("ok_lines"))
   }
 
+  test("tokenDrift: hand-computed shares and deltas, |delta|-ranked cut, one-sided tokens") {
+    import graft.ext.Diff
+    val older = docsDf(1L -> "a a b")
+    val newer = docsDf(2L -> "a c c c")
+    // shares: a 2/3 -> 1/4 (|d| = 5/12), b 1/3 -> 0 (1/3), c 0 -> 3/4
+    val rows = Diff.tokenDrift(older, newer, k = 2)
+      .select("token", "n_old", "n_new", "share_old", "share_new", "share_diff")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(rows === Seq(
+      ("a", 2L, 1L, 2.0 / 3.0, 1.0 / 4.0, 1.0 / 4.0 - 2.0 / 3.0),
+      ("c", 0L, 3L, 0.0, 3.0 / 4.0, 3.0 / 4.0)))
+  }
+
   // ---- DSIR importance scoring/selection (Dsir) ----
 
   /** Independent reference implementation of the DSIR bit-length

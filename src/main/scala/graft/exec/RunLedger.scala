@@ -48,8 +48,8 @@ object RunLedger {
       wall_ms: Long)
 
   /** Append one run row (a single-row local-relation write — one tiny
-    * parquet file per run; compact with `ext.Layout.compact` if a
-    * high-frequency scheduler ever accretes too many).
+    * parquet file per run; [[compact]] folds the accretion on whatever
+    * cadence the scheduler prefers).
     */
   def append(spark: SparkSession, dir: String, e: Entry): Unit = {
     import spark.implicits._
@@ -61,6 +61,21 @@ object RunLedger {
   /** The full run history, newest first. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).orderBy(col("started_ms").desc)
+
+  /** Ledger maintenance: fold the one-tiny-file-per-run appends into
+    * `ceil(bytes/targetBytes)` files (usually ONE for years of runs —
+    * a ledger row is a few hundred bytes) via
+    * [[graft.ext.Layout.compactParquet]], preserving every row. Call
+    * on a cadence from whatever schedules the tasks — e.g. a nightly
+    * [[EtlTask]] of its own — if a high-frequency scheduler accretes
+    * enough appends for listing cost to show. The swap is
+    * staging + rename (compactParquet's contract): don't run it
+    * concurrently with an in-flight append. Returns the data-file
+    * count after compaction.
+    */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20): Int =
+    graft.ext.Layout.compactParquet(spark, dir, targetBytes)
 
   /** Run `write` on the observed frame and return the rows it landed —
     * the count rides the write's own pass (no second scan).

@@ -12,6 +12,27 @@ import graft.config._
   */
 final case class EtlTask(id: String, run: () => Unit)
 
+/** Outcome of one task inside a [[Tasks.runDag]] execution. */
+sealed trait DagStatus
+object DagStatus {
+  case object Succeeded extends DagStatus
+  /** The task's own run() threw. */
+  final case class Failed(error: Throwable) extends DagStatus
+  /** Never attempted: an upstream task failed (or was itself skipped).
+    * `blockedBy` names the nearest non-succeeded dependencies.
+    */
+  final case class Skipped(blockedBy: Seq[String]) extends DagStatus
+}
+
+/** Result of a [[Tasks.runDag]] execution: the ids in the order their
+  * runs COMPLETED (skipped tasks excluded) and every task's status.
+  * `succeeded` is true iff every task ran and succeeded.
+  */
+final case class DagRun(completionOrder: Seq[String],
+                        status: Map[String, DagStatus]) {
+  def succeeded: Boolean = status.values.forall(_ == DagStatus.Succeeded)
+}
+
 /** Task factories (reference: `AirflowETL.extract_db`
   * airflow_etl.py:486-538, `AirflowETL.transform_db` :736-774). The
   * factories validate modes and fix naming/default rules at BUILD time
@@ -90,5 +111,123 @@ object Tasks {
       PipelineRunner.run(ctx.copy(sqlRoot = Some(folder), taskId = id),
         cfg, readMode, writeMode, mergeMode)
     })
+  }
+
+  /** IN-PROCESS DAG execution — the one Airflow affordance the
+    * scheduler-agnostic single-task contract ([[graft.RunTask]]) left
+    * to the orchestrator, for deployments that have none: run a set of
+    * [[EtlTask]]s in dependency order, optionally running INDEPENDENT
+    * tasks concurrently, with Airflow's failure semantics — a failed
+    * task blocks exactly its transitive DESCENDANTS (marked
+    * [[DagStatus.Skipped]] with the nearest blocking ids), every other
+    * branch keeps running to completion.
+    *
+    * `deps` maps task id → upstream task ids (absent key = no
+    * upstreams, the Airflow default). Duplicate ids, unknown ids in
+    * `deps`, and cycles fail FAST at build time — before any task
+    * runs — like the reference resolving its DAG in the scheduler
+    * process.
+    *
+    * Scheduling is deterministic: ready tasks start in id order
+    * (Kahn's algorithm over a sorted ready queue). With
+    * `parallelism > 1` independent ready tasks run on a fixed thread
+    * pool — Spark sessions are thread-safe and local/cluster masters
+    * schedule concurrent jobs fairly, so two independent extracts
+    * genuinely overlap their I/O waits. Ledger integration is the
+    * tasks' own: each extract/transform appends its run row AFTER its
+    * writes succeed ([[RunLedger]]), so a DAG run leaves one ledger
+    * row per SUCCEEDED task and none for failed/skipped ones — the
+    * ledger stays "what actually landed".
+    */
+  def runDag(tasks: Seq[EtlTask], deps: Map[String, Seq[String]] = Map.empty,
+             parallelism: Int = 1): DagRun = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val ids = tasks.map(_.id)
+    require(ids.distinct.size == ids.size,
+      s"duplicate task ids: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
+    val idSet = ids.toSet
+    val unknown = (deps.keys.filterNot(idSet) ++
+      deps.values.flatten.filterNot(idSet)).toSeq.distinct
+    require(unknown.isEmpty, s"deps reference unknown task ids: ${unknown.mkString(", ")}")
+    val upstream: Map[String, Seq[String]] =
+      ids.map(id => id -> deps.getOrElse(id, Nil)).toMap
+    val downstream: Map[String, Seq[String]] = upstream.toSeq
+      .flatMap { case (id, ups) => ups.map(_ -> id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // cycle check: Kahn over the whole graph before anything runs
+    locally {
+      val indeg = scala.collection.mutable.Map(
+        ids.map(id => id -> upstream(id).size): _*)
+      var frontier = ids.filter(indeg(_) == 0).toList
+      var seen = 0
+      while (frontier.nonEmpty) {
+        val h = frontier.head; frontier = frontier.tail; seen += 1
+        downstream.getOrElse(h, Nil).foreach { d =>
+          indeg(d) -= 1; if (indeg(d) == 0) frontier = d :: frontier
+        }
+      }
+      val stuck = indeg.filter(_._2 > 0).keys.toSeq.sorted
+      require(seen == ids.size,
+        s"dependency cycle among: ${stuck.mkString(", ")}")
+    }
+    val byId = tasks.map(t => t.id -> t).toMap
+    val status = scala.collection.concurrent.TrieMap.empty[String, DagStatus]
+    val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pendingUps = scala.collection.mutable.Map(
+      ids.map(id => id -> scala.collection.mutable.Set(upstream(id): _*)): _*)
+    val lock = new Object
+    val pool =
+      if (parallelism == 1) None
+      else Some(java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val done = new java.util.concurrent.CountDownLatch(1)
+
+    // mark every transitive descendant of a non-succeeded task Skipped,
+    // recording its nearest non-succeeded upstreams; returns ids whose
+    // remaining upstreams all resolved (they become schedulable-or-skipped)
+    def resolveDownstream(id: String): Seq[String] = lock.synchronized {
+      downstream.getOrElse(id, Nil).flatMap { d =>
+        pendingUps(d) -= id
+        if (pendingUps(d).isEmpty && !status.contains(d)) Seq(d) else Nil
+      }
+    }
+    def schedule(id: String): Unit = {
+      val blocked = upstream(id).filter(u => status.get(u) match {
+        case Some(DagStatus.Succeeded) => false
+        case _ => true
+      })
+      if (blocked.nonEmpty) {
+        status(id) = DagStatus.Skipped(blocked.sorted)
+        finish(id)
+      } else {
+        inFlight.incrementAndGet()
+        val body: Runnable = () => {
+          val st =
+            try { byId(id).run(); DagStatus.Succeeded }
+            catch { case e: Throwable => DagStatus.Failed(e) }
+          status(id) = st
+          completed.add(id)
+          inFlight.decrementAndGet()
+          finish(id)
+        }
+        pool match {
+          case Some(p) => p.execute(body)
+          case None => body.run()
+        }
+      }
+    }
+    def finish(id: String): Unit = {
+      val next = resolveDownstream(id).sorted
+      next.foreach(schedule)
+      lock.synchronized {
+        if (status.size == ids.size && inFlight.get() == 0) done.countDown()
+      }
+    }
+    // cycle check above guarantees roots exist whenever ids do
+    ids.filter(upstream(_).isEmpty).sorted.foreach(schedule)
+    if (ids.isEmpty) done.countDown()
+    done.await()
+    pool.foreach(_.shutdown())
+    DagRun(completed.toArray(Array.empty[String]).toSeq, status.toMap)
   }
 }

@@ -286,6 +286,138 @@ class TasksSpec extends AnyFunSuite {
     }
   }
 
+  test("runDag: diamond runs in topological order, deterministic by id among ready tasks") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def t(id: String) = EtlTask(id, () => ran.synchronized { ran += id; () })
+    val run = Tasks.runDag(
+      Seq(t("d"), t("b"), t("c"), t("a")),
+      deps = Map("b" -> Seq("a"), "c" -> Seq("a"), "d" -> Seq("b", "c")))
+    assert(run.succeeded)
+    assert(run.status.values.forall(_ == DagStatus.Succeeded))
+    assert(ran.toSeq === Seq("a", "b", "c", "d"),
+      "sequential mode starts ready tasks in id order")
+    assert(run.completionOrder === Seq("a", "b", "c", "d"))
+  }
+
+  test("runDag: a failed task blocks exactly its descendants; other branches finish") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ok(id: String) = EtlTask(id, () => ran.synchronized { ran += id; () })
+    val boom = EtlTask("b", () => throw new RuntimeException("b exploded"))
+    // a -> {b, c}; b -> d; {c, d} -> e : b's failure must skip d and e
+    // (e names d, its NEAREST blocked upstream), while c still runs
+    val run = Tasks.runDag(
+      Seq(ok("a"), boom, ok("c"), ok("d"), ok("e")),
+      deps = Map("b" -> Seq("a"), "c" -> Seq("a"),
+        "d" -> Seq("b"), "e" -> Seq("c", "d")))
+    assert(!run.succeeded)
+    assert(ran.toSeq === Seq("a", "c"), "independent branch must still run")
+    assert(run.status("a") === DagStatus.Succeeded)
+    assert(run.status("c") === DagStatus.Succeeded)
+    run.status("b") match {
+      case DagStatus.Failed(e) => assert(e.getMessage === "b exploded")
+      case other => fail(s"b should be Failed, got $other")
+    }
+    assert(run.status("d") === DagStatus.Skipped(Seq("b")))
+    assert(run.status("e") === DagStatus.Skipped(Seq("d")))
+    assert(!run.completionOrder.contains("d") && !run.completionOrder.contains("e"))
+  }
+
+  test("runDag: parallelism > 1 genuinely overlaps independent tasks") {
+    import graft.exec.{EtlTask, Tasks}
+    // both tasks block until BOTH have started — completes only if the
+    // pool really runs them concurrently (sequential mode would deadlock,
+    // so this is run with a timeout latch and asserted, not awaited forever)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def t(id: String) = EtlTask(id, () => {
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+    })
+    val run = Tasks.runDag(Seq(t("x"), t("y")), parallelism = 2)
+    assert(run.succeeded, s"expected concurrent execution, got ${run.status}")
+  }
+
+  test("runDag: duplicate ids, unknown deps, and cycles fail fast before anything runs") {
+    import graft.exec.{EtlTask, Tasks}
+    var ranAny = false
+    def t(id: String) = EtlTask(id, () => { ranAny = true })
+    val dup = intercept[IllegalArgumentException](
+      Tasks.runDag(Seq(t("a"), t("a"))))
+    assert(dup.getMessage.contains("duplicate"))
+    val unknown = intercept[IllegalArgumentException](
+      Tasks.runDag(Seq(t("a")), deps = Map("a" -> Seq("ghost"))))
+    assert(unknown.getMessage.contains("ghost"))
+    val cycle = intercept[IllegalArgumentException](
+      Tasks.runDag(Seq(t("a"), t("b")),
+        deps = Map("a" -> Seq("b"), "b" -> Seq("a"))))
+    assert(cycle.getMessage.contains("cycle"))
+    assert(!ranAny, "validation failures must precede any task run")
+    assert(Tasks.runDag(Nil).succeeded, "an empty DAG is a successful no-op")
+  }
+
+  test("runDag + ledger: a diamond of real extracts leaves one ledger row per succeeded task") {
+    import graft.exec.{DagStatus, RunLedger, Tasks}
+    val url = "jdbc:derby:memory:graftdag;create=true"
+    def exec(sql: String*): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement(); sql.foreach(st.execute); st.close() }
+      finally c.close()
+    }
+    exec(
+      """CREATE TABLE APP.T1 ("id" INT NOT NULL PRIMARY KEY, "ts" INT)""",
+      "INSERT INTO APP.T1 VALUES (1,1), (2,2)",
+      """CREATE TABLE APP.T2 ("id" INT NOT NULL PRIMARY KEY, "ts" INT)""",
+      "INSERT INTO APP.T2 VALUES (1,1)",
+      """CREATE TABLE APP.T3 ("id" INT NOT NULL PRIMARY KEY, "ts" INT)""",
+      "INSERT INTO APP.T3 VALUES (1,1), (2,2), (3,3)")
+    val work = SparkTestBase.tmpDir("graft_dag_ledger")
+    val ctx = EtlContext(spark, Lake(s"$work/lake"),
+      new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("MAIN_FLEX_CONN" -> "url: jdbc:derby:memory:graftdag\ndialect: generic"),
+      dumpDir = s"$work/dump")
+    def ex(table: String) = Tasks.extractDbTracked(ctx, "FLEX", "MAIN",
+      "app", table, s"SELECT * FROM APP.${table.toUpperCase}", "ts")
+    val (t1, t2, t3) = (ex("t1"), ex("t2"), ex("t3"))
+    // t3 only lands after both upstreams (a real "merge inputs" shape)
+    val run = Tasks.runDag(Seq(t1, t2, t3),
+      deps = Map(t3.id -> Seq(t1.id, t2.id)))
+    assert(run.succeeded)
+    val ledger = RunLedger.read(spark, RunLedger.dirFor(ctx)).collect()
+    assert(ledger.length === 3, "one ledger row per succeeded task")
+    assert(ledger.map(_.getAs[String]("task_id")).toSet ===
+      Set(t1.id, t2.id, t3.id))
+    // a failing upstream leaves NO new ledger rows for its descendants
+    val boom = graft.exec.EtlTask("task_extract_flex_main_boom_delta",
+      () => throw new RuntimeException("boom"))
+    val run2 = Tasks.runDag(Seq(boom, ex("t1")),
+      deps = Map(t1.id -> Seq(boom.id)))
+    assert(!run2.succeeded)
+    assert(run2.status(t1.id).isInstanceOf[DagStatus.Skipped])
+    assert(RunLedger.read(spark, RunLedger.dirFor(ctx)).count() === 3,
+      "failed/skipped tasks must not append ledger rows")
+  }
+
+  test("ledger compaction: N one-row appends fold to one file with history intact") {
+    import graft.exec.RunLedger
+    val dir = SparkTestBase.tmpDir("graft_ledger_compact") + "/led"
+    (1 to 6).foreach { i =>
+      RunLedger.append(spark, dir, RunLedger.Entry(
+        s"task_$i", "extract", Seq(s"src_$i"), None,
+        rows_out = i.toLong, landed_path = s"/lake/t$i",
+        started_ms = 1000L * i, wall_ms = 5L))
+    }
+    def files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files === 6, "each append lands its own tiny file")
+    val before = RunLedger.read(spark, dir)
+      .select("task_id", "rows_out").as[(String, Long)].collect().toSeq
+    assert(RunLedger.compact(spark, dir) === 1)
+    assert(files === 1)
+    val after = RunLedger.read(spark, dir)
+      .select("task_id", "rows_out").as[(String, Long)].collect().toSeq
+    assert(after === before, "compaction preserves every row and the read order")
+  }
+
   test("RunTask rejects malformed invocations with actionable errors") {
     val env = Map("GRAFT_LAKE" -> "/x", "GRAFT_WAREHOUSE" -> "/x")
     val usage = intercept[ConfigException](RunTask.run(spark, List("frobnicate"), env))

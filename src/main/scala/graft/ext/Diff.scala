@@ -96,13 +96,17 @@ object Diff {
       .select(col("band"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-    val totals = joined.agg(sum(col("n_old")).as("__tot_old"),
-      sum(col("n_new")).as("__tot_new"))
+    // an EMPTY side has sum() = null totals; its shares are defined as
+    // 0.0 (not null) so the report — and any |share_diff| ordering a
+    // caller applies — stays deterministic across engines instead of
+    // inheriting engine null-ordering defaults
+    val totals = joined.agg(coalesce(sum(col("n_old")), lit(0L)).as("__tot_old"),
+      coalesce(sum(col("n_new")), lit(0L)).as("__tot_new"))
     joined.crossJoin(broadcast(totals))
-      .withColumn("share_old",
-        col("n_old").cast("double") / col("__tot_old").cast("double"))
-      .withColumn("share_new",
-        col("n_new").cast("double") / col("__tot_new").cast("double"))
+      .withColumn("share_old", when(col("__tot_old") === 0L, lit(0.0))
+        .otherwise(col("n_old").cast("double") / col("__tot_old").cast("double")))
+      .withColumn("share_new", when(col("__tot_new") === 0L, lit(0.0))
+        .otherwise(col("n_new").cast("double") / col("__tot_new").cast("double")))
       .withColumn("share_diff", col("share_new") - col("share_old"))
       .withColumn("chi2_term", when(col("n_old") > 0,
         col("share_diff") * col("share_diff") / col("share_old")))
@@ -138,13 +142,17 @@ object Diff {
       .select(col("token"),
         coalesce(col("n_old"), lit(0L)).as("n_old"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-    val totals = joined.agg(sum(col("n_old")).as("__tot_old"),
-      sum(col("n_new")).as("__tot_new"))
+    // empty-side guard, same contract as [[bandDriftFromCounts]]: a
+    // side with no documents has all shares 0.0, so the
+    // |share_diff|-ranked cut below stays engine-deterministic (a null
+    // share would sort by engine null-ordering defaults)
+    val totals = joined.agg(coalesce(sum(col("n_old")), lit(0L)).as("__tot_old"),
+      coalesce(sum(col("n_new")), lit(0L)).as("__tot_new"))
     joined.crossJoin(broadcast(totals))
-      .withColumn("share_old",
-        col("n_old").cast("double") / col("__tot_old").cast("double"))
-      .withColumn("share_new",
-        col("n_new").cast("double") / col("__tot_new").cast("double"))
+      .withColumn("share_old", when(col("__tot_old") === 0L, lit(0.0))
+        .otherwise(col("n_old").cast("double") / col("__tot_old").cast("double")))
+      .withColumn("share_new", when(col("__tot_new") === 0L, lit(0.0))
+        .otherwise(col("n_new").cast("double") / col("__tot_new").cast("double")))
       .withColumn("share_diff", col("share_new") - col("share_old"))
       .drop("__tot_old", "__tot_new")
       .orderBy(abs(col("share_diff")).desc, col("token").asc)

@@ -102,15 +102,35 @@ object Dsir {
     *
     * The raw model is built from `candidates` itself (the paper's
     * setting: importance against the distribution you are sampling
-    * FROM). Features absent from the target model take the smoothed
-    * count 1 via a left join + coalesce — integer-exact, no special
-    * cases.
+    * FROM), which makes the candidate lineage a MULTI-CONSUMER input
+    * (model build + feature explode) — so it is materialized here
+    * (eager `localCheckpoint`, the q117/CurationChain stage-boundary
+    * trade) and the corpus lineage runs ONCE, not once per consumer.
+    * Callers that already persisted `candidates` pay one cheap extra
+    * copy; callers on preemptible executors who need durable restarts
+    * should land `candidates` as parquet first and pass the re-read
+    * (localCheckpoint blocks are lost with their executor). To score
+    * against models built elsewhere — with no materialization at all —
+    * use [[dsirScoreAgainstModels]] directly.
+    *
+    * Features absent from the target model take the smoothed count 1
+    * via a left join + coalesce — integer-exact, no special cases.
     */
   def dsirScore(candidates: DataFrame, target: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text",
                 salt: String = "graft"): DataFrame =
-    dsirScoreAgainstModels(candidates,
-      dsirModel(candidates, textCol, salt),
+    scoreMaterialized(candidates.localCheckpoint(true), target,
+      idCol, textCol, salt)
+
+  /** [[dsirScore]] over an ALREADY-materialized candidate frame — the
+    * shared tail that never re-materializes ([[dsirSelect]] checkpoints
+    * once and reuses the same block for its join-back).
+    */
+  private def scoreMaterialized(c: DataFrame, target: DataFrame,
+                                idCol: String, textCol: String,
+                                salt: String): DataFrame =
+    dsirScoreAgainstModels(c,
+      dsirModel(c, textCol, salt),
       dsirModel(target, textCol, salt), idCol, textCol, salt)
 
   /** Score a batch against PERSISTED models — the incremental face:
@@ -155,13 +175,29 @@ object Dsir {
     * top-k resample (the stochastic tie-break replaced by the id so
     * two engines select the identical set). Plans as TakeOrdered, not
     * a full sort.
+    *
+    * `candidates` is consumed three ways (raw model, feature explode,
+    * final join-back), so it is materialized ONCE here (eager
+    * `localCheckpoint` — same contract and caveats as [[dsirScore]])
+    * and every consumer reads the same block: a direct call over a
+    * parquet corpus scans it exactly once, never ~4×.
+    *
+    * `weight_bits` is a RESERVED output column (it carries the score):
+    * a candidate frame that already has one is rejected at analysis
+    * time with a clear message rather than failing ambiguous-column
+    * deep in the join ([[dsirScoreAgainstModels]]'s n_features /
+    * avg_bits are not selected here and stay caller-visible only
+    * through that API).
     */
   def dsirSelect(candidates: DataFrame, target: DataFrame, k: Int,
                  idCol: String = "doc_id", textCol: String = "text",
                  salt: String = "graft"): DataFrame = {
     require(k > 0, "dsirSelect requires k > 0")
-    candidates
-      .join(dsirScore(candidates, target, idCol, textCol, salt)
+    require(!candidates.columns.contains("weight_bits"),
+      "dsirSelect: 'weight_bits' is a reserved output column — rename it on " +
+        "the candidate frame (or score with dsirScoreAgainstModels and join yourself)")
+    val c = candidates.localCheckpoint(true)
+    c.join(scoreMaterialized(c, target, idCol, textCol, salt)
         .select(col(idCol), col("weight_bits")), Seq(idCol))
       .orderBy(col("weight_bits").desc, col(idCol).asc)
       .limit(k)

@@ -33,8 +33,16 @@ import graft.ext.Dsir
   * model root; [[StreamingDedup.compactIndex]] folds them verbatim
   * (it rewrites rows without aggregating, and the probe re-aggregates
   * per bucket on read — StreamingSpec pins score equality across a
-  * compaction), with its documented trade: replays of batches at or
-  * below the fold point see the folded state.
+  * compaction), with its documented trade made precise: compaction
+  * moves every partition at or below the fold point — INCLUDING a
+  * `__batch=-1` seed model — into one partition AT the fold point, so
+  * a replay of a batch id ≤ the fold point finds NO strictly-earlier
+  * partitions and scores against an EMPTY raw model (every count
+  * smoothed to 1), not against the folded state and not its original
+  * scores. Replay-exactness therefore only holds for batch ids above
+  * the last fold point: either compact only up to the checkpoint's
+  * committed batch id (replays can't reach below it), or accept that
+  * deeper manual replays are cold-model scores.
   */
 object StreamingDsir {
 

@@ -94,19 +94,16 @@ object SparkEntry {
     "q90_bpe_packing" -> ("BPE segmentation is not SQL-expressible: ExtSpec "
       + "hand-computed fit, parquet round-trip, repartition determinism, "
       + "inline==precomputed packing equivalence + golden digest"),
+    "q123_unigram_packing" -> ("unigram-LM Viterbi segmentation is not "
+      + "SQL-expressible (the q90 argument for the other subword family): "
+      + "ExtSpec hand-traced hard-EM fit, unknown-char fallback, parquet "
+      + "round-trip, repartition determinism + golden digest"),
     "q94_distinct_sketch" -> ("approximate by contract (DataSketches HLL "
       + "estimates): SketchSpec 3-sigma error envelope vs exact distinct "
-      + "counts, merge ≡ rebuild, parquet round-trip + golden digest"),
-    "q96_overlap_sketch" -> ("approximate by contract (DataSketches theta "
-      + "set algebra): ExportSpec below-nominal exactness vs the exact SQL "
-      + "intersection, 3-sigma envelope at 50k, merge ≡ rebuild + golden digest"),
-    "q99_heavy_hitters" -> ("approximate by contract (Misra-Gries frequent "
-      + "items): ExportSpec below-capacity exactness vs exact counts, "
-      + "[lb,ub] bracketing + no-false-negative completeness above capacity, "
-      + "merge ≡ rebuild through parquet + golden digest"),
-    "q102_quantile_sketch" -> ("approximate by contract (deterministic "
-      + "mergeable quantile compactor): QuantileSpec below-capacity "
-      + "exactness vs sorted order statistics, measured rank-error "
-      + "envelope above capacity, merge ≡ build below capacity, k-drift "
-      + "raise, parquet round-trip + golden digest"))
+      + "counts, merge ≡ rebuild, parquet round-trip + golden digest"))
+  // q96/q99/q102 left this map in r13: their registry configs sit below
+  // the theta/Misra-Gries/quantile-compactor exactness capacities at
+  // every tested SF, so each now carries a REAL DuckDB oracle; the
+  // above-capacity approximation envelopes stay pinned in
+  // ExportSpec/QuantileSpec with deliberately small sketch configs.
 }

@@ -1073,8 +1073,11 @@ object Dedup {
   // suffix array, finds duplicated byte ranges of length ≥ 50, MERGES
   // overlapping ranges, and cuts them, keeping one occurrence).
   //
-  // Semantics here (token-level, exactly SQL-replayable): token
-  // position q of a document is DUPLICATED iff some `minTokens`-token
+  // Semantics here (per-UNIT, exactly SQL-replayable; the unit is a
+  // token for q109/q110's oracles or a CHARACTER for the published
+  // 50-byte-threshold semantics — [[duplicatedCharRegions]] /
+  // [[stripExactCharSubstrings]]): position q of a document is
+  // DUPLICATED iff some `minUnits`-unit
   // window covering q occurs at least twice in the corpus — another
   // document or another offset of the same one. This is equivalent to
   // "q lies inside some exact duplicated substring of ≥ minTokens
@@ -1099,30 +1102,48 @@ object Dedup {
   // by 64-bit content hash (aliasing P ≈ n²/2⁶⁵, the repo-wide
   // fingerprint caveat); all other arithmetic is integer-exact.
 
+  /** The exact-substring family's UNIT: how a document decomposes into
+    * positions (tokens or characters), how fixed-width windows over
+    * those positions spell, and how survivors rejoin. Token mode is
+    * the SQL-friendliest (q109/q110); char mode is the published
+    * recipe's native granularity (Lee et al.'s 50-byte threshold).
+    */
+  private final case class SubstrUnit(
+      windows: (Column, Int) => Column,
+      units: Column => Column,
+      sep: String,
+      cutCol: String)
+  private val TokenUnit =
+    SubstrUnit(TextOps.shinglesOrdered, TextOps.tokens, " ", "n_cut_tokens")
+  private val CharUnit =
+    SubstrUnit(TextOps.charWindowsOrdered, t => split(t, ""), "", "n_cut_chars")
+
   /** Per-window occurrence rows: one (id, pos, 8-byte hash) per full
-    * `minTokens`-token window — the shared seed pass of
+    * `minUnits`-unit window — the shared seed pass of
     * [[duplicatedSubstringRegions]] and [[stripExactSubstrings]].
     */
-  private def substringWindows(docs: DataFrame, minTokens: Int,
-                               idCol: String, textCol: String): DataFrame =
+  private def substringWindows(docs: DataFrame, minUnits: Int,
+                               idCol: String, textCol: String,
+                               u: SubstrUnit = TokenUnit): DataFrame =
     docs.select(col(idCol),
-        posexplode(TextOps.shinglesOrdered(col(textCol), minTokens))
+        posexplode(u.windows(col(textCol), minUnits))
           .as(Seq("pos", "__span")))
       .select(col(idCol), col("pos"), xxhash64(col("__span")).as("__h"))
 
-  /** Duplicated-position coverage per document: every token position of
+  /** Duplicated-position coverage per document: every unit position of
     * `docs` with a 0/1 `__dup` flag — 1 iff some flagged window (a row
     * of `starts`, keyed (idCol, pos)) covers it. The sliding-max trick:
     * position q is covered iff a flagged window STARTS in
-    * [q-minTokens+1, q], i.e. max of the start flag over the trailing
-    * minTokens-row frame.
+    * [q-minUnits+1, q], i.e. max of the start flag over the trailing
+    * minUnits-row frame.
     */
-  private def coverage(docs: DataFrame, starts: DataFrame, minTokens: Int,
-                       idCol: String, textCol: String): DataFrame = {
+  private def coverage(docs: DataFrame, starts: DataFrame, minUnits: Int,
+                       idCol: String, textCol: String,
+                       u: SubstrUnit = TokenUnit): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("q"))
-      .rowsBetween(-(minTokens - 1), Window.currentRow)
+      .rowsBetween(-(minUnits - 1), Window.currentRow)
     docs.select(col(idCol),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("q", "__tok")))
+        posexplode(u.units(col(textCol))).as(Seq("q", "__tok")))
       .join(starts.select(col(idCol), col("pos").as("q"), lit(1).as("__s")),
         Seq(idCol, "q"), "left")
       .withColumn("__dup", max(coalesce(col("__s"), lit(0))).over(w))
@@ -1137,14 +1158,32 @@ object Dedup {
     */
   def duplicatedSubstringRegions(docs: DataFrame, minTokens: Int,
                                  idCol: String = "doc_id",
-                                 textCol: String = "text"): DataFrame = {
-    require(minTokens > 0, "minTokens must be positive")
-    val occ = substringWindows(docs, minTokens, idCol, textCol)
+                                 textCol: String = "text"): DataFrame =
+    substringRegionsImpl(docs, minTokens, idCol, textCol, TokenUnit)
+
+  /** [[duplicatedSubstringRegions]] at CHARACTER granularity — the
+    * published recipe's native unit (Lee et al. find duplicated BYTE
+    * ranges of length ≥ 50 and merge overlaps; JVM strings are UTF-16,
+    * so the unit here is the character — identical on ASCII corpora).
+    * `(doc_id, start_pos, region_len)` in char coordinates; the
+    * seed-anchored shape carries over verbatim, char windows instead
+    * of token shingles.
+    */
+  def duplicatedCharRegions(docs: DataFrame, minChars: Int = 50,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    substringRegionsImpl(docs, minChars, idCol, textCol, CharUnit)
+
+  private def substringRegionsImpl(docs: DataFrame, minUnits: Int,
+                                   idCol: String, textCol: String,
+                                   u: SubstrUnit): DataFrame = {
+    require(minUnits > 0, "window width must be positive")
+    val occ = substringWindows(docs, minUnits, idCol, textCol, u)
     val dupStarts = occ.join(
       occ.groupBy("__h").agg(count(lit(1)).as("__n"))
         .where(col("__n") >= 2).select("__h"),
       Seq("__h"), "left_semi")
-    val cov = coverage(docs, dupStarts, minTokens, idCol, textCol)
+    val cov = coverage(docs, dupStarts, minUnits, idCol, textCol, u)
     // gaps-and-islands over the per-doc position axis: a region opens
     // where the flag rises 0→1; the running sum of opens numbers the
     // regions, and each region aggregates to (start, length)
@@ -1177,9 +1216,26 @@ object Dedup {
     */
   def stripExactSubstrings(docs: DataFrame, minTokens: Int,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): DataFrame = {
-    require(minTokens > 0, "minTokens must be positive")
-    val occ = substringWindows(docs, minTokens, idCol, textCol)
+                           textCol: String = "text"): DataFrame =
+    stripSubstringsImpl(docs, minTokens, idCol, textCol, TokenUnit)
+
+  /** [[stripExactSubstrings]] at CHARACTER granularity (see
+    * [[duplicatedCharRegions]] for the unit rationale): cut every
+    * duplicated ≥ `minChars`-char run, keeping the corpus-wide
+    * (id, pos)-first occurrence; survivors rejoin with NO separator,
+    * so untouched spans keep their exact bytes and untouched documents
+    * stay byte-verbatim. Reports `n_cut_chars`.
+    */
+  def stripExactCharSubstrings(docs: DataFrame, minChars: Int = 50,
+                               idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame =
+    stripSubstringsImpl(docs, minChars, idCol, textCol, CharUnit)
+
+  private def stripSubstringsImpl(docs: DataFrame, minUnits: Int,
+                                  idCol: String, textCol: String,
+                                  u: SubstrUnit): DataFrame = {
+    require(minUnits > 0, "window width must be positive")
+    val occ = substringWindows(docs, minUnits, idCol, textCol, u)
     val repeats = occ.join(
         occ.groupBy("__h")
           .agg(count(lit(1)).as("__n"),
@@ -1188,17 +1244,18 @@ object Dedup {
         Seq("__h"))
       .where(struct(col(idCol), col("pos")) =!= col("__first"))
       .select(col(idCol), col("pos"))
-    cutCovered(docs, repeats, minTokens, idCol, textCol)
+    cutCovered(docs, repeats, minUnits, idCol, textCol, u)
   }
 
-  /** Shared rebuild tail of the substring cutters: cut every token
+  /** Shared rebuild tail of the substring cutters: cut every unit
     * covered by a window in `repeats` (keyed (idCol, pos)), rejoin the
     * survivors in order, keep untouched documents byte-verbatim, and
     * report exact cut counts.
     */
-  private def cutCovered(docs: DataFrame, repeats: DataFrame, minTokens: Int,
-                         idCol: String, textCol: String): DataFrame = {
-    val cov = coverage(docs, repeats, minTokens, idCol, textCol)
+  private def cutCovered(docs: DataFrame, repeats: DataFrame, minUnits: Int,
+                         idCol: String, textCol: String,
+                         u: SubstrUnit = TokenUnit): DataFrame = {
+    val cov = coverage(docs, repeats, minUnits, idCol, textCol, u)
     val rewritten = cov.groupBy(col(idCol))
       .agg(
         array_join(
@@ -1206,14 +1263,14 @@ object Dedup {
             array_sort(collect_list(
               when(col("__dup") === 0, struct(col("q"), col("__tok"))))),
             s => s.getField("__tok")),
-          " ").as("__clean"),
-        sum(col("__dup")).cast("long").as("n_cut_tokens"))
+          u.sep).as("__clean"),
+        sum(col("__dup")).cast("long").as(u.cutCol))
     val outCols = docs.columns.map {
       case c if c == textCol =>
-        when(col("n_cut_tokens") > 0, col("__clean"))
+        when(col(u.cutCol) > 0, col("__clean"))
           .otherwise(col(textCol)).as(textCol)
       case c => col(c)
-    } :+ coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens")
+    } :+ coalesce(col(u.cutCol), lit(0L)).as(u.cutCol)
     docs.join(rewritten, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
   }
 
@@ -1261,5 +1318,170 @@ object Dedup {
                                 minTokens: Int, idCol: String = "doc_id",
                                 textCol: String = "text"): DataFrame =
     index.unionByName(substringIndex(batch, minTokens, idCol, textCol))
+      .groupBy("__h").agg(sum(col("__n")).as("__n"))
+
+  // ---- line-level exact dedup (the C4/RefinedWeb unit) ----
+  //
+  // The LINE is the published unit of web-crawl boilerplate removal:
+  // RefinedWeb/CCNet cut every line whose exact content occurs
+  // elsewhere in the corpus (navigation chrome, cookie banners,
+  // footers repeat verbatim across pages), and Gopher's repetition
+  // rules score per-document duplicate-line and duplicate-line-CHAR
+  // fractions. The span operators above cut token windows at fixed or
+  // arbitrary boundaries; these cut at the boundary the recipes
+  // actually use — `\n`.
+  //
+  // Keep-first semantics, same determinism as [[stripExactSubstrings]]:
+  // of N occurrences of a line (across documents AND positions), the
+  // (id, pos)-lexicographic first survives; every other occurrence is
+  // removed. Lines shorter than `minChars` are exempt — never counted
+  // as duplicates, never cut (empty lines are document structure, not
+  // boilerplate; raise minChars to spare short headers too).
+  //
+  // Scale shape — strictly narrower than the token families: line
+  // equality is by 64-bit xxhash64 (the repo-wide fingerprint caveat:
+  // aliasing P ≈ n²/2⁶⁵, integer-exact otherwise), so the occurrence
+  // stats shuffle (id, pos, 8-byte hash) rows with map-side partial
+  // aggregation, never line text. The REBUILD side aggregates the cut
+  // positions to one small int-array per AFFECTED document (ids +
+  // ints), joins back on the 8-byte id (broadcast when the affected
+  // set is small — the common case; an id-keyed hash join otherwise),
+  // and rewrites row-locally with a split/filter/join projection — so
+  // the only place document text can cross an exchange is that final
+  // id-equi-join's docs side, never the dedup logic itself. Documents
+  // with nothing cut keep their text byte-VERBATIM.
+
+  /** One (idCol, pos, __len, __h) row per line of every document —
+    * `__h` is null for non-qualifying (< `minChars` chars) lines, so
+    * downstream joins skip them for free (null keys never match).
+    */
+  private def lineOccurrences(docs: DataFrame, minChars: Int,
+                              idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "__line")))
+      .select(col(idCol), col("pos"),
+        length(col("__line")).cast("long").as("__len"),
+        when(length(col("__line")) >= minChars, xxhash64(col("__line")))
+          .as("__h"))
+
+  /** Per-document duplicate-line report (Gopher's repetition lens):
+    * `(idCol, n_lines, n_dup_lines, dup_line_frac, dup_char_frac)` —
+    * a line occurrence is DUPLICATED iff its exact content occurs ≥ 2
+    * times corpus-wide among qualifying (≥ `minChars` chars) lines;
+    * every occurrence of such a line counts, including the first.
+    * `dup_char_frac` is duplicated-line chars over all-line chars
+    * (newlines excluded from both), 0.0 for an all-empty document —
+    * integer counts and one IEEE division each, exactly
+    * SQL-replayable.
+    */
+  def duplicateLineStats(docs: DataFrame, minChars: Int = 1,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    val occ = lineOccurrences(docs, minChars, idCol, textCol)
+    val dupHashes = occ.where(col("__h").isNotNull)
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+    occ.join(dupHashes, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("__n")).as("n_dup_lines"),
+        sum(col("__len")).as("__chars"),
+        sum(when(col("__n").isNotNull, col("__len")).otherwise(0L))
+          .as("__dup_chars"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        when(col("__chars") === 0L, lit(0.0))
+          .otherwise(col("__dup_chars").cast("double") / col("__chars").cast("double"))
+          .as("dup_char_frac"))
+  }
+
+  /** Corpus-wide duplicate-LINE removal, keep-first (the C4/RefinedWeb
+    * recipe): every qualifying line occurrence with a lexicographically
+    * earlier `(id, pos)` twin anywhere in the corpus is cut; `textCol`
+    * is rewritten to the surviving lines (`\n`-joined — an untouched
+    * document keeps its text verbatim) plus an exact `n_cut_lines`.
+    * A document whose every line is cut becomes the empty string —
+    * filter downstream if empty documents should drop.
+    */
+  def stripDuplicateLines(docs: DataFrame, minChars: Int = 1,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    val qual = lineOccurrences(docs, minChars, idCol, textCol)
+      .where(col("__h").isNotNull)
+    val firsts = qual.groupBy("__h")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("pos"))).as("__first"))
+      .where(col("__n") >= 2)
+    val cuts = qual.join(firsts, Seq("__h"))
+      .where(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+    rebuildCutLines(docs, cuts, idCol, textCol)
+  }
+
+  /** Shared rebuild tail of the line cutters: aggregate the cut
+    * positions to ONE int-array per affected document (ids + ints —
+    * text never shuffles), join back on the id, and rewrite
+    * row-locally; untouched documents keep `textCol` byte-verbatim.
+    */
+  private def rebuildCutLines(docs: DataFrame, cuts: DataFrame,
+                              idCol: String, textCol: String): DataFrame = {
+    val perDoc = cuts.groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("__cut_pos"))
+    val rewritten = array_join(
+      filter(split(col(textCol), "\n"),
+        (l, i) => not(array_contains(col("__cut_pos"), i))),
+      "\n")
+    val nCut = when(col("__cut_pos").isNull, lit(0L))
+      .otherwise(size(col("__cut_pos")).cast("long"))
+    val outCols = docs.columns.map {
+      case c if c == textCol =>
+        when(nCut > 0L, rewritten).otherwise(col(textCol)).as(textCol)
+      case c => col(c)
+    } :+ nCut.as("n_cut_lines")
+    docs.join(perDoc, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Persisted LINE index — the build-once/probe-forever face
+    * ([[exactIndex]]/[[substringIndex]] siblings): one `(__h, __n)`
+    * row per distinct qualifying line in the corpus. Probe batches
+    * with [[stripDuplicateLinesAgainstIndex]]; fold curated batches
+    * back in with [[lineIndexRollForward]] — the corpus text is never
+    * rescanned.
+    */
+  def lineIndex(corpus: DataFrame, minChars: Int = 1,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lineOccurrences(corpus, minChars, idCol, textCol)
+      .where(col("__h").isNotNull)
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+
+  /** Cut every batch line that already exists in the corpus index (the
+    * corpus holds the first occurrence by definition — the cross-set
+    * first-seen-wins policy of [[exactAgainst]]). Within-batch
+    * duplication is deliberately out of scope — run
+    * [[stripDuplicateLines]] on the batch before or after. Probe cost
+    * ∝ |batch| lines + matched hashes, never ∝ corpus.
+    */
+  def stripDuplicateLinesAgainstIndex(batch: DataFrame, index: DataFrame,
+                                      minChars: Int = 1,
+                                      idCol: String = "doc_id",
+                                      textCol: String = "text"): DataFrame = {
+    require(minChars >= 0, "minChars must be non-negative")
+    val cuts = lineOccurrences(batch, minChars, idCol, textCol)
+      .where(col("__h").isNotNull)
+      .join(index.select("__h"), Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    rebuildCutLines(batch, cuts, idCol, textCol)
+  }
+
+  /** Fold a (curated) batch's lines into the index: union + one
+    * re-aggregation on the 8-byte hash — index-scale work.
+    */
+  def lineIndexRollForward(index: DataFrame, batch: DataFrame,
+                           minChars: Int = 1, idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame =
+    index.unionByName(lineIndex(batch, minChars, idCol, textCol))
       .groupBy("__h").agg(sum(col("__n")).as("__n"))
 }

@@ -856,6 +856,38 @@ object ExtQueries {
       .orderBy("lang", "bin_id")
   }
 
+  private val unigramModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedUnigramModel(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = unigramModelMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "unigram_model", dir)
+      UnigramLm.unigramTrain(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
+          vocabSize = 300, maxPieceLen = 6)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    UnigramLm.loadModel(spark.read.parquet(path))
+  }
+
+  /** Sequence packing by UNIGRAM-LM (SentencePiece-style) token counts
+    * from the persisted in-engine tokenizer ([[UnigramLm]]) — q90's
+    * bring-your-own-tokenizer seam fed by the OTHER standard subword
+    * family (prune-from-large + Viterbi, where BPE merges bottom-up),
+    * model trained on the held split. Viterbi segmentation is not
+    * SQL-expressible → no oracle; ExtSpec pins the hand-traced fit,
+    * parquet round-trip, repartition determinism, and this query's
+    * golden digest.
+    */
+  def q123(spark: SparkSession, dir: String): DataFrame = {
+    val model = sharedUnigramModel(spark, dir)
+    TextOps.packSequences(docs(spark, dir), capacity = 2048,
+        shardCols = Seq("lang"),
+        tokenCount = Some(size(UnigramLm.tokens(col("text"), model, 6))))
+      .orderBy("lang", "bin_id")
+  }
+
   /** Sharded-export manifest over the corpus: deterministic md5 shard
     * assignment (8 shards) with per-shard doc/token/byte counts and an
     * order-insensitive XOR content checksum — the audit record a
@@ -903,10 +935,13 @@ object ExtQueries {
     * texts of the q32 train split vs the test split and their
     * estimated intersection — duplicate content straddling the
     * train/test boundary, the sketch-scale sibling of q30's exact
-    * decontamination. Theta estimates are approximate by contract →
-    * no SQL oracle; ExportSpec pins below-nominal exactness vs the
-    * exact SQL intersection, merge ≡ rebuild, and this query's golden
-    * digest.
+    * decontamination. Theta sketches are EXACT below 2^lgK distinct
+    * values per facet (nothing samples until then), and this registry
+    * config keeps every tested SF below that line (per-source distinct
+    * texts ≈ 2.3k at the 10× validation vs the 4096 cap) — so the
+    * estimates ARE the exact set cardinalities and the query carries a
+    * real DuckDB oracle; the above-capacity approximation envelope
+    * stays pinned by ExportSpec at 50k values.
     */
   def q96(spark: SparkSession, dir: String): DataFrame = {
     val d = Sampling.assignSplit(
@@ -921,20 +956,21 @@ object ExtQueries {
     * (Misra-Gries) sketch ([[Sketches.freqBuild]]/[[Sketches.freqTopK]])
     * — the sketch-scale sibling of q40's exact top-k: partials keep at
     * most `maxMapSize` (item, count) pairs, so only bounded sketches
-    * shuffle at 100 TB, never the distinct-token table. `maxMapSize`
-    * 256 purges at this corpus size (honestly approximate at the
-    * gate), with per-item [lb, ub] bounds and the facet's max_err in
-    * the output. Approximate by contract → no SQL oracle; ExportSpec
-    * pins below-capacity exactness vs exact counts, bound bracketing
-    * and completeness above capacity, merge ≡ rebuild through parquet,
-    * and this query's golden digest.
+    * shuffle at 100 TB, never the distinct-token table. Misra-Gries
+    * never purges while a facet stays under 0.75·maxMapSize distinct
+    * items, and 4096 keeps every tested SF below that line (per-source
+    * vocabulary ≈ 310 at the 10× validation vs the 3072 threshold) —
+    * so est IS the exact count, lb = ub = est, max_err = 0, and the
+    * query carries a real DuckDB oracle; the above-capacity purge
+    * behavior (bound bracketing, no-false-negative completeness)
+    * stays pinned by ExportSpec with deliberately tiny maps.
     */
   def q99(spark: SparkSession, dir: String): DataFrame =
     Sketches.freqTopK(
       Sketches.freqBuild(
         docs(spark, dir).select(col("source"),
           explode(TextOps.tokens(col("text"))).as("token")),
-        Seq("source"), "token", maxMapSize = 256),
+        Seq("source"), "token", maxMapSize = 4096),
       Seq("source"), k = 10)
       .orderBy(col("source"), col("est").desc, col("item"))
 
@@ -976,19 +1012,21 @@ object ExtQueries {
   /** Per-source text-length quantiles via the deterministic mergeable
     * quantile sketch ([[Sketches.quantBuild]]/[[Sketches.quantEstimates]])
     * — build-once/merge-forever percentile summaries, the persistable
-    * sibling of q24's one-shot GK pass. The deterministic compactor
-    * (alternating keep-offset, no KLL coin flip) keeps the output
-    * bit-stable for a fixed input order → golden-pinned; approximate
-    * by contract above capacity → no SQL oracle; QuantileSpec pins
-    * below-capacity EXACTNESS vs sorted order statistics, a measured
-    * error envelope, merge ≡ single build below capacity, k-drift
-    * raise, and the parquet round-trip.
+    * sibling of q24's one-shot GK pass. Below `k` values per facet
+    * nothing ever compacts, every value is retained at weight 1, and
+    * each estimate is the EXACT order statistic (the smallest value
+    * whose cumulative weight exceeds q·(n−1), i.e. sorted[⌊q·(n−1)⌋])
+    * — and k = 4096 keeps every tested SF below that line (2.5k values
+    * per source at the 10× validation), so the query carries a real
+    * DuckDB oracle replaying that order statistic verbatim. The
+    * above-capacity compactor envelope, merge ≡ build, k-drift raise,
+    * and parquet round-trip stay pinned by QuantileSpec.
     */
   def q102(spark: SparkSession, dir: String): DataFrame =
     Sketches.quantEstimates(
       Sketches.quantBuild(
         docs(spark, dir).withColumn("__len", length(col("text"))),
-        Seq("source"), "__len", k = 64),
+        Seq("source"), "__len", k = 4096),
       Seq("source"), qs = Seq(0.1, 0.5, 0.9, 0.99))
       .orderBy("source")
 
@@ -1183,7 +1221,89 @@ object ExtQueries {
       .orderBy("token")
   }
 
+  /** The driver corpus is single-line; the LINE-dedup queries reflow it
+    * deterministically — every 8 tokens become one line — so line
+    * structure exists to dedup and the reflow is replayable verbatim
+    * in SQL (the q49 chunking spelling with stride = width = 8). Real
+    * multi-line corpora skip this and call the operators directly.
+    */
+  private def reflowedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    // integer line count: Column `/` is IEEE division, so floor+cast
+    // (token counts are non-negative — truncation IS the floor)
+    val lastLine = floor((size(toks) - 1).cast("double") / 8.0).cast("int")
+    docs(spark, dir).withColumn("text",
+      array_join(
+        transform(sequence(lit(0), lastLine),
+          i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")),
+        "\n"))
+  }
+
+  /** Per-document duplicate-LINE report ([[Dedup.duplicateLineStats]]):
+    * Gopher's duplicate-line and duplicate-line-char fractions over
+    * the corpus-wide exact-line equality the C4/RefinedWeb recipes cut
+    * by. Integer counts + one IEEE division per fraction —
+    * exact-oracled.
+    */
+  def q119(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateLineStats(reflowedDocs(spark, dir)).orderBy("doc_id")
+
+  /** Corpus-wide duplicate-line cut, keep-first
+    * ([[Dedup.stripDuplicateLines]]): every line occurrence except its
+    * (id, pos)-first is removed; untouched documents stay verbatim.
+    * Exact-oracled (the oracle replays the keep-first rule with a
+    * window over (doc_id, pos)).
+    */
+  def q120(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateLines(reflowedDocs(spark, dir))
+      .select(col("doc_id"), col("text"), col("n_cut_lines"))
+      .orderBy("doc_id")
+
+  private val lineIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedLineIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = lineIndexMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "line_index", dir)
+      Dedup.lineIndex(reflowedDocs(spark, dir).where(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Incremental duplicate-line cut
+    * ([[Dedup.stripDuplicateLinesAgainstIndex]]): strip from the
+    * `doc_id % 10 = 0` batch every line the corpus side's PERSISTED
+    * line index already holds — the cross-set first-seen-wins face of
+    * q120 (q74's batch/corpus split at line grain).
+    */
+  def q121(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripDuplicateLinesAgainstIndex(
+      reflowedDocs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedLineIndex(spark, dir))
+      .select(col("doc_id"), col("text"), col("n_cut_lines"))
+      .orderBy("doc_id")
+
+  /** Exact-substring cut at CHARACTER granularity
+    * ([[Dedup.stripExactCharSubstrings]]): the published ExactSubstr
+    * semantics — Lee et al.'s 50-unit threshold at the recipe's native
+    * grain — where q110 runs the token-mode adaptation. Keep-first,
+    * survivors rejoin with no separator, untouched docs byte-verbatim.
+    * Exact-oracled (substr windows + the q110 window replay).
+    */
+  def q122(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripExactCharSubstrings(docs(spark, dir), minChars = 50)
+      .select(col("doc_id"), col("text"), col("n_cut_chars"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_unigram_packing" -> (q123 _),
+    "q122_strip_char_substrings" -> (q122 _),
+    "q119_dup_line_stats" -> (q119 _),
+    "q120_strip_dup_lines" -> (q120 _),
+    "q121_strip_dup_lines_incremental" -> (q121 _),
     "q118_token_drift" -> (q118 _),
     "q117_selection_pipeline" -> (q117 _),
     "q116_gopher_rules" -> (q116 _),
@@ -1424,6 +1544,71 @@ object ExtQueries {
     // q118 — token drift replayed: per-side occurrence counts, one
     // division per share, |delta| ranked with the (abs DESC, token)
     // total order — identical doubles, identical ties, identical cut.
+    // q119/q120/q121 — the reflow CTE (t, l) replays reflowedDocs
+    // verbatim: 1-based slice starts every 8, list_slice end-inclusive,
+    // (st-1)/8 always an exact multiple so the BIGINT cast never
+    // rounds. Line dedup then replays in plain SQL: q119 counts
+    // occurrences of ≥2×-occurring qualifying (len ≥ 1) lines; q120
+    // cuts every occurrence but the (doc_id, pos)-first via a window;
+    // q121 cuts batch lines present in the corpus side's line set.
+    "q119_dup_line_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST((st - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(sp, st, st + 7), ' ') AS line
+        |  FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp), 8)) AS st
+        |        FROM t)),
+        |q AS (SELECT doc_id, pos, line, CAST(length(line) AS BIGINT) AS len FROM l),
+        |dup AS (
+        |  SELECT line FROM q WHERE len >= 1 GROUP BY line HAVING count(*) >= 2)
+        |SELECT q.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(dup.line) AS BIGINT) AS n_dup_lines,
+        |  CAST(count(dup.line) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_line_frac,
+        |  CASE WHEN sum(q.len) = 0 THEN 0.0
+        |       ELSE CAST(sum(CASE WHEN dup.line IS NOT NULL THEN q.len ELSE 0 END)
+        |                 AS DOUBLE) / CAST(sum(q.len) AS DOUBLE)
+        |  END AS dup_char_frac
+        |FROM q LEFT JOIN dup ON q.line = dup.line
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
+    "q120_strip_dup_lines" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST((st - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(sp, st, st + 7), ' ') AS line
+        |  FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp), 8)) AS st
+        |        FROM t)),
+        |q AS (SELECT doc_id, pos, line FROM l),
+        |r AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+        |  FROM q WHERE length(line) >= 1),
+        |cuts AS (SELECT doc_id, pos FROM r WHERE rk >= 2)
+        |SELECT q.doc_id,
+        |  coalesce(string_agg(CASE WHEN cuts.pos IS NULL THEN q.line END,
+        |                      chr(10) ORDER BY q.pos), '') AS text,
+        |  CAST(count(cuts.pos) AS BIGINT) AS n_cut_lines
+        |FROM q LEFT JOIN cuts ON q.doc_id = cuts.doc_id AND q.pos = cuts.pos
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
+    "q121_strip_dup_lines_incremental" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |l AS (
+        |  SELECT doc_id, CAST((st - 1) / 8 AS BIGINT) AS pos,
+        |         array_to_string(list_slice(sp, st, st + 7), ' ') AS line
+        |  FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp), 8)) AS st
+        |        FROM t)),
+        |corpus AS (
+        |  SELECT DISTINCT line FROM l
+        |  WHERE doc_id % 10 <> 0 AND length(line) >= 1),
+        |q AS (SELECT doc_id, pos, line FROM l WHERE doc_id % 10 = 0),
+        |cuts AS (
+        |  SELECT q.doc_id, q.pos FROM q JOIN corpus USING (line))
+        |SELECT q.doc_id,
+        |  coalesce(string_agg(CASE WHEN cuts.pos IS NULL THEN q.line END,
+        |                      chr(10) ORDER BY q.pos), '') AS text,
+        |  CAST(count(cuts.pos) AS BIGINT) AS n_cut_lines
+        |FROM q LEFT JOIN cuts ON q.doc_id = cuts.doc_id AND q.pos = cuts.pos
+        |GROUP BY q.doc_id ORDER BY q.doc_id""".stripMargin,
     "q118_token_drift" ->
       """WITH oc AS (
         |  SELECT token, count(*) AS n_old FROM (
@@ -1475,19 +1660,21 @@ object ExtQueries {
         |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+        |    CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS ell_uni,
         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(string_split(text, chr(10)),
         |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
         |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
         |    CAST(len(list_filter(string_split(text, chr(10)),
-        |      x -> ends_with(x, '...'))) AS BIGINT) AS n_ell_end
+        |      x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS n_ell_end
         |  FROM documents),
         |g AS (
         |  SELECT s.doc_id FROM s LEFT JOIN sh USING (doc_id)
         |  WHERE s.n_words >= 50 AND s.n_words <= 100000
         |    AND CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) >= 3.0
         |    AND CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) <= 10.0
-        |    AND CAST(3 * s.n_hash + s.ell_chars AS DOUBLE)
+        |    AND CAST(s.n_hash AS DOUBLE) / CAST(s.n_words AS DOUBLE) <= 0.1
+        |    AND CAST(s.ell_chars + 3 * s.ell_uni AS DOUBLE)
         |        / CAST(3 * s.n_words AS DOUBLE) <= 0.1
         |    AND CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) >= 0.8
         |    AND coalesce(sh.n_stop_hits, 0) >= 2
@@ -1553,35 +1740,37 @@ object ExtQueries {
         |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+        |    CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS ell_uni,
         |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(string_split(text, chr(10)),
         |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
         |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
         |    CAST(len(list_filter(string_split(text, chr(10)),
-        |      x -> ends_with(x, '...'))) AS BIGINT) AS n_ell_end
+        |      x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS n_ell_end
         |  FROM documents),
         |r AS (
         |  SELECT s.doc_id, s.n_words,
         |    CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS mean_word_len,
-        |    CAST(3 * s.n_hash + s.ell_chars AS DOUBLE)
-        |      / CAST(3 * s.n_words AS DOUBLE) AS symbol_ratio,
+        |    CAST(s.n_hash AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS hash_ratio,
+        |    CAST(s.ell_chars + 3 * s.ell_uni AS DOUBLE)
+        |      / CAST(3 * s.n_words AS DOUBLE) AS ellipsis_ratio,
         |    CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS alpha_word_frac,
         |    CAST(s.n_bullet AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS bullet_line_frac,
         |    CAST(s.n_ell_end AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS ellipsis_line_frac,
         |    coalesce(sh.n_stop_hits, 0) AS n_stop_hits
         |  FROM s LEFT JOIN sh USING (doc_id))
-        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
-        |  bullet_line_frac, ellipsis_line_frac, n_stop_hits,
+        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+        |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac, n_stop_hits,
         |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
         |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
-        |  (symbol_ratio <= 0.1) AS ok_symbols,
+        |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
         |  (alpha_word_frac >= 0.8) AS ok_alpha,
         |  (n_stop_hits >= 2) AS ok_stops,
         |  (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS ok_lines,
         |  (n_words >= 50 AND n_words <= 100000
         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
-        |    AND n_stop_hits >= 2
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |    AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2
         |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
     // q115 — the incremental probe replayed: models over the corpus
@@ -1873,6 +2062,77 @@ object ExtQueries {
         |       ELSE 'unchanged' END AS status,
         |  old_fp, new_fp
         |FROM d ORDER BY doc_id""".stripMargin,
+    // q96 — theta sketches never sample below 2^lgK=4096 distinct
+    // values per facet (the registry config's tested-SF ceiling is
+    // ~2.3k), so every estimate is the EXACT set cardinality: the
+    // oracle computes the same per-source distinct-normalized-text
+    // sets and their exact intersection/differences; the inner join
+    // reproduces overlap()'s drop-absent-facet contract.
+    "q96_overlap_sketch" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < 'e666'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < 'f333'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (SELECT DISTINCT source, norm FROM n WHERE split = 'train'),
+        |te AS (SELECT DISTINCT source, norm FROM n WHERE split = 'test'),
+        |a AS (SELECT source, count(*) AS a_n FROM tr GROUP BY source),
+        |b AS (SELECT source, count(*) AS b_n FROM te GROUP BY source),
+        |o AS (SELECT source, count(*) AS o_n
+        |      FROM tr JOIN te USING (source, norm) GROUP BY source)
+        |SELECT a.source,
+        |  CAST(a.a_n AS DOUBLE) AS a_distinct,
+        |  CAST(b.b_n AS DOUBLE) AS b_distinct,
+        |  CAST(coalesce(o.o_n, 0) AS DOUBLE) AS overlap_est,
+        |  CAST(a.a_n - coalesce(o.o_n, 0) AS DOUBLE) AS a_only_est,
+        |  CAST(b.b_n - coalesce(o.o_n, 0) AS DOUBLE) AS b_only_est
+        |FROM a JOIN b USING (source) LEFT JOIN o USING (source)
+        |ORDER BY a.source""".stripMargin,
+    // q99 — Misra-Gries never purges under 0.75·maxMapSize=3072
+    // distinct items per facet (tested-SF vocabulary ≈ 310), so
+    // est = exact count, lb = ub = est, max_err = 0; the oracle is
+    // q40's exact counting with freqTopK's (est DESC, item ASC)
+    // per-facet top-10 cut.
+    "q99_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        |      FROM w GROUP BY source, token),
+        |r AS (SELECT source, token, n,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n DESC, token ASC) AS rk
+        |      FROM c)
+        |SELECT source, token AS item, n AS est, n AS lb, n AS ub,
+        |  CAST(0 AS BIGINT) AS max_err
+        |FROM r WHERE rk <= 10
+        |ORDER BY source, est DESC, item""".stripMargin,
+    // q102 — below k=4096 values per facet nothing compacts and each
+    // estimate is the exact order statistic sorted[⌊q·(n−1)⌋] (the
+    // smallest value whose weight-1 cumulative count exceeds q·(n−1));
+    // q·(n−1) is forced to IEEE DOUBLE on both engines so the floor
+    // lands identically.
+    "q102_quantile_sketch" ->
+      """WITH v AS (
+        |  SELECT source, CAST(length(text) AS DOUBLE) AS len FROM documents),
+        |r AS (
+        |  SELECT source, len,
+        |    row_number() OVER (PARTITION BY source ORDER BY len) - 1 AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM v)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(floor(CAST(0.1 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |           THEN len END) AS q10,
+        |  max(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |           THEN len END) AS q50,
+        |  max(CASE WHEN rn = CAST(floor(CAST(0.9 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |           THEN len END) AS q90,
+        |  max(CASE WHEN rn = CAST(floor(CAST(0.99 AS DOUBLE) * (n - 1)) AS BIGINT)
+        |           THEN len END) AS q99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     // q100 — the log2 bucket is integer bit-length (length of the binary
     // string, no libm); mean/ratio are single IEEE divisions spelled
     // identically; salt_buckets is exact integer ceil-division (DuckDB
@@ -2178,6 +2438,44 @@ object ExtQueries {
         |SELECT t.doc_id,
         |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
         |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_tokens
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q122 — the q110 replay at char grain: substr windows, per-char
+    // coverage (substr(text, q, 1) is the unit), survivors rejoin with
+    // NO separator; keep-first by (doc_id, st) as in q110.
+    "q122_strip_char_substrings" ->
+      """WITH t AS (SELECT doc_id, text FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 49)) AS st
+        |  FROM t WHERE length(text) >= 50),
+        |spans AS (
+        |  SELECT w.doc_id, st, substr(t.text, st, 50) AS span
+        |  FROM w JOIN t USING (doc_id)),
+        |rep AS (
+        |  SELECT doc_id, st FROM (
+        |    SELECT doc_id, st,
+        |      row_number() OVER (PARTITION BY span ORDER BY doc_id, st) AS rn,
+        |      count(*) OVER (PARTITION BY span) AS n
+        |    FROM spans) x
+        |  WHERE n >= 2 AND rn > 1),
+        |ch AS (
+        |  SELECT doc_id, q, substr(text, q, 1) AS c FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, length(text))) AS q
+        |    FROM t)),
+        |cov AS (
+        |  SELECT ch.doc_id, ch.q, ch.c,
+        |    max(CASE WHEN r.st IS NOT NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY ch.doc_id ORDER BY ch.q
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS dup
+        |  FROM ch LEFT JOIN rep r ON r.doc_id = ch.doc_id AND r.st = ch.q),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN dup = 0 THEN c END, '' ORDER BY q), '') AS clean,
+        |    CAST(SUM(dup) AS BIGINT) AS ncut
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
+        |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_chars
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q106 — weights as explicit DOUBLE casts (DuckDB parses bare 0.15

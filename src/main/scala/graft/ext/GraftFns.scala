@@ -91,6 +91,10 @@ object GraftFns {
     step("graft_strip_exact_substrings")((ctx, d) =>
       Dedup.stripExactSubstrings(d, minTokens = minTokens(ctx),
         idCol(ctx), textCol(ctx))),
+    step("graft_strip_dup_lines")((ctx, d) =>
+      Dedup.stripDuplicateLines(d,
+        minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "1").toInt,
+        idCol = idCol(ctx), textCol = textCol(ctx))),
     step("graft_gopher_filter")((ctx, d) => {
       val report = TextOps.gopherRules(d, idCol = idCol(ctx),
         textCol = textCol(ctx))

@@ -122,6 +122,22 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Ordered n-CHAR windows — the char-granularity unit of the
+    * exact-substring dedup family (Lee et al. operate on bytes with a
+    * 50-byte threshold; JVM strings are UTF-16, so the unit here is
+    * the CHARACTER — identical on the ASCII web corpora the recipe
+    * targets). Same contract as [[shinglesOrdered]]: one window per
+    * start position, short docs (< n chars) yield the empty array.
+    */
+  private[ext] def charWindowsOrdered(text: Column, n: Int): Column = {
+    val chars = split(text, "")
+    when(length(text) >= n,
+      transform(
+        sequence(lit(0), length(text) - n),
+        i => concat_ws("", slice(chars, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Benchmark decontamination: count, per training document, the
     * distinct `n`-gram shingles it shares with a benchmark corpus — the
     * LLM training-data hygiene op (a doc containing test-set n-grams
@@ -362,8 +378,13 @@ object TextOps {
     * Rules (thresholds are the paper's, overridable):
     *  - word count in [minWords, maxWords];
     *  - mean word length in [minMeanWordLen, maxMeanWordLen];
-    *  - symbol-to-word ratio (`#` plus `...` occurrences per word)
-    *    ≤ maxSymbolRatio;
+    *  - TWO symbol-to-word ratios, thresholded INDEPENDENTLY like the
+    *    paper's A1.1 table (one rule for '#', one for ellipses):
+    *    `hash_ratio` = '#' chars per word ≤ maxSymbolRatio, and
+    *    `ellipsis_ratio` = ellipsis occurrences ('...' or the unicode
+    *    '…' U+2026) per word ≤ maxSymbolRatio — a document passing
+    *    each rule individually (say 0.06 hash + 0.07 ellipsis) is
+    *    KEPT, where a composite sum would wrongly reject it;
     *  - fraction of words with ≥1 alphabetic char ≥ minAlphaWordFrac;
     *  - ≥ minStopHits DISTINCT stop words present — the paper uses a
     *    fixed English function-word list; here the list is the
@@ -371,14 +392,15 @@ object TextOps {
     *    [[stopwordFraction]] adaptation that works for any language
     *    the corpus is actually in);
     *  - ≤ maxBulletLineFrac of lines starting with a bullet and
-    *    ≤ maxEllipsisLineFrac ending with an ellipsis.
+    *    ≤ maxEllipsisLineFrac ending with an ellipsis ('...' or '…').
     *
     * Exactness: every statistic is integer counting (array/string
     * ops) until one final IEEE division per ratio, so the whole
     * report — including the double threshold comparisons — is
-    * bit-reproducible in any engine (the q72 argument). The symbol
-    * ratio is computed as `(3·#hash + ellipsisChars) / (3·words)` to
-    * keep the numerator integral (ellipsis occurrences = chars/3).
+    * bit-reproducible in any engine (the q72 argument). The ellipsis
+    * ratio is computed as `(dotChars + 3·unicodeEll) / (3·words)` to
+    * keep the numerator integral ('...' occurrences = dotChars/3;
+    * each '…' counts as one occurrence).
     *
     * Scale shape: one row-local projection computes everything except
     * the stop-hit count (array expressions, no explode, no shuffle);
@@ -412,16 +434,20 @@ object TextOps {
       length(regexp_replace(col(textCol), "#", ""))).cast("long")
     val ellChars = (length(col(textCol)) -
       length(replace(col(textCol), lit("..."), lit("")))).cast("long")
+    val ellUni = (length(col(textCol)) -
+      length(replace(col(textCol), lit("…"), lit("")))).cast("long")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines, x =>
       x.startsWith("- ") || x.startsWith("* ") || x.startsWith("•")))
       .cast("long")
-    val nEllEnd = size(filter(lines, x => x.endsWith("..."))).cast("long")
+    val nEllEnd = size(filter(lines, x =>
+      x.endsWith("...") || x.endsWith("…"))).cast("long")
     val stats = docs.select(col(idCol),
         nWords.as("n_words"),
         (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
-        ((lit(3L) * nHash + ellChars).cast("double") /
-          (lit(3L) * nWords).cast("double")).as("symbol_ratio"),
+        (nHash.cast("double") / nWords.cast("double")).as("hash_ratio"),
+        ((ellChars + lit(3L) * ellUni).cast("double") /
+          (lit(3L) * nWords).cast("double")).as("ellipsis_ratio"),
         (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
         (nBullet.cast("double") / nLines.cast("double")).as("bullet_line_frac"),
         (nEllEnd.cast("double") / nLines.cast("double")).as("ellipsis_line_frac"))
@@ -434,7 +460,9 @@ object TextOps {
       .withColumn("ok_word_len",
         col("mean_word_len") >= minMeanWordLen &&
           col("mean_word_len") <= maxMeanWordLen)
-      .withColumn("ok_symbols", col("symbol_ratio") <= maxSymbolRatio)
+      .withColumn("ok_symbols",
+        col("hash_ratio") <= maxSymbolRatio &&
+          col("ellipsis_ratio") <= maxSymbolRatio)
       .withColumn("ok_alpha", col("alpha_word_frac") >= minAlphaWordFrac)
       .withColumn("ok_stops", col("n_stop_hits") >= minStopHits)
       .withColumn("ok_lines",

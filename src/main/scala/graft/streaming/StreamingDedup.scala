@@ -277,6 +277,54 @@ object StreamingDedup {
       .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
   }
 
+  /** foreachBatch sink: LINE-level dedup across the whole stream
+    * history against the persisted line index
+    * ([[graft.ext.Dedup.lineIndex]] layout) — the streaming face of
+    * the C4/RefinedWeb duplicate-line cut. Per micro-batch:
+    *
+    *  1. cut every batch line already present in the retained corpus
+    *     ([[graft.ext.Dedup.stripDuplicateLinesAgainstIndex]] — the
+    *     index side is 8-byte hashes, probe cost ∝ |batch| lines);
+    *  2. keep-first WITHIN the rewritten batch
+    *     ([[graft.ext.Dedup.stripDuplicateLines]]);
+    *  3. land the rewritten docs (total `n_cut_lines` from both
+    *     passes) under `outRoot/__batch=<id>` and roll the index
+    *     forward with the SURVIVING lines only (the index is the
+    *     retained corpus, so cut lines never bloat it).
+    *
+    * Same replay contract as [[exactAgainstIndexSink]]: per-batch
+    * partition overwrites, strictly-earlier probe — re-delivering a
+    * batch id reproduces its original output byte-for-byte. The probe
+    * semi-joins the raw accreted partitions without re-aggregating
+    * (only hash EXISTENCE matters to a cut), so the fold/probe
+    * equivalence of [[compactIndex]] carries over verbatim.
+    */
+  def lineDedupAgainstIndexSink(indexRoot: String, outRoot: String,
+                                minChars: Int = 1,
+                                idCol: String = "doc_id", textCol: String = "text")
+                               (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    val crossCut = prior match {
+      case Some(index) => graft.ext.Dedup.stripDuplicateLinesAgainstIndex(
+        batch, index, minChars, idCol, textCol)
+      case None => batch.withColumn("n_cut_lines", lit(0L))
+    }
+    val kept = graft.ext.Dedup.stripDuplicateLines(
+        crossCut.withColumnRenamed("n_cut_lines", "__cross_cut"),
+        minChars, idCol, textCol)
+      .withColumn("n_cut_lines", col("__cross_cut") + col("n_cut_lines"))
+      .drop("__cross_cut")
+    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    graft.ext.Dedup.lineIndex(kept, minChars, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+  }
+
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks
     * above accrete (digest / MinHash / ANN / chunk-signature — the
     * layout is shared): fold every partition EXCEPT the latest into a

@@ -2001,6 +2001,78 @@ class ExtSpec extends AnyFunSuite {
     assert(md5(q90) === "cfc4599f01ddf1c506566b2d959b15fd", "q90 output drifted")
   }
 
+  // -------------------------------------------------------------------
+  // Native unigram-LM tokenizer (train/apply — the other subword family)
+  // -------------------------------------------------------------------
+
+  test("unigram train: hand-traced hard-EM fit on a crafted corpus") {
+    import graft.ext.UnigramLm
+    // words: ab×3, cd×1; seeds a/b/ab:3, c/d/cd:1. Every EM iteration
+    // Viterbi picks the whole-word piece (one ln beats two), so the
+    // final counts are ab:3, cd:1, singles 0; add-one scores over
+    // total 4 with |V| = 6: ab = ln(4/10), cd = ln(2/10), singles
+    // = ln(1/10) — all StrictMath, hand-checkable
+    val model = UnigramLm.unigramTrain(
+      docsDf(1L -> "ab ab ab cd"), vocabSize = 10, maxPieceLen = 2,
+      seedSize = 10, emIters = 2)
+    val scores = model.as[(String, Double)].collect().toMap
+    assert(scores.keySet === Set("a", "b", "c", "d", "ab", "cd"))
+    assert(scores("ab") === StrictMath.log(4.0 / 10.0))
+    assert(scores("cd") === StrictMath.log(2.0 / 10.0))
+    assert(scores("a") === StrictMath.log(1.0 / 10.0))
+    // apply: whole-word pieces win; an unseen word segments through
+    // the vocabulary ([ab, cd] for "abcd"); unknown chars fall back
+    // one-by-one at the fixed penalty
+    val m = UnigramLm.loadModel(model)
+    def seg(t: String) = docsDf(9L -> t)
+      .select(UnigramLm.tokens($"text", m, 2).as("t"))
+      .as[Seq[String]].collect().head
+    assert(seg("ab cd ab") === Seq("ab", "cd", "ab"))
+    assert(seg("abcd") === Seq("ab", "cd"))
+    assert(seg("xz") === Seq("x", "z"))
+    assert(seg("") === Seq.empty)
+  }
+
+  test("unigram prune: vocabSize cap keeps singles + highest-count multis; round-trip") {
+    import graft.ext.UnigramLm
+    // singles a,b,c,d always survive; room for ONE multi — "ab" (count
+    // 2) beats "cd" (count 1), so "cd" now segments as [c, d]
+    val model = UnigramLm.unigramTrain(
+      docsDf(1L -> "ab ab cd"), vocabSize = 5, maxPieceLen = 2,
+      seedSize = 10, emIters = 2)
+    val dir = SparkTestBase.tmpDir("graft_unigram_model")
+    model.write.mode("overwrite").parquet(dir)
+    val m = UnigramLm.loadModel(spark.read.parquet(dir))
+    assert(m === UnigramLm.loadModel(model),
+      "(piece, score) table must round-trip through parquet exactly")
+    assert(m.map(_._1).toSet === Set("a", "b", "c", "d", "ab"))
+    def seg(t: String) = docsDf(9L -> t)
+      .select(UnigramLm.tokens($"text", m, 2).as("t"))
+      .as[Seq[String]].collect().head
+    assert(seg("ab") === Seq("ab"))
+    assert(seg("cd") === Seq("c", "d"))
+  }
+
+  test("unigram train is bit-identical under repartition (deterministic fit)") {
+    import graft.ext.UnigramLm
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val a = UnigramLm.loadModel(UnigramLm.unigramTrain(docs, vocabSize = 200))
+    val b = UnigramLm.loadModel(UnigramLm.unigramTrain(docs.repartition(7), vocabSize = 200))
+    assert(a === b, "(piece, score) table must not depend on partitioning")
+    assert(a.nonEmpty && a.exists(_._1.length > 1),
+      "a real corpus should retain multi-char pieces")
+  }
+
+  test("golden digest: q123 unigram-packed sequences are bit-stable at sf0.001") {
+    // the no_oracle row's hard signal: any drift in the seed counts,
+    // EM tie-breaks, pruning order, Viterbi, or the packing changes
+    // this digest. Re-pin ONLY for an intentional change.
+    val q123 = ExtQueries.q123(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => s"${r._1},${r._2},${r._3},${r._4},${r._5},${r._6}").mkString("\n")
+    assert(md5(q123) === "8ff5b6092adc6daa2d46de58fdeeaa45", "q123 output drifted")
+  }
+
   test("qualityScore learns a planted vocabulary signal on held-out docs") {
     import graft.ext.QualityModel
     // train: 20 docs of trusted vocab vs 20 of junk vocab; score two
@@ -2277,18 +2349,21 @@ class ExtSpec extends AnyFunSuite {
       1L -> "aa bb aa bb aa cc",
       2L -> "xx yy",
       3L -> "aa # ... zz",
-      4L -> "- one aa\n- two bb\nplain zz...")
+      4L -> "- one aa\n- two bb\nplain zz...",
+      5L -> "aa bb # ... aa bb aa bb aa bb",
+      6L -> "aa … bb")
     val rows = TextOps.gopherRules(df,
         minWords = 3, maxWords = 10, minMeanWordLen = 1.0,
         maxMeanWordLen = 3.0, maxSymbolRatio = 0.1,
         minAlphaWordFrac = 0.5, stopTopK = 2, minStopHits = 2,
         maxBulletLineFrac = 0.5, maxEllipsisLineFrac = 0.3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // corpus top-2 stop list: aa (4 occurrences), bb (2)
+    // corpus top-2 stop list: aa (10 occurrences), bb (8)
     val d1 = rows(1L)
     assert(d1.getAs[Long]("n_words") === 6L)
     assert(d1.getAs[Double]("mean_word_len") === 2.0)
-    assert(d1.getAs[Double]("symbol_ratio") === 0.0)
+    assert(d1.getAs[Double]("hash_ratio") === 0.0)
+    assert(d1.getAs[Double]("ellipsis_ratio") === 0.0)
     assert(d1.getAs[Double]("alpha_word_frac") === 1.0)
     assert(d1.getAs[Long]("n_stop_hits") === 2L)
     assert(d1.getAs[Boolean]("keep"))
@@ -2296,9 +2371,10 @@ class ExtSpec extends AnyFunSuite {
     val d2 = rows(2L)
     assert(!d2.getAs[Boolean]("ok_words") && !d2.getAs[Boolean]("ok_stops"))
     assert(!d2.getAs[Boolean]("keep"))
-    // symbol-heavy: 1 '#' + 1 '...' over 4 words = (3+3)/12 = 0.5
+    // symbol-heavy: 1 '#' over 4 words = 0.25; 1 '...' = 3/12 = 0.25
     val d3 = rows(3L)
-    assert(d3.getAs[Double]("symbol_ratio") === 0.5)
+    assert(d3.getAs[Double]("hash_ratio") === 0.25)
+    assert(d3.getAs[Double]("ellipsis_ratio") === 0.25)
     assert(d3.getAs[Double]("alpha_word_frac") === 0.5)
     assert(!d3.getAs[Boolean]("ok_symbols") && !d3.getAs[Boolean]("keep"))
     // line rules: 2 of 3 lines bulleted, 1 of 3 ends with ellipsis
@@ -2306,6 +2382,18 @@ class ExtSpec extends AnyFunSuite {
     assert(d4.getAs[Double]("bullet_line_frac") === 2.0 / 3.0)
     assert(d4.getAs[Double]("ellipsis_line_frac") === 1.0 / 3.0)
     assert(!d4.getAs[Boolean]("ok_lines"))
+    // the paper's INDEPENDENT thresholds: 1 '#' and 1 '...' over 10
+    // words pass EACH 0.1 rule exactly (0.1 and 3/30 = 0.1), where the
+    // old composite (3+3)/30 = 0.2 wrongly rejected
+    val d5 = rows(5L)
+    assert(d5.getAs[Double]("hash_ratio") === 0.1)
+    assert(d5.getAs[Double]("ellipsis_ratio") === 0.1)
+    assert(d5.getAs[Boolean]("ok_symbols") && d5.getAs[Boolean]("keep"))
+    // unicode ellipsis U+2026 counts: 1 '…' over 3 words = 3/9
+    val d6 = rows(6L)
+    assert(d6.getAs[Double]("hash_ratio") === 0.0)
+    assert(d6.getAs[Double]("ellipsis_ratio") === 1.0 / 3.0)
+    assert(!d6.getAs[Boolean]("ok_symbols") && !d6.getAs[Boolean]("keep"))
   }
 
   test("tokenDrift: hand-computed shares and deltas, |delta|-ranked cut, one-sided tokens") {
@@ -2473,5 +2561,190 @@ class ExtSpec extends AnyFunSuite {
       assert(text === cand.toMap.apply(id))
       assert(w === ref(id)._2)
     }
+  }
+
+  test("dsirSelect: a direct call over parquet scans the corpus once, not per consumer") {
+    import graft.ext.Dsir
+    val dir = SparkTestBase.tmpDir("dsir_scan_pin")
+    Seq(1L -> "the quick brown fox", 2L -> "zxq vvk wop",
+        3L -> "the lazy dog", 4L -> "one two three")
+      .toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    val d = spark.read.parquet(s"$dir/docs")
+    val plan = Dsir.dsirSelect(d, d.where(col("doc_id") <= 2L), k = 2)
+      .queryExecution.executedPlan.toString
+    def n(pat: String) = pat.r.findAllMatchIn(plan).size
+    // candidates are checkpointed once (ExistingRDD); the only parquet
+    // scans left are the target side's (model cf + model total) —
+    // without the materialization the same plan carried ~4 corpus
+    // scans (model build + feature explode + join-back)
+    val scans = n("FileScan parquet") + n("BatchScan parquet")
+    assert(scans <= 2, s"dsirSelect re-scans the corpus: $scans parquet scans\n$plan")
+    assert(n("Scan ExistingRDD") >= 1,
+      s"expected the checkpointed candidate block in the plan\n$plan")
+  }
+
+  test("dsirSelect: a candidate frame already carrying weight_bits is rejected loudly") {
+    import graft.ext.Dsir
+    val cand = Seq((1L, "the quick fox", 7L)).toDF("doc_id", "text", "weight_bits")
+    val tgt = Seq(100L -> "the quick fox").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dsir.dsirSelect(cand, tgt, k = 1)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  // ---- char-mode exact-substring dedup (Lee et al.'s native grain) ----
+
+  test("char-mode exact-substring: arbitrary-boundary runs caught mid-token; keep-first cut") {
+    import graft.ext.Dedup
+    val df = docsDf(
+      1L -> "xxxxABCDEFGHIJyyyy",
+      2L -> "zzABCDEFGHIJww",
+      3L -> "untouched text here")
+    val regions = Dedup.duplicatedCharRegions(df, minChars = 10)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(regions === Seq((1L, 4L, 10L), (2L, 2L, 10L)))
+    // token mode is blind here: the duplicated run crosses no token
+    // boundary (each doc is one token), which is exactly why the
+    // published recipe works at byte/char grain
+    assert(Dedup.duplicatedSubstringRegions(df, minTokens = 2).count() === 0L)
+    val got = Dedup.stripExactCharSubstrings(df, minChars = 10)
+      .select("doc_id", "text", "n_cut_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "xxxxABCDEFGHIJyyyy", 0L), // (1,4) is the (id,pos)-first
+      (2L, "zzww", 10L),
+      (3L, "untouched text here", 0L)))
+  }
+
+  test("char mode == token mode on the single-char-token projection (differential)") {
+    import graft.ext.Dedup
+    // spaceless texts; the token projection makes every char a token,
+    // so the two modes must agree region for region and cut for cut —
+    // includes within-doc self-repeats and an exact cross-doc twin
+    val texts = Seq(
+      1L -> "abcabcabcabc",
+      2L -> "xxabcabcabcab",
+      3L -> "qwertyuiopas",
+      4L -> "abcabcabcabc")
+    val charDf = docsDf(texts: _*)
+    val tokDf = docsDf(texts.map { case (id, t) =>
+      (id, t.map(_.toString).mkString(" ")) }: _*)
+    val n = 5
+    val charStrip = Dedup.stripExactCharSubstrings(charDf, minChars = n)
+      .select("doc_id", "text", "n_cut_chars").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val tokStrip = Dedup.stripExactSubstrings(tokDf, minTokens = n)
+      .select("doc_id", "text", "n_cut_tokens").as[(Long, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(charStrip.map(_._1) === tokStrip.map(_._1))
+    charStrip.zip(tokStrip).foreach { case ((id, ct, cn), (_, tt, tn)) =>
+      assert(cn === tn, s"doc $id: cut counts diverge between modes")
+      assert(ct === tt.replace(" ", ""), s"doc $id: survivor text diverges")
+    }
+    val cr = Dedup.duplicatedCharRegions(charDf, minChars = n)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val tr = Dedup.duplicatedSubstringRegions(tokDf, minTokens = n)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(cr === tr, "region sets diverge between modes")
+    assert(cr.nonEmpty, "fixture must actually exercise duplicated regions")
+  }
+
+  // ---- line-level exact dedup (C4/RefinedWeb unit) ----
+
+  test("duplicateLineStats: hand-computed fractions; short lines exempt via minChars") {
+    import graft.ext.Dedup
+    val df = docsDf(
+      1L -> "aa bb\nZ\ncc",
+      2L -> "aa bb\nZ\ndd",
+      3L -> "solo\n")
+    // minChars=2: "aa bb" duplicated (2 occurrences), "Z" (len 1)
+    // exempt although repeated, trailing empty line never counts as dup
+    val got = Dedup.duplicateLineStats(df, minChars = 2)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 3L, 1L, 1.0 / 3.0, 5.0 / 8.0),
+      (2L, 3L, 1L, 1.0 / 3.0, 5.0 / 8.0),
+      (3L, 2L, 0L, 0.0, 0.0)))
+    // minChars=1: "Z" now duplicated too
+    val loose = Dedup.duplicateLineStats(df, minChars = 1)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(loose.head === ((1L, 3L, 2L, 2.0 / 3.0, 6.0 / 8.0)))
+  }
+
+  test("stripDuplicateLines: corpus-wide keep-first by (id, pos); untouched docs verbatim") {
+    import graft.ext.Dedup
+    val df = docsDf(
+      2L -> "aa bb\nZ\ndd",
+      1L -> "aa bb\nZ\ncc",
+      3L -> "fresh  text") // double space: survives only if truly verbatim
+    val got = Dedup.stripDuplicateLines(df, minChars = 2)
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, "aa bb\nZ\ncc", 0L), // (1,0) is the corpus-wide first "aa bb"
+      (2L, "Z\ndd", 1L),
+      (3L, "fresh  text", 0L)))
+    // minChars=1 also cuts the repeated "Z" (first stays with doc 1)
+    val loose = Dedup.stripDuplicateLines(df, minChars = 1)
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(loose(1) === ((2L, "dd", 2L)))
+    // a doc whose every line is cut becomes the empty string
+    val twin = docsDf(1L -> "only line", 2L -> "only line")
+    val wiped = Dedup.stripDuplicateLines(twin)
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(wiped === Seq((1L, "only line", 0L), (2L, "", 1L)))
+  }
+
+  test("line index probe: cross-set cut only, within-batch dups out of scope; roll-forward == rebuild") {
+    import graft.ext.Dedup
+    val corpus = docsDf(1L -> "boiler plate\nbody one", 2L -> "body two")
+    val batch = docsDf(
+      10L -> "boiler plate\nnovel line\nnovel line",
+      11L -> "body two\nmore text")
+    val idx = Dedup.lineIndex(corpus, minChars = 1)
+    val got = Dedup.stripDuplicateLinesAgainstIndex(batch, idx, minChars = 1)
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (10L, "novel line\nnovel line", 1L), // in-batch twin NOT cut here
+      (11L, "more text", 1L)))
+    // parquet round-trip + roll-forward == rebuild from the union
+    val dir = SparkTestBase.tmpDir("graft_line_idx")
+    idx.write.parquet(s"$dir/idx")
+    val rolled = Dedup.lineIndexRollForward(
+        spark.read.parquet(s"$dir/idx"), batch, minChars = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val rebuilt = Dedup.lineIndex(corpus.unionByName(batch), minChars = 1)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rolled === rebuilt)
+  }
+
+  test("stripDuplicateLines plan: line text never shuffles — only ids, positions, hashes") {
+    import graft.ext.Dedup
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Dedup.stripDuplicateLines(d).queryExecution.executedPlan.toString
+    // every Exchange input is (id, pos, hash/len) or the cut-position
+    // array — the __line attribute must never be a shuffle output
+    val badLine = plan.linesIterator.find(l =>
+      l.contains("Exchange") && l.contains("__line"))
+    assert(badLine.isEmpty, s"line text crossed a shuffle: ${badLine.getOrElse("")}")
+  }
+
+  test("tokenDrift/bandDrift: an empty side yields 0.0 shares, not engine-dependent nulls") {
+    import graft.ext.Diff
+    val older = docsDf(1L -> "a a b")
+    val rows = Diff.tokenDrift(older, older.where(col("doc_id") < 0), k = 3)
+      .select("token", "share_old", "share_new", "share_diff")
+      .as[(String, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(rows === Seq(
+      ("a", 2.0 / 3.0, 0.0, -2.0 / 3.0),
+      ("b", 1.0 / 3.0, 0.0, -1.0 / 3.0)))
+    val bands = Diff.bandDrift(older.where(col("doc_id") < 0), older, "doc_id")
+      .select("band", "share_old", "share_new")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(bands === Seq((1L, 0.0, 1.0)))
   }
 }

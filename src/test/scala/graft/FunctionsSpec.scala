@@ -63,8 +63,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(graft.ext.GraftFns.standard.keySet === Set("graft_init",
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
-      "graft_strip_exact_substrings", "graft_dsir_select",
-      "graft_gopher_filter"))
+      "graft_strip_exact_substrings", "graft_strip_dup_lines",
+      "graft_dsir_select", "graft_gopher_filter"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
       "mixture_sample", "pack_sequences"))
@@ -102,5 +102,31 @@ class FunctionsSpec extends AnyFunSuite {
       .groupBy("lang").count().withColumnRenamed("count", "n")
     assert(result.orderBy("lang").collect().toSeq ===
       direct.orderBy("lang").collect().toSeq)
+  }
+
+  test("graft_strip_dup_lines fn step == direct stripDuplicateLines, GRAFT_MIN_CHARS honored") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_linefn")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "line_docs", "GRAFT_MIN_CHARS" -> "2"),
+      fns = graft.ext.GraftFns.standard)
+    val docs = Seq(
+      (1L, "aa bb\nZ\ncc"), (2L, "aa bb\nZ\ndd"), (3L, "fresh"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("line_docs")
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Fn("graft_init"),
+      Step.Fn("graft_strip_dup_lines"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, text, n_cut_lines FROM graft")))).get
+    val direct = graft.ext.Dedup.stripDuplicateLines(docs, minChars = 2)
+      .select("doc_id", "text", "n_cut_lines")
+    assert(result.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+    assert(result.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "aa bb\nZ\ncc", 0L), (2L, "Z\ndd", 1L), (3L, "fresh", 0L)))
   }
 }

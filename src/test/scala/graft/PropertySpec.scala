@@ -457,11 +457,11 @@ class PropertySpec extends AnyFunSuite {
 
   test("property: gopherRules == independent rule model on randomized punctuated corpora") {
     import graft.ext.TextOps
-    // vocab deliberately hits every rule: short/long tokens, '#' and
-    // '...' symbols, non-alphabetic tokens, bullet and ellipsis line
-    // shapes; docs are 1-3 LINES of 1-12 tokens
+    // vocab deliberately hits every rule: short/long tokens, '#', '...'
+    // and unicode '…' symbols, non-alphabetic tokens, bullet and
+    // ellipsis line shapes; docs are 1-3 LINES of 1-12 tokens
     val vocab = Seq("aa", "bb", "cc", "dd", "longword", "x", "#", "...",
-      "12", "zz...")
+      "12", "zz...", "…", "ee…")
     val lineGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
       .flatMap(toks => Gen.oneOf("", "- ", "* ").map(pfx => pfx + toks.mkString(" ")))
     val docGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, lineGen))
@@ -483,28 +483,31 @@ class PropertySpec extends AnyFunSuite {
         val meanLen = toks.map(_.length).sum.toDouble / nW
         val nHash = text.count(_ == '#').toLong
         val ellChars = (text.length - text.replace("...", "").length).toLong
-        val sym = (3L * nHash + ellChars).toDouble / (3L * nW)
+        val ellUni = text.count(_ == '…').toLong
+        val hashR = nHash.toDouble / nW
+        val ellR = (ellChars + 3L * ellUni).toDouble / (3L * nW)
         val alpha = toks.count(_.exists(c =>
           (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toDouble / nW
         val bul = lines.count(l => l.startsWith("- ") || l.startsWith("* ") ||
           l.startsWith("•")).toDouble / lines.size
-        val ell = lines.count(_.endsWith("...")).toDouble / lines.size
+        val ell = lines.count(l => l.endsWith("...") || l.endsWith("…"))
+          .toDouble / lines.size
         val hits = toks.distinct.count(stops.contains).toLong
         val keep = nW >= minW && nW <= maxW && meanLen >= minL &&
-          meanLen <= maxL && sym <= maxSym && alpha >= minAl &&
-          hits >= minStops && bul <= maxBul && ell <= maxEll
-        i.toLong -> ((nW, meanLen, sym, alpha, bul, ell, hits, keep))
+          meanLen <= maxL && hashR <= maxSym && ellR <= maxSym &&
+          alpha >= minAl && hits >= minStops && bul <= maxBul && ell <= maxEll
+        i.toLong -> ((nW, meanLen, hashR, ellR, alpha, bul, ell, hits, keep))
       }.toMap
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val got = TextOps.gopherRules(df, minW, maxW, minL, maxL, maxSym,
           minAl, topK, minStops, maxBul, maxEll)
-        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
-          "alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac",
-          "n_stop_hits", "keep")
-        .as[(Long, Long, Double, Double, Double, Double, Double, Long, Boolean)]
+        .select("doc_id", "n_words", "mean_word_len", "hash_ratio",
+          "ellipsis_ratio", "alpha_word_frac", "bullet_line_frac",
+          "ellipsis_line_frac", "n_stop_hits", "keep")
+        .as[(Long, Long, Double, Double, Double, Double, Double, Double, Long, Boolean)]
         .collect()
-        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9)))
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)))
         .toMap
       got == want
     }, minSuccessful = 10)

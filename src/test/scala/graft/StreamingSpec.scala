@@ -344,6 +344,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(out() === batchKeep, "replay of a delivered batch changed the output")
   }
 
+  test("index-backed streaming LINE dedup: whole-history cut == batch keep-first, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_line_idx")
+    val sink = StreamingDedup.lineDedupAgainstIndexSink(s"$work/index", s"$work/out") _
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // b0: in-batch dup line; b1: cross-batch dup of b0 survivors +
+    // in-batch dup of a fresh line; b2: dup of a line b1 introduced
+    val b0 = batchDf(1L -> "header\nbody one", 2L -> "header\nbody two")
+    val b1 = batchDf(11L -> "body two\nfresh line",
+      12L -> "header\nfresh line\nanother")
+    val b2 = batchDf(21L -> "another\nfinal words")
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // streamed rewrite == one-shot batch keep-first over the history
+    // (ids increase with arrival, so first-arrival == (id, pos)-first)
+    val full = b0.unionByName(b1).unionByName(b2)
+    val batchKeep = graft.ext.Dedup.stripDuplicateLines(full)
+      .select("doc_id", "text", "n_cut_lines")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out() === batchKeep, "stream line dedup drifted from batch keep-first")
+    assert(out().map(_._2) === Seq("header\nbody one", "body two",
+      "fresh line", "another", "final words"))
+    // replay b1 (failure recovery): strictly-earlier probe + per-batch
+    // overwrite reproduce the identical state
+    sink(b1, 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+    // the rolled-forward index holds exactly the SURVIVING lines
+    val survivors = batchKeep.flatMap(_._2.split("\n", -1))
+      .filter(_.nonEmpty).distinct.size.toLong
+    assert(spark.read.parquet(s"$work/index")
+      .select("__h").distinct().count() === survivors)
+  }
+
   test("index-backed streaming NEAR-dup dedup: whole-history, stream == batch, replay-idempotent") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_neardup_idx")

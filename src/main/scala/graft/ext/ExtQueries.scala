@@ -1227,15 +1227,17 @@ object ExtQueries {
     * in SQL (the q49 chunking spelling with stride = width = 8). Real
     * multi-line corpora skip this and call the operators directly.
     */
-  private def reflowedDocs(spark: SparkSession, dir: String): DataFrame = {
+  private def reflowedDocs(spark: SparkSession, dir: String,
+                           perLine: Int = 8): DataFrame = {
     val toks = split(col("text"), " ")
     // integer line count: Column `/` is IEEE division, so floor+cast
     // (token counts are non-negative — truncation IS the floor)
-    val lastLine = floor((size(toks) - 1).cast("double") / 8.0).cast("int")
+    val lastLine = floor((size(toks) - 1).cast("double") / perLine.toDouble)
+      .cast("int")
     docs(spark, dir).withColumn("text",
       array_join(
         transform(sequence(lit(0), lastLine),
-          i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")),
+          i => array_join(slice(toks, i * lit(perLine) + 1, lit(perLine)), " ")),
         "\n"))
   }
 
@@ -1298,7 +1300,23 @@ object ExtQueries {
       .select(col("doc_id"), col("text"), col("n_cut_chars"))
       .orderBy("doc_id")
 
+  /** WITHIN-document duplicate-line repetition
+    * ([[TextOps.lineRepetition]]): Gopher A1.2's line-grain repetition
+    * fractions as one row-local projection — q35's n-gram lens
+    * completed at line grain, q119's corpus-wide cousin scoped to a
+    * single document. The 2-token reflow (vs q119's 8) is deliberate:
+    * the synthetic corpus repeats short token runs within a document,
+    * so in-doc line repetition only exists at narrow widths. Exact
+    * integer counts + one IEEE division per fraction — exact-oracled.
+    */
+  def q124(spark: SparkSession, dir: String): DataFrame =
+    TextOps.lineRepetition(reflowedDocs(spark, dir, perLine = 2))
+      .select(col("doc_id"), col("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"))
+      .orderBy("doc_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_line_repetition" -> (q124 _),
     "q123_unigram_packing" -> (q123 _),
     "q122_strip_char_substrings" -> (q122 _),
     "q119_dup_line_stats" -> (q119 _),
@@ -1544,6 +1562,29 @@ object ExtQueries {
     // q118 — token drift replayed: per-side occurrence counts, one
     // division per share, |delta| ranked with the (abs DESC, token)
     // total order — identical doubles, identical ties, identical cut.
+    // q124 — within-doc line repetition over the 2-token reflow: line
+    // multiset vs distinct set, counts and char sums both ways, one
+    // IEEE division per fraction.
+    "q124_line_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+        |l AS (
+        |  SELECT doc_id, array_to_string(list_slice(sp, st, st + 1), ' ') AS line
+        |  FROM (SELECT doc_id, sp, unnest(generate_series(1, len(sp), 2)) AS st
+        |        FROM t)),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT line) AS BIGINT) AS nd,
+        |    CAST(sum(length(line)) AS BIGINT) AS c
+        |  FROM l GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, CAST(sum(length(line)) AS BIGINT) AS cd
+        |  FROM (SELECT DISTINCT doc_id, line FROM l) GROUP BY doc_id)
+        |SELECT a.doc_id, a.n AS n_lines,
+        |  CAST(a.n - a.nd AS DOUBLE) / CAST(a.n AS DOUBLE) AS dup_line_frac,
+        |  CASE WHEN a.c = 0 THEN 0.0
+        |       ELSE CAST(a.c - b.cd AS DOUBLE) / CAST(a.c AS DOUBLE)
+        |  END AS dup_line_char_frac
+        |FROM a JOIN b USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     // q119/q120/q121 — the reflow CTE (t, l) replays reflowedDocs
     // verbatim: 1-based slice starts every 8, list_slice end-inclusive,
     // (st-1)/8 always an exact multiple so the BIGINT cast never

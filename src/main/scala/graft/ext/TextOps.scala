@@ -223,6 +223,45 @@ object TextOps {
             .cast("double") / nToks))
   }
 
+  /** WITHIN-document duplicate-LINE repetition (Gopher A1.2's line-grain
+    * rules, completing [[repetitionMetrics]]' n-gram lens): per document,
+    * the fraction of lines that are repeats of an earlier line of the
+    * SAME document and the fraction of characters those repeats carry —
+    * `(…, n_lines, dup_line_frac, dup_line_char_frac)`. The corpus-wide
+    * cousin (boilerplate shared ACROSS documents) is
+    * [[graft.ext.Dedup.duplicateLineStats]]; this one needs no corpus
+    * state at all.
+    *
+    * Definitions (exact, SQL-replayable): with L the line multiset and
+    * D its distinct set, `dup_line_frac = (|L| − |D|) / |L|` and
+    * `dup_line_char_frac = (chars(L) − chars(D)) / chars(L)` (newlines
+    * excluded; 0.0 when the document has no line characters) — i.e.
+    * every occurrence beyond a line's first counts, in lines and in
+    * characters.
+    *
+    * Scale shape: ONE row-local projection — array expressions only
+    * (`split`/`array_distinct`/`aggregate`), no explode, no join, no
+    * shuffle. The cheapest member of the repetition family; at 100 TB
+    * it rides whatever scan already reads the text.
+    */
+  def lineRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val distinctLines = array_distinct(lines)
+    val nL = size(lines).cast("long")
+    val nD = size(distinctLines).cast("long")
+    def charsOf(arr: Column): Column =
+      aggregate(arr, lit(0L), (a, x) => a + length(x))
+    val chars = charsOf(lines)
+    val charsD = charsOf(distinctLines)
+    docs
+      .withColumn("n_lines", nL)
+      .withColumn("dup_line_frac",
+        (nL - nD).cast("double") / nL.cast("double"))
+      .withColumn("dup_line_char_frac",
+        when(chars === 0L, lit(0.0))
+          .otherwise((chars - charsD).cast("double") / chars.cast("double")))
+  }
+
   /** Sequence packing: assign ordered documents to fixed-capacity token
     * bins — the dataloader-prep step that turns a document corpus into
     * training windows. Deterministic contiguous packing: within each

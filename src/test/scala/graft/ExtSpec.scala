@@ -2650,6 +2650,26 @@ class ExtSpec extends AnyFunSuite {
     assert(cr.nonEmpty, "fixture must actually exercise duplicated regions")
   }
 
+  test("lineRepetition: within-doc dup-line fractions, hand-computed; pure narrow projection") {
+    import graft.ext.TextOps
+    val df = docsDf(
+      1L -> "aa\nbb\naa\ncc\naa", // 5 lines, 3 distinct; 10 chars, 6 distinct
+      2L -> "xx",
+      3L -> "")
+    val got = TextOps.lineRepetition(df)
+      .select("doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 5L, 2.0 / 5.0, 4.0 / 10.0),
+      (2L, 1L, 0.0, 0.0),
+      (3L, 1L, 0.0, 0.0))) // empty text: one empty line, zero chars
+    // row-local by construction: no Exchange anywhere in the plan
+    val plan = TextOps.lineRepetition(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"lineRepetition must not shuffle:\n$plan")
+  }
+
   // ---- line-level exact dedup (C4/RefinedWeb unit) ----
 
   test("duplicateLineStats: hand-computed fractions; short lines exempt via minChars") {

@@ -1095,28 +1095,31 @@ object Dedup {
   // aggregation (the corpus text never shuffles); ONE equi-join flags
   // each window occurrence against its single stat row (a viral
   // boilerplate window costs f matched rows, never f²; AQE splits the
-  // hot partition); coverage and region merge are one per-document
-  // window-function pass (a sliding max over minTokens rows, then
-  // gaps-and-islands) — documents are the partition unit, so a 100 TB
-  // corpus spreads per-document across executors. Window equality is
-  // by 64-bit content hash (aliasing P ≈ n²/2⁶⁵, the repo-wide
-  // fingerprint caveat); all other arithmetic is integer-exact.
+  // hot partition); coverage is the INTERVAL UNION of the flagged
+  // [s, s+w) windows — the flagged starts aggregate to one sorted int
+  // array per affected document and the merge/splice runs ROW-LOCALLY
+  // ([[graft.functions.MergedRuns]]/[[graft.functions.CutRuns]]), so
+  // after the stat join nothing is ever exploded per unit position
+  // (the former sliding-max formulation paid one row per token/char).
+  // Window equality is by 64-bit content hash (aliasing P ≈ n²/2⁶⁵,
+  // the repo-wide fingerprint caveat); all other arithmetic is
+  // integer-exact.
 
   /** The exact-substring family's UNIT: how a document decomposes into
     * positions (tokens or characters), how fixed-width windows over
-    * those positions spell, and how survivors rejoin. Token mode is
-    * the SQL-friendliest (q109/q110); char mode is the published
-    * recipe's native granularity (Lee et al.'s 50-byte threshold).
+    * those positions spell, and how survivors rejoin (empty `sep` =
+    * char mode). Token mode is the SQL-friendliest (q109/q110); char
+    * mode is the published recipe's native granularity (Lee et al.'s
+    * 50-byte threshold).
     */
   private final case class SubstrUnit(
       windows: (Column, Int) => Column,
-      units: Column => Column,
       sep: String,
       cutCol: String)
   private val TokenUnit =
-    SubstrUnit(TextOps.shinglesOrdered, TextOps.tokens, " ", "n_cut_tokens")
+    SubstrUnit(TextOps.shinglesOrdered, " ", "n_cut_tokens")
   private val CharUnit =
-    SubstrUnit(TextOps.charWindowsOrdered, t => split(t, ""), "", "n_cut_chars")
+    SubstrUnit(TextOps.charWindowsOrdered, "", "n_cut_chars")
 
   /** Per-window occurrence rows: one (id, pos, 8-byte hash) per full
     * `minUnits`-unit window — the shared seed pass of
@@ -1129,26 +1132,6 @@ object Dedup {
         posexplode(u.windows(col(textCol), minUnits))
           .as(Seq("pos", "__span")))
       .select(col(idCol), col("pos"), xxhash64(col("__span")).as("__h"))
-
-  /** Duplicated-position coverage per document: every unit position of
-    * `docs` with a 0/1 `__dup` flag — 1 iff some flagged window (a row
-    * of `starts`, keyed (idCol, pos)) covers it. The sliding-max trick:
-    * position q is covered iff a flagged window STARTS in
-    * [q-minUnits+1, q], i.e. max of the start flag over the trailing
-    * minUnits-row frame.
-    */
-  private def coverage(docs: DataFrame, starts: DataFrame, minUnits: Int,
-                       idCol: String, textCol: String,
-                       u: SubstrUnit = TokenUnit): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("q"))
-      .rowsBetween(-(minUnits - 1), Window.currentRow)
-    docs.select(col(idCol),
-        posexplode(u.units(col(textCol))).as(Seq("q", "__tok")))
-      .join(starts.select(col(idCol), col("pos").as("q"), lit(1).as("__s")),
-        Seq(idCol, "q"), "left")
-      .withColumn("__dup", max(coalesce(col("__s"), lit(0))).over(w))
-      .drop("__s")
-  }
 
   /** All maximal duplicated regions: one row `(doc_id, start_pos,
     * region_len)` per maximal run of duplicated token positions
@@ -1183,21 +1166,20 @@ object Dedup {
       occ.groupBy("__h").agg(count(lit(1)).as("__n"))
         .where(col("__n") >= 2).select("__h"),
       Seq("__h"), "left_semi")
-    val cov = coverage(docs, dupStarts, minUnits, idCol, textCol, u)
-    // gaps-and-islands over the per-doc position axis: a region opens
-    // where the flag rises 0→1; the running sum of opens numbers the
-    // regions, and each region aggregates to (start, length)
-    val ord = Window.partitionBy(col(idCol)).orderBy(col("q"))
-    cov.withColumn("__open",
-        when(col("__dup") === 1 &&
-          coalesce(lag(col("__dup"), 1).over(ord), lit(0)) === 0, 1).otherwise(0))
-      .withColumn("__rid", sum(col("__open")).over(
-        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(col("__dup") === 1)
-      .groupBy(col(idCol), col("__rid"))
-      .agg(min(col("q")).cast("long").as("start_pos"),
-        count(lit(1)).as("region_len"))
-      .select(col(idCol), col("start_pos"), col("region_len"))
+    // coverage of a start set is the UNION of its [s, s+w) intervals:
+    // aggregate the (few) flagged starts per document into one sorted
+    // int array and merge ROW-LOCALLY ([[graft.functions.MergedRuns]])
+    // — identical regions to the former per-position sliding-max +
+    // gaps-and-islands pass, at one row per flagged start instead of
+    // one row per unit position (the r13 rewrite that took the char
+    // family from per-char exploded windows to start-count work)
+    dupStarts.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+      .select(col(idCol),
+        explode(graft.functions.SpanExprs.mergedRuns(
+          col("__starts"), lit(minUnits))).as("__r"))
+      .select(col(idCol),
+        col("__r.start").as("start_pos"), col("__r.len").as("region_len"))
   }
 
   /** Cut every duplicated region, KEEPING the corpus-wide first
@@ -1251,27 +1233,31 @@ object Dedup {
     * covered by a window in `repeats` (keyed (idCol, pos)), rejoin the
     * survivors in order, keep untouched documents byte-verbatim, and
     * report exact cut counts.
+    *
+    * Shape (the r13 rewrite, same as [[substringRegionsImpl]]): repeat
+    * starts aggregate to ONE sorted int array per AFFECTED document
+    * (ids + ints — no unit-position explode, no text in the
+    * aggregation), join back on the 8-byte id, and the splice is a
+    * single linear row-local pass ([[graft.functions.CutRuns]]) —
+    * byte-identical output to the former explode/sliding-max/
+    * collect_list rebuild.
     */
   private def cutCovered(docs: DataFrame, repeats: DataFrame, minUnits: Int,
                          idCol: String, textCol: String,
                          u: SubstrUnit = TokenUnit): DataFrame = {
-    val cov = coverage(docs, repeats, minUnits, idCol, textCol, u)
-    val rewritten = cov.groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("__dup") === 0, struct(col("q"), col("__tok"))))),
-            s => s.getField("__tok")),
-          u.sep).as("__clean"),
-        sum(col("__dup")).cast("long").as(u.cutCol))
+    val perDoc = repeats.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    val runs = graft.functions.SpanExprs.mergedRuns(col("__starts"), lit(minUnits))
+    val spliced = graft.functions.SpanExprs.cutRuns(col(textCol), runs,
+      charMode = u.sep.isEmpty)
     val outCols = docs.columns.map {
       case c if c == textCol =>
-        when(col(u.cutCol) > 0, col("__clean"))
+        when(col("__starts").isNotNull, spliced.getField("text"))
           .otherwise(col(textCol)).as(textCol)
       case c => col(c)
-    } :+ coalesce(col(u.cutCol), lit(0L)).as(u.cutCol)
-    docs.join(rewritten, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
+    } :+ when(col("__starts").isNull, lit(0L))
+      .otherwise(spliced.getField("n_cut")).as(u.cutCol)
+    docs.join(perDoc, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)
   }
 
   /** Persisted EXACT-SUBSTRING window index — the build-once/

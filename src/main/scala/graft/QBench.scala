@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Focused micro-bench: run a comma-separated subset of registry
+  * queries 3 passes round-robin against a corpus dir and print raw
+  * per-pass wall times — the dev loop for optimizing ONE operator
+  * without paying a full `graft.Bench` sweep. Same noop-write
+  * materialization as Bench; minima across passes are the comparable
+  * number (BASELINE.md's measurement contract).
+  *
+  * Usage: runMain graft.QBench q122_strip_char_substrings[,q110_...] <sfDir>
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = args(0).split(",")
+    val dir = args(1)
+    for (pass <- 1 to 3; n <- names) {
+      val t0 = System.nanoTime()
+      graft.ext.ExtQueries.all(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"QBENCH $n pass$pass ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

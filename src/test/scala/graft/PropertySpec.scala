@@ -513,6 +513,42 @@ class PropertySpec extends AnyFunSuite {
     }, minSuccessful = 10)
   }
 
+  test("property: stripDuplicateLines == independent keep-first model on randomized corpora") {
+    import graft.ext.Dedup
+    // tiny line vocabulary FORCES cross-doc and within-doc collisions;
+    // empty lines appear too (minChars exemption exercised every run)
+    val lineGen = Gen.frequency(
+      6 -> Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "d"))).map(_.mkString(" ")),
+      1 -> Gen.const(""))
+    val docGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, lineGen))
+      .map(_.mkString("\n"))
+    val corpusGen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+    check(Prop.forAll(corpusGen) { docs =>
+      // independent model: plain Scala over the same keep-first rule —
+      // a qualifying (len >= 1) occurrence survives iff it is the
+      // (id, pos)-lexicographic first of its line corpus-wide
+      val occ = docs.zipWithIndex.flatMap { case (t, id) =>
+        t.split("\n", -1).zipWithIndex.map { case (l, p) => (id.toLong, p, l) } }
+      val firstOf = occ.filter(_._3.nonEmpty).groupBy(_._3)
+        .map { case (l, os) => l -> os.map(o => (o._1, o._2)).min }
+      val want = docs.zipWithIndex.map { case (t, id) =>
+        val lines = t.split("\n", -1).zipWithIndex
+        val kept = lines.filter { case (l, p) =>
+          l.isEmpty || firstOf(l) == ((id.toLong, p)) }
+        id.toLong -> ((kept.map(_._1).mkString("\n"),
+          (lines.length - kept.length).toLong))
+      }.toMap
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.stripDuplicateLines(df)
+        .select("doc_id", "text", "n_cut_lines")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      got == want
+    }, minSuccessful = 15)
+  }
+
   test("property: dsirScore == independent hashed-feature importance model") {
     import graft.ext.Dsir
     // small vocab FORCES shared features and bucket collisions between

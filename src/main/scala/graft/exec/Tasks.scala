@@ -128,16 +128,19 @@ object Tasks {
     * runs — like the reference resolving its DAG in the scheduler
     * process.
     *
-    * Scheduling is deterministic: ready tasks start in id order
-    * (Kahn's algorithm over a sorted ready queue). With
-    * `parallelism > 1` independent ready tasks run on a fixed thread
-    * pool — Spark sessions are thread-safe and local/cluster masters
-    * schedule concurrent jobs fairly, so two independent extracts
-    * genuinely overlap their I/O waits. Ledger integration is the
-    * tasks' own: each extract/transform appends its run row AFTER its
-    * writes succeed ([[RunLedger]]), so a DAG run leaves one ledger
-    * row per SUCCEEDED task and none for failed/skipped ones — the
-    * ledger stays "what actually landed".
+    * Scheduling is deterministic: with `parallelism = 1` the run is
+    * Kahn's algorithm over a sorted ready set — of all currently-ready
+    * tasks, the smallest id runs next. With `parallelism > 1` ready
+    * tasks are SUBMITTED in id order to a fixed thread pool (completion
+    * order is then up to task durations) — Spark sessions are
+    * thread-safe and local/cluster masters schedule concurrent jobs
+    * fairly, so two independent extracts genuinely overlap their I/O
+    * waits. Scheduling state lives in explicit queues, one stack frame
+    * regardless of DAG depth. Ledger integration is the tasks' own:
+    * each extract/transform appends its run row AFTER its writes
+    * succeed ([[RunLedger]]), so a DAG run leaves one ledger row per
+    * SUCCEEDED task and none for failed/skipped ones — the ledger
+    * stays "what actually landed".
     */
   def runDag(tasks: Seq[EtlTask], deps: Map[String, Seq[String]] = Map.empty,
              parallelism: Int = 1): DagRun = {
@@ -149,8 +152,12 @@ object Tasks {
     val unknown = (deps.keys.filterNot(idSet) ++
       deps.values.flatten.filterNot(idSet)).toSeq.distinct
     require(unknown.isEmpty, s"deps reference unknown task ids: ${unknown.mkString(", ")}")
+    // duplicate entries in an upstream list collapse to one edge —
+    // pendingUps below is a Set, so a kept duplicate would resolve the
+    // downstream task on the FIRST occurrence and again on the second,
+    // scheduling (and running) it twice
     val upstream: Map[String, Seq[String]] =
-      ids.map(id => id -> deps.getOrElse(id, Nil)).toMap
+      ids.map(id => id -> deps.getOrElse(id, Nil).distinct).toMap
     val downstream: Map[String, Seq[String]] = upstream.toSeq
       .flatMap { case (id, ups) => ups.map(_ -> id) }
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
@@ -176,58 +183,75 @@ object Tasks {
     val pendingUps = scala.collection.mutable.Map(
       ids.map(id => id -> scala.collection.mutable.Set(upstream(id): _*)): _*)
     val lock = new Object
-    val pool =
-      if (parallelism == 1) None
-      else Some(java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
-    val done = new java.util.concurrent.CountDownLatch(1)
 
-    // mark every transitive descendant of a non-succeeded task Skipped,
-    // recording its nearest non-succeeded upstreams; returns ids whose
-    // remaining upstreams all resolved (they become schedulable-or-skipped)
+    // drop `id` from its downstreams' pending-upstream sets; returns the
+    // ids whose upstreams all just resolved (each id is returned exactly
+    // once across the whole run — its last pending upstream resolves once)
     def resolveDownstream(id: String): Seq[String] = lock.synchronized {
       downstream.getOrElse(id, Nil).flatMap { d =>
         pendingUps(d) -= id
-        if (pendingUps(d).isEmpty && !status.contains(d)) Seq(d) else Nil
+        if (pendingUps(d).isEmpty) Seq(d) else Nil
       }
     }
-    def schedule(id: String): Unit = {
-      val blocked = upstream(id).filter(u => status.get(u) match {
-        case Some(DagStatus.Succeeded) => false
-        case _ => true
-      })
-      if (blocked.nonEmpty) {
-        status(id) = DagStatus.Skipped(blocked.sorted)
-        finish(id)
-      } else {
+    // a newly-unblocked batch splits into runnable tasks and skips: a
+    // task with any non-succeeded upstream is marked Skipped on the
+    // spot and its own downstreams resolve in the SAME loop — a skip
+    // cascade costs zero stack frames however deep the DAG is
+    def readyToRun(resolved: Seq[String]): Seq[String] = {
+      val runnable = Seq.newBuilder[String]
+      var queue = resolved.toList
+      while (queue.nonEmpty) {
+        val d = queue.head; queue = queue.tail
+        val blocked = upstream(d).filter(u => status.get(u) match {
+          case Some(DagStatus.Succeeded) => false
+          case _ => true
+        })
+        if (blocked.nonEmpty) {
+          status(d) = DagStatus.Skipped(blocked.sorted)
+          queue = queue ::: resolveDownstream(d).sorted.toList
+        } else runnable += d
+      }
+      runnable.result()
+    }
+    def runOne(id: String): Unit = {
+      val st =
+        try { byId(id).run(); DagStatus.Succeeded }
+        catch { case e: Throwable => DagStatus.Failed(e) }
+      status(id) = st
+      completed.add(id)
+    }
+
+    val roots = ids.filter(upstream(_).isEmpty).sorted
+    if (parallelism == 1) {
+      // Kahn over a sorted ready set: smallest ready id runs next
+      val ready = scala.collection.mutable.TreeSet(roots: _*)
+      while (ready.nonEmpty) {
+        val id = ready.head; ready -= id
+        runOne(id)
+        ready ++= readyToRun(resolveDownstream(id).sorted)
+      }
+    } else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+      val done = new java.util.concurrent.CountDownLatch(1)
+      def submit(id: String): Unit = {
         inFlight.incrementAndGet()
-        val body: Runnable = () => {
-          val st =
-            try { byId(id).run(); DagStatus.Succeeded }
-            catch { case e: Throwable => DagStatus.Failed(e) }
-          status(id) = st
-          completed.add(id)
+        pool.execute { () =>
+          runOne(id)
           inFlight.decrementAndGet()
-          finish(id)
-        }
-        pool match {
-          case Some(p) => p.execute(body)
-          case None => body.run()
+          readyToRun(resolveDownstream(id).sorted).foreach(submit)
+          lock.synchronized {
+            if (status.size == ids.size && inFlight.get() == 0) done.countDown()
+          }
         }
       }
-    }
-    def finish(id: String): Unit = {
-      val next = resolveDownstream(id).sorted
-      next.foreach(schedule)
+      roots.foreach(submit)
       lock.synchronized {
         if (status.size == ids.size && inFlight.get() == 0) done.countDown()
       }
+      done.await()
+      pool.shutdown()
     }
-    // cycle check above guarantees roots exist whenever ids do
-    ids.filter(upstream(_).isEmpty).sorted.foreach(schedule)
-    if (ids.isEmpty) done.countDown()
-    done.await()
-    pool.foreach(_.shutdown())
     DagRun(completed.toArray(Array.empty[String]).toSeq, status.toMap)
   }
 }

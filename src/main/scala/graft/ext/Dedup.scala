@@ -1146,11 +1146,14 @@ object Dedup {
 
   /** [[duplicatedSubstringRegions]] at CHARACTER granularity — the
     * published recipe's native unit (Lee et al. find duplicated BYTE
-    * ranges of length ≥ 50 and merge overlaps; JVM strings are UTF-16,
-    * so the unit here is the character — identical on ASCII corpora).
-    * `(doc_id, start_pos, region_len)` in char coordinates; the
-    * seed-anchored shape carries over verbatim, char windows instead
-    * of token shingles.
+    * ranges of length ≥ 50 and merge overlaps; the unit here is the
+    * Unicode CODE POINT — what Spark's `length`/`substring` count —
+    * identical on ASCII corpora). `(doc_id, start_pos, region_len)`
+    * are code-point coordinates: a JVM caller slicing the original
+    * `String` must convert via `offsetByCodePoints`, NOT
+    * `String.substring` char indexes, or astral characters (emoji,
+    * rare CJK) shift the cut. The seed-anchored shape carries over
+    * verbatim, char windows instead of token shingles.
     */
   def duplicatedCharRegions(docs: DataFrame, minChars: Int = 50,
                             idCol: String = "doc_id",

@@ -103,15 +103,20 @@ object Dsir {
     * The raw model is built from `candidates` itself (the paper's
     * setting: importance against the distribution you are sampling
     * FROM), which makes the candidate lineage a MULTI-CONSUMER input
-    * (model build + feature explode) — so it is materialized here
-    * (eager `localCheckpoint`, the q117/CurationChain stage-boundary
-    * trade) and the corpus lineage runs ONCE, not once per consumer.
-    * Callers that already persisted `candidates` pay one cheap extra
-    * copy; callers on preemptible executors who need durable restarts
-    * should land `candidates` as parquet first and pass the re-read
-    * (localCheckpoint blocks are lost with their executor). To score
-    * against models built elsewhere — with no materialization at all —
-    * use [[dsirScoreAgainstModels]] directly.
+    * (model build + feature explode) — so it is materialized
+    * (LAZY `localCheckpoint`, the q117/CurationChain stage-boundary
+    * trade: nothing runs until the returned frame's first action, then
+    * the corpus lineage runs ONCE, not once per consumer, and every
+    * later consumer reads the checkpointed blocks). The blocks live
+    * until the driver GCs the checkpointed frame (Spark's
+    * ContextCleaner unpersists on collection) — a long-lived session
+    * scoring many corpora should prefer [[dsirScoreAgainstModels]] or
+    * scope its frames. Callers that already persisted `candidates` pay
+    * one cheap extra copy; callers on preemptible executors who need
+    * durable restarts should land `candidates` as parquet first and
+    * pass the re-read (localCheckpoint blocks are lost with their
+    * executor). To score against models built elsewhere — with no
+    * materialization at all — use [[dsirScoreAgainstModels]] directly.
     *
     * Features absent from the target model take the smoothed count 1
     * via a left join + coalesce — integer-exact, no special cases.
@@ -119,7 +124,7 @@ object Dsir {
   def dsirScore(candidates: DataFrame, target: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text",
                 salt: String = "graft"): DataFrame =
-    scoreMaterialized(candidates.localCheckpoint(true), target,
+    scoreMaterialized(candidates.localCheckpoint(false), target,
       idCol, textCol, salt)
 
   /** [[dsirScore]] over an ALREADY-materialized candidate frame — the
@@ -177,7 +182,7 @@ object Dsir {
     * a full sort.
     *
     * `candidates` is consumed three ways (raw model, feature explode,
-    * final join-back), so it is materialized ONCE here (eager
+    * final join-back), so it is materialized ONCE (lazy
     * `localCheckpoint` — same contract and caveats as [[dsirScore]])
     * and every consumer reads the same block: a direct call over a
     * parquet corpus scans it exactly once, never ~4×.
@@ -196,7 +201,7 @@ object Dsir {
     require(!candidates.columns.contains("weight_bits"),
       "dsirSelect: 'weight_bits' is a reserved output column — rename it on " +
         "the candidate frame (or score with dsirScoreAgainstModels and join yourself)")
-    val c = candidates.localCheckpoint(true)
+    val c = candidates.localCheckpoint(false)
     c.join(scoreMaterialized(c, target, idCol, textCol, salt)
         .select(col(idCol), col("weight_bits")), Seq(idCol))
       .orderBy(col("weight_bits").desc, col(idCol).asc)

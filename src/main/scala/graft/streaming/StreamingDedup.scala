@@ -315,14 +315,20 @@ object StreamingDedup {
         batch, index, minChars, idCol, textCol)
       case None => batch.withColumn("n_cut_lines", lit(0L))
     }
+    // two consumers (the outRoot write and the index build) — cached so
+    // the index probe + keep-first aggregation run once per batch, not
+    // twice (same reason chunkSigAgainstIndexSink caches its signatures)
     val kept = graft.ext.Dedup.stripDuplicateLines(
         crossCut.withColumnRenamed("n_cut_lines", "__cross_cut"),
         minChars, idCol, textCol)
       .withColumn("n_cut_lines", col("__cross_cut") + col("n_cut_lines"))
       .drop("__cross_cut")
-    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    graft.ext.Dedup.lineIndex(kept, minChars, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+      .cache()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      graft.ext.Dedup.lineIndex(kept, minChars, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally kept.unpersist()
   }
 
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks

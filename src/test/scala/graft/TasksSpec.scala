@@ -355,6 +355,45 @@ class TasksSpec extends AnyFunSuite {
     assert(Tasks.runDag(Nil).succeeded, "an empty DAG is a successful no-op")
   }
 
+  test("runDag: duplicate dep entries collapse to one edge — the task runs once") {
+    import graft.exec.{EtlTask, Tasks}
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val a = EtlTask("a", () => ())
+    val d = EtlTask("d", () => { runs.incrementAndGet(); () })
+    for (par <- Seq(1, 2)) {
+      runs.set(0)
+      val run = Tasks.runDag(Seq(a, d),
+        deps = Map("d" -> Seq("a", "a")), parallelism = par)
+      assert(run.succeeded)
+      assert(runs.get() === 1,
+        s"parallelism=$par: a duplicate upstream entry must not double-run d")
+      assert(run.completionOrder === Seq("a", "d"))
+    }
+  }
+
+  test("runDag: a deep chain and a deep skip cascade complete without stack growth") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    // 10k-deep linear chain: the old recursive scheduler overflowed the
+    // stack at this depth (schedule -> run -> finish -> schedule ...)
+    val n = 10000
+    val ids = (0 until n).map(i => f"t$i%05d")
+    val tasks = ids.map(id => EtlTask(id, () => ()))
+    val chain = ids.zip(ids.tail).map { case (u, d) => d -> Seq(u) }.toMap
+    val run = Tasks.runDag(tasks, deps = chain)
+    assert(run.succeeded)
+    assert(run.completionOrder === ids)
+    // same chain with a failing root: every descendant skips, naming the
+    // nearest blocked upstream — a 10k-deep cascade, zero stack frames
+    val boom = EtlTask(ids.head, () => throw new RuntimeException("root down"))
+    val run2 = Tasks.runDag(boom +: tasks.tail, deps = chain)
+    assert(!run2.succeeded)
+    assert(run2.completionOrder === Seq(ids.head),
+      "only the failed root physically ran; 9999 descendants skipped")
+    ids.zip(ids.tail).foreach { case (u, d) =>
+      assert(run2.status(d) === DagStatus.Skipped(Seq(u)))
+    }
+  }
+
   test("runDag + ledger: a diamond of real extracts leaves one ledger row per succeeded task") {
     import graft.exec.{DagStatus, RunLedger, Tasks}
     val url = "jdbc:derby:memory:graftdag;create=true"

@@ -592,4 +592,59 @@ class PropertySpec extends AnyFunSuite {
       got == want
     }, minSuccessful = 10)
   }
+
+  test("property: runDag statuses == independent reachability model, both modes") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    // random DAGs by construction (edges only i -> j with i < j), with
+    // random task failures sprinkled in; duplicate edges kept sometimes
+    // to exercise the single-edge collapse
+    val dagGen = for {
+      n <- Gen.choose(1, 10)
+      edges <- if (n < 2) Gen.const(List.empty[(Int, Int)])
+               else Gen.listOf(for {
+                 j <- Gen.choose(1, n - 1)
+                 i <- Gen.choose(0, j - 1)
+               } yield (i, j))
+      fails <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.const(false), 1 -> Gen.const(true)))
+    } yield (n, edges, fails)
+    check(Prop.forAll(dagGen) { case (n, edges, fails) =>
+      val ids = (0 until n).map(i => f"t$i%02d")
+      val deps = edges.groupBy(_._2)
+        .map { case (d, es) => ids(d) -> es.map(e => ids(e._1)) }
+      val upsOf = (0 until n)
+        .map(j => edges.filter(_._2 == j).map(_._1).distinct).toVector
+      // a task succeeds iff its whole ancestry (and itself) is clean;
+      // fails iff its flag is set but the ancestry is clean; skips
+      // otherwise — computable in index order since edges point forward
+      val clean = Array.fill(n)(false)
+      for (i <- 0 until n)
+        clean(i) = upsOf(i).forall(u => clean(u) && !fails(u))
+      val want = (0 until n).map(i =>
+        if (!clean(i)) "skipped" else if (fails(i)) "failed" else "ok")
+      Seq(1, 3).forall { par =>
+        val tasks = (0 until n).map(i => EtlTask(ids(i),
+          () => if (fails(i)) throw new RuntimeException("boom") else ()))
+        val run = Tasks.runDag(tasks, deps, parallelism = par)
+        val statusesMatch = (0 until n).forall { i =>
+          run.status.get(ids(i)) match {
+            case Some(DagStatus.Succeeded) => want(i) == "ok"
+            case Some(DagStatus.Failed(_)) => want(i) == "failed"
+            case Some(DagStatus.Skipped(blocked)) => want(i) == "skipped" &&
+              blocked == upsOf(i).map(ids).filter(u =>
+                run.status(u) != DagStatus.Succeeded).sorted
+            case None => false
+          }
+        }
+        // completionOrder: exactly the non-skipped tasks, once each, and
+        // never before an upstream that also ran
+        val order = run.completionOrder
+        val pos = order.zipWithIndex.toMap
+        statusesMatch && order.distinct == order &&
+          order.toSet == (0 until n).filter(want(_) != "skipped").map(ids).toSet &&
+          edges.forall { case (u, d) =>
+            !pos.contains(ids(d)) || pos(ids(u)) < pos(ids(d)) }
+      }
+    }, minSuccessful = 40)
+  }
 }

@@ -63,13 +63,19 @@ object StreamingDedup {
       if (fs.exists(idxPath))
         Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
       else None // first batch ever
-    val kept = prior match {
-      case Some(index) => graft.ext.Dedup.exactAgainst(batch, index, idCol, textCol)
-      case None        => graft.ext.Dedup.exact(batch, idCol, textCol)
-    }
-    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    graft.ext.Dedup.exactIndex(batch, textCol)
-      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    // the micro-batch frame feeds both the dedup and the index build —
+    // cached so the source is read once per batch, not once per write
+    // (Spark re-evaluates an uncached foreachBatch frame per action)
+    batch.cache()
+    try {
+      val kept = prior match {
+        case Some(index) => graft.ext.Dedup.exactAgainst(batch, index, idCol, textCol)
+        case None        => graft.ext.Dedup.exact(batch, idCol, textCol)
+      }
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      graft.ext.Dedup.exactIndex(batch, textCol)
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally batch.unpersist()
   }
 
   /** foreachBatch sink: NEAR-dup dedup across the whole stream history
@@ -176,11 +182,15 @@ object StreamingDedup {
         batch.join(hits, Seq(idCol), "left_anti")
       case None => batch
     }
+    // two consumers (out write + index build) — cached so the index
+    // probe + in-batch clustering run once per batch, not twice
     val kept = graft.ext.Similarity.semanticDedup(afterIndex, threshold,
-      inBatchClusters, idCol, vecCol)
-    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    graft.ext.Similarity.annIndex(kept, tables, bits, dims, idCol, vecCol, seed)
-      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+      inBatchClusters, idCol, vecCol).cache()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      graft.ext.Similarity.annIndex(kept, tables, bits, dims, idCol, vecCol, seed)
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally kept.unpersist()
   }
 
   /** foreachBatch sink: MULTIMODAL near-dup dedup across the whole
@@ -267,14 +277,18 @@ object StreamingDedup {
         batch.join(hits, Seq(idCol), "left_anti")
       case None => batch
     }
+    // two consumers (out write + MinHash index build) — cached so the
+    // index probe + in-batch LSH dedup run once per batch, not twice
     val kept = graft.ext.Dedup.dedupNearDups(afterIndex,
       graft.ext.Dedup.nearDupMinHash(afterIndex, idCol, textCol, shingleSize,
         threshold, numHashes, bands, seed),
-      idCol)
-    kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    graft.ext.Dedup.minHashIndex(kept, idCol, textCol, shingleSize,
-        numHashes, bands, seed)
-      .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+      idCol).cache()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      graft.ext.Dedup.minHashIndex(kept, idCol, textCol, shingleSize,
+          numHashes, bands, seed)
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally kept.unpersist()
   }
 
   /** foreachBatch sink: LINE-level dedup across the whole stream

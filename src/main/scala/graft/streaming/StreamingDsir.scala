@@ -65,11 +65,16 @@ object StreamingDsir {
       else // cold start: every count smooths to 1, still exact
         spark.range(0).select(lit("").as("__bucket"), lit(0L).as("__cf"))
     val tgtModel = spark.read.parquet(tgtModelPath)
-    Dsir.dsirScoreAgainstModels(batch, rawModel, tgtModel,
-        idCol, textCol, salt)
-      .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
-    Dsir.dsirModel(batch, textCol, salt)
-      .write.mode("overwrite").parquet(s"$rawModelRoot/__batch=$batchId")
+    // the micro-batch frame is tokenized twice (scoring + model roll) —
+    // cached so the source is read once per batch, not once per write
+    batch.cache()
+    try {
+      Dsir.dsirScoreAgainstModels(batch, rawModel, tgtModel,
+          idCol, textCol, salt)
+        .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      Dsir.dsirModel(batch, textCol, salt)
+        .write.mode("overwrite").parquet(s"$rawModelRoot/__batch=$batchId")
+    } finally batch.unpersist()
   }
 
   /** The whole scored history, merged on read. */

@@ -64,18 +64,64 @@ object RunLedger {
 
   /** Ledger maintenance: fold the one-tiny-file-per-run appends into
     * `ceil(bytes/targetBytes)` files (usually ONE for years of runs —
-    * a ledger row is a few hundred bytes) via
-    * [[graft.ext.Layout.compactParquet]], preserving every row. Call
-    * on a cadence from whatever schedules the tasks — e.g. a nightly
-    * [[EtlTask]] of its own — if a high-frequency scheduler accretes
-    * enough appends for listing cost to show. The swap is
-    * staging + rename (compactParquet's contract): don't run it
-    * concurrently with an in-flight append. Returns the data-file
-    * count after compaction.
+    * a ledger row is a few hundred bytes). Call on a cadence from
+    * whatever schedules the tasks — e.g. a nightly [[EtlTask]] of its
+    * own — if a high-frequency scheduler accretes enough appends for
+    * listing cost to show. Returns the data-file count after
+    * compaction.
+    *
+    * The swap is staging + rename like
+    * [[graft.ext.Layout.compactParquet]], but with the ledger's own
+    * loss DETECTION: an append racing the staging read would land its
+    * file among the originals and miss the rewrite, silently dropping
+    * a run row — so before the originals are discarded their rows are
+    * counted against the staged count (both counts ride frames this
+    * size reads in milliseconds), and on mismatch the originals are
+    * RESTORED and the call fails loudly. Prefer quiesced compaction
+    * anyway; this turns the documented race from silent loss into a
+    * recoverable error.
     */
   def compact(spark: SparkSession, dir: String,
-              targetBytes: Long = 128L << 20): Int =
-    graft.ext.Layout.compactParquet(spark, dir, targetBytes)
+              targetBytes: Long = 128L << 20): Int = {
+    import org.apache.hadoop.fs.Path
+    require(targetBytes > 0, "targetBytes must be positive")
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(d)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (n == dataFiles.length) return n // already at target: no-op
+    val tmp = new Path(dir.stripSuffix("/") + "__compact_tmp")
+    val old = new Path(dir.stripSuffix("/") + "__compact_old")
+    val src = spark.read.parquet(dir)
+    // the staged row count rides the staging write itself (no re-scan)
+    val staged = countDuring(
+      if (n < dataFiles.length) src.coalesce(n) else src.repartition(n))(
+      _.write.mode("overwrite").parquet(tmp.toString))
+    fs.delete(old, true)
+    if (!fs.rename(d, old)) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(s"ledger compaction swap failed for $dir (original untouched)")
+    }
+    if (!fs.rename(tmp, d)) {
+      fs.rename(old, d)
+      throw new IllegalStateException(s"ledger compaction swap failed for $dir (original restored)")
+    }
+    val live = spark.read.parquet(old.toString).count()
+    if (live != staged) {
+      fs.delete(d, true)
+      if (!fs.rename(old, d))
+        throw new IllegalStateException(
+          s"ledger compaction raced an append AND the restore rename failed: " +
+            s"originals are at $old ($live rows), recover manually")
+      throw new IllegalStateException(
+        s"ledger compaction raced an in-flight append ($live rows live vs " +
+          s"$staged staged); originals restored — re-run while appends are quiesced")
+    }
+    fs.delete(old, true)
+    fs.listStatus(d).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Run `write` on the observed frame and return the rows it landed —
     * the count rides the write's own pass (no second scan).

@@ -213,10 +213,22 @@ object Tasks {
       }
       runnable.result()
     }
+    // a task failure is scheduler DATA ([[DagStatus.Failed]]) only for
+    // recoverable exceptions: fatal JVM errors (OutOfMemoryError,
+    // StackOverflowError, …) mean the process itself is no longer
+    // trustworthy, so they PROPAGATE and abort the whole run rather
+    // than silently scheduling the remaining branches on a corrupted
+    // JVM. Thread interruption records as Failed with the interrupt
+    // status restored, so a cancelling caller still sees its signal.
     def runOne(id: String): Unit = {
       val st =
         try { byId(id).run(); DagStatus.Succeeded }
-        catch { case e: Throwable => DagStatus.Failed(e) }
+        catch {
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            DagStatus.Failed(e)
+          case scala.util.control.NonFatal(e) => DagStatus.Failed(e)
+        }
       status(id) = st
       completed.add(id)
     }
@@ -234,14 +246,22 @@ object Tasks {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
       val done = new java.util.concurrent.CountDownLatch(1)
+      // first fatal error wins; it must release the latch (a dead pool
+      // thread never schedules its downstreams, so without this the
+      // await below would hang on an OOM instead of surfacing it)
+      val fatal = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       def submit(id: String): Unit = {
         inFlight.incrementAndGet()
         pool.execute { () =>
-          runOne(id)
-          inFlight.decrementAndGet()
-          readyToRun(resolveDownstream(id).sorted).foreach(submit)
-          lock.synchronized {
-            if (status.size == ids.size && inFlight.get() == 0) done.countDown()
+          try {
+            runOne(id)
+            inFlight.decrementAndGet()
+            readyToRun(resolveDownstream(id).sorted).foreach(submit)
+            lock.synchronized {
+              if (status.size == ids.size && inFlight.get() == 0) done.countDown()
+            }
+          } catch {
+            case e: Throwable => fatal.compareAndSet(null, e); done.countDown()
           }
         }
       }
@@ -250,6 +270,7 @@ object Tasks {
         if (status.size == ids.size && inFlight.get() == 0) done.countDown()
       }
       done.await()
+      if (fatal.get() != null) { pool.shutdownNow(); throw fatal.get() }
       pool.shutdown()
     }
     DagRun(completed.toArray(Array.empty[String]).toSeq, status.toMap)

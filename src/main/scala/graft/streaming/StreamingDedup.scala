@@ -317,6 +317,13 @@ object StreamingDedup {
                                 minChars: Int = 1,
                                 idCol: String = "doc_id", textCol: String = "text")
                                (batch: DataFrame, batchId: Long): Unit = {
+    // the sink owns these names for its cut accounting; a batch that
+    // already carries one would be silently renamed/overwritten and
+    // corrupt the reported counts — reject loudly (the dsirSelect
+    // reserved-column precedent)
+    Seq("n_cut_lines", "__cross_cut").foreach(c =>
+      require(!batch.columns.contains(c),
+        s"lineDedupAgainstIndexSink reserves the '$c' column; rename it on the incoming stream"))
     val spark = batch.sparkSession
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -379,6 +379,21 @@ class StreamingSpec extends AnyFunSuite {
       .select("__h").distinct().count() === survivors)
   }
 
+  test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_line_guard")
+    val sink = StreamingDedup.lineDedupAgainstIndexSink(s"$work/index", s"$work/out") _
+    // either reserved name on the incoming batch would be silently
+    // renamed/overwritten by the cut accounting — must reject up front
+    val e = intercept[IllegalArgumentException] {
+      sink(Seq((1L, "a", 0L)).toDF("doc_id", "text", "n_cut_lines"), 0L)
+    }
+    assert(e.getMessage.contains("n_cut_lines"))
+    intercept[IllegalArgumentException] {
+      sink(Seq((1L, "a", 0L)).toDF("doc_id", "text", "__cross_cut"), 0L)
+    }
+  }
+
   test("index-backed streaming NEAR-dup dedup: whole-history, stream == batch, replay-idempotent") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_neardup_idx")

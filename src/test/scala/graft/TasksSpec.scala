@@ -324,6 +324,34 @@ class TasksSpec extends AnyFunSuite {
     assert(!run.completionOrder.contains("d") && !run.completionOrder.contains("e"))
   }
 
+  test("runDag: fatal JVM errors propagate and abort the run (serial and parallel)") {
+    import graft.exec.{EtlTask, Tasks}
+    // synthetic OOM — nothing actually allocates; the scheduler must
+    // NOT convert it to DagStatus.Failed and keep running branches
+    def fatal = EtlTask("f", () => throw new OutOfMemoryError("synthetic"))
+    def ok(id: String) = EtlTask(id, () => ())
+    intercept[OutOfMemoryError] {
+      Tasks.runDag(Seq(fatal, ok("z")), deps = Map("z" -> Seq("f")))
+    }
+    intercept[OutOfMemoryError] {
+      Tasks.runDag(Seq(fatal, ok("z")), deps = Map("z" -> Seq("f")),
+        parallelism = 2)
+    }
+  }
+
+  test("runDag: InterruptedException records Failed with the interrupt flag restored") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    val run = Tasks.runDag(Seq(
+      EtlTask("i", () => throw new InterruptedException("cancelled"))))
+    // Thread.interrupted() both asserts the restored flag AND clears it
+    // so later tests on this thread are unaffected
+    assert(Thread.interrupted(), "interrupt status must be restored")
+    run.status("i") match {
+      case DagStatus.Failed(e) => assert(e.isInstanceOf[InterruptedException])
+      case other => fail(s"expected Failed(InterruptedException), got $other")
+    }
+  }
+
   test("runDag: parallelism > 1 genuinely overlaps independent tasks") {
     import graft.exec.{EtlTask, Tasks}
     // both tasks block until BOTH have started — completes only if the

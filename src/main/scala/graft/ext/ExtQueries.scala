@@ -940,8 +940,11 @@ object ExtQueries {
     * config keeps every tested SF below that line (per-source distinct
     * texts ≈ 2.3k at the 10× validation vs the 4096 cap) — so the
     * estimates ARE the exact set cardinalities and the query carries a
-    * real DuckDB oracle; the above-capacity approximation envelope
-    * stays pinned by ExportSpec at 50k values.
+    * real DuckDB oracle — enforced IN-PLAN by `requireExact`
+    * ([[graft.functions.SketchGuards]]): a run beyond the capacity
+    * fails with an explicit "sketch left exact mode" diagnostic, not
+    * a confusing hash mismatch. The above-capacity approximation
+    * envelope stays pinned by ExportSpec at 50k values.
     */
   def q96(spark: SparkSession, dir: String): DataFrame = {
     val d = Sampling.assignSplit(
@@ -949,7 +952,7 @@ object ExtQueries {
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
     val tr = Sketches.thetaBuild(d.where(col("split") === "train"), Seq("source"), "__norm")
     val te = Sketches.thetaBuild(d.where(col("split") === "test"), Seq("source"), "__norm")
-    Sketches.overlap(tr, te, Seq("source")).orderBy("source")
+    Sketches.overlap(tr, te, Seq("source"), requireExact = true).orderBy("source")
   }
 
   /** Per-source heavy-hitter tokens via the mergeable frequent-items
@@ -961,9 +964,12 @@ object ExtQueries {
     * items, and 4096 keeps every tested SF below that line (per-source
     * vocabulary ≈ 310 at the 10× validation vs the 3072 threshold) —
     * so est IS the exact count, lb = ub = est, max_err = 0, and the
-    * query carries a real DuckDB oracle; the above-capacity purge
-    * behavior (bound bracketing, no-false-negative completeness)
-    * stays pinned by ExportSpec with deliberately tiny maps.
+    * query carries a real DuckDB oracle — enforced IN-PLAN by
+    * `requireExact` ([[graft.functions.SketchGuards]]): an
+    * above-capacity run fails with the explicit "sketch left exact
+    * mode" diagnostic. The above-capacity purge behavior (bound
+    * bracketing, no-false-negative completeness) stays pinned by
+    * ExportSpec with deliberately tiny maps.
     */
   def q99(spark: SparkSession, dir: String): DataFrame =
     Sketches.freqTopK(
@@ -971,7 +977,7 @@ object ExtQueries {
         docs(spark, dir).select(col("source"),
           explode(TextOps.tokens(col("text"))).as("token")),
         Seq("source"), "token", maxMapSize = 4096),
-      Seq("source"), k = 10)
+      Seq("source"), k = 10, requireExact = true)
       .orderBy(col("source"), col("est").desc, col("item"))
 
   /** Shuffle-key skew diagnosis of `events.user_id`
@@ -1018,16 +1024,19 @@ object ExtQueries {
     * whose cumulative weight exceeds q·(n−1), i.e. sorted[⌊q·(n−1)⌋])
     * — and k = 4096 keeps every tested SF below that line (2.5k values
     * per source at the 10× validation), so the query carries a real
-    * DuckDB oracle replaying that order statistic verbatim. The
-    * above-capacity compactor envelope, merge ≡ build, k-drift raise,
-    * and parquet round-trip stay pinned by QuantileSpec.
+    * DuckDB oracle replaying that order statistic verbatim — enforced
+    * IN-PLAN by `requireExact` ([[graft.functions.SketchGuards]]): an
+    * above-capacity run fails with the explicit "sketch left exact
+    * mode" diagnostic. The above-capacity compactor envelope,
+    * merge ≡ build, k-drift raise, and parquet round-trip stay pinned
+    * by QuantileSpec.
     */
   def q102(spark: SparkSession, dir: String): DataFrame =
     Sketches.quantEstimates(
       Sketches.quantBuild(
         docs(spark, dir).withColumn("__len", length(col("text"))),
         Seq("source"), "__len", k = 4096),
-      Seq("source"), qs = Seq(0.1, 0.5, 0.9, 0.99))
+      Seq("source"), qs = Seq(0.1, 0.5, 0.9, 0.99), requireExact = true)
       .orderBy("source")
 
   /** Composition drift ([[Diff.bandDrift]]): the per-language mixture

@@ -135,11 +135,24 @@ object Sketches {
     * row per item: `(groupCols…, item, est, lb, ub, max_err)` ordered
     * within a facet by (est DESC, item ASC). `max_err` 0 ⇒ the facet's
     * estimates are exact (the sketch never purged).
+    *
+    * `requireExact = true` adds the in-plan guard
+    * ([[graft.functions.SketchGuards.freqExactOrFail]]): a facet that
+    * HAS purged fails the query with an explicit "sketch left exact
+    * mode" diagnostic — for callers (like the q99 registry entry)
+    * whose downstream contract is exact counts, where the alternative
+    * is a confusing value mismatch far from the cause.
     */
   def freqTopK(sketches: DataFrame, groupCols: Seq[String], k: Int,
-               noFalsePositives: Boolean = false): DataFrame = {
+               noFalsePositives: Boolean = false,
+               requireExact: Boolean = false): DataFrame = {
     import graft.functions.FreqExprs._
-    sketches
+    val guarded =
+      if (requireExact)
+        sketches.withColumn("sketch",
+          graft.functions.SketchGuards.freqExactOrFail(col("sketch")))
+      else sketches
+    guarded
       .select(groupCols.map(col) :+
         freqMaxError(col("sketch")).as("max_err") :+
         explode(freqTopItems(col("sketch"), k, noFalsePositives)).as("__it"): _*)
@@ -181,10 +194,18 @@ object Sketches {
     * with `n` and a `q<pct>` column per requested quantile.
     */
   def quantEstimates(sketches: DataFrame, groupCols: Seq[String],
-                     qs: Seq[Double]): DataFrame = {
+                     qs: Seq[Double], requireExact: Boolean = false): DataFrame = {
     import graft.functions.QuantileExprs._
     require(qs.nonEmpty, "Sketches.quantEstimates: need at least one quantile")
-    sketches.select(
+    // requireExact: fail with an explicit "sketch left exact mode"
+    // diagnostic the moment a facet has compacted (> k values) —
+    // see freqTopK's rationale
+    val guarded =
+      if (requireExact)
+        sketches.withColumn("sketch",
+          graft.functions.SketchGuards.quantExactOrFail(col("sketch")))
+      else sketches
+    guarded.select(
       groupCols.map(col) ++
         (quantCount(col("sketch")).as("n") +:
           qs.map(q => quantEstimate(col("sketch"), lit(q))
@@ -198,10 +219,16 @@ object Sketches {
     * drift estimator: at 100 TB both sides reduce to facet-cardinality
     * sketch tables before this join ever runs.
     */
-  def overlap(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+  def overlap(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+              requireExact: Boolean = false): DataFrame = {
     import graft.functions.ThetaExprs._
-    val an = a.select(groupCols.map(col) :+ col("sketch").as("__a"): _*)
-    val bn = b.select(groupCols.map(col) :+ col("sketch").as("__b"): _*)
+    // requireExact: fail with an explicit "sketch left exact mode"
+    // diagnostic the moment either side's facet has started sampling
+    // (> 2^lgK distinct values) — see freqTopK's rationale
+    def guard(c: org.apache.spark.sql.Column) =
+      if (requireExact) graft.functions.SketchGuards.thetaExactOrFail(c) else c
+    val an = a.select(groupCols.map(col) :+ guard(col("sketch")).as("__a"): _*)
+    val bn = b.select(groupCols.map(col) :+ guard(col("sketch")).as("__b"): _*)
     an.join(bn, groupCols)
       .select(groupCols.map(col) :+
         round(thetaEstimate(col("__a"))).as("a_distinct") :+

@@ -285,6 +285,47 @@ class ExportSpec extends AnyFunSuite {
     assert(fromRaw.map(t => (t._2, t._3)) === Seq(("a", 7L), ("b", 3L), ("c", 1L)))
   }
 
+  test("requireExact guards: below capacity pass through, above capacity fail with the exact-mode diagnostic") {
+    // exceptions cross the task boundary wrapped in SparkException —
+    // search the whole cause chain for the diagnostic
+    def chainMsg(t: Throwable): String = {
+      var c = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    // theta (q96's guard): lgK=4 → 16 nominal entries; 5k distinct samples
+    val small = (1 to 10).map(i => ("g", s"v$i")).toDF("g", "v")
+    val big = (1 to 5000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val tSmall = Sketches.thetaBuild(small, Seq("g"), "v", lgK = 4)
+    val tBig = Sketches.thetaBuild(big, Seq("g"), "v", lgK = 4)
+    assert(Sketches.overlap(tSmall, tSmall, Seq("g"), requireExact = true)
+      .select("a_distinct").as[Double].head() === 10.0)
+    val te = intercept[Exception] {
+      Sketches.overlap(tBig, tBig, Seq("g"), requireExact = true).collect()
+    }
+    assert(chainMsg(te).contains("theta sketch left exact mode"))
+    // freq (q99's guard): 4000 singletons purge at maxMapSize=64
+    val fSmall = Sketches.freqBuild(small, Seq("g"), "v", maxMapSize = 64)
+    val fBig = Sketches.freqBuild(big, Seq("g"), "v", maxMapSize = 64)
+    assert(Sketches.freqTopK(fSmall, Seq("g"), k = 3, requireExact = true)
+      .count() === 3L)
+    val fe = intercept[Exception] {
+      Sketches.freqTopK(fBig, Seq("g"), k = 3, requireExact = true).collect()
+    }
+    assert(chainMsg(fe).contains("frequent-items sketch left exact mode"))
+    // quantile (q102's guard): 5000 values compact at k=16
+    val qSmall = Sketches.quantBuild(
+      small.withColumn("x", length($"v").cast("double")), Seq("g"), "x", k = 16)
+    val qBig = Sketches.quantBuild(
+      big.withColumn("x", length($"v").cast("double")), Seq("g"), "x", k = 16)
+    assert(Sketches.quantEstimates(qSmall, Seq("g"), Seq(0.5), requireExact = true)
+      .select("n").as[Long].head() === 10L)
+    val qe = intercept[Exception] {
+      Sketches.quantEstimates(qBig, Seq("g"), Seq(0.5), requireExact = true).collect()
+    }
+    assert(chainMsg(qe).contains("quantile sketch left exact mode"))
+  }
+
   test("freq above capacity: bounds bracket true counts, heavy hitter always reported") {
     // one dominant item among 4000 singletons forces purging at maxMapSize=64
     val heavy = Seq.fill(500)(("g", "HEAVY"))

@@ -1114,12 +1114,12 @@ object Dedup {
     */
   private final case class SubstrUnit(
       windows: (Column, Int) => Column,
-      sep: String,
+      mode: String, // CutRuns unit: "token" | "char"
       cutCol: String)
   private val TokenUnit =
-    SubstrUnit(TextOps.shinglesOrdered, " ", "n_cut_tokens")
+    SubstrUnit(TextOps.shinglesOrdered, "token", "n_cut_tokens")
   private val CharUnit =
-    SubstrUnit(TextOps.charWindowsOrdered, "", "n_cut_chars")
+    SubstrUnit(TextOps.charWindowsOrdered, "char", "n_cut_chars")
 
   /** Per-window occurrence rows: one (id, pos, 8-byte hash) per full
     * `minUnits`-unit window — the shared seed pass of
@@ -1251,8 +1251,7 @@ object Dedup {
     val perDoc = repeats.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
     val runs = graft.functions.SpanExprs.mergedRuns(col("__starts"), lit(minUnits))
-    val spliced = graft.functions.SpanExprs.cutRuns(col(textCol), runs,
-      charMode = u.sep.isEmpty)
+    val spliced = graft.functions.SpanExprs.cutRuns(col(textCol), runs, u.mode)
     val outCols = docs.columns.map {
       case c if c == textCol =>
         when(col("__starts").isNotNull, spliced.getField("text"))
@@ -1275,7 +1274,25 @@ object Dedup {
   def substringIndex(corpus: DataFrame, minTokens: Int,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame =
-    substringWindows(corpus, minTokens, idCol, textCol)
+    substringIndexImpl(corpus, minTokens, idCol, textCol, TokenUnit)
+
+  /** [[substringIndex]] at CHARACTER granularity — the persisted face
+    * of [[stripExactCharSubstrings]]'s family (Lee et al.'s native
+    * 50-unit grain; see [[duplicatedCharRegions]] for the code-point
+    * unit rationale). Same two-column `(__h, __n)` layout, so the
+    * parquet shape, compaction, and probe economics carry over
+    * verbatim; `minChars` is a family parameter — keep it with the
+    * index path like any model artifact.
+    */
+  def charSubstringIndex(corpus: DataFrame, minChars: Int = 50,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    substringIndexImpl(corpus, minChars, idCol, textCol, CharUnit)
+
+  private def substringIndexImpl(corpus: DataFrame, minUnits: Int,
+                                 idCol: String, textCol: String,
+                                 u: SubstrUnit): DataFrame =
+    substringWindows(corpus, minUnits, idCol, textCol, u)
       .groupBy("__h").agg(count(lit(1)).as("__n"))
 
   /** Cut every batch token duplicated AGAINST THE CORPUS: a batch
@@ -1292,12 +1309,30 @@ object Dedup {
   def stripExactSubstringsAgainstIndex(batch: DataFrame, index: DataFrame,
                                        minTokens: Int,
                                        idCol: String = "doc_id",
-                                       textCol: String = "text"): DataFrame = {
-    require(minTokens > 0, "minTokens must be positive")
-    val repeats = substringWindows(batch, minTokens, idCol, textCol)
+                                       textCol: String = "text"): DataFrame =
+    stripAgainstIndexImpl(batch, index, minTokens, idCol, textCol, TokenUnit)
+
+  /** [[stripExactSubstringsAgainstIndex]] at CHARACTER granularity:
+    * cut every ≥ `minChars`-char run of the batch that exists anywhere
+    * in the corpus behind a [[charSubstringIndex]] (first-seen-wins:
+    * the corpus holds the first occurrence by definition). Same probe
+    * economics — only the batch is windowed, the index side is a
+    * two-column semi join on 8-byte hashes. Reports `n_cut_chars`.
+    */
+  def stripExactCharSubstringsAgainstIndex(batch: DataFrame, index: DataFrame,
+                                           minChars: Int = 50,
+                                           idCol: String = "doc_id",
+                                           textCol: String = "text"): DataFrame =
+    stripAgainstIndexImpl(batch, index, minChars, idCol, textCol, CharUnit)
+
+  private def stripAgainstIndexImpl(batch: DataFrame, index: DataFrame,
+                                    minUnits: Int, idCol: String,
+                                    textCol: String, u: SubstrUnit): DataFrame = {
+    require(minUnits > 0, "window width must be positive")
+    val repeats = substringWindows(batch, minUnits, idCol, textCol, u)
       .join(index.select("__h"), Seq("__h"), "left_semi")
       .select(col(idCol), col("pos"))
-    cutCovered(batch, repeats, minTokens, idCol, textCol)
+    cutCovered(batch, repeats, minUnits, idCol, textCol, u)
   }
 
   /** Fold a (curated) batch's windows into the index: union + one
@@ -1307,6 +1342,14 @@ object Dedup {
                                 minTokens: Int, idCol: String = "doc_id",
                                 textCol: String = "text"): DataFrame =
     index.unionByName(substringIndex(batch, minTokens, idCol, textCol))
+      .groupBy("__h").agg(sum(col("__n")).as("__n"))
+
+  /** [[substringIndexRollForward]] at CHARACTER granularity. */
+  def charSubstringIndexRollForward(index: DataFrame, batch: DataFrame,
+                                    minChars: Int = 50,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame =
+    index.unionByName(charSubstringIndex(batch, minChars, idCol, textCol))
       .groupBy("__h").agg(sum(col("__n")).as("__n"))
 
   // ---- line-level exact dedup (the C4/RefinedWeb unit) ----
@@ -1411,23 +1454,26 @@ object Dedup {
   }
 
   /** Shared rebuild tail of the line cutters: aggregate the cut
-    * positions to ONE int-array per affected document (ids + ints —
-    * text never shuffles), join back on the id, and rewrite
-    * row-locally; untouched documents keep `textCol` byte-verbatim.
+    * positions to ONE sorted int-array per affected document (ids +
+    * ints — text never shuffles), join back on the id, and splice
+    * row-locally in ONE linear pass ([[graft.functions.CutRuns]] at
+    * line grain — consecutive cuts merge to width-1 runs first, so a
+    * pathological fully-duplicated 100k-line document costs O(lines),
+    * not the O(lines × cuts) of a per-line membership probe).
+    * Untouched documents keep `textCol` byte-verbatim.
     */
   private def rebuildCutLines(docs: DataFrame, cuts: DataFrame,
                               idCol: String, textCol: String): DataFrame = {
     val perDoc = cuts.groupBy(col(idCol))
-      .agg(collect_set(col("pos")).as("__cut_pos"))
-    val rewritten = array_join(
-      filter(split(col(textCol), "\n"),
-        (l, i) => not(array_contains(col("__cut_pos"), i))),
-      "\n")
+      .agg(sort_array(collect_set(col("pos"))).as("__cut_pos"))
+    val runs = graft.functions.SpanExprs.mergedRuns(col("__cut_pos"), lit(1))
+    val spliced = graft.functions.SpanExprs.cutRuns(col(textCol), runs, "line")
     val nCut = when(col("__cut_pos").isNull, lit(0L))
       .otherwise(size(col("__cut_pos")).cast("long"))
     val outCols = docs.columns.map {
       case c if c == textCol =>
-        when(nCut > 0L, rewritten).otherwise(col(textCol)).as(textCol)
+        when(nCut > 0L, spliced.getField("text"))
+          .otherwise(col(textCol)).as(textCol)
       case c => col(c)
     } :+ nCut.as("n_cut_lines")
     docs.join(perDoc, Seq(idCol), "left").select(outCols.toIndexedSeq: _*)

@@ -352,6 +352,38 @@ object ExtQueries {
       sharedSubstringIndex(spark, dir), minTokens = 8)
       .select(col("doc_id"), col("text"), col("n_cut_tokens"))
       .orderBy("doc_id")
+
+  /** Persisted CHAR-grain substring-window index (corpus =
+    * `doc_id % 10 <> 0`), parquet-round-tripped once per session like
+    * [[sharedSubstringIndex]].
+    */
+  private val charSubstringIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedCharSubstringIndex(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = charSubstringIndexMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "char_substr_index", dir)
+      Dedup.charSubstringIndex(docs(spark, dir).where(col("doc_id") % 10 =!= 0),
+        minChars = 50).write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Incremental exact-substring cut at CHAR grain
+    * ([[Dedup.stripExactCharSubstringsAgainstIndex]]): strip from the
+    * `doc_id % 10 = 0` batch every ≥50-char run that already exists in
+    * the corpus's persisted char-window index — q112's cross-set,
+    * first-seen-wins face at q122's native Lee-et-al. granularity,
+    * completing the build-once/probe-forever shape for the char family.
+    */
+  def q125(spark: SparkSession, dir: String): DataFrame =
+    Dedup.stripExactCharSubstringsAgainstIndex(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedCharSubstringIndex(spark, dir), minChars = 50)
+      .select(col("doc_id"), col("text"), col("n_cut_chars"))
+      .orderBy("doc_id")
   private[graft] def sharedMinHashIndex(spark: SparkSession, dir: String): DataFrame = {
     val key = spark.sparkContext.applicationId + "@" + dir + "@" +
       spark.conf.getOption("graft.scratch.dir").getOrElse("")
@@ -1325,6 +1357,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_strip_char_substrings_incremental" -> (q125 _),
     "q124_line_repetition" -> (q124 _),
     "q123_unigram_packing" -> (q123 _),
     "q122_strip_char_substrings" -> (q122 _),
@@ -2488,6 +2521,45 @@ object ExtQueries {
         |SELECT t.doc_id,
         |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
         |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_tokens
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // q125 — the q112 cross-set replay at char grain: a batch char
+    // window is a repeat iff its 50-char span exists anywhere in the
+    // corpus slice (first-seen-wins); coverage/rebuild as in q122,
+    // restricted to the batch side.
+    "q125_strip_char_substrings_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |cw AS MATERIALIZED (
+        |  SELECT DISTINCT substr(text, st, 50) AS span
+        |  FROM (
+        |    SELECT text, unnest(generate_series(1, length(text) - 49)) AS st
+        |    FROM documents WHERE doc_id % 10 <> 0 AND length(text) >= 50)),
+        |w AS (
+        |  SELECT doc_id, unnest(generate_series(1, length(text) - 49)) AS st
+        |  FROM t WHERE length(text) >= 50),
+        |rep AS (
+        |  SELECT w.doc_id, st
+        |  FROM w JOIN t USING (doc_id)
+        |  WHERE substr(t.text, st, 50) IN (SELECT span FROM cw)),
+        |ch AS (
+        |  SELECT doc_id, q, substr(text, q, 1) AS c FROM (
+        |    SELECT doc_id, text, unnest(generate_series(1, length(text))) AS q
+        |    FROM t)),
+        |cov AS (
+        |  SELECT ch.doc_id, ch.q, ch.c,
+        |    max(CASE WHEN r.st IS NOT NULL THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY ch.doc_id ORDER BY ch.q
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS dup
+        |  FROM ch LEFT JOIN rep r ON r.doc_id = ch.doc_id AND r.st = ch.q),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN dup = 0 THEN c END, '' ORDER BY q), '') AS clean,
+        |    CAST(SUM(dup) AS BIGINT) AS ncut
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN coalesce(agg.ncut, 0) > 0 THEN agg.clean ELSE t.text END AS text,
+        |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_chars
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     // q122 — the q110 replay at char grain: substr windows, per-char

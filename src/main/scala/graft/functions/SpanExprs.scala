@@ -36,14 +36,15 @@ object SpanExprs {
 
   /** Splice the units covered by `runs` (sorted, disjoint — a
     * [[mergedRuns]] output) out of `text`:
-    * `struct<text: string, n_cut: bigint>`. `charMode` picks the unit:
-    * code points joined with nothing, or space-split tokens rejoined
-    * with single spaces — byte-for-byte what the explode/filter/
-    * array_join rebuild produced, in one linear pass per document.
+    * `struct<text: string, n_cut: bigint>`. `mode` picks the unit:
+    * "char" (code points, joined with nothing), "token" (space-split,
+    * rejoined with single spaces), or "line" (newline-split, rejoined
+    * with newlines) — byte-for-byte what the explode/filter/array_join
+    * rebuild produced, in one linear pass per document.
     */
-  def cutRuns(text: Column, runs: Column, charMode: Boolean): Column =
+  def cutRuns(text: Column, runs: Column, mode: String): Column =
     ColumnBridge.column(CutRuns(
-      ColumnBridge.expression(text), ColumnBridge.expression(runs), charMode))
+      ColumnBridge.expression(text), ColumnBridge.expression(runs), mode))
 }
 
 /** See [[SpanExprs.mergedRuns]]. Null-safe binary expression over
@@ -95,10 +96,14 @@ case class MergedRuns(left: Expression, right: Expression)
 
 /** See [[SpanExprs.cutRuns]]. Tight-loop splice (CodegenFallback, the
   * family precedent); runs are (start, len) longs in unit coordinates,
-  * sorted and disjoint by the [[MergedRuns]] contract.
+  * sorted and disjoint by the [[MergedRuns]] contract. `mode` is one
+  * of "char" / "token" / "line" — the unit split and the rejoin
+  * separator ("" / " " / "\n").
   */
-case class CutRuns(left: Expression, right: Expression, charMode: Boolean)
+case class CutRuns(left: Expression, right: Expression, mode: String)
   extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(CutRuns.Seps.contains(mode),
+    s"CutRuns mode must be one of ${CutRuns.Seps.keys.mkString("/")}, got $mode")
 
   override def inputTypes: Seq[DataType] = Seq(StringType,
     ArrayType(StructType(Seq(
@@ -112,8 +117,12 @@ case class CutRuns(left: Expression, right: Expression, charMode: Boolean)
   override protected def nullSafeEval(textAny: Any, runsAny: Any): Any = {
     val text = textAny.toString
     val runs = runsAny.asInstanceOf[ArrayData]
-    val units: Array[String] =
-      if (charMode) BpeCore.codepointStrings(text) else text.split(" ", -1)
+    val units: Array[String] = mode match {
+      case "char" => BpeCore.codepointStrings(text)
+      case "token" => text.split(" ", -1)
+      case _ => text.split("\n", -1)
+    }
+    val sep = CutRuns.Seps(mode)
     val sb = new java.lang.StringBuilder(text.length)
     var nCut = 0L
     var ri = 0
@@ -130,7 +139,7 @@ case class CutRuns(left: Expression, right: Expression, charMode: Boolean)
       }
       if (covered) nCut += 1L
       else {
-        if (!charMode && !first) sb.append(' ')
+        if (sep.nonEmpty && !first) sb.append(sep)
         sb.append(units(i))
         first = false
       }
@@ -141,4 +150,8 @@ case class CutRuns(left: Expression, right: Expression, charMode: Boolean)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object CutRuns {
+  private[functions] val Seps = Map("char" -> "", "token" -> " ", "line" -> "\n")
 }

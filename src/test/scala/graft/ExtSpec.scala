@@ -2241,6 +2241,34 @@ class ExtSpec extends AnyFunSuite {
     assert(reprobe.map(_._3) === Seq(7L, 5L))
   }
 
+  test("char substring index probe: corpus char runs cut from batch at any offset; round-trip; roll-forward") {
+    // the duplicated 12-char run sits at DIFFERENT, mid-token offsets
+    // on the two sides — the arbitrary-boundary case token grain misses
+    val corpus = docsDf(1L -> "xxCORPUS RUN Azz", 2L -> "unrelated text")
+    val batch = docsDf(
+      10L -> "bbCORPUS RUN Acc", // embeds corpus doc 1's inner run
+      20L -> "totally novel words") // -> byte-verbatim
+    val idx = Dedup.charSubstringIndex(corpus, minChars = 12)
+    def probe(index: org.apache.spark.sql.DataFrame) =
+      Dedup.stripExactCharSubstringsAgainstIndex(batch, index, minChars = 12)
+        .select("doc_id", "text", "n_cut_chars")
+        .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(probe(idx) === Seq((10L, "bbcc", 12L),
+      (20L, "totally novel words", 0L)))
+
+    // the persisted shape: parquet round-trip probes identically
+    val dir = SparkTestBase.tmpDir("graft_char_substr_idx")
+    idx.write.mode("overwrite").parquet(dir)
+    assert(probe(spark.read.parquet(dir)) === probe(idx))
+
+    // roll-forward: once the batch is folded in, re-probing the SAME
+    // batch cuts everything — the re-ingest-drops-everything property
+    val idx2 = Dedup.charSubstringIndexRollForward(idx, batch, minChars = 12)
+    val reprobe = probe(idx2)
+    assert(reprobe.map(_._2) === Seq("", ""))
+    assert(reprobe.map(_._3) === Seq(16L, 19L))
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

@@ -1335,6 +1335,54 @@ object Dedup {
     cutCovered(batch, repeats, minUnits, idCol, textCol, u)
   }
 
+  /** The COMBINED cut the streaming sink needs — exactly the one-shot
+    * [[stripExactSubstrings]] keep-first semantics over
+    * `history ∪ batch`, restricted to the batch side: a batch window
+    * occurrence is a repeat iff its hash exists in `index` (some
+    * strictly earlier occurrence) OR an earlier `(id, pos)` twin
+    * exists WITHIN the batch; both repeat sets are computed on the
+    * batch's ORIGINAL text and cut in ONE coverage pass.
+    *
+    * Running [[stripExactSubstringsAgainstIndex]] then
+    * [[stripExactSubstrings]] sequentially is NOT equivalent: the
+    * first cut splices previously-distant units together, so the
+    * second pass would window RESPLICED text — cutting runs that never
+    * existed and missing in-batch duplicates the first cut rewrote.
+    * One union of repeat positions over the original text sidesteps
+    * both (StreamingSpec pins stream ≡ batch through this).
+    */
+  def stripExactSubstringsWithIndex(batch: DataFrame, index: DataFrame,
+                                    minTokens: Int,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text"): DataFrame =
+    stripWithIndexImpl(batch, index, minTokens, idCol, textCol, TokenUnit)
+
+  /** [[stripExactSubstringsWithIndex]] at CHARACTER granularity. */
+  def stripExactCharSubstringsWithIndex(batch: DataFrame, index: DataFrame,
+                                        minChars: Int = 50,
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text"): DataFrame =
+    stripWithIndexImpl(batch, index, minChars, idCol, textCol, CharUnit)
+
+  private def stripWithIndexImpl(batch: DataFrame, index: DataFrame,
+                                 minUnits: Int, idCol: String,
+                                 textCol: String, u: SubstrUnit): DataFrame = {
+    require(minUnits > 0, "window width must be positive")
+    val occ = substringWindows(batch, minUnits, idCol, textCol, u)
+    val inBatch = occ.join(
+        occ.groupBy("__h")
+          .agg(count(lit(1)).as("__n"),
+            min(struct(col(idCol), col("pos"))).as("__first"))
+          .where(col("__n") >= 2),
+        Seq("__h"))
+      .where(struct(col(idCol), col("pos")) =!= col("__first"))
+      .select(col(idCol), col("pos"))
+    val inIndex = occ.join(index.select("__h"), Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"))
+    // duplicates collapse in cutCovered's collect_set — plain union
+    cutCovered(batch, inBatch.unionByName(inIndex), minUnits, idCol, textCol, u)
+  }
+
   /** Fold a (curated) batch's windows into the index: union + one
     * re-aggregation on the 8-byte hash — index-scale work.
     */

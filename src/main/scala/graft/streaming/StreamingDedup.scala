@@ -352,6 +352,85 @@ object StreamingDedup {
     } finally kept.unpersist()
   }
 
+  /** foreachBatch sink: EXACT-SUBSTRING dedup across the whole stream
+    * history against the persisted window index
+    * ([[graft.ext.Dedup.substringIndex]] layout) — the streaming face
+    * of the Lee et al. ExactSubstr cut, at token grain by default or
+    * the published 50-char grain with `charGrain = true`. Per
+    * micro-batch:
+    *
+    *  1. cut every batch unit covered by a window that exists in the
+    *     retained history OR duplicates an earlier (id, pos) window
+    *     within the batch — ONE combined coverage pass over the
+    *     batch's ORIGINAL text
+    *     ([[graft.ext.Dedup.stripExactSubstringsWithIndex]]; see its
+    *     scaladoc for why two sequential cuts would diverge from the
+    *     one-shot batch semantics);
+    *  2. land the rewritten docs (exact `n_cut_tokens`/`n_cut_chars`)
+    *     under `outRoot/__batch=<id>`;
+    *  3. roll the index forward with the batch's ORIGINAL-text windows
+    *     — NOT the kept text. This is the exact sink's
+    *     index-everything-seen model, not the near-dup sinks'
+    *     retained-corpus model, and it is what makes stream ≡ batch
+    *     EXACT: a window whose first occurrence was itself partially
+    *     covered by a different repeat survives in no document's kept
+    *     text, yet one-shot [[graft.ext.Dedup.stripExactSubstrings]]
+    *     over the full history still cuts its later twins — so the
+    *     index must remember it (StreamingSpec pins this case).
+    *
+    * Unlike the near-dup/semantic sinks there is NO greedy-vs-batch
+    * divergence: repeat determination is position-exact on original
+    * text, so the streamed output is byte-identical to the one-shot
+    * batch cut over the concatenated history (when arrival order
+    * matches (id, pos) order — the shared first-is-lowest-id caveat).
+    * Same replay contract as [[exactAgainstIndexSink]]: per-batch
+    * partition overwrites, strictly-earlier probe. The probe semi-joins
+    * the raw accreted partitions (hash EXISTENCE only), so
+    * [[compactIndex]]'s fold/probe equivalence carries over verbatim.
+    * `minUnits`/`charGrain` are family parameters — keep them with the
+    * index path like any model artifact.
+    */
+  def substringDedupAgainstIndexSink(indexRoot: String, outRoot: String,
+                                     minUnits: Int = 8,
+                                     charGrain: Boolean = false,
+                                     idCol: String = "doc_id",
+                                     textCol: String = "text")
+                                    (batch: DataFrame, batchId: Long): Unit = {
+    val cutCol = if (charGrain) "n_cut_chars" else "n_cut_tokens"
+    require(!batch.columns.contains(cutCol),
+      s"substringDedupAgainstIndexSink reserves the '$cutCol' column; rename it on the incoming stream")
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    // the micro-batch frame feeds the combined cut AND the index build
+    // — cached so the source is read once per batch, not per write
+    batch.cache()
+    try {
+      val kept =
+        if (charGrain) prior match {
+          case Some(index) => graft.ext.Dedup
+            .stripExactCharSubstringsWithIndex(batch, index, minUnits, idCol, textCol)
+          case None => graft.ext.Dedup
+            .stripExactCharSubstrings(batch, minUnits, idCol, textCol)
+        }
+        else prior match {
+          case Some(index) => graft.ext.Dedup
+            .stripExactSubstringsWithIndex(batch, index, minUnits, idCol, textCol)
+          case None => graft.ext.Dedup
+            .stripExactSubstrings(batch, minUnits, idCol, textCol)
+        }
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      val windows =
+        if (charGrain) graft.ext.Dedup.charSubstringIndex(batch, minUnits, idCol, textCol)
+        else graft.ext.Dedup.substringIndex(batch, minUnits, idCol, textCol)
+      windows.write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally batch.unpersist()
+  }
+
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks
     * above accrete (digest / MinHash / ANN / chunk-signature — the
     * layout is shared): fold every partition EXCEPT the latest into a

@@ -379,6 +379,62 @@ class StreamingSpec extends AnyFunSuite {
       .select("__h").distinct().count() === survivors)
   }
 
+  test("index-backed streaming SUBSTRING dedup: whole-history cut == one-shot batch, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_substr_idx")
+    val sink = StreamingDedup.substringDedupAgainstIndexSink(
+      s"$work/index", s"$work/out", minUnits = 3) _
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    // b0: seeds; b1: cross-batch dup prefix + an in-batch dup pair;
+    // b2: the index-everything-seen case — "t1 a1 b1" exists only in
+    // doc11's ORIGINAL text (its prefix was cut against doc1), so a
+    // kept-text index would miss doc21's copy while the one-shot batch
+    // cut catches it
+    val b0 = batchDf(1L -> "q1 w1 e1 r1 t1", 2L -> "u1 u2 u3 u4")
+    val b1 = batchDf(11L -> "q1 w1 e1 r1 t1 a1 b1 c1",
+      12L -> "z1 a1 b1 c1 z2", 13L -> "z1 a1 b1 c1 z2")
+    val b2 = batchDf(21L -> "t1 a1 b1 x9")
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out() === Seq((1L, "q1 w1 e1 r1 t1", 0L), (2L, "u1 u2 u3 u4", 0L),
+      (11L, "a1 b1 c1", 5L), (12L, "z1 z2", 3L), (13L, "", 5L),
+      (21L, "x9", 3L)))
+    // byte-identical to the one-shot batch cut over the full history
+    // (ids increase with arrival, so first-arrival == (id, pos)-first)
+    val full = b0.unionByName(b1).unionByName(b2)
+    val batchKeep = graft.ext.Dedup.stripExactSubstrings(full, minTokens = 3)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out() === batchKeep, "stream substring dedup drifted from one-shot batch")
+    // replay b1 (failure recovery): strictly-earlier probe + per-batch
+    // overwrite reproduce the identical state
+    sink(b1, 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+    // reserved accounting column rejected up front
+    intercept[IllegalArgumentException] {
+      sink(Seq((30L, "a", 0L)).toDF("doc_id", "text", "n_cut_tokens"), 3L)
+    }
+
+    // char grain: same sink at the published unit, stream == one-shot
+    val cwork = SparkTestBase.tmpDir("graft_stream_char_substr_idx")
+    val csink = StreamingDedup.substringDedupAgainstIndexSink(
+      s"$cwork/index", s"$cwork/out", minUnits = 10, charGrain = true) _
+    val c0 = batchDf(100L -> "abcdefghijKLM")
+    val c1 = batchDf(101L -> "XXabcdefghijYY")
+    csink(c0, 0L); csink(c1, 1L)
+    val cout = spark.read.parquet(s"$cwork/out")
+      .select("doc_id", "text", "n_cut_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(cout === Seq((100L, "abcdefghijKLM", 0L), (101L, "XXYY", 10L)))
+    val cBatch = graft.ext.Dedup
+      .stripExactCharSubstrings(c0.unionByName(c1), minChars = 10)
+      .select("doc_id", "text", "n_cut_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(cout === cBatch, "char-grain stream drifted from one-shot batch")
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

@@ -73,19 +73,36 @@ object Bpe {
         words = words.map { case (syms, c) => (BpeCore.mergePair(syms, l, r), c) }
       }
     }
+    // n_merges rides the model as an integrity anchor: a partially
+    // written/truncated frame (lost file, bad copy) would otherwise
+    // load as a silently smaller — differently segmenting — model
     merges.zipWithIndex
       .map { case ((l, r), rank) => (rank, l, r) }.toSeq
       .toDF("rank", "left", "right")
+      .withColumn("n_merges", lit(merges.length))
   }
 
   /** The ordered merge list out of a persisted model — driver-side
     * O(model) (the merge table IS the model; it parameterizes the
-    * expression, it is not data).
+    * expression, it is not data). Integrity-checked: ranks must be
+    * contiguous 0..n-1 and, when the frame carries [[bpeTrain]]'s
+    * `n_merges` column, match its declared size — a truncated model
+    * fails here instead of silently segmenting differently. (Frames
+    * from before the column tolerate its absence.)
     */
   def loadMerges(model: DataFrame): Seq[(String, String)] = {
     import model.sparkSession.implicits._
-    model.orderBy("rank").select("left", "right").as[(String, String)]
-      .collect().toSeq
+    val rows = model.orderBy("rank").select("rank", "left", "right")
+      .as[(Int, String, String)].collect()
+    require(rows.map(_._1).toSeq == rows.indices,
+      s"BPE model ranks must be contiguous 0..${rows.length - 1} — the frame is truncated or corrupt")
+    if (model.columns.contains("n_merges")) {
+      val declared = model.select("n_merges").distinct().as[Int].collect()
+      require(declared.length == 1 && declared.head == rows.length,
+        s"BPE model declares n_merges ${declared.sorted.mkString(", ")} but holds " +
+          s"${rows.length} merges — the frame is truncated or corrupt")
+    }
+    rows.map(t => (t._2, t._3)).toSeq
   }
 
   /** BPE piece array of `text` under a trained merge list — plugs into

@@ -890,7 +890,7 @@ object ExtQueries {
 
   private val unigramModelMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[graft] def sharedUnigramModel(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+  private[graft] def sharedUnigramModel(spark: SparkSession, dir: String): UnigramLm.Model = {
     val key = spark.sparkContext.applicationId + "@" + dir + "@" +
       spark.conf.getOption("graft.scratch.dir").getOrElse("")
     val path = unigramModelMemo.computeIfAbsent(key, _ => {
@@ -916,7 +916,7 @@ object ExtQueries {
     val model = sharedUnigramModel(spark, dir)
     TextOps.packSequences(docs(spark, dir), capacity = 2048,
         shardCols = Seq("lang"),
-        tokenCount = Some(size(UnigramLm.tokens(col("text"), model, 6))))
+        tokenCount = Some(size(UnigramLm.tokens(col("text"), model))))
       .orderBy("lang", "bin_id")
   }
 

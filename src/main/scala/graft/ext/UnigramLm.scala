@@ -120,27 +120,65 @@ object UnigramLm {
       p -> finalCounts.getOrElse(p, 0L) })
     val rows = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     finalScores.forEach((k, v) => rows += ((k, v.doubleValue())))
+    // the model CARRIES its segmentation window: tokens() under a
+    // different maxPieceLen than training silently mis-segments (a
+    // longer window admits pieces the fit never scored against each
+    // other; a shorter one forbids trained pieces), so the parameter
+    // travels with the (piece, score) table instead of out-of-band
     rows.sortBy(_._1).toSeq.toDF("piece", "score")
+      .withColumn("max_piece_len", lit(maxPieceLen))
   }
 
   private def isSingle(p: String): Boolean = p.codePointCount(0, p.length) == 1
 
-  /** The (piece, score) vocabulary out of a persisted model —
-    * driver-side O(model), the [[Bpe.loadMerges]] face.
+  /** A loaded unigram model: the (piece, score) vocabulary plus the
+    * segmentation window it was trained with. Carrying `maxPieceLen`
+    * IN the model (not beside it) is what lets [[tokens]] refuse a
+    * mismatched window instead of silently mis-segmenting.
     */
-  def loadModel(model: DataFrame): Seq[(String, Double)] = {
+  final case class Model(pieces: Seq[(String, Double)], maxPieceLen: Int)
+
+  /** The model out of a persisted frame — driver-side O(model), the
+    * [[Bpe.loadMerges]] face. Requires the `max_piece_len` column
+    * [[unigramTrain]] writes (one constant value); a frame without it
+    * predates the model-carried contract — re-train, or add the
+    * column with the training value.
+    */
+  def loadModel(model: DataFrame): Model = {
     import model.sparkSession.implicits._
-    model.orderBy("piece").select("piece", "score").as[(String, Double)]
-      .collect().toSeq
+    require(model.columns.contains("max_piece_len"),
+      "unigram model frame lacks the max_piece_len column unigramTrain writes; " +
+        "re-train, or add the column with the training value")
+    val lens = model.select("max_piece_len").distinct().as[Int].collect()
+    require(lens.length == 1,
+      s"unigram model must carry ONE max_piece_len, found ${lens.sorted.mkString(", ")}")
+    Model(model.orderBy("piece").select("piece", "score").as[(String, Double)]
+      .collect().toSeq, lens.head)
   }
 
-  /** Unigram-LM piece array of `text` under a trained model — plugs
+  /** Unigram-LM piece array of `text` under a loaded model — plugs
     * into every `tokensCol`/`tokenCount` seam (e.g. `packSequences(...,
-    * tokenCount = Some(size(UnigramLm.tokens(col, model, 6))))`).
-    * `maxPieceLen` must match training (store it with the model path
-    * like any model parameter).
+    * tokenCount = Some(size(UnigramLm.tokens(col, model))))`). The
+    * segmentation window is the model's own.
+    */
+  def tokens(text: Column, model: Model): Column =
+    UnigramExpr.unigramEncode(text, model.pieces, model.maxPieceLen)
+
+  /** [[tokens]] with an explicit window assertion: RAISES if
+    * `maxPieceLen` differs from the model's — for call sites that
+    * spell the window locally and must not drift from the artifact.
+    */
+  def tokens(text: Column, model: Model, maxPieceLen: Int): Column = {
+    require(maxPieceLen == model.maxPieceLen,
+      s"explicit maxPieceLen $maxPieceLen does not match the model's " +
+        s"${model.maxPieceLen} — a mismatched window silently mis-segments")
+    tokens(text, model)
+  }
+
+  /** Raw-vocabulary escape hatch (no window check — the caller owns
+    * consistency); prefer the [[Model]] overloads.
     */
   def tokens(text: Column, pieces: Seq[(String, Double)],
-             maxPieceLen: Int = 6): Column =
+             maxPieceLen: Int): Column =
     UnigramExpr.unigramEncode(text, pieces, maxPieceLen)
 }

@@ -1941,6 +1941,21 @@ class ExtSpec extends AnyFunSuite {
     assert(Bpe.loadMerges(model) === Seq(("a", "b"), ("ab", "c")))
   }
 
+  test("BPE loadMerges rejects a truncated model frame") {
+    import graft.ext.Bpe
+    val model = Bpe.bpeTrain(docsDf(1L -> "ab ab ab", 2L -> "abc abc"), numMerges = 10)
+    // last-rank row lost: contiguity holds but n_merges disagrees
+    val e1 = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(model.where($"rank" < 1))
+    }
+    assert(e1.getMessage.contains("truncated or corrupt"))
+    // mid-rank row lost: contiguity itself breaks
+    val e2 = intercept[IllegalArgumentException] {
+      Bpe.loadMerges(model.where($"rank" =!= 0))
+    }
+    assert(e2.getMessage.contains("truncated or corrupt"))
+  }
+
   test("BPE apply: rank-ordered segmentation; model round-trips through parquet") {
     import graft.ext.Bpe
     val model = Bpe.bpeTrain(docsDf(1L -> "ab ab ab", 2L -> "abc abc"), numMerges = 10)
@@ -2015,7 +2030,7 @@ class ExtSpec extends AnyFunSuite {
     val model = UnigramLm.unigramTrain(
       docsDf(1L -> "ab ab ab cd"), vocabSize = 10, maxPieceLen = 2,
       seedSize = 10, emIters = 2)
-    val scores = model.as[(String, Double)].collect().toMap
+    val scores = model.select("piece", "score").as[(String, Double)].collect().toMap
     assert(scores.keySet === Set("a", "b", "c", "d", "ab", "cd"))
     assert(scores("ab") === StrictMath.log(4.0 / 10.0))
     assert(scores("cd") === StrictMath.log(2.0 / 10.0))
@@ -2044,8 +2059,18 @@ class ExtSpec extends AnyFunSuite {
     model.write.mode("overwrite").parquet(dir)
     val m = UnigramLm.loadModel(spark.read.parquet(dir))
     assert(m === UnigramLm.loadModel(model),
-      "(piece, score) table must round-trip through parquet exactly")
-    assert(m.map(_._1).toSet === Set("a", "b", "c", "d", "ab"))
+      "(piece, score, max_piece_len) model must round-trip through parquet exactly")
+    assert(m.maxPieceLen === 2, "the model carries its training window")
+    assert(m.pieces.map(_._1).toSet === Set("a", "b", "c", "d", "ab"))
+    // a mismatched EXPLICIT window raises instead of mis-segmenting
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.tokens($"text", m, 3)
+    }
+    assert(e.getMessage.contains("does not match the model's 2"))
+    // a frame stripped of the window column is rejected at load
+    intercept[IllegalArgumentException] {
+      UnigramLm.loadModel(spark.read.parquet(dir).drop("max_piece_len"))
+    }
     def seg(t: String) = docsDf(9L -> t)
       .select(UnigramLm.tokens($"text", m, 2).as("t"))
       .as[Seq[String]].collect().head
@@ -2059,7 +2084,7 @@ class ExtSpec extends AnyFunSuite {
     val a = UnigramLm.loadModel(UnigramLm.unigramTrain(docs, vocabSize = 200))
     val b = UnigramLm.loadModel(UnigramLm.unigramTrain(docs.repartition(7), vocabSize = 200))
     assert(a === b, "(piece, score) table must not depend on partitioning")
-    assert(a.nonEmpty && a.exists(_._1.length > 1),
+    assert(a.pieces.nonEmpty && a.pieces.exists(_._1.length > 1),
       "a real corpus should retain multi-char pieces")
   }
 

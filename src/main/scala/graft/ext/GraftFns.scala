@@ -107,5 +107,41 @@ object GraftFns {
           throw new graft.config.ConfigException(
             "graft_dsir_select requires the GRAFT_TARGET_VIEW variable"))),
         k = ctx.variables.getOrElse("GRAFT_TOP_K", "1000").toInt,
-        idCol = idCol(ctx), textCol = textCol(ctx))))
+        idCol = idCol(ctx), textCol = textCol(ctx))),
+    // the in-engine tokenizers as steps: add a piece-array column
+    // (GRAFT_TOKENS_COL, default "tokens") from the persisted model at
+    // GRAFT_BPE_MODEL / GRAFT_UNIGRAM_MODEL — model parameters travel
+    // with the artifact (merge ranks / max_piece_len), so the step
+    // needs only the path
+    step("graft_bpe_tokenize")((ctx, d) =>
+      d.withColumn(tokensCol(ctx),
+        Bpe.tokens(org.apache.spark.sql.functions.col(textCol(ctx)),
+          Bpe.loadMerges(d.sparkSession.read.parquet(
+            ctx.variables.getOrElse("GRAFT_BPE_MODEL",
+              throw new graft.config.ConfigException(
+                "graft_bpe_tokenize requires the GRAFT_BPE_MODEL variable (model parquet path)"))))))),
+    step("graft_unigram_tokenize")((ctx, d) =>
+      d.withColumn(tokensCol(ctx),
+        UnigramLm.tokens(org.apache.spark.sql.functions.col(textCol(ctx)),
+          UnigramLm.loadModel(d.sparkSession.read.parquet(
+            ctx.variables.getOrElse("GRAFT_UNIGRAM_MODEL",
+              throw new graft.config.ConfigException(
+                "graft_unigram_tokenize requires the GRAFT_UNIGRAM_MODEL variable (model parquet path)"))))))),
+    // sequence packing as a step, completing the SQL-only tokenize→pack
+    // chain: shard columns from GRAFT_SHARD_COLS (comma-separated),
+    // capacity from GRAFT_PACK_CAPACITY, and the per-doc token count
+    // from the GRAFT_TOKEN_COUNT_COL column when set (e.g. a
+    // size(graft_unigram_tokens(...)) a prior SQL step computed) —
+    // whitespace counting otherwise
+    step("graft_pack_sequences")((ctx, d) =>
+      TextOps.packSequences(d,
+        capacity = ctx.variables.getOrElse("GRAFT_PACK_CAPACITY", "2048").toInt,
+        shardCols = ctx.variables.get("GRAFT_SHARD_COLS")
+          .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
+        idCol = idCol(ctx), textCol = textCol(ctx),
+        tokenCount = ctx.variables.get("GRAFT_TOKEN_COUNT_COL")
+          .map(org.apache.spark.sql.functions.col))))
+
+  private def tokensCol(ctx: EtlContext): String =
+    ctx.variables.getOrElse("GRAFT_TOKENS_COL", "tokens")
 }

@@ -50,8 +50,37 @@ object GraftFunctions {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => throw new IllegalArgumentException(
           s"interleave_bits width must be an integer literal, got $other")
-      }))
+      })),
+    // the two in-engine subword tokenizers, SQL-callable: the model
+    // path must be a STRING LITERAL — the persisted model is loaded
+    // driver-side at analysis time (O(model) rows, the fn-step
+    // model-artifact pattern; deliberately NOT memoized, so a pipeline
+    // that rolls the model forward mid-session reads the fresh frame)
+    // and parameterizes the same Catalyst expression the Scala API
+    // uses, carrying its integrity checks (contiguous ranks /
+    // model-carried max_piece_len) into SQL
+    (FunctionIdentifier("graft_bpe_tokens"),
+      info("graft_bpe_tokens", "_FUNC_(text, model_path) - BPE piece array of text under the persisted merge table at model_path (string literal)"),
+      (es: Seq[Expression]) => BpeEncode(es(0),
+        graft.ext.Bpe.loadMerges(org.apache.spark.sql.SparkSession.active
+          .read.parquet(pathLiteral("graft_bpe_tokens", es(1)))))),
+    (FunctionIdentifier("graft_unigram_tokens"),
+      info("graft_unigram_tokens", "_FUNC_(text, model_path) - unigram-LM piece array of text under the persisted model at model_path (string literal)"),
+      (es: Seq[Expression]) => {
+        val m = graft.ext.UnigramLm.loadModel(
+          org.apache.spark.sql.SparkSession.active
+            .read.parquet(pathLiteral("graft_unigram_tokens", es(1))))
+        UnigramEncode(es(0), m.pieces, m.maxPieceLen)
+      })
   )
+
+  private def pathLiteral(fn: String, e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+      v: org.apache.spark.unsafe.types.UTF8String,
+      org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn model path must be a string literal, got $other")
+  }
 
   // sessions already registered — once-per-session so repeated SQL-step
   // execution doesn't spam "function replaced" warnings into run logs

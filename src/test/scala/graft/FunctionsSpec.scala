@@ -57,14 +57,16 @@ class FunctionsSpec extends AnyFunSuite {
     // ROW-level expressions -> real SQL functions
     val sqlFns = GraftFunctions.functions.map(_._1.funcName).toSet
     assert(sqlFns === Set("cosine_similarity", "shingle_hashes", "simhash_chunks",
-      "sorted_intersect_count", "max_token_multiplicity", "interleave_bits"))
+      "sorted_intersect_count", "max_token_multiplicity", "interleave_bits",
+      "graft_bpe_tokens", "graft_unigram_tokens"))
     // TABLE-level operators -> named fn steps (F17); composed pipelines
     // keep their own stage registries
     assert(graft.ext.GraftFns.standard.keySet === Set("graft_init",
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
       "graft_strip_exact_substrings", "graft_strip_dup_lines",
-      "graft_dsir_select", "graft_gopher_filter"))
+      "graft_dsir_select", "graft_gopher_filter",
+      "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
       "mixture_sample", "pack_sequences"))
@@ -102,6 +104,81 @@ class FunctionsSpec extends AnyFunSuite {
       .groupBy("lang").count().withColumnRenamed("count", "n")
     assert(result.orderBy("lang").collect().toSeq ===
       direct.orderBy("lang").collect().toSeq)
+  }
+
+  test("graft_bpe_tokens / graft_unigram_tokens SQL == Scala tokens; non-literal path rejected") {
+    import graft.ext.{Bpe, UnigramLm}
+    GraftFunctions.register(spark)
+    val corpus = Seq((1L, "ab ab ab cd"), (2L, "abcd xz")).toDF("doc_id", "text")
+    val bpeDir = SparkTestBase.tmpDir("graft_sqlfn_bpe") + "/m"
+    Bpe.bpeTrain(corpus, numMerges = 10).write.mode("overwrite").parquet(bpeDir)
+    val uniDir = SparkTestBase.tmpDir("graft_sqlfn_uni") + "/m"
+    UnigramLm.unigramTrain(corpus, vocabSize = 10, maxPieceLen = 2, seedSize = 10)
+      .write.mode("overwrite").parquet(uniDir)
+    corpus.createOrReplaceTempView("tok_docs")
+    // SQL call == the Scala expression under the same loaded model
+    val sqlB = spark.sql(
+      s"SELECT doc_id, graft_bpe_tokens(text, '$bpeDir') AS t FROM tok_docs")
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val scalaB = corpus.select($"doc_id",
+        Bpe.tokens($"text", Bpe.loadMerges(spark.read.parquet(bpeDir))).as("t"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(sqlB === scalaB)
+    val sqlU = spark.sql(
+      s"SELECT doc_id, graft_unigram_tokens(text, '$uniDir') AS t FROM tok_docs")
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    val scalaU = corpus.select($"doc_id",
+        UnigramLm.tokens($"text",
+          UnigramLm.loadModel(spark.read.parquet(uniDir))).as("t"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    assert(sqlU === scalaU)
+    assert(sqlU.head._2 === Seq("ab", "ab", "ab", "cd"),
+      "whole-word pieces win under the trained model")
+    // the model path parameterizes a driver-side load — a non-literal
+    // (per-row) path has no sane meaning and must be rejected
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_tokens(text, text) FROM tok_docs").collect()
+    }
+    assert(e.getMessage.contains("must be a string literal"))
+  }
+
+  test("YAML-style pipeline packs by SQL-called unigram counts end-to-end") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import graft.ext.{TextOps, UnigramLm}
+    val work = SparkTestBase.tmpDir("graft_tokpack")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    docs.createOrReplaceTempView("tokpack_src")
+    val modelDir = s"$work/unigram_model"
+    UnigramLm.unigramTrain(docs, vocabSize = 120, maxPieceLen = 4)
+      .write.mode("overwrite").parquet(modelDir)
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map(
+        "GRAFT_FN_SOURCE" -> "counted_docs",
+        "GRAFT_SHARD_COLS" -> "lang",
+        "GRAFT_PACK_CAPACITY" -> "2048",
+        "GRAFT_TOKEN_COUNT_COL" -> "n_tok"),
+      fns = graft.ext.GraftFns.standard)
+    GraftFunctions.register(spark) // StepRunner alone doesn't register
+    // SQL step tokenizes via the registered function; the fn step packs
+    // by that count — no Scala in the pipeline author's hands
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline(
+        s"""SELECT doc_id, lang, text,
+           |  size(graft_unigram_tokens(text, '$modelDir')) AS n_tok
+           |FROM tokpack_src""".stripMargin),
+        cache = Some(CacheSpec("counted_docs", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_pack_sequences"))).get
+    val direct = TextOps.packSequences(docs, capacity = 2048,
+      shardCols = Seq("lang"),
+      tokenCount = Some(org.apache.spark.sql.functions.size(UnigramLm.tokens($"text",
+        UnigramLm.loadModel(spark.read.parquet(modelDir))))))
+    assert(result.orderBy("lang", "bin_id").collect().toSeq ===
+      direct.orderBy("lang", "bin_id").collect().toSeq,
+      "SQL-tokenized packing must equal the direct Scala chain")
   }
 
   test("graft_strip_dup_lines fn step == direct stripDuplicateLines, GRAFT_MIN_CHARS honored") {

@@ -123,6 +123,51 @@ object RunLedger {
     fs.listStatus(d).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Sibling table for [[Tasks.runDag]] executions: one row per task
+    * per DAG run — succeeded/failed/skipped, attempts made, the
+    * nearest blocking upstreams for skips, the error class/message for
+    * failures, and wall timing. This is the Airflow task-instance
+    * record: the run ledger above answers "what data landed", this
+    * answers "what did the scheduler decide and why". Written as ONE
+    * append per DAG run by [[Tasks.runDag]] when a [[DagRecord]] is
+    * passed; default location `<dumpDir>/_graft_dag_runs`
+    * ([[dagDirFor]]). Compact with [[compact]] like the run ledger.
+    */
+  val DagDirName = "_graft_dag_runs"
+
+  /** Conventional DAG-record directory for a context (the run ledger's
+    * `dumpDir` sibling; [[DagRecord.dir]] is explicit, so any path
+    * works — this is just the default worth standardizing on).
+    */
+  def dagDirFor(ctx: EtlContext): String =
+    s"${ctx.dumpDir.stripSuffix("/")}/$DagDirName"
+
+  final case class DagEntry(
+      run_id: String,
+      task_id: String,
+      status: String, // succeeded | failed | skipped
+      attempts: Int, // attempts actually made (retries + 1 max); 0 for skipped
+      blocked_by: Seq[String], // nearest non-succeeded upstreams (skipped only)
+      error_class: Option[String], // exception class (failed only)
+      error_msg: Option[String],
+      started_ms: Option[Long], // first attempt's epoch ms (ran tasks only)
+      wall_ms: Option[Long]) // whole attempt sequence
+
+  /** Append a DAG run's outcome rows (one small-file write per run). */
+  def appendDagRun(spark: SparkSession, dir: String,
+                   entries: Seq[DagEntry]): Unit = {
+    import spark.implicits._
+    entries.toDF()
+      .withColumn("started_at", timestamp_millis(col("started_ms")))
+      .write.mode("append").parquet(dir)
+  }
+
+  /** The full DAG-run history, newest first (skips carry no timing and
+    * sort last within their run).
+    */
+  def readDagRuns(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).orderBy(col("started_ms").desc_nulls_last)
+
   /** Run `write` on the observed frame and return the rows it landed —
     * the count rides the write's own pass (no second scan).
     */

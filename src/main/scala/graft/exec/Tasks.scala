@@ -9,8 +9,18 @@ import graft.config._
   * an existing DAG's node names carry over; `run()` executes the unit.
   * Any orchestrator — Airflow (BashOperator/SparkSubmitOperator), cron,
   * dagster — maps one DAG node to one [[graft.RunTask]] invocation.
+  *
+  * `retries` is Airflow's per-task policy: up to that many RE-attempts
+  * after a failed first try (so retries = 2 allows 3 attempts), and an
+  * attempt that succeeds makes the task plainly Succeeded — downstream
+  * tasks run as if nothing happened. Only recoverable exceptions
+  * retry: fatal JVM errors abort the run and an interrupt is a
+  * cancellation, never re-attempted. In-process there is no
+  * retry_delay — a failed attempt re-runs immediately (backoff is
+  * scheduler sugar for shared-resource contention; the tasks here own
+  * their Spark session).
   */
-final case class EtlTask(id: String, run: () => Unit)
+final case class EtlTask(id: String, run: () => Unit, retries: Int = 0)
 
 /** Outcome of one task inside a [[Tasks.runDag]] execution. */
 sealed trait DagStatus
@@ -32,6 +42,16 @@ final case class DagRun(completionOrder: Seq[String],
                         status: Map[String, DagStatus]) {
   def succeeded: Boolean = status.values.forall(_ == DagStatus.Succeeded)
 }
+
+/** Where a [[Tasks.runDag]] execution lands its durable per-task
+  * outcome rows ([[RunLedger.DagEntry]] into `dir`, one row per task
+  * including failed and skipped ones — the Airflow task-instance
+  * record the in-memory [[DagRun]] alone doesn't persist). `runId`
+  * names the execution; re-using one across runs is legal (the table
+  * is history, not state) but makes per-run queries ambiguous.
+  */
+final case class DagRecord(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, runId: String)
 
 /** Task factories (reference: `AirflowETL.extract_db`
   * airflow_etl.py:486-538, `AirflowETL.transform_db` :736-774). The
@@ -143,8 +163,10 @@ object Tasks {
     * stays "what actually landed".
     */
   def runDag(tasks: Seq[EtlTask], deps: Map[String, Seq[String]] = Map.empty,
-             parallelism: Int = 1): DagRun = {
+             parallelism: Int = 1, record: Option[DagRecord] = None): DagRun = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    tasks.foreach(t => require(t.retries >= 0,
+      s"task ${t.id}: retries must be >= 0, got ${t.retries}"))
     val ids = tasks.map(_.id)
     require(ids.distinct.size == ids.size,
       s"duplicate task ids: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
@@ -179,6 +201,11 @@ object Tasks {
     }
     val byId = tasks.map(t => t.id -> t).toMap
     val status = scala.collection.concurrent.TrieMap.empty[String, DagStatus]
+    // per-task operational metadata for the durable record: attempts
+    // actually made, and (start epoch ms, wall ms) of the whole
+    // attempt sequence — driver-side scalars over task ids, not data
+    val attempts = scala.collection.concurrent.TrieMap.empty[String, Int]
+    val timing = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
     val completed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val pendingUps = scala.collection.mutable.Map(
       ids.map(id => id -> scala.collection.mutable.Set(upstream(id): _*)): _*)
@@ -221,14 +248,26 @@ object Tasks {
     // JVM. Thread interruption records as Failed with the interrupt
     // status restored, so a cancelling caller still sees its signal.
     def runOne(id: String): Unit = {
-      val st =
-        try { byId(id).run(); DagStatus.Succeeded }
+      val task = byId(id)
+      val t0 = System.currentTimeMillis()
+      var attempt = 0
+      var st: DagStatus = null
+      while (st == null) {
+        attempt += 1
+        try { task.run(); st = DagStatus.Succeeded }
         catch {
           case e: InterruptedException =>
             Thread.currentThread().interrupt()
-            DagStatus.Failed(e)
-          case scala.util.control.NonFatal(e) => DagStatus.Failed(e)
+            st = DagStatus.Failed(e) // a cancellation, never re-attempted
+          case scala.util.control.NonFatal(e) =>
+            // Airflow's retries=N: up to N re-attempts; exhausting them
+            // records the LAST error. No retry_delay in-process (see
+            // EtlTask's scaladoc)
+            if (attempt > task.retries) st = DagStatus.Failed(e)
         }
+      }
+      attempts(id) = attempt
+      timing(id) = (t0, System.currentTimeMillis() - t0)
       status(id) = st
       completed.add(id)
     }
@@ -272,6 +311,28 @@ object Tasks {
       done.await()
       if (fatal.get() != null) { pool.shutdownNow(); throw fatal.get() }
       pool.shutdown()
+    }
+    // durable per-task outcome rows, ONE append for the whole run
+    // (including failed and skipped tasks — the run ledger itself only
+    // ever sees rows the tasks append for data that actually landed).
+    // A fatal abort above leaves no DAG record: the JVM is not trusted
+    // to run more Spark jobs, and the partial truth is in the tasks'
+    // own ledger rows.
+    record.foreach { r =>
+      val rows = ids.map { id =>
+        status(id) match {
+          case DagStatus.Succeeded => RunLedger.DagEntry(
+            r.runId, id, "succeeded", attempts(id), Nil, None, None,
+            Some(timing(id)._1), Some(timing(id)._2))
+          case DagStatus.Failed(e) => RunLedger.DagEntry(
+            r.runId, id, "failed", attempts(id), Nil,
+            Some(e.getClass.getName), Option(e.getMessage),
+            Some(timing(id)._1), Some(timing(id)._2))
+          case DagStatus.Skipped(blockedBy) => RunLedger.DagEntry(
+            r.runId, id, "skipped", 0, blockedBy, None, None, None, None)
+        }
+      }
+      RunLedger.appendDagRun(r.spark, r.dir, rows)
     }
     DagRun(completed.toArray(Array.empty[String]).toSeq, status.toMap)
   }

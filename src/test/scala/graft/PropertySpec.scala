@@ -605,15 +605,20 @@ class PropertySpec extends AnyFunSuite {
                  j <- Gen.choose(1, n - 1)
                  i <- Gen.choose(0, j - 1)
                } yield (i, j))
-      fails <- Gen.listOfN(n, Gen.frequency(
-        4 -> Gen.const(false), 1 -> Gen.const(true)))
-    } yield (n, edges, fails)
-    check(Prop.forAll(dagGen) { case (n, edges, fails) =>
+      // per task: attempts that FAIL before one would succeed (0 =
+      // clean first try) and the retry budget — a task ultimately
+      // fails iff failsFirst > retries (Airflow's semantics)
+      failsFirst <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.const(0), 1 -> Gen.choose(1, 3)))
+      retries <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (n, edges, failsFirst, retries)
+    check(Prop.forAll(dagGen) { case (n, edges, failsFirst, retries) =>
       val ids = (0 until n).map(i => f"t$i%02d")
       val deps = edges.groupBy(_._2)
         .map { case (d, es) => ids(d) -> es.map(e => ids(e._1)) }
       val upsOf = (0 until n)
         .map(j => edges.filter(_._2 == j).map(_._1).distinct).toVector
+      val fails = (0 until n).map(i => failsFirst(i) > retries(i))
       // a task succeeds iff its whole ancestry (and itself) is clean;
       // fails iff its flag is set but the ancestry is clean; skips
       // otherwise — computable in index order since edges point forward
@@ -623,8 +628,13 @@ class PropertySpec extends AnyFunSuite {
       val want = (0 until n).map(i =>
         if (!clean(i)) "skipped" else if (fails(i)) "failed" else "ok")
       Seq(1, 3).forall { par =>
-        val tasks = (0 until n).map(i => EtlTask(ids(i),
-          () => if (fails(i)) throw new RuntimeException("boom") else ()))
+        val tasks = (0 until n).map { i =>
+          val made = new java.util.concurrent.atomic.AtomicInteger(0)
+          EtlTask(ids(i),
+            () => if (made.incrementAndGet() <= failsFirst(i))
+              throw new RuntimeException("boom"),
+            retries = retries(i))
+        }
         val run = Tasks.runDag(tasks, deps, parallelism = par)
         val statusesMatch = (0 until n).forall { i =>
           run.status.get(ids(i)) match {

@@ -352,6 +352,73 @@ class TasksSpec extends AnyFunSuite {
     }
   }
 
+  test("runDag: retries — a flaky task succeeding on a re-attempt unblocks its descendants") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    def flaky(failsFirst: Int, retries: Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      EtlTask("a", () => {
+        if (n.incrementAndGet() <= failsFirst)
+          throw new RuntimeException(s"flake ${n.get()}")
+      }, retries = retries)
+    }
+    // 2 failed attempts inside a retries=2 budget: plainly Succeeded,
+    // downstream runs as if nothing happened (Airflow's contract)
+    val ok = Tasks.runDag(Seq(flaky(2, 2), EtlTask("b", () => ())),
+      deps = Map("b" -> Seq("a")))
+    assert(ok.succeeded)
+    assert(ok.completionOrder === Seq("a", "b"))
+    // budget exhausted: Failed with the LAST attempt's error, skips cascade
+    val bad = Tasks.runDag(Seq(flaky(2, 1), EtlTask("b", () => ())),
+      deps = Map("b" -> Seq("a")))
+    assert(!bad.succeeded)
+    bad.status("a") match {
+      case DagStatus.Failed(e) => assert(e.getMessage === "flake 2")
+      case other => fail(s"expected Failed, got $other")
+    }
+    assert(bad.status("b") === DagStatus.Skipped(Seq("a")))
+    // negative retries rejected at build time
+    intercept[IllegalArgumentException] {
+      Tasks.runDag(Seq(EtlTask("x", () => (), retries = -1)))
+    }
+  }
+
+  test("runDag + DagRecord: one durable outcome row per task, incl. failures and skips") {
+    import graft.exec.{DagRecord, EtlTask, RunLedger, Tasks}
+    val dir = SparkTestBase.tmpDir("graft_dag_record") + "/_graft_dag_runs"
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = EtlTask("f", () => {
+      if (n.incrementAndGet() <= 1) throw new IllegalStateException("first attempt dies")
+    }, retries = 1)
+    val run = Tasks.runDag(
+      Seq(EtlTask("a", () => ()), flaky,
+        EtlTask("b", () => throw new RuntimeException("b exploded")),
+        EtlTask("d", () => ())),
+      deps = Map("f" -> Seq("a"), "b" -> Seq("a"), "d" -> Seq("b")),
+      record = Some(DagRecord(spark, dir, "run-1")))
+    assert(!run.succeeded)
+    val rows = RunLedger.readDagRuns(spark, dir)
+      .select("run_id", "task_id", "status", "attempts", "blocked_by",
+        "error_class", "error_msg")
+      .as[(String, String, String, Int, Seq[String], Option[String], Option[String])]
+      .collect().sortBy(_._2).toSeq
+    assert(rows === Seq(
+      ("run-1", "a", "succeeded", 1, Nil, None, None),
+      ("run-1", "b", "failed", 1, Nil,
+        Some("java.lang.RuntimeException"), Some("b exploded")),
+      ("run-1", "d", "skipped", 0, Seq("b"), None, None),
+      ("run-1", "f", "succeeded", 2, Nil, None, None)))
+    // ran tasks carry timing; skipped tasks carry none
+    val timed = RunLedger.readDagRuns(spark, dir)
+      .select("task_id", "started_ms", "wall_ms")
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> (t._2.isDefined && t._3.isDefined)).toMap
+    assert(timed === Map("a" -> true, "b" -> true, "d" -> false, "f" -> true))
+    // a second run APPENDS — the table is history, not state
+    Tasks.runDag(Seq(EtlTask("a", () => ())),
+      record = Some(DagRecord(spark, dir, "run-2")))
+    assert(RunLedger.readDagRuns(spark, dir).count() === 5)
+  }
+
   test("runDag: parallelism > 1 genuinely overlaps independent tasks") {
     import graft.exec.{EtlTask, Tasks}
     // both tasks block until BOTH have started — completes only if the

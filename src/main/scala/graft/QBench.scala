@@ -18,9 +18,12 @@ object QBench {
     spark.sparkContext.setLogLevel("ERROR")
     val names = args(0).split(",")
     val dir = args(1)
+    // the FULL registry (headline q01-q06 + extension ops), so scale
+    // probes can time any named query, not just the ext ones
+    val registry = SparkEntry.queries
     for (pass <- 1 to 3; n <- names) {
       val t0 = System.nanoTime()
-      graft.ext.ExtQueries.all(n)(spark, dir)
+      registry(n)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       println(f"QBENCH $n pass$pass ${(System.nanoTime()-t0)/1e9}%.2f s")
     }

@@ -12,8 +12,13 @@ import org.apache.spark.sql.SparkSession
   */
 object QBench {
   def main(args: Array[String]): Unit = {
+    // shuffle width defaults to the driver contract's 32 but can be
+    // widened for big-factor scale probes (at ×100 a fixed 32 makes
+    // each shuffle partition ~10× fatter than at ×10 — spill noise
+    // that masquerades as operator growth)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = args(0).split(",")

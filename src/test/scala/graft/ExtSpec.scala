@@ -2294,6 +2294,41 @@ class ExtSpec extends AnyFunSuite {
     assert(reprobe.map(_._3) === Seq(16L, 19L))
   }
 
+  test("stripExactSubstringsWithIndex == one-shot keep-first restricted to the batch (token + char)") {
+    // the streaming sink's combined cut, checked directly: against-index
+    // + within-batch repeats on ORIGINAL text must equal the one-shot
+    // corpus∪batch keep-first cut restricted to the batch side (corpus
+    // ids are lower, so (id, pos)-first == corpus-first)
+    val corpus = docsDf(1L -> "q1 w1 e1 r1 t1", 2L -> "u1 u2 u3 u4")
+    val batch = docsDf(11L -> "q1 w1 e1 r1 t1 a1 b1 c1",
+      12L -> "z1 a1 b1 c1 z2", 13L -> "z1 a1 b1 c1 z2")
+    val idx = Dedup.substringIndex(corpus, minTokens = 3)
+    val combined = Dedup.stripExactSubstringsWithIndex(batch, idx, minTokens = 3)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val oneShot = Dedup.stripExactSubstrings(corpus.unionByName(batch), minTokens = 3)
+      .where($"doc_id" >= 10)
+      .select("doc_id", "text", "n_cut_tokens")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(combined === oneShot)
+    assert(combined === Seq((11L, "a1 b1 c1", 5L), (12L, "z1 z2", 3L), (13L, "", 5L)))
+
+    // char grain: cross-set run at a mid-token offset + an in-batch pair
+    val ccorpus = docsDf(1L -> "xxCORPUS RUN Azz")
+    val cbatch = docsDf(20L -> "bbCORPUS RUN Acc",
+      21L -> "ppQQRRSSTTUUvv", 22L -> "kkQQRRSSTTUUmm")
+    val cidx = Dedup.charSubstringIndex(ccorpus, minChars = 10)
+    val ccombined = Dedup.stripExactCharSubstringsWithIndex(cbatch, cidx, minChars = 10)
+      .select("doc_id", "text", "n_cut_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val coneShot = Dedup.stripExactCharSubstrings(
+        ccorpus.unionByName(cbatch), minChars = 10)
+      .where($"doc_id" >= 10)
+      .select("doc_id", "text", "n_cut_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(ccombined === coneShot)
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

@@ -95,6 +95,13 @@ object GraftFns {
       Dedup.stripDuplicateLines(d,
         minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "1").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
+    // the char-grain ExactSubstr cut (Lee et al.'s native unit) — the
+    // published default of 50 chars, overridable via GRAFT_MIN_CHARS
+    // like the line step
+    step("graft_strip_char_substrings")((ctx, d) =>
+      Dedup.stripExactCharSubstrings(d,
+        minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "50").toInt,
+        idCol = idCol(ctx), textCol = textCol(ctx))),
     step("graft_gopher_filter")((ctx, d) => {
       val report = TextOps.gopherRules(d, idCol = idCol(ctx),
         textCol = textCol(ctx))

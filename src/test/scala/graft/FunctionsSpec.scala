@@ -64,8 +64,8 @@ class FunctionsSpec extends AnyFunSuite {
     assert(graft.ext.GraftFns.standard.keySet === Set("graft_init",
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
-      "graft_strip_exact_substrings", "graft_strip_dup_lines",
-      "graft_dsir_select", "graft_gopher_filter",
+      "graft_strip_exact_substrings", "graft_strip_char_substrings",
+      "graft_strip_dup_lines", "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
@@ -179,6 +179,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(result.orderBy("lang", "bin_id").collect().toSeq ===
       direct.orderBy("lang", "bin_id").collect().toSeq,
       "SQL-tokenized packing must equal the direct Scala chain")
+  }
+
+  test("graft_strip_char_substrings fn step == direct stripExactCharSubstrings") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    val work = SparkTestBase.tmpDir("graft_charfn")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "char_docs", "GRAFT_MIN_CHARS" -> "10"),
+      fns = graft.ext.GraftFns.standard)
+    val docs = Seq((1L, "xxABCDEFGHIJzz"), (2L, "qqABCDEFGHIJpp"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("char_docs")
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Fn("graft_init"),
+      Step.Fn("graft_strip_char_substrings"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, text, n_cut_chars FROM graft")))).get
+    val direct = graft.ext.Dedup.stripExactCharSubstrings(docs, minChars = 10)
+      .select("doc_id", "text", "n_cut_chars")
+    assert(result.orderBy("doc_id").collect().toSeq ===
+      direct.orderBy("doc_id").collect().toSeq)
+    assert(result.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq ===
+      Seq((1L, "xxABCDEFGHIJzz", 0L), (2L, "qqpp", 10L)),
+      "keep-first: doc 1's copy survives, doc 2's mid-token run is cut")
   }
 
   test("graft_strip_dup_lines fn step == direct stripDuplicateLines, GRAFT_MIN_CHARS honored") {

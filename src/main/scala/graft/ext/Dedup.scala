@@ -1567,4 +1567,33 @@ object Dedup {
                            textCol: String = "text"): DataFrame =
     index.unionByName(lineIndex(batch, minChars, idCol, textCol))
       .groupBy("__h").agg(sum(col("__n")).as("__n"))
+
+  /** URL-level dedup — RefinedWeb's STAGE-1 cut, before any content
+    * heuristic: of all documents sharing a canonical source-URL key
+    * ([[TextOps.canonicalUrlKey]] — fragment/tracking-param/trailing
+    * noise removed, lowercased), keep the min-`idCol` one. Documents
+    * with a NULL or empty `urlCol` are not URL-addressable and are all
+    * KEPT (content-level dedup handles them downstream). Returns the
+    * kept rows with a `url_key` column appended (null for the
+    * non-addressable rows) — the key is the audit trail of WHY a
+    * document survived.
+    *
+    * Scale shape (the [[exact]] discipline): canonicalization is
+    * row-local codegen regex; the winner election groups on the
+    * 8-byte xxhash64 of the key (the repo-wide fingerprint caveat,
+    * P ≈ n²/2⁶⁵), so URL strings never shuffle — the keyed join back
+    * is id+hash equi, map-side-combinable min().
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+               idCol: String = "doc_id"): DataFrame = {
+    val key = when(col(urlCol).isNull || col(urlCol) === "", lit(null))
+      .otherwise(graft.ext.TextOps.canonicalUrlKey(col(urlCol)))
+    val keyed = docs.withColumn("url_key", key)
+      .withColumn("__h", xxhash64(col("url_key")))
+    val winners = keyed.where(col("url_key").isNotNull)
+      .groupBy("__h").agg(min(col(idCol)).as("__w"))
+    keyed.join(winners, Seq("__h"), "left")
+      .where(col("url_key").isNull || col(idCol) === col("__w"))
+      .drop("__h", "__w")
+  }
 }

@@ -487,6 +487,45 @@ object ExtQueries {
         concat(lit(" http://mirror.example.net/d/"), col("doc_id").cast("string")))
         .otherwise(lit("")))
 
+  /** One synthetic source URL per document, shaped so the CANONICALIZER
+    * does real work: ~50 pages per source shared across documents, with
+    * per-document tracking params, scheme-case variance, optional
+    * trailing slash, and optional fragments — all of which must
+    * collapse to one canonical key per (source, page).
+    */
+  private def sourceUrl: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
+      col("source"), lit(".Example.com/Page/"),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=s"), col("doc_id").cast("string"), lit("&v=1"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("#frag"), col("doc_id").cast("string"))).otherwise(lit("")))
+
+  private val sourceUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+      |source || '.Example.com/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      |'?utm_source=s' || CAST(doc_id AS VARCHAR) || '&v=1' ||
+      |(CASE WHEN doc_id % 3 = 0
+      |      THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END)""".stripMargin.replace("\n", " ")
+
+  /** URL-level dedup ([[Dedup.urlDedup]]): RefinedWeb's stage-1 cut —
+    * keep one document per canonical source-URL key
+    * ([[TextOps.canonicalUrlKey]]), min doc_id wins. The synthetic URL
+    * column (above) gives every (source, doc_id % 50) page ~10 case/
+    * tracking/slash/fragment variants that must all collapse.
+    * Exact-oracled: every canonicalization step is an anchored or
+    * global regexp_replace in the RE2 ∩ Java subset, replayed verbatim
+    * in DuckDB.
+    */
+  def q126(spark: SparkSession, dir: String): DataFrame =
+    Dedup.urlDedup(
+      docs(spark, dir).select(col("doc_id"), sourceUrl.as("url")))
+      .select(col("doc_id"), col("url_key"))
+      .orderBy("doc_id")
+
   /** Per-domain link stats over URL-enriched documents. */
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
@@ -1357,6 +1396,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_url_dedup" -> (q126 _),
     "q125_strip_char_substrings_incremental" -> (q125 _),
     "q124_line_repetition" -> (q124 _),
     "q123_unigram_packing" -> (q123 _),
@@ -2920,6 +2960,29 @@ object ExtQueries {
          |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
          |    AS n_phones
          |FROM noted ORDER BY custkey""".stripMargin,
+    // q126 — urlDedup replayed: the canonical key is the same five
+    // regexp_replace steps (DuckDB needs the explicit 'g' flag where
+    // Spark's replace-all is implicit; the anchored steps are
+    // single-match in both engines), winner = min(doc_id) per key.
+    "q126_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sourceUrlSql AS url FROM documents),
+         |k AS (
+         |  SELECT doc_id, lower(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?]*)&', '\\1?'),
+         |      '^([^?]*)/\\?', '\\1?'),
+         |      '\\?$$', ''),
+         |      '/$$', '')) AS url_key
+         |  FROM u),
+         |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
+         |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,
     "q37_url_domains" ->
       s"""WITH enriched AS (
          |  SELECT doc_id, $urlTextSql AS text FROM documents),

@@ -358,6 +358,32 @@ object TextOps {
 
   def urlDomain(url: Column): Column = regexp_extract(url, DomainPattern, 1)
 
+  /** Canonical dedup KEY of a URL — the RefinedWeb stage-1 unit ("dedup
+    * by normalized source URL" runs before any content heuristic): the
+    * fragment goes, known tracking parameters (utm_*, fbclid, gclid,
+    * msclkid) go, a first `&` orphaned by a removed leading `?param`
+    * is promoted back to `?`, a bare trailing `?` and a trailing `/`
+    * go, and the result lowercases. This is a dedup KEY, not a
+    * rewritten URL — lowercasing the whole string (not just the host)
+    * is deliberate: collisions from case-variant paths are exactly
+    * what URL-level dedup wants on web corpora, where servers
+    * overwhelmingly treat them as one page.
+    *
+    * Every step is a single regexp_replace in the RE2 ∩ Java subset,
+    * so a SQL oracle replays it verbatim (anchored patterns where
+    * first-match/all-match semantics could differ between engines).
+    */
+  def canonicalUrlKey(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*", "")
+    val promoted = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    // a trailing PATH slash hides before the query string too
+    val noSlashQ = regexp_replace(promoted, "^([^?]*)/\\?", "$1?")
+    val noBareQ = regexp_replace(noSlashQ, "\\?$", "")
+    lower(regexp_replace(noBareQ, "/$", ""))
+  }
+
   /** Per-domain link profile of a corpus: URL occurrences and distinct
     * linking documents — the domain-blocklist / source-mix signal.
     * Scale shape: extract per row (codegen regex, no shuffle), explode

@@ -2329,6 +2329,36 @@ class ExtSpec extends AnyFunSuite {
     assert(ccombined === coneShot)
   }
 
+  test("canonicalUrlKey collapses case/fragment/tracking/slash noise; urlDedup keeps first per key") {
+    val urls = Seq(
+      (1L, "https://A.example.com/Page/7?utm_source=x&v=1"),
+      (2L, "HTTPS://a.example.com/page/7/?utm_source=y&v=1#frag"), // slash BEFORE the query
+      (3L, "https://a.example.com/page/7?v=1"),
+      (4L, "https://a.example.com/other/"), // plain trailing slash
+      (5L, null.asInstanceOf[String]), // not URL-addressable -> kept
+      (6L, ""),
+      (7L, "https://a.example.com/page/7?v=2"), // different real query -> distinct page
+      (8L, "https://a.example.com/other")) // collapses with 4
+      .toDF("doc_id", "url")
+    val keys = urls.where($"url".isNotNull && $"url" =!= "")
+      .select($"doc_id", TextOps.canonicalUrlKey($"url").as("k"))
+      .as[(Long, String)].collect().toMap
+    assert(keys(1L) === "https://a.example.com/page/7?v=1")
+    assert(keys(2L) === keys(1L) && keys(3L) === keys(1L),
+      "case, fragment, tracking params, and the pre-query slash all collapse")
+    assert(keys(7L) === "https://a.example.com/page/7?v=2",
+      "a real (non-tracking) query difference stays distinct")
+    assert(keys(4L) === keys(8L), "plain trailing slash collapses")
+    val kept = Dedup.urlDedup(urls)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 4L, 5L, 6L, 7L),
+      "min-id per canonical key wins; null/empty-url docs all kept")
+    // the appended audit column carries the winning key (null for
+    // non-addressable rows)
+    assert(kept.where($"doc_id" === 5L).select("url_key")
+      .collect().head.isNullAt(0))
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

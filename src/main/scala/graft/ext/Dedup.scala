@@ -1596,4 +1596,36 @@ object Dedup {
       .where(col("url_key").isNull || col(idCol) === col("__w"))
       .drop("__h", "__w")
   }
+
+  /** Persisted URL-KEY index — [[exactIndex]]'s sibling one level
+    * earlier in the pipeline: one row per distinct canonical-key hash
+    * (`__uh`, the 8-byte xxhash64 of [[TextOps.canonicalUrlKey]] —
+    * the repo-wide fingerprint caveat applies). Probe ingest batches
+    * with [[urlDedupAgainstIndex]]; the anti-join semantics tolerate
+    * duplicate index rows, so rolling forward is append-or-distinct,
+    * caller's choice. Rows with a null/empty `urlCol` contribute
+    * nothing (they are not URL-addressable).
+    */
+  def urlKeyIndex(corpus: DataFrame, urlCol: String = "url"): DataFrame =
+    corpus.where(col(urlCol).isNotNull && col(urlCol) =!= "")
+      .select(xxhash64(graft.ext.TextOps.canonicalUrlKey(col(urlCol))).as("__uh"))
+      .distinct()
+
+  /** Incremental URL dedup: keep-first WITHIN the batch
+    * ([[urlDedup]]), then drop every survivor whose canonical key
+    * already exists in the corpus index (cross-set first-seen-wins,
+    * the [[exactAgainst]] policy). Non-addressable rows (null/empty
+    * url) always pass. The anti join shuffles 8-byte hashes, never
+    * URLs.
+    */
+  def urlDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                           urlCol: String = "url",
+                           idCol: String = "doc_id"): DataFrame = {
+    val within = urlDedup(batch, urlCol, idCol)
+    // null keys must never hash-match (xxhash64(null) is the non-null
+    // seed) — the isNotNull conjunct keeps the anti join exact
+    within.join(index,
+      col("url_key").isNotNull &&
+        xxhash64(col("url_key")) === index("__uh"), "left_anti")
+  }
 }

@@ -102,6 +102,12 @@ object GraftFns {
       Dedup.stripExactCharSubstrings(d,
         minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "50").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
+    // RefinedWeb stage 1: URL-level keep-first by canonical source-URL
+    // key; the url column name comes from GRAFT_URL_COL
+    step("graft_url_dedup")((ctx, d) =>
+      Dedup.urlDedup(d,
+        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"),
+        idCol = idCol(ctx))),
     step("graft_gopher_filter")((ctx, d) => {
       val report = TextOps.gopherRules(d, idCol = idCol(ctx),
         textCol = textCol(ctx))

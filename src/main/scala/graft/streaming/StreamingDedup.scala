@@ -431,6 +431,53 @@ object StreamingDedup {
     } finally batch.unpersist()
   }
 
+  /** foreachBatch sink: URL-level dedup across the whole stream history
+    * against the persisted canonical-key index
+    * ([[graft.ext.Dedup.urlKeyIndex]] layout) — the streaming face of
+    * RefinedWeb's stage-1 cut, and the cheapest sink in the family
+    * (keys are 8-byte hashes; no text is ever touched). Per
+    * micro-batch: keep-first within the batch, drop survivors whose
+    * key the retained history already holds
+    * ([[graft.ext.Dedup.urlDedupAgainstIndex]] — one composed step),
+    * land the kept rows (with their `url_key` audit column) under
+    * `outRoot/__batch=<id>`, and roll the index forward with the KEPT
+    * rows' key hashes (complete by construction: a dropped row's key
+    * is either already in the index or carried by its within-batch
+    * winner). Non-addressable rows (null/empty url) always pass.
+    *
+    * Stream ≡ batch EXACTLY (keys are per-document atomic — none of
+    * the substring family's coverage subtleties), under the shared
+    * first-arrival-is-lowest-id caveat; same replay contract as
+    * [[exactAgainstIndexSink]] (per-batch partition overwrites,
+    * strictly-earlier probe), and [[compactIndex]] applies verbatim.
+    */
+  def urlDedupAgainstIndexSink(indexRoot: String, outRoot: String,
+                               urlCol: String = "url",
+                               idCol: String = "doc_id")
+                              (batch: DataFrame, batchId: Long): Unit = {
+    require(!batch.columns.contains("url_key"),
+      "urlDedupAgainstIndexSink reserves the 'url_key' column; rename it on the incoming stream")
+    val spark = batch.sparkSession
+    val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior: Option[DataFrame] =
+      if (fs.exists(idxPath))
+        Some(spark.read.parquet(indexRoot).where(col("__batch") < batchId))
+      else None // first batch ever
+    // two consumers (out write + index roll-forward) — cached so the
+    // winner election runs once per batch, not twice
+    val kept = (prior match {
+      case Some(index) => graft.ext.Dedup.urlDedupAgainstIndex(batch, index, urlCol, idCol)
+      case None        => graft.ext.Dedup.urlDedup(batch, urlCol, idCol)
+    }).cache()
+    try {
+      kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      kept.where(col("url_key").isNotNull)
+        .select(xxhash64(col("url_key")).as("__uh")).distinct()
+        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+    } finally kept.unpersist()
+  }
+
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks
     * above accrete (digest / MinHash / ANN / chunk-signature — the
     * layout is shared): fold every partition EXCEPT the latest into a

@@ -2359,6 +2359,32 @@ class ExtSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("urlKeyIndex probe: cross-set keys drop, fresh keys pass; round-trip; roll-forward") {
+    val corpus = Seq(
+      (1L, "https://a.example.com/page/1?utm_source=c&v=1"),
+      (2L, "https://a.example.com/page/2")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "HTTPS://a.example.com/page/1/?v=1#x"), // canonical twin of corpus 1
+      (11L, "https://a.example.com/page/9"), // fresh
+      (12L, "https://a.example.com/page/9?utm_source=z"), // in-batch dup of 11
+      (13L, null.asInstanceOf[String])) // non-addressable -> kept
+      .toDF("doc_id", "url")
+    val idx = Dedup.urlKeyIndex(corpus)
+    def probe(index: org.apache.spark.sql.DataFrame) =
+      Dedup.urlDedupAgainstIndex(batch, index)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probe(idx) === Seq(11L, 13L))
+    // the persisted shape: parquet round-trip probes identically
+    val dir = SparkTestBase.tmpDir("graft_url_idx")
+    idx.write.mode("overwrite").parquet(dir)
+    assert(probe(spark.read.parquet(dir)) === probe(idx))
+    // roll-forward (append semantics — the anti join tolerates dup
+    // rows): once the batch's keys fold in, re-probing drops every
+    // addressable row
+    val idx2 = idx.unionByName(Dedup.urlKeyIndex(batch))
+    assert(probe(idx2) === Seq(13L))
+  }
+
   test("containmentPairs: subset doc scores 1.0 one way, below threshold the other") {
     // A's 4 distinct 3-grams all occur in B (8 3-grams): containment
     // A-in-B = 4/4 = 1.0, B-in-A = 4/8 = 0.5 — only the first passes

@@ -435,6 +435,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(cout === cBatch, "char-grain stream drifted from one-shot batch")
   }
 
+  test("index-backed streaming URL dedup: whole-history keep-first == one-shot batch, replay-idempotent") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_url_idx")
+    val sink = StreamingDedup.urlDedupAgainstIndexSink(s"$work/index", s"$work/out") _
+    def batchDf(rows: (Long, String)*) = rows.toDF("doc_id", "url")
+    val b0 = batchDf(1L -> "https://a.example.com/p/1?utm_source=x",
+      2L -> "https://a.example.com/p/2")
+    // b1: canonical twin of b0's page 1 (case+slash+fragment variants)
+    // + a fresh page + its in-batch tracking-variant dup
+    val b1 = batchDf(11L -> "HTTPS://a.example.com/p/1/#frag",
+      12L -> "https://a.example.com/p/9",
+      13L -> "https://a.example.com/p/9?utm_source=y")
+    // b2: twin of the page b1 introduced + a non-addressable row
+    val b2 = Seq((21L, "https://a.example.com/p/9/"),
+      (22L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    sink(b0, 0L); sink(b1, 1L); sink(b2, 2L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === Seq(1L, 2L, 12L, 22L))
+    // stream == one-shot urlDedup over the concatenated history
+    val full = b0.unionByName(b1).unionByName(b2)
+    val batchKeep = graft.ext.Dedup.urlDedup(full)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out() === batchKeep, "stream URL dedup drifted from one-shot batch")
+    // replay b1 (failure recovery): strictly-earlier probe + per-batch
+    // overwrite reproduce the identical state
+    sink(b1, 1L)
+    assert(out() === batchKeep, "replay of a delivered batch changed the output")
+    // reserved audit column rejected up front
+    intercept[IllegalArgumentException] {
+      sink(Seq((30L, "https://x.example.com", "k")).toDF("doc_id", "url", "url_key"), 3L)
+    }
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

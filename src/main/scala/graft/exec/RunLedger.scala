@@ -77,9 +77,13 @@ object RunLedger {
     * a run row — so before the originals are discarded their rows are
     * counted against the staged count (both counts ride frames this
     * size reads in milliseconds), and on mismatch the originals are
-    * RESTORED and the call fails loudly. Prefer quiesced compaction
-    * anyway; this turns the documented race from silent loss into a
-    * recoverable error.
+    * RESTORED and the call fails loudly. The swap window itself is
+    * guarded too: if an append recreates the directory between the
+    * two renames, or lands after the swap on the mismatch path, the
+    * unexpected directory is moved ASIDE (never deleted) and the
+    * error names where its files went. Prefer quiesced compaction
+    * anyway; this turns the documented races from silent loss into
+    * recoverable errors.
     */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long = 128L << 20): Int = {
@@ -104,20 +108,41 @@ object RunLedger {
       fs.delete(tmp, true)
       throw new IllegalStateException(s"ledger compaction swap failed for $dir (original untouched)")
     }
+    // an append landing between the two renames recreates d; renaming
+    // tmp into an EXISTING dir would nest the staged files where the
+    // reader never sees them (Hadoop rename-into-dir semantics) while
+    // the count check still passes — so move the raced appends aside
+    // (never delete them) and restore before swapping in the staging
+    if (fs.exists(d)) {
+      val raced = new Path(dir.stripSuffix("/") + s"__compact_raced_${System.nanoTime()}")
+      fs.rename(d, raced)
+      fs.delete(tmp, true)
+      if (!fs.rename(old, d))
+        throw new IllegalStateException(
+          s"ledger compaction raced an append during the swap AND the restore " +
+            s"rename failed: originals are at $old, raced appends at $raced, recover manually")
+      throw new IllegalStateException(
+        s"ledger compaction raced an append during the swap; originals restored, " +
+          s"raced appends moved to $raced — merge them back and re-run quiesced")
+    }
     if (!fs.rename(tmp, d)) {
       fs.rename(old, d)
       throw new IllegalStateException(s"ledger compaction swap failed for $dir (original restored)")
     }
     val live = spark.read.parquet(old.toString).count()
     if (live != staged) {
-      fs.delete(d, true)
+      // d holds the staged rewrite PLUS any append that landed after
+      // the swap — move it aside intact rather than deleting it
+      val aside = new Path(dir.stripSuffix("/") + s"__compact_raced_${System.nanoTime()}")
+      fs.rename(d, aside)
       if (!fs.rename(old, d))
         throw new IllegalStateException(
           s"ledger compaction raced an append AND the restore rename failed: " +
-            s"originals are at $old ($live rows), recover manually")
+            s"originals are at $old ($live rows), post-swap files at $aside, recover manually")
       throw new IllegalStateException(
         s"ledger compaction raced an in-flight append ($live rows live vs " +
-          s"$staged staged); originals restored — re-run while appends are quiesced")
+          s"$staged staged); originals restored, post-swap files moved to $aside " +
+          s"— re-run while appends are quiesced")
     }
     fs.delete(old, true)
     fs.listStatus(d).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

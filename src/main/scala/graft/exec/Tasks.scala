@@ -15,12 +15,37 @@ import graft.config._
   * attempt that succeeds makes the task plainly Succeeded — downstream
   * tasks run as if nothing happened. Only recoverable exceptions
   * retry: fatal JVM errors abort the run and an interrupt is a
-  * cancellation, never re-attempted. In-process there is no
-  * retry_delay — a failed attempt re-runs immediately (backoff is
-  * scheduler sugar for shared-resource contention; the tasks here own
-  * their Spark session).
+  * cancellation, never re-attempted.
+  *
+  * `retryDelayMs`/`retryExponentialBackoff`/`maxRetryDelayMs` are
+  * Airflow's `retry_delay`/`retry_exponential_backoff`/
+  * `max_retry_delay`: the wait before re-attempt i is `retryDelayMs`
+  * (flat) or `retryDelayMs · 2^(i-1)` capped at `maxRetryDelayMs`
+  * (exponential) — the policy that lets a transient source-DB outage
+  * clear instead of burning every retry in the same millisecond. The
+  * wait is interrupt-safe: an interrupt during it is a cancellation
+  * (recorded Failed, interrupt status restored), never a re-attempt.
   */
-final case class EtlTask(id: String, run: () => Unit, retries: Int = 0)
+final case class EtlTask(id: String, run: () => Unit, retries: Int = 0,
+                         retryDelayMs: Long = 0,
+                         retryExponentialBackoff: Boolean = false,
+                         maxRetryDelayMs: Option[Long] = None) {
+  /** Wait before re-attempt `i` (1-based: i = 1 follows the first
+    * failure). Double math so deep backoff saturates instead of
+    * overflowing.
+    */
+  def retryDelayFor(reAttempt: Int): Long = {
+    require(reAttempt >= 1, s"re-attempt index must be >= 1, got $reAttempt")
+    if (retryDelayMs <= 0) 0L
+    else {
+      val raw =
+        if (!retryExponentialBackoff) retryDelayMs.toDouble
+        else retryDelayMs.toDouble * math.pow(2.0, (reAttempt - 1).toDouble)
+      val capped = math.min(raw, maxRetryDelayMs.getOrElse(Long.MaxValue).toDouble)
+      math.min(capped, Long.MaxValue.toDouble).toLong
+    }
+  }
+}
 
 /** Outcome of one task inside a [[Tasks.runDag]] execution. */
 sealed trait DagStatus
@@ -161,12 +186,23 @@ object Tasks {
     * succeed ([[RunLedger]]), so a DAG run leaves one ledger row per
     * SUCCEEDED task and none for failed/skipped ones — the ledger
     * stays "what actually landed".
+    *
+    * `sleep` is the retry-wait primitive (default `Thread.sleep`) —
+    * a seam so tests assert the exact requested waits without
+    * wall-clock flakiness; production callers never pass it.
     */
   def runDag(tasks: Seq[EtlTask], deps: Map[String, Seq[String]] = Map.empty,
-             parallelism: Int = 1, record: Option[DagRecord] = None): DagRun = {
+             parallelism: Int = 1, record: Option[DagRecord] = None,
+             sleep: Long => Unit = Thread.sleep(_)): DagRun = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    tasks.foreach(t => require(t.retries >= 0,
-      s"task ${t.id}: retries must be >= 0, got ${t.retries}"))
+    tasks.foreach { t =>
+      require(t.retries >= 0,
+        s"task ${t.id}: retries must be >= 0, got ${t.retries}")
+      require(t.retryDelayMs >= 0,
+        s"task ${t.id}: retryDelayMs must be >= 0, got ${t.retryDelayMs}")
+      t.maxRetryDelayMs.foreach(m => require(m >= 0,
+        s"task ${t.id}: maxRetryDelayMs must be >= 0, got $m"))
+    }
     val ids = tasks.map(_.id)
     require(ids.distinct.size == ids.size,
       s"duplicate task ids: ${ids.diff(ids.distinct).distinct.mkString(", ")}")
@@ -261,9 +297,22 @@ object Tasks {
             st = DagStatus.Failed(e) // a cancellation, never re-attempted
           case scala.util.control.NonFatal(e) =>
             // Airflow's retries=N: up to N re-attempts; exhausting them
-            // records the LAST error. No retry_delay in-process (see
-            // EtlTask's scaladoc)
+            // records the LAST error. Before a re-attempt, the task's
+            // retry_delay policy waits (EtlTask.retryDelayFor); an
+            // interrupt during the wait is a cancellation like an
+            // interrupt during the run itself
             if (attempt > task.retries) st = DagStatus.Failed(e)
+            else {
+              val wait = task.retryDelayFor(attempt)
+              if (wait > 0) {
+                try sleep(wait)
+                catch {
+                  case ie: InterruptedException =>
+                    Thread.currentThread().interrupt()
+                    st = DagStatus.Failed(ie)
+                }
+              }
+            }
         }
       }
       attempts(id) = attempt

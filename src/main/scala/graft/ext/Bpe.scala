@@ -96,7 +96,10 @@ object Bpe {
       .as[(Int, String, String)].collect()
     require(rows.map(_._1).toSeq == rows.indices,
       s"BPE model ranks must be contiguous 0..${rows.length - 1} — the frame is truncated or corrupt")
-    if (model.columns.contains("n_merges")) {
+    // a 0-merge model is legal ([[bpeTrain]] allows numMerges = 0 and
+    // can find no repeating pair): its frame has no rows, so the
+    // n_merges column carries no values to check against
+    if (rows.nonEmpty && model.columns.contains("n_merges")) {
       val declared = model.select("n_merges").distinct().as[Int].collect()
       require(declared.length == 1 && declared.head == rows.length,
         s"BPE model declares n_merges ${declared.sorted.mkString(", ")} but holds " +

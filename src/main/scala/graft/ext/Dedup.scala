@@ -1571,7 +1571,8 @@ object Dedup {
   /** URL-level dedup — RefinedWeb's STAGE-1 cut, before any content
     * heuristic: of all documents sharing a canonical source-URL key
     * ([[TextOps.canonicalUrlKey]] — fragment/tracking-param/trailing
-    * noise removed, lowercased), keep the min-`idCol` one. Documents
+    * noise removed, scheme+host lowercased, `www.`/default ports
+    * stripped, query params sorted), keep the min-`idCol` one. Documents
     * with a NULL or empty `urlCol` are not URL-addressable and are all
     * KEPT (content-level dedup handles them downstream). Returns the
     * kept rows with a `url_key` column appended (null for the

@@ -496,29 +496,40 @@ object ExtQueries {
   private def sourceUrl: org.apache.spark.sql.Column =
     concat(
       when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("HTTPS://")),
-      col("source"), lit(".Example.com/Page/"),
-      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".Example.com"),
+      when(col("doc_id") % 11 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Page/"), (col("doc_id") % 50).cast("string"),
       when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-      lit("?utm_source=s"), col("doc_id").cast("string"), lit("&v=1"),
+      when(col("doc_id") % 4 < 2,
+        concat(lit("?utm_source=s"), col("doc_id").cast("string"), lit("&a=1&b=2")))
+        .otherwise(
+          concat(lit("?b=2&utm_campaign=c"), col("doc_id").cast("string"), lit("&a=1"))),
       when(col("doc_id") % 3 === 0,
         concat(lit("#frag"), col("doc_id").cast("string"))).otherwise(lit("")))
 
   private val sourceUrlSql: String =
     """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
-      |source || '.Example.com/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |(CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) ||
+      |source || '.Example.com' ||
+      |(CASE WHEN doc_id % 11 = 0 THEN ':443' ELSE '' END) ||
+      |'/Page/' || CAST(doc_id % 50 AS VARCHAR) ||
       |(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-      |'?utm_source=s' || CAST(doc_id AS VARCHAR) || '&v=1' ||
+      |(CASE WHEN doc_id % 4 < 2
+      |      THEN '?utm_source=s' || CAST(doc_id AS VARCHAR) || '&a=1&b=2'
+      |      ELSE '?b=2&utm_campaign=c' || CAST(doc_id AS VARCHAR) || '&a=1' END) ||
       |(CASE WHEN doc_id % 3 = 0
       |      THEN '#frag' || CAST(doc_id AS VARCHAR) ELSE '' END)""".stripMargin.replace("\n", " ")
 
   /** URL-level dedup ([[Dedup.urlDedup]]): RefinedWeb's stage-1 cut —
     * keep one document per canonical source-URL key
     * ([[TextOps.canonicalUrlKey]]), min doc_id wins. The synthetic URL
-    * column (above) gives every (source, doc_id % 50) page ~10 case/
-    * tracking/slash/fragment variants that must all collapse.
-    * Exact-oracled: every canonicalization step is an anchored or
-    * global regexp_replace in the RE2 ∩ Java subset, replayed verbatim
-    * in DuckDB.
+    * column (above) gives every (source, doc_id % 50) page ~10
+    * scheme-case / www. / default-port / tracking / param-order /
+    * slash / fragment variants that must all collapse. Exact-oracled:
+    * every canonicalization step is an anchored or global
+    * regexp/array op in the RE2 ∩ Java ∩ DuckDB subset, replayed
+    * verbatim in DuckDB.
     */
   def q126(spark: SparkSession, dir: String): DataFrame =
     Dedup.urlDedup(
@@ -2960,27 +2971,49 @@ object ExtQueries {
          |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
          |    AS n_phones
          |FROM noted ORDER BY custkey""".stripMargin,
-    // q126 — urlDedup replayed: the canonical key is the same five
-    // regexp_replace steps (DuckDB needs the explicit 'g' flag where
-    // Spark's replace-all is implicit; the anchored steps are
-    // single-match in both engines), winner = min(doc_id) per key.
+    // q126 — urlDedup replayed: the canonical key is the same step
+    // sequence (DuckDB needs the explicit 'g' flag where Spark's
+    // replace-all is implicit; the anchored steps are single-match in
+    // both engines; list_filter/list_sort mirror Spark's
+    // array_remove/array_sort under binary collation), winner =
+    // min(doc_id) per key.
     "q126_url_dedup" ->
       s"""WITH u AS (
          |  SELECT doc_id, $sourceUrlSql AS url FROM documents),
-         |k AS (
-         |  SELECT doc_id, lower(
-         |    regexp_replace(
-         |    regexp_replace(
-         |    regexp_replace(
+         |p AS (
+         |  SELECT doc_id,
          |    regexp_replace(
          |    regexp_replace(
          |    regexp_replace(url, '#.*', '', 'g'),
          |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
-         |      '^([^?]*)&', '\\1?'),
-         |      '^([^?]*)/\\?', '\\1?'),
-         |      '\\?$$', ''),
-         |      '/$$', '')) AS url_key
+         |      '^([^?&]*)&', '\\1?') AS pu
          |  FROM u),
+         |s AS (
+         |  SELECT doc_id,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, clean_base,
+         |          array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
+         |        FROM b)),
          |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
          |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,
     "q37_url_domains" ->

@@ -96,11 +96,12 @@ object GraftFns {
         minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "1").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
     // the char-grain ExactSubstr cut (Lee et al.'s native unit) — the
-    // published default of 50 chars, overridable via GRAFT_MIN_CHARS
-    // like the line step
+    // published default of 50 chars, overridable via its OWN variable
+    // (GRAFT_SUBSTR_MIN_CHARS) so a pipeline using both this and the
+    // line step can set the two thresholds independently
     step("graft_strip_char_substrings")((ctx, d) =>
       Dedup.stripExactCharSubstrings(d,
-        minChars = ctx.variables.getOrElse("GRAFT_MIN_CHARS", "50").toInt,
+        minChars = ctx.variables.getOrElse("GRAFT_SUBSTR_MIN_CHARS", "50").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
     // RefinedWeb stage 1: URL-level keep-first by canonical source-URL
     // key; the url column name comes from GRAFT_URL_COL

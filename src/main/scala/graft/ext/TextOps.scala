@@ -362,26 +362,48 @@ object TextOps {
     * by normalized source URL" runs before any content heuristic): the
     * fragment goes, known tracking parameters (utm_*, fbclid, gclid,
     * msclkid) go, a first `&` orphaned by a removed leading `?param`
-    * is promoted back to `?`, a bare trailing `?` and a trailing `/`
-    * go, and the result lowercases. This is a dedup KEY, not a
-    * rewritten URL — lowercasing the whole string (not just the host)
-    * is deliberate: collisions from case-variant paths are exactly
-    * what URL-level dedup wants on web corpora, where servers
-    * overwhelmingly treat them as one page.
+    * is promoted back to `?`, then the URL splits at the first `?`
+    * into base and query and each normalizes on published semantics:
     *
-    * Every step is a single regexp_replace in the RE2 ∩ Java subset,
-    * so a SQL oracle replays it verbatim (anchored patterns where
-    * first-match/all-match semantics could differ between engines).
+    *  - base: scheme+authority lowercase ONLY (paths stay
+    *    case-sensitive — RFC 3986 §6.2.2.1 case-normalizes exactly
+    *    the scheme and host), a leading `www.` goes, the scheme's
+    *    default port (`:80` http / `:443` https) goes, a trailing
+    *    path `/` goes;
+    *  - query: parameters split on `&`, empties dropped, SORTED
+    *    (param order is almost never semantic — `?a=1&b=2` and
+    *    `?b=2&a=1` are one page), rejoined; an empty result drops
+    *    the `?` entirely.
+    *
+    * Every step is a regexp/array op in the RE2 ∩ Java ∩ DuckDB
+    * subset (anchored patterns where first-match/all-match semantics
+    * could differ between engines; the sort is binary-collation in
+    * both), so a SQL oracle replays it verbatim.
     */
   def canonicalUrlKey(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val noTrack = regexp_replace(noFrag,
       "[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*", "")
-    val promoted = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    // a trailing PATH slash hides before the query string too
-    val noSlashQ = regexp_replace(promoted, "^([^?]*)/\\?", "$1?")
-    val noBareQ = regexp_replace(noSlashQ, "\\?$", "")
-    lower(regexp_replace(noBareQ, "/$", ""))
+    // promote the FIRST orphaned & (left behind by a stripped leading
+    // ?param) back to ? — [^?&]* so greed can't skip to a later &
+    val promoted = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    val base = regexp_replace(promoted, "\\?.*", "")
+    val query = regexp_extract(promoted, "\\?(.*)", 1)
+    // lowercase exactly the scheme://authority prefix, keep the path
+    val lowerAuth = concat(
+      lower(regexp_extract(base, "^([^/]*//[^/]*)", 1)),
+      regexp_replace(base, "^[^/]*//[^/]*", ""))
+    val noWww = regexp_replace(lowerAuth, "^(https?://)www\\.", "$1")
+    // default ports only, and only on the authority (no lookahead —
+    // RE2 has none — so the boundary rides a captured ($|/))
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:]+):80($|/)", "$1$2"),
+      "^(https://[^/:]+):443($|/)", "$1$2")
+    val cleanBase = regexp_replace(noPort, "/$", "")
+    val sortedQ = array_join(
+      array_sort(array_remove(split(query, "&"), "")), "&")
+    when(sortedQ === lit(""), cleanBase)
+      .otherwise(concat(cleanBase, lit("?"), sortedQ))
   }
 
   /** Per-domain link profile of a corpus: URL occurrences and distinct

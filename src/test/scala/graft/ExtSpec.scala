@@ -1956,6 +1956,22 @@ class ExtSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("truncated or corrupt"))
   }
 
+  test("BPE 0-merge model is legal: train→persist→load round-trips empty") {
+    import graft.ext.Bpe
+    // numMerges = 0 is explicitly allowed, and a corpus where no pair
+    // repeats also yields zero merges — the 0-row frame's n_merges
+    // column has no values, which must NOT trip the integrity check
+    val dir = SparkTestBase.tmpDir("graft_bpe_empty")
+    Bpe.bpeTrain(docsDf(1L -> "ab ab ab"), numMerges = 0)
+      .write.mode("overwrite").parquet(dir)
+    assert(Bpe.loadMerges(spark.read.parquet(dir)) === Seq.empty,
+      "an empty merge list is a legal artifact, not a corrupt one")
+    // and encoding under it degrades to per-code-point pieces
+    val got = docsDf(2L -> "ab")
+      .select(Bpe.tokens($"text", Seq.empty).as("t")).as[Seq[String]].head()
+    assert(got === Seq("a", "b"))
+  }
+
   test("BPE apply: rank-ordered segmentation; model round-trips through parquet") {
     import graft.ext.Bpe
     val model = Bpe.bpeTrain(docsDf(1L -> "ab ab ab", 2L -> "abc abc"), numMerges = 10)
@@ -2329,29 +2345,37 @@ class ExtSpec extends AnyFunSuite {
     assert(ccombined === coneShot)
   }
 
-  test("canonicalUrlKey collapses case/fragment/tracking/slash noise; urlDedup keeps first per key") {
+  test("canonicalUrlKey collapses host-case/www/port/fragment/tracking/param-order/slash noise; urlDedup keeps first per key") {
     val urls = Seq(
-      (1L, "https://A.example.com/Page/7?utm_source=x&v=1"),
-      (2L, "HTTPS://a.example.com/page/7/?utm_source=y&v=1#frag"), // slash BEFORE the query
-      (3L, "https://a.example.com/page/7?v=1"),
+      (1L, "https://A.example.com/page/7?utm_source=x&b=2&a=1"),
+      // default port + slash BEFORE the query + param order + fragment
+      (2L, "HTTPS://a.example.com:443/page/7/?a=1&utm_source=y&b=2#frag"),
+      (3L, "https://www.a.example.com/page/7?b=2&a=1"), // www. + param order
       (4L, "https://a.example.com/other/"), // plain trailing slash
       (5L, null.asInstanceOf[String]), // not URL-addressable -> kept
       (6L, ""),
-      (7L, "https://a.example.com/page/7?v=2"), // different real query -> distinct page
-      (8L, "https://a.example.com/other")) // collapses with 4
+      (7L, "https://a.example.com/page/7?a=1&b=3"), // different real query -> distinct page
+      (8L, "https://a.example.com/other"), // collapses with 4
+      (9L, "https://a.example.com/Page/7?a=1&b=2"), // case-variant PATH -> distinct (host-only lowercase)
+      (10L, "http://a.example.com:8080/x")) // NON-default port stays
       .toDF("doc_id", "url")
     val keys = urls.where($"url".isNotNull && $"url" =!= "")
       .select($"doc_id", TextOps.canonicalUrlKey($"url").as("k"))
       .as[(Long, String)].collect().toMap
-    assert(keys(1L) === "https://a.example.com/page/7?v=1")
+    assert(keys(1L) === "https://a.example.com/page/7?a=1&b=2")
     assert(keys(2L) === keys(1L) && keys(3L) === keys(1L),
-      "case, fragment, tracking params, and the pre-query slash all collapse")
-    assert(keys(7L) === "https://a.example.com/page/7?v=2",
+      "scheme/host case, :443, www., fragment, tracking params, param order, " +
+        "and the pre-query slash all collapse")
+    assert(keys(7L) === "https://a.example.com/page/7?a=1&b=3",
       "a real (non-tracking) query difference stays distinct")
+    assert(keys(9L) === "https://a.example.com/Page/7?a=1&b=2",
+      "paths stay case-sensitive: only scheme+host lowercase (RFC 3986 §6.2.2.1)")
+    assert(keys(10L) === "http://a.example.com:8080/x",
+      "a non-default port is semantic and survives")
     assert(keys(4L) === keys(8L), "plain trailing slash collapses")
     val kept = Dedup.urlDedup(urls)
     assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ===
-      Seq(1L, 4L, 5L, 6L, 7L),
+      Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L),
       "min-id per canonical key wins; null/empty-url docs all kept")
     // the appended audit column carries the winning key (null for
     // non-addressable rows)

@@ -188,7 +188,11 @@ class FunctionsSpec extends AnyFunSuite {
     import graft.io.{FileWarehouse, Lake}
     val work = SparkTestBase.tmpDir("graft_charfn")
     val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
-      variables = Map("GRAFT_FN_SOURCE" -> "char_docs", "GRAFT_MIN_CHARS" -> "10"),
+      // GRAFT_MIN_CHARS (the line step's variable) is deliberately set
+      // to a conflicting value: the char step must read only its own
+      // GRAFT_SUBSTR_MIN_CHARS
+      variables = Map("GRAFT_FN_SOURCE" -> "char_docs",
+        "GRAFT_SUBSTR_MIN_CHARS" -> "10", "GRAFT_MIN_CHARS" -> "3"),
       fns = graft.ext.GraftFns.standard)
     val docs = Seq((1L, "xxABCDEFGHIJzz"), (2L, "qqABCDEFGHIJpp"))
       .toDF("doc_id", "text")

@@ -382,6 +382,68 @@ class TasksSpec extends AnyFunSuite {
     }
   }
 
+  test("runDag: retry_delay waits between re-attempts and descendants still unblock") {
+    import graft.exec.{EtlTask, Tasks}
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = EtlTask("a", () => {
+      if (n.incrementAndGet() <= 2) throw new RuntimeException("flake")
+    }, retries = 2, retryDelayMs = 100)
+    val run = Tasks.runDag(Seq(flaky, EtlTask("b", () => ())),
+      deps = Map("b" -> Seq("a")), sleep = waits += _)
+    assert(run.succeeded, "the delayed retry still succeeds the task")
+    assert(run.completionOrder === Seq("a", "b"),
+      "descendants unblock after the delayed success")
+    assert(waits.toSeq === Seq(100L, 100L),
+      "a flat retry_delay waits once before EACH re-attempt, never after the last")
+    // zero delay: the wait primitive is never invoked
+    waits.clear()
+    val n2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    Tasks.runDag(Seq(EtlTask("a", () => {
+      if (n2.incrementAndGet() <= 1) throw new RuntimeException("flake")
+    }, retries = 1)), sleep = waits += _)
+    assert(waits.isEmpty, "retryDelayMs = 0 must not touch the sleeper")
+    // negative delay rejected at build time
+    intercept[IllegalArgumentException] {
+      Tasks.runDag(Seq(EtlTask("x", () => (), retryDelayMs = -1)))
+    }
+  }
+
+  test("runDag: exponential backoff doubles per re-attempt, capped at max_retry_delay") {
+    import graft.exec.{EtlTask, Tasks}
+    val waits = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val task = EtlTask("a", () => {
+      if (n.incrementAndGet() <= 4) throw new RuntimeException("flake")
+    }, retries = 4, retryDelayMs = 100, retryExponentialBackoff = true,
+      maxRetryDelayMs = Some(300))
+    assert(Tasks.runDag(Seq(task), sleep = waits += _).succeeded)
+    assert(waits.toSeq === Seq(100L, 200L, 300L, 300L),
+      "backoff doubles from retry_delay and saturates at max_retry_delay")
+    // deep backoff saturates in double math instead of overflowing
+    assert(EtlTask("x", () => (), retryDelayMs = 100,
+      retryExponentialBackoff = true).retryDelayFor(80) > 0)
+  }
+
+  test("runDag: an interrupt during the retry wait is a cancellation, not a re-attempt") {
+    import graft.exec.{DagStatus, EtlTask, Tasks}
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = EtlTask("a", () => {
+      n.incrementAndGet(); throw new RuntimeException("flake")
+    }, retries = 3, retryDelayMs = 50)
+    val run = Tasks.runDag(Seq(flaky, EtlTask("b", () => ())),
+      deps = Map("b" -> Seq("a")),
+      sleep = _ => throw new InterruptedException("cancelled"))
+    assert(Thread.interrupted(), // reads AND clears, so later tests stay clean
+      "the interrupt status must be restored for the cancelling caller")
+    assert(n.get() === 1, "no attempt runs after the cancellation")
+    run.status("a") match {
+      case DagStatus.Failed(e) => assert(e.isInstanceOf[InterruptedException])
+      case other => fail(s"expected Failed(InterruptedException), got $other")
+    }
+    assert(run.status("b") === DagStatus.Skipped(Seq("a")))
+  }
+
   test("runDag + DagRecord: one durable outcome row per task, incl. failures and skips") {
     import graft.exec.{DagRecord, EtlTask, RunLedger, Tasks}
     val dir = SparkTestBase.tmpDir("graft_dag_record") + "/_graft_dag_runs"

@@ -40,9 +40,13 @@ object Bench {
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val samplesPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "bench_samples.json")
     val minimaPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MINIMA", "bench_minima.json")
+    // input-size-derived shuffle width (SCALE_r14: a pinned 32 spills
+    // at ×100); floors at the driver contract's 32, so sf0.1 numbers
+    // stay comparable; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides
+    val shufflePartitions = DerivedShuffle.forDir(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -104,7 +108,7 @@ object Bench {
     // Tail-capture ordering: the harness keeps the END of stdout, so
     // headline value/queries/failed go last; droppable context first.
     val line =
-      s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","samples_file":"$samplesPath","errors":$errs,"ext_queries":${fmtMins(ext)},"ext_total":${total(ext)},"queries":${fmtMins(head)},"value":${total(head)},"failed":$nFailed}"""
+      s"""{"metric":"total","unit":"sec","runs":$runs,"sf":"$sfDir","shuffle_partitions":$shufflePartitions,"samples_file":"$samplesPath","errors":$errs,"ext_queries":${fmtMins(ext)},"ext_total":${total(ext)},"queries":${fmtMins(head)},"value":${total(head)},"failed":$nFailed}"""
     // The stdout line is tail-capped by the collecting harness, which
     // can clip the FRONT (the ext_queries minima) off a long registry.
     // The same line therefore also lands whole in a side file next to

@@ -12,17 +12,17 @@ import org.apache.spark.sql.SparkSession
   */
 object QBench {
   def main(args: Array[String]): Unit = {
-    // shuffle width defaults to the driver contract's 32 but can be
-    // widened for big-factor scale probes (at ×100 a fixed 32 makes
-    // each shuffle partition ~10× fatter than at ×10 — spill noise
-    // that masquerades as operator growth)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32").toInt)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
     val names = args(0).split(",")
     val dir = args(1)
+    // shuffle width derives from the corpus size (floor = the driver
+    // contract's 32; SPARK_GRAFT_SHUFFLE_PARTITIONS overrides) — at
+    // ×100 a fixed 32 makes each shuffle partition ~10× fatter than
+    // at ×10: spill noise that masquerades as operator growth
+    // (SCALE_r14 measured it on q13, −27% at the derived width)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", DerivedShuffle.forDir(dir))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
     // the FULL registry (headline q01-q06 + extension ops), so scale
     // probes can time any named query, not just the ext ones
     val registry = SparkEntry.queries

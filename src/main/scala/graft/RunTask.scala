@@ -49,7 +49,11 @@ object RunTask {
     * pinned static.
     */
   private[graft] val sessionDefaults: Seq[(String, String)] = Seq(
-    "spark.sql.shuffle.partitions" -> sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
+    // the static width is only AQE's ceiling here; an explicit
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS raises it for known-large runs
+    "spark.sql.shuffle.partitions" ->
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")),
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",

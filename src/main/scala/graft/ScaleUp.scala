@@ -48,7 +48,13 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .appName("graft-scaleup")
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      // the OUTPUT is factor× the input: derive the width from the
+      // projected size so the replicate-shuffle doesn't spill at big
+      // factors (SPARK_GRAFT_SHUFFLE_PARTITIONS overrides)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+          .getOrElse(DerivedShuffle.partitionsFor(
+            DerivedShuffle.dirBytes(src) * factor)))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -537,6 +537,138 @@ object ExtQueries {
       .select(col("doc_id"), col("url_key"))
       .orderBy("doc_id")
 
+  /** Synthetic HTML page per document — the real `text`/`source`
+    * columns wrapped in a crafted page that exercises every extraction
+    * rule: title with entities, a style block, a script subtree whose
+    * STRING contains `</div>` (must vanish whole), a comment, block
+    * structure (h1/p/ul/li/footer), two hrefs, and raw
+    * `&lt;`/`&#39;`/`&nbsp;` entities in body text. Scala and SQL in
+    * lockstep, the [[sourceUrl]] pattern.
+    */
+  private def sourceHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<!DOCTYPE html><html><head><title> Doc "),
+      col("doc_id").cast("string"),
+      lit(" &amp; notes </title><style type=\"text/css\">p { color: red; }" +
+        "</style><script>var x = 1 < 2 && \"</div>\";</script></head>" +
+        "<body><!-- hidden --><div id=\"main\"><h1>"),
+      col("source"),
+      lit("</h1><p>"), col("text"),
+      lit("</p><ul><li><a href=\"https://"), col("source"),
+      lit(".example.com/page/"), (col("doc_id") % 50).cast("string"),
+      lit("\">Link A</a></li><li>&lt;raw&gt; &#39;q&#39;&nbsp;B</li></ul>" +
+        "</div><footer><a href=\"HTTPS://Mirror.example.net/\">mirror</a>" +
+        "</footer></body></html>"))
+
+  private val sourceHtmlSql: String =
+    """'<!DOCTYPE html><html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+      |' &amp; notes </title><style type="text/css">p { color: red; }</style><script>var x = 1 < 2 && "</div>";</script></head><body><!-- hidden --><div id="main"><h1>' ||
+      |source || '</h1><p>' || text ||
+      |'</p><ul><li><a href="https://' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |'">Link A</a></li><li>&lt;raw&gt; &#39;q&#39;&nbsp;B</li></ul></div><footer><a href="HTTPS://Mirror.example.net/">mirror</a></footer></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** HTML → text extraction ([[Html.htmlToText]]): the web-ingest
+    * front door — plain text, decoded title, and the outbound hrefs
+    * out of every synthetic page (above). Exact-oracled: the whole
+    * chain is deterministic regexp work in the RE2 ∩ Java subset,
+    * and the oracle interpolates [[Html.oracleSqlExpr]] — the SAME
+    * pattern constants the Spark expression compiles from. Scale
+    * shape: one narrow codegen projection over the scan, no shuffle
+    * until the final order-by.
+    */
+  def q127(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), sourceHtml.as("html"))
+      .select(col("doc_id"),
+        Html.htmlTitle(col("html")).as("title"),
+        Html.htmlToText(col("html")).as("text"),
+        size(Html.htmlLinks(col("html"))).cast("long").as("n_links"),
+        try_element_at(Html.htmlLinks(col("html")), lit(1)).as("first_href"))
+      .orderBy("doc_id")
+
+  /** Deterministic in-code WARC fixture — warcinfo + three responses
+    * + one request, serialized with real framing and PER-RECORD gzip
+    * members like a crawl shard, written under java.io.tmpdir (same
+    * bytes every run; the registry has no WARC table in the sf dirs).
+    * The fixture exists so q128 exercises the REAL distributed path:
+    * binaryFiles → multi-member GZIPInputStream → streaming parse.
+    */
+  private def warcFixturePath(): String = {
+    import graft.io.Warc
+    def resp(url: String, date: String, id: Int, status: Int, html: String) =
+      Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> date,
+        "WARC-Record-ID" -> s"<urn:uuid:$id>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(status, "text/html; charset=UTF-8", html))
+    val records = Seq(
+      Warc.record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2017-03-06T04:02:00Z",
+        "WARC-Record-ID" -> "<urn:uuid:0>",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-fixture\r\n".getBytes("UTF-8")),
+      resp("https://www.Example.com/a?utm_source=x&b=2&a=1",
+        "2017-03-06T04:02:06Z", 1, 200,
+        "<html><head><title>Alpha</title></head><body><p>Hello &amp; " +
+          "welcome</p><p>Second line</p></body></html>"),
+      Warc.record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://www.Example.com/a",
+        "WARC-Date" -> "2017-03-06T04:02:06Z",
+        "WARC-Record-ID" -> "<urn:uuid:2>",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /a HTTP/1.1\r\nHost: www.example.com\r\n\r\n".getBytes("UTF-8")),
+      resp("http://example.com:80/b", "2020-01-01T00:00:00Z", 3, 200,
+        "<div>Beta page</div><script>x()</script>"),
+      resp("https://example.com/c", "2021-06-15T12:30:45Z", 4, 404,
+        "<p>Not found</p>"))
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warc_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("fixture.warc.gz")
+    java.nio.file.Files.write(f,
+      records.map(Warc.gzipMember).reduce(_ ++ _))
+    f.toString
+  }
+
+  /** WARC → text, end to end ([[graft.io.Warc.responses]] →
+    * [[Html.htmlToText]] → [[TextOps.canonicalUrlKey]]): the complete
+    * web-ingest front door — crawl container in, per-page plain text
+    * + canonical URL key out, ready for the q126 URL cut and every
+    * content stage after it. Exact-oracled against hand-computed
+    * VALUES: the parser must reproduce them through real file I/O,
+    * per-record gzip members, HTTP envelope split, and the extraction
+    * chain. The request/warcinfo records prove the response filter.
+    */
+  def q128(spark: SparkSession, dir: String): DataFrame = {
+    val path = warcFixturePath()
+    graft.io.Warc.responses(spark, path)
+      .select(col("url"),
+        TextOps.canonicalUrlKey(col("url")).as("url_key"),
+        col("ts").cast("long").as("ts_epoch"),
+        col("http_status"),
+        Html.htmlTitle(col("html")).as("title"),
+        Html.htmlToText(col("html")).as("text"))
+      .orderBy("url")
+  }
+
+  /** Main-content extraction ([[Html.htmlMainText]]): q127's page
+    * through the jusText/Trafilatura-style line density rule — the
+    * crafted boilerplate (title line, h1 source name, link-list items,
+    * the entity line, the footer mirror link) is short/link-heavy and
+    * must fall; the document's real prose survives. Exact-oracled via
+    * [[Html.mainTextOracleSqlExpr]] (DuckDB list lambdas replaying
+    * Spark's split → filter → transform → join).
+    */
+  def q129(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), sourceHtml.as("html"))
+      .select(col("doc_id"),
+        Html.htmlMainText(col("html")).as("main_text"))
+      .orderBy("doc_id")
+
   /** Per-domain link stats over URL-enriched documents. */
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
@@ -1407,6 +1539,9 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_html_main_text" -> (q129 _),
+    "q128_warc_responses" -> (q128 _),
+    "q127_html_to_text" -> (q127 _),
     "q126_url_dedup" -> (q126 _),
     "q125_strip_char_substrings_incremental" -> (q125 _),
     "q124_line_repetition" -> (q124 _),
@@ -2971,6 +3106,43 @@ object ExtQueries {
          |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
          |    AS n_phones
          |FROM noted ORDER BY custkey""".stripMargin,
+    // q129 — htmlMainText replayed: the q127 page through the density
+    // rule, DuckDB list lambdas for Spark's higher-order functions
+    "q129_html_main_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $sourceHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  ${graft.ext.Html.mainTextOracleSqlExpr("html")} AS main_text
+         |FROM h ORDER BY doc_id""".stripMargin,
+    // q128 — the WARC fixture's expected rows, hand-computed from the
+    // fixture HTML through the same extraction/canonicalization rules
+    // (epochs from the fixture's WARC-Date headers). VALUES-only is
+    // deliberate: DuckDB cannot parse WARC; the Spark side must
+    // reproduce these exact rows through real gzip file I/O.
+    "q128_warc_responses" ->
+      """SELECT * FROM (VALUES
+        |  ('http://example.com:80/b', 'http://example.com/b',
+        |   CAST(1577836800 AS BIGINT), 200, '', 'Beta page'),
+        |  ('https://example.com/c', 'https://example.com/c',
+        |   CAST(1623760245 AS BIGINT), 404, '', 'Not found'),
+        |  ('https://www.Example.com/a?utm_source=x&b=2&a=1',
+        |   'https://example.com/a?a=1&b=2', CAST(1488772926 AS BIGINT), 200,
+        |   'Alpha', 'Alpha' || chr(10) || 'Hello & welcome' || chr(10) || 'Second line'))
+        |AS t(url, url_key, ts_epoch, http_status, title, text)
+        |ORDER BY url""".stripMargin,
+    // q127 — htmlToText replayed: the oracle interpolates
+    // Html.oracleSqlExpr / titleOracleSqlExpr, built from the same
+    // pattern constants the Spark expression uses; list indexing is
+    // 1-based NULL-on-miss in both engines (try_element_at ↔ [1])
+    "q127_html_to_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $sourceHtmlSql AS html FROM documents)
+         |SELECT doc_id,
+         |  ${graft.ext.Html.titleOracleSqlExpr("html")} AS title,
+         |  ${graft.ext.Html.oracleSqlExpr("html")} AS text,
+         |  CAST(len(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS BIGINT) AS n_links,
+         |  regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)[1] AS first_href
+         |FROM h ORDER BY doc_id""".stripMargin,
     // q126 — urlDedup replayed: the canonical key is the same step
     // sequence (DuckDB needs the explicit 'g' flag where Spark's
     // replace-all is implicit; the anchored steps are single-match in

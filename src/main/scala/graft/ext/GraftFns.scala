@@ -103,6 +103,14 @@ object GraftFns {
       Dedup.stripExactCharSubstrings(d,
         minChars = ctx.variables.getOrElse("GRAFT_SUBSTR_MIN_CHARS", "50").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
+    // the web-ingest front door: derive the pipeline's text column
+    // from a raw-HTML column (GRAFT_HTML_COL, default "html") — run
+    // FIRST, everything downstream consumes the extracted text
+    step("graft_html_to_text")((ctx, d) =>
+      d.withColumn(textCol(ctx),
+        graft.ext.Html.htmlToText(
+          org.apache.spark.sql.functions.col(
+            ctx.variables.getOrElse("GRAFT_HTML_COL", "html"))))),
     // RefinedWeb stage 1: URL-level keep-first by canonical source-URL
     // key; the url column name comes from GRAFT_URL_COL
     step("graft_url_dedup")((ctx, d) =>

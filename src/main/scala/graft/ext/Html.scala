@@ -1,0 +1,227 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the front door of a web-scale curation
+  * pipeline. Every published recipe the repo implements downstream
+  * (CCNet's per-shard text, RefinedWeb's Trafilatura stage, C4's
+  * line rules, Gopher) starts from crawled HTML; this operator turns
+  * an HTML column into the plain-text column those operators consume
+  * ([[TextOps.gopherRules]], [[Dedup.stripDuplicateLines]], …).
+  *
+  * Design: deterministic string surgery as a fixed chain of
+  * `regexp_replace` steps — comments out, `<script>`/`<style>`
+  * subtrees out, block-level tags become line breaks (so `<p>`/`<li>`
+  * structure survives as the LINE structure the line-grain operators
+  * key on), every remaining tag drops, the finite named/numeric
+  * entity list decodes (amp LAST, the standard single-pass order, so
+  * `&amp;lt;` yields the literal text `&lt;` and never a phantom
+  * tag), and whitespace normalizes (intra-line runs collapse to one
+  * space, blank lines collapse, edges trim). Entity decode runs
+  * AFTER tag removal: a `&lt;div&gt;` in the text must never become
+  * a strippable tag.
+  *
+  * This is a whole-column codegen projection — per-row regex over the
+  * document bytes, no shuffle, no UDF — so at 100 TB it rides the
+  * ingest scan itself (the same narrow-projection shape as
+  * [[TextOps.normalizeText]]). Every pattern is in the
+  * RE2 ∩ Java subset ((?is) inline flags, non-greedy `.*?`, `\b`, no
+  * lookaround — RE2 has none), so a DuckDB oracle replays the chain
+  * verbatim; [[oracleSqlExpr]] IS that replay, built from the same
+  * pattern constants.
+  *
+  * Deliberate non-goals (documented, spec-pinned): no full HTML5
+  * tree correction (a stray unclosed `<` swallows to the next `>`,
+  * exactly what the regex says), no numeric-entity decoding beyond
+  * the common list (`&#x2019;`-style rarities pass through as text),
+  * no JS/CSS execution. Real crawls carry malformed markup; the
+  * extraction is total (never throws) and degrades to "drop what
+  * looks like markup".
+  */
+object Html {
+
+  /** `<!-- … -->`, across lines. */
+  val CommentPattern = "(?s)<!--.*?-->"
+  /** Whole `<script>` subtree — its text is code, not content. */
+  val ScriptPattern = "(?is)<script\\b[^>]*>.*?</script>"
+  /** Whole `<style>` subtree. */
+  val StylePattern = "(?is)<style\\b[^>]*>.*?</style>"
+  /** Block-level / line-breaking elements (open or close, any attrs):
+    * these become `\n` so document structure survives as lines.
+    */
+  val BlockTagPattern = "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|tfoot|blockquote|section|article|header|footer|pre|hr|dd|dt|dl|figure|figcaption|form|fieldset|address|main|nav|aside|title|head|body|html)\\b[^>]*>"
+  /** Any remaining tag (inline elements, unknown elements, closers). */
+  val AnyTagPattern = "<[^>]*>"
+
+  /** The decode list, IN ORDER — `&amp;` last so already-escaped
+    * entities decode once, to their literal text. No regex
+    * metacharacters appear in any key, so each is safe as a literal
+    * pattern in both engines.
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&apos;" -> "'",
+    "&amp;" -> "&")
+
+  /** Plain text of an HTML column (see object doc for the contract). */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, CommentPattern, "")
+    val noScript = regexp_replace(noComment, ScriptPattern, "")
+    val noStyle = regexp_replace(noScript, StylePattern, "")
+    val blocked = regexp_replace(noStyle, BlockTagPattern, "\n")
+    val stripped = regexp_replace(blocked, AnyTagPattern, "")
+    val decoded = Entities.foldLeft(stripped) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    normalizeWs(decoded)
+  }
+
+  /** The whitespace tail of the chain: tabs/CRs and space runs → one
+    * space, spaces around breaks absorb, blank lines collapse, edges
+    * trim.
+    */
+  private def normalizeWs(c: Column): Column = {
+    val oneSpace = regexp_replace(c, "[ \\t\\r]+", " ")
+    val tightLines = regexp_replace(oneSpace, " *\\n *", "\n")
+    val oneBreak = regexp_replace(tightLines, "\\n+", "\n")
+    regexp_replace(regexp_replace(oneBreak, "^[ \\n]+", ""), "[ \\n]+$", "")
+  }
+
+  /** `<title>` text (entity-decoded, whitespace-normalized; "" when
+    * absent — regexp_extract's no-match value in both engines).
+    */
+  val TitlePattern = "(?is)<title[^>]*>(.*?)</title>"
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, TitlePattern, 1)
+    val decoded = Entities.foldLeft(raw) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** Outbound link targets: every double-quoted `href` value, in
+    * document order — the input to [[TextOps.canonicalUrlKey]] /
+    * [[TextOps.domainStats]] for link-graph and URL-dedup stages.
+    */
+  val HrefPattern = "(?i)href=\"([^\"]*)\""
+  def htmlLinks(html: Column): Column =
+    regexp_extract_all(html, lit(HrefPattern), lit(1))
+
+  /** Anchor-element boundaries, marked BEFORE tag-stripping so
+    * link-text extent survives into the extracted lines (the input to
+    * the density rule below).
+    */
+  val AnchorOpenPattern = "(?is)<a\\b[^>]*>"
+  val AnchorClosePattern = "(?is)</a\\s*>"
+  /** C0 sentinels — they pass every pattern in the [[htmlToText]]
+    * chain untouched. Collision contract: a document whose TEXT
+    * already carries U+0001/U+0002 is out of scope here (the
+    * encoding gate upstream drops control-char documents anyway).
+    */
+  val SentinelOpen = "\u0001"
+  val SentinelClose = "\u0002"
+
+  /** Main-content extraction: [[htmlToText]] plus the jusText /
+    * Trafilatura-style LINE density rule — boilerplate (nav bars,
+    * link lists, footers) is short and link-heavy, body prose is long
+    * and link-light. Anchor extents are marked with C0 sentinels
+    * before tags strip; after extraction each line keeps only if
+    *
+    *   lineChars >= minLineChars  AND
+    *   linkChars <= maxLinkDensity · lineChars
+    *
+    * (linkChars = characters inside anchor extents on that line).
+    * Surviving lines rejoin sentinel-free. Deliberately a LINE rule,
+    * not Trafilatura's DOM-subtree scoring: lines are what the
+    * downstream line-grain operators key on, and the rule stays a
+    * pure column expression (split → filter → transform → join, all
+    * replayable in DuckDB list lambdas — [[mainTextOracleSqlExpr]]).
+    * Still row-local: no shuffle, no UDF.
+    */
+  def htmlMainText(html: Column, minLineChars: Int = 25,
+                   maxLinkDensity: Double = 0.5): Column = {
+    val marked = regexp_replace(
+      regexp_replace(html, AnchorOpenPattern, SentinelOpen),
+      AnchorClosePattern, SentinelClose)
+    val lines = split(htmlToText(marked), "\n")
+    val stripSentinels = (l: Column) =>
+      regexp_replace(l, s"[$SentinelOpen$SentinelClose]", "")
+    val linkChars = (l: Column) =>
+      aggregate(
+        regexp_extract_all(l,
+          lit(s"$SentinelOpen([^$SentinelOpen$SentinelClose]*)$SentinelClose"),
+          lit(1)),
+        lit(0), (acc, x) => acc + length(x))
+    val kept = filter(lines, l =>
+      length(stripSentinels(l)) >= minLineChars &&
+        linkChars(l) <= lit(maxLinkDensity) * length(stripSentinels(l)))
+    array_join(transform(kept, stripSentinels), "\n")
+  }
+
+  /** [[htmlMainText]] as a DuckDB SQL expression over `expr` — the
+    * same mark → extract → per-line density filter → rejoin, with
+    * DuckDB's list lambdas standing in for Spark's (COALESCE guards
+    * list_sum's NULL-on-empty where Spark's aggregate starts at 0).
+    * Control-char sentinels ride chr() concatenation — they cannot
+    * appear literally in SQL text.
+    */
+  def mainTextOracleSqlExpr(expr: String, minLineChars: Int = 25,
+                            maxLinkDensity: Double = 0.5): String = {
+    val so = "chr(1)"
+    val sc = "chr(2)"
+    val marked =
+      s"regexp_replace(regexp_replace($expr, '(?is)<a\\b[^>]*>', $so, 'g'), " +
+        s"'(?is)</a\\s*>', $sc, 'g')"
+    val text = oracleSqlExpr(marked)
+    val strip = (l: String) =>
+      s"regexp_replace($l, '[' || $so || $sc || ']', '', 'g')"
+    val link = (l: String) =>
+      s"COALESCE(list_sum(list_transform(regexp_extract_all($l, " +
+        s"$so || '([^' || $so || $sc || ']*)' || $sc, 1), y -> length(y))), 0)"
+    s"array_to_string(list_transform(list_filter(string_split($text, chr(10)), " +
+      s"x -> length(${strip("x")}) >= $minLineChars AND " +
+      s"${link("x")} <= $maxLinkDensity * length(${strip("x")})), " +
+      s"x -> ${strip("x")}), chr(10))"
+  }
+
+  /** [[htmlTitle]] as a DuckDB SQL expression over `expr` — extract,
+    * entity-decode (same order), whitespace-collapse, trim.
+    */
+  def titleOracleSqlExpr(expr: String): String = {
+    val extracted = s"regexp_extract($expr, '$TitlePattern', 1)"
+    val decoded = Entities.foldLeft(extracted) { case (sql, (e, r)) =>
+      s"regexp_replace($sql, '$e', '${r.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
+  /** The [[htmlToText]] chain as a DuckDB SQL expression over `expr` —
+    * the oracle replay, built from the SAME pattern constants (DuckDB
+    * needs the explicit 'g' flag where Spark replaces all matches
+    * implicitly). Exposed so registry oracles and tests interpolate
+    * one source of truth.
+    */
+  def oracleSqlExpr(expr: String): String = {
+    val steps = Seq(
+      CommentPattern -> "",
+      ScriptPattern -> "",
+      StylePattern -> "",
+      BlockTagPattern -> "\n",
+      AnyTagPattern -> "") ++ Entities.map { case (e, r) => (e, r) } ++ Seq(
+      "[ \\t\\r]+" -> " ",
+      " *\\n *" -> "\n",
+      "\\n+" -> "\n",
+      "^[ \\n]+" -> "",
+      "[ \\n]+$" -> "")
+    steps.foldLeft(expr) { case (sql, (pat, rep)) =>
+      val p = pat.replace("'", "''")
+      val r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"regexp_replace($sql, '$p', '$r', 'g')"
+    }
+  }
+}

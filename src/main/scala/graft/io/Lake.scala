@@ -54,6 +54,9 @@ final case class Lake(root: String) {
     // JSON-lines: schema inferred from the data (an extra scan — at
     // scale prefer parquet landings; this is the raw-drop escape hatch)
     case "json"             => spark.read.json(path)
+    // web-crawl ingest: WARC response records as (url, ts, html, …)
+    // rows — see [[Warc.responses]] for the streaming parse contract
+    case "warc"             => Warc.responses(spark, path)
     case other              => passthrough(spark, other, path)
   }
 

@@ -478,6 +478,67 @@ object StreamingDedup {
     } finally kept.unpersist()
   }
 
+  /** foreachBatch sink: the COMPLETE incremental curation chain as one
+    * streaming stage — [[graft.ext.CurationChain.runIncremental]]
+    * (encoding gate → within-batch + vs-index exact dedup → vs-index +
+    * within-batch near-dup → decontaminate → mixture) over the chain's
+    * TWO persisted index families (the normalized-digest index and the
+    * MinHash-LSH index, [[graft.ext.CurationChain.corpusState]]'s
+    * layout split into `__batch=` partition roots). Per micro-batch:
+    * probe both indexes strictly earlier (`__batch < batchId`), run the
+    * chain, land the curated rows under `outRoot/__batch=<id>`, and
+    * roll BOTH indexes forward with the kept rows — the streaming face
+    * of `runIncremental` + `rollForward`, with the family's shared
+    * replay contract (per-batch partition overwrites make redelivery
+    * idempotent; the first batch curates against empty state).
+    *
+    * `benchmarkSource` is the chain's decontamination reference (the
+    * eval set is defined on the ORIGINAL corpus, exactly as in batch) —
+    * a bounded frame by contract, re-read per batch.
+    *
+    * Stream ≡ the batch-by-batch `runIncremental`/`rollForward` loop
+    * EXACTLY (StreamingSpec pins it): the sink IS that loop, driven by
+    * the engine. Cross-set drops are first-seen-wins; within-batch
+    * policy is keep-min-id — the family caveats carry over unchanged.
+    * [[compactIndex]] applies to both index roots verbatim.
+    */
+  def curationChainSink(normIndexRoot: String, minHashIndexRoot: String,
+                        outRoot: String, benchmarkSource: DataFrame)
+                       (batch: DataFrame, batchId: Long): Unit = {
+    import graft.ext.{CurationChain, Dedup, TextOps}
+    val spark = batch.sparkSession
+    def prior(root: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Some(spark.read.parquet(root).where(col("__batch") < batchId))
+      else None
+    }
+    // chain stages consume the batch several times (gate profile, two
+    // dedup stages, index builds) — read the source once
+    batch.cache()
+    try {
+      // first batch ever: empty state frames in corpusState's exact
+      // schema, built from the batch's own (empty) slice
+      lazy val empty = CurationChain.corpusState(batch.limit(0))
+      val dig = prior(normIndexRoot).getOrElse(empty._1)
+      val mh = prior(minHashIndexRoot).getOrElse(empty._2)
+      val kept = CurationChain.runIncremental(batch, dig, mh, benchmarkSource)
+      kept.cache()
+      try {
+        kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+        // rollForward's two halves as partition appends: digests can't
+        // repeat across batches (a repeat falls at the exact stage), and
+        // the MinHash probe tolerates accreted rows like every sink here
+        Dedup.exactIndex(
+            kept.withColumn("__norm", TextOps.normalizeText(col("text"))), "__norm")
+          .write.mode("overwrite").parquet(s"$normIndexRoot/__batch=$batchId")
+        Dedup.minHashIndex(kept, shingleSize = CurationChain.ShingleSize)
+          .write.mode("overwrite").parquet(s"$minHashIndexRoot/__batch=$batchId")
+      } finally kept.unpersist()
+    } finally batch.unpersist()
+  }
+
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks
     * above accrete (digest / MinHash / ANN / chunk-signature — the
     * layout is shared): fold every partition EXCEPT the latest into a

@@ -2383,6 +2383,96 @@ class ExtSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("htmlToText: boilerplate subtrees drop whole, blocks become lines, entities decode once") {
+    import graft.ext.Html
+    val page =
+      """<!DOCTYPE html><html><head>
+        |<title> My &amp; Page </title>
+        |<style>h1 { color: red }</style>
+        |<script type="text/javascript">var s = "</div>"; if (1 < 2) {}</script>
+        |</head><body>
+        |<!-- nav boilerplate
+        |     spanning lines -->
+        |<div CLASS="Main"><h1>Heading</h1>
+        |<p>First <b>bold</b> paragraph.</p>
+        |<p>Entities: &lt;tag&gt; &amp;lt; it&#39;s&nbsp;here</p>
+        |<ul><li>one</li><li>two</li></ul>
+        |</div></body></html>""".stripMargin
+    val out = Seq((1L, page)).toDF("doc_id", "html")
+      .select(Html.htmlToText($"html").as("t"), Html.htmlTitle($"html").as("title"),
+        Html.htmlLinks($"html").as("links"))
+      .as[(String, String, Seq[String])].head()
+    assert(out._1 === Seq(
+      "My & Page",
+      "Heading",
+      "First bold paragraph.",
+      // &lt; decodes to a literal < AFTER tag-stripping (never a
+      // phantom tag); &amp;lt; decodes ONCE to the text "&lt;";
+      // &#39;/&nbsp; decode to '/space
+      "Entities: <tag> &lt; it's here",
+      "one",
+      "two").mkString("\n"))
+    assert(out._2 === "My & Page", "title extracts, entity-decoded and trimmed")
+    assert(out._3 === Seq.empty, "no double-quoted hrefs on this page")
+  }
+
+  test("htmlToText is total on malformed markup; htmlLinks/htmlTitle on crafted pages") {
+    import graft.ext.Html
+    // unclosed/attribute-broken tags, a stray < with no >, no title
+    val out = Seq((1L, "<p>ok<div\nbroken>text<span>x</p> tail < 5 end"))
+      .toDF("doc_id", "html")
+      .select(Html.htmlToText($"html").as("t"), Html.htmlTitle($"html").as("title"))
+      .as[(String, String)].head()
+    assert(out._1 === "ok\ntextx\ntail < 5 end",
+      "a tag-shaped run swallows to its >, a bare < with no > is kept as text")
+    assert(out._2 === "", "no <title> -> empty string (regexp_extract's no-match)")
+    // hrefs: double-quoted only, any case, document order
+    val links = Seq((1L,
+      """<a href="https://a.com/x">x</a><area HREF="https://b.com"><a href='single'>s</a>"""))
+      .toDF("doc_id", "html")
+      .select(Html.htmlLinks($"html").as("l")).as[Seq[String]].head()
+    assert(links === Seq("https://a.com/x", "https://b.com"),
+      "single-quoted hrefs are out of contract (documented)")
+    // nested blocks: each boundary is one break, runs collapse
+    val nested = Seq((1L, "<div><div><p>a</p></div><div>b</div></div>"))
+      .toDF("doc_id", "html")
+      .select(Html.htmlToText($"html").as("t")).as[String].head()
+    assert(nested === "a\nb")
+  }
+
+  test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {
+    import graft.ext.Html
+    val page = "<div><p>This is a long body prose line with enough characters.</p>" +
+      "<ul><li><a href=\"x\">Home</a></li>" +
+      "<li><a href=\"y\">About page with some words</a></li></ul>" +
+      "<p>Another long paragraph of real content here with " +
+      "<a href=\"z\">one link</a> inside it but mostly prose text.</p></div>"
+    val got = Seq((1L, page)).toDF("doc_id", "html")
+      .select(Html.htmlMainText($"html").as("t")).as[String].head()
+    assert(got === "This is a long body prose line with enough characters.\n" +
+      "Another long paragraph of real content here with one link inside it " +
+      "but mostly prose text.",
+      "short lines and all-link lines fall; a link inside long prose does not " +
+        "poison its line (density 0.5)")
+    // threshold edges: a 25-char line stays, 24 falls; a line exactly at
+    // half link chars stays, just over falls
+    val edge = Seq(
+      (1L, "<p>" + ("x" * 25) + "</p><p>" + ("y" * 24) + "</p>"),
+      (2L, "<p>prose padding here <a href=\"u\">linked text xx</a></p>"))
+      .toDF("doc_id", "html")
+      .select($"doc_id", Html.htmlMainText($"html").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(edge(1L) === "x" * 25, "minLineChars is inclusive")
+    // line 2: total chars 33 ("prose padding here linked text xx"),
+    // link chars 14 ("linked text xx") <= 16.5 -> kept, sentinels gone
+    assert(edge(2L) === "prose padding here linked text xx")
+    // all-boilerplate page -> empty string, not a crash
+    val empty = Seq((1L, "<ul><li><a href=\"a\">A</a></li></ul>"))
+      .toDF("doc_id", "html")
+      .select(Html.htmlMainText($"html").as("t")).as[String].head()
+    assert(empty === "")
+  }
+
   test("urlKeyIndex probe: cross-set keys drop, fresh keys pass; round-trip; roll-forward") {
     val corpus = Seq(
       (1L, "https://a.example.com/page/1?utm_source=c&v=1"),

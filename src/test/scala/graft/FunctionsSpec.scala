@@ -65,7 +65,7 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
       "graft_strip_exact_substrings", "graft_strip_char_substrings",
-      "graft_strip_dup_lines", "graft_url_dedup",
+      "graft_strip_dup_lines", "graft_url_dedup", "graft_html_to_text",
       "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
@@ -209,6 +209,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(result.orderBy("doc_id").as[(Long, String, Long)].collect().toSeq ===
       Seq((1L, "xxABCDEFGHIJzz", 0L), (2L, "qqpp", 10L)),
       "keep-first: doc 1's copy survives, doc 2's mid-token run is cut")
+  }
+
+  test("graft_html_to_text fn step derives the text column from GRAFT_HTML_COL") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    val work = SparkTestBase.tmpDir("graft_htmlfn")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "html_docs", "GRAFT_HTML_COL" -> "raw"),
+      fns = graft.ext.GraftFns.standard)
+    Seq((1L, "<div><h1>T</h1><p>Hello &amp; bye</p></div>"),
+        (2L, "<p>a</p><script>drop()</script><p>b</p>"))
+      .toDF("doc_id", "raw").createOrReplaceTempView("html_docs")
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Fn("graft_init"),
+      Step.Fn("graft_html_to_text"),
+      Step.Select(SqlSource.Inline("SELECT doc_id, text FROM graft")))).get
+    assert(result.orderBy("doc_id").as[(Long, String)].collect().toSeq ===
+      Seq((1L, "T\nHello & bye"), (2L, "a\nb")),
+      "the fn step writes Html.htmlToText(raw) into the pipeline's text column")
   }
 
   test("graft_strip_dup_lines fn step == direct stripDuplicateLines, GRAFT_MIN_CHARS honored") {

@@ -82,4 +82,22 @@ class ScaleUpSpec extends AnyFunSuite {
         s"vector $u must NOT be a near-twin of its own copy (the additive-offset " +
           "scheme left copies at cosine≈1, inflating ANN growth superlinearly)")
   }
+
+  test("DerivedShuffle: floor/ceiling clamps, the x100 calibration point, dirBytes") {
+    import graft.DerivedShuffle._
+    assert(partitionsFor(0L) === MinPartitions)
+    assert(partitionsFor(17L << 20) === MinPartitions,
+      "sf0.1-sized input floors at the driver contract's 32 — small-scale numbers stay comparable")
+    val x100 = partitionsFor(2157L << 20) // the measured 2.16 GB ×100 corpus
+    assert(x100 >= 256 && x100 <= 288,
+      s"×100 must derive ≈ the empirically-best 256, got $x100")
+    assert(partitionsFor(Long.MaxValue / 4) === MaxPartitions, "ceiling clamps")
+    // dirBytes: recursive regular-file sum, 0 for a missing path
+    val d = SparkTestBase.tmpDir("graft_dshuffle")
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "a.bin"), new Array[Byte](1000))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d, "sub"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "sub", "b.bin"), new Array[Byte](500))
+    assert(dirBytes(d) === 1500L)
+    assert(dirBytes(s"$d/nope") === 0L)
+  }
 }

@@ -469,6 +469,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming composed curation: sink == batch runIncremental/rollForward loop, replay-idempotent") {
+    import graft.ext.CurationChain
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_stream_curation")
+    def docsDf(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "srcS") }
+        .toDF("doc_id", "text", "lang", "source")
+    val b0 = docsDf(
+      1L -> "alpha beta gamma delta",
+      2L -> "one two three four five six seven eight nine ten eleven twelve")
+    val b1 = docsDf(
+      21L -> "Alpha  Beta GAMMA delta", // normalized exact dup of 1 -> index drop
+      41L -> "one two three four five six seven eight nine ten eleven twelve thirteen", // near-dup of 2 -> index probe drop
+      61L -> "completely novel content nothing shares these tokens", // kept
+      81L -> "batch twin text appearing twice in this batch", // within-batch twins:
+      101L -> "batch twin text appearing twice in this batch") //   keep-min-id keeps 81
+    val bench = b0.unionByName(b1) // no id % 20 == 0 -> empty bench slice
+    val sink = StreamingDedup.curationChainSink(
+      s"$work/dig", s"$work/mh", s"$work/out", bench) _
+    sink(b0, 0L); sink(b1, 1L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // the reference: the hand-driven runIncremental + rollForward loop
+    val empty = CurationChain.corpusState(b0.limit(0))
+    val c0 = CurationChain.runIncremental(b0, empty._1, empty._2, bench)
+    val (d1, m1) = CurationChain.rollForward(empty._1, empty._2, c0)
+    val c1 = CurationChain.runIncremental(b1, d1, m1, bench)
+    val expected = (c0.select("doc_id").as[Long].collect() ++
+      c1.select("doc_id").as[Long].collect()).sorted.toSeq
+    assert(expected === Seq(1L, 2L, 61L, 81L),
+      "crafted cross-set semantics: exact/near dups fall to the index, twins to keep-min-id")
+    assert(out() === expected, "stream drifted from the hand-driven incremental loop")
+    // replay (failure recovery): strictly-earlier probes + per-batch
+    // overwrites reproduce the identical state and output
+    sink(b1, 1L)
+    assert(out() === expected, "replay of a delivered batch changed the output")
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

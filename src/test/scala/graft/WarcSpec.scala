@@ -1,0 +1,131 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Warc
+
+/** WARC reader: framing, gzip layouts, HTTP envelope split, the
+  * response projection, and the Lake format wiring — all on crafted
+  * records (the writer side is the library's own [[Warc.record]], so
+  * round-tripping is the contract).
+  */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def resp(url: String, date: String, id: Int, status: Int,
+                   html: String): Array[Byte] =
+    Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> date,
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponseBlock(status, "text/html; charset=UTF-8", html))
+
+  private val winfo = Warc.record(Seq(
+    "WARC-Type" -> "warcinfo",
+    "WARC-Date" -> "2023-01-01T00:00:00Z",
+    "WARC-Record-ID" -> "<urn:uuid:0>",
+    "Content-Type" -> "application/warc-fields"),
+    "software: test\r\n".getBytes("UTF-8"))
+
+  private val req = Warc.record(Seq(
+    "WARC-Type" -> "request",
+    "WARC-Target-URI" -> "https://x.example.com/1",
+    "WARC-Date" -> "2023-01-01T00:00:01Z",
+    "WARC-Record-ID" -> "<urn:uuid:9>",
+    "Content-Type" -> "application/http; msgtype=request"),
+    "GET /1 HTTP/1.1\r\n\r\n".getBytes("UTF-8"))
+
+  private val r1 = resp("https://x.example.com/1", "2023-01-01T00:00:01Z", 1,
+    200, "<p>one</p>")
+  private val r2 = resp("https://x.example.com/2", "2023-01-01T00:00:02Z", 2,
+    301, "")
+  private val all: Array[Byte] = Seq(winfo, r1, req, r2).reduce(_ ++ _)
+
+  test("parseBytes: framing, headers, HTTP split; warcinfo/request carry no payload") {
+    val recs = Warc.parseBytes("t", all)
+    assert(recs.map(_.warc_type) === Seq("warcinfo", "response", "request", "response"))
+    val by = recs.filter(_.warc_type == "response").map(r => r.url.get -> r).toMap
+    val a = by("https://x.example.com/1")
+    assert(a.http_status === Some(200))
+    assert(a.http_content_type === Some("text/html; charset=UTF-8"))
+    assert(a.html === Some("<p>one</p>"))
+    assert(a.ts.get.toInstant === java.time.Instant.parse("2023-01-01T00:00:01Z"))
+    assert(by("https://x.example.com/2").html === Some(""))
+    assert(recs.head.url === None, "warcinfo has no target URI")
+    assert(recs(2).html === None, "request blocks are not page payloads")
+    // a conversion (WET-style) record carries its whole block as text
+    val conv = Warc.record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Target-URI" -> "https://x.example.com/1",
+      "WARC-Date" -> "2023-01-01T00:00:03Z",
+      "Content-Type" -> "text/plain"),
+      "already extracted".getBytes("UTF-8"))
+    assert(Warc.parseBytes("t", conv).head.html === Some("already extracted"))
+  }
+
+  test("plain, whole-file-gzip, and per-record-gzip parse identically") {
+    val plain = Warc.parseBytes("t", all)
+    val whole = Warc.parseBytes("t", Warc.gzipMember(all))
+    val perRecord = Warc.parseBytes("t",
+      Seq(winfo, r1, req, r2).map(Warc.gzipMember).reduce(_ ++ _))
+    assert(whole === plain)
+    assert(perRecord === plain,
+      "GZIPInputStream must walk concatenated members (the crawl layout)")
+  }
+
+  test("malformed framing fails the file loudly, never resynchronizes") {
+    // truncated block: Content-Length says more bytes than exist
+    // (cut inside r1's block: 6 drops the record terminator + 2 body bytes)
+    val truncated = (winfo ++ r1).dropRight(6)
+    val e1 = intercept[IllegalArgumentException] { Warc.parseBytes("t", truncated) }
+    assert(e1.getMessage.contains("truncated"))
+    // garbage where a version line should be
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.parseBytes("t", "NOT-A-WARC\r\n\r\n".getBytes("UTF-8"))
+    }
+    assert(e2.getMessage.contains("version line"))
+    // record without Content-Length
+    val e3 = intercept[IllegalArgumentException] {
+      Warc.parseBytes("t", "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("UTF-8"))
+    }
+    assert(e3.getMessage.contains("Content-Length"))
+    // a malformed WARC-Date degrades to a NULL ts, not a dead record
+    val badDate = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://x.example.com/bad",
+      "WARC-Date" -> "yesterday-ish",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponseBlock(200, "text/html", "<p>x</p>"))
+    val r = Warc.parseBytes("t", badDate).head
+    assert(r.ts === None && r.html === Some("<p>x</p>"))
+  }
+
+  test("distributed read over files; responses projection; Lake 'warc' format") {
+    val dir = SparkTestBase.tmpDir("graft_warc")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard0.warc"), all)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard1.warc.gz"),
+      Seq(winfo, r1, req, r2).map(Warc.gzipMember).reduce(_ ++ _))
+    val full = Warc.read(spark, dir)
+    assert(full.count() === 8, "both shards parse, all record types")
+    val resp = Warc.responses(spark, dir)
+    assert(resp.columns.toSeq === Seq("path", "url", "ts", "record_id",
+      "http_status", "http_content_type", "html", "n_block_bytes"))
+    assert(resp.count() === 4)
+    assert(resp.where($"url" === "https://x.example.com/1").count() === 2,
+      "one per shard: the projection filters types, not duplicates")
+    // the F5-style lake wiring: format 'warc' resolves to the reader
+    val viaLake = graft.io.Lake(dir).read(spark, "warc", dir)
+    assert(viaLake.count() === 4)
+    // composition with the extraction front door
+    val text = resp.where($"path".endsWith("shard1.warc.gz"))
+      .select($"url", graft.ext.Html.htmlToText($"html").as("text"))
+      .orderBy("url").as[(String, String)].collect().toSeq
+    assert(text === Seq(
+      ("https://x.example.com/1", "one"),
+      ("https://x.example.com/2", "")))
+  }
+}

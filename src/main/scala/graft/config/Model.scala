@@ -108,7 +108,7 @@ object SqlSource {
   */
 final case class Dependency(
     source: String, // "datalake" | "warehouse" ("greenplum" accepted)
-    format: String, // "hudi" | "csv" | "jdbc" | "parquet" | "orc" | "json"
+    format: String, // "hudi" | "csv" | "jdbc" | "parquet" | "orc" | "json" | "warc"
     alias: String,
     sourceSystemName: Option[String] = None,
     sourceSystemTag: Option[String] = None,
@@ -120,7 +120,7 @@ final case class Dependency(
     val src = if (source == "greenplum") "warehouse" else source
     if (src != "datalake" && src != "warehouse")
       throw new ConfigException(s"Invalid source type: '$source'")
-    val fmts = Set("jdbc", "hudi", "csv", "parquet", "orc", "json")
+    val fmts = Set("jdbc", "hudi", "csv", "parquet", "orc", "json", "warc")
     if (!fmts.contains(format))
       throw new ConfigException(s"Invalid format: '$format'")
     if (format == "jdbc" && src != "warehouse")

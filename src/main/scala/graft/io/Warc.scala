@@ -58,6 +58,12 @@ object Warc {
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
+      // Hadoop hidden/metadata convention (.crc sidecars, _SUCCESS
+      // markers) — the same leading-./_ rule Spark's file sources use
+      .filter { case (file, _) =>
+        val name = new org.apache.hadoop.fs.Path(file).getName
+        !name.startsWith(".") && !name.startsWith("_")
+      }
       .flatMap { case (file, pds) =>
         val raw = pds.open()
         val in = if (file.toLowerCase.endsWith(".gz"))
@@ -242,5 +248,78 @@ object Warc {
     val gz = new GZIPOutputStream(out)
     gz.write(bytes); gz.close()
     out.toByteArray
+  }
+
+  /** Distributed WARC sink: land (url, ts, html) rows as `response`
+    * records in crawl layout — one `.warc.gz` shard per partition,
+    * one gzip member per record, so [[read]] (and any standard WARC
+    * tool) skips record-by-record without decompressing the shard.
+    * Null/absent ts rows get no WARC-Date header; null html writes an
+    * empty payload. Record-IDs are deterministic (`urn:graft:<hash of
+    * url+ts+partition+row>`) so re-running the same frame produces
+    * byte-stable shards modulo partition assignment.
+    *
+    * Scale shape: `foreachPartition` streams each shard through one
+    * Hadoop FS `create` — no local staging, no driver funnel; shard
+    * count = partition count, the same file-grain parallelism the
+    * reader consumes. Existing shard files are overwritten (the
+    * parquet `mode("overwrite")` posture for a fixed partition
+    * layout); pick a fresh dir per logical write like any lake land.
+    */
+  def write(df: DataFrame, dir: String, urlCol: String = "url",
+            tsCol: String = "ts", htmlCol: String = "html",
+            httpStatus: Int = 200,
+            contentType: String = "text/html; charset=UTF-8"): Unit = {
+    val cols = df.columns
+    require(Seq(urlCol, htmlCol).forall(cols.contains),
+      s"Warc.write needs '$urlCol' and '$htmlCol' columns; frame has ${cols.mkString(", ")}")
+    val hasTs = cols.contains(tsCol)
+    import org.apache.spark.sql.functions.{col, lit}
+    val slim = df.select(col(urlCol).cast("string").as("u"),
+      (if (hasTs) col(tsCol).cast("timestamp") else lit(null).cast("timestamp")).as("t"),
+      col(htmlCol).cast("string").as("h"))
+    // the session's Hadoop conf isn't serializable; ship the entries
+    // that differ from defaults and rebuild executor-side (executors
+    // also carry the site files on their classpath, so this is belt
+    // and braces for programmatic overrides like test miniclusters)
+    val confEntries: Seq[(String, String)] = {
+      val it = df.sparkSession.sparkContext.hadoopConfiguration.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val status = httpStatus
+    val ct = contentType
+    slim.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          f"${dir.stripSuffix("/")}/part-$pid%05d.warc.gz")
+        val conf = new org.apache.hadoop.conf.Configuration()
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val fs = path.getFileSystem(conf)
+        fs.setWriteChecksum(false) // no .crc sidecars in a crawl layout
+        val out = fs.create(path, true)
+        try {
+          var i = 0L
+          rows.foreach { r =>
+            val url = Option(r.getString(0))
+            val ts = Option(r.getTimestamp(1))
+            val html = Option(r.getString(2)).getOrElse("")
+            val id = java.lang.Long.toHexString(
+              scala.util.hashing.MurmurHash3.stringHash(
+                s"${url.getOrElse("")}|${ts.map(_.getTime).getOrElse(0L)}|$pid|$i").toLong)
+            val headers = Seq("WARC-Type" -> "response") ++
+              url.map("WARC-Target-URI" -> _) ++
+              ts.map(t => "WARC-Date" -> t.toInstant.toString) ++
+              Seq("WARC-Record-ID" -> s"<urn:graft:$id>",
+                "Content-Type" -> "application/http; msgtype=response")
+            out.write(gzipMember(
+              record(headers, httpResponseBlock(status, ct, html))))
+            i += 1
+          }
+        } finally out.close()
+      }
+    }
   }
 }

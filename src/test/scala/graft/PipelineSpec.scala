@@ -203,6 +203,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(ks.toSeq === Seq(10L, 20L))
   }
 
+  test("warc dependency: crawl shards register as a (url, ts, html) view through the lake") {
+    val (ctx, _, work) = mkCtx()
+    val rec = graft.io.Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://p.example.com/x",
+      "WARC-Date" -> "2024-01-02T03:04:05Z",
+      "Content-Type" -> "application/http; msgtype=response"),
+      graft.io.Warc.httpResponseBlock(200, "text/html", "<p>Crawled body</p>"))
+    val dir = java.nio.file.Paths.get(work, "lakefiles", "crawl")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"), graft.io.Warc.gzipMember(rec))
+    PipelineRunner.loadDependencies(ctx.copy(lake = Lake(work)), Seq(
+      Dependency("datalake", "warc", "crawl", path = Some("lakefiles/crawl"))))
+    val got = spark.table("crawl")
+      .select("url", "html").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("https://p.example.com/x", "<p>Crawled body</p>")),
+      "a YAML 'warc' dependency is a first-class F5 lake source")
+  }
+
+  test("crawl-to-curated: warc dependency -> html_to_text -> URL cut in one step chain") {
+    // RefinedWeb stage 0 -> 1 through the framework seams: the crawl
+    // container registers as an F5 lake dependency, the html fn step
+    // derives the text column, the URL cut drops the canonical twin
+    import graft.io.Warc
+    val (ctx0, _, work) = mkCtx()
+    def shard(url: String, html: String) = Warc.gzipMember(Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> url,
+      "WARC-Date" -> "2024-03-04T05:06:07Z",
+      "Content-Type" -> "application/http; msgtype=response"),
+      Warc.httpResponseBlock(200, "text/html", html)))
+    val dir = java.nio.file.Paths.get(work, "lakefiles", "crawl")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("s.warc.gz"),
+      shard("HTTPS://Site.example.com/Article/1?utm_source=a",
+        "<h1>The Article</h1><p>Body text one.</p>") ++
+        shard("https://site.example.com/Article/1", // canonical twin of page 1
+          "<p>Body text one dup page.</p>") ++
+        shard("https://site.example.com/Other", "<ul><li>unique</li></ul>"))
+    PipelineRunner.loadDependencies(ctx0.copy(lake = Lake(work)), Seq(
+      Dependency("datalake", "warc", "crawl", path = Some("lakefiles/crawl"))))
+    spark.sql("SELECT CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS doc_id, url, html FROM crawl")
+      .createOrReplaceTempView("crawl_prepped")
+    val ctx = ctx0.copy(
+      variables = Map("GRAFT_FN_SOURCE" -> "crawl_prepped"),
+      fns = graft.ext.GraftFns.standard)
+    val result = graft.exec.StepRunner.runSteps(ctx, Seq(
+      Step.Fn("graft_init"),
+      Step.Fn("graft_html_to_text"), // GRAFT_HTML_COL default "html"
+      Step.Fn("graft_url_dedup"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, text FROM graft ORDER BY doc_id")))).get
+    val got = result.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq(
+      (1L, "The Article\nBody text one."), // min-id twin wins (scheme-case + utm collapse)
+      (3L, "unique")),
+      "crawl -> text -> URL cut must keep one page per canonical key with extracted text")
+  }
+
   test("dependency via lake path convention") {
     val (ctx, _, work) = mkCtx()
     // lay out <root>/datalake/<sys>/<tag>/<schema>/<table> and read it back

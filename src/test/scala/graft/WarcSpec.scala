@@ -102,6 +102,33 @@ class WarcSpec extends AnyFunSuite {
     assert(r.ts === None && r.html === Some("<p>x</p>"))
   }
 
+  test("Warc.write: crawl-layout shards round-trip through the reader") {
+    val dir = SparkTestBase.tmpDir("graft_warc_write") + "/out"
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-05-01T10:00:00Z"))
+    val df = Seq(
+      ("https://w.example.com/1", t1, "<p>alpha</p>"),
+      ("https://w.example.com/2", null.asInstanceOf[java.sql.Timestamp], "<div>beta</div>"),
+      ("https://w.example.com/3", t1, null.asInstanceOf[String])) // null html -> empty payload
+      .toDF("url", "ts", "html").repartition(2)
+    Warc.write(df, dir)
+    // shard layout: only .warc.gz files, at most one per partition
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted.toSeq
+    assert(files.nonEmpty && files.forall(_.endsWith(".warc.gz")), s"unexpected shard names: $files")
+    assert(files.size <= 2)
+    val back = Warc.responses(spark, dir)
+      .select($"url", $"ts", $"html").collect()
+      .map(r => (r.getString(0), Option(r.getTimestamp(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(back === Seq(
+      ("https://w.example.com/1", Some(t1), "<p>alpha</p>"),
+      ("https://w.example.com/2", None, "<div>beta</div>"),
+      ("https://w.example.com/3", Some(t1), "")),
+      "url/ts/html must round-trip exactly (no ts -> no WARC-Date -> NULL)")
+    // overwrite posture: a second write of the same frame replaces shards
+    Warc.write(df, dir)
+    assert(Warc.responses(spark, dir).count() === 3)
+  }
+
   test("distributed read over files; responses projection; Lake 'warc' format") {
     val dir = SparkTestBase.tmpDir("graft_warc")
     java.nio.file.Files.write(

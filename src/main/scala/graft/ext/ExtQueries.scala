@@ -586,7 +586,7 @@ object ExtQueries {
         try_element_at(Html.htmlLinks(col("html")), lit(1)).as("first_href"))
       .orderBy("doc_id")
 
-  /** Deterministic in-code WARC fixture — warcinfo + three responses
+  /** Deterministic in-code WARC fixture — warcinfo + four responses
     * + one request, serialized with real framing and PER-RECORD gzip
     * members like a crawl shard, written under java.io.tmpdir (same
     * bytes every run; the registry has no WARC table in the sf dirs).
@@ -624,7 +624,24 @@ object ExtQueries {
       resp("http://example.com:80/b", "2020-01-01T00:00:00Z", 3, 200,
         "<div>Beta page</div><script>x()</script>"),
       resp("https://example.com/c", "2021-06-15T12:30:45Z", 4, 404,
-        "<p>Not found</p>"))
+        "<p>Not found</p>"),
+      // the full crawl envelope stack in wire order — body gzipped then
+      // chunked, charset ISO-8859-1 (0xE9 = é) — the reader must undo
+      // all three layers to produce 'Café page'
+      locally {
+        val gz = Warc.gzipMember("<p>Café page</p>".getBytes("ISO-8859-1"))
+        val chunked = (gz.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++
+          gz ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+        Warc.record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> "https://example.com/d",
+          "WARC-Date" -> "2022-02-02T02:02:02Z",
+          "WARC-Record-ID" -> "<urn:uuid:5>",
+          "Content-Type" -> "application/http; msgtype=response"),
+          ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
+            "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ chunked)
+      })
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_warc_fixture")
     java.nio.file.Files.createDirectories(dir)
@@ -637,7 +654,8 @@ object ExtQueries {
   /** WARC → text, end to end ([[graft.io.Warc.responses]] →
     * [[Html.htmlToText]] → [[TextOps.canonicalUrlKey]]): the complete
     * web-ingest front door — crawl container in, per-page plain text
-    * + canonical URL key out, ready for the q126 URL cut and every
+    * + canonical URL key out (including through chunked transfer coding,
+    * gzip content-encoding, and a non-UTF-8 charset in one record), ready for the q126 URL cut and every
     * content stage after it. Exact-oracled against hand-computed
     * VALUES: the parser must reproduce them through real file I/O,
     * per-record gzip members, HTTP envelope split, and the extraction
@@ -3125,6 +3143,8 @@ object ExtQueries {
         |   CAST(1577836800 AS BIGINT), 200, '', 'Beta page'),
         |  ('https://example.com/c', 'https://example.com/c',
         |   CAST(1623760245 AS BIGINT), 404, '', 'Not found'),
+        |  ('https://example.com/d', 'https://example.com/d',
+        |   CAST(1643767322 AS BIGINT), 200, '', 'Café page'),
         |  ('https://www.Example.com/a?utm_source=x&b=2&a=1',
         |   'https://example.com/a?a=1&b=2', CAST(1488772926 AS BIGINT), 200,
         |   'Alpha', 'Alpha' || chr(10) || 'Hello & welcome' || chr(10) || 'Second line'))

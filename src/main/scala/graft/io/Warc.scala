@@ -170,24 +170,111 @@ object Warc {
       }
     }
 
-  /** Split an HTTP/1.1 message block: (status, Content-Type, body). */
+  /** Split an HTTP/1.1 message block: (status, Content-Type, body).
+    *
+    * The body is what a crawl actually serves, so three envelope
+    * layers are undone IN ORDER, each tolerantly (inner-HTTP chaos
+    * must degrade the payload, never kill the record — the WARC
+    * Content-Length already guaranteed the outer framing):
+    *
+    *  1. `Transfer-Encoding: chunked` — de-chunked by the hex size
+    *     lines; malformed chunk framing falls back to the raw bytes;
+    *  2. `Content-Encoding: gzip`/`x-gzip`/`deflate` — decompressed;
+    *     a corrupt stream falls back to the raw bytes;
+    *  3. charset — the `charset=` parameter of Content-Type when the
+    *     JVM knows it, UTF-8 otherwise, always with replacement for
+    *     malformed sequences. (`<meta charset>` sniffing beyond the
+    *     header is out of scope, documented.)
+    */
   private def parseHttp(block: Array[Byte])
     : (Option[Int], Option[String], Option[String]) = {
     val sep = indexOfCrlfCrlf(block)
-    val (head, body) =
-      if (sep < 0) (new String(block, StandardCharsets.ISO_8859_1), "")
+    val (head, bodyBytes) =
+      if (sep < 0) (new String(block, StandardCharsets.ISO_8859_1), Array.empty[Byte])
       else (new String(block, 0, sep, StandardCharsets.ISO_8859_1),
-        new String(block, sep + 4, block.length - sep - 4, StandardCharsets.UTF_8))
+        java.util.Arrays.copyOfRange(block, sep + 4, block.length))
     val lines = head.split("\r\n", -1)
     val status = lines.headOption
       .filter(_.startsWith("HTTP/")).map(_.split(" ", 3))
       .filter(_.length >= 2).flatMap(a => a(1).toIntOption)
-    val ct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
+    def header(name: String): Option[String] = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith(name + ":") =>
         l.substring(l.indexOf(':') + 1).trim
     }
-    (status, ct, Some(body))
+    val ct = header("content-type")
+    val unchunked =
+      if (header("transfer-encoding").exists(_.toLowerCase.contains("chunked")))
+        dechunk(bodyBytes).getOrElse(bodyBytes)
+      else bodyBytes
+    val inflated = header("content-encoding").map(_.toLowerCase) match {
+      case Some(e) if e.contains("gzip") => gunzipLenient(unchunked)
+      case Some(e) if e.contains("deflate") => inflateLenient(unchunked)
+      case _ => unchunked
+    }
+    val charset = ct.flatMap(charsetOf).getOrElse(StandardCharsets.UTF_8)
+    (status, ct, Some(new String(inflated, charset)))
   }
+
+  /** The `charset=` parameter of a Content-Type value, when the JVM
+    * supports it (quoted or bare, case-insensitive).
+    */
+  private[io] def charsetOf(contentType: String): Option[java.nio.charset.Charset] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)charset=\"?([A-Za-z0-9_.:-]+)\"?").matcher(contentType)
+    if (m.find())
+      try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: Exception => None }
+    else None
+  }
+
+  /** Undo HTTP/1.1 chunked transfer coding: hex-size line, chunk
+    * bytes, CRLF, repeat; 0-size terminates (trailers ignored). None
+    * on malformed framing — the caller keeps the raw bytes.
+    */
+  private[io] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var p = 0
+    def line(): String = {
+      val sb = new java.lang.StringBuilder(16)
+      while (p < b.length && b(p) != '\n') {
+        if (b(p) != '\r') sb.append(b(p).toChar)
+        p += 1
+      }
+      if (p >= b.length) return null // no terminating LF: malformed
+      p += 1 // consume LF
+      sb.toString
+    }
+    while (true) {
+      val l = line()
+      if (l == null) return None
+      val size =
+        try java.lang.Long.parseLong(l.split(";")(0).trim, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size == 0) return Some(out.toByteArray) // trailers ignored
+      if (size < 0 || p + size > b.length) return None
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      // the CRLF after the chunk data
+      if (p + 1 < b.length && b(p) == '\r' && b(p + 1) == '\n') p += 2
+      else if (p < b.length && b(p) == '\n') p += 1
+      else return None
+    }
+    None // unreachable
+  }
+
+  private def gunzipLenient(b: Array[Byte]): Array[Byte] =
+    try new GZIPInputStream(new ByteArrayInputStream(b)).readAllBytes()
+    catch { case _: Exception => b }
+
+  private def inflateLenient(b: Array[Byte]): Array[Byte] =
+    try new java.util.zip.InflaterInputStream(new ByteArrayInputStream(b)).readAllBytes()
+    catch {
+      case _: Exception =>
+        // some servers send RAW deflate (no zlib header) — retry nowrap
+        try new java.util.zip.InflaterInputStream(new ByteArrayInputStream(b),
+          new java.util.zip.Inflater(true)).readAllBytes()
+        catch { case _: Exception => b }
+    }
 
   private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
     var i = 0

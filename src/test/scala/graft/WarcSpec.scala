@@ -102,6 +102,55 @@ class WarcSpec extends AnyFunSuite {
     assert(r.ts === None && r.html === Some("<p>x</p>"))
   }
 
+  test("HTTP payload envelopes: chunked transfer, gzip/deflate content-encoding, header charset") {
+    def respBlock(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body
+    def one(headers: String, body: Array[Byte]): Warc.Record =
+      Warc.parseBytes("t", Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://e.example.com/x",
+        "Content-Type" -> "application/http; msgtype=response"),
+        respBlock(headers, body))).head
+    // chunked: hex sizes + chunk-ext tolerated, trailers ignored
+    assert(one("Content-Type: text/html\r\nTransfer-Encoding: chunked",
+      "4;ext=1\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n".getBytes("UTF-8"))
+      .html === Some("Wikipedia"))
+    // malformed chunk framing degrades to the raw bytes, never throws
+    assert(one("Content-Type: text/html\r\nTransfer-Encoding: chunked",
+      "ZZZ\r\nnot chunked at all".getBytes("UTF-8"))
+      .html === Some("ZZZ\r\nnot chunked at all"))
+    // gzip / deflate content-encoding
+    assert(one("Content-Type: text/html\r\nContent-Encoding: gzip",
+      Warc.gzipMember("compressed page".getBytes("UTF-8")))
+      .html === Some("compressed page"))
+    locally {
+      val d = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.DeflaterOutputStream(d)
+      z.write("deflated page".getBytes("UTF-8")); z.close()
+      assert(one("Content-Type: text/html\r\nContent-Encoding: deflate",
+        d.toByteArray).html === Some("deflated page"))
+    }
+    // corrupt gzip degrades to raw bytes
+    assert(one("Content-Type: text/html\r\nContent-Encoding: gzip",
+      "not gzip".getBytes("UTF-8")).html === Some("not gzip"))
+    // header charset: ISO-8859-1 0xE9 = é; unknown charsets fall back to
+    // UTF-8 (where 0xE9 alone is malformed -> replacement char)
+    assert(one("Content-Type: text/html; charset=ISO-8859-1",
+      Array[Byte]('C', 'a', 'f', 0xE9.toByte)).html === Some("Café"))
+    assert(one("Content-Type: text/html; charset=no-such-cs",
+      Array[Byte]('C', 'a', 'f', 0xE9.toByte)).html === Some("Caf�"))
+    // the layers compose in wire order: gzip first, then chunk; the
+    // reader undoes chunking, then gzip, then decodes the charset
+    locally {
+      val gz = Warc.gzipMember("<p>Café</p>".getBytes("ISO-8859-1"))
+      val chunked = s"${gz.length.toHexString}\r\n".getBytes("ISO-8859-1") ++
+        gz ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+      val r = one("Content-Type: text/html; charset=ISO-8859-1\r\n" +
+        "Content-Encoding: gzip\r\nTransfer-Encoding: chunked", chunked)
+      assert(r.html === Some("<p>Café</p>"))
+    }
+  }
+
   test("Warc.write: crawl-layout shards round-trip through the reader") {
     val dir = SparkTestBase.tmpDir("graft_warc_write") + "/out"
     val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-05-01T10:00:00Z"))

@@ -687,6 +687,20 @@ object ExtQueries {
         Html.htmlMainText(col("html")).as("main_text"))
       .orderBy("doc_id")
 
+  /** URL filtering stage ([[TextOps.urlQualityReport]]): RefinedWeb's
+    * blocklist + word-score cut over the synthetic source URLs —
+    * src3's host is blocklisted (exact + subdomain suffix), 'frag'
+    * is a banned word (hits the doc_id%3 fragment variants), and the
+    * digit/length/depth stats ride along. Exact-oracled: every rule is
+    * row-local regex/CASE replayed verbatim.
+    */
+  def q130(spark: SparkSession, dir: String): DataFrame =
+    TextOps.urlQualityReport(
+      docs(spark, dir).select(col("doc_id"), sourceUrl.as("url")),
+      blockedHosts = Seq("src3.example.com"),
+      bannedWords = Seq("casino", "frag"))
+      .orderBy("doc_id")
+
   /** Per-domain link stats over URL-enriched documents. */
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
@@ -1557,6 +1571,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_url_quality" -> (q130 _),
     "q129_html_main_text" -> (q129 _),
     "q128_warc_responses" -> (q128 _),
     "q127_html_to_text" -> (q127 _),
@@ -3124,6 +3139,37 @@ object ExtQueries {
          |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
          |    AS n_phones
          |FROM noted ORDER BY custkey""".stripMargin,
+    // q130 — urlQualityReport replayed: host extraction, blocklist
+    // exact+suffix (LIKE '.'-literal), banned-word CASE sum, digit
+    // fraction as double/double, path depth via string_split
+    "q130_url_quality" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sourceUrlSql AS url FROM documents),
+         |h AS (
+         |  SELECT doc_id, url,
+         |    regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)),
+         |      '^www\\.', '') AS host,
+         |    regexp_replace(regexp_replace(url, '^[^/]*//[^/]*', ''),
+         |      '[?#].*', '') AS p,
+         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN contains(lower(url), 'frag') THEN 1 ELSE 0 END) AS nb
+         |  FROM u),
+         |f AS (
+         |  SELECT doc_id, url, host,
+         |    (host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+         |      AS blocked_host,
+         |    CAST(nb AS BIGINT) AS n_banned_words,
+         |    CASE WHEN length(host) > 0
+         |         THEN CAST(length(regexp_replace(host, '[^0-9]', '', 'g')) AS DOUBLE)
+         |              / CAST(length(host) AS DOUBLE)
+         |         ELSE 0.0 END AS host_digit_frac,
+         |    CAST(length(url) AS BIGINT) AS url_len,
+         |    CAST(CASE WHEN length(p) > 0 THEN len(string_split(p, '/')) - 1
+         |              ELSE 0 END AS BIGINT) AS path_depth,
+         |    (NOT (host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+         |      AND nb = 0 AND length(url) <= 2048) AS keep
+         |  FROM h)
+         |SELECT * FROM f ORDER BY doc_id""".stripMargin,
     // q129 — htmlMainText replayed: the q127 page through the density
     // rule, DuckDB list lambdas for Spark's higher-order functions
     "q129_html_main_text" ->

@@ -406,6 +406,68 @@ object TextOps {
       .otherwise(concat(cleanBase, lit("?"), sortedQ))
   }
 
+  /** URL-level quality report — the RefinedWeb/C4 URL FILTERING stage
+    * (it runs beside the q126 URL dedup, before any content heuristic):
+    * per document, the measured URL statistics, the block/ban flags,
+    * and one composed `keep`. Rules, all on the RAW url (published
+    * recipes filter pre-canonicalization):
+    *
+    *  - `blocked_host`: the (lowercased, `www.`-stripped, port-free)
+    *    host is on `blockedHosts` or is a subdomain of an entry — the
+    *    strict blocklist cut;
+    *  - `n_banned_words`: how many of `bannedWords` occur in the
+    *    lowercased URL — the soft word-score cut (recipes threshold
+    *    it; `keep` uses > 0);
+    *  - `host_digit_frac`: digit fraction of the host (throwaway /
+    *    generated domains are digit-heavy);
+    *  - `url_len` / `path_depth`: the length-sanity signals.
+    *
+    * `keep` = not blocked, zero banned words, `url_len <= maxUrlLen`.
+    * The fractions are surfaced (not thresholded) so callers tune
+    * their own cuts — q116's Gopher-report shape at URL grain.
+    *
+    * Scale shape: entirely row-local codegen regex/CASE over the url
+    * column — the block/ban lists are query literals (recipes ship
+    * them as artifacts; for multi-million-entry blocklists use
+    * [[dropByDomain]]'s broadcast-join face instead). Exact-oracled:
+    * every rule replays verbatim in DuckDB.
+    */
+  def urlQualityReport(docs: DataFrame, blockedHosts: Seq[String],
+                       bannedWords: Seq[String], maxUrlLen: Int = 2048,
+                       urlCol: String = "url",
+                       idCol: String = "doc_id"): DataFrame = {
+    require(bannedWords.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "banned words must be non-empty lowercase (they match a lowercased URL)")
+    require(blockedHosts.forall(h => h.nonEmpty && h == h.toLowerCase),
+      "blocked hosts must be non-empty lowercase")
+    val host = regexp_replace(
+      lower(regexp_extract(col(urlCol), "^[^/]*//([^/:?#]+)", 1)),
+      "^www\\.", "")
+    val blocked = blockedHosts
+      .map(b => host === b || host.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val lowerUrl = lower(col(urlCol))
+    val nBanned = bannedWords
+      .map(w => when(lowerUrl.contains(w), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val digitFrac = when(length(host) > 0,
+      length(regexp_replace(host, "[^0-9]", "")).cast("double") /
+        length(host).cast("double")).otherwise(lit(0.0))
+    val path = regexp_replace(
+      regexp_replace(col(urlCol), "^[^/]*//[^/]*", ""), "[?#].*", "")
+    val depth = when(length(path) > 0, size(split(path, "/")) - 1)
+      .otherwise(lit(0))
+    val urlLen = length(col(urlCol))
+    docs.select(col(idCol), col(urlCol),
+      host.as("host"),
+      blocked.as("blocked_host"),
+      nBanned.cast("long").as("n_banned_words"),
+      digitFrac.as("host_digit_frac"),
+      urlLen.cast("long").as("url_len"),
+      depth.cast("long").as("path_depth"),
+      (!blocked && nBanned === 0 && urlLen <= maxUrlLen).as("keep"))
+  }
+
   /** Per-domain link profile of a corpus: URL occurrences and distinct
     * linking documents — the domain-blocklist / source-mix signal.
     * Scale shape: extract per row (codegen regex, no shuffle), explode

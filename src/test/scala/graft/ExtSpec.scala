@@ -2440,6 +2440,35 @@ class ExtSpec extends AnyFunSuite {
     assert(nested === "a\nb")
   }
 
+  test("urlQualityReport: blocklist exact+subdomain, banned words, digit/length/depth stats") {
+    val rows = Seq(
+      (1L, "https://good.example.com/a/b?q=1"),
+      (2L, "https://Bad.example.net/x"), // exact blocklist hit (case-folded)
+      (3L, "HTTPS://www.deep.bad.example.net:443/y"), // subdomain + www + port -> still a hit
+      (4L, "https://notbad.example.net/z"), // 'notbad' is NOT a subdomain of bad -> clean
+      (5L, "https://good.example.com/play-casino-now"), // banned word in path
+      (6L, "https://123456.example.com"), // digit-heavy host, no path
+      (7L, "https://good.example.com/" + "x" * 2048)) // over maxUrlLen
+      .toDF("doc_id", "url")
+    val r = TextOps.urlQualityReport(rows,
+      blockedHosts = Seq("bad.example.net"), bannedWords = Seq("casino"))
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(!r(1L).getBoolean(3) && r(1L).getBoolean(8), "clean URL keeps")
+    assert(r(2L).getBoolean(3) && !r(2L).getBoolean(8), "exact host blocks, case-insensitively")
+    assert(r(3L).getAs[String]("host") === "deep.bad.example.net",
+      "host folds case, drops www. and the port")
+    assert(r(3L).getBoolean(3), "a subdomain of a blocked host blocks")
+    assert(!r(4L).getBoolean(3), "a host merely ENDING in a blocked name is not its subdomain")
+    assert(r(5L).getLong(4) === 1L && !r(5L).getBoolean(8), "banned word in the path bans")
+    assert(r(6L).getAs[Double]("host_digit_frac") === 6.0 / 18.0)
+    assert(r(6L).getLong(7) === 0L, "no path -> depth 0")
+    assert(r(1L).getLong(7) === 2L, "/a/b -> depth 2 (query excluded)")
+    assert(!r(7L).getBoolean(8), "over-length URL drops")
+    // empty rule lists: nothing blocks or bans
+    val open = TextOps.urlQualityReport(rows.limit(1), Nil, Nil).head()
+    assert(!open.getBoolean(3) && open.getLong(4) === 0L && open.getBoolean(8))
+  }
+
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {
     import graft.ext.Html
     val page = "<div><p>This is a long body prose line with enough characters.</p>" +

@@ -701,6 +701,34 @@ object ExtQueries {
       bannedWords = Seq("casino", "frag"))
       .orderBy("doc_id")
 
+  /** The composed crawl FRONT HALF as one chain — the RefinedWeb
+    * stage sequence the r15 operators exist for, end to end with one
+    * exact oracle: URL filtering (q130's rules) → URL-level dedup
+    * (q126's canonical cut) → HTML → text extraction (q127) → the
+    * per-page token/line stats the content stages key on. Each stage
+    * feeds the next exactly as a production pipeline would; the
+    * oracle replays the whole composition as chained CTEs built from
+    * the same constants. Scale shape: stages 1 and 3 are row-local
+    * projections; the only shuffle is q126's 8-byte key-hash winner
+    * election (plus the harness order-by).
+    */
+  def q131(spark: SparkSession, dir: String): DataFrame = {
+    val pages = docs(spark, dir)
+      .select(col("doc_id"), sourceUrl.as("url"), sourceHtml.as("html"))
+    // the quality cut is row-local: a bare predicate, not a report +
+    // semi join — zero extra scans/exchanges in the chain plan
+    val filtered = pages.where(TextOps.urlQualityKeep(col("url"),
+      blockedHosts = Seq("src3.example.com"),
+      bannedWords = Seq("casino", "frag")))
+    val text = Dedup.urlDedup(filtered)
+      .select(col("doc_id"), col("url_key"),
+        Html.htmlToText(col("html")).as("text"))
+    text
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("n_lines", size(split(col("text"), "\n")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** Per-domain link stats over URL-enriched documents. */
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
@@ -1571,6 +1599,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_crawl_front_half" -> (q131 _),
     "q130_url_quality" -> (q130 _),
     "q129_html_main_text" -> (q129 _),
     "q128_warc_responses" -> (q128 _),
@@ -3139,6 +3168,68 @@ object ExtQueries {
          |  CAST(len(regexp_extract_all(note, '${Privacy.PhonePattern}')) AS BIGINT)
          |    AS n_phones
          |FROM noted ORDER BY custkey""".stripMargin,
+    // q131 — the composed crawl front half: q130's keep, q126's
+    // canonical cut, q127's extraction, then token/line counts —
+    // chained CTEs from the same building blocks
+    "q131_crawl_front_half" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceHtmlSql AS html
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)),
+         |      '^www\\.', '') AS host,
+         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN contains(lower(url), 'frag') THEN 1 ELSE 0 END) AS nb
+         |  FROM u),
+         |flt AS (
+         |  SELECT u.* FROM u JOIN q USING (doc_id)
+         |  WHERE NOT (q.host = 'src3.example.com'
+         |             OR q.host LIKE '%.src3.example.com')
+         |    AND q.nb = 0 AND length(u.url) <= 2048),
+         |p AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?&]*)&', '\\1?') AS pu
+         |  FROM flt),
+         |s AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, html, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, html,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, html, clean_base,
+         |          array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
+         |        FROM b)),
+         |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
+         |ext AS (
+         |  SELECT k.doc_id, k.url_key,
+         |    ${graft.ext.Html.oracleSqlExpr("k.html")} AS text
+         |  FROM k JOIN win ON k.doc_id = win.doc_id AND k.url_key = win.url_key)
+         |SELECT doc_id, url_key, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         |FROM ext ORDER BY doc_id""".stripMargin,
     // q130 — urlQualityReport replayed: host extraction, blocklist
     // exact+suffix (LIKE '.'-literal), banned-word CASE sum, digit
     // fraction as double/double, path depth via string_split

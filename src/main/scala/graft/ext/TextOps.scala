@@ -436,20 +436,10 @@ object TextOps {
                        bannedWords: Seq[String], maxUrlLen: Int = 2048,
                        urlCol: String = "url",
                        idCol: String = "doc_id"): DataFrame = {
-    require(bannedWords.forall(w => w.nonEmpty && w == w.toLowerCase),
-      "banned words must be non-empty lowercase (they match a lowercased URL)")
-    require(blockedHosts.forall(h => h.nonEmpty && h == h.toLowerCase),
-      "blocked hosts must be non-empty lowercase")
-    val host = regexp_replace(
-      lower(regexp_extract(col(urlCol), "^[^/]*//([^/:?#]+)", 1)),
-      "^www\\.", "")
-    val blocked = blockedHosts
-      .map(b => host === b || host.endsWith("." + b))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val lowerUrl = lower(col(urlCol))
-    val nBanned = bannedWords
-      .map(w => when(lowerUrl.contains(w), 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0))
+    validateUrlRules(blockedHosts, bannedWords)
+    val host = urlHost(col(urlCol))
+    val blocked = urlBlocked(col(urlCol), blockedHosts)
+    val nBanned = urlBannedCount(col(urlCol), bannedWords)
     val digitFrac = when(length(host) > 0,
       length(regexp_replace(host, "[^0-9]", "")).cast("double") /
         length(host).cast("double")).otherwise(lit(0.0))
@@ -465,7 +455,46 @@ object TextOps {
       digitFrac.as("host_digit_frac"),
       urlLen.cast("long").as("url_len"),
       depth.cast("long").as("path_depth"),
-      (!blocked && nBanned === 0 && urlLen <= maxUrlLen).as("keep"))
+      urlQualityKeep(col(urlCol), blockedHosts, bannedWords, maxUrlLen)
+        .as("keep"))
+  }
+
+  /** The report's `keep` rule as a bare predicate COLUMN — for
+    * pipelines that only filter (q131's chain): a row-local `.where`
+    * instead of a report build + semi join, so the cut adds zero
+    * scans, zero exchanges.
+    */
+  def urlQualityKeep(url: Column, blockedHosts: Seq[String],
+                     bannedWords: Seq[String],
+                     maxUrlLen: Int = 2048): Column = {
+    validateUrlRules(blockedHosts, bannedWords)
+    !urlBlocked(url, blockedHosts) &&
+      urlBannedCount(url, bannedWords) === 0 &&
+      length(url) <= maxUrlLen
+  }
+
+  private def validateUrlRules(blockedHosts: Seq[String],
+                               bannedWords: Seq[String]): Unit = {
+    require(bannedWords.forall(w => w.nonEmpty && w == w.toLowerCase),
+      "banned words must be non-empty lowercase (they match a lowercased URL)")
+    require(blockedHosts.forall(h => h.nonEmpty && h == h.toLowerCase),
+      "blocked hosts must be non-empty lowercase")
+  }
+
+  /** Lowercased, `www.`-stripped, port-free host of a raw URL. */
+  private def urlHost(url: Column): Column = regexp_replace(
+    lower(regexp_extract(url, "^[^/]*//([^/:?#]+)", 1)), "^www\\.", "")
+
+  private def urlBlocked(url: Column, blockedHosts: Seq[String]): Column = {
+    val host = urlHost(url)
+    blockedHosts.map(b => host === b || host.endsWith("." + b))
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  private def urlBannedCount(url: Column, bannedWords: Seq[String]): Column = {
+    val lowerUrl = lower(url)
+    bannedWords.map(w => when(lowerUrl.contains(w), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
   }
 
   /** Per-domain link profile of a corpus: URL occurrences and distinct

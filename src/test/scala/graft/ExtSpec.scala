@@ -2467,6 +2467,13 @@ class ExtSpec extends AnyFunSuite {
     // empty rule lists: nothing blocks or bans
     val open = TextOps.urlQualityReport(rows.limit(1), Nil, Nil).head()
     assert(!open.getBoolean(3) && open.getLong(4) === 0L && open.getBoolean(8))
+    // the bare predicate (the zero-join chain face) == the report's keep
+    val viaPred = rows.where(TextOps.urlQualityKeep($"url",
+        Seq("bad.example.net"), Seq("casino")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaReport = r.collect { case (id, row) if row.getBoolean(8) => id }
+      .toSeq.sorted
+    assert(viaPred === viaReport, "urlQualityKeep must equal the report's keep column")
   }
 
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {

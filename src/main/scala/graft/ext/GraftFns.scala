@@ -111,6 +111,19 @@ object GraftFns {
         graft.ext.Html.htmlToText(
           org.apache.spark.sql.functions.col(
             ctx.variables.getOrElse("GRAFT_HTML_COL", "html"))))),
+    // RefinedWeb URL FILTERING (runs beside the URL dedup): keep rows
+    // passing the quality predicate; the rule lists ride
+    // comma-separated variables (empty/absent = rule off)
+    step("graft_url_filter")((ctx, d) => {
+      def list(k: String): Seq[String] = ctx.variables.get(k)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+      d.where(graft.ext.TextOps.urlQualityKeep(
+        org.apache.spark.sql.functions.col(
+          ctx.variables.getOrElse("GRAFT_URL_COL", "url")),
+        blockedHosts = list("GRAFT_URL_BLOCKLIST"),
+        bannedWords = list("GRAFT_URL_BANNED"),
+        maxUrlLen = ctx.variables.getOrElse("GRAFT_URL_MAX_LEN", "2048").toInt))
+    }),
     // RefinedWeb stage 1: URL-level keep-first by canonical source-URL
     // key; the url column name comes from GRAFT_URL_COL
     step("graft_url_dedup")((ctx, d) =>

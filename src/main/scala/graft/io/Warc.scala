@@ -356,15 +356,38 @@ object Warc {
   def write(df: DataFrame, dir: String, urlCol: String = "url",
             tsCol: String = "ts", htmlCol: String = "html",
             httpStatus: Int = 200,
-            contentType: String = "text/html; charset=UTF-8"): Unit = {
+            contentType: String = "text/html; charset=UTF-8"): Unit =
+    writeRecords(df, dir, urlCol, tsCol, htmlCol,
+      block = (body: String) => httpResponseBlock(httpStatus, contentType, body),
+      warcType = "response",
+      recordContentType = "application/http; msgtype=response")
+
+  /** WET-style sink: land EXTRACTED text as `conversion` records
+    * (`text/plain` blocks, no HTTP envelope) — the companion format
+    * crawl pipelines publish beside the response WARCs, and exactly
+    * what [[responses]] → `Html.htmlToText` produces. Same shard
+    * layout and round-trip contract as [[write]] (the reader maps a
+    * conversion record's whole block into `html`).
+    */
+  def writeConversions(df: DataFrame, dir: String, urlCol: String = "url",
+                       tsCol: String = "ts", textCol: String = "text"): Unit =
+    writeRecords(df, dir, urlCol, tsCol, textCol,
+      block = (body: String) => body.getBytes(StandardCharsets.UTF_8),
+      warcType = "conversion",
+      recordContentType = "text/plain")
+
+  private def writeRecords(df: DataFrame, dir: String, urlCol: String,
+                           tsCol: String, bodyCol: String,
+                           block: String => Array[Byte], warcType: String,
+                           recordContentType: String): Unit = {
     val cols = df.columns
-    require(Seq(urlCol, htmlCol).forall(cols.contains),
-      s"Warc.write needs '$urlCol' and '$htmlCol' columns; frame has ${cols.mkString(", ")}")
+    require(Seq(urlCol, bodyCol).forall(cols.contains),
+      s"Warc writer needs '$urlCol' and '$bodyCol' columns; frame has ${cols.mkString(", ")}")
     val hasTs = cols.contains(tsCol)
     import org.apache.spark.sql.functions.{col, lit}
     val slim = df.select(col(urlCol).cast("string").as("u"),
       (if (hasTs) col(tsCol).cast("timestamp") else lit(null).cast("timestamp")).as("t"),
-      col(htmlCol).cast("string").as("h"))
+      col(bodyCol).cast("string").as("h"))
     // the session's Hadoop conf isn't serializable; ship the entries
     // that differ from defaults and rebuild executor-side (executors
     // also carry the site files on their classpath, so this is belt
@@ -375,8 +398,6 @@ object Warc {
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    val status = httpStatus
-    val ct = contentType
     slim.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
         val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -392,17 +413,16 @@ object Warc {
           rows.foreach { r =>
             val url = Option(r.getString(0))
             val ts = Option(r.getTimestamp(1))
-            val html = Option(r.getString(2)).getOrElse("")
+            val body = Option(r.getString(2)).getOrElse("")
             val id = java.lang.Long.toHexString(
               scala.util.hashing.MurmurHash3.stringHash(
                 s"${url.getOrElse("")}|${ts.map(_.getTime).getOrElse(0L)}|$pid|$i").toLong)
-            val headers = Seq("WARC-Type" -> "response") ++
+            val headers = Seq("WARC-Type" -> warcType) ++
               url.map("WARC-Target-URI" -> _) ++
               ts.map(t => "WARC-Date" -> t.toInstant.toString) ++
               Seq("WARC-Record-ID" -> s"<urn:graft:$id>",
-                "Content-Type" -> "application/http; msgtype=response")
-            out.write(gzipMember(
-              record(headers, httpResponseBlock(status, ct, html))))
+                "Content-Type" -> recordContentType)
+            out.write(gzipMember(record(headers, block(body))))
             i += 1
           }
         } finally out.close()

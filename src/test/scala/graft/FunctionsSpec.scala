@@ -65,7 +65,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_exact_dedup", "graft_normalize_dedup", "graft_near_dup_dedup",
       "graft_decontaminate", "graft_strip_boilerplate",
       "graft_strip_exact_substrings", "graft_strip_char_substrings",
-      "graft_strip_dup_lines", "graft_url_dedup", "graft_html_to_text",
+      "graft_strip_dup_lines", "graft_url_dedup", "graft_url_filter",
+      "graft_html_to_text",
       "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",

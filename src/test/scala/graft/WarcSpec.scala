@@ -178,6 +178,23 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.responses(spark, dir).count() === 3)
   }
 
+  test("Warc.writeConversions: WET-style text shards round-trip as conversion records") {
+    val dir = SparkTestBase.tmpDir("graft_wet_write") + "/out"
+    val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z"))
+    Warc.writeConversions(Seq(
+      ("https://w.example.com/1", t1, "extracted text one"),
+      ("https://w.example.com/2", t1, "Café text two")) // non-ASCII survives UTF-8
+      .toDF("url", "ts", "text"), dir)
+    val back = Warc.read(spark, dir)
+    assert(back.where($"warc_type" === "conversion").count() === 2)
+    val got = back.select($"url", $"html", $"content_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("https://w.example.com/1", "extracted text one", "text/plain"),
+      ("https://w.example.com/2", "Café text two", "text/plain")),
+      "conversion blocks are the raw text, no HTTP envelope")
+  }
+
   test("distributed read over files; responses projection; Lake 'warc' format") {
     val dir = SparkTestBase.tmpDir("graft_warc")
     java.nio.file.Files.write(

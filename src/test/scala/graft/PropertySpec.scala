@@ -657,4 +657,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }, minSuccessful = 40)
   }
+
+  // ---- Warc framing ----------------------------------------------------
+
+  test("property: WARC write-parse round-trip, plain == gzip, for arbitrary records") {
+    import graft.io.Warc
+    val urlGen = for {
+      host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+      path <- Gen.listOf(Gen.alphaNumChar).map(_.mkString.take(20))
+    } yield s"https://$host.example.com/$path"
+    val bodyGen = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)
+    val typGen = Gen.oneOf("resource", "conversion", "metadata")
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.zip(urlGen, typGen, bodyGen))) { recs =>
+      // one stream of many records, arbitrary binary blocks (any byte,
+      // incl. things that LOOK like record boundaries inside blocks —
+      // Content-Length framing must not resynchronize on them)
+      val bytes = recs.map { case (url, typ, body) =>
+        Warc.record(Seq("WARC-Type" -> typ, "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/octet-stream"), body)
+      }.reduce(_ ++ _)
+      val plain = Warc.parseBytes("t", bytes)
+      val gz = Warc.parseBytes("t", Warc.gzipMember(bytes))
+      val perRec = Warc.parseBytes("t", recs.map { case (url, typ, body) =>
+        Warc.gzipMember(Warc.record(Seq("WARC-Type" -> typ,
+          "WARC-Target-URI" -> url,
+          "Content-Type" -> "application/octet-stream"), body))
+      }.reduce(_ ++ _))
+      plain.length == recs.length &&
+        plain.zip(recs).forall { case (r, (url, typ, body)) =>
+          r.url.contains(url) && r.warc_type == typ &&
+            r.n_block_bytes == body.length
+        } && gz == plain && perRec == plain
+    }, minSuccessful = 40)
+  }
+
+  test("property: htmlToText is total and deterministic on arbitrary markup soup") {
+    import graft.ext.Html
+    val soupGen = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("<", ">", "&", ";", "/", "\"", " ", "\n", "\r", "\t"),
+      1 -> Gen.oneOf("<div>", "</p>", "<script>", "</script>", "<style>",
+        "&amp;", "&lt;", "<!--", "-->", "<a href=\"x\">", "</a>",
+        "<TITLE>", "</title>"))).map(_.mkString.take(400))
+    // ONE Spark job over a batch of samples (a job per sample would be
+    // 60 tiny jobs); totality = the codegen'd chain never throws, and
+    // running it twice is bit-identical
+    val samples = Gen.listOfN(200, soupGen).sample.get
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "html")
+    def run() = df.select($"doc_id", Html.htmlToText($"html").as("t"),
+        Html.htmlTitle($"html").as("ti"))
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val a = run()
+    assert(a.length === samples.length, "total: every soup row produces a row")
+    assert(a.forall { case (_, t, ti) => t != null && ti != null })
+    assert(a === run(), "deterministic: identical output on a second run")
+  }
 }

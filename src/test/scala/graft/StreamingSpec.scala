@@ -507,6 +507,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out() === expected, "replay of a delivered batch changed the output")
   }
 
+  test("streaming crawl ingest: WARC shards -> quality cut -> URL dedup vs history -> text, replay-idempotent") {
+    import graft.io.Warc
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_crawl")
+    def shard(pages: (String, String)*): Array[Byte] =
+      pages.map { case (url, html) => Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", html))) }.reduce(_ ++ _)
+    def batchDf(shards: Array[Byte]*) = shards.zipWithIndex
+      .map { case (b, i) => (s"shard$i.warc.gz", b) }.toDF("path", "content")
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out",
+      blockedHosts = Seq("blocked.example.net"), bannedWords = Seq("casino")) _
+    // batch 0: one good page, one blocked host, one banned word
+    sink(batchDf(shard(
+      "https://a.example.com/p1?utm_source=x" -> "<p>Page one body</p>",
+      "https://blocked.example.net/x" -> "<p>never lands</p>",
+      "https://a.example.com/casino" -> "<p>never lands</p>")), 0L)
+    // batch 1: canonical twin of p1 (drops against history) + a new page
+    val b1 = batchDf(shard(
+      "HTTPS://a.example.com/p1/" -> "<p>twin content differs</p>",
+      "https://a.example.com/p2" -> "<p>Page two</p>"))
+    sink(b1, 1L)
+    def out() = spark.read.parquet(s"$work/out")
+      .select("url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out() === Seq(
+      ("https://a.example.com/p1?utm_source=x", "Page one body"),
+      ("https://a.example.com/p2", "Page two")),
+      "quality cut + whole-history canonical-key keep-first + extraction")
+    // replay (failure recovery): identical output and index state
+    sink(b1, 1L)
+    assert(out().size === 2, "replay of a delivered batch changed the output")
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

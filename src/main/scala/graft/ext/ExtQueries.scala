@@ -547,7 +547,11 @@ object ExtQueries {
     */
   private def sourceHtml: org.apache.spark.sql.Column =
     concat(
-      lit("<!DOCTYPE html><html><head><title> Doc "),
+      lit("<!DOCTYPE html><html"),
+      when(col("doc_id") % 2 === 0, lit(" lang=\"EN\"")).otherwise(lit("")),
+      lit("><head><meta name=\"description\" content=\"Doc about "),
+      col("source"),
+      lit(" &amp; co\"><title> Doc "),
       col("doc_id").cast("string"),
       lit(" &amp; notes </title><style type=\"text/css\">p { color: red; }" +
         "</style><script>var x = 1 < 2 && \"</div>\";</script></head>" +
@@ -561,7 +565,10 @@ object ExtQueries {
         "</footer></body></html>"))
 
   private val sourceHtmlSql: String =
-    """'<!DOCTYPE html><html><head><title> Doc ' || CAST(doc_id AS VARCHAR) ||
+    """'<!DOCTYPE html><html' ||
+      |(CASE WHEN doc_id % 2 = 0 THEN ' lang="EN"' ELSE '' END) ||
+      |'><head><meta name="description" content="Doc about ' || source ||
+      |' &amp; co"><title> Doc ' || CAST(doc_id AS VARCHAR) ||
       |' &amp; notes </title><style type="text/css">p { color: red; }</style><script>var x = 1 < 2 && "</div>";</script></head><body><!-- hidden --><div id="main"><h1>' ||
       |source || '</h1><p>' || text ||
       |'</p><ul><li><a href="https://' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) ||
@@ -581,6 +588,8 @@ object ExtQueries {
     docs(spark, dir).select(col("doc_id"), sourceHtml.as("html"))
       .select(col("doc_id"),
         Html.htmlTitle(col("html")).as("title"),
+        Html.htmlLang(col("html")).as("lang"),
+        Html.htmlMetaContent(col("html"), "description").as("meta_desc"),
         Html.htmlToText(col("html")).as("text"),
         size(Html.htmlLinks(col("html"))).cast("long").as("n_links"),
         try_element_at(Html.htmlLinks(col("html")), lit(1)).as("first_href"))
@@ -3296,6 +3305,8 @@ object ExtQueries {
          |  SELECT doc_id, $sourceHtmlSql AS html FROM documents)
          |SELECT doc_id,
          |  ${graft.ext.Html.titleOracleSqlExpr("html")} AS title,
+         |  lower(regexp_extract(html, '${graft.ext.Html.LangPattern}', 1)) AS lang,
+         |  ${graft.ext.Html.metaOracleSqlExpr("html", "description")} AS meta_desc,
          |  ${graft.ext.Html.oracleSqlExpr("html")} AS text,
          |  CAST(len(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS BIGINT) AS n_links,
          |  regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)[1] AS first_href

@@ -112,6 +112,46 @@ object Html {
   def htmlLinks(html: Column): Column =
     regexp_extract_all(html, lit(HrefPattern), lit(1))
 
+  /** The root element's declared language (`<html lang="…">`),
+    * lowercased ("" when absent) — the self-declared prior for the
+    * n-gram language-ID stage (CCNet keeps both and compares).
+    */
+  val LangPattern = "(?is)<html\\b[^>]*\\blang=\"([^\"]*)\""
+  def htmlLang(html: Column): Column =
+    lower(regexp_extract(html, LangPattern, 1))
+
+  /** A named `<meta name="…" content="…">` value, entity-decoded and
+    * whitespace-normalized ("" when absent). `name` must be a plain
+    * identifier (it is spliced into the pattern); the name-before-
+    * content attribute order is the contract (the overwhelmingly
+    * common serialization — reversed-attribute pages read as absent,
+    * documented).
+    */
+  def metaPattern(name: String): String = {
+    require(name.matches("[A-Za-z0-9_:-]+"),
+      s"meta name must be a plain identifier, got '$name'")
+    // raw interpolator: the s-interpolator would process \b into a
+    // BACKSPACE even in triple quotes; raw leaves the regex escape
+    raw"""(?is)<meta\b[^>]*\bname="$name"[^>]*\bcontent="([^"]*)""""
+  }
+  def htmlMetaContent(html: Column, name: String): Column = {
+    val raw = regexp_extract(html, metaPattern(name), 1)
+    val decoded = Entities.foldLeft(raw) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** [[htmlMetaContent]] as a DuckDB SQL expression over `expr`. */
+  def metaOracleSqlExpr(expr: String, name: String): String = {
+    val pat = metaPattern(name).replace("'", "''")
+    val extracted = s"regexp_extract($expr, '$pat', 1)"
+    val decoded = Entities.foldLeft(extracted) { case (sql, (e, r)) =>
+      s"regexp_replace($sql, '$e', '${r.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   /** Anchor-element boundaries, marked BEFORE tag-stripping so
     * link-text extent survives into the extracted lines (the input to
     * the density rule below).

@@ -2476,6 +2476,30 @@ class ExtSpec extends AnyFunSuite {
     assert(viaPred === viaReport, "urlQualityKeep must equal the report's keep column")
   }
 
+  test("htmlLang / htmlMetaContent: declared metadata extracts, decodes, and degrades to empty") {
+    import graft.ext.Html
+    val page = "<html LANG=\"en-GB\"><head>" +
+      "<meta name=\"description\" content=\"A &amp; B   site\">" +
+      "<meta name=\"robots\" content=\"noindex\">" +
+      "<meta content=\"reversed\" name=\"keywords\">" + // reversed attr order: out of contract
+      "</head><body><p>x</p></body></html>"
+    val got = Seq((1L, page)).toDF("doc_id", "html")
+      .select(Html.htmlLang($"html").as("lang"),
+        Html.htmlMetaContent($"html", "description").as("d"),
+        Html.htmlMetaContent($"html", "robots").as("r"),
+        Html.htmlMetaContent($"html", "keywords").as("k"),
+        Html.htmlMetaContent($"html", "absent").as("a"))
+      .as[(String, String, String, String, String)].head()
+    assert(got === ("en-gb", "A & B site", "noindex", "", ""),
+      "lang lowercases; content entity-decodes and whitespace-collapses; " +
+        "reversed-order and absent metas read as empty")
+    assert(Seq((1L, "<html><p>x</p></html>")).toDF("doc_id", "html")
+      .select(Html.htmlLang($"html")).as[String].head() === "",
+      "no lang attribute -> empty")
+    // a non-identifier meta name can't splice into the pattern
+    intercept[IllegalArgumentException] { Html.metaPattern("a b") }
+  }
+
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {
     import graft.ext.Html
     val page = "<div><p>This is a long body prose line with enough characters.</p>" +

@@ -47,10 +47,21 @@ object DerivedShuffle {
   /** Recursive regular-file byte count under `dir` (any Hadoop FS;
     * 0 for a missing path — the caller's session build must not fail
     * on a bad dir before the query itself can say so).
+    *
+    * Uses the active session's Hadoop configuration when one exists —
+    * on a cluster whose object-store credentials live in the session
+    * conf, a bare `new Configuration()` would fail (or read 0 and
+    * silently derive the floor width). Session-less callers (width
+    * derivation BEFORE the session is built) fall back to the default
+    * conf, which still carries the classpath site files.
     */
   def dirBytes(dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) 0L
     else {
       val it = fs.listFiles(p, true)

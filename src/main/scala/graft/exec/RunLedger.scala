@@ -125,9 +125,33 @@ object RunLedger {
         s"ledger compaction raced an append during the swap; originals restored, " +
           s"raced appends moved to $raced — merge them back and re-run quiesced")
     }
+    // names of the staged files, captured BEFORE the swap — the
+    // post-rename check below compares against these
+    val stagedNames = fs.listStatus(tmp).map(_.getPath.getName).toSet
     if (!fs.rename(tmp, d)) {
       fs.rename(old, d)
       throw new IllegalStateException(s"ledger compaction swap failed for $dir (original restored)")
+    }
+    // the exists() guard above is check-then-act: an append recreating
+    // d between the check and the rename makes HDFS-style rename nest
+    // tmp INSIDE d (dir-onto-existing-dir semantics), where the
+    // live==staged row check would still pass and the delete below
+    // would destroy the originals. So verify d now holds EXACTLY the
+    // staged entries — any extra child (the raced append's files, or
+    // the nested tmp directory itself) means the swap raced.
+    val postSwap = fs.listStatus(d)
+    if (postSwap.exists(_.isDirectory) ||
+      postSwap.map(_.getPath.getName).toSet != stagedNames) {
+      val aside = new Path(dir.stripSuffix("/") + s"__compact_raced_${System.nanoTime()}")
+      fs.rename(d, aside)
+      if (!fs.rename(old, d))
+        throw new IllegalStateException(
+          s"ledger compaction raced an append during the swap AND the restore rename " +
+            s"failed: originals are at $old, post-swap files at $aside, recover manually")
+      throw new IllegalStateException(
+        s"ledger compaction raced an append during the swap (directory contents " +
+          s"diverged from the staged file set); originals restored, post-swap files " +
+          s"moved to $aside — merge them back and re-run quiesced")
     }
     val live = spark.read.parquet(old.toString).count()
     if (live != staged) {

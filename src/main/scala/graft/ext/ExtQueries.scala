@@ -595,7 +595,7 @@ object ExtQueries {
         try_element_at(Html.htmlLinks(col("html")), lit(1)).as("first_href"))
       .orderBy("doc_id")
 
-  /** Deterministic in-code WARC fixture — warcinfo + four responses
+  /** Deterministic in-code WARC fixture — warcinfo + six responses
     * + one request, serialized with real framing and PER-RECORD gzip
     * members like a crawl shard, written under java.io.tmpdir (same
     * bytes every run; the registry has no WARC table in the sf dirs).
@@ -650,7 +650,30 @@ object ExtQueries {
           ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n" +
             "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
             .getBytes("ISO-8859-1") ++ chunked)
-      })
+      },
+      // meta-declared charsets with NO transport charset — the WHATWG
+      // prescan must decode them (<meta charset> form in ISO-8859-1;
+      // http-equiv form in windows-1251); without the prescan both
+      // pages would extract with U+FFFD damage
+      Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.com/e",
+        "WARC-Date" -> "2023-03-03T03:03:03Z",
+        "WARC-Record-ID" -> "<urn:uuid:6>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes("ISO-8859-1") ++
+          ("<html><head><meta charset=\"ISO-8859-1\"></head>" +
+            "<body><p>Smörgåsbord</p></body></html>").getBytes("ISO-8859-1")),
+      Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.com/f",
+        "WARC-Date" -> "2024-04-04T04:04:04Z",
+        "WARC-Record-ID" -> "<urn:uuid:7>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes("ISO-8859-1") ++
+          ("<html><head><meta http-equiv=\"Content-Type\" " +
+            "content=\"text/html; charset=windows-1251\"></head>" +
+            "<body><p>Привет мир</p></body></html>").getBytes("windows-1251")))
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_warc_fixture")
     java.nio.file.Files.createDirectories(dir)
@@ -3291,6 +3314,10 @@ object ExtQueries {
         |   CAST(1623760245 AS BIGINT), 404, '', 'Not found'),
         |  ('https://example.com/d', 'https://example.com/d',
         |   CAST(1643767322 AS BIGINT), 200, '', 'Café page'),
+        |  ('https://example.com/e', 'https://example.com/e',
+        |   CAST(1677812583 AS BIGINT), 200, '', 'Smörgåsbord'),
+        |  ('https://example.com/f', 'https://example.com/f',
+        |   CAST(1712203444 AS BIGINT), 200, '', 'Привет мир'),
         |  ('https://www.Example.com/a?utm_source=x&b=2&a=1',
         |   'https://example.com/a?a=1&b=2', CAST(1488772926 AS BIGINT), 200,
         |   'Alpha', 'Alpha' || chr(10) || 'Hello & welcome' || chr(10) || 'Second line'))

@@ -98,10 +98,19 @@ object GraftFns {
     // the char-grain ExactSubstr cut (Lee et al.'s native unit) — the
     // published default of 50 chars, overridable via its OWN variable
     // (GRAFT_SUBSTR_MIN_CHARS) so a pipeline using both this and the
-    // line step can set the two thresholds independently
+    // line step can set the two thresholds independently; pipelines
+    // written against the original GRAFT_MIN_CHARS key still apply
+    // (deprecated fallback — the new key wins when both are set)
     step("graft_strip_char_substrings")((ctx, d) =>
       Dedup.stripExactCharSubstrings(d,
-        minChars = ctx.variables.getOrElse("GRAFT_SUBSTR_MIN_CHARS", "50").toInt,
+        minChars = ctx.variables.get("GRAFT_SUBSTR_MIN_CHARS")
+          .orElse {
+            val legacy = ctx.variables.get("GRAFT_MIN_CHARS")
+            legacy.foreach(v => System.err.println(
+              s"[graft] graft_strip_char_substrings: GRAFT_MIN_CHARS=$v is deprecated " +
+                "here; set GRAFT_SUBSTR_MIN_CHARS (honoring the legacy key this run)"))
+            legacy
+          }.getOrElse("50").toInt,
         idCol = idCol(ctx), textCol = textCol(ctx))),
     // the web-ingest front door: derive the pipeline's text column
     // from a raw-HTML column (GRAFT_HTML_COL, default "html") — run

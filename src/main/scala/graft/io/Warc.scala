@@ -30,9 +30,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Gzip isn't splittable, but crawl corpora arrive as many ~1 GB
   * shards (100 TB ≈ 100k files), so file-grain parallelism saturates
   * any cluster; downstream operators re-fan via their own shuffles.
-  * Payload decode is UTF-8 with replacement (a real crawl carries
-  * charset chaos; the documented contract is "bytes in, best-effort
-  * text out" — charset sniffing beyond UTF-8 is out of scope).
+  * Payload decode follows the WHATWG sniffing order (BOM, transport
+  * charset, `<meta>` prescan of the first 1024 bytes, UTF-8 fallback)
+  * always with replacement for malformed sequences — "bytes in,
+  * best-effort text out", but best-effort now honors the encodings a
+  * real crawl actually declares.
   */
 object Warc {
 
@@ -68,6 +70,12 @@ object Warc {
         val raw = pds.open()
         val in = if (file.toLowerCase.endsWith(".gz"))
           new GZIPInputStream(raw, 1 << 16) else raw
+        // a downstream limit/take (or task failure) can abandon the
+        // iterator mid-file; the task-completion hook closes the handle
+        // either way, so long-lived executors don't accrete one leaked
+        // stream per partially-read shard
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
         records(file, in)
       }
       .toDS().toDF()
@@ -104,7 +112,7 @@ object Warc {
     * every later offset is garbage — silently resynchronizing would
     * fabricate records), matching the MP4 demux's overrun checks.
     */
-  private def records(path: String, in0: InputStream): Iterator[Record] =
+  private[graft] def records(path: String, in0: InputStream): Iterator[Record] =
     new Iterator[Record] {
       private val in = new BufferedInputStream(in0, 1 << 16)
       private var nextRec: Option[Record] = None
@@ -120,7 +128,15 @@ object Warc {
 
       private def close(): Unit = if (!closed) { closed = true; in.close() }
 
-      private def advance(): Unit = {
+      // a require() tripping mid-record must not leak the handle: the
+      // loud failure propagates, but the stream closes first (the
+      // task-completion hook in [[read]] is the executor-side backstop;
+      // this covers driver-side parseBytes and direct callers too)
+      private def advance(): Unit =
+        try advanceUnsafe()
+        catch { case e: Throwable => close(); throw e }
+
+      private def advanceUnsafe(): Unit = {
         nextRec = None
         if (closed) return
         // skip inter-record blank lines to the next version line
@@ -181,10 +197,14 @@ object Warc {
     *     lines; malformed chunk framing falls back to the raw bytes;
     *  2. `Content-Encoding: gzip`/`x-gzip`/`deflate` — decompressed;
     *     a corrupt stream falls back to the raw bytes;
-    *  3. charset — the `charset=` parameter of Content-Type when the
-    *     JVM knows it, UTF-8 otherwise, always with replacement for
-    *     malformed sequences. (`<meta charset>` sniffing beyond the
-    *     header is out of scope, documented.)
+    *  3. charset — WHATWG encoding-sniffing precedence: a byte-order
+    *     mark wins outright; else the `charset=` parameter of the
+    *     HTTP Content-Type; else a `<meta charset>` /
+    *     `http-equiv=Content-Type` prescan of the first 1024 bytes
+    *     (the HTML5 prescan window); UTF-8 otherwise — always with
+    *     replacement for malformed sequences. Real crawls declare a
+    *     large minority of encodings ONLY in the meta tag; without the
+    *     prescan those pages decode with U+FFFD damage.
     */
   private def parseHttp(block: Array[Byte])
     : (Option[Int], Option[String], Option[String]) = {
@@ -211,8 +231,48 @@ object Warc {
       case Some(e) if e.contains("deflate") => inflateLenient(unchunked)
       case _ => unchunked
     }
-    val charset = ct.flatMap(charsetOf).getOrElse(StandardCharsets.UTF_8)
-    (status, ct, Some(new String(inflated, charset)))
+    (status, ct, Some(decodeHtml(inflated, ct)))
+  }
+
+  /** Decode an HTML payload per the WHATWG sniffing order: BOM, then
+    * the transport charset, then the `<meta>` prescan, then UTF-8.
+    * BOM bytes are consumed (UTF-16 via the auto-detecting JDK
+    * charset; the UTF-8 BOM stripped explicitly — the JDK decoder
+    * would otherwise leave a U+FEFF at offset 0).
+    */
+  private[io] def decodeHtml(b: Array[Byte], contentType: Option[String]): String = {
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+      (b(2) & 0xff) == 0xbf)
+      new String(b, 3, b.length - 3, StandardCharsets.UTF_8)
+    else if (b.length >= 2 && ((b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff ||
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe))
+      new String(b, StandardCharsets.UTF_16) // BOM-detecting, BOM-consuming
+    else {
+      val cs = contentType.flatMap(charsetOf)
+        .orElse(metaCharsetOf(b))
+        .getOrElse(StandardCharsets.UTF_8)
+      new String(b, cs)
+    }
+  }
+
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]{0,512}?charset\\s*=\\s*[\"']?([A-Za-z0-9_.:-]+)")
+
+  /** The HTML5 prescan: a `<meta … charset=…>` declaration in the
+    * first 1024 bytes (covers both the `<meta charset="…">` form and
+    * `http-equiv="Content-Type" content="…; charset=…"` — the
+    * attribute value contains `charset=` either way). The window is
+    * decoded as ISO-8859-1 — every ASCII-compatible encoding a meta
+    * tag can declare reads identically there, and the prescan never
+    * applies to the UTF-16 family (caught by BOM above per spec).
+    */
+  private[io] def metaCharsetOf(b: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val head = new String(b, 0, math.min(1024, b.length), StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetRe.matcher(head)
+    if (m.find())
+      try Some(java.nio.charset.Charset.forName(m.group(1)))
+      catch { case _: Exception => None }
+    else None
   }
 
   /** The `charset=` parameter of a Content-Type value, when the JVM
@@ -312,8 +372,21 @@ object Warc {
   /** Serialize one record with correct framing (Content-Length set
     * from `block`, terminating `\r\n\r\n`). `headers` keep their
     * given order; Content-Length is appended.
+    *
+    * Header values are attacker-influenced by definition in web data
+    * (a crawled URL IS the WARC-Target-URI value), so a CR/LF anywhere
+    * in a key or value would inject forged headers — or whole forged
+    * records — into the written shard and desync the Content-Length
+    * framing for every downstream consumer. Serialization therefore
+    * REJECTS control characters in headers loudly, the same
+    * fail-don't-resync posture the reader takes for malformed framing.
     */
   def record(headers: Seq[(String, String)], block: Array[Byte]): Array[Byte] = {
+    headers.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\r' || c == '\n') &&
+        !v.exists(c => c == '\r' || c == '\n'),
+        s"WARC header contains CR/LF (header injection): '$k: ${v.take(80)}'")
+    }
     val sb = new StringBuilder("WARC/1.0\r\n")
     headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
     sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
@@ -411,7 +484,12 @@ object Warc {
         try {
           var i = 0L
           rows.foreach { r =>
+            // CR/LF are not legal URL characters (RFC 3986 forbids
+            // controls), but crawled data carries them anyway — strip
+            // rather than let one hostile URL fail the whole shard
+            // ([[record]] still REJECTS any other CR/LF-bearing header)
             val url = Option(r.getString(0))
+              .map(_.filterNot(c => c == '\r' || c == '\n'))
             val ts = Option(r.getTimestamp(1))
             val body = Option(r.getString(2)).getOrElse("")
             val id = java.lang.Long.toHexString(

@@ -60,7 +60,13 @@ object StreamingCrawl {
       .select("doc_id", "url", "ts", "html")
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val kept = (if (fs.exists(idxPath))
+    // guard on a COMMITTED batch partition, not bare existence: an
+    // operator-pre-created (or crashed-first-batch) empty root would
+    // make the parquet read throw 'Unable to infer schema' and wedge
+    // the stream until manual cleanup
+    val hasIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    val kept = (if (hasIndex)
       graft.ext.Dedup.urlDedupAgainstIndex(pages,
         spark.read.parquet(indexRoot).where(col("__batch") < batchId))
     else graft.ext.Dedup.urlDedup(pages)).cache()

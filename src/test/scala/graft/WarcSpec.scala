@@ -151,6 +151,71 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("meta-charset prescan: WHATWG order — BOM > header > <meta> > UTF-8") {
+    def one(headers: String, body: Array[Byte]): Warc.Record =
+      Warc.parseBytes("t", Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://m.example.com/x",
+        "Content-Type" -> "application/http; msgtype=response"),
+        (s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n").getBytes("ISO-8859-1") ++ body)).head
+    // <meta charset=…> form, no transport charset: no U+FFFD damage
+    val iso = "<html><head><meta charset=\"ISO-8859-1\"></head>" +
+      "<body><p>Smörgåsbord</p></body></html>"
+    assert(one("Content-Type: text/html", iso.getBytes("ISO-8859-1")).html === Some(iso))
+    // http-equiv form, windows-1251 (Cyrillic single-byte)
+    val cyr = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1251\"></head>" +
+      "<body><p>Привет мир</p></body></html>"
+    assert(one("Content-Type: text/html", cyr.getBytes("windows-1251")).html === Some(cyr))
+    // the transport charset WINS over a (lying) meta declaration
+    val lying = "<meta charset=\"ISO-8859-1\"><p>Café</p>"
+    assert(one("Content-Type: text/html; charset=UTF-8",
+      lying.getBytes("UTF-8")).html === Some(lying))
+    // a BOM wins over everything, and is consumed, not emitted
+    assert(one("Content-Type: text/html; charset=ISO-8859-1",
+      Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "<p>Café</p>".getBytes("UTF-8"))
+      .html === Some("<p>Café</p>"))
+    assert(one("Content-Type: text/html",
+      "<p>Фаза</p>".getBytes("UTF-16")) // Java UTF-16 writes a BE BOM
+      .html === Some("<p>Фаза</p>"))
+    // the prescan window is the spec's 1024 bytes: a later meta is ignored
+    val late = (" " * 1100) + "<meta charset=\"ISO-8859-1\"><p>Café</p>"
+    val got = one("Content-Type: text/html", late.getBytes("ISO-8859-1")).html.get
+    assert(got.contains("Caf�"), "past-window meta must not apply (UTF-8 fallback)")
+  }
+
+  test("writer rejects CR/LF header injection; write() strips CR/LF from URLs") {
+    val e = intercept[IllegalArgumentException] {
+      Warc.record(Seq("WARC-Target-URI" ->
+        "https://x.example.com/\r\nWARC-Type: warcinfo"), Array.emptyByteArray)
+    }
+    assert(e.getMessage.contains("header injection"))
+    intercept[IllegalArgumentException] {
+      Warc.record(Seq("Injected\nKey" -> "v"), Array.emptyByteArray)
+    }
+    // the frame-level sink survives a hostile URL by stripping the CR/LF
+    val dir = SparkTestBase.tmpDir("graft_warc_inject") + "/out"
+    Warc.write(Seq(("https://w.example.com/a\r\nWARC-Type: forged", "<p>x</p>"))
+      .toDF("url", "html"), dir)
+    val back = Warc.responses(spark, dir).select($"url", $"html")
+      .as[(String, String)].collect().toSeq
+    assert(back === Seq(("https://w.example.com/aWARC-Type: forged", "<p>x</p>")),
+      "one record, CR/LF stripped — no forged second record")
+  }
+
+  test("record iterator closes its stream on malformed framing and on exhaustion") {
+    final class Sensing(b: Array[Byte]) extends java.io.ByteArrayInputStream(b) {
+      var closed = false
+      override def close(): Unit = { closed = true; super.close() }
+    }
+    val ok = new Sensing(all)
+    assert(Warc.records("t", ok).size === 4)
+    assert(ok.closed, "clean exhaustion closes")
+    val bad = new Sensing((winfo ++ r1).dropRight(6))
+    intercept[IllegalArgumentException] { Warc.records("t", bad).toList }
+    assert(bad.closed, "a require() tripping mid-advance must close the handle first")
+  }
+
   test("Warc.write: crawl-layout shards round-trip through the reader") {
     val dir = SparkTestBase.tmpDir("graft_warc_write") + "/out"
     val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-05-01T10:00:00Z"))

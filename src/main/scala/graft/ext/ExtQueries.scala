@@ -761,6 +761,245 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Shared constants of the MIXED-TYPE crawl fixture (q132/q133):
+    * the fixture writer serializes exactly these (url, warc_type,
+    * routing content-type, payload) tuples as WARC bytes, and the
+    * q132/q133 oracles interpolate the SAME tuples into their VALUES
+    * tables — so the Spark side must reproduce every one through real
+    * gzip file I/O, HTTP envelope split, and charset decode before
+    * the replayed chain even starts. Each record exists to exercise
+    * one stage of the full pipeline:
+    * a = the en keeper; a?utm = URL-dedup loser (same canonical key,
+    * higher md5 id — checked by construction); b = exact-dup loser
+    * (P1's text, case-shifted, normalizes equal); c = near-dup loser
+    * (one trailing token differs → 3-shingle Jaccard 24/26 ≥ 0.8);
+    * de/fr = mixture coin (de hex 8617 ≥ '8000' drops; fr rate 0
+    * drops); bad = encoding-gate drop (raw 0xFF byte → U+FFFD);
+    * notes.txt = text/plain routing (verbatim-normalized, never the
+    * HTML chain); logo.png = binary routing (NULL text, dropped);
+    * ads/casino = URL-filter drops (blocklist / banned word);
+    * bench.example.org = the benchmark definition; contam = shares a
+    * 5-gram with the benchmark → decontamination drop; the wet
+    * conversion record = WET routing (text/plain, no HTTP envelope).
+    */
+  private[ext] object CrawlFixture {
+    val HtmlCt = "text/html; charset=UTF-8"
+    val PlainCt = "text/plain; charset=UTF-8"
+    def page(lang: String, text: String): String =
+      s"""<html lang="$lang"><body><p>$text</p></body></html>"""
+
+    val P1Text = "the quick brown fox jumps over the lazy dog while the " +
+      "curious cat watches from the old wooden fence near the quiet " +
+      "garden gate every single morning"
+    val P2Text = "The " + P1Text.stripPrefix("the ") // exact dup modulo case
+    val P3Text = P1Text.stripSuffix("morning") + "evening" // near dup
+    val BenchText = "standardized benchmark question about the annual " +
+      "migration of arctic terns across hemispheres"
+    val ContamText = "students discussed the annual migration of arctic " +
+      "terns during class"
+    val DeText = "der schnelle Zug erreicht den Bahnhof immer kurz vor " +
+      "Sonnenaufgang und wartet dort geduldig"
+    val FrText = "le vieux phare garde la baie tranquille pendant que les " +
+      "bateaux rentrent lentement au port"
+    val DamagedText = "damaged � byte inside an otherwise ordinary sentence"
+    val NotesText = "plain text notes about seasonal rainfall patterns in " +
+      "coastal regions\n\nwith a second paragraph about measurement methods\n"
+    val WetText = "pre extracted conversion text about river navigation " +
+      "and harbor logistics"
+
+    /** (url, warc_type, routing ct, decoded payload), in file order. */
+    val Records: Seq[(String, String, String, String)] = Seq(
+      ("https://site.example.com/a", "response", HtmlCt, page("en", P1Text)),
+      ("https://site.example.com/a?utm_source=feed", "response", HtmlCt,
+        page("en", "duplicate fetch of the alpha page")),
+      ("https://site.example.com/b", "response", HtmlCt, page("en", P2Text)),
+      ("https://site.example.com/c", "response", HtmlCt, page("en", P3Text)),
+      ("https://site.example.com/de", "response", HtmlCt, page("de", DeText)),
+      ("https://site.example.com/fr", "response", HtmlCt, page("fr", FrText)),
+      ("https://site.example.com/contam", "response", HtmlCt, page("en", ContamText)),
+      ("https://site.example.com/bad", "response", "text/html", page("en", DamagedText)),
+      ("https://site.example.com/notes.txt", "response", PlainCt, NotesText),
+      ("https://site.example.com/logo.png", "response", "image/png", "�PNG"),
+      ("https://ads.example.net/promo", "response", HtmlCt,
+        page("en", "buy now and save big today")),
+      ("https://site.example.com/casino-bonus", "response", HtmlCt,
+        page("en", "spin to win a casino bonus")),
+      ("https://bench.example.org/eval1", "response", HtmlCt, page("en", BenchText)),
+      ("https://wet.example.com/w1", "conversion", "text/plain", WetText))
+
+    val BlockedHosts = Seq("ads.example.net")
+    val BannedWords = Seq("casino")
+    val BenchHostPrefix = "https://bench.example.org/"
+    val MixtureRates: Map[String, Double] =
+      Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.0)
+    val PackCapacity = 32
+    val NShards = 4
+  }
+
+  /** The mixed fixture on disk — per-record gzip members like a crawl
+    * shard ([[warcFixturePath]]'s discipline), plus a warcinfo and a
+    * request record the type filter must exclude. The `/bad` page's
+    * bytes carry a raw 0xFF (invalid UTF-8 → U+FFFD on decode, no
+    * transport/meta charset to save it); `/logo.png` carries PNG magic
+    * bytes (binary masquerading as a crawl payload).
+    */
+  private def warcMixedFixturePath(): String = {
+    import graft.io.Warc
+    def resp(url: String, ct: String, payload: String, id: Int): Array[Byte] = {
+      val body: Array[Byte] =
+        if (url.endsWith("/bad"))
+          payload.replace('�', 'ÿ').getBytes("ISO-8859-1")
+        else if (url.endsWith("/logo.png"))
+          Array[Byte](0x89.toByte, 'P', 'N', 'G')
+        else payload.getBytes("UTF-8")
+      Warc.record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Target-URI" -> url,
+        "WARC-Date" -> f"2025-01-01T00:00:$id%02dZ",
+        "WARC-Record-ID" -> s"<urn:uuid:$id>",
+        "Content-Type" -> "application/http; msgtype=response"),
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes("ISO-8859-1") ++ body)
+    }
+    val content = CrawlFixture.Records.zipWithIndex.map {
+      case ((url, "conversion", ct, payload), i) =>
+        Warc.record(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> f"2025-01-01T00:00:${i + 1}%02dZ",
+          "WARC-Record-ID" -> s"<urn:uuid:${i + 1}>",
+          "Content-Type" -> ct),
+          payload.getBytes("UTF-8"))
+      case ((url, _, ct, payload), i) => resp(url, ct, payload, i + 1)
+    }
+    val records = Seq(
+      Warc.record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Date" -> "2025-01-01T00:00:00Z",
+        "WARC-Record-ID" -> "<urn:uuid:0>",
+        "Content-Type" -> "application/warc-fields"),
+        "software: graft-mixed-fixture\r\n".getBytes("UTF-8"))) ++ content ++ Seq(
+      Warc.record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Target-URI" -> "https://site.example.com/a",
+        "WARC-Date" -> "2025-01-01T00:00:59Z",
+        "WARC-Record-ID" -> "<urn:uuid:99>",
+        "Content-Type" -> "application/http; msgtype=request"),
+        "GET /a HTTP/1.1\r\nHost: site.example.com\r\n\r\n".getBytes("UTF-8")))
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_warc_fixture_mixed")
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("fixture.warc.gz")
+    java.nio.file.Files.write(f,
+      records.map(Warc.gzipMember).reduce(_ ++ _))
+    f.toString
+  }
+
+  /** A DuckDB string literal: quotes doubled, newlines as chr(10)
+    * concatenation (raw newlines inside oracle SQL survive the JSON
+    * dump, but the chr(10) spelling keeps the literals one-line
+    * readable and matches the repo's other oracles).
+    */
+  private def sqlLit(s: String): String =
+    "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+  /** The mixed fixture's records as a VALUES relation — the q132/q133
+    * oracles' ground truth, interpolated from [[CrawlFixture.Records]]
+    * (the same constants the fixture writer serialized).
+    */
+  private def crawlValuesSql: String =
+    CrawlFixture.Records.map { case (u, t, c, p) =>
+      s"(${sqlLit(u)}, ${sqlLit(t)}, ${sqlLit(c)}, ${sqlLit(p)})"
+    }.mkString("SELECT * FROM (VALUES\n    ", ",\n    ",
+      ") AS t(url, rtype, ct, payload)")
+
+  /** Parse + route the mixed fixture: every content record (response
+    * or conversion — warcinfo/request excluded) with its ROUTING
+    * content type (the HTTP header's for responses, the record's own
+    * for conversions) and decoded payload. The shared front door of
+    * q132/q133.
+    */
+  private def mixedRecords(spark: SparkSession): DataFrame =
+    graft.io.Warc.read(spark, warcMixedFixturePath())
+      .where(col("warc_type").isin("response", "conversion"))
+      .select(col("url"), col("warc_type"),
+        when(col("warc_type") === "response", col("http_content_type"))
+          .otherwise(col("content_type")).as("ct"),
+        col("html").as("payload"))
+
+  /** Content-type routing over the mixed crawl fixture
+    * ([[Html.routedText]]): HTML payloads go through the extraction
+    * chain, `text/plain` (and WET conversion blocks) land
+    * verbatim-normalized — a plain-text document's literal `<tag>` /
+    * `&amp;` strings survive, which the HTML chain would eat — and
+    * binary payloads rout to NULL. Exact-oracled: the oracle's VALUES
+    * are the fixture's own constants and the routing CASE replays via
+    * [[Html.routedOracleSqlExpr]].
+    */
+  def q133(spark: SparkSession, dir: String): DataFrame =
+    mixedRecords(spark)
+      .select(col("url"), col("warc_type"), col("ct"),
+        Html.routedText(col("payload"), col("ct")).as("text"))
+      .orderBy("url", "warc_type")
+
+  /** THE FULL PIPELINE, crawl bytes → training-shard manifest, as one
+    * composed query: WARC parse → content-type routing (q133) → URL
+    * quality filter (q130) → URL dedup (q126) → encoding gate (q84) →
+    * normalize-dedup (q85) → MinHash near-dup removal (q12+q23) →
+    * decontamination against the benchmark HOST's pages (q30's
+    * operator, the eval set defined by provenance as a crawl pipeline
+    * would) → per-language mixture (q33) → sequence packing with the
+    * packed text itself (q47) → sharded-export manifest (q93). Every
+    * stage is an already-oracled operator; the oracle replays the
+    * whole composition as chained CTEs from the SAME fixture
+    * constants, so the manifest's XOR content checksums pin every
+    * byte of every surviving document and the bin structure they
+    * packed into.
+    *
+    * `lang` is the page's self-declared `<html lang>` ('en' default —
+    * plain-text/WET records carry no tag), doc ids are the
+    * cross-engine 60-bit md5 of (url, warc_type) ([[Export.md5Long60]]
+    * — the fixture-grain stand-in for the streaming faces' xxhash64;
+    * same determinism, SQL-replayable).
+    *
+    * Scale shape: this is the q131 front half (row-local projections
+    * + one 8-byte-key winner election) feeding the q88 back half
+    * (stages only shrink the corpus; the near-dup pair join is the
+    * documented LSH shape) feeding q47/q93 (one narrow window per
+    * language shard + one small-key-domain aggregate). No stage adds
+    * a shuffle its standalone operator doesn't already pay; payloads
+    * never ride a shuffle after extraction.
+    */
+  def q132(spark: SparkSession, dir: String): DataFrame = {
+    import CrawlFixture._
+    val routed = mixedRecords(spark)
+      .withColumn("text", Html.routedText(col("payload"), col("ct")))
+      .withColumn("lang",
+        when(Html.htmlLang(col("payload")) =!= "", Html.htmlLang(col("payload")))
+          .otherwise(lit("en")))
+      .withColumn("doc_id",
+        Export.md5Long60(concat_ws("|", col("url"), col("warc_type"))))
+      .where(col("text").isNotNull)
+      .select("doc_id", "url", "lang", "text")
+    val bench = routed.where(col("url").startsWith(BenchHostPrefix))
+    val filtered = routed.where(
+      TextOps.urlQualityKeep(col("url"), BlockedHosts, BannedWords))
+    val train0 = Dedup.urlDedup(filtered)
+      .where(!col("url").startsWith(BenchHostPrefix))
+      .select("doc_id", "url", "lang", "text")
+    val s1 = CurationChain.encodingGate(train0)
+    val s2 = CurationChain.normalizeDedup(s1)
+    val s3 = CurationChain.nearDupDedup(s2)
+    val s4 = TextOps.decontaminate(s3, bench,
+      shingleSize = CurationChain.DeconShingleSize)
+    val s5 = Sampling.mixtureSample(s4, MixtureRates, keyCol = "lang")
+    val packed = TextOps.packSequencesText(s5, capacity = PackCapacity,
+        shardCols = Seq("lang"))
+      .withColumn("pack_id", concat_ws(":", col("lang"), col("bin_id")))
+    Export.shardManifest(packed, nShards = NShards,
+        idCol = "pack_id", textCol = "packed_text")
+      .orderBy("shard")
+  }
+
   /** Per-domain link stats over URL-enriched documents. */
   def q37(spark: SparkSession, dir: String): DataFrame =
     TextOps.domainStats(
@@ -1631,6 +1870,8 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_content_routing" -> (q133 _),
+    "q132_crawl_full_chain" -> (q132 _),
     "q131_crawl_front_half" -> (q131 _),
     "q130_url_quality" -> (q130 _),
     "q129_html_main_text" -> (q129 _),
@@ -3203,6 +3444,176 @@ object ExtQueries {
     // q131 — the composed crawl front half: q130's keep, q126's
     // canonical cut, q127's extraction, then token/line counts —
     // chained CTEs from the same building blocks
+    // q133 — content routing replayed: the VALUES are the fixture's
+    // own (url, type, ct, payload) constants; the Spark side must
+    // reproduce them through real WARC file I/O before the routing
+    // CASE (Html.routedOracleSqlExpr — the same dispatch + chains)
+    // replays over them.
+    "q133_content_routing" ->
+      s"""WITH recs AS ($crawlValuesSql)
+         |SELECT url, rtype AS warc_type, ct,
+         |  ${graft.ext.Html.routedOracleSqlExpr("payload", "ct")} AS text
+         |FROM recs ORDER BY url, rtype""".stripMargin,
+    // q132 — the WHOLE pipeline replayed as one chained-CTE program
+    // over the fixture constants: routing, lang default, md5-60 doc
+    // ids, URL quality filter, canonical-key dedup (q126's steps),
+    // encoding gate, normalize-dedup, 3-shingle Jaccard near-dup with
+    // the recursive component walk, 5-gram decontamination against
+    // the benchmark host, mixture thresholds, first-fit packing, and
+    // the manifest's md5 shard/checksum arithmetic — every constant
+    // shared with the Spark side.
+    "q132_crawl_full_chain" ->
+      s"""WITH RECURSIVE recs AS ($crawlValuesSql),
+         |routed AS (
+         |  SELECT url,
+         |    ${graft.ext.Html.routedOracleSqlExpr("payload", "ct")} AS text,
+         |    CASE WHEN lower(regexp_extract(payload, '${graft.ext.Html.LangPattern}', 1)) <> ''
+         |         THEN lower(regexp_extract(payload, '${graft.ext.Html.LangPattern}', 1))
+         |         ELSE 'en' END AS lang,
+         |    ('0x' || substr(md5(url || '|' || rtype), 1, 15))::BIGINT AS doc_id
+         |  FROM recs),
+         |live AS (SELECT * FROM routed WHERE text IS NOT NULL),
+         |bench AS (SELECT * FROM live WHERE url LIKE 'https://bench.example.org/%'),
+         |hq AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)),
+         |      '^www\\.', '') AS host,
+         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) AS nb
+         |  FROM live),
+         |flt AS (
+         |  SELECT live.* FROM live JOIN hq USING (doc_id)
+         |  WHERE NOT (hq.host = 'ads.example.net' OR hq.host LIKE '%.ads.example.net')
+         |    AND hq.nb = 0 AND length(live.url) <= 2048),
+         |p AS (
+         |  SELECT doc_id, lang, text, url,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?&]*)&', '\\1?') AS pu
+         |  FROM flt),
+         |s AS (
+         |  SELECT doc_id, lang, text, url,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, lang, text, url, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, lang, text, url,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, lang, text, url, clean_base,
+         |          COALESCE(array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
+         |        FROM b)),
+         |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
+         |train0 AS (
+         |  SELECT k.doc_id, k.lang, k.text FROM k
+         |  JOIN win ON k.doc_id = win.doc_id AND k.url_key = win.url_key
+         |  WHERE k.url NOT LIKE 'https://bench.example.org/%'),
+         |gated AS (
+         |  SELECT * FROM train0
+         |  WHERE len(text) - len(regexp_replace(text, '�', '', 'g')) = 0
+         |    AND len(text) - len(regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) = 0
+         |    AND len(text) - len(regexp_replace(text, '[ÃÂ€]', '', 'g')) = 0),
+         |normed AS MATERIALIZED (
+         |  SELECT * FROM gated
+         |  WHERE doc_id IN (
+         |    SELECT min(doc_id) FROM gated
+         |    GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))),
+         |w AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |  FROM normed),
+         |sh AS MATERIALIZED (SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS s
+         |  FROM w t1 JOIN w t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
+         |            JOIN w t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
+         |sz AS MATERIALIZED (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS MATERIALIZED (
+         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jpairs AS MATERIALIZED (
+         |  SELECT a_id, b_id
+         |  FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+         |edges AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM jpairs
+         |  UNION SELECT b_id, a_id FROM jpairs),
+         |walk(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w2.s, e.d FROM walk w2 JOIN edges e ON w2.d = e.s),
+         |comp AS MATERIALIZED (SELECT s AS member, least(s, min(d)) AS component FROM walk GROUP BY s),
+         |dd AS MATERIALIZED (
+         |  SELECT * FROM normed
+         |  WHERE doc_id NOT IN (SELECT member FROM comp WHERE member <> component)),
+         |wb AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |  FROM bench),
+         |bsh AS MATERIALIZED (SELECT DISTINCT
+         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+         |  FROM wb t1 JOIN wb t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+         |             JOIN wb t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+         |             JOIN wb t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+         |             JOIN wb t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+         |wtr AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |         unnest(generate_series(1, len(string_split(text,' ')))) AS pos
+         |  FROM dd),
+         |tsh AS MATERIALIZED (SELECT DISTINCT t1.doc_id,
+         |    t1.tok||' '||t2.tok||' '||t3.tok||' '||t4.tok||' '||t5.tok AS s
+         |  FROM wtr t1 JOIN wtr t2 ON t2.doc_id=t1.doc_id AND t2.pos=t1.pos+1
+         |              JOIN wtr t3 ON t3.doc_id=t1.doc_id AND t3.pos=t1.pos+2
+         |              JOIN wtr t4 ON t4.doc_id=t1.doc_id AND t4.pos=t1.pos+3
+         |              JOIN wtr t5 ON t5.doc_id=t1.doc_id AND t5.pos=t1.pos+4),
+         |contaminated AS MATERIALIZED (
+         |  SELECT DISTINCT t.doc_id FROM tsh t JOIN bsh b2 ON t.s = b2.s),
+         |clean AS MATERIALIZED (
+         |  SELECT * FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |mix AS MATERIALIZED (
+         |  SELECT * FROM clean
+         |  WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) <
+         |    CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '8000'
+         |              ELSE '0000' END),
+         |sized AS (
+         |  SELECT lang, doc_id, text, len(string_split(text, ' ')) AS n,
+         |    SUM(len(string_split(text, ' ')))
+         |      OVER (PARTITION BY lang ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM mix),
+         |bins AS (
+         |  SELECT lang, CAST(FLOOR((cum - n) / 32.0) AS BIGINT) AS bin_id, doc_id, text
+         |  FROM sized),
+         |packed AS (
+         |  SELECT lang || ':' || CAST(bin_id AS VARCHAR) AS pack_id,
+         |    string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+         |  FROM bins GROUP BY lang, bin_id),
+         |man AS (
+         |  SELECT
+         |    (('0x' || substr(md5(pack_id || 'graft'), 1, 15))::BIGINT) % 4 AS shard,
+         |    CAST(len(string_split(packed_text, ' ')) AS BIGINT) AS ntok,
+         |    CAST(strlen(packed_text) AS BIGINT) AS nbytes,
+         |    ('0x' || substr(md5(pack_id || ':' || packed_text), 1, 15))::BIGINT AS h
+         |  FROM packed)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
+         |  bit_xor(h) AS checksum
+         |FROM man GROUP BY shard ORDER BY shard""".stripMargin,
     "q131_crawl_front_half" ->
       s"""WITH u AS (
          |  SELECT doc_id, $sourceUrlSql AS url, $sourceHtmlSql AS html

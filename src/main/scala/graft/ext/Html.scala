@@ -85,12 +85,80 @@ object Html {
     * space, spaces around breaks absorb, blank lines collapse, edges
     * trim.
     */
-  private def normalizeWs(c: Column): Column = {
-    val oneSpace = regexp_replace(c, "[ \\t\\r]+", " ")
-    val tightLines = regexp_replace(oneSpace, " *\\n *", "\n")
-    val oneBreak = regexp_replace(tightLines, "\\n+", "\n")
-    regexp_replace(regexp_replace(oneBreak, "^[ \\n]+", ""), "[ \\n]+$", "")
+  private def normalizeWs(c: Column): Column =
+    WsSteps.foldLeft(c) { case (col, (pat, rep)) => regexp_replace(col, pat, rep) }
+
+  /** The normalizeWs replace chain, IN ORDER — one source of truth for
+    * the Spark expression and the DuckDB oracle replay.
+    */
+  val WsSteps: Seq[(String, String)] = Seq(
+    "[ \\t\\r]+" -> " ",
+    " *\\n *" -> "\n",
+    "\\n+" -> "\n",
+    "^[ \\n]+" -> "",
+    "[ \\n]+$" -> "")
+
+  /** Verbatim-normalized plain text: the whitespace tail ALONE — no
+    * tag stripping, no entity decode. This is what a `text/plain`
+    * payload (or a WET `conversion` record, already extracted) must
+    * get: a plain-text document legitimately contains literal `<`,
+    * `>`, and `&amp;`-shaped strings, and running the HTML chain over
+    * it would EAT real content.
+    */
+  def plainText(text: Column): Column = normalizeWs(text)
+
+  /** Content-type routing for a crawl payload column — the dispatch a
+    * real chain needs the moment its input is WARC records rather
+    * than a curated HTML table:
+    *
+    *  - HTML-ish (`text/html…`, `application/xhtml…`) → [[htmlToText]];
+    *  - absent/empty content type → [[htmlToText]] too (headerless
+    *    crawl responses are overwhelmingly HTML, and the HTML chain
+    *    degrades gracefully on plain text that carries no markup);
+    *  - any other `text/…` (plain, csv, markdown, WET conversion
+    *    blocks) → [[plainText]] verbatim-normalization;
+    *  - anything else (binary types: images, pdf, octet-stream) →
+    *    NULL, for the caller's filter to drop — bytes that are not
+    *    text must never masquerade as it.
+    *
+    * Row-local CASE over two codegen regex chains — still a pure
+    * projection riding the ingest scan, and LIKE-dispatched so the
+    * DuckDB oracle replays it verbatim ([[routedOracleSqlExpr]]).
+    */
+  def routedText(payload: Column, contentType: Column): Column = {
+    val ct = lower(coalesce(contentType, lit("")))
+    when(ct.like("text/html%") || ct.like("application/xhtml%") || ct === "",
+      htmlToText(payload))
+      .when(ct.like("text/%"), plainText(payload))
+      .otherwise(lit(null).cast("string"))
   }
+
+  /** The content types [[routedText]] yields text for — as a bare
+    * predicate, so a pipeline can DROP non-text records before paying
+    * any dedup/extraction work on them (the streaming ingest sink's
+    * shape: binary payloads never even enter the URL index).
+    */
+  def textishContentType(contentType: Column): Column = {
+    val ct = lower(coalesce(contentType, lit("")))
+    ct === "" || ct.like("text/%") || ct.like("application/xhtml%")
+  }
+
+  /** [[routedText]] as a DuckDB SQL expression over payload/ct exprs. */
+  def routedOracleSqlExpr(payloadExpr: String, ctExpr: String): String = {
+    val ct = s"lower(COALESCE($ctExpr, ''))"
+    s"(CASE WHEN $ct LIKE 'text/html%' OR $ct LIKE 'application/xhtml%' " +
+      s"OR $ct = '' THEN ${oracleSqlExpr(payloadExpr)} " +
+      s"WHEN $ct LIKE 'text/%' THEN ${plainOracleSqlExpr(payloadExpr)} " +
+      s"ELSE NULL END)"
+  }
+
+  /** [[plainText]] as a DuckDB SQL expression over `expr`. */
+  def plainOracleSqlExpr(expr: String): String =
+    WsSteps.foldLeft(expr) { case (sql, (pat, rep)) =>
+      val p = pat.replace("'", "''")
+      val r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+      s"regexp_replace($sql, '$p', '$r', 'g')"
+    }
 
   /** `<title>` text (entity-decoded, whitespace-normalized; "" when
     * absent — regexp_extract's no-match value in both engines).
@@ -252,12 +320,7 @@ object Html {
       ScriptPattern -> "",
       StylePattern -> "",
       BlockTagPattern -> "\n",
-      AnyTagPattern -> "") ++ Entities.map { case (e, r) => (e, r) } ++ Seq(
-      "[ \\t\\r]+" -> " ",
-      " *\\n *" -> "\n",
-      "\\n+" -> "\n",
-      "^[ \\n]+" -> "",
-      "[ \\n]+$" -> "")
+      AnyTagPattern -> "") ++ Entities.map { case (e, r) => (e, r) } ++ WsSteps
     steps.foldLeft(expr) { case (sql, (pat, rep)) =>
       val p = pat.replace("'", "''")
       val r = rep.replace("'", "''").replace("\n", "' || chr(10) || '")

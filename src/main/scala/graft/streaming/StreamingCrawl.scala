@@ -20,44 +20,71 @@ import org.apache.spark.sql.functions._
   * Per micro-batch, in the family's shared replay contract
   * (strictly-earlier index probe, per-batch partition overwrites —
   * redelivery is idempotent):
-  *  1. parse every shard's `response` records
+  *  1. parse every shard's `response` AND `conversion` (WET) records
   *     ([[graft.io.Warc.parseBytes]] — per-record gzip, HTTP
   *     envelopes, charset);
-  *  2. row-local URL quality cut
-  *     ([[graft.ext.TextOps.urlQualityKeep]]);
+  *  2. drop non-text content types
+  *     ([[graft.ext.Html.textishContentType]] on the HTTP header's
+  *     type for responses, the record's own for conversions — binary
+  *     payloads never enter the index) and apply the row-local URL
+  *     quality cut ([[graft.ext.TextOps.urlQualityKeep]]);
   *  3. within-batch keep-first per canonical URL key, then drop
   *     survivors whose key the retained history holds
   *     ([[graft.ext.Dedup.urlDedupAgainstIndex]]); `doc_id` is the
   *     64-bit hash of (url, html) — deterministic under replay;
-  *  4. extract text ([[graft.ext.Html.htmlToText]]) for the KEPT
-  *     pages only (twins never pay the regex chain) and land
+  *  4. extract text for the KEPT pages only (twins never pay the
+  *     regex chain), routed by content type
+  *     ([[graft.ext.Html.routedText]] — HTML through the extraction
+  *     chain, plain-text/WET blocks verbatim-normalized) and land
   *     (doc_id, url, ts, url_key, text) under `outRoot/__batch=<id>`;
   *  5. roll the key index forward with the kept rows
-  *     ([[graft.ext.Dedup.urlKeyIndex]] layout —
-  *     [[StreamingDedup.compactIndex]] applies).
+  *     ([[graft.ext.Dedup.urlKeyIndex]] layout).
+  *
+  * The probe re-reads the accreted `indexRoot` parquet each batch, so
+  * run [[StreamingDedup.compactIndex]] on the index root at the same
+  * cadence as the other index-backed sinks (every few hundred batches
+  * single-host; whenever `__batch=` partition count ≈ executor count
+  * on a cluster) to keep the per-batch read a few coalesced files.
   *
   * Downstream content stages consume `outRoot` (or chain this into
   * [[StreamingDedup.curationChainSink]]'s input).
   */
 object StreamingCrawl {
 
-  def crawlIngestSink(indexRoot: String, outRoot: String,
-                      blockedHosts: Seq[String] = Nil,
-                      bannedWords: Seq[String] = Nil,
-                      maxUrlLen: Int = 2048)
-                     (batch: DataFrame, batchId: Long): Unit = {
+  /** The shared ingest core: parse → route → filter → URL-dedup →
+    * extract, handing the EXTRACTED frame (doc_id, url, ts, url_key,
+    * lang, text) to `use` — which lands whatever it lands — and only
+    * THEN rolling the URL-key index forward (a crash before the
+    * downstream landing must not mark the batch's URLs as seen, or
+    * the redelivery would drop them as twins of themselves). `lang`
+    * is the page's self-declared `<html lang>` ('en' default) — the
+    * mixture key the content chain needs.
+    */
+  private def withIngested(indexRoot: String, blockedHosts: Seq[String],
+                           bannedWords: Seq[String], maxUrlLen: Int)
+                          (batch: DataFrame, batchId: Long)
+                          (use: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val pages = batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => graft.io.Warc.parseBytes(p, bytes) }
       .toDF()
-      .where(col("warc_type") === "response" &&
+      .where(col("warc_type").isin("response", "conversion") &&
         col("url").isNotNull && col("url") =!= "")
+      // the routing key: the HTTP header's type for responses, the
+      // record's own for WET conversion blocks
+      .withColumn("__ct",
+        when(col("warc_type") === "response", col("http_content_type"))
+          .otherwise(col("content_type")))
+      // binary payloads (images, pdf, octet-stream) are not curatable
+      // text: drop BEFORE dedup so they never enter the URL index or
+      // pay any downstream work
+      .where(graft.ext.Html.textishContentType(col("__ct")))
       .where(graft.ext.TextOps.urlQualityKeep(col("url"),
         blockedHosts, bannedWords, maxUrlLen))
       .withColumn("doc_id", xxhash64(col("url"), col("html")))
-      .select("doc_id", "url", "ts", "html")
+      .select("doc_id", "url", "ts", "html", "__ct")
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // guard on a COMMITTED batch partition, not bare existence: an
@@ -71,11 +98,49 @@ object StreamingCrawl {
         spark.read.parquet(indexRoot).where(col("__batch") < batchId))
     else graft.ext.Dedup.urlDedup(pages)).cache()
     try {
-      kept.select(col("doc_id"), col("url"), col("ts"), col("url_key"),
-          graft.ext.Html.htmlToText(col("html")).as("text"))
-        .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+      val lang = graft.ext.Html.htmlLang(col("html"))
+      use(kept.select(col("doc_id"), col("url"), col("ts"), col("url_key"),
+        when(lang =!= "", lang).otherwise(lit("en")).as("lang"),
+        graft.ext.Html.routedText(col("html"), col("__ct")).as("text")))
       graft.ext.Dedup.urlKeyIndex(kept)
         .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
     } finally kept.unpersist()
   }
+
+  def crawlIngestSink(indexRoot: String, outRoot: String,
+                      blockedHosts: Seq[String] = Nil,
+                      bannedWords: Seq[String] = Nil,
+                      maxUrlLen: Int = 2048)
+                     (batch: DataFrame, batchId: Long): Unit =
+    withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen)(batch, batchId) {
+      extracted =>
+        extracted.drop("lang") // the standalone sink's landed schema
+          .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+    }
+
+  /** THE FULL PIPELINE's streaming face (q132's batch composition):
+    * one foreachBatch running crawl ingest (above) and then feeding
+    * the extracted survivors straight into the incremental content
+    * chain ([[StreamingDedup.curationChainSink]] — gate →
+    * exact-dedup-vs-history → near-dup-vs-history → decontaminate →
+    * mixture), landing curated documents under `outRoot/__batch=<id>`
+    * and rolling all THREE persisted indexes forward (URL keys, text
+    * digests, MinHash signatures). WARC bytes in, training-ready
+    * curated text out, continuously, with every cross-batch decision
+    * made against persisted state — never a corpus rescan. (Packing/
+    * export stay export-time steps over the accumulated corpus, as in
+    * the batch chain.)
+    */
+  def crawlToCurationSink(urlIndexRoot: String, normIndexRoot: String,
+                          minHashIndexRoot: String, outRoot: String,
+                          benchmarkSource: DataFrame,
+                          blockedHosts: Seq[String] = Nil,
+                          bannedWords: Seq[String] = Nil,
+                          maxUrlLen: Int = 2048)
+                         (batch: DataFrame, batchId: Long): Unit =
+    withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen)(batch, batchId) {
+      extracted =>
+        StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
+          outRoot, benchmarkSource)(extracted, batchId)
+    }
 }

@@ -2416,6 +2416,36 @@ class ExtSpec extends AnyFunSuite {
     assert(out._3 === Seq.empty, "no double-quoted hrefs on this page")
   }
 
+  test("routedText: content-type dispatch — HTML chain, plain verbatim-normalized, binary NULL") {
+    import graft.ext.Html
+    val rows = Seq(
+      (1L, "text/html; charset=UTF-8", "<p>Html &amp; body</p>"),
+      (2L, "application/xhtml+xml", "<p>xhtml page</p>"),
+      (3L, null.asInstanceOf[String], "<p>headerless page</p>"), // null ct -> HTML path
+      // plain text: literal markup/entities are CONTENT — only the
+      // whitespace tail may touch them
+      (4L, "text/plain", "keep <tag> &amp; entity.\r\n\r\n   second   line\t"),
+      (5L, "text/markdown", "# heading <b>"),
+      (6L, "image/png", "PNG"),
+      (7L, "application/pdf", "%PDF-1.4"))
+      .toDF("id", "ct", "payload")
+    val got = rows.select($"id", Html.routedText($"payload", $"ct").as("t"))
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      1L -> Some("Html & body"),
+      2L -> Some("xhtml page"),
+      3L -> Some("headerless page"),
+      4L -> Some("keep <tag> &amp; entity.\nsecond line"),
+      5L -> Some("# heading <b>"),
+      6L -> None,
+      7L -> None))
+    // the predicate form agrees with the NULL contract exactly
+    val keep = rows.select($"id", Html.textishContentType($"ct").as("k"))
+      .as[(Long, Boolean)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(keep === got.map(_._2.isDefined),
+      "textishContentType must be routedText's non-NULL domain")
+  }
+
   test("htmlToText is total on malformed markup; htmlLinks/htmlTitle on crafted pages") {
     import graft.ext.Html
     // unclosed/attribute-broken tags, a stray < with no >, no title

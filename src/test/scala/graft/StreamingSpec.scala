@@ -543,6 +543,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(out().size === 2, "replay of a delivered batch changed the output")
   }
 
+  test("streaming crawl ingest routes by content type: WET/plain verbatim, binary never lands") {
+    import graft.io.Warc
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_crawl_route")
+    def member(warcType: String, url: String, ct: String, block: Array[Byte]) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> warcType, "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z", "Content-Type" -> ct), block))
+    val shard =
+      member("response", "https://r.example.com/page",
+        "application/http; msgtype=response",
+        Warc.httpResponseBlock(200, "text/html", "<p>Html &amp; body</p>")) ++
+      member("response", "https://r.example.com/notes.txt",
+        "application/http; msgtype=response",
+        Warc.httpResponseBlock(200, "text/plain",
+          "literal <tag> &amp; entities stay\n\n\nsecond line")) ++
+      member("response", "https://r.example.com/logo.png",
+        "application/http; msgtype=response",
+        "HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n".getBytes("ISO-8859-1") ++
+          Array[Byte](0x89.toByte, 'P', 'N', 'G')) ++
+      member("conversion", "https://r.example.com/wet", "text/plain",
+        "already extracted text".getBytes("UTF-8"))
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out") _
+    sink(Seq(("shard0.warc.gz", shard)).toDF("path", "content"), 0L)
+    val out = spark.read.parquet(s"$work/out").select("url", "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("https://r.example.com/notes.txt",
+        "literal <tag> &amp; entities stay\nsecond line"),
+      ("https://r.example.com/page", "Html & body"),
+      ("https://r.example.com/wet", "already extracted text")),
+      "HTML through the chain, text/plain+WET verbatim-normalized, binary dropped")
+    assert(spark.read.parquet(s"$work/idx").count() === 3,
+      "the binary record must never enter the URL index")
+  }
+
+  test("composed crawl->curation stream: WARC bytes to curated text vs all three histories, replay-idempotent") {
+    import graft.io.Warc
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_crawl_chain")
+    def shard(pages: (String, String)*): Array[Byte] =
+      pages.map { case (url, html) => Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", s"<p>$html</p>"))) }.reduce(_ ++ _)
+    def batchDf(shards: Array[Byte]*) = shards.zipWithIndex
+      .map { case (b, i) => (s"shard$i.warc.gz", b) }.toDF("path", "content")
+    // 30-token texts so a one-token edit is a near-dup (J ≈ 0.84)
+    def base(p: String) = (1 to 30).map(i => s"$p$i").mkString(" ")
+    val (tA, tB, tC) = (base("a"), base("b"), base("c"))
+    val bench = Seq((20L, "benchmark five gram pattern here now")).toDF("doc_id", "text")
+    val sink = StreamingCrawl.crawlToCurationSink(
+      s"$work/uidx", s"$work/didx", s"$work/midx", s"$work/out", bench) _
+    sink(batchDf(shard(
+      "https://c.example.com/a" -> tA,
+      "https://c.example.com/b" -> tB)), 0L)
+    // batch 1: exact twin of tA (case shift) at a NEW url -> digest-index
+    // drop; near-dup of tA -> MinHash-index drop; a page sharing a
+    // benchmark 5-gram -> decontamination drop; one genuinely new page
+    val b1 = batchDf(shard(
+      "https://c.example.com/a2" -> tA.toUpperCase,
+      "https://c.example.com/a3" -> tA.replace("a15", "zz"),
+      "https://c.example.com/contam" -> ("students repeat the benchmark five gram pattern here now " + tC),
+      // base("e"), not base("d"): this page's xxhash64 doc_id must stay
+      // OUT of the %20==0 benchmark slice (checked; "d" lands mod 0)
+      "https://c.example.com/fresh" -> base("e")))
+    sink(b1, 1L)
+    def outUrls() = spark.read.parquet(s"$work/out")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(outUrls() === Seq(
+      "https://c.example.com/a", "https://c.example.com/b",
+      "https://c.example.com/fresh"),
+      "cross-batch exact/near dups and the contaminated page must fall; fresh pages land")
+    // all three indexes rolled forward
+    assert(spark.read.parquet(s"$work/uidx").count() >= 3)
+    assert(spark.read.parquet(s"$work/didx").count() === 3)
+    assert(spark.read.parquet(s"$work/midx").select("doc_id").distinct().count() === 3)
+    // replay (failure recovery): identical output, no double landings
+    sink(b1, 1L)
+    assert(outUrls() === Seq(
+      "https://c.example.com/a", "https://c.example.com/b",
+      "https://c.example.com/fresh"),
+      "replay of a delivered batch changed the curated output")
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

@@ -100,6 +100,31 @@ object CcNet {
     Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
   }
 
+  /** [[curate]] routed by a TRAINED language model instead of the
+    * marker profiles — the CCNet-as-published shape (its lang-id is a
+    * trained fastText classifier, not a marker list): predictions come
+    * from a persisted [[LangModel]] parquet (train once on labeled
+    * text, score every batch forever), and everything downstream —
+    * per-language LM surprisal, banding, band sampling — is [[curate]]
+    * verbatim. Docs the model cannot place (no features, NULL text)
+    * drop, the same posture as a page matching no marker profile
+    * scoring 0 everywhere.
+    */
+  def curateWithModel(docs: DataFrame, langModel: DataFrame,
+                      bandRates: Map[String, Double] = DefaultBandRates,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      ns: Seq[Int] = LangModel.DefaultNs,
+                      numBuckets: Int = LangModel.DefaultBuckets): DataFrame = {
+    val pred = LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
+        textCol = textCol, ns = ns, numBuckets = numBuckets)
+      .where(col("lang_pred").isNotNull)
+      .select(col(idCol), col("lang_pred").as("lang_cand"))
+    val lid = docs.join(pred, Seq(idCol))
+    val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
+    val banded = surprisalBands(scored, "lang_cand")
+    Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
+  }
+
   /** The view each fn step reads/writes — [[CurationChain.CurationView]]'s
     * convention for this pipeline.
     */

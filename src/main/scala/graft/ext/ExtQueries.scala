@@ -1326,6 +1326,40 @@ object ExtQueries {
       sharedQualityModel(spark, dir))
       .orderBy("doc_id")
 
+  /** The PERSISTED language-ID model ([[LangModel]]), trained once per
+    * (session, corpus) on the held split with the corpus's own `lang`
+    * facet as the label (the self-supervised fit a curation pipeline
+    * bootstraps from its already-routed slice) and landed as parquet —
+    * train-once/route-forever, the fastText-lid operational shape.
+    */
+  private val langModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedLangModel(spark: SparkSession, dir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    val path = langModelMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "lang_model", dir)
+      LangModel.langTrain(docs(spark, dir).where(col("doc_id") % 10 =!= 0))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    spark.read.parquet(path)
+  }
+
+  /** Trained-language-ID probe: the ingest slice (doc_id % 10 == 0)
+    * routed by the PRE-TRAINED persisted char-n-gram NB model — q87's
+    * operational split for language identification, replacing the
+    * fixed marker profiles (q10) with a model fit from labeled text.
+    * libm-bound (ln in priors/likelihoods) → golden-pinned, no SQL
+    * oracle; ExtSpec pins hand-computed likelihoods, separability,
+    * parquet-round-trip bit-identity, and the digest.
+    */
+  def q134(spark: SparkSession, dir: String): DataFrame =
+    LangModel.langScoreAgainst(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedLangModel(spark, dir))
+      .orderBy("doc_id")
+
   /** The FULL curation chain composed end-to-end (encoding gate →
     * normalize-dedup → MinHash near-dup removal → decontamination →
     * mixture sample → sequence packing; [[CurationChain]]): every
@@ -1870,6 +1904,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_lang_id_trained" -> (q134 _),
     "q133_content_routing" -> (q133 _),
     "q132_crawl_full_chain" -> (q132 _),
     "q131_crawl_front_half" -> (q131 _),

@@ -1888,6 +1888,104 @@ class ExtSpec extends AnyFunSuite {
       "q87 output drifted")
   }
 
+  test("LangModel: hand-computed NB likelihoods on a two-language fixture") {
+    import graft.ext.LangModel
+    // single-feature languages: 'aa' emits only the 2-gram "aa", 'bb'
+    // only "bb" (texts are exactly 2 chars, so no 3-grams exist); with
+    // B=64 the two feature buckets must differ for the hand computation
+    // to hold — asserted below via the model rows themselves
+    val b = 64
+    val train = Seq((1L, "aa", "xx"), (2L, "bb", "yy")).toDF("doc_id", "text", "lang")
+    val model = LangModel.langTrain(train, ns = Seq(2, 3), numBuckets = b)
+    val rows = model.collect()
+    assert(rows.count(_.isNullAt(1)) === 2, "one prior row per language")
+    val featBuckets = rows.filter(!_.isNullAt(1)).map(r => r.getLong(1)).toSeq
+    assert(featBuckets.distinct.size === 2, "fixture features must not collide")
+    // score "aa": m=1 occurrence of the 'xx' feature, zero of 'yy'
+    val got = LangModel.langScoreAgainst(
+        Seq((10L, "aa")).toDF("doc_id", "text"), model,
+        alpha = 0.5, ns = Seq(2, 3), numBuckets = b)
+      .select("lang_pred", "logprob", "margin")
+      .as[(String, Double, Double)].head()
+    import java.lang.StrictMath.log
+    val aB = 0.5 * b
+    val prior = log(1.0) - log(2.0) // one doc each
+    val lpXx = prior + 1.0 * (log(1 + 0.5) - log(1 + aB))
+    val lpYy = prior + 1.0 * (log(0 + 0.5) - log(1 + aB))
+    assert(got._1 === "xx")
+    assert(got._2 === lpXx, "exact StrictMath likelihood, bit for bit")
+    assert(got._3 === lpXx - lpYy, "margin = winner minus runner-up")
+    // a doc with no features predicts NULL, never a guess
+    val empty = LangModel.langScoreAgainst(
+        Seq((11L, "")).toDF("doc_id", "text"), model, numBuckets = b)
+      .select("lang_pred").collect().head
+    assert(empty.isNullAt(0))
+  }
+
+  test("LangModel: crafted-language separability + parquet round-trip bit-identity") {
+    import graft.ext.LangModel
+    // two synthetic languages with disjoint character inventories —
+    // the n-gram distributions must separate held-out variants
+    def sent(words: Seq[String], k: Int) =
+      (0 until 8).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val train = ((1 to 5).map(i => (i.toLong, sent(aw, i), "aa")) ++
+      (6 to 10).map(i => (i.toLong, sent(bw, i), "bb"))).toDF("doc_id", "text", "lang")
+    val model = LangModel.langTrain(train)
+    val probe = Seq(
+      (101L, "meri kala vesi tulo"), (102L, "sinu vesi meri meri"),
+      (103L, "gryx zorb quzz phex"), (104L, "wyrd wyrd phex gryx"))
+      .toDF("doc_id", "text")
+    val preds = LangModel.langScoreAgainst(probe, model)
+      .select("doc_id", "lang_pred", "margin")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(preds.map(p => p._1 -> p._2) ===
+      Seq(101L -> "aa", 102L -> "aa", 103L -> "bb", 104L -> "bb"))
+    assert(preds.forall(_._3 > 0), "disjoint inventories must separate with margin")
+    // persisted round-trip: exact integer counts -> bit-identical scores
+    val dir = SparkTestBase.tmpDir("graft_lang_model") + "/m"
+    model.write.parquet(dir)
+    val direct = LangModel.langScoreAgainst(probe, model)
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    val persisted = LangModel.langScoreAgainst(probe, spark.read.parquet(dir))
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(direct === persisted, "parquet round-trip must not move a bit")
+  }
+
+  test("CcNet.curateWithModel: trained router lands the marker pipeline's exact output") {
+    import graft.ext.{CcNet, LangModel}
+    def sent(words: Seq[String], k: Int, n: Int) =
+      (0 until n).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val corpus = ((1 to 12).map(i => (i.toLong, sent(aw, i, 10), "aa")) ++
+      (13 to 24).map(i => (i.toLong, sent(bw, i, 10), "bb")))
+      .toDF("doc_id", "text", "lang")
+    val model = LangModel.langTrain(corpus)
+    // marker profiles that route this corpus identically to the model:
+    // downstream (surprisal/bands/sampling) is shared code, so equal
+    // routing must mean EQUAL pipeline output
+    val profiles = Seq("aa" -> aw, "bb" -> bw)
+    val viaMarkers = CcNet.curate(corpus.drop("lang"), profiles)
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val viaModel = CcNet.curateWithModel(corpus.drop("lang"), model)
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(viaModel === viaMarkers,
+      "same routing -> the two CcNet faces must land the same curated set")
+  }
+
+  test("golden digest: q134 trained lang-ID probe is bit-stable at sf0.001") {
+    def dump(df: org.apache.spark.sql.DataFrame): String =
+      df.as[(Long, String, Option[Double], Option[Double])].collect()
+        .map { case (d, l, p, m) => s"$d,$l,${p.getOrElse("")},${m.getOrElse("")}" }
+        .mkString("\n")
+    val digest = md5(dump(ExtQueries.q134(spark, sf)))
+    assert(digest === "47606d1cb3a4f3dd32588b93bd97e834", s"q134 output drifted (got $digest)")
+  }
+
   test("curation chain: every stage drops its planted target, survivors pack") {
     import graft.ext.CurationChain
     // one planted victim per stage, disjoint vocabularies so stages

@@ -719,6 +719,20 @@ object ExtQueries {
         Html.htmlMainText(col("html")).as("main_text"))
       .orderBy("doc_id")
 
+  /** Block-context main-content extraction ([[Html.htmlMainTextBlocks]]):
+    * q129's line rule plus jusText's context-sensitive second pass — a
+    * line failing the density rule survives when both neighbors pass
+    * it (content-internal citations/links), while edge boilerplate
+    * still falls. Exact-oracled: the rescue is a list-lambda replay
+    * over the same strip/link/good snippets as q129's oracle (ExtSpec
+    * carries the differential fixture where the two rules disagree).
+    */
+  def q135(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), sourceHtml.as("html"))
+      .select(col("doc_id"),
+        Html.htmlMainTextBlocks(col("html")).as("main_text"))
+      .orderBy("doc_id")
+
   /** URL filtering stage ([[TextOps.urlQualityReport]]): RefinedWeb's
     * blocklist + word-score cut over the synthetic source URLs —
     * src3's host is blocklisted (exact + subdomain suffix), 'frag'
@@ -1904,6 +1918,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_html_main_blocks" -> (q135 _),
     "q134_lang_id_trained" -> (q134 _),
     "q133_content_routing" -> (q133 _),
     "q132_crawl_full_chain" -> (q132 _),
@@ -3747,6 +3762,30 @@ object ExtQueries {
          |SELECT doc_id,
          |  ${graft.ext.Html.mainTextOracleSqlExpr("html")} AS main_text
          |FROM h ORDER BY doc_id""".stripMargin,
+    // q135 — the block-context rescue replayed: the same marked-text /
+    // strip / link / good snippets as q129's oracle, with the
+    // neighbor check as an indexed list lambda (1-based here, 0-based
+    // in Spark's filter — the guards map i>1/i<len to i>0/i<n-1)
+    "q135_html_main_blocks" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $sourceHtmlSql AS html FROM documents),
+         |t AS (
+         |  SELECT doc_id, ${graft.ext.Html.markedTextOracleSqlExpr("html")} AS text
+         |  FROM h),
+         |l AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM t),
+         |gc AS (
+         |  SELECT doc_id, lines,
+         |    list_transform(lines, x -> ${graft.ext.Html.goodOracleSqlExpr("x", 25, 0.5)}) AS g
+         |  FROM l)
+         |SELECT doc_id, array_to_string(
+         |  list_filter(
+         |    list_transform(range(1, len(lines) + 1), i ->
+         |      CASE WHEN g[i] OR (i > 1 AND i < len(lines) AND g[i-1] AND g[i+1])
+         |           THEN ${graft.ext.Html.stripOracleSqlExpr("lines[i]")} END),
+         |    y -> y IS NOT NULL),
+         |  chr(10)) AS main_text
+         |FROM gc ORDER BY doc_id""".stripMargin,
     // q128 — the WARC fixture's expected rows, hand-computed from the
     // fixture HTML through the same extraction/canonicalization rules
     // (epochs from the fixture's WARC-Date headers). VALUES-only is

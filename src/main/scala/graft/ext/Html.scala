@@ -253,22 +253,61 @@ object Html {
     */
   def htmlMainText(html: Column, minLineChars: Int = 25,
                    maxLinkDensity: Double = 0.5): Column = {
+    val lines = markedLines(html)
+    val kept = filter(lines, l => lineGood(l, minLineChars, maxLinkDensity))
+    array_join(transform(kept, stripSentinels(_)), "\n")
+  }
+
+  /** Anchor-marked extraction lines — the shared front of both density
+    * rules.
+    */
+  private def markedLines(html: Column): Column = {
     val marked = regexp_replace(
       regexp_replace(html, AnchorOpenPattern, SentinelOpen),
       AnchorClosePattern, SentinelClose)
-    val lines = split(htmlToText(marked), "\n")
-    val stripSentinels = (l: Column) =>
-      regexp_replace(l, s"[$SentinelOpen$SentinelClose]", "")
-    val linkChars = (l: Column) =>
-      aggregate(
-        regexp_extract_all(l,
-          lit(s"$SentinelOpen([^$SentinelOpen$SentinelClose]*)$SentinelClose"),
-          lit(1)),
-        lit(0), (acc, x) => acc + length(x))
-    val kept = filter(lines, l =>
-      length(stripSentinels(l)) >= minLineChars &&
-        linkChars(l) <= lit(maxLinkDensity) * length(stripSentinels(l)))
-    array_join(transform(kept, stripSentinels), "\n")
+    split(htmlToText(marked), "\n")
+  }
+
+  private def stripSentinels(l: Column): Column =
+    regexp_replace(l, s"[$SentinelOpen$SentinelClose]", "")
+
+  private def linkChars(l: Column): Column =
+    aggregate(
+      regexp_extract_all(l,
+        lit(s"$SentinelOpen([^$SentinelOpen$SentinelClose]*)$SentinelClose"),
+        lit(1)),
+      lit(0), (acc, x) => acc + length(x))
+
+  /** The context-free line verdict both rules share. */
+  private def lineGood(l: Column, minLineChars: Int,
+                       maxLinkDensity: Double): Column =
+    length(stripSentinels(l)) >= minLineChars &&
+      linkChars(l) <= lit(maxLinkDensity) * length(stripSentinels(l))
+
+  /** [[htmlMainText]] with jusText's BLOCK-CONTEXT second pass: a line
+    * failing the context-free rule is RESCUED when both its immediate
+    * neighbors pass it — a short or link-dense line strictly INSIDE a
+    * content block (an inline citation, a "see also" link mid-prose)
+    * is content, while the same line in a nav bar or footer sits among
+    * other failing lines and still falls. Exactly jusText's
+    * context-sensitive classification collapsed to the line grain the
+    * repo's downstream operators key on: neighbors-of-good become
+    * good, everything else keeps its context-free verdict. Still a
+    * pure column expression (the indexed `filter` HOF), still
+    * row-local, still DuckDB-replayable (the q135 oracle replays it
+    * with list lambdas over the same constants).
+    */
+  def htmlMainTextBlocks(html: Column, minLineChars: Int = 25,
+                         maxLinkDensity: Double = 0.5): Column = {
+    val lines = markedLines(html)
+    val g = transform(lines, l => lineGood(l, minLineChars, maxLinkDensity))
+    val n = size(lines)
+    // filter's index is 0-based; element_at is 1-based — i+1 is "this
+    // line", i / i+2 its neighbors, both in range by the guards
+    val kept = filter(lines, (_, i) =>
+      element_at(g, i + 1) ||
+        (i > 0 && i < n - 1 && element_at(g, i) && element_at(g, i + 2)))
+    array_join(transform(kept, stripSentinels(_)), "\n")
   }
 
   /** [[htmlMainText]] as a DuckDB SQL expression over `expr` — the
@@ -278,23 +317,36 @@ object Html {
     * Control-char sentinels ride chr() concatenation — they cannot
     * appear literally in SQL text.
     */
+  private val SoSql = "chr(1)"
+  private val ScSql = "chr(2)"
+
+  /** Anchor-marked extraction text as a DuckDB expression — the
+    * shared front of both density-rule oracles.
+    */
+  private[ext] def markedTextOracleSqlExpr(expr: String): String =
+    oracleSqlExpr(
+      s"regexp_replace(regexp_replace($expr, '(?is)<a\\b[^>]*>', $SoSql, 'g'), " +
+        s"'(?is)</a\\s*>', $ScSql, 'g')")
+
+  private[ext] def stripOracleSqlExpr(l: String): String =
+    s"regexp_replace($l, '[' || $SoSql || $ScSql || ']', '', 'g')"
+
+  private[ext] def linkOracleSqlExpr(l: String): String =
+    s"COALESCE(list_sum(list_transform(regexp_extract_all($l, " +
+      s"$SoSql || '([^' || $SoSql || $ScSql || ']*)' || $ScSql, 1), y -> length(y))), 0)"
+
+  /** The context-free line verdict as a DuckDB expression over `l`. */
+  private[ext] def goodOracleSqlExpr(l: String, minLineChars: Int,
+                                     maxLinkDensity: Double): String =
+    s"(length(${stripOracleSqlExpr(l)}) >= $minLineChars AND " +
+      s"${linkOracleSqlExpr(l)} <= $maxLinkDensity * length(${stripOracleSqlExpr(l)}))"
+
   def mainTextOracleSqlExpr(expr: String, minLineChars: Int = 25,
                             maxLinkDensity: Double = 0.5): String = {
-    val so = "chr(1)"
-    val sc = "chr(2)"
-    val marked =
-      s"regexp_replace(regexp_replace($expr, '(?is)<a\\b[^>]*>', $so, 'g'), " +
-        s"'(?is)</a\\s*>', $sc, 'g')"
-    val text = oracleSqlExpr(marked)
-    val strip = (l: String) =>
-      s"regexp_replace($l, '[' || $so || $sc || ']', '', 'g')"
-    val link = (l: String) =>
-      s"COALESCE(list_sum(list_transform(regexp_extract_all($l, " +
-        s"$so || '([^' || $so || $sc || ']*)' || $sc, 1), y -> length(y))), 0)"
+    val text = markedTextOracleSqlExpr(expr)
     s"array_to_string(list_transform(list_filter(string_split($text, chr(10)), " +
-      s"x -> length(${strip("x")}) >= $minLineChars AND " +
-      s"${link("x")} <= $maxLinkDensity * length(${strip("x")})), " +
-      s"x -> ${strip("x")}), chr(10))"
+      s"x -> ${goodOracleSqlExpr("x", minLineChars, maxLinkDensity)}), " +
+      s"x -> ${stripOracleSqlExpr("x")}), chr(10))"
   }
 
   /** [[htmlTitle]] as a DuckDB SQL expression over `expr` — extract,

@@ -2661,6 +2661,45 @@ class ExtSpec extends AnyFunSuite {
     assert(empty === "")
   }
 
+  test("htmlMainTextBlocks: block context rescues content-internal lines the line rule drops") {
+    import graft.ext.Html
+    // THE differential fixture: a short link-dense citation strictly
+    // between two prose lines — jusText's motivating case. The line
+    // rule drops it; the block rule must keep it. The nav list at the
+    // top and the footer link at the bottom fail in BOTH rules (their
+    // neighbors fail too — no rescue at a block edge).
+    val page = "<ul><li><a href=\"n1\">Home</a></li>" +
+      "<li><a href=\"n2\">Products</a></li></ul>" +
+      "<p>The first long paragraph of genuine article prose text here.</p>" +
+      "<p><a href=\"cite\">[source]</a></p>" +
+      "<p>The second long paragraph continues the same article body.</p>" +
+      "<div><a href=\"f\">Imprint</a></div>"
+    val df = Seq((1L, page)).toDF("doc_id", "html")
+    val line = df.select(Html.htmlMainText($"html").as("t")).as[String].head()
+    val block = df.select(Html.htmlMainTextBlocks($"html").as("t")).as[String].head()
+    assert(line === "The first long paragraph of genuine article prose text here.\n" +
+      "The second long paragraph continues the same article body.",
+      "the line rule drops the citation — that is its documented failure")
+    assert(block === "The first long paragraph of genuine article prose text here.\n" +
+      "[source]\n" +
+      "The second long paragraph continues the same article body.",
+      "the block rule rescues the sandwiched citation; edge boilerplate still falls")
+    // a failing line at the very edge of the document can't be rescued
+    // (no neighbor on one side), and a failing line next to another
+    // failing line can't either (nav lists never bleed through)
+    val navPage = "<p><a href=\"a\">A</a></p><p><a href=\"b\">B</a></p>" +
+      "<p>One long prose paragraph that passes the density rule fine.</p>"
+    val navBlock = Seq((1L, navPage)).toDF("doc_id", "html")
+      .select(Html.htmlMainTextBlocks($"html").as("t")).as[String].head()
+    assert(navBlock === "One long prose paragraph that passes the density rule fine.",
+      "two adjacent failing lines rescue nothing")
+    // pages where the two rules agree must agree exactly (no-link prose)
+    val plain = "<p>Just one sufficiently long paragraph of plain prose.</p>"
+    val pdf = Seq((1L, plain)).toDF("doc_id", "html")
+    assert(pdf.select(Html.htmlMainTextBlocks($"html").as("t")).as[String].head() ===
+      pdf.select(Html.htmlMainText($"html").as("t")).as[String].head())
+  }
+
   test("urlKeyIndex probe: cross-set keys drop, fresh keys pass; round-trip; roll-forward") {
     val corpus = Seq(
       (1L, "https://a.example.com/page/1?utm_source=c&v=1"),

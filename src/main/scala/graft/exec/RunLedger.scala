@@ -220,7 +220,7 @@ object RunLedger {
   /** Run `write` on the observed frame and return the rows it landed —
     * the count rides the write's own pass (no second scan).
     */
-  private[exec] def countDuring(df: DataFrame)(write: DataFrame => Unit): Long = {
+  private[graft] def countDuring(df: DataFrame)(write: DataFrame => Unit): Long = {
     val obs = org.apache.spark.sql.Observation()
     write(df.observe(obs, count(lit(1)).as("rows_out")))
     obs.get("rows_out").asInstanceOf[Long]

@@ -102,8 +102,8 @@ object StreamingCrawl {
       use(kept.select(col("doc_id"), col("url"), col("ts"), col("url_key"),
         when(lang =!= "", lang).otherwise(lit("en")).as("lang"),
         graft.ext.Html.routedText(col("html"), col("__ct")).as("text")))
-      graft.ext.Dedup.urlKeyIndex(kept)
-        .write.mode("overwrite").parquet(s"$indexRoot/__batch=$batchId")
+      StreamingDedup.landBatchChecked(graft.ext.Dedup.urlKeyIndex(kept),
+        s"$indexRoot/__batch=$batchId")
     } finally kept.unpersist()
   }
 
@@ -114,8 +114,9 @@ object StreamingCrawl {
                      (batch: DataFrame, batchId: Long): Unit =
     withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen)(batch, batchId) {
       extracted =>
-        extracted.drop("lang") // the standalone sink's landed schema
-          .write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+        StreamingDedup.landBatchChecked(
+          extracted.drop("lang"), // the standalone sink's landed schema
+          s"$outRoot/__batch=$batchId")
     }
 
   /** THE FULL PIPELINE's streaming face (q132's batch composition):

@@ -526,17 +526,54 @@ object StreamingDedup {
       val kept = CurationChain.runIncremental(batch, dig, mh, benchmarkSource)
       kept.cache()
       try {
-        kept.write.mode("overwrite").parquet(s"$outRoot/__batch=$batchId")
+        landBatchChecked(kept, s"$outRoot/__batch=$batchId")
         // rollForward's two halves as partition appends: digests can't
         // repeat across batches (a repeat falls at the exact stage), and
         // the MinHash probe tolerates accreted rows like every sink here
-        Dedup.exactIndex(
-            kept.withColumn("__norm", TextOps.normalizeText(col("text"))), "__norm")
-          .write.mode("overwrite").parquet(s"$normIndexRoot/__batch=$batchId")
-        Dedup.minHashIndex(kept, shingleSize = CurationChain.ShingleSize)
-          .write.mode("overwrite").parquet(s"$minHashIndexRoot/__batch=$batchId")
+        landBatchChecked(Dedup.exactIndex(
+            kept.withColumn("__norm", TextOps.normalizeText(col("text"))), "__norm"),
+          s"$normIndexRoot/__batch=$batchId")
+        landBatchChecked(Dedup.minHashIndex(kept, shingleSize = CurationChain.ShingleSize),
+          s"$minHashIndexRoot/__batch=$batchId")
       } finally kept.unpersist()
     } finally batch.unpersist()
+  }
+
+  /** Land one `__batch=<id>` partition with a post-commit loss check —
+    * the roll-forward family's CONCURRENT-WRITER contract made loud.
+    *
+    * The contract (all `__batch=` sinks in this family): ONE live
+    * writer per index/output root. Redelivery of a batch overwrites
+    * its own directory (that's the replay idempotence), and two
+    * strictly-sequential writers racing the same batch id resolve
+    * last-writer-wins at directory grain — the overwrite replaces the
+    * whole partition, so the state stays internally consistent either
+    * way. What CANNOT be repaired is two writers INTERLEAVING inside
+    * one directory: Spark's overwrite is delete-then-commit, so a torn
+    * pair can land a mix of both jobs' files. This helper detects that
+    * tear by re-counting the directory right after the commit against
+    * the row count observed DURING the write (no second scan of the
+    * data) and fails loudly — detection, not repair; re-run quiesced.
+    * The check is itself check-then-act (a clean overwrite AFTER it
+    * still wins), which is exactly the stated last-writer-wins grain.
+    */
+  private[graft] def landBatchChecked(df: DataFrame, dir: String): Unit = {
+    val staged = graft.exec.RunLedger.countDuring(df)(
+      _.write.mode("overwrite").parquet(dir))
+    verifyBatchLanding(df.sparkSession, dir, staged)
+  }
+
+  /** The loss check alone — split out so recovery tooling (and the
+    * spec) can re-verify a landing after the fact.
+    */
+  private[graft] def verifyBatchLanding(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, staged: Long): Unit = {
+    val landed = spark.read.parquet(dir).count()
+    if (landed != staged)
+      throw new IllegalStateException(
+        s"batch landing at $dir holds $landed rows where $staged were staged — " +
+          "a concurrent writer tore this batch directory (the roll-forward " +
+          "contract is single-writer per root); re-run the stream quiesced")
   }
 
   /** Maintenance op for any roll-forward `__batch=<id>` index the sinks

@@ -629,6 +629,28 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a delivered batch changed the curated output")
   }
 
+  test("__batch= roll-forward concurrent-writer contract: last-writer-wins sequentially, torn landings fail loudly") {
+    import graft.streaming.StreamingDedup
+    val work = SparkTestBase.tmpDir("graft_batch_landing")
+    val dir = s"$work/idx/__batch=0"
+    // sequential same-batch writers: the overwrite replaces the WHOLE
+    // partition — last writer wins at directory grain, state consistent
+    StreamingDedup.landBatchChecked(Seq(1L, 2L, 3L).toDF("k"), dir)
+    StreamingDedup.landBatchChecked(Seq(7L, 8L).toDF("k"), dir)
+    assert(spark.read.parquet(dir).as[Long].collect().sorted.toSeq === Seq(7L, 8L),
+      "a clean second overwrite stands in full — the stated last-writer-wins grain")
+    // a TORN landing (another writer's delete interleaved inside ours)
+    // is what the post-commit count detects: clobber a committed part
+    // file and re-verify — must fail loudly naming the directory
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    assert(part.delete())
+    val e = intercept[IllegalStateException] {
+      StreamingDedup.verifyBatchLanding(spark, dir, 2L)
+    }
+    assert(e.getMessage.contains("concurrent writer") && e.getMessage.contains(dir))
+  }
+
   test("index-backed streaming LINE dedup rejects its reserved accounting columns") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_stream_line_guard")

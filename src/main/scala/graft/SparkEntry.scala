@@ -91,6 +91,9 @@ object SparkEntry {
     "q134_lang_id_trained" -> ("libm-bound (ln in NB priors/likelihoods): ExtSpec "
       + "hand-computed StrictMath likelihood fixture + crafted-language separability "
       + "+ persisted-vs-direct bit-equality + golden digest"),
+    "q136_ccnet_trained" -> ("libm-bound twice (NB likelihoods route into LM "
+      + "surprisal): ExtSpec marker-vs-model CcNet face equality + abstention-cut "
+      + "spec + golden digest"),
     "q89_video_near_dup" -> ("GIF encode/decode + per-frame dHash DuckDB can't spell "
       + "(non-SQL like q82): MultimodalSpec planted twin-clip specs across the "
       + "GIF/MP4/GRFT frame paths + the pinned sf0.001 pair set"),

@@ -109,15 +109,24 @@ object CcNet {
     * verbatim. Docs the model cannot place (no features, NULL text)
     * drop, the same posture as a page matching no marker profile
     * scoring 0 everywhere.
+    *
+    * `minMargin` is the abstention cut (fastText-lid's confidence
+    * threshold reframed on the log-likelihood gap): docs whose
+    * winner-vs-runner-up margin is below it are UNDECIDED and drop —
+    * better no label than a coin-flip label routing a document into
+    * the wrong language's LM. 0.0 (default) keeps every decided doc;
+    * single-language models carry a NULL margin and always pass.
     */
   def curateWithModel(docs: DataFrame, langModel: DataFrame,
                       bandRates: Map[String, Double] = DefaultBandRates,
                       idCol: String = "doc_id", textCol: String = "text",
                       ns: Seq[Int] = LangModel.DefaultNs,
-                      numBuckets: Int = LangModel.DefaultBuckets): DataFrame = {
+                      numBuckets: Int = LangModel.DefaultBuckets,
+                      minMargin: Double = 0.0): DataFrame = {
     val pred = LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
         textCol = textCol, ns = ns, numBuckets = numBuckets)
-      .where(col("lang_pred").isNotNull)
+      .where(col("lang_pred").isNotNull &&
+        (col("margin").isNull || col("margin") >= minMargin))
       .select(col(idCol), col("lang_pred").as("lang_cand"))
     val lid = docs.join(pred, Seq(idCol))
     val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)

@@ -1374,6 +1374,21 @@ object ExtQueries {
       sharedLangModel(spark, dir))
       .orderBy("doc_id")
 
+  /** The CCNet pipeline routed by the TRAINED persisted lang model
+    * ([[CcNet.curateWithModel]] over q134's model) — the
+    * published shape end to end: model-predicted language →
+    * per-language LM surprisal → head/middle/tail bands → band
+    * sampling. libm-bound twice over (NB likelihoods + LM surprisal)
+    * → golden-pinned; ExtSpec pins marker-vs-model face equality on
+    * crafted corpora and the abstention cut.
+    */
+  def q136(spark: SparkSession, dir: String): DataFrame =
+    CcNet.curateWithModel(
+      docs(spark, dir).drop("lang"),
+      sharedLangModel(spark, dir))
+      .select("doc_id", "lang_cand", "band")
+      .orderBy("doc_id")
+
   /** The FULL curation chain composed end-to-end (encoding gate →
     * normalize-dedup → MinHash near-dup removal → decontamination →
     * mixture sample → sequence packing; [[CurationChain]]): every
@@ -1918,6 +1933,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_ccnet_trained" -> (q136 _),
     "q135_html_main_blocks" -> (q135 _),
     "q134_lang_id_trained" -> (q134 _),
     "q133_content_routing" -> (q133 _),

@@ -145,13 +145,24 @@ object Warc {
         if (line == null) { close(); return }
         require(line.startsWith("WARC/"),
           s"$path: expected a WARC version line, got '${line.take(40)}'")
-        // headers to the empty line; first colon splits, keys fold case
+        // headers to the empty line; first colon splits, keys fold case;
+        // a line starting with SP/HT is a FOLDED continuation of the
+        // previous header's value (warc-1.1 §4 inherits RFC 5322
+        // folding — long URI values in real crawls do fold), joined
+        // with one space
         val headers = scala.collection.mutable.Map.empty[String, String]
+        var lastKey: String = null
         var h = readLine(in)
         while (h != null && h.nonEmpty) {
-          val i = h.indexOf(':')
-          if (i > 0) headers(h.substring(0, i).trim.toLowerCase) =
-            h.substring(i + 1).trim
+          if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && lastKey != null) {
+            headers(lastKey) = headers(lastKey) + " " + h.trim
+          } else {
+            val i = h.indexOf(':')
+            if (i > 0) {
+              lastKey = h.substring(0, i).trim.toLowerCase
+              headers(lastKey) = h.substring(i + 1).trim
+            } else lastKey = null // junk line: a fold after it has no home
+          }
           h = readLine(in)
         }
         require(h != null, s"$path: EOF inside a WARC header block")

@@ -1977,6 +1977,47 @@ class ExtSpec extends AnyFunSuite {
       "same routing -> the two CcNet faces must land the same curated set")
   }
 
+  test("curateWithModel abstention: sub-margin docs drop as UNDECIDED, confident docs route") {
+    import graft.ext.{CcNet, LangModel}
+    def sent(words: Seq[String], k: Int, n: Int) =
+      (0 until n).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val corpus = ((1 to 12).map(i => (i.toLong, sent(aw, i, 10))) ++
+      (13 to 24).map(i => (i.toLong, sent(bw, i, 10))))
+      .toDF("doc_id", "text")
+    val model = LangModel.langTrain(
+      ((1 to 12).map(i => (i.toLong, sent(aw, i, 10), "aa")) ++
+        (13 to 24).map(i => (i.toLong, sent(bw, i, 10), "bb")))
+        .toDF("doc_id", "text", "lang"))
+    // a 50/50 mixed doc has a near-zero margin; pure docs are confident
+    val probe = corpus.unionByName(
+      Seq((99L, sent(aw, 0, 5) + " " + sent(bw, 0, 5))).toDF("doc_id", "text"))
+    val margins = LangModel.langScoreAgainst(probe, model)
+      .select("doc_id", "margin").as[(Long, Double)].collect().toMap
+    val cut = margins(99L) + 1e-6 // just above the mixed doc's margin
+    assert(corpus.select("doc_id").as[Long].collect()
+      .forall(id => margins(id) > cut), "pure docs must clear the cut")
+    // keep-all band rates so only the abstention cut can drop a doc
+    val all = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)
+    val kept = CcNet.curateWithModel(probe, model, bandRates = all, minMargin = cut)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(99L), "the undecided doc must abstain, not coin-flip")
+    assert(kept.size === 24, "confident docs all route")
+    val keptNoCut = CcNet.curateWithModel(probe, model, bandRates = all)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptNoCut.contains(99L) && keptNoCut.size === 25,
+      "margin 0.0 keeps every decided doc")
+  }
+
+  test("golden digest: q136 trained-CcNet pipeline is bit-stable at sf0.001") {
+    def dump(df: org.apache.spark.sql.DataFrame): String =
+      df.as[(Long, String, String)].collect()
+        .map { case (d, l, b) => s"$d,$l,$b" }.mkString("\n")
+    val digest = md5(dump(ExtQueries.q136(spark, sf)))
+    assert(digest === "f594d7a89605e1a97bfe99d02cfa64c1", s"q136 output drifted (got $digest)")
+  }
+
   test("golden digest: q134 trained lang-ID probe is bit-stable at sf0.001") {
     def dump(df: org.apache.spark.sql.DataFrame): String =
       df.as[(Long, String, Option[Double], Option[Double])].collect()

@@ -151,6 +151,27 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("folded WARC header values (RFC 5322 continuation lines) rejoin with one space") {
+    // a long Target-URI folded across two lines — real crawls do this
+    val folded = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x.example.com/very/long\r\n" +
+      "\t/folded/path\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 44\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "\r\n\r\n").getBytes("ISO-8859-1")
+    val r = Warc.parseBytes("t", folded).head
+    assert(r.url === Some("https://x.example.com/very/long /folded/path"))
+    assert(r.http_status === Some(200), "framing survives the fold (Content-Length honored)")
+    // a fold with no preceding header has no home and is skipped, not fatal
+    val orphan = ("WARC/1.0\r\n" +
+      " orphan fold line\r\n" +
+      "WARC-Type: warcinfo\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes("ISO-8859-1")
+    assert(Warc.parseBytes("t", orphan).head.warc_type === "warcinfo")
+  }
+
   test("meta-charset prescan: WHATWG order — BOM > header > <meta> > UTF-8") {
     def one(headers: String, body: Array[Byte]): Warc.Record =
       Warc.parseBytes("t", Warc.record(Seq(

@@ -82,6 +82,39 @@ object Export {
         sum(col("__nbytes")).as("n_bytes"),
         expr("bit_xor(__h)").as("checksum"))
 
+  /** Deterministic SEEDED GLOBAL SHUFFLE for training order: every row
+    * gets a `shard` and a dense within-shard position `seq`, both pure
+    * functions of (seed, id) — the reshuffle-between-epochs /
+    * reproduce-a-run primitive a training dataloader needs from the
+    * corpus side. One 60-bit seeded hash ([[md5Long60]]) drives both:
+    * `shard = ord % nShards` (uniform, so shards stay balanced) and
+    * the within-shard order is `ord` ascending (uniformly random;
+    * ties broken by id for a total order). Reading shard files in
+    * `seq` order IS the global shuffle — no coordination at load
+    * time, and a different `seed` is a fresh epoch-level permutation.
+    *
+    * Scale shape: NO global sort (the naive `orderBy(rand())` is a
+    * full range-partitioned TeraSort) — one hash exchange on `shard`
+    * plus an in-partition sort under the window; each shard lands in
+    * one task, so pick `nShards` for target shard sizes exactly as
+    * with [[exportShards]]. Null ids RAISE ([[shardOf]]'s total-
+    * function rule). Exact-oracled: md5 + modulo + row_number replay
+    * verbatim in DuckDB (q139).
+    */
+  def trainingOrder(docs: DataFrame, nShards: Int, seed: String = "graft",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, "trainingOrder: nShards must be positive")
+    val ord = when(col(idCol).isNull, raise_error(lit(
+      "Export: null id — training order must be a total function of the row")))
+      .otherwise(md5Long60(concat(lit(seed + ":"), col(idCol).cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    docs.withColumn("__ord", ord)
+      .withColumn("shard", (col("__ord") % nShards).cast("long"))
+      .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      .drop("__ord")
+  }
+
   /** Physical export: land `docs` under `outDir` as
     * `shard=<k>/part-*.parquet` with EXACTLY one data file per shard
     * (each shard is co-located into one task by the repartition on the

@@ -1389,6 +1389,101 @@ object ExtQueries {
       .select("doc_id", "lang_cand", "band")
       .orderBy("doc_id")
 
+  /** Synthetic OUTLINK page per document — the link-graph fixture
+    * ([[sourceUrl]]'s lockstep Scala/SQL pattern). Each page carries:
+    * a cross-host link whose target varies NON-uniformly
+    * (`src{(doc_id²)%20}` — quadratic residues mod 20, so in-degrees
+    * range from 0 to 4 linking hosts and four hosts link to
+    * themselves, exercising the self-edge drop), a hub link with
+    * case/www/port noise the host fold must collapse (duplicated for
+    * doc_id%4==0 — n_links vs n_pages diverge), an explicit self
+    * link, a relative href, and a mailto: (the last three must all
+    * drop out of the graph).
+    */
+  private def sourceLinkHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><body><p>Doc "), col("doc_id").cast("string"), lit("</p>"),
+      lit("<a href=\"https://src"),
+      ((col("doc_id") * col("doc_id")) % 20).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
+      lit("\">t</a>"),
+      lit("<a href=\"HTTP://www.Hub"), (col("doc_id") % 3).cast("string"),
+      lit(".Example.net:8080/x?q=1\">h</a>"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("<a href=\"HTTP://www.Hub"),
+          (col("doc_id") % 3).cast("string"),
+          lit(".Example.net:8080/x?q=1\">h2</a>"))).otherwise(lit("")),
+      lit("<a href=\"https://"), col("source"), lit(".example.com/self\">s</a>"),
+      lit("<a href=\"/about\">rel</a><a href=\"mailto:ops@example.org\">m</a>"),
+      lit("</body></html>"))
+
+  private val sourceLinkHtmlSql: String =
+    """'<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p>' ||
+      |'<a href="https://src' || CAST((doc_id * doc_id) % 20 AS VARCHAR) ||
+      |'.example.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '">t</a>' ||
+      |'<a href="HTTP://www.Hub' || CAST(doc_id % 3 AS VARCHAR) ||
+      |'.Example.net:8080/x?q=1">h</a>' ||
+      |(CASE WHEN doc_id % 4 = 0
+      |      THEN '<a href="HTTP://www.Hub' || CAST(doc_id % 3 AS VARCHAR) ||
+      |           '.Example.net:8080/x?q=1">h2</a>' ELSE '' END) ||
+      |'<a href="https://' || source || '.example.com/self">s</a>' ||
+      |'<a href="/about">rel</a><a href="mailto:ops@example.org">m</a>' ||
+      |'</body></html>'""".stripMargin.replace("\n", " ")
+
+  /** The synthetic link pages as a (doc_id, url, html) frame — the
+    * shared input of the q137/q138/q140 graph family.
+    */
+  private def linkPages(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), sourceUrl.as("url"),
+      sourceLinkHtml.as("html"))
+
+  /** Host-level link-graph edges ([[LinkGraph.hostEdges]]): the crawl
+    * corpus reduced to its endorsement structure — Common Crawl's
+    * host "webgraph" artifact. Exact-oracled: href extraction, host
+    * folding, self/host-less drops, and the pair aggregation all
+    * replay verbatim in DuckDB.
+    */
+  def q137(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.hostEdges(linkPages(spark, dir))
+      .orderBy("src_host", "dst_host")
+
+  /** Host centrality ([[LinkGraph.hostRank]]): 3-iteration PageRank
+    * over the q137 graph — the link-based quality prior. Exact-oracled
+    * bit-for-bit: the per-node contribution sums run as sorted
+    * sequential folds in BOTH engines (see [[LinkGraph]]'s
+    * determinism note), and every constant is interpolated in its
+    * round-trip double form, so the oracle replays the identical
+    * IEEE op sequence as 3 chained CTEs.
+    */
+  def q138(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.hostRank(LinkGraph.hostEdges(linkPages(spark, dir)),
+      iterations = 3)
+      .orderBy("host")
+
+  /** Seeded deterministic training order ([[Export.trainingOrder]]):
+    * the epoch-shuffle primitive — shard + dense within-shard
+    * position, both pure functions of (seed, doc_id), no global sort.
+    * Exact-oracled: md5 hex-fold, modulo, and the per-shard
+    * row_number replay verbatim in DuckDB.
+    */
+  def q139(spark: SparkSession, dir: String): DataFrame =
+    Export.trainingOrder(
+      docs(spark, dir).select(col("doc_id")), nShards = 6, seed = "epoch0")
+      .orderBy("doc_id")
+
+  /** The link-graph QUALITY PRIOR applied as a page cut
+    * ([[LinkGraph.hostPriorKeep]]): keep pages whose host at least 2
+    * distinct other hosts link to — what no content heuristic can
+    * see. Composes q137's edges into a broadcast filter on the page
+    * frame (the corpus side never shuffles; plan-pinned).
+    */
+  def q140(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.hostPriorKeep(
+      linkPages(spark, dir).select(col("doc_id"), col("url")),
+      LinkGraph.hostEdges(linkPages(spark, dir)), minInHosts = 2)
+      .select(col("doc_id"), col("host"), col("in_hosts"))
+      .orderBy("doc_id")
+
   /** The FULL curation chain composed end-to-end (encoding gate →
     * normalize-dedup → MinHash near-dup removal → decontamination →
     * mixture sample → sequence packing; [[CurationChain]]): every
@@ -1933,6 +2028,10 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_host_prior" -> (q140 _),
+    "q139_training_order" -> (q139 _),
+    "q138_host_rank" -> (q138 _),
+    "q137_host_edges" -> (q137 _),
     "q136_ccnet_trained" -> (q136 _),
     "q135_html_main_blocks" -> (q135 _),
     "q134_lang_id_trained" -> (q134 _),
@@ -2152,6 +2251,91 @@ object ExtQueries {
 
 
   val oracles: Map[String, String] = Map(
+    // q137 — the host edge list replayed: href extraction
+    // (regexp_extract_all, the q127 pattern), the shared host fold
+    // (LinkGraph.hostOfOracleSqlExpr — same constants as the Spark
+    // expression), self/host-less drops, pair aggregation
+    "q137_host_edges" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst
+         |  FROM x)
+         |SELECT src AS src_host, dst AS dst_host,
+         |  count(*) AS n_links, count(DISTINCT doc_id) AS n_pages
+         |FROM e
+         |WHERE src <> '' AND dst <> '' AND src <> dst
+         |GROUP BY src, dst
+         |ORDER BY src, dst""".stripMargin,
+    // q138 — 3-iteration PageRank replayed bit-for-bit: the q137 edge
+    // derivation feeds LinkGraph.rankOracleCtes' chained CTEs; every
+    // per-node sum is a sorted sequential fold in both engines and
+    // the constants parse to identical doubles (see LinkGraph's
+    // determinism note)
+    "q138_host_rank" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM p),
+         |edges AS (
+         |  SELECT src AS src_host,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst_host
+         |  FROM x
+         |  WHERE src <> '' AND ${LinkGraph.hostOfOracleSqlExpr("href")} <> ''
+         |    AND src <> ${LinkGraph.hostOfOracleSqlExpr("href")}),
+         |${LinkGraph.rankOracleCtes(iterations = 3, damping = 0.85)}
+         |SELECT host, rank FROM r3 ORDER BY host""".stripMargin,
+    // q139 — seeded training order replayed: the q93 md5 hex-fold,
+    // modulo shard, per-shard row_number over (ord, id)
+    "q139_training_order" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS ord
+        |  FROM documents)
+        |SELECT doc_id, ord % 6 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord % 6 ORDER BY ord, doc_id) - 1
+        |       AS BIGINT) AS seq
+        |FROM s ORDER BY doc_id""".stripMargin,
+    // q140 — the host prior replayed: q137's edges → distinct
+    // in-hosts per host → the >= 2 cut → join back onto the pages by
+    // the same host fold
+    "q140_host_prior" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst
+         |  FROM x),
+         |indeg AS (
+         |  SELECT dst AS host, count(DISTINCT src) AS in_hosts
+         |  FROM e
+         |  WHERE src <> '' AND dst <> '' AND src <> dst
+         |  GROUP BY dst),
+         |k AS (SELECT host, in_hosts FROM indeg WHERE in_hosts >= 2)
+         |SELECT p2.doc_id, k.host, k.in_hosts
+         |FROM (SELECT doc_id,
+         |        ${LinkGraph.hostOfOracleSqlExpr(s"($sourceUrlSql)")} AS host
+         |      FROM documents) p2
+         |JOIN k ON k.host = p2.host
+         |ORDER BY p2.doc_id""".stripMargin,
     // q113 — the DSIR score replayed: hashed unigram∪bigram features
     // (md5 4-hex buckets, the engine's verbatim hashing), add-one-
     // smoothed bit-length surprisal under raw vs target models, one

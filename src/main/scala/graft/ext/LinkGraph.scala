@@ -1,0 +1,270 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-level link graph — the crawl-curation stage the URL/content
+  * filters don't cover: WHO LINKS WHOM. Common Crawl publishes exactly
+  * this artifact (the host/domain "webgraph") and the big curation
+  * recipes use link-based host centrality as a quality prior next to
+  * the URL blocklist (a host nobody links to is far more likely spam
+  * than one half the web points at).
+  *
+  * Three operators, each a stage of that recipe:
+  *  - [[hostEdges]]   — pages (url, html) → the (src_host, dst_host)
+  *    edge list with link/page weights. Extraction is row-local
+  *    codegen regex riding the ingest scan (the [[Html.htmlLinks]] /
+  *    q127 discipline); the only shuffle is ONE map-side-combinable
+  *    aggregation keyed on the host PAIR — host-cardinality², in
+  *    practice ≪ page count (the 100 TB page scan reduces to a
+  *    graph frame measured in GBs).
+  *  - [[hostDegrees]] — per-host in/out fan from the edge frame (two
+  *    small aggs + one outer join, all host-cardinality).
+  *  - [[hostRank]]    — fixed-iteration PageRank over the distinct
+  *    host edges (Page et al. 1999, the simplified iteration:
+  *    dangling mass is dropped, not redistributed — scores are a
+  *    RANKING signal, not a probability; documented departure).
+  *
+  * Cross-engine determinism (the repo's exact-oracle rule): PageRank
+  * is +,*,/ on doubles — no libm — so bit-exact replay only needs a
+  * deterministic ADDITION ORDER. Per-node contribution sums run as a
+  * sorted-ascending sequential fold (`aggregate(sort_array(...))`
+  * here, `list_reduce(list_sort(...))` in DuckDB), the same trick the
+  * LM-perplexity family uses for its per-doc folds. The price is a
+  * collect_list bounded by per-host IN-DEGREE (host grain, not page
+  * grain); for graphs with extreme hubs (millions of distinct
+  * in-hosts) pass `sortedFold = false` to use a plain `sum` — order-
+  * free shuffle-partial addition, no longer bit-replayable across
+  * engines, same ranking to ~1 ulp per round.
+  *
+  * Reference scope note: the reference framework (airflow_etl.py)
+  * has no crawl/graph surface at all — this family is part of the
+  * beyond-reference LLM-pipeline extension (SURVEY §2c).
+  */
+object LinkGraph {
+
+  /** Lowercased, `www.`-stripped, port-free host of a URL column —
+    * the [[TextOps.canonicalUrlKey]] host rule, shared so the graph's
+    * node ids collapse exactly like the URL-dedup keys ("" when the
+    * value has no `//` authority, e.g. relative links / mailto:).
+    */
+  def hostOf(url: Column): Column = regexp_replace(
+    lower(regexp_extract(url, "^[^/]*//([^/:?#]+)", 1)), "^www\\.", "")
+
+  /** [[hostOf]] as a DuckDB SQL expression over `expr` (oracle replay;
+    * same constants).
+    */
+  def hostOfOracleSqlExpr(expr: String): String =
+    s"regexp_replace(lower(regexp_extract($expr, '^[^/]*//([^/:?#]+)', 1)), " +
+      "'^www\\.', '')"
+
+  /** The host-level edge list of a page corpus:
+    * `(src_host, dst_host, n_links, n_pages)` — one row per ordered
+    * host pair, `n_links` = href occurrences, `n_pages` = distinct
+    * linking pages. Self-edges (intra-host navigation — the vast
+    * majority of raw hrefs) and host-less links (relative paths,
+    * mailto:, fragments) are dropped: the graph captures the
+    * ENDORSEMENT structure, which is inter-host by definition.
+    *
+    * Scale shape: href extraction + host folding are row-local
+    * codegen regex over the scan (no UDF); the explode multiplies
+    * rows by links-per-page (bounded, ~tens) BEFORE the one hash
+    * aggregation on (src_host, dst_host) with map-side partial
+    * combine — the shuffle carries one row per distinct host pair
+    * per map partition, never per href. Page payloads never shuffle.
+    */
+  def hostEdges(pages: DataFrame, urlCol: String = "url",
+                htmlCol: String = "html",
+                idCol: String = "doc_id"): DataFrame =
+    pages
+      .select(col(idCol),
+        hostOf(col(urlCol)).as("__src"),
+        explode(Html.htmlLinks(col(htmlCol))).as("__href"))
+      .select(col(idCol), col("__src"),
+        hostOf(col("__href")).as("__dst"))
+      .where(col("__src") =!= "" && col("__dst") =!= "" &&
+        col("__src") =!= col("__dst"))
+      .groupBy(col("__src").as("src_host"), col("__dst").as("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col(idCol)).as("n_pages"))
+
+  /** Per-host fan-in/fan-out report from an edge frame:
+    * `(host, out_hosts, in_hosts, out_links, in_links)` — distinct
+    * neighbor counts plus link-weighted totals, zero-filled on the
+    * side a host doesn't appear on. `in_hosts` is the quality prior
+    * ([[hostPriorKeep]]); `out_hosts`/`out_links` flag link farms.
+    * Scale shape: two aggregations and one full outer join, all on
+    * host-cardinality frames — immaterial next to the page scan that
+    * built the edges.
+    */
+  def hostDegrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src_host").as("host"))
+      .agg(count_distinct(col("dst_host")).as("out_hosts"),
+        sum(col("n_links")).as("out_links"))
+    val in = edges.groupBy(col("dst_host").as("host"))
+      .agg(count_distinct(col("src_host")).as("in_hosts"),
+        sum(col("n_links")).as("in_links"))
+    out.join(in, Seq("host"), "full_outer")
+      .select(col("host"),
+        coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
+        coalesce(col("in_hosts"), lit(0L)).as("in_hosts"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"))
+  }
+
+  /** Fixed-iteration PageRank over the DISTINCT host edges:
+    * `(host, rank)` with
+    * `rank_{t+1}(v) = (1-d)/N + d * Σ_{u→v} rank_t(u)/outdeg(u)`,
+    * rank_0 = 1/N. Dangling hosts (no out-links) leak their mass —
+    * Page et al.'s simplified iteration; ranks order hosts, they are
+    * not a distribution (documented departure from the
+    * stochastic-matrix formulation, which needs a global dangling-sum
+    * reduction per round that buys nothing for a ranking prior).
+    *
+    * `iterations` is FIXED (not run-to-convergence): the result is a
+    * pure function of (edges, iterations, damping) — replayable as
+    * `iterations` chained CTEs in an exact oracle, and at 100 TB the
+    * job count is known up front (one join + one agg per round over
+    * the host-cardinality rank frame; the page corpus is long gone).
+    * A handful of rounds separates spam from endorsed hosts; run ~20
+    * for near-converged ranks and set `checkpointEvery` so lineage
+    * stays bounded ([[Dedup.connectedComponents]]'s discipline:
+    * reliable `checkpointDir` on a cluster, localCheckpoint fallback
+    * for single-node runs).
+    *
+    * `sortedFold = true` (default) makes per-node sums bit-replayable
+    * across engines (see the object doc); pass false at extreme hub
+    * in-degrees to fall back to shuffle-partial `sum`.
+    */
+  def hostRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85,
+               sortedFold: Boolean = true,
+               checkpointEvery: Int = 0,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1, "hostRank: iterations must be >= 1")
+    require(damping > 0.0 && damping < 1.0,
+      s"hostRank: damping must be in (0,1), got $damping")
+    val spark = edges.sparkSession
+    val sc = spark.sparkContext
+    val previousDir = sc.getCheckpointDir
+    val mat: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) => sc.setCheckpointDir(dir); df => df.checkpoint()
+      case None => df => df.localCheckpoint(true)
+    }
+    try {
+      // the graph frames materialize ONCE ([[Dedup.connectedComponents]]'s
+      // discipline): they are host-cardinality, and without this every
+      // iteration's lazy plan would re-derive them — re-SCANNING the
+      // page corpus behind the edge frame once per reuse (a 3-iteration
+      // lazy plan carried 28 scans; materialized it carries none)
+      val pairs = mat(edges.select(col("src_host").as("__src"),
+        col("dst_host").as("__dst")).distinct())
+      val nodes = mat(pairs.select(col("__src").as("host"))
+        .union(pairs.select(col("__dst").as("host"))).distinct())
+      // N collects once — a single long, the bounded-collect pattern
+      // (the base term needs a literal so the oracle's constant parses
+      // to the identical double)
+      val n = nodes.count()
+      require(n > 0, "hostRank: empty edge frame — no hosts to rank")
+      val base = (1.0 - damping) / n
+      val outdeg = pairs.groupBy(col("__src"))
+        .agg(count(lit(1)).cast("double").as("__outdeg"))
+      val weighted = mat(pairs.join(outdeg, "__src"))
+      var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      for (i <- 1 to iterations) {
+        val contribs = weighted
+          .join(ranks.withColumnRenamed("host", "__src"), "__src")
+          .select(col("__dst").as("host"),
+            (col("rank") / col("__outdeg")).as("__c"))
+        val summed =
+          if (sortedFold)
+            contribs.groupBy("host").agg(
+              aggregate(sort_array(collect_list(col("__c"))),
+                lit(0.0), (acc, x) => acc + x).as("__s"))
+          else
+            contribs.groupBy("host").agg(sum(col("__c")).as("__s"))
+        val next = nodes.join(summed, Seq("host"), "left")
+          .select(col("host"),
+            (lit(base) + lit(damping) * coalesce(col("__s"), lit(0.0)))
+              .as("rank"))
+        ranks =
+          if (checkpointEvery > 0 && i % checkpointEvery == 0 &&
+            i < iterations) mat(next)
+          else next
+      }
+      ranks
+    } finally if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+  }
+
+  /** [[hostRank]]'s iteration replayed as DuckDB chained CTEs over an
+    * edge CTE named `edges(src_host, dst_host)` (distinct pairs not
+    * required — the replay distincts). Emits CTE bodies `nodes`,
+    * `outdeg`, `r0`, `r1` … `r<iterations>`; the caller SELECTs from
+    * `r<iterations>`. Constants are interpolated via Double.toString
+    * (shortest round-trip form — both engines parse back the same
+    * bits), so the only in-engine arithmetic is the same IEEE
+    * +,*,/ sequence the Spark plan runs, in the same sorted-fold
+    * order. `n` must be the host count the Spark side derived.
+    */
+  def rankOracleCtes(iterations: Int, damping: Double): String = {
+    // damping interpolates via Double.toString — the shortest form
+    // that parses back to the identical bits; the base term
+    // (1-d)/N and the init 1/N are computed IN-ENGINE from the node
+    // count so the oracle holds at every scale factor, with the same
+    // IEEE op sequence the Spark side runs in the driver
+    val d = s"CAST('$damping' AS DOUBLE)"
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS (
+         |  SELECT p.dst_host AS host,
+         |    list_reduce(list_sort(list(r.rank / o.outdeg)), (a, b) -> a + b)
+         |      AS s
+         |  FROM pairs p
+         |  JOIN r${i - 1} r ON r.host = p.src_host
+         |  JOIN outdeg o ON o.src_host = p.src_host
+         |  GROUP BY p.dst_host),
+         |r$i AS (
+         |  SELECT nodes.host,
+         |    (CAST(1.0 AS DOUBLE) - $d) / np.n + $d *
+         |      coalesce(c$i.s, CAST(0.0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN np LEFT JOIN c$i ON c$i.host = nodes.host)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""pairs AS (
+       |  SELECT DISTINCT src_host, dst_host FROM edges),
+       |nodes AS (
+       |  SELECT src_host AS host FROM pairs
+       |  UNION SELECT dst_host FROM pairs),
+       |np AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |outdeg AS (
+       |  SELECT src_host, CAST(count(*) AS DOUBLE) AS outdeg
+       |  FROM pairs GROUP BY src_host),
+       |r0 AS (
+       |  SELECT host, CAST(1.0 AS DOUBLE) / np.n AS rank
+       |  FROM nodes CROSS JOIN np),
+       |$iters""".stripMargin
+  }
+
+  /** The host-graph QUALITY PRIOR as a page cut: keep pages whose
+    * host at least `minInHosts` DISTINCT other hosts link to — the
+    * link-based filter that runs beside the URL blocklist (q130) and
+    * catches what no content heuristic can: freshly-minted spam hosts
+    * nobody endorses. Returns the pages frame filtered, with `host`
+    * and `in_hosts` attached for the audit trail.
+    *
+    * Scale shape: the degree frame is host-cardinality and BROADCASTS
+    * into the page frame — the 100 TB page side never shuffles. The
+    * edge frame would normally come from a PREVIOUS crawl snapshot's
+    * persisted graph (self-referential priors are circular); passing
+    * the same corpus is the bootstrap case.
+    */
+  def hostPriorKeep(pages: DataFrame, edges: DataFrame, minInHosts: Long,
+                    urlCol: String = "url"): DataFrame = {
+    require(minInHosts >= 1, "hostPriorKeep: minInHosts must be >= 1")
+    val endorsed = hostDegrees(edges)
+      .where(col("in_hosts") >= minInHosts)
+      .select(col("host"), col("in_hosts"))
+    pages.withColumn("host", hostOf(col(urlCol)))
+      .join(broadcast(endorsed), Seq("host"), "inner")
+  }
+}

@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Export, LinkGraph}
+
+/** Host link graph (q137/q138/q140) + seeded training order (q139):
+  * crafted-fixture semantics, an independent-model differential for
+  * PageRank, the determinism contracts, and the plan shapes the
+  * 100 TB story rests on (broadcast prior, no global sort).
+  */
+class LinkGraphSpec extends AnyFunSuite {
+  private val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------- hostOf
+
+  test("hostOf: lowercase, www-strip, port-strip; host-less forms fold to ''") {
+    val got = Seq(
+      "HTTPS://WWW.Example.COM:8443/Path?q=1#f",
+      "http://sub.www.example.org/x", // www only strips as a PREFIX
+      "https://example.net",
+      "/relative/path",
+      "mailto:ops@example.org",
+      "no-scheme-at-all")
+      .toDF("u").select(LinkGraph.hostOf(col("u"))).as[String].collect()
+    assert(got === Seq("example.com", "sub.www.example.org", "example.net",
+      "", "", ""))
+  }
+
+  // ------------------------------------------------------- hostEdges
+
+  private def pages(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "url", "html")
+
+  test("hostEdges: self-edges and host-less hrefs drop; n_links vs n_pages") {
+    val df = pages(
+      // two hrefs to b (one with www/port/case noise), one self, one
+      // relative, one mailto
+      (1L, "https://a.com/p1",
+        """<a href="https://b.com/x">1</a><a href="HTTP://www.B.com:80/y">2</a>
+          |<a href="https://a.com/self">s</a><a href="/rel">r</a>
+          |<a href="mailto:z@q.org">m</a>""".stripMargin),
+      // a second page of a.com linking b.com once and c.org once
+      (2L, "https://a.com/p2",
+        """<a href="https://b.com/z">1</a><a href="https://c.org/w">2</a>"""),
+      // a page whose own URL has no host: src '' rows must drop
+      (3L, "not-a-url", """<a href="https://b.com/k">1</a>"""))
+    val got = LinkGraph.hostEdges(df).orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(got === Seq(
+      ("a.com", "b.com", 3L, 2L), // 3 hrefs across 2 distinct pages
+      ("a.com", "c.org", 1L, 1L)))
+  }
+
+  // ----------------------------------------------------- hostDegrees
+
+  test("hostDegrees: zero-fills the side a host never appears on") {
+    val edges = Seq(
+      ("a.com", "b.com", 3L, 2L),
+      ("a.com", "c.org", 1L, 1L),
+      ("b.com", "c.org", 2L, 2L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    val got = LinkGraph.hostDegrees(edges).orderBy("host")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(got === Seq(
+      // host, out_hosts, in_hosts, out_links, in_links
+      ("a.com", 2L, 0L, 4L, 0L), // pure source
+      ("b.com", 1L, 1L, 2L, 3L),
+      ("c.org", 0L, 2L, 0L, 3L))) // pure sink (dangling)
+  }
+
+  // -------------------------------------------------------- hostRank
+
+  /** Independent PageRank model: plain Scala maps, the same simplified
+    * iteration (dangling mass dropped), per-node sums as a sorted
+    * sequential fold — the differential oracle for the DataFrame
+    * implementation.
+    */
+  private def modelRank(pairs: Seq[(String, String)], iterations: Int,
+                        damping: Double): Map[String, Double] = {
+    val dedup = pairs.distinct
+    val nodes = (dedup.map(_._1) ++ dedup.map(_._2)).distinct.sorted
+    val outdeg = dedup.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val base = (1.0 - damping) / nodes.size
+    var ranks = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to iterations) {
+      val contribs = dedup.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => ranks(s) / outdeg(s) }.sorted
+          .foldLeft(0.0)(_ + _)).toMap
+      ranks = nodes.map(v =>
+        v -> (base + damping * contribs.getOrElse(v, 0.0))).toMap
+    }
+    ranks
+  }
+
+  private def rankDf(pairs: Seq[(String, String)]) =
+    pairs.toDF("src_host", "dst_host")
+      .withColumn("n_links", lit(1L)).withColumn("n_pages", lit(1L))
+
+  test("hostRank == independent model, bit-for-bit (sorted-fold determinism)") {
+    // a graph with a hub, a cycle, a dangling sink, and a duplicate
+    // edge the internal distinct must fold
+    val pairs = Seq(
+      "a" -> "hub", "b" -> "hub", "c" -> "hub", "hub" -> "a",
+      "a" -> "b", "b" -> "c", "c" -> "sink", "a" -> "hub")
+    for (iters <- Seq(1, 3, 7)) {
+      val want = modelRank(pairs, iters, 0.85)
+      val got = LinkGraph.hostRank(rankDf(pairs), iterations = iters)
+        .as[(String, Double)].collect().toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (h, r) =>
+        assert(r === want(h), s"host $h at $iters iterations") }
+    }
+  }
+
+  test("hostRank: one hand-computed iteration on a triangle") {
+    // a->b, b->c, c->a; outdeg 1 each; N=3; after one iteration every
+    // rank is (1-d)/3 + d*(1/3)  (exact doubles — same ops)
+    val got = LinkGraph.hostRank(
+      rankDf(Seq("a" -> "b", "b" -> "c", "c" -> "a")), iterations = 1)
+      .as[(String, Double)].collect().toMap
+    val want = (1.0 - 0.85) / 3 + 0.85 * (1.0 / 3)
+    assert(got.values.toSeq === Seq(want, want, want))
+  }
+
+  test("hostRank: dangling mass leaks (sum < 1), hub outranks leaves") {
+    val pairs = Seq("a" -> "hub", "b" -> "hub", "c" -> "hub",
+      "hub" -> "sink", "a" -> "b")
+    val got = LinkGraph.hostRank(rankDf(pairs), iterations = 5)
+      .as[(String, Double)].collect().toMap
+    assert(got.values.sum < 1.0) // sink keeps no out-edges: mass drops
+    assert(got("hub") > got("a") && got("hub") > got("c"))
+    assert(got("sink") > got("c")) // fed by the hub it outranks leaves
+  }
+
+  test("hostRank: sortedFold=false matches to float noise, same ordering") {
+    val pairs = (1 to 40).map(i => s"h$i" -> s"h${(i * 7) % 41}") ++
+      (1 to 40).map(i => s"h$i" -> "hub")
+    val exact = LinkGraph.hostRank(rankDf(pairs), iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val fast = LinkGraph.hostRank(rankDf(pairs), iterations = 4,
+      sortedFold = false).as[(String, Double)].collect().toMap
+    assert(exact.keySet === fast.keySet)
+    exact.foreach { case (h, r) => assert(math.abs(r - fast(h)) < 1e-12) }
+    assert(exact.toSeq.sortBy(-_._2).map(_._1) ===
+      fast.toSeq.sortBy(-_._2).map(_._1))
+  }
+
+  test("hostRank: checkpointEvery materializes mid-loop, same result") {
+    val pairs = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c")
+    val plain = LinkGraph.hostRank(rankDf(pairs), iterations = 5)
+      .as[(String, Double)].collect().toMap
+    val ck = LinkGraph.hostRank(rankDf(pairs), iterations = 5,
+      checkpointEvery = 2).as[(String, Double)].collect().toMap
+    assert(plain === ck)
+    val dir = SparkTestBase.tmpDir("graft_rank_ck")
+    val reliable = LinkGraph.hostRank(rankDf(pairs), iterations = 5,
+      checkpointEvery = 2, checkpointDir = Some(dir))
+      .as[(String, Double)].collect().toMap
+    assert(plain === reliable)
+  }
+
+  test("hostRank: validation raises on bad iterations/damping/empty graph") {
+    val edges = rankDf(Seq("a" -> "b"))
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRank(edges, iterations = 0) }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRank(edges, damping = 1.0) }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRank(rankDf(Seq.empty), iterations = 1) }
+  }
+
+  // ---------------------------------------------------- hostPriorKeep
+
+  test("hostPriorKeep: endorsed hosts survive, prior side broadcasts") {
+    val p = Seq(
+      (1L, "https://good.com/x"), (2L, "https://good.com/y"),
+      (3L, "https://lone.net/z"), (4L, "https://spam.biz/w"))
+      .toDF("doc_id", "url")
+    // good.com endorsed by 2 hosts, lone.net by 1, spam.biz by none
+    val edges = rankDf(Seq("a.org" -> "good.com", "b.org" -> "good.com",
+      "a.org" -> "lone.net"))
+    val kept = LinkGraph.hostPriorKeep(p, edges, minInHosts = 2)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L))
+    assert(kept.select("in_hosts").distinct().as[Long].collect() === Seq(2L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the host prior must broadcast — the page corpus never shuffles")
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostPriorKeep(p, edges, minInHosts = 0) }
+  }
+
+  // ---------------------------------------------------- trainingOrder
+
+  test("trainingOrder: a permutation — dense per-shard seq, balanced shards") {
+    val docs = (0L until 300L).toDF("doc_id")
+    val got = Export.trainingOrder(docs, nShards = 4, seed = "e1")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 300)
+    assert(got.map(_._1).sorted === (0L until 300L).toArray) // ids preserved
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      // seq is dense 0..k-1 within the shard
+      assert(rows.map(_._3).sorted === rows.indices.map(_.toLong).toArray)
+      // md5 mod 4 keeps shards near-uniform (300/4 = 75 ± noise)
+      assert(rows.length > 40 && rows.length < 110, s"shard $shard skewed")
+    }
+  }
+
+  test("trainingOrder: deterministic per seed, reshuffled across seeds") {
+    val docs = (0L until 200L).toDF("doc_id")
+    def run(seed: String) =
+      Export.trainingOrder(docs, 4, seed).as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(run("e1") === run("e1")) // same seed: bit-identical
+    val a = run("e1"); val b = run("e2")
+    assert(a !== b) // a fresh epoch is a fresh permutation
+    // and not just relabeled shards: within-shard ORDER changes too
+    val orderA = a.sortBy(r => (r._2, r._3)).map(_._1)
+    val orderB = b.sortBy(r => (r._2, r._3)).map(_._1)
+    assert(orderA !== orderB)
+  }
+
+  test("trainingOrder: extra columns ride along; null id raises; no global sort") {
+    val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val got = Export.trainingOrder(docs, 2)
+    assert(got.columns.toSeq === Seq("doc_id", "text", "shard", "seq"))
+    val bad = Seq(Some(1L), None).toDF("doc_id")
+    val e = intercept[Exception] {
+      Export.trainingOrder(bad, 2).collect() }
+    assert(e.getMessage.contains("null id") ||
+      e.getCause != null && e.getCause.getMessage.contains("null id"))
+    intercept[IllegalArgumentException] { Export.trainingOrder(docs, 0) }
+    // the scale contract: ONE hash exchange (the window on shard),
+    // never a range exchange (global sort)
+    val plan = Export.trainingOrder((0L until 50L).toDF("doc_id"), 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "trainingOrder must not global-sort")
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).size === 1)
+  }
+}

@@ -1398,15 +1398,20 @@ object ExtQueries {
     * case/www/port noise the host fold must collapse (duplicated for
     * doc_id%4==0 — n_links vs n_pages diverge), an explicit self
     * link, a relative href, and a mailto: (the last three must all
-    * drop out of the graph).
+    * drop out of the graph). The cross-host link's anchor TEXT (q141)
+    * alternates between an entity+nested-tag form ("read &amp; learn
+    * <b>now</b>" — the normalization must decode and strip) and five
+    * "topic k" phrase variants.
     */
   private def sourceLinkHtml: org.apache.spark.sql.Column =
     concat(
       lit("<html><body><p>Doc "), col("doc_id").cast("string"), lit("</p>"),
       lit("<a href=\"https://src"),
       ((col("doc_id") * col("doc_id")) % 20).cast("string"),
-      lit(".example.com/p/"), (col("doc_id") % 7).cast("string"),
-      lit("\">t</a>"),
+      lit(".example.com/p/"), (col("doc_id") % 7).cast("string"), lit("\">"),
+      when(col("doc_id") % 2 === 0, lit("read &amp; learn <b>now</b>"))
+        .otherwise(concat(lit("topic "), (col("doc_id") % 5).cast("string"))),
+      lit("</a>"),
       lit("<a href=\"HTTP://www.Hub"), (col("doc_id") % 3).cast("string"),
       lit(".Example.net:8080/x?q=1\">h</a>"),
       when(col("doc_id") % 4 === 0,
@@ -1420,7 +1425,9 @@ object ExtQueries {
   private val sourceLinkHtmlSql: String =
     """'<html><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p>' ||
       |'<a href="https://src' || CAST((doc_id * doc_id) % 20 AS VARCHAR) ||
-      |'.example.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '">t</a>' ||
+      |'.example.com/p/' || CAST(doc_id % 7 AS VARCHAR) || '">' ||
+      |(CASE WHEN doc_id % 2 = 0 THEN 'read &amp; learn <b>now</b>'
+      |      ELSE 'topic ' || CAST(doc_id % 5 AS VARCHAR) END) || '</a>' ||
       |'<a href="HTTP://www.Hub' || CAST(doc_id % 3 AS VARCHAR) ||
       |'.Example.net:8080/x?q=1">h</a>' ||
       |(CASE WHEN doc_id % 4 = 0
@@ -1483,6 +1490,17 @@ object ExtQueries {
       LinkGraph.hostEdges(linkPages(spark, dir)), minInHosts = 2)
       .select(col("doc_id"), col("host"), col("in_hosts"))
       .orderBy("doc_id")
+
+  /** Anchor-text mining ([[LinkGraph.anchorTexts]]): how the web
+    * describes each target host — per-(dst_host, anchor) counts over
+    * the synthetic link pages, whose cross-host anchors alternate an
+    * entity+nested-tag form (must decode `&amp;` and strip `<b>`) with
+    * five phrase variants. Exact-oracled: element extraction and the
+    * normalization chain replay verbatim ([[Html.anchorTextOracleSqlExpr]]).
+    */
+  def q141(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.anchorTexts(linkPages(spark, dir))
+      .orderBy("dst_host", "anchor")
 
   /** The FULL curation chain composed end-to-end (encoding gate →
     * normalize-dedup → MinHash near-dup removal → decontamination →
@@ -2028,6 +2046,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_anchor_texts" -> (q141 _),
     "q140_host_prior" -> (q140 _),
     "q139_training_order" -> (q139 _),
     "q138_host_rank" -> (q138 _),
@@ -2336,6 +2355,30 @@ object ExtQueries {
          |      FROM documents) p2
          |JOIN k ON k.host = p2.host
          |ORDER BY p2.doc_id""".stripMargin,
+    // q141 — anchor-text mining replayed: whole-element extraction,
+    // href host fold, the anchor normalization chain (tag strip →
+    // entity decode amp-last → ws collapse), per-target aggregation
+    "q141_anchor_texts" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html,
+         |      '${graft.ext.Html.AnchorHrefPattern.replace("'", "''")}', 0)) AS a
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr(graft.ext.Html.anchorHrefOracleSqlExpr("a"))} AS dst,
+         |    ${graft.ext.Html.anchorTextOracleSqlExpr("a")} AS anchor
+         |  FROM x)
+         |SELECT dst AS dst_host, anchor,
+         |  count(*) AS n_links, count(DISTINCT src) AS n_hosts
+         |FROM e
+         |WHERE src <> '' AND dst <> '' AND src <> dst AND anchor <> ''
+         |GROUP BY dst, anchor
+         |ORDER BY dst, anchor""".stripMargin,
     // q113 — the DSIR score replayed: hashed unigram∪bigram features
     // (md5 4-hex buckets, the engine's verbatim hashing), add-one-
     // smoothed bit-length surprisal under raw vs target models, one

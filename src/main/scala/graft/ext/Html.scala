@@ -180,6 +180,49 @@ object Html {
   def htmlLinks(html: Column): Column =
     regexp_extract_all(html, lit(HrefPattern), lit(1))
 
+  /** Whole `<a href="…">inner</a>` elements, for anchor-TEXT mining
+    * (the what-the-web-calls-this-page signal — aggregated per target
+    * by [[LinkGraph.anchorTexts]]). Group 1 is the href, group 2 the
+    * raw inner HTML; [[anchorHref]]/[[anchorText]] pull them out of
+    * one exploded element ("" on no-match in both engines). Non-greedy
+    * inner extent: nested inline markup (`<b>`, spans) stays inside
+    * and is stripped by the [[anchorText]] normalization; a nested
+    * `</a>` ends the element (malformed nesting degrades, never
+    * throws — the [[htmlToText]] totality discipline).
+    */
+  val AnchorHrefPattern = "(?is)<a\\b[^>]*\\bhref=\"([^\"]*)\"[^>]*>(.*?)</a\\s*>"
+  def htmlAnchorElements(html: Column): Column =
+    regexp_extract_all(html, lit(AnchorHrefPattern), lit(0))
+  def anchorHref(element: Column): Column =
+    regexp_extract(element, AnchorHrefPattern, 1)
+
+  /** The element's inner text, normalized like every extracted string
+    * (tag strip → entity decode amp-last → whitespace collapse).
+    */
+  def anchorText(element: Column): Column = {
+    val raw = regexp_extract(element, AnchorHrefPattern, 2)
+    val stripped = regexp_replace(raw, AnyTagPattern, "")
+    val decoded = Entities.foldLeft(stripped) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** [[anchorHref]]/[[anchorText]] as DuckDB SQL over `expr` (oracle
+    * replays; same constants).
+    */
+  def anchorHrefOracleSqlExpr(expr: String): String =
+    s"regexp_extract($expr, '${AnchorHrefPattern.replace("'", "''")}', 1)"
+  def anchorTextOracleSqlExpr(expr: String): String = {
+    val extracted =
+      s"regexp_extract($expr, '${AnchorHrefPattern.replace("'", "''")}', 2)"
+    val stripped = s"regexp_replace($extracted, '$AnyTagPattern', '', 'g')"
+    val decoded = Entities.foldLeft(stripped) { case (sql, (e, r)) =>
+      s"regexp_replace($sql, '$e', '${r.replace("'", "''")}', 'g')"
+    }
+    s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
   /** The root element's declared language (`<html lang="…">`),
     * lowercased ("" when absent) — the self-declared prior for the
     * n-gram language-ID stage (CCNet keeps both and compares).

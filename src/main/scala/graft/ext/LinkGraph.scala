@@ -88,6 +88,38 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col(idCol)).as("n_pages"))
 
+  /** Anchor-text profile per TARGET host:
+    * `(dst_host, anchor, n_links, n_hosts)` — how the rest of the web
+    * DESCRIBES each host, the classic link-text relevance signal
+    * (anchor text describes the target better than the target's own
+    * page — the web-search insight, reused by curation pipelines as
+    * target-side quality/topic evidence no content filter can see).
+    * Inter-host anchors only (intra-host navigation text — "home",
+    * "next page" — is noise for this purpose) and empty-text anchors
+    * (image links) drop.
+    *
+    * Scale shape: element extraction + text normalization are
+    * row-local codegen regex riding the scan ([[hostEdges]]'
+    * discipline); ONE map-side-combinable aggregation keyed on
+    * (dst_host, anchor) — anchor phrases repeat heavily, so partials
+    * collapse before the shuffle. Page payloads never shuffle.
+    */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html",
+                  idCol: String = "doc_id"): DataFrame =
+    pages
+      .select(col(idCol),
+        hostOf(col(urlCol)).as("__src"),
+        explode(Html.htmlAnchorElements(col(htmlCol))).as("__a"))
+      .select(col(idCol), col("__src"),
+        hostOf(Html.anchorHref(col("__a"))).as("__dst"),
+        Html.anchorText(col("__a")).as("anchor"))
+      .where(col("__src") =!= "" && col("__dst") =!= "" &&
+        col("__src") =!= col("__dst") && col("anchor") =!= "")
+      .groupBy(col("__dst").as("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col("__src")).as("n_hosts"))
+
   /** Per-host fan-in/fan-out report from an edge frame:
     * `(host, out_hosts, in_hosts, out_links, in_links)` — distinct
     * neighbor counts plus link-weighted totals, zero-filled on the

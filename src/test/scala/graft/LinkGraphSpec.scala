@@ -3,6 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.{Export, LinkGraph}
+import graft.streaming.StreamingGraph
+
+/** Page fixture for the streaming link-graph sink (top-level so the
+  * Product encoder has no outer-class pointer).
+  */
+case class LinkPage(doc_id: Long, url: String, html: String)
 
 /** Host link graph (q137/q138/q140) + seeded training order (q139):
   * crafted-fixture semantics, an independent-model differential for
@@ -51,6 +57,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(got === Seq(
       ("a.com", "b.com", 3L, 2L), // 3 hrefs across 2 distinct pages
       ("a.com", "c.org", 1L, 1L)))
+  }
+
+  // ----------------------------------------------------- anchorTexts
+
+  test("anchorTexts: normalization, empty/self/intra-host drops, per-target counts") {
+    val df = pages(
+      (1L, "https://a.com/p1",
+        // nested tag + entity + whitespace noise → "read & learn now";
+        // an image link (empty text) and a self link must drop
+        """<a href="https://b.com/x"> read &amp;
+          |  learn <b>now</b> </a><a href="https://b.com/y"><img src="i.png"></a>
+          |<a href="https://a.com/self">home</a>""".stripMargin),
+      (2L, "https://c.org/p2",
+        """<a href="https://b.com/z">read &amp; learn <b>now</b></a>
+          |<a href="https://a.com/w">alpha site</a>""".stripMargin))
+    val got = LinkGraph.anchorTexts(df).orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect()
+    assert(got === Seq(
+      ("a.com", "alpha site", 1L, 1L),
+      ("b.com", "read & learn now", 2L, 2L))) // same phrase, two hosts
   }
 
   // ----------------------------------------------------- hostDegrees
@@ -220,6 +246,50 @@ class LinkGraphSpec extends AnyFunSuite {
     val orderA = a.sortBy(r => (r._2, r._3)).map(_._1)
     val orderB = b.sortBy(r => (r._2, r._3)).map(_._1)
     assert(orderA !== orderB)
+  }
+
+  // --------------------------------------------------- streaming face
+
+  test("linkGraphSink: accreted graph == one-shot batch graph; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val edgeRoot = SparkTestBase.tmpDir("graft_edges") + "/idx"
+    def pg(id: Long, host: String, hrefs: String*) = LinkPage(id,
+      s"https://$host/p$id",
+      hrefs.map(h => s"""<a href="https://$h/x">l</a>""").mkString)
+    val b1 = Seq(pg(1, "a.com", "b.com", "c.org"), pg(2, "a.com", "b.com"))
+    val b2 = Seq(pg(3, "b.com", "c.org"), pg(4, "a.com", "b.com", "b.com"))
+    val input = MemoryStream[LinkPage]
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch(StreamingGraph.linkGraphSink(edgeRoot) _)
+      .option("checkpointLocation", SparkTestBase.tmpDir("graft_edges_ck"))
+      .start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamingGraph.currentEdges(spark, edgeRoot)
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    val batch = LinkGraph.hostEdges((b1 ++ b2).toDF())
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(streamed === batch)
+    assert(streamed === Seq(
+      ("a.com", "b.com", 4L, 3L), // page 4's doubled href counts twice
+      ("a.com", "c.org", 1L, 1L),
+      ("b.com", "c.org", 1L, 1L)))
+    // redelivery overwrites its own partition: same fold afterwards
+    StreamingGraph.linkGraphSink(edgeRoot)(b2.toDF(), 1L)
+    val replayed = StreamingGraph.currentEdges(spark, edgeRoot)
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(replayed === batch)
+    // and the fold feeds the batch consumers directly
+    val deg = LinkGraph.hostDegrees(StreamingGraph.currentEdges(spark, edgeRoot))
+      .where(col("host") === "b.com")
+      .select("in_hosts", "in_links").as[(Long, Long)].collect()
+    assert(deg === Seq((1L, 4L)))
   }
 
   test("trainingOrder: extra columns ride along; null id raises; no global sort") {

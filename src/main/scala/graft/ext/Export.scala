@@ -115,6 +115,34 @@ object Export {
       .drop("__ord")
   }
 
+  /** Physical EPOCH export: [[trainingOrder]] materialized — land
+    * `docs` under `outDir/data` as `shard=<k>/part-*.parquet`, one
+    * file per shard, with rows inside each file IN `seq` ORDER (a
+    * parquet file preserves row order, so a loader that reads shard
+    * files top-to-bottom replays the epoch's global shuffle with zero
+    * load-time coordination). Returns the landed frame re-read from
+    * disk; callers assert `seq` monotonicity per shard (ExportSpec
+    * does) — a violated order means the writer reordered rows.
+    *
+    * Scale shape: [[trainingOrder]]'s window exchange is the ONLY
+    * row-level shuffle; the writer repartitions on the (already
+    * computed) shard column and sorts within partitions by seq — the
+    * same one-task-per-shard layout as [[exportShards]], plus the
+    * in-file order. A fresh `seed` per epoch re-lands a fresh
+    * permutation of the same corpus.
+    */
+  def exportEpoch(spark: SparkSession, docs: DataFrame, outDir: String,
+                  nShards: Int, seed: String = "graft",
+                  idCol: String = "doc_id"): DataFrame = {
+    val ordered = trainingOrder(docs, nShards, seed, idCol)
+    ordered
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    spark.read.parquet(s"$outDir/data")
+  }
+
   /** Physical export: land `docs` under `outDir` as
     * `shard=<k>/part-*.parquet` with EXACTLY one data file per shard
     * (each shard is co-located into one task by the repartition on the

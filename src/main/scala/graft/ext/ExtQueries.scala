@@ -549,7 +549,13 @@ object ExtQueries {
     concat(
       lit("<!DOCTYPE html><html"),
       when(col("doc_id") % 2 === 0, lit(" lang=\"EN\"")).otherwise(lit("")),
-      lit("><head><meta name=\"description\" content=\"Doc about "),
+      lit("><head>"),
+      when(col("doc_id") % 6 === 0,
+        lit("<meta name=\"robots\" content=\"NOINDEX, follow\">"))
+        .when(col("doc_id") % 6 === 3,
+          lit("<meta name=\"robots\" content=\"index, nofollow\">"))
+        .otherwise(lit("")),
+      lit("<meta name=\"description\" content=\"Doc about "),
       col("source"),
       lit(" &amp; co\"><title> Doc "),
       col("doc_id").cast("string"),
@@ -567,7 +573,11 @@ object ExtQueries {
   private val sourceHtmlSql: String =
     """'<!DOCTYPE html><html' ||
       |(CASE WHEN doc_id % 2 = 0 THEN ' lang="EN"' ELSE '' END) ||
-      |'><head><meta name="description" content="Doc about ' || source ||
+      |'><head>' ||
+      |(CASE WHEN doc_id % 6 = 0 THEN '<meta name="robots" content="NOINDEX, follow">'
+      |      WHEN doc_id % 6 = 3 THEN '<meta name="robots" content="index, nofollow">'
+      |      ELSE '' END) ||
+      |'<meta name="description" content="Doc about ' || source ||
       |' &amp; co"><title> Doc ' || CAST(doc_id AS VARCHAR) ||
       |' &amp; notes </title><style type="text/css">p { color: red; }</style><script>var x = 1 < 2 && "</div>";</script></head><body><!-- hidden --><div id="main"><h1>' ||
       |source || '</h1><p>' || text ||
@@ -1491,6 +1501,43 @@ object ExtQueries {
       .select(col("doc_id"), col("host"), col("in_hosts"))
       .orderBy("doc_id")
 
+  /** Page indexing-policy report ([[Html.robotsDirectives]]): the
+    * publisher's `<meta name="robots">` opt-out surfaced per page —
+    * the compliance cut the streaming ingest honors by default
+    * (`respectNoindex`). The fixture plants "NOINDEX, follow" on
+    * doc_id%6==0 (case fold must catch it) and "index, nofollow" on
+    * %6==3; `keep` is the not-noindex rule. Exact-oracled via the
+    * shared meta replay ([[Html.metaOracleSqlExpr]]).
+    */
+  def q142(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), sourceHtml.as("html"))
+      .select(col("doc_id"),
+        Html.robotsDirectives(col("html")).as("robots"),
+        Html.robotsNoindex(col("html")).as("noindex"),
+        Html.robotsNofollow(col("html")).as("nofollow"),
+        (!Html.robotsNoindex(col("html"))).as("keep"))
+      .orderBy("doc_id")
+
+  /** Pack → epoch-shuffle composed ([[TextOps.packSequencesText]] →
+    * [[Export.trainingOrder]]): the training-side tail of the
+    * pipeline — q47's capacity-packed bins get a seeded global
+    * shuffle order, i.e. "what the dataloader reads, in what order".
+    * Bins are identified by the composite (lang, bin_id) key as one
+    * string id. Exact-oracled: q47's packing CTEs chain into q139's
+    * md5-order replay — the composition proves the stages agree on
+    * the bin identities, not just pass in isolation.
+    */
+  def q143(spark: SparkSession, dir: String): DataFrame =
+    Export.trainingOrder(
+      TextOps.packSequencesText(docs(spark, dir), capacity = 2048,
+        shardCols = Seq("lang"))
+        .select(
+          concat(col("lang"), lit(":"), col("bin_id").cast("string"))
+            .as("pack_id"),
+          col("sum_tokens")),
+      nShards = 4, seed = "epoch0", idCol = "pack_id")
+      .orderBy("pack_id")
+
   /** Anchor-text mining ([[LinkGraph.anchorTexts]]): how the web
     * describes each target host — per-(dst_host, anchor) counts over
     * the synthetic link pages, whose cross-host anchors alternate an
@@ -2046,6 +2093,8 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_packed_epoch" -> (q143 _),
+    "q142_page_policy" -> (q142 _),
     "q141_anchor_texts" -> (q141 _),
     "q140_host_prior" -> (q140 _),
     "q139_training_order" -> (q139 _),
@@ -2355,6 +2404,45 @@ object ExtQueries {
          |      FROM documents) p2
          |JOIN k ON k.host = p2.host
          |ORDER BY p2.doc_id""".stripMargin,
+    // q143 — pack → epoch-shuffle composed: q47's packing CTEs chain
+    // into q139's md5-order replay over the composite bin id
+    "q143_packed_epoch" ->
+      """WITH sized AS (
+        |  SELECT lang, doc_id, text, len(string_split(text, ' ')) AS n,
+        |    SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY lang ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents),
+        |packed AS (
+        |  SELECT lang || ':' ||
+        |      CAST(CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS VARCHAR)
+        |      AS pack_id,
+        |    CAST(SUM(n) AS BIGINT) AS sum_tokens
+        |  FROM sized
+        |  GROUP BY lang, CAST(FLOOR((cum - n) / 2048.0) AS BIGINT)),
+        |s AS (
+        |  SELECT pack_id, sum_tokens,
+        |    ('0x' || substr(md5('epoch0:' || pack_id), 1, 15))::BIGINT AS ord
+        |  FROM packed)
+        |SELECT pack_id, sum_tokens, ord % 4 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord % 4 ORDER BY ord, pack_id) - 1
+        |       AS BIGINT) AS seq
+        |FROM s ORDER BY pack_id""".stripMargin,
+    // q142 — the robots policy replayed: the shared meta extraction
+    // (name-anchored, entity-decoded, ws-normalized) lowered, token
+    // containment for noindex/nofollow, keep = NOT noindex
+    "q142_page_policy" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $sourceHtmlSql AS html FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    lower(${graft.ext.Html.metaOracleSqlExpr("html", "robots")}) AS robots
+         |  FROM h)
+         |SELECT doc_id, robots,
+         |  contains(robots, 'noindex') AS noindex,
+         |  contains(robots, 'nofollow') AS nofollow,
+         |  NOT contains(robots, 'noindex') AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     // q141 — anchor-text mining replayed: whole-element extraction,
     // href host fold, the anchor normalization chain (tag strip →
     // entity decode amp-last → ws collapse), per-target aggregation

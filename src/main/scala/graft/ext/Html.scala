@@ -253,6 +253,22 @@ object Html {
     trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
   }
 
+  /** The page's `<meta name="robots">` directive list, lowercased
+    * ("" when absent) — publisher indexing intent. [[robotsNoindex]]
+    * is the curation-side compliance cut: a page whose publisher said
+    * "don't index me" shouldn't enter a training corpus either (the
+    * opt-out signal pipelines are expected to respect). Substring
+    * match on the lowered directive list — "noindex, follow",
+    * "NOINDEX", "none"-style lists all vary in the wild; only the
+    * literal token is honored (the conservative read).
+    */
+  def robotsDirectives(html: Column): Column =
+    lower(htmlMetaContent(html, "robots"))
+  def robotsNoindex(html: Column): Column =
+    robotsDirectives(html).contains("noindex")
+  def robotsNofollow(html: Column): Column =
+    robotsDirectives(html).contains("nofollow")
+
   /** [[htmlMetaContent]] as a DuckDB SQL expression over `expr`. */
   def metaOracleSqlExpr(expr: String, name: String): String = {
     val pat = metaPattern(name).replace("'", "''")

@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *  2. drop non-text content types
   *     ([[graft.ext.Html.textishContentType]] on the HTTP header's
   *     type for responses, the record's own for conversions — binary
-  *     payloads never enter the index) and apply the row-local URL
-  *     quality cut ([[graft.ext.TextOps.urlQualityKeep]]);
+  *     payloads never enter the index), the row-local URL quality cut
+  *     ([[graft.ext.TextOps.urlQualityKeep]]), and the publisher
+  *     noindex opt-out ([[graft.ext.Html.robotsNoindex]], on by
+  *     default via `respectNoindex`);
   *  3. within-batch keep-first per canonical URL key, then drop
   *     survivors whose key the retained history holds
   *     ([[graft.ext.Dedup.urlDedupAgainstIndex]]); `doc_id` is the
@@ -61,7 +63,8 @@ object StreamingCrawl {
     * mixture key the content chain needs.
     */
   private def withIngested(indexRoot: String, blockedHosts: Seq[String],
-                           bannedWords: Seq[String], maxUrlLen: Int)
+                           bannedWords: Seq[String], maxUrlLen: Int,
+                           respectNoindex: Boolean = true)
                           (batch: DataFrame, batchId: Long)
                           (use: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
@@ -83,6 +86,12 @@ object StreamingCrawl {
       .where(graft.ext.Html.textishContentType(col("__ct")))
       .where(graft.ext.TextOps.urlQualityKeep(col("url"),
         blockedHosts, bannedWords, maxUrlLen))
+      // the publisher opt-out: a <meta name="robots"> noindex page is
+      // dropped BEFORE dedup, so it never claims its canonical key (a
+      // later fetch of the page without the directive lands normally);
+      // non-HTML payloads carry no meta tag and pass untouched
+      .where(if (respectNoindex) !graft.ext.Html.robotsNoindex(col("html"))
+             else lit(true))
       .withColumn("doc_id", xxhash64(col("url"), col("html")))
       .select("doc_id", "url", "ts", "html", "__ct")
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
@@ -110,9 +119,11 @@ object StreamingCrawl {
   def crawlIngestSink(indexRoot: String, outRoot: String,
                       blockedHosts: Seq[String] = Nil,
                       bannedWords: Seq[String] = Nil,
-                      maxUrlLen: Int = 2048)
+                      maxUrlLen: Int = 2048,
+                      respectNoindex: Boolean = true)
                      (batch: DataFrame, batchId: Long): Unit =
-    withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen)(batch, batchId) {
+    withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen,
+      respectNoindex)(batch, batchId) {
       extracted =>
         StreamingDedup.landBatchChecked(
           extracted.drop("lang"), // the standalone sink's landed schema
@@ -137,9 +148,11 @@ object StreamingCrawl {
                           benchmarkSource: DataFrame,
                           blockedHosts: Seq[String] = Nil,
                           bannedWords: Seq[String] = Nil,
-                          maxUrlLen: Int = 2048)
+                          maxUrlLen: Int = 2048,
+                          respectNoindex: Boolean = true)
                          (batch: DataFrame, batchId: Long): Unit =
-    withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen)(batch, batchId) {
+    withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen,
+      respectNoindex)(batch, batchId) {
       extracted =>
         StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
           outRoot, benchmarkSource)(extracted, batchId)

@@ -543,6 +543,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out().size === 2, "replay of a delivered batch changed the output")
   }
 
+  test("streaming crawl ingest honors the robots noindex opt-out") {
+    import graft.io.Warc
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_noindex")
+    def member(url: String, html: String) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", html)))
+    val shard =
+      member("https://n.example.com/private",
+        """<html><head><meta name="robots" content="NoIndex, follow">""" +
+          "</head><body><p>opted out</p></body></html>") ++
+      member("https://n.example.com/follownot",
+        """<html><head><meta name="robots" content="nofollow"></head>""" +
+          "<body><p>nofollow alone is fine</p></body></html>") ++
+      member("https://n.example.com/open", "<html><body><p>public</p></body></html>")
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out") _
+    sink(Seq(("s.warc.gz", shard)).toDF("path", "content"), 0L)
+    assert(spark.read.parquet(s"$work/out").select("url").as[String]
+      .collect().sorted.toSeq === Seq(
+      "https://n.example.com/follownot", "https://n.example.com/open"),
+      "noindex (case-folded) dropped; nofollow alone kept")
+    // dropped BEFORE dedup: the opted-out page never claimed its key
+    assert(spark.read.parquet(s"$work/idx").count() === 2)
+    // the compliance cut is a policy switch, not hardwired
+    val keepAll = StreamingCrawl.crawlIngestSink(s"$work/idx2", s"$work/out2",
+      respectNoindex = false) _
+    keepAll(Seq(("s.warc.gz", shard)).toDF("path", "content"), 0L)
+    assert(spark.read.parquet(s"$work/out2").count() === 3)
+  }
+
   test("streaming crawl ingest routes by content type: WET/plain verbatim, binary never lands") {
     import graft.io.Warc
     import graft.streaming.StreamingCrawl

@@ -74,6 +74,10 @@ object SparkEntry {
       + "nClusters=1 ≡ brute-force bit-exact anchor + clustered-path recall spec"),
     "q80_lm_persisted_probe" -> ("libm-bound like q73, via the persisted model: ExtSpec "
       + "persisted-vs-direct equivalence + StrictMath fixtures"),
+    "q144_kn_perplexity" -> ("libm-bound like q73/q80 (one log2 per composed KN "
+      + "probability): ExtSpec hand-computed interpolated-KN fixture bit-for-bit, "
+      + "persisted-model ≡ in-memory, continuation-vs-frequency ranking property, "
+      + "unseen-word totality + golden digest"),
     "q81_ann_persisted_probe" -> ("approximate (hyperplane-LSH, persisted index): ExtSpec "
       + "'persisted ANN index: probing the corpus against its own index == annTopK' "
       + "bit-equality + cross-frame recall floor + golden digest"),

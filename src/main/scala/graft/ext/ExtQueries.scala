@@ -1518,6 +1518,19 @@ object ExtQueries {
         (!Html.robotsNoindex(col("html"))).as("keep"))
       .orderBy("doc_id")
 
+  /** Kneser-Ney perplexity probe ([[TextOps.knPerplexityAgainst]]):
+    * the q80 operational split (train on doc_id%10!=0 once, score the
+    * held-out slice against the PERSISTED model) under the KenLM/CCNet
+    * smoother — same model artifact, better backoff. Libm-bound like
+    * q73/q80 → spec-gated (hand-computed fixture, persisted ≡ direct,
+    * ranking, golden digest), no SQL oracle.
+    */
+  def q144(spark: SparkSession, dir: String): DataFrame =
+    TextOps.knPerplexityAgainst(
+      docs(spark, dir).where(col("doc_id") % 10 === 0),
+      sharedLmModel(spark, dir), discount = 0.75)
+      .orderBy("doc_id")
+
   /** Pack → epoch-shuffle composed ([[TextOps.packSequencesText]] →
     * [[Export.trainingOrder]]): the training-side tail of the
     * pipeline — q47's capacity-packed bins get a seeded global
@@ -2093,6 +2106,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_kn_perplexity" -> (q144 _),
     "q143_packed_epoch" -> (q143 _),
     "q142_page_policy" -> (q142 _),
     "q141_anchor_texts" -> (q141 _),

@@ -990,6 +990,78 @@ object TextOps {
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Interpolated KNESER-NEY scoring against the SAME persisted model
+    * artifact as [[lmPerplexityAgainst]] — KenLM/CCNet's smoother
+    * (Kneser & Ney 1995; Chen & Goodman 1999's interpolated variant),
+    * which fixes add-k's known bias: a word seen only inside one
+    * frequent collocation ("Francisco") gets a LOW continuation
+    * probability in novel contexts, because what matters for backoff
+    * is in how many DISTINCT contexts a word appears, not how often.
+    * Every KN statistic derives from the [[lmTrain]] bigram table —
+    * c1(prev)=Σ c2, N1+(prev,·)=rows per prev, N1+(·,cur)=rows per
+    * cur, T=total types — so one trained artifact serves both
+    * smoothers; retraining is never needed to switch.
+    *
+    *   P(cur|prev) = max(c2−D,0)/c1 + (D·N1+(prev,·)/c1)·Pcont(cur)
+    *   (unseen prev → Pcont(cur) alone);
+    *   Pcont(cur) = (N1+(·,cur)+1)/(T+V+1)
+    *
+    * — add-one on the continuation distribution instead of carrying a
+    * trained `<unk>` token (the KenLM way), so unseen words score
+    * finite out of the box: a documented totality departure, same
+    * spirit as add-k's. Determinism contract identical to
+    * [[lmPerplexityAgainst]] (distinct doc-bigram join unit, sorted
+    * sequential fold, StrictMath libm) — libm-bound, so spec-gated
+    * (q144), not SQL-oracled. Scale shape: the same joins as the
+    * add-k face plus one more model-cardinality equi-join (the
+    * continuation counts); nothing new shuffles.
+    */
+  def knPerplexityAgainst(docs: DataFrame, model: DataFrame,
+                          discount: Double = 0.75,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 2): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"knPerplexityAgainst: discount must be in (0,1), got $discount")
+    val c2 = model.where(col("prev").isNotNull)
+    val c1 = c2.groupBy("prev").agg(sum(col("__c2")).as("__c1"),
+      count(lit(1)).as("__n1p_prev"))
+    val contCur = c2.groupBy("cur").agg(count(lit(1)).as("__n1p_cur"))
+    val totals = c2.agg(count(lit(1)).cast("double").as("__t"))
+      .crossJoin(model.where(col("prev").isNull)
+        .select(col("__c2").cast("double").as("__v")))
+    val docBg = docNgrams(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__m"))
+    // the probability tree, in a FIXED associativity (the spec's
+    // independent model mirrors it term for term)
+    val pcont = (coalesce(col("__n1p_cur"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__t") + col("__v") + lit(1.0))
+    val pSeen =
+      greatest(coalesce(col("__c2"), lit(0L)).cast("double") - lit(discount),
+        lit(0.0)) / col("__c1").cast("double") +
+        lit(discount) * col("__n1p_prev").cast("double") /
+          col("__c1").cast("double") * pcont
+    val p = when(col("__c1").isNotNull, pSeen).otherwise(pcont)
+    val scored = docBg
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .join(contCur, Seq("cur"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("prev"), col("cur"), col("__m"),
+        log(2.0, p).as("__logp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(sum(col("__m")).as("n_bigrams"),
+        sort_array(collect_list(struct(col("prev"), col("cur"),
+          (col("__m").cast("double") * col("__logp")).as("__mlogp")))).as("__arr"))
+      .select(col(idCol), col("n_bigrams"),
+        aggregate(col("__arr"), lit(0.0), (acc, x) => acc + x.getField("__mlogp"))
+          .as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        (negate(col("__sum")) / col("n_bigrams").cast("double")).as("cross_entropy"))
+      .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+  }
+
   /** Integer-EXACT unigram surprisal profile — the oracle-verifiable
     * face of LM quality scoring. True cross-entropy needs libm logs,
     * whose last-ULP behavior differs across engines (documented at q65

@@ -1538,6 +1538,87 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2L) === ((2L, h2, StrictMath.pow(2.0, h2))))
   }
 
+  test("knPerplexityAgainst: hand-computed interpolated-KN fixture, bit-for-bit") {
+    // train: d1 "a b a c", d2 "c a" → c2: ab=1, ba=1, ac=1, ca=1;
+    // c1: a=2, b=1, c=1; N1+(prev,·): a=2, b=1, c=1;
+    // N1+(·,cur): a=2, b=1, c=1; T=4 types, V=3.
+    // probe "a b x a": (a,b) seen-seen, (b,x) seen-prev/unseen-cur
+    // (the max(c2−D,0)=0 arm), (x,a) unseen-prev (pure continuation)
+    val model = TextOps.lmTrain(docsDf(1L -> "a b a c", 2L -> "c a"))
+    val got = TextOps.knPerplexityAgainst(
+      docsDf(10L -> "a b x a"), model, discount = 0.75)
+      .select("doc_id", "n_bigrams", "cross_entropy", "perplexity")
+      .as[(Long, Long, Double, Double)].collect()
+    def log2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    // the operator's exact double tree, term for term
+    def pcont(n1pCur: Double) = (n1pCur + 1.0) / ((4.0 + 3.0) + 1.0)
+    val pAB = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * pcont(1.0)
+    val pBX = math.max(0.0 - 0.75, 0.0) / 1.0 + 0.75 * 1.0 / 1.0 * pcont(0.0)
+    val pXA = pcont(2.0)
+    // fold order is sorted (prev, cur): (a,b) < (b,x) < (x,a)
+    val sum = 1.0 * log2(pAB) + 1.0 * log2(pBX) + 1.0 * log2(pXA)
+    val h = -sum / 3.0
+    assert(got.toSeq === Seq((10L, 3L, h, StrictMath.pow(2.0, h))))
+  }
+
+  test("knPerplexityAgainst: continuation beats raw frequency (the KN motivation)") {
+    // Z is FREQUENT but only ever follows 'san' (one continuation
+    // context); Y is rarer but follows three distinct contexts. After
+    // an unseen context, KN must prefer Y — while add-k's unseen-
+    // bigram score doesn't depend on the target word at all (same
+    // score for both), which is exactly the bias KN fixes.
+    val model = TextOps.lmTrain(docsDf(
+      1L -> "san Z san Z san Z san Z",
+      2L -> "a Y b Y c Y"))
+    val probes = docsDf(30L -> "fresh Z", 31L -> "fresh Y")
+    val kn = TextOps.knPerplexityAgainst(probes, model)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(kn(31L) < kn(30L),
+      "KN must score the many-contexts word as more expected after a novel context")
+    val addk = TextOps.lmPerplexityAgainst(probes, model)
+      .select("doc_id", "perplexity").as[(Long, Double)].collect().toMap
+    assert(addk(31L) === addk(30L),
+      "add-k's unseen-bigram score is target-blind — the contrast this spec pins")
+  }
+
+  test("knPerplexityAgainst: unseen text finite; repartition-invariant; bad discount raises") {
+    val model = TextOps.lmTrain(docsDf(1L -> "a b a c"))
+    val unseen = TextOps.knPerplexityAgainst(
+      docsDf(5L -> "totally novel words here"), model)
+      .select("perplexity").as[Double].collect()
+    assert(unseen.length === 1 && !unseen.head.isNaN && !unseen.head.isInfinite
+      && unseen.head > 0)
+    val probes = docsDf(6L -> "a b c a", 7L -> "c a b")
+    val base = TextOps.knPerplexityAgainst(probes, model)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val shuffled = TextOps.knPerplexityAgainst(probes.repartition(7), model)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(base === shuffled)
+    intercept[IllegalArgumentException] {
+      TextOps.knPerplexityAgainst(probes, model, discount = 1.0) }
+  }
+
+  test("q144 KN probe: persisted model scores == in-memory model, bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = TextOps.knPerplexityAgainst(
+      docs.where($"doc_id" % 10 === 0),
+      TextOps.lmTrain(docs.where($"doc_id" % 10 =!= 0)), discount = 0.75)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val viaParquet = ExtQueries.q144(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(viaParquet === direct)
+  }
+
+  test("golden digest: q144 KN perplexity output is bit-stable at sf0.001") {
+    // same contract as q73/q80: no SQL oracle (libm), so any drift in
+    // the split, the derived KN statistics, the probability tree, or
+    // the fold order changes this digest. Re-pin ONLY intentionally.
+    val q144 = ExtQueries.q144(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (d, n, h, p) => s"$d,$n,$h,$p" }.mkString("\n")
+    assert(md5(q144) === "8d46d3ab20c7c65b7913d0eb360a6a51", "q144 output drifted")
+  }
+
   test("lmPerplexity: bit-identical under repartition; single-token docs NULL") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val base = TextOps.lmPerplexity(docs)

@@ -1518,6 +1518,24 @@ object ExtQueries {
         (!Html.robotsNoindex(col("html"))).as("keep"))
       .orderBy("doc_id")
 
+  /** Per-HOST quality rollup ([[TextOps.keepRateBy]] over
+    * [[TextOps.gopherRules]] verdicts joined to the source hosts):
+    * the per-domain analysis that turns per-document verdicts into
+    * source-level decisions — a host failing quality most of the time
+    * is a blocklist candidate, feeding back into the q130/q140 cuts.
+    * Exact-oracled: the q116 report CTE is shared verbatim (one
+    * source of truth for the rule constants) and the rollup is exact
+    * integers plus one IEEE division.
+    */
+  def q145(spark: SparkSession, dir: String): DataFrame =
+    TextOps.keepRateBy(
+      TextOps.gopherRules(docs(spark, dir))
+        .join(docs(spark, dir)
+          .select(col("doc_id"), LinkGraph.hostOf(sourceUrl).as("host")),
+          Seq("doc_id")),
+      "host")
+      .orderBy("host")
+
   /** Kneser-Ney perplexity probe ([[TextOps.knPerplexityAgainst]]):
     * the q80 operational split (train on doc_id%10!=0 once, score the
     * held-out slice against the PERSISTED model) under the KenLM/CCNet
@@ -2106,6 +2124,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_host_quality" -> (q145 _),
     "q144_kn_perplexity" -> (q144 _),
     "q143_packed_epoch" -> (q143 _),
     "q142_page_policy" -> (q142 _),
@@ -2331,6 +2350,64 @@ object ExtQueries {
         |              WHEN 'es' THEN '4000' ELSE '0000' END)
         |""".stripMargin.trim
 
+
+  /** The q116 Gopher report replay, shared verbatim by the per-host
+    * rollup (q145) — one source of truth for the rule constants.
+    */
+  private val gopherReportSql: String =
+    """WITH stops AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
+        |sh AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop_hits FROM (
+        |    SELECT DISTINCT doc_id, token FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents))
+        |  WHERE token IN (SELECT token FROM stops) GROUP BY doc_id),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
+        |    CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS ell_uni,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
+        |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS n_ell_end
+        |  FROM documents),
+        |r AS (
+        |  SELECT s.doc_id, s.n_words,
+        |    CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS mean_word_len,
+        |    CAST(s.n_hash AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS hash_ratio,
+        |    CAST(s.ell_chars + 3 * s.ell_uni AS DOUBLE)
+        |      / CAST(3 * s.n_words AS DOUBLE) AS ellipsis_ratio,
+        |    CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS alpha_word_frac,
+        |    CAST(s.n_bullet AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS bullet_line_frac,
+        |    CAST(s.n_ell_end AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS ellipsis_line_frac,
+        |    coalesce(sh.n_stop_hits, 0) AS n_stop_hits
+        |  FROM s LEFT JOIN sh USING (doc_id))
+        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+        |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac, n_stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+        |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
+        |  (alpha_word_frac >= 0.8) AS ok_alpha,
+        |  (n_stop_hits >= 2) AS ok_stops,
+        |  (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS ok_lines,
+        |  (n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+        |    AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2
+        |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS keep
+        |FROM r""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q137 — the host edge list replayed: href extraction
@@ -2718,60 +2795,22 @@ object ExtQueries {
     // statistic, one division per ratio, threshold comparisons on the
     // identical IEEE doubles; the stop list is the q40 top-k with its
     // deterministic (count DESC, token ASC) tie-break.
-    "q116_gopher_rules" ->
-      """WITH stops AS (
-        |  SELECT token FROM (
-        |    SELECT token, count(*) AS n
-        |    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20)),
-        |sh AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stop_hits FROM (
-        |    SELECT DISTINCT doc_id, token FROM (
-        |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |      FROM documents))
-        |  WHERE token IN (SELECT token FROM stops) GROUP BY doc_id),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    CAST(list_aggregate(list_transform(string_split(text, ' '),
-        |      x -> length(x)), 'sum') AS BIGINT) AS sum_len,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
-        |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ell_chars,
-        |    CAST(length(text) - length(replace(text, '…', '')) AS BIGINT) AS ell_uni,
-        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(string_split(text, chr(10)),
-        |      x -> starts_with(x, '- ') OR starts_with(x, '* ')
-        |           OR starts_with(x, '•'))) AS BIGINT) AS n_bullet,
-        |    CAST(len(list_filter(string_split(text, chr(10)),
-        |      x -> ends_with(x, '...') OR ends_with(x, '…'))) AS BIGINT) AS n_ell_end
-        |  FROM documents),
-        |r AS (
-        |  SELECT s.doc_id, s.n_words,
-        |    CAST(s.sum_len AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS mean_word_len,
-        |    CAST(s.n_hash AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS hash_ratio,
-        |    CAST(s.ell_chars + 3 * s.ell_uni AS DOUBLE)
-        |      / CAST(3 * s.n_words AS DOUBLE) AS ellipsis_ratio,
-        |    CAST(s.n_alpha AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS alpha_word_frac,
-        |    CAST(s.n_bullet AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS bullet_line_frac,
-        |    CAST(s.n_ell_end AS DOUBLE) / CAST(s.n_lines AS DOUBLE) AS ellipsis_line_frac,
-        |    coalesce(sh.n_stop_hits, 0) AS n_stop_hits
-        |  FROM s LEFT JOIN sh USING (doc_id))
-        |SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
-        |  alpha_word_frac, bullet_line_frac, ellipsis_line_frac, n_stop_hits,
-        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
-        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
-        |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbols,
-        |  (alpha_word_frac >= 0.8) AS ok_alpha,
-        |  (n_stop_hits >= 2) AS ok_stops,
-        |  (bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS ok_lines,
-        |  (n_words >= 50 AND n_words <= 100000
-        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-        |    AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
-        |    AND alpha_word_frac >= 0.8 AND n_stop_hits >= 2
-        |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "q116_gopher_rules" -> s"$gopherReportSql ORDER BY doc_id",
+    // q145 — the per-host rollup of the q116 verdicts: the same
+    // report CTE joined to the synthetic source hosts, one keep-rate
+    // aggregate per host (exact integers + one IEEE division)
+    "q145_host_quality" ->
+      s"""WITH g AS ($gopherReportSql),
+         |h AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr(s"($sourceUrlSql)")} AS host
+         |  FROM documents)
+         |SELECT h.host, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS keep_rate
+         |FROM g JOIN h USING (doc_id)
+         |GROUP BY h.host ORDER BY h.host""".stripMargin,
     // q115 — the incremental probe replayed: models over the corpus
     // side (doc_id % 10 <> 0; target = its lang='en' subset), batch
     // features left-joined with coalesce-0 on BOTH models (the

@@ -1062,6 +1062,23 @@ object TextOps {
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Keep-rate rollup of any report frame carrying a boolean `keep`
+    * (the Gopher/URL-quality/policy report shape) by an arbitrary
+    * grouping column — the per-DOMAIN curation analysis published
+    * pipelines run to turn per-document verdicts into source-level
+    * decisions ("this host fails quality 90% of the time → blocklist
+    * candidate"). Scale shape: one map-side-combinable aggregation on
+    * the group key; the rate is a single IEEE division (exact
+    * cross-engine — the q78 rule).
+    */
+  def keepRateBy(report: DataFrame, groupCol: String): DataFrame =
+    report.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_keep"))
+      .select(col(groupCol), col("n_docs"), col("n_keep"),
+        (col("n_keep").cast("double") / col("n_docs").cast("double"))
+          .as("keep_rate"))
+
   /** Integer-EXACT unigram surprisal profile — the oracle-verifiable
     * face of LM quality scoring. True cross-entropy needs libm logs,
     * whose last-ULP behavior differs across engines (documented at q65

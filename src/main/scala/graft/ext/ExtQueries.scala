@@ -550,9 +550,12 @@ object ExtQueries {
       lit("<!DOCTYPE html><html"),
       when(col("doc_id") % 2 === 0, lit(" lang=\"EN\"")).otherwise(lit("")),
       lit("><head>"),
-      when(col("doc_id") % 6 === 0,
+      // %6==1/%6==4: residues coprime to the %3==0 'frag' URL cut, so
+      // the policy rule bites docs the crawl front half otherwise
+      // KEEPS (q147's composition must be non-vacuous)
+      when(col("doc_id") % 6 === 1,
         lit("<meta name=\"robots\" content=\"NOINDEX, follow\">"))
-        .when(col("doc_id") % 6 === 3,
+        .when(col("doc_id") % 6 === 4,
           lit("<meta name=\"robots\" content=\"index, nofollow\">"))
         .otherwise(lit("")),
       lit("<meta name=\"description\" content=\"Doc about "),
@@ -574,8 +577,8 @@ object ExtQueries {
     """'<!DOCTYPE html><html' ||
       |(CASE WHEN doc_id % 2 = 0 THEN ' lang="EN"' ELSE '' END) ||
       |'><head>' ||
-      |(CASE WHEN doc_id % 6 = 0 THEN '<meta name="robots" content="NOINDEX, follow">'
-      |      WHEN doc_id % 6 = 3 THEN '<meta name="robots" content="index, nofollow">'
+      |(CASE WHEN doc_id % 6 = 1 THEN '<meta name="robots" content="NOINDEX, follow">'
+      |      WHEN doc_id % 6 = 4 THEN '<meta name="robots" content="index, nofollow">'
       |      ELSE '' END) ||
       |'<meta name="description" content="Doc about ' || source ||
       |' &amp; co"><title> Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -768,14 +771,31 @@ object ExtQueries {
     * projections; the only shuffle is q126's 8-byte key-hash winner
     * election (plus the harness order-by).
     */
-  def q131(spark: SparkSession, dir: String): DataFrame = {
+  def q131(spark: SparkSession, dir: String): DataFrame =
+    crawlFrontHalf(spark, dir, respectNoindex = false)
+
+  /** q147 — the same front half with the robots noindex opt-out wired
+    * in as one more row-local predicate (the batch face of the
+    * streaming ingest's `respectNoindex`; q142 surfaces the policy,
+    * this composes it). Oracle: the SHARED q131 chain with the meta
+    * rule injected — the composition's oracle re-derives the rule,
+    * not the fixture pattern.
+    */
+  def q147(spark: SparkSession, dir: String): DataFrame =
+    crawlFrontHalf(spark, dir, respectNoindex = true)
+
+  private def crawlFrontHalf(spark: SparkSession, dir: String,
+                             respectNoindex: Boolean): DataFrame = {
     val pages = docs(spark, dir)
       .select(col("doc_id"), sourceUrl.as("url"), sourceHtml.as("html"))
     // the quality cut is row-local: a bare predicate, not a report +
-    // semi join — zero extra scans/exchanges in the chain plan
+    // semi join — zero extra scans/exchanges in the chain plan; the
+    // policy cut (q147) is one more predicate on the same scan
     val filtered = pages.where(TextOps.urlQualityKeep(col("url"),
       blockedHosts = Seq("src3.example.com"),
       bannedWords = Seq("casino", "frag")))
+      .where(if (respectNoindex) !Html.robotsNoindex(col("html"))
+             else lit(true))
     val text = Dedup.urlDedup(filtered)
       .select(col("doc_id"), col("url_key"),
         Html.htmlToText(col("html")).as("text"))
@@ -1477,6 +1497,18 @@ object ExtQueries {
       iterations = 3)
       .orderBy("host")
 
+  /** Link-WEIGHTED host centrality ([[LinkGraph.hostRank]] with
+    * `weightedByLinks`): each source host's vote splits by link count
+    * instead of uniformly — the endorsement-intensity variant of
+    * q138. Exact-oracled bit-for-bit by the same sorted-fold replay
+    * (weights are integer-valued doubles, so every weight sum is
+    * exact in any order; the contribution tree is (rank·w)/Σw).
+    */
+  def q146(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.hostRank(LinkGraph.hostEdges(linkPages(spark, dir)),
+      iterations = 3, weightedByLinks = true)
+      .orderBy("host")
+
   /** Seeded deterministic training order ([[Export.trainingOrder]]):
     * the epoch-shuffle primitive — shard + dense within-shard
     * position, both pure functions of (seed, doc_id), no global sort.
@@ -1505,8 +1537,8 @@ object ExtQueries {
     * publisher's `<meta name="robots">` opt-out surfaced per page —
     * the compliance cut the streaming ingest honors by default
     * (`respectNoindex`). The fixture plants "NOINDEX, follow" on
-    * doc_id%6==0 (case fold must catch it) and "index, nofollow" on
-    * %6==3; `keep` is the not-noindex rule. Exact-oracled via the
+    * doc_id%6==1 (case fold must catch it) and "index, nofollow" on
+    * %6==4; `keep` is the not-noindex rule. Exact-oracled via the
     * shared meta replay ([[Html.metaOracleSqlExpr]]).
     */
   def q142(spark: SparkSession, dir: String): DataFrame =
@@ -2124,6 +2156,8 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_policy_front_half" -> (q147 _),
+    "q146_host_rank_weighted" -> (q146 _),
     "q145_host_quality" -> (q145 _),
     "q144_kn_perplexity" -> (q144 _),
     "q143_packed_epoch" -> (q143 _),
@@ -2409,6 +2443,70 @@ object ExtQueries {
         |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3) AS keep
         |FROM r""".stripMargin
 
+  /** The q131 chained-CTE oracle, parameterized so composed variants
+    * (q147 adds the robots noindex rule) replay the identical chain
+    * with one injected filter — one source of truth for the stages.
+    */
+  private def crawlFrontHalfOracleSql(extraFilter: String): String =
+      s"""WITH u AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceHtmlSql AS html
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)),
+         |      '^www\\.', '') AS host,
+         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN contains(lower(url), 'frag') THEN 1 ELSE 0 END) AS nb
+         |  FROM u),
+         |flt AS (
+         |  SELECT u.* FROM u JOIN q USING (doc_id)
+         |  WHERE NOT (q.host = 'src3.example.com'
+         |             OR q.host LIKE '%.src3.example.com')
+         |    AND q.nb = 0 $extraFilter AND length(u.url) <= 2048),
+         |p AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?&]*)&', '\\1?') AS pu
+         |  FROM flt),
+         |s AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, html, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, html,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, html, clean_base,
+         |          array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
+         |        FROM b)),
+         |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
+         |ext AS (
+         |  SELECT k.doc_id, k.url_key,
+         |    ${graft.ext.Html.oracleSqlExpr("k.html")} AS text
+         |  FROM k JOIN win ON k.doc_id = win.doc_id AND k.url_key = win.url_key)
+         |SELECT doc_id, url_key, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+         |FROM ext ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // q137 — the host edge list replayed: href extraction
     // (regexp_extract_all, the q127 pattern), the shared host fold
@@ -2433,6 +2531,30 @@ object ExtQueries {
          |WHERE src <> '' AND dst <> '' AND src <> dst
          |GROUP BY src, dst
          |ORDER BY src, dst""".stripMargin,
+    // q146 — link-weighted PageRank replayed bit-for-bit: the q137
+    // edge derivation WITH counts feeds the weighted rankOracleCtes
+    "q146_host_rank_weighted" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |  FROM p),
+         |e2 AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst
+         |  FROM x),
+         |edges AS (
+         |  SELECT src AS src_host, dst AS dst_host,
+         |    count(*) AS n_links
+         |  FROM e2
+         |  WHERE src <> '' AND dst <> '' AND src <> dst
+         |  GROUP BY src, dst),
+         |${LinkGraph.rankOracleCtes(iterations = 3, damping = 0.85,
+            weightedByLinks = true)}
+         |SELECT host, rank FROM r3 ORDER BY host""".stripMargin,
     // q138 — 3-iteration PageRank replayed bit-for-bit: the q137 edge
     // derivation feeds LinkGraph.rankOracleCtes' chained CTEs; every
     // per-node sum is a sorted sequential fold in both engines and
@@ -4048,65 +4170,12 @@ object ExtQueries {
          |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
          |  bit_xor(h) AS checksum
          |FROM man GROUP BY shard ORDER BY shard""".stripMargin,
-    "q131_crawl_front_half" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, $sourceUrlSql AS url, $sourceHtmlSql AS html
-         |  FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |    regexp_replace(lower(regexp_extract(url, '^[^/]*//([^/:?#]+)', 1)),
-         |      '^www\\.', '') AS host,
-         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) +
-         |    (CASE WHEN contains(lower(url), 'frag') THEN 1 ELSE 0 END) AS nb
-         |  FROM u),
-         |flt AS (
-         |  SELECT u.* FROM u JOIN q USING (doc_id)
-         |  WHERE NOT (q.host = 'src3.example.com'
-         |             OR q.host LIKE '%.src3.example.com')
-         |    AND q.nb = 0 AND length(u.url) <= 2048),
-         |p AS (
-         |  SELECT doc_id, html,
-         |    regexp_replace(
-         |    regexp_replace(
-         |    regexp_replace(url, '#.*', '', 'g'),
-         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
-         |      '^([^?&]*)&', '\\1?') AS pu
-         |  FROM flt),
-         |s AS (
-         |  SELECT doc_id, html,
-         |    regexp_replace(pu, '\\?.*', '') AS base,
-         |    regexp_extract(pu, '\\?(.*)', 1) AS query
-         |  FROM p),
-         |b AS (
-         |  SELECT doc_id, html, query,
-         |    regexp_replace(
-         |    regexp_replace(
-         |    regexp_replace(
-         |    regexp_replace(
-         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
-         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
-         |      '^(https?://)www\\.', '\\1'),
-         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
-         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
-         |      '/$$', '') AS clean_base
-         |  FROM s),
-         |k AS (
-         |  SELECT doc_id, html,
-         |    CASE WHEN sq = '' THEN clean_base
-         |         ELSE clean_base || '?' || sq END AS url_key
-         |  FROM (SELECT doc_id, html, clean_base,
-         |          array_to_string(list_sort(
-         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
-         |        FROM b)),
-         |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
-         |ext AS (
-         |  SELECT k.doc_id, k.url_key,
-         |    ${graft.ext.Html.oracleSqlExpr("k.html")} AS text
-         |  FROM k JOIN win ON k.doc_id = win.doc_id AND k.url_key = win.url_key)
-         |SELECT doc_id, url_key, text,
-         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-         |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
-         |FROM ext ORDER BY doc_id""".stripMargin,
+    "q131_crawl_front_half" -> crawlFrontHalfOracleSql(""),
+    // q147 — the same chained front half with the robots noindex
+    // opt-out injected as one more filter rule (the meta replay, not
+    // the fixture pattern — the RULE is what the oracle re-derives)
+    "q147_policy_front_half" -> crawlFrontHalfOracleSql(
+      s"AND NOT contains(lower(${graft.ext.Html.metaOracleSqlExpr("u.html", "robots")}), 'noindex') "),
     // q130 — urlQualityReport replayed: host extraction, blocklist
     // exact+suffix (LIKE '.'-literal), banned-word CASE sum, digit
     // fraction as double/double, path depth via string_split

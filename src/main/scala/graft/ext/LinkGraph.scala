@@ -167,12 +167,22 @@ object LinkGraph {
     * `sortedFold = true` (default) makes per-node sums bit-replayable
     * across engines (see the object doc); pass false at extreme hub
     * in-degrees to fall back to shuffle-partial `sum`.
+    *
+    * `weightedByLinks = true` splits each source host's vote by LINK
+    * COUNT (`n_links / Σ n_links(src)`) instead of uniformly across
+    * distinct targets — a host linking b.com 99 times and c.org once
+    * endorses b.com harder. Same op tree shape (integer weights, one
+    * IEEE division per edge), so the oracle replay stays bit-exact;
+    * with equal weights it reduces to the unweighted iteration
+    * EXACTLY (w/Σw computes the same division as 1/outdeg — pinned
+    * in the spec).
     */
   def hostRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
                sortedFold: Boolean = true,
                checkpointEvery: Int = 0,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               weightedByLinks: Boolean = false): DataFrame = {
     require(iterations >= 1, "hostRank: iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0,
       s"hostRank: damping must be in (0,1), got $damping")
@@ -189,8 +199,17 @@ object LinkGraph {
       // iteration's lazy plan would re-derive them — re-SCANNING the
       // page corpus behind the edge frame once per reuse (a 3-iteration
       // lazy plan carried 28 scans; materialized it carries none)
-      val pairs = mat(edges.select(col("src_host").as("__src"),
-        col("dst_host").as("__dst")).distinct())
+      // link weights are integer-valued doubles throughout, so every
+      // weight sum is EXACT regardless of combine order (below 2^53)
+      val pairs = mat(
+        if (weightedByLinks)
+          edges.groupBy(col("src_host").as("__src"),
+            col("dst_host").as("__dst"))
+            .agg(sum(col("n_links")).cast("double").as("__w"))
+        else
+          edges.select(col("src_host").as("__src"),
+            col("dst_host").as("__dst")).distinct()
+            .withColumn("__w", lit(1.0)))
       val nodes = mat(pairs.select(col("__src").as("host"))
         .union(pairs.select(col("__dst").as("host"))).distinct())
       // N collects once — a single long, the bounded-collect pattern
@@ -200,14 +219,14 @@ object LinkGraph {
       require(n > 0, "hostRank: empty edge frame — no hosts to rank")
       val base = (1.0 - damping) / n
       val outdeg = pairs.groupBy(col("__src"))
-        .agg(count(lit(1)).cast("double").as("__outdeg"))
+        .agg(sum(col("__w")).as("__outdeg"))
       val weighted = mat(pairs.join(outdeg, "__src"))
       var ranks = nodes.withColumn("rank", lit(1.0 / n))
       for (i <- 1 to iterations) {
         val contribs = weighted
           .join(ranks.withColumnRenamed("host", "__src"), "__src")
           .select(col("__dst").as("host"),
-            (col("rank") / col("__outdeg")).as("__c"))
+            (col("rank") * col("__w") / col("__outdeg")).as("__c"))
         val summed =
           if (sortedFold)
             contribs.groupBy("host").agg(
@@ -238,17 +257,39 @@ object LinkGraph {
     * +,*,/ sequence the Spark plan runs, in the same sorted-fold
     * order. `n` must be the host count the Spark side derived.
     */
-  def rankOracleCtes(iterations: Int, damping: Double): String = {
+  def rankOracleCtes(iterations: Int, damping: Double,
+                     weightedByLinks: Boolean = false): String = {
     // damping interpolates via Double.toString — the shortest form
     // that parses back to the identical bits; the base term
     // (1-d)/N and the init 1/N are computed IN-ENGINE from the node
     // count so the oracle holds at every scale factor, with the same
-    // IEEE op sequence the Spark side runs in the driver
+    // IEEE op sequence the Spark side runs in the driver. Weighted
+    // mode: integer-valued double weights, so every weight sum is
+    // exact regardless of order; the contribution tree is
+    // (rank * w) / wsum — with w = 1 it is bit-identical to the
+    // unweighted rank / outdeg.
     val d = s"CAST('$damping' AS DOUBLE)"
+    val contrib = if (weightedByLinks) "r.rank * p.w / o.outdeg"
+                  else "r.rank / o.outdeg"
+    val pairsCte = if (weightedByLinks)
+      """pairs AS (
+        |  SELECT src_host, dst_host, CAST(SUM(n_links) AS DOUBLE) AS w
+        |  FROM edges GROUP BY src_host, dst_host)""".stripMargin
+    else
+      """pairs AS (
+        |  SELECT DISTINCT src_host, dst_host FROM edges)""".stripMargin
+    val outdegCte = if (weightedByLinks)
+      """outdeg AS (
+        |  SELECT src_host, SUM(w) AS outdeg FROM pairs GROUP BY src_host)"""
+        .stripMargin
+    else
+      """outdeg AS (
+        |  SELECT src_host, CAST(count(*) AS DOUBLE) AS outdeg
+        |  FROM pairs GROUP BY src_host)""".stripMargin
     val iters = (1 to iterations).map { i =>
       s"""c$i AS (
          |  SELECT p.dst_host AS host,
-         |    list_reduce(list_sort(list(r.rank / o.outdeg)), (a, b) -> a + b)
+         |    list_reduce(list_sort(list($contrib)), (a, b) -> a + b)
          |      AS s
          |  FROM pairs p
          |  JOIN r${i - 1} r ON r.host = p.src_host
@@ -261,16 +302,13 @@ object LinkGraph {
          |  FROM nodes CROSS JOIN np LEFT JOIN c$i ON c$i.host = nodes.host)"""
         .stripMargin
     }.mkString(",\n")
-    s"""pairs AS (
-       |  SELECT DISTINCT src_host, dst_host FROM edges),
+    s"""$pairsCte,
        |nodes AS (
        |  SELECT src_host AS host FROM pairs
        |  UNION SELECT dst_host FROM pairs),
        |np AS (
        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-       |outdeg AS (
-       |  SELECT src_host, CAST(count(*) AS DOUBLE) AS outdeg
-       |  FROM pairs GROUP BY src_host),
+       |$outdegCte,
        |r0 AS (
        |  SELECT host, CAST(1.0 AS DOUBLE) / np.n AS rank
        |  FROM nodes CROSS JOIN np),

@@ -187,6 +187,26 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(plain === reliable)
   }
 
+  test("hostRank weightedByLinks: hand-computed split vote; unit weights reduce exactly") {
+    // a → b with 3 links, a → c with 1: a's vote splits 3/4 vs 1/4
+    val edges = Seq(("a", "b", 3L, 1L), ("a", "c", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    val got = LinkGraph.hostRank(edges, iterations = 1, weightedByLinks = true)
+      .as[(String, Double)].collect().toMap
+    val r0 = 1.0 / 3; val base = (1.0 - 0.85) / 3
+    assert(got("b") === base + 0.85 * (r0 * 3.0 / 4.0))
+    assert(got("c") === base + 0.85 * (r0 * 1.0 / 4.0))
+    assert(got("b") > got("c"), "heavier endorsement must outrank")
+    // all-unit weights: (rank·1)/Σ1 is the SAME double tree as
+    // rank/outdeg — weighted must equal unweighted bit-for-bit
+    val unit = rankDf(Seq("a" -> "hub", "b" -> "hub", "hub" -> "a", "a" -> "b"))
+    val w = LinkGraph.hostRank(unit, iterations = 4, weightedByLinks = true)
+      .as[(String, Double)].collect().toMap
+    val u = LinkGraph.hostRank(unit, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(w === u)
+  }
+
   test("hostRank: validation raises on bad iterations/damping/empty graph") {
     val edges = rankDf(Seq("a" -> "b"))
     intercept[IllegalArgumentException] {

@@ -177,6 +177,32 @@ object GraftFns {
     // from the GRAFT_TOKEN_COUNT_COL column when set (e.g. a
     // size(graft_unigram_tokens(...)) a prior SQL step computed) —
     // whitespace counting otherwise
+    // publisher opt-out (q142/q147's rule as a step): drop rows whose
+    // raw-HTML column carries <meta name="robots"> noindex — run
+    // beside graft_url_filter, BEFORE any dedup claims URL keys
+    step("graft_robots_filter")((ctx, d) =>
+      d.where(!graft.ext.Html.robotsNoindex(
+        org.apache.spark.sql.functions.col(
+          ctx.variables.getOrElse("GRAFT_HTML_COL", "html"))))),
+    // link-graph quality prior (q140's cut as a step): keep rows whose
+    // URL host at least GRAFT_MIN_IN_HOSTS distinct hosts link to, per
+    // the edge frame registered at GRAFT_EDGES_VIEW (a persisted
+    // hostEdges artifact — typically the PREVIOUS crawl snapshot's
+    // graph, the GRAFT_BENCH_VIEW convention)
+    step("graft_host_prior")((ctx, d) =>
+      graft.ext.LinkGraph.hostPriorKeep(d,
+        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_EDGES_VIEW",
+          throw new graft.config.ConfigException(
+            "graft_host_prior requires the GRAFT_EDGES_VIEW variable"))),
+        minInHosts = ctx.variables.getOrElse("GRAFT_MIN_IN_HOSTS", "2").toLong,
+        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))),
+    // seeded epoch order (q139 as a step): add shard + within-shard
+    // seq columns; a new GRAFT_EPOCH_SEED is a fresh permutation
+    step("graft_training_order")((ctx, d) =>
+      Export.trainingOrder(d,
+        nShards = ctx.variables.getOrElse("GRAFT_NSHARDS", "64").toInt,
+        seed = ctx.variables.getOrElse("GRAFT_EPOCH_SEED", "graft"),
+        idCol = idCol(ctx))),
     step("graft_pack_sequences")((ctx, d) =>
       TextOps.packSequences(d,
         capacity = ctx.variables.getOrElse("GRAFT_PACK_CAPACITY", "2048").toInt,

@@ -66,7 +66,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_decontaminate", "graft_strip_boilerplate",
       "graft_strip_exact_substrings", "graft_strip_char_substrings",
       "graft_strip_dup_lines", "graft_url_dedup", "graft_url_filter",
-      "graft_html_to_text",
+      "graft_html_to_text", "graft_robots_filter", "graft_host_prior",
+      "graft_training_order",
       "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
@@ -79,6 +80,60 @@ class FunctionsSpec extends AnyFunSuite {
       java.nio.file.Paths.get("README.md")), "UTF-8")
     (sqlFns ++ graft.ext.GraftFns.standard.keySet).foreach(name =>
       assert(readme.contains(name), s"README.md does not document '$name'"))
+  }
+
+  test("r16 fn steps: robots filter, host prior, training order ≡ direct operators") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_r16fns")
+    val pages = Seq(
+      (1L, "https://good.com/a",
+        """<html><head><meta name="robots" content="NoIndex"></head><body>x</body></html>"""),
+      (2L, "https://good.com/b", "<html><body>y</body></html>"),
+      (3L, "https://lone.net/c", "<html><body>z</body></html>"))
+      .toDF("doc_id", "url", "html")
+    pages.createOrReplaceTempView("pages_src")
+    // good.com endorsed by two hosts; lone.net by one
+    Seq(("x.org", "good.com", 1L, 1L), ("y.org", "good.com", 1L, 1L),
+      ("x.org", "lone.net", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+      .createOrReplaceTempView("prior_edges")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "pages_src",
+        "GRAFT_EDGES_VIEW" -> "prior_edges", "GRAFT_MIN_IN_HOSTS" -> "2",
+        "GRAFT_NSHARDS" -> "2", "GRAFT_EPOCH_SEED" -> "e9"),
+      fns = graft.ext.GraftFns.standard)
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM pages_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_robots_filter"), // doc 1 (noindex) drops
+      Step.Fn("graft_host_prior"),    // doc 3 (lone.net, 1 in-host) drops
+      Step.Fn("graft_training_order"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, host, in_hosts, shard, seq FROM graft")))).get
+    val rows = result.as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq === Seq(2L))
+    assert(rows.head._2 === "good.com" && rows.head._3 === 2L)
+    // the step's order matches the direct operator under the same seed
+    val direct = graft.ext.Export.trainingOrder(
+      pages.where($"doc_id" === 2L)
+        .withColumn("host", lit("good.com")).withColumn("in_hosts", lit(2L)),
+      nShards = 2, seed = "e9")
+      .select("doc_id", "shard", "seq").as[(Long, Long, Long)].collect()
+    assert(rows.map(r => (r._1, r._4, r._5)).toSeq === direct.toSeq)
+    // missing GRAFT_EDGES_VIEW fails loudly
+    val bad = ctx.copy(variables = ctx.variables - "GRAFT_EDGES_VIEW")
+    intercept[graft.config.ConfigException] {
+      StepRunner.runSteps(bad, Seq(
+        Step.Select(SqlSource.Inline("SELECT * FROM pages_src"),
+          cache = Some(CacheSpec("pages", None))),
+        Step.Fn("graft_init"),
+        Step.Fn("graft_host_prior"))).get
+    }
   }
 
   test("a YAML pipeline interleaves SQL steps with a table-op fn step end-to-end") {

@@ -239,6 +239,22 @@ class LinkGraphSpec extends AnyFunSuite {
 
   // ---------------------------------------------------- trainingOrder
 
+  test("linkGraphSink: compactIndex folds batch partitions without changing the graph") {
+    val edgeRoot = SparkTestBase.tmpDir("graft_edges_compact") + "/idx"
+    val sink = StreamingGraph.linkGraphSink(edgeRoot) _
+    for (b <- 0L until 4L)
+      sink(pages((b, s"https://s$b.com/p", // one page per batch, all → hub
+        """<a href="https://hub.net/x">l</a>""")), b)
+    val before = StreamingGraph.currentEdges(spark, edgeRoot)
+      .orderBy("src_host").as[(String, String, Long, Long)].collect().toSeq
+    val folded = graft.streaming.StreamingDedup.compactIndex(spark, edgeRoot)
+    assert(folded === 2, "4 batch partitions: all but the latest fold to one")
+    val after = StreamingGraph.currentEdges(spark, edgeRoot)
+      .orderBy("src_host").as[(String, String, Long, Long)].collect().toSeq
+    assert(after === before,
+      "compaction must not change the accreted graph (the fold re-aggregates)")
+  }
+
   test("trainingOrder: a permutation — dense per-shard seq, balanced shards") {
     val docs = (0L until 300L).toDF("doc_id")
     val got = Export.trainingOrder(docs, nShards = 4, seed = "e1")

@@ -49,6 +49,7 @@ object Verify {
     // lets correctness consumers tell "approximate, spec-verified"
     // apart from "broken" instead of reading no_oracle as a forever-err
     val approx = SparkEntry.approxVerified
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/approx_verified.json"), approx)
     spark.stop()

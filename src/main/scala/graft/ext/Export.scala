@@ -104,6 +104,11 @@ object Export {
   def trainingOrder(docs: DataFrame, nShards: Int, seed: String = "graft",
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, "trainingOrder: nShards must be positive")
+    // the three output columns must not silently clobber caller data
+    val clash = Seq("__ord", "shard", "seq").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"trainingOrder: input already carries ${clash.mkString(", ")} — " +
+        "rename or drop before ordering (the operator OWNS these columns)")
     val ord = when(col(idCol).isNull, raise_error(lit(
       "Export: null id — training order must be a total function of the row")))
       .otherwise(md5Long60(concat(lit(seed + ":"), col(idCol).cast("string"))))

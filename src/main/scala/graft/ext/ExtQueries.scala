@@ -2519,7 +2519,7 @@ object ExtQueries {
          |x AS (
          |  SELECT doc_id,
          |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
-         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
          |  FROM p),
          |e AS (
          |  SELECT doc_id, src,
@@ -2540,7 +2540,7 @@ object ExtQueries {
          |x AS (
          |  SELECT doc_id,
          |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
-         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
          |  FROM p),
          |e2 AS (
          |  SELECT doc_id, src,
@@ -2567,7 +2567,7 @@ object ExtQueries {
          |x AS (
          |  SELECT doc_id,
          |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
-         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
          |  FROM p),
          |edges AS (
          |  SELECT src AS src_host,
@@ -2599,7 +2599,7 @@ object ExtQueries {
          |x AS (
          |  SELECT doc_id,
          |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
-         |    unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
          |  FROM p),
          |e AS (
          |  SELECT doc_id, src,
@@ -2642,8 +2642,9 @@ object ExtQueries {
         |       AS BIGINT) AS seq
         |FROM s ORDER BY pack_id""".stripMargin,
     // q142 — the robots policy replayed: the shared meta extraction
-    // (name-anchored, entity-decoded, ws-normalized) lowered, token
-    // containment for noindex/nofollow, keep = NOT noindex
+    // (name-anchored, entity-decoded, ws-normalized) lowered, the
+    // DELIMITED-TOKEN match for noindex/nofollow/none (the shared
+    // Html pattern constants), keep = NOT noindex
     "q142_page_policy" ->
       s"""WITH h AS (
          |  SELECT doc_id, $sourceHtmlSql AS html FROM documents),
@@ -2652,9 +2653,12 @@ object ExtQueries {
          |    lower(${graft.ext.Html.metaOracleSqlExpr("html", "robots")}) AS robots
          |  FROM h)
          |SELECT doc_id, robots,
-         |  contains(robots, 'noindex') AS noindex,
-         |  contains(robots, 'nofollow') AS nofollow,
-         |  NOT contains(robots, 'noindex') AS keep
+         |  ${graft.ext.Html.robotsTokenOracleSqlExpr("robots",
+              graft.ext.Html.RobotsNoindexPattern)} AS noindex,
+         |  ${graft.ext.Html.robotsTokenOracleSqlExpr("robots",
+              graft.ext.Html.RobotsNofollowPattern)} AS nofollow,
+         |  NOT ${graft.ext.Html.robotsTokenOracleSqlExpr("robots",
+              graft.ext.Html.RobotsNoindexPattern)} AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
     // q141 — anchor-text mining replayed: whole-element extraction,
     // href host fold, the anchor normalization chain (tag strip →
@@ -4175,7 +4179,9 @@ object ExtQueries {
     // opt-out injected as one more filter rule (the meta replay, not
     // the fixture pattern — the RULE is what the oracle re-derives)
     "q147_policy_front_half" -> crawlFrontHalfOracleSql(
-      s"AND NOT contains(lower(${graft.ext.Html.metaOracleSqlExpr("u.html", "robots")}), 'noindex') "),
+      s"AND NOT ${graft.ext.Html.robotsTokenOracleSqlExpr(
+        s"lower(${graft.ext.Html.metaOracleSqlExpr("u.html", "robots")})",
+        graft.ext.Html.RobotsNoindexPattern)} "),
     // q130 — urlQualityReport replayed: host extraction, blocklist
     // exact+suffix (LIKE '.'-literal), banned-word CASE sum, digit
     // fraction as double/double, path depth via string_split

@@ -257,17 +257,29 @@ object Html {
     * ("" when absent) — publisher indexing intent. [[robotsNoindex]]
     * is the curation-side compliance cut: a page whose publisher said
     * "don't index me" shouldn't enter a training corpus either (the
-    * opt-out signal pipelines are expected to respect). Substring
-    * match on the lowered directive list — "noindex, follow",
-    * "NOINDEX", "none"-style lists all vary in the wild; only the
-    * literal token is honored (the conservative read).
+    * opt-out signal pipelines are expected to respect). DELIMITED
+    * TOKEN match on the lowered directive list ("noindex, follow",
+    * "NOINDEX", "none"-style lists all vary in the wild): the token
+    * must sit between start/end/comma/whitespace boundaries, so
+    * "noindexing" does NOT trip the cut, and the `none` directive —
+    * which the robots-meta convention defines as noindex+nofollow —
+    * is honored by both predicates.
     */
+  val RobotsNoindexPattern = "(^|[\\s,])(noindex|none)($|[\\s,])"
+  val RobotsNofollowPattern = "(^|[\\s,])(nofollow|none)($|[\\s,])"
   def robotsDirectives(html: Column): Column =
     lower(htmlMetaContent(html, "robots"))
   def robotsNoindex(html: Column): Column =
-    robotsDirectives(html).contains("noindex")
+    robotsDirectives(html).rlike(RobotsNoindexPattern)
   def robotsNofollow(html: Column): Column =
-    robotsDirectives(html).contains("nofollow")
+    robotsDirectives(html).rlike(RobotsNofollowPattern)
+
+  /** The token match as a DuckDB boolean over a (lowered) directive-
+    * list expr — the oracle replay of [[robotsNoindex]]/[[robotsNofollow]],
+    * same pattern constants.
+    */
+  def robotsTokenOracleSqlExpr(robotsExpr: String, pattern: String): String =
+    s"regexp_matches($robotsExpr, '$pattern')"
 
   /** [[htmlMetaContent]] as a DuckDB SQL expression over `expr`. */
   def metaOracleSqlExpr(expr: String, name: String): String = {

@@ -166,7 +166,11 @@ object LinkGraph {
     *
     * `sortedFold = true` (default) makes per-node sums bit-replayable
     * across engines (see the object doc); pass false at extreme hub
-    * in-degrees to fall back to shuffle-partial `sum`.
+    * in-degrees to fall back to shuffle-partial `sum`. The wrong
+    * default is made IMPOSSIBLE, not documented: when any hub's
+    * in-degree exceeds `maxSortedFoldInDegree` the operator raises
+    * up front, naming the hub size and the escape — never silently
+    * building an unbounded collect_list row per iteration.
     *
     * `weightedByLinks = true` splits each source host's vote by LINK
     * COUNT (`n_links / Σ n_links(src)`) instead of uniformly across
@@ -182,7 +186,8 @@ object LinkGraph {
                sortedFold: Boolean = true,
                checkpointEvery: Int = 0,
                checkpointDir: Option[String] = None,
-               weightedByLinks: Boolean = false): DataFrame = {
+               weightedByLinks: Boolean = false,
+               maxSortedFoldInDegree: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "hostRank: iterations must be >= 1")
     require(damping > 0.0 && damping < 1.0,
       s"hostRank: damping must be in (0,1), got $damping")
@@ -217,6 +222,23 @@ object LinkGraph {
       // to the identical double)
       val n = nodes.count()
       require(n > 0, "hostRank: empty edge frame — no hosts to rank")
+      if (sortedFold) {
+        // the sorted fold builds one collect_list row per node, bounded
+        // by that node's IN-DEGREE — fail LOUDLY on an extreme hub
+        // instead of letting one unbounded row OOM an executor (the
+        // maxCountDocFreq discipline, [[Dedup]]): the pairs frame is
+        // host-cardinality and already materialized, so the guard agg
+        // is cheap next to the iterations it protects
+        val hub = pairs.groupBy(col("__dst"))
+          .agg(count(lit(1)).as("__in")).agg(max(col("__in"))).collect()(0)
+        val maxIn = if (hub.isNullAt(0)) 0L else hub.getLong(0)
+        require(maxIn <= maxSortedFoldInDegree,
+          s"hostRank: a hub host has $maxIn distinct in-hosts " +
+            s"(maxSortedFoldInDegree=$maxSortedFoldInDegree) — the sorted " +
+            "bit-replayable fold would build one row that large per " +
+            "iteration; pass sortedFold=false (order-free shuffle-partial " +
+            "sum, same ranking to ~1 ulp) or raise the bound deliberately")
+      }
       val base = (1.0 - damping) / n
       val outdeg = pairs.groupBy(col("__src"))
         .agg(sum(col("__w")).as("__outdeg"))
@@ -244,7 +266,11 @@ object LinkGraph {
           else next
       }
       ranks
-    } finally if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+      // restore the shared context's checkpoint dir UNCONDITIONALLY:
+      // setCheckpointDir(null) clears it (Option(null) → None, and the
+      // null path is handled) — without this a caller-supplied dir
+      // would leak onto the context when none was previously set
+    } finally if (checkpointDir.isDefined) sc.setCheckpointDir(previousDir.orNull)
   }
 
   /** [[hostRank]]'s iteration replayed as DuckDB chained CTEs over an

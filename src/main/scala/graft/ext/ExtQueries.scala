@@ -1509,6 +1509,48 @@ object ExtQueries {
       iterations = 3, weightedByLinks = true)
       .orderBy("host")
 
+  /** The PERSISTED rank snapshot, built once per (session, corpus)
+    * from the fixture graph at q138's parameters and landed under
+    * [[scratchPath]] ([[LinkGraph.writeRankSnapshot]]) — the
+    * build-once/probe-forever face of the centrality family (the
+    * pair-graph/ANN-index pattern).
+    */
+  private val rankSnapshotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedRankSnapshot(spark: SparkSession, dir: String): String = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    rankSnapshotMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "rank_snapshot", dir)
+      LinkGraph.writeRankSnapshot(spark,
+        LinkGraph.hostEdges(linkPages(spark, dir)), p, iterations = 3)
+      p
+    })
+  }
+
+  /** Persisted-rank page cut ([[LinkGraph.hostRankKeep]]): pages
+    * probed against the PRE-BUILT rank snapshot at 1.5× the
+    * un-endorsed floor `(1-d)/n` (see [[LinkGraph.hostRankKeep]]'s
+    * threshold note; the fixture's page-host rank tiers sit at 1.85×,
+    * 1.82×, 1.21×, and 1.00× the floor at every sf, so the bar keeps
+    * the two strongly-endorsed tiers and drops the rest — non-vacuous
+    * both ways with a wide ulp margin) — q140's prior in its
+    * production form (score against a persisted previous-snapshot
+    * rank, not raw in-degree). Exact-oracled end to end: parquet
+    * round-trips the q138-replay ranks bit-exactly, and the threshold
+    * is the same IEEE `1.5·((1−0.85)/n)` op sequence in both engines,
+    * so the comparison replays on identical bits.
+    */
+  def q148(spark: SparkSession, dir: String): DataFrame = {
+    val rank = LinkGraph.rankSnapshot(spark, sharedRankSnapshot(spark, dir))
+    val n = rank.count()
+    LinkGraph.hostRankKeep(
+      linkPages(spark, dir).select(col("doc_id"), col("url")),
+      rank, minRank = 1.5 * ((1.0 - 0.85) / n))
+      .select(col("doc_id"), col("host"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Seeded deterministic training order ([[Export.trainingOrder]]):
     * the epoch-shuffle primitive — shard + dense within-shard
     * position, both pure functions of (seed, doc_id), no global sort.
@@ -2156,6 +2198,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_rank_persisted_probe" -> (q148 _),
     "q147_policy_front_half" -> (q147 _),
     "q146_host_rank_weighted" -> (q146 _),
     "q145_host_quality" -> (q145 _),
@@ -2577,6 +2620,35 @@ object ExtQueries {
          |    AND src <> ${LinkGraph.hostOfOracleSqlExpr("href")}),
          |${LinkGraph.rankOracleCtes(iterations = 3, damping = 0.85)}
          |SELECT host, rank FROM r3 ORDER BY host""".stripMargin,
+    // q148 — the persisted-rank page cut replayed: the q138 rank CTEs
+    // (bit-exact through the parquet round-trip — doubles land
+    // unchanged), the 1/n threshold as the same IEEE division, the
+    // host-fold join back onto the pages
+    "q148_rank_persisted_probe" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
+         |  FROM p),
+         |edges AS (
+         |  SELECT src AS src_host,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst_host
+         |  FROM x
+         |  WHERE src <> '' AND ${LinkGraph.hostOfOracleSqlExpr("href")} <> ''
+         |    AND src <> ${LinkGraph.hostOfOracleSqlExpr("href")}),
+         |${LinkGraph.rankOracleCtes(iterations = 3, damping = 0.85)},
+         |thr AS (SELECT CAST(1.5 AS DOUBLE) *
+         |  ((CAST(1.0 AS DOUBLE) - CAST('0.85' AS DOUBLE)) / np.n) AS t FROM np)
+         |SELECT p2.doc_id, r3.host, r3.rank
+         |FROM (SELECT doc_id,
+         |        ${LinkGraph.hostOfOracleSqlExpr(s"($sourceUrlSql)")} AS host
+         |      FROM documents) p2
+         |JOIN r3 ON r3.host = p2.host CROSS JOIN thr
+         |WHERE r3.rank >= thr.t
+         |ORDER BY p2.doc_id""".stripMargin,
     // q139 — seeded training order replayed: the q93 md5 hex-fold,
     // modulo shard, per-shard row_number over (ord, id)
     "q139_training_order" ->

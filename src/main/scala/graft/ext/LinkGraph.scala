@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Host-level link graph — the crawl-curation stage the URL/content
@@ -362,5 +362,88 @@ object LinkGraph {
       .select(col("host"), col("in_hosts"))
     pages.withColumn("host", hostOf(col(urlCol)))
       .join(broadcast(endorsed), Seq("host"), "inner")
+  }
+
+  /** The family's BUILD-ONCE artifact: land a crawl snapshot's graph
+    * under `outDir` as two parquet frames —
+    *
+    *   `outDir/edges` — the aggregated host-edge frame (the
+    *     roll-forward input: the next crawl's edges sum into it);
+    *   `outDir/rank`  — [[hostRank]] over those landed edges (the
+    *     probe side: what production page cuts score against).
+    *
+    * Returns the rank RE-READ from disk. Parquet round-trips doubles
+    * bit-exactly, so the persisted rank is bit-identical to the direct
+    * computation (LinkGraphSpec pins it) — the build-once/probe-forever
+    * shape every other index family has ([[Dedup.writePairGraph]],
+    * `Similarity.annIndex`). A production crawl scores pages against
+    * the PREVIOUS snapshot's rank (self-referential priors are
+    * circular); [[rollForwardRank]] is the advance.
+    */
+  def writeRankSnapshot(spark: SparkSession, edges: DataFrame, outDir: String,
+                        iterations: Int = 5, damping: Double = 0.85,
+                        weightedByLinks: Boolean = false,
+                        sortedFold: Boolean = true): DataFrame = {
+    edges.write.mode("overwrite").parquet(s"$outDir/edges")
+    hostRank(spark.read.parquet(s"$outDir/edges"), iterations, damping,
+      sortedFold, weightedByLinks = weightedByLinks)
+      .write.mode("overwrite").parquet(s"$outDir/rank")
+    rankSnapshot(spark, outDir)
+  }
+
+  /** The persisted rank face of a snapshot dir (see
+    * [[writeRankSnapshot]]) — a cheap parquet scan, host-cardinality.
+    */
+  def rankSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/rank")
+
+  /** Advance the snapshot by one crawl: sum the new crawl's edges into
+    * the previous snapshot's edge frame (per-pair addition — the
+    * [[graft.streaming.StreamingGraph]] additivity contract: each page
+    * is counted in exactly one crawl's edges), recompute the rank, and
+    * land both under `outDir` ([[writeRankSnapshot]]). Bit-identical
+    * to rebuilding from the union of all crawls' pages, because edge
+    * aggregation is associative integer addition and [[hostRank]] is a
+    * pure function of the aggregated edges (LinkGraphSpec pins
+    * roll-forward ≡ rebuild). Scale shape: everything here is
+    * host-pair-cardinality — the old crawls' page corpora are never
+    * touched again.
+    */
+  def rollForwardRank(spark: SparkSession, prevSnapshotDir: String,
+                      newEdges: DataFrame, outDir: String,
+                      iterations: Int = 5, damping: Double = 0.85,
+                      weightedByLinks: Boolean = false,
+                      sortedFold: Boolean = true): DataFrame = {
+    val merged = spark.read.parquet(s"$prevSnapshotDir/edges")
+      .unionByName(newEdges)
+      .groupBy("src_host", "dst_host")
+      .agg(sum(col("n_links")).as("n_links"),
+        sum(col("n_pages")).as("n_pages"))
+    writeRankSnapshot(spark, merged, outDir, iterations, damping,
+      weightedByLinks, sortedFold)
+  }
+
+  /** The RANK-threshold page cut — [[hostPriorKeep]]'s production
+    * face: keep pages whose host's PERSISTED rank (a previous
+    * snapshot's [[rankSnapshot]]) clears `minRank`, with `host` and
+    * `rank` attached for the audit trail. Rank dominates raw
+    * in-degree as the prior: it resists in-degree inflation (a spam
+    * ring linking itself a million times moves n_links, barely moves
+    * rank, because the ring's own rank is low). A natural threshold is
+    * a multiple of the un-endorsed FLOOR `(1-d)/n_hosts` (every host
+    * with zero in-links sits exactly there) — NOT `1/n_hosts`: the
+    * simplified iteration leaks dangling mass, so after a few rounds
+    * most ranks sit below uniform and an above-uniform bar can go
+    * vacuous.
+    *
+    * Scale shape: the rank table is host-cardinality and BROADCASTS
+    * into the page frame — the 100 TB page side never shuffles
+    * (plan-pinned, the q140 discipline).
+    */
+  def hostRankKeep(pages: DataFrame, rank: DataFrame, minRank: Double,
+                   urlCol: String = "url"): DataFrame = {
+    require(minRank > 0.0, s"hostRankKeep: minRank must be > 0, got $minRank")
+    pages.withColumn("host", hostOf(col(urlCol)))
+      .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner")
   }
 }

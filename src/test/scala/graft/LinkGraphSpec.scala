@@ -354,6 +354,108 @@ class LinkGraphSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- persisted rank snapshot
+
+  test("writeRankSnapshot: parquet round-trip == direct hostRank bit-for-bit") {
+    val edges = rankDf(Seq("a" -> "hub", "b" -> "hub", "c" -> "hub",
+      "hub" -> "a", "a" -> "b", "b" -> "c", "c" -> "sink"))
+    val direct = LinkGraph.hostRank(edges, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    val dir = SparkTestBase.tmpDir("graft_rank_snap")
+    val landed = LinkGraph.writeRankSnapshot(spark, edges, dir, iterations = 4)
+      .as[(String, Double)].collect().toMap
+    assert(landed === direct, "doubles must land unchanged")
+    // the re-read face is the same frame
+    val reread = LinkGraph.rankSnapshot(spark, dir)
+      .as[(String, Double)].collect().toMap
+    assert(reread === direct)
+    // and the edge face round-trips for the roll-forward input
+    val e = spark.read.parquet(s"$dir/edges")
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(e === edges.orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect())
+  }
+
+  test("rollForwardRank == rebuild from all crawls' pages, bit-for-bit") {
+    val crawl1 = pages(
+      (1L, "https://a.com/p1",
+        """<a href="https://b.com/x">1</a><a href="https://c.org/y">2</a>"""),
+      (2L, "https://b.com/p2", """<a href="https://c.org/z">1</a>"""))
+    val crawl2 = pages(
+      (3L, "https://a.com/p3", """<a href="https://b.com/k">1</a>"""),
+      (4L, "https://d.net/p4",
+        """<a href="https://a.com/m">1</a><a href="https://b.com/n">2</a>"""))
+    val snap1 = SparkTestBase.tmpDir("graft_rf_snap1")
+    val snap2 = SparkTestBase.tmpDir("graft_rf_snap2")
+    LinkGraph.writeRankSnapshot(spark, LinkGraph.hostEdges(crawl1), snap1,
+      iterations = 3)
+    val rolled = LinkGraph.rollForwardRank(spark, snap1,
+      LinkGraph.hostEdges(crawl2), snap2, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val rebuilt = LinkGraph.hostRank(
+      LinkGraph.hostEdges(crawl1.unionByName(crawl2)), iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(rolled === rebuilt,
+      "edge aggregation is associative — advancing must equal rebuilding")
+    // the rolled snapshot's edge face equals the rebuilt edge frame too
+    val rolledEdges = spark.read.parquet(s"$snap2/edges")
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    val rebuiltEdges = LinkGraph.hostEdges(crawl1.unionByName(crawl2))
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(rolledEdges === rebuiltEdges)
+  }
+
+  test("hostRankKeep: rank-threshold cut, prior side broadcasts; validation") {
+    val edges = rankDf(Seq("a.org" -> "good.com", "b.org" -> "good.com",
+      "c.io" -> "good.com", "good.com" -> "lone.net"))
+    val dir = SparkTestBase.tmpDir("graft_rankkeep_snap")
+    val rank = LinkGraph.writeRankSnapshot(spark, edges, dir, iterations = 3)
+    val n = rank.count()
+    val p = Seq(
+      (1L, "https://good.com/x"), (2L, "https://lone.net/y"),
+      (3L, "https://a.org/z"), (4L, "https://nowhere.biz/w"))
+      .toDF("doc_id", "url")
+    val kept = LinkGraph.hostRankKeep(p, rank,
+      minRank = 1.5 * ((1.0 - 0.85) / n))
+    val got = kept.select("doc_id").as[Long].collect().sorted
+    // good.com (3 in-hosts) and lone.net (fed by good.com) clear 1.5×
+    // the un-endorsed floor; the pure sources sit exactly AT the floor
+    // and nowhere.biz is not in the graph at all
+    assert(got === Seq(1L, 2L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the rank prior must broadcast — the page corpus never shuffles")
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRankKeep(p, rank, minRank = 0.0) }
+  }
+
+  test("hostRank: sorted-fold in-degree guard raises loudly; escapes work") {
+    // hub with in-degree 3 under a bound of 2 → refuse, name the escape
+    val edges = rankDf(Seq("a" -> "hub", "b" -> "hub", "c" -> "hub"))
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.hostRank(edges, iterations = 1, maxSortedFoldInDegree = 2) }
+    assert(e.getMessage.contains("sortedFold=false"))
+    assert(e.getMessage.contains("3 distinct in-hosts"))
+    // both escapes: the order-free fold, or raising the bound
+    LinkGraph.hostRank(edges, iterations = 1, sortedFold = false,
+      maxSortedFoldInDegree = 2).collect()
+    LinkGraph.hostRank(edges, iterations = 1,
+      maxSortedFoldInDegree = 3).collect()
+  }
+
+  test("hostRank: caller-supplied checkpoint dir never leaks onto the context") {
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    val dir = SparkTestBase.tmpDir("graft_rank_ckleak")
+    LinkGraph.hostRank(rankDf(Seq("a" -> "b", "b" -> "a")), iterations = 2,
+      checkpointEvery = 1, checkpointDir = Some(dir)).collect()
+    assert(sc.getCheckpointDir === before,
+      "checkpoint dir must restore (or clear) after hostRank returns")
+  }
+
   test("trainingOrder: extra columns ride along; null id raises; no global sort") {
     val docs = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
     val got = Export.trainingOrder(docs, 2)
@@ -364,6 +466,11 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null id") ||
       e.getCause != null && e.getCause.getMessage.contains("null id"))
     intercept[IllegalArgumentException] { Export.trainingOrder(docs, 0) }
+    // column ownership: inputs already carrying shard/seq/__ord refuse
+    // loudly instead of being silently clobbered
+    val clash = intercept[IllegalArgumentException] {
+      Export.trainingOrder(Seq((1L, 0L)).toDF("doc_id", "shard"), 2) }
+    assert(clash.getMessage.contains("shard"))
     // the scale contract: ONE hash exchange (the window on shard),
     // never a range exchange (global sort)
     val plan = Export.trainingOrder((0L until 50L).toDF("doc_id"), 4)

@@ -796,7 +796,13 @@ object ExtQueries {
       bannedWords = Seq("casino", "frag")))
       .where(if (respectNoindex) !Html.robotsNoindex(col("html"))
              else lit(true))
-    val text = Dedup.urlDedup(filtered)
+    // the dedup KEY honors a declared canonical (q150's rule — mirrors
+    // collapse onto their origin); the quality cut above stays on the
+    // FETCH url (policy applies to what was actually fetched)
+    val text = Dedup.urlDedup(
+      filtered.withColumn("__durl",
+        Html.declaredCanonicalOr(col("url"), col("html"))),
+      urlCol = "__durl")
       .select(col("doc_id"), col("url_key"),
         Html.htmlToText(col("html")).as("text"))
     text
@@ -1022,12 +1028,20 @@ object ExtQueries {
           .otherwise(lit("en")))
       .withColumn("doc_id",
         Export.md5Long60(concat_ws("|", col("url"), col("warc_type"))))
+      // the dedup KEY honors a declared canonical on HTML-ish payloads
+      // only (q150's rule; a text/plain record QUOTING markup never
+      // has a declaration parsed out of it) — policy/bench cuts stay
+      // on the fetch url
+      .withColumn("durl",
+        when(Html.htmlishContentType(col("ct")),
+          Html.declaredCanonicalOr(col("url"), col("payload")))
+          .otherwise(col("url")))
       .where(col("text").isNotNull)
-      .select("doc_id", "url", "lang", "text")
+      .select("doc_id", "url", "durl", "lang", "text")
     val bench = routed.where(col("url").startsWith(BenchHostPrefix))
     val filtered = routed.where(
       TextOps.urlQualityKeep(col("url"), BlockedHosts, BannedWords))
-    val train0 = Dedup.urlDedup(filtered)
+    val train0 = Dedup.urlDedup(filtered, urlCol = "durl")
       .where(!col("url").startsWith(BenchHostPrefix))
       .select("doc_id", "url", "lang", "text")
     val s1 = CurationChain.encodingGate(train0)
@@ -1474,6 +1488,56 @@ object ExtQueries {
     docs(spark, dir).select(col("doc_id"), sourceUrl.as("url"),
       sourceLinkHtml.as("html"))
 
+  /** Canonical-declaration fixture (q150): every page keeps the
+    * variant-rich [[sourceUrl]] as its FETCH url; doc_id%3==0 pages
+    * are MIRRORS — they declare an absolute canonical on a different
+    * host entirely (`origin.example.org/item/<doc_id%25>`, the
+    * syndicated-copy shape no fetch-URL canonicalization can see);
+    * %3==1 pages declare a RELATIVE canonical (must be ignored — the
+    * absolute-only contract); %3==2 pages declare none. Scala and SQL
+    * in lockstep, the [[sourceUrl]] pattern.
+    */
+  private def sourceCanonHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head>"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"https://origin.example.org/item/"),
+          (col("doc_id") % 25).cast("string"), lit("\">")))
+        .when(col("doc_id") % 3 === 1,
+          lit("<link rel=\"canonical\" href=\"/canonical/relative\">"))
+        .otherwise(lit("")),
+      lit("</head><body><p>Doc "), col("doc_id").cast("string"),
+      lit("</p></body></html>"))
+
+  private val sourceCanonHtmlSql: String =
+    """'<html><head>' ||
+      |(CASE WHEN doc_id % 3 = 0
+      |      THEN '<link rel="canonical" href="https://origin.example.org/item/' ||
+      |           CAST(doc_id % 25 AS VARCHAR) || '">'
+      |      WHEN doc_id % 3 = 1
+      |      THEN '<link rel="canonical" href="/canonical/relative">'
+      |      ELSE '' END) ||
+      |'</head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p></body></html>'"""
+      .stripMargin.replace("\n", " ")
+
+  /** Canonical-aware URL dedup ([[Html.declaredCanonicalOr]] feeding
+    * [[Dedup.urlDedup]]): q126's cut with the page's own declaration
+    * honored — mirror pages collapse onto the origin they declare
+    * (cross-HOST, which no fetch-URL rule can do), relative
+    * declarations are ignored, undeclared pages key on the fetch URL
+    * exactly as before. Exact-oracled: the declaration CASE + the
+    * q126 canonicalization chain replay verbatim.
+    */
+  def q150(spark: SparkSession, dir: String): DataFrame =
+    Dedup.urlDedup(
+      docs(spark, dir)
+        .select(col("doc_id"), sourceUrl.as("url"), sourceCanonHtml.as("html"))
+        .withColumn("__durl",
+          Html.declaredCanonicalOr(col("url"), col("html"))),
+      urlCol = "__durl")
+      .select(col("doc_id"), col("url_key"))
+      .orderBy("doc_id")
+
   /** Host-level link-graph edges ([[LinkGraph.hostEdges]]): the crawl
     * corpus reduced to its endorsement structure — Common Crawl's
     * host "webgraph" artifact. Exact-oracled: href extraction, host
@@ -1653,6 +1717,26 @@ object ExtQueries {
   def q141(spark: SparkSession, dir: String): DataFrame =
     LinkGraph.anchorTexts(linkPages(spark, dir))
       .orderBy("dst_host", "anchor")
+
+  /** Anchor-keyword host signal ([[LinkGraph.anchorKeywordSignal]]):
+    * q141's profiles CONSUMED — per-host keyword rates over the
+    * inbound anchor text, the blocklist-candidate feed for the
+    * q130/q140 cut family ([[LinkGraph.anchorKeywordKeep]] applies it
+    * as a broadcast anti-join page cut; LinkGraphSpec pins that
+    * face). The fixture's anchors split the hosts three ways under
+    * keywords ("now", "topic 4"): the even-doc targets rate 1.0
+    * (every anchor is "read & learn now"), src1 rates MIXED (its
+    * inbound anchors alternate "topic 1"/"topic 4"), and the
+    * hub/topic-0/topic-2-3 targets rate 0.0 — the division does real
+    * work. Exact-oracled: integer counts + one IEEE division (the
+    * q145 discipline) over the q141 replay.
+    */
+  def q149(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.anchorKeywordSignal(
+      LinkGraph.anchorTexts(linkPages(spark, dir)),
+      keywords = Seq("now", "topic 4"))
+      .withColumn("blocked", col("kw_rate") >= 0.5)
+      .orderBy("dst_host")
 
   /** The FULL curation chain composed end-to-end (encoding gate →
     * normalize-dedup → MinHash near-dup removal → decontamination →
@@ -2198,6 +2282,8 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_canonical_url_dedup" -> (q150 _),
+    "q149_anchor_keyword_signal" -> (q149 _),
     "q148_rank_persisted_probe" -> (q148 _),
     "q147_policy_front_half" -> (q147 _),
     "q146_host_rank_weighted" -> (q146 _),
@@ -2506,6 +2592,10 @@ object ExtQueries {
          |  WHERE NOT (q.host = 'src3.example.com'
          |             OR q.host LIKE '%.src3.example.com')
          |    AND q.nb = 0 $extraFilter AND length(u.url) <= 2048),
+         |eu AS (
+         |  SELECT doc_id, html,
+         |    ${graft.ext.Html.declaredCanonicalOracleSqlExpr("url", "html")} AS url
+         |  FROM flt),
          |p AS (
          |  SELECT doc_id, html,
          |    regexp_replace(
@@ -2513,7 +2603,7 @@ object ExtQueries {
          |    regexp_replace(url, '#.*', '', 'g'),
          |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
          |      '^([^?&]*)&', '\\1?') AS pu
-         |  FROM flt),
+         |  FROM eu),
          |s AS (
          |  SELECT doc_id, html,
          |    regexp_replace(pu, '\\?.*', '') AS base,
@@ -2537,8 +2627,8 @@ object ExtQueries {
          |    CASE WHEN sq = '' THEN clean_base
          |         ELSE clean_base || '?' || sq END AS url_key
          |  FROM (SELECT doc_id, html, clean_base,
-         |          array_to_string(list_sort(
-         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
+         |          COALESCE(array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
          |        FROM b)),
          |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
          |ext AS (
@@ -2756,6 +2846,41 @@ object ExtQueries {
          |WHERE src <> '' AND dst <> '' AND src <> dst AND anchor <> ''
          |GROUP BY dst, anchor
          |ORDER BY dst, anchor""".stripMargin,
+    // q149 — the anchor-keyword signal replayed: the q141 profile
+    // chain, the case-insensitive keyword CASE, integer count sums,
+    // ONE IEEE division, the 0.5 block flag on the divided value
+    "q149_anchor_keyword_signal" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html,
+         |      '${graft.ext.Html.AnchorHrefPattern.replace("'", "''")}', 0)) AS a
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr(graft.ext.Html.anchorHrefOracleSqlExpr("a"))} AS dst,
+         |    ${graft.ext.Html.anchorTextOracleSqlExpr("a")} AS anchor
+         |  FROM x),
+         |prof AS (
+         |  SELECT dst AS dst_host, anchor, count(*) AS n_links
+         |  FROM e
+         |  WHERE src <> '' AND dst <> '' AND src <> dst AND anchor <> ''
+         |  GROUP BY dst, anchor),
+         |sig AS (
+         |  SELECT dst_host,
+         |    CAST(SUM(n_links) AS BIGINT) AS n_links,
+         |    CAST(SUM(CASE WHEN contains(lower(anchor), 'now')
+         |                    OR contains(lower(anchor), 'topic 4')
+         |             THEN n_links ELSE 0 END) AS BIGINT) AS kw_links
+         |  FROM prof GROUP BY dst_host)
+         |SELECT dst_host, n_links, kw_links,
+         |  CAST(kw_links AS DOUBLE) / CAST(n_links AS DOUBLE) AS kw_rate,
+         |  (CAST(kw_links AS DOUBLE) / CAST(n_links AS DOUBLE)) >= 0.5
+         |    AS blocked
+         |FROM sig ORDER BY dst_host""".stripMargin,
     // q113 — the DSIR score replayed: hashed unigram∪bigram features
     // (md5 4-hex buckets, the engine's verbatim hashing), add-one-
     // smoothed bit-length surprisal under raw vs target models, one
@@ -4098,6 +4223,9 @@ object ExtQueries {
       s"""WITH RECURSIVE recs AS ($crawlValuesSql),
          |routed AS (
          |  SELECT url,
+         |    CASE WHEN ${graft.ext.Html.htmlishCtOracleSqlExpr("ct")}
+         |         THEN ${graft.ext.Html.declaredCanonicalOracleSqlExpr("url", "payload")}
+         |         ELSE url END AS durl,
          |    ${graft.ext.Html.routedOracleSqlExpr("payload", "ct")} AS text,
          |    CASE WHEN lower(regexp_extract(payload, '${graft.ext.Html.LangPattern}', 1)) <> ''
          |         THEN lower(regexp_extract(payload, '${graft.ext.Html.LangPattern}', 1))
@@ -4120,7 +4248,7 @@ object ExtQueries {
          |  SELECT doc_id, lang, text, url,
          |    regexp_replace(
          |    regexp_replace(
-         |    regexp_replace(url, '#.*', '', 'g'),
+         |    regexp_replace(durl, '#.*', '', 'g'),
          |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
          |      '^([^?&]*)&', '\\1?') AS pu
          |  FROM flt),
@@ -4394,8 +4522,55 @@ object ExtQueries {
          |    CASE WHEN sq = '' THEN clean_base
          |         ELSE clean_base || '?' || sq END AS url_key
          |  FROM (SELECT doc_id, clean_base,
-         |          array_to_string(list_sort(
-         |            list_filter(string_split(query, '&'), x -> x <> '')), '&') AS sq
+         |          COALESCE(array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
+         |        FROM b)),
+         |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
+         |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,
+    // q150 — canonical-aware URL dedup replayed: the declaration CASE
+    // (shared pattern constants — extraction + absolute test), then
+    // the IDENTICAL q126 canonicalization chain over the effective URL
+    "q150_canonical_url_dedup" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, $sourceUrlSql AS furl, $sourceCanonHtmlSql AS html
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id,
+         |    ${graft.ext.Html.declaredCanonicalOracleSqlExpr("furl", "html")} AS url
+         |  FROM raw),
+         |p AS (
+         |  SELECT doc_id,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?&]*)&', '\\1?') AS pu
+         |  FROM u),
+         |s AS (
+         |  SELECT doc_id,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, clean_base,
+         |          COALESCE(array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
          |        FROM b)),
          |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
          |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,

@@ -127,10 +127,25 @@ object Html {
     */
   def routedText(payload: Column, contentType: Column): Column = {
     val ct = lower(coalesce(contentType, lit("")))
-    when(ct.like("text/html%") || ct.like("application/xhtml%") || ct === "",
-      htmlToText(payload))
+    when(htmlishContentType(contentType), htmlToText(payload))
       .when(ct.like("text/%"), plainText(payload))
       .otherwise(lit(null).cast("string"))
+  }
+
+  /** The content types [[routedText]] sends through the HTML chain
+    * (html/xhtml/headerless) — also the gate for HTML-ONLY metadata
+    * extraction (canonical links, robots meta): a text/plain payload
+    * QUOTING markup must never have directives parsed out of it.
+    */
+  def htmlishContentType(contentType: Column): Column = {
+    val ct = lower(coalesce(contentType, lit("")))
+    ct.like("text/html%") || ct.like("application/xhtml%") || ct === ""
+  }
+
+  /** [[htmlishContentType]] as a DuckDB boolean over a ct expr. */
+  def htmlishCtOracleSqlExpr(ctExpr: String): String = {
+    val ct = s"lower(COALESCE($ctExpr, ''))"
+    s"($ct LIKE 'text/html%' OR $ct LIKE 'application/xhtml%' OR $ct = '')"
   }
 
   /** The content types [[routedText]] yields text for — as a bare
@@ -289,6 +304,47 @@ object Html {
       s"regexp_replace($sql, '$e', '${r.replace("'", "''")}', 'g')"
     }
     s"trim(regexp_replace($decoded, '[ \\t\\r\\n]+', ' ', 'g'))"
+  }
+
+  /** The page's declared canonical URL
+    * (`<link rel="canonical" href="…">`), raw ("" when absent) — the
+    * mirror/CDN-copy self-identification RefinedWeb-style URL dedup
+    * honors: a page declaring its origin must collapse onto it, or
+    * every mirror survives the URL cut as a distinct key. Attribute
+    * order rel-before-href is the contract (the overwhelmingly common
+    * serialization — the [[metaPattern]] discipline); the first
+    * declaration wins when a malformed page carries several.
+    */
+  val CanonicalLinkPattern =
+    "(?is)<link\\b[^>]*\\brel=\"canonical\"[^>]*\\bhref=\"([^\"]*)\""
+  def htmlCanonicalUrl(html: Column): Column =
+    regexp_extract(html, CanonicalLinkPattern, 1)
+
+  /** Absolute-URL shape: a scheme followed by `://`. */
+  val AbsoluteUrlPattern = "^[A-Za-z][A-Za-z0-9+.-]*://"
+
+  /** The EFFECTIVE URL for dedup keying: the page's declared canonical
+    * when it is ABSOLUTE, else the fetch URL. Relative canonicals are
+    * deliberately ignored — resolving them needs base-URL semantics
+    * (path joins, `..` collapse) that turn a row-local regex into a
+    * URL resolver; the absolute form is what mirrors declare in
+    * practice, and ignoring the rest degrades to today's fetch-URL
+    * behavior, never corrupts a key.
+    */
+  def declaredCanonicalOr(url: Column, html: Column): Column = {
+    val c = htmlCanonicalUrl(html)
+    when(c.rlike(AbsoluteUrlPattern), c).otherwise(url)
+  }
+
+  /** [[declaredCanonicalOr]] as a DuckDB SQL expression (same pattern
+    * constants; regexp_extract's no-match "" fails the absolute test
+    * in both engines).
+    */
+  def declaredCanonicalOracleSqlExpr(urlExpr: String, htmlExpr: String): String = {
+    val c = s"regexp_extract($htmlExpr, " +
+      s"'${CanonicalLinkPattern.replace("'", "''")}', 1)"
+    s"(CASE WHEN regexp_matches($c, '$AbsoluteUrlPattern') THEN $c " +
+      s"ELSE $urlExpr END)"
   }
 
   /** Anchor-element boundaries, marked BEFORE tag-stripping so

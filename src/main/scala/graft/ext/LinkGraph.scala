@@ -446,4 +446,52 @@ object LinkGraph {
     pages.withColumn("host", hostOf(col(urlCol)))
       .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner")
   }
+
+  /** The anchor-text CONSUMER — what [[anchorTexts]]' profiles exist
+    * for: a per-target-host KEYWORD signal. For each dst_host, the
+    * fraction of inbound inter-host anchor links whose (normalized)
+    * text contains any of `keywords`, case-insensitively:
+    * `(dst_host, n_links, kw_links, kw_rate)` — the web-search
+    * insight turned into a curation signal (the rest of the web
+    * describes a host better than the host describes itself; a host
+    * whose inbound anchors are dominated by spam phrases is a
+    * blocklist candidate no content filter sees). Counts + ONE IEEE
+    * division (the [[TextOps.keepRateBy]] discipline), so the signal
+    * is exact-oracle replayable.
+    *
+    * Scale shape: the anchor frame is (host × anchor-phrase)
+    * cardinality; the keyword predicate is row-local codegen and the
+    * rollup is one map-side-combinable aggregation on dst_host.
+    */
+  def anchorKeywordSignal(anchors: DataFrame,
+                          keywords: Seq[String]): DataFrame = {
+    require(keywords.nonEmpty, "anchorKeywordSignal: keywords must be non-empty")
+    val hit = keywords.map(k => lower(col("anchor")).contains(k.toLowerCase))
+      .reduce(_ || _)
+    anchors.groupBy("dst_host")
+      .agg(sum(col("n_links")).as("n_links"),
+        sum(when(hit, col("n_links")).otherwise(lit(0L))).as("kw_links"))
+      .withColumn("kw_rate",
+        col("kw_links").cast("double") / col("n_links").cast("double"))
+  }
+
+  /** [[anchorKeywordSignal]] applied as a page cut, the q130/q140
+    * family's shape: DROP pages whose host's inbound-anchor keyword
+    * rate reaches `maxRate` (a broadcast LEFT-ANTI join — the page
+    * corpus never shuffles, and hosts with no anchor profile keep:
+    * absent evidence is not a block verdict). The anchor frame would
+    * come from a previous crawl snapshot in production, like the rank
+    * prior.
+    */
+  def anchorKeywordKeep(pages: DataFrame, anchors: DataFrame,
+                        keywords: Seq[String], maxRate: Double,
+                        urlCol: String = "url"): DataFrame = {
+    require(maxRate > 0.0 && maxRate <= 1.0,
+      s"anchorKeywordKeep: maxRate must be in (0,1], got $maxRate")
+    val blocked = anchorKeywordSignal(anchors, keywords)
+      .where(col("kw_rate") >= maxRate)
+      .select(col("dst_host").as("host"))
+    pages.withColumn("host", hostOf(col(urlCol)))
+      .join(broadcast(blocked), Seq("host"), "left_anti")
+  }
 }

@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     ([[graft.ext.TextOps.urlQualityKeep]]), and the publisher
   *     noindex opt-out ([[graft.ext.Html.robotsNoindex]], on by
   *     default via `respectNoindex`);
-  *  3. within-batch keep-first per canonical URL key, then drop
+  *  3. within-batch keep-first per canonical URL key (honoring a
+  *     declared `<link rel="canonical">` on HTML-ish payloads —
+  *     [[graft.ext.Html.declaredCanonicalOr]], `honorCanonical`, on
+  *     by default), then drop
   *     survivors whose key the retained history holds
   *     ([[graft.ext.Dedup.urlDedupAgainstIndex]]); `doc_id` is the
   *     64-bit hash of (url, html) — deterministic under replay;
@@ -64,7 +67,8 @@ object StreamingCrawl {
     */
   private def withIngested(indexRoot: String, blockedHosts: Seq[String],
                            bannedWords: Seq[String], maxUrlLen: Int,
-                           respectNoindex: Boolean = true)
+                           respectNoindex: Boolean = true,
+                           honorCanonical: Boolean = true)
                           (batch: DataFrame, batchId: Long)
                           (use: DataFrame => Unit): Unit = {
     val spark = batch.sparkSession
@@ -93,7 +97,18 @@ object StreamingCrawl {
       .where(if (respectNoindex) !graft.ext.Html.robotsNoindex(col("html"))
              else lit(true))
       .withColumn("doc_id", xxhash64(col("url"), col("html")))
-      .select("doc_id", "url", "ts", "html", "__ct")
+      // the dedup KEY honors a declared <link rel="canonical"> on
+      // HTML-ish payloads (q150's rule — a mirror collapses onto the
+      // origin it declares, cross-host); policy cuts above stay on the
+      // fetch url, and the landed `url` stays the fetch url too — the
+      // declaration only decides WHICH key the page claims
+      .withColumn("__durl",
+        if (honorCanonical)
+          when(graft.ext.Html.htmlishContentType(col("__ct")),
+            graft.ext.Html.declaredCanonicalOr(col("url"), col("html")))
+            .otherwise(col("url"))
+        else col("url"))
+      .select("doc_id", "url", "__durl", "ts", "html", "__ct")
     val idxPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // guard on a COMMITTED batch partition, not bare existence: an
@@ -104,14 +119,16 @@ object StreamingCrawl {
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
     val kept = (if (hasIndex)
       graft.ext.Dedup.urlDedupAgainstIndex(pages,
-        spark.read.parquet(indexRoot).where(col("__batch") < batchId))
-    else graft.ext.Dedup.urlDedup(pages)).cache()
+        spark.read.parquet(indexRoot).where(col("__batch") < batchId),
+        urlCol = "__durl")
+    else graft.ext.Dedup.urlDedup(pages, urlCol = "__durl")).cache()
     try {
       val lang = graft.ext.Html.htmlLang(col("html"))
       use(kept.select(col("doc_id"), col("url"), col("ts"), col("url_key"),
         when(lang =!= "", lang).otherwise(lit("en")).as("lang"),
         graft.ext.Html.routedText(col("html"), col("__ct")).as("text")))
-      StreamingDedup.landBatchChecked(graft.ext.Dedup.urlKeyIndex(kept),
+      StreamingDedup.landBatchChecked(
+        graft.ext.Dedup.urlKeyIndex(kept, urlCol = "__durl"),
         s"$indexRoot/__batch=$batchId")
     } finally kept.unpersist()
   }
@@ -120,10 +137,11 @@ object StreamingCrawl {
                       blockedHosts: Seq[String] = Nil,
                       bannedWords: Seq[String] = Nil,
                       maxUrlLen: Int = 2048,
-                      respectNoindex: Boolean = true)
+                      respectNoindex: Boolean = true,
+                      honorCanonical: Boolean = true)
                      (batch: DataFrame, batchId: Long): Unit =
     withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen,
-      respectNoindex)(batch, batchId) {
+      respectNoindex, honorCanonical)(batch, batchId) {
       extracted =>
         StreamingDedup.landBatchChecked(
           extracted.drop("lang"), // the standalone sink's landed schema
@@ -149,10 +167,11 @@ object StreamingCrawl {
                           blockedHosts: Seq[String] = Nil,
                           bannedWords: Seq[String] = Nil,
                           maxUrlLen: Int = 2048,
-                          respectNoindex: Boolean = true)
+                          respectNoindex: Boolean = true,
+                          honorCanonical: Boolean = true)
                          (batch: DataFrame, batchId: Long): Unit =
     withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen,
-      respectNoindex)(batch, batchId) {
+      respectNoindex, honorCanonical)(batch, batchId) {
       extracted =>
         StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
           outRoot, benchmarkSource)(extracted, batchId)

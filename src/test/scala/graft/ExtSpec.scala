@@ -2750,6 +2750,53 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Html.metaPattern("a b") }
   }
 
+  test("robots directives: delimited-token match, 'none' implies both, 'noindexing' does not") {
+    import graft.ext.Html
+    def page(directives: String) =
+      s"""<html><head><meta name="robots" content="$directives"></head></html>"""
+    val m = Seq("NOINDEX, follow", "index, nofollow", "none",
+      "noindexing tips", "nonessential", "noindex,nofollow", "")
+      .map(d => (d, page(d))).toDF("d", "html")
+      .select($"d", Html.robotsNoindex($"html").as("ni"),
+        Html.robotsNofollow($"html").as("nf"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1), r.getBoolean(2)))
+      .toMap
+    assert(m("NOINDEX, follow") === ((true, false)))
+    assert(m("index, nofollow") === ((false, true)))
+    assert(m("none") === ((true, true)), "'none' means noindex+nofollow")
+    assert(m("noindexing tips") === ((false, false)),
+      "a token PREFIX must not trip the cut")
+    assert(m("nonessential") === ((false, false)))
+    assert(m("noindex,nofollow") === ((true, true)), "comma with no space")
+    assert(m("") === ((false, false)))
+  }
+
+  test("htmlCanonicalUrl / declaredCanonicalOr: absolute declarations win, relative/absent fall back") {
+    import graft.ext.Html
+    val rows = Seq(
+      // absolute declaration on another host: the mirror case
+      ("https://mirror.net/a",
+        "<html><head><LINK REL=\"canonical\" HREF=\"https://origin.org/a\"></head></html>"),
+      // relative declaration: ignored (absolute-only contract)
+      ("https://site.com/b",
+        "<html><head><link rel=\"canonical\" href=\"/b\"></head></html>"),
+      // no declaration
+      ("https://site.com/c", "<html><body>plain</body></html>"),
+      // first declaration wins on a malformed double
+      ("https://site.com/d",
+        "<link rel=\"canonical\" href=\"https://one.org/d\">" +
+          "<link rel=\"canonical\" href=\"https://two.org/d\">"))
+      .toDF("url", "html")
+      .select($"url", Html.htmlCanonicalUrl($"html").as("c"),
+        Html.declaredCanonicalOr($"url", $"html").as("eff"))
+      .as[(String, String, String)].collect().toSeq
+    assert(rows === Seq(
+      ("https://mirror.net/a", "https://origin.org/a", "https://origin.org/a"),
+      ("https://site.com/b", "/b", "https://site.com/b"),
+      ("https://site.com/c", "", "https://site.com/c"),
+      ("https://site.com/d", "https://one.org/d", "https://one.org/d")))
+  }
+
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {
     import graft.ext.Html
     val page = "<div><p>This is a long body prose line with enough characters.</p>" +

@@ -79,6 +79,46 @@ class LinkGraphSpec extends AnyFunSuite {
       ("b.com", "read & learn now", 2L, 2L))) // same phrase, two hosts
   }
 
+  // --------------------------------------- anchorKeywordSignal / Keep
+
+  test("anchorKeywordSignal: link-weighted per-host rates, case-insensitive") {
+    val anchors = Seq(
+      // casino.biz: 3 of 4 inbound links carry a spam keyword
+      ("casino.biz", "Best CASINO bonus", 2L, 2L),
+      ("casino.biz", "free spins casino", 1L, 1L),
+      ("casino.biz", "unrelated review", 1L, 1L),
+      // news.org: clean
+      ("news.org", "daily news", 5L, 3L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    val got = LinkGraph.anchorKeywordSignal(anchors, Seq("casino", "spins"))
+      .orderBy("dst_host").as[(String, Long, Long, Double)].collect()
+    assert(got === Seq(
+      ("casino.biz", 4L, 3L, 3.0 / 4.0),
+      ("news.org", 5L, 0L, 0.0)))
+    intercept[IllegalArgumentException] {
+      LinkGraph.anchorKeywordSignal(anchors, Seq.empty) }
+  }
+
+  test("anchorKeywordKeep: anti-join cut broadcasts; unprofiled hosts keep") {
+    val anchors = Seq(
+      ("casino.biz", "casino bonus", 3L, 2L),
+      ("news.org", "casino exposé", 1L, 1L), // 1/5 — below the bar
+      ("news.org", "daily news", 4L, 3L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    val p = Seq(
+      (1L, "https://casino.biz/x"), (2L, "https://news.org/y"),
+      (3L, "https://fresh.net/z")) // no profile at all: keeps
+      .toDF("doc_id", "url")
+    val kept = LinkGraph.anchorKeywordKeep(p, anchors, Seq("casino"),
+      maxRate = 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Seq(2L, 3L))
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "the block signal must broadcast anti-join — pages never shuffle")
+    intercept[IllegalArgumentException] {
+      LinkGraph.anchorKeywordKeep(p, anchors, Seq("casino"), maxRate = 0.0) }
+  }
+
   // ----------------------------------------------------- hostDegrees
 
   test("hostDegrees: zero-fills the side a host never appears on") {

@@ -576,6 +576,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/out2").count() === 3)
   }
 
+  test("streaming crawl ingest honors a declared canonical: mirrors collapse cross-host") {
+    import graft.io.Warc
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_canon")
+    def member(url: String, ct: String, body: String) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, ct, body)))
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out") _
+    // batch 0: the origin page
+    sink(Seq(("s0.warc.gz", member("https://origin.org/story", "text/html",
+      "<p>the original story</p>"))).toDF("path", "content"), 0L)
+    // batch 1: a mirror on ANOTHER host declaring the origin canonical
+    // (must drop against history — no fetch-URL rule could catch it),
+    // plus a text/plain record QUOTING a declaration (must NOT be
+    // parsed — it keys on its own fetch URL and lands)
+    sink(Seq(("s1.warc.gz",
+      member("https://mirror.cdn.net/story-copy", "text/html",
+        "<html><head><link rel=\"canonical\" href=\"https://origin.org/story\">" +
+          "</head><body><p>mirrored copy</p></body></html>") ++
+      member("https://docs.example.com/howto.txt", "text/plain",
+        "add <link rel=\"canonical\" href=\"https://origin.org/story\"> to your head")))
+      .toDF("path", "content"), 1L)
+    assert(spark.read.parquet(s"$work/out").select("url").as[String]
+      .collect().sorted.toSeq === Seq(
+      "https://docs.example.com/howto.txt", "https://origin.org/story"),
+      "mirror collapsed onto its declared origin; quoted markup in plain text ignored")
+    // the switch: with honorCanonical=false the mirror keys on its own URL
+    val plain = StreamingCrawl.crawlIngestSink(s"$work/idx2", s"$work/out2",
+      honorCanonical = false) _
+    plain(Seq(("s0.warc.gz", member("https://origin.org/story", "text/html",
+      "<p>the original story</p>"))).toDF("path", "content"), 0L)
+    plain(Seq(("s1.warc.gz",
+      member("https://mirror.cdn.net/story-copy", "text/html",
+        "<html><head><link rel=\"canonical\" href=\"https://origin.org/story\">" +
+          "</head><body><p>mirrored copy</p></body></html>")))
+      .toDF("path", "content"), 1L)
+    assert(spark.read.parquet(s"$work/out2").count() === 2,
+      "honorCanonical=false reverts to fetch-URL keying")
+  }
+
   test("streaming crawl ingest routes by content type: WET/plain verbatim, binary never lands") {
     import graft.io.Warc
     import graft.streaming.StreamingCrawl

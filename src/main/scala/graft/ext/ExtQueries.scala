@@ -1520,6 +1520,36 @@ object ExtQueries {
       |'</head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p></body></html>'"""
       .stripMargin.replace("\n", " ")
 
+  /** CJK-text fixture (q151): zh-lang documents get a real Han tail
+    * appended (no synthesized corpus — the driver text plus a constant
+    * suffix, Scala/SQL lockstep), so the segmentation router has
+    * actual spaceless-script bytes to work on; every other language's
+    * text is untouched.
+    */
+  private def cjkDocText: org.apache.spark.sql.Column =
+    when(col("lang") === "zh",
+      concat(col("text"), lit(" 数据质量与去重分片评估管道")))
+      .otherwise(col("text"))
+  private val cjkDocTextSql: String =
+    "(CASE WHEN lang = 'zh' THEN text || ' 数据质量与去重分片评估管道' " +
+      "ELSE text END)"
+
+  /** CJK-safe sequence packing ([[TextOps.cjkSegmentText]] →
+    * [[TextOps.packSequences]]): the per-language tokenizer routing
+    * composed into the training-side consumer — zh documents are
+    * re-spaced on character boundaries BEFORE the whitespace token
+    * counter, so the zh shard's bins fill by real token counts (one
+    * Chinese sentence is no longer "one word"); de/en/es/fr bins are
+    * bit-identical to q34's. Exact-oracled: the segmentation regex +
+    * the q34 packing CTEs replay verbatim.
+    */
+  def q151(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(
+      docs(spark, dir).withColumn("text",
+        TextOps.cjkSegmentText(cjkDocText, col("lang"))),
+      capacity = 2048, shardCols = Seq("lang"))
+      .orderBy("lang", "bin_id")
+
   /** Canonical-aware URL dedup ([[Html.declaredCanonicalOr]] feeding
     * [[Dedup.urlDedup]]): q126's cut with the page's own declaration
     * honored — mirror pages collapse onto the origin they declare
@@ -2282,6 +2312,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_cjk_packing" -> (q151 _),
     "q150_canonical_url_dedup" -> (q150 _),
     "q149_anchor_keyword_signal" -> (q149 _),
     "q148_rank_persisted_probe" -> (q148 _),
@@ -4527,6 +4558,28 @@ object ExtQueries {
          |        FROM b)),
          |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
          |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,
+    // q151 — CJK-safe packing replayed: the segmentation CASE (shared
+    // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
+    "q151_cjk_packing" ->
+      s"""WITH seg AS (
+         |  SELECT lang, doc_id,
+         |    ${graft.ext.TextOps.cjkSegmentOracleSqlExpr(cjkDocTextSql, "lang")}
+         |      AS text
+         |  FROM documents),
+         |sized AS (
+         |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n,
+         |    SUM(len(string_split(text, ' ')))
+         |      OVER (PARTITION BY lang ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM seg)
+         |SELECT lang,
+         |  CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  MAX(doc_id) AS last_doc
+         |FROM sized GROUP BY lang, bin_id
+         |ORDER BY lang, bin_id""".stripMargin,
     // q150 — canonical-aware URL dedup replayed: the declaration CASE
     // (shared pattern constants — extraction + absolute test), then
     // the IDENTICAL q126 canonicalization chain over the effective URL

@@ -203,6 +203,53 @@ object GraftFns {
         nShards = ctx.variables.getOrElse("GRAFT_NSHARDS", "64").toInt,
         seed = ctx.variables.getOrElse("GRAFT_EPOCH_SEED", "graft"),
         idCol = idCol(ctx))),
+    // persisted-rank page cut (q148 as a step): keep rows whose URL
+    // host clears GRAFT_MIN_RANK in the rank snapshot at
+    // GRAFT_RANK_DIR (a writeRankSnapshot artifact from a previous
+    // crawl — the production prior)
+    step("graft_rank_keep")((ctx, d) =>
+      graft.ext.LinkGraph.hostRankKeep(d,
+        graft.ext.LinkGraph.rankSnapshot(d.sparkSession,
+          ctx.variables.getOrElse("GRAFT_RANK_DIR",
+            throw new graft.config.ConfigException(
+              "graft_rank_keep requires the GRAFT_RANK_DIR variable (rank snapshot path)"))),
+        minRank = ctx.variables.getOrElse("GRAFT_MIN_RANK",
+          throw new graft.config.ConfigException(
+            "graft_rank_keep requires the GRAFT_MIN_RANK variable")).toDouble,
+        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))),
+    // anchor-keyword host block (q149's cut as a step): drop rows
+    // whose host's inbound-anchor keyword rate (per the anchor-profile
+    // view at GRAFT_ANCHORS_VIEW, a q141 artifact) reaches
+    // GRAFT_MAX_KW_RATE for the comma-separated GRAFT_KEYWORDS
+    step("graft_anchor_filter")((ctx, d) =>
+      graft.ext.LinkGraph.anchorKeywordKeep(d,
+        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_ANCHORS_VIEW",
+          throw new graft.config.ConfigException(
+            "graft_anchor_filter requires the GRAFT_ANCHORS_VIEW variable"))),
+        keywords = ctx.variables.getOrElse("GRAFT_KEYWORDS",
+          throw new graft.config.ConfigException(
+            "graft_anchor_filter requires the GRAFT_KEYWORDS variable"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+        maxRate = ctx.variables.getOrElse("GRAFT_MAX_KW_RATE", "0.5").toDouble,
+        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))),
+    // canonical-aware URL dedup (q150 as a step): key on the declared
+    // <link rel="canonical"> when absolute, the fetch URL otherwise
+    step("graft_canonical_url_dedup")((ctx, d) =>
+      Dedup.urlDedup(
+        d.withColumn("__durl", graft.ext.Html.declaredCanonicalOr(
+          org.apache.spark.sql.functions.col(
+            ctx.variables.getOrElse("GRAFT_URL_COL", "url")),
+          org.apache.spark.sql.functions.col(
+            ctx.variables.getOrElse("GRAFT_HTML_COL", "html")))),
+        urlCol = "__durl", idCol = idCol(ctx)).drop("__durl")),
+    // CJK-safe segmentation (q151's router as a step): re-space
+    // spaceless-script rows per GRAFT_LANG_COL so every downstream
+    // whitespace consumer (packing, shingles, Gopher) segments
+    step("graft_cjk_segment")((ctx, d) =>
+      d.withColumn(textCol(ctx), TextOps.cjkSegmentText(
+        org.apache.spark.sql.functions.col(textCol(ctx)),
+        org.apache.spark.sql.functions.col(
+          ctx.variables.getOrElse("GRAFT_LANG_COL", "lang"))))),
     step("graft_pack_sequences")((ctx, d) =>
       TextOps.packSequences(d,
         capacity = ctx.variables.getOrElse("GRAFT_PACK_CAPACITY", "2048").toInt,

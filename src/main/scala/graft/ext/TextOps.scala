@@ -17,6 +17,57 @@ object TextOps {
   /** Whitespace tokens of a single-space-normalized text column. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Characters of scripts written WITHOUT inter-word spaces — Han
+    * (URO + extension A + compatibility), Hiragana/Katakana, Thai.
+    * Whitespace tokenization silently under-segments these (a whole
+    * Chinese sentence reads as ONE "word", so Gopher word stats,
+    * packing counts, and decontamination shingles all degrade);
+    * [[cjkSegmentText]] is the routing fix. Hangul is excluded:
+    * Korean is space-delimited.
+    */
+  val SpacelessCharClass: String =
+    "\\x{3040}-\\x{30FF}\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}" +
+      "\\x{F900}-\\x{FAFF}\\x{0E00}-\\x{0E7F}"
+
+  /** Mixed-script segmentation: each spaceless-script character is its
+    * own token (the standard character-level fallback for Chinese —
+    * what n-gram LMs and dedup shingles need to see), while embedded
+    * Latin/digit runs stay whole words. Pattern is in the
+    * RE2 ∩ Java subset (`\x{…}` class ranges, no lookaround), so the
+    * oracle replays it verbatim.
+    */
+  val CjkSegPattern: String =
+    s"[$SpacelessCharClass]|[^\\s$SpacelessCharClass]+"
+  def cjkSafeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(CjkSegPattern), lit(0))
+
+  /** Languages whose primary subtag routes to character segmentation
+    * (zh/ja/th, any region/script suffix).
+    */
+  val SpacelessLangPattern: String = "^(zh|ja|th)([-_].*)?$"
+
+  /** The per-language tokenizer ROUTING default, as a pre-segmentation
+    * step: spaceless-script documents are re-spaced on
+    * [[cjkSafeTokens]] boundaries so EVERY downstream whitespace
+    * consumer — [[tokens]], [[shingles]]/ShingleHashes (dedup +
+    * decontamination), [[gopherRules]] word stats, packing/manifest
+    * token counts — segments sensibly with zero per-operator changes;
+    * other languages pass through UNTOUCHED (bit-identical plans and
+    * outputs). This is the classic pipeline shape: route once at
+    * normalization time, not inside every operator. Row-local codegen
+    * regex; exact-oracle replayable ([[cjkSegmentOracleSqlExpr]]).
+    */
+  def cjkSegmentText(text: Column, lang: Column): Column =
+    when(lang.rlike(SpacelessLangPattern),
+      array_join(cjkSafeTokens(text), " "))
+      .otherwise(text)
+
+  /** [[cjkSegmentText]] as a DuckDB SQL expression (same constants). */
+  def cjkSegmentOracleSqlExpr(textExpr: String, langExpr: String): String =
+    s"(CASE WHEN regexp_matches($langExpr, '$SpacelessLangPattern') " +
+      s"THEN array_to_string(regexp_extract_all($textExpr, " +
+      s"'$CjkSegPattern', 0), ' ') ELSE $textExpr END)"
+
   /** BPE-ish subword count: tokens further split at letter/digit and
     * lower/upper boundaries via regex — a cheap, deterministic stand-in
     * for a real tokenizer's piece count (no vocab download in this

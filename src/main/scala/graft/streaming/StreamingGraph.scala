@@ -52,4 +52,22 @@ object StreamingGraph {
       .groupBy("src_host", "dst_host")
       .agg(sum(col("n_links")).as("n_links"),
         sum(col("n_pages")).as("n_pages"))
+
+  /** MATERIALIZE the current fold: land [[currentEdges]] under
+    * `snapshotDir` once and return the re-read frame. High-cadence
+    * rank/prior consumers read the snapshot — a plain parquet scan —
+    * instead of paying the per-read re-aggregation of every landed
+    * batch; refresh at the [[StreamingDedup.compactIndex]] cadence
+    * (the fold is host-pair-cardinality, so the write is cheap at any
+    * batch count). The snapshot is [[graft.ext.LinkGraph.hostEdges]]'
+    * schema, so it IS the edge input of
+    * [[graft.ext.LinkGraph.writeRankSnapshot]] — accreted stream →
+    * persisted rank in two cheap steps.
+    */
+  def snapshotEdges(spark: org.apache.spark.sql.SparkSession,
+                    edgeRoot: String, snapshotDir: String): DataFrame = {
+    currentEdges(spark, edgeRoot)
+      .write.mode("overwrite").parquet(snapshotDir)
+    spark.read.parquet(snapshotDir)
+  }
 }

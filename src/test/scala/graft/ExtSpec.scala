@@ -2771,6 +2771,49 @@ class ExtSpec extends AnyFunSuite {
     assert(m("") === ((false, false)))
   }
 
+  test("cjkSafeTokens / cjkSegmentText: spaceless scripts segment, others untouched") {
+    import graft.ext.TextOps
+    // whitespace tokenization sees ONE word; the router sees nine
+    // characters (Han), with the embedded Latin run kept whole
+    val zh = "Spark是分布式查询引擎很好"
+    val wsCount = Seq(zh).toDF("t")
+      .select(size(TextOps.tokens($"t"))).as[Int].head()
+    assert(wsCount === 1, "the failure mode being fixed")
+    val routed = Seq(zh).toDF("t")
+      .select(TextOps.cjkSafeTokens($"t")).as[Seq[String]].head()
+    assert(routed === Seq("Spark", "是", "分", "布", "式", "查", "询",
+      "引", "擎", "很", "好"))
+    // Japanese kana+kanji and Thai segment per character; Korean
+    // (space-delimited) and European text pass through the router
+    // UNTOUCHED — bit-identical strings
+    val ja = Seq("データは重要").toDF("t")
+      .select(TextOps.cjkSafeTokens($"t")).as[Seq[String]].head()
+    assert(ja === Seq("デ", "ー", "タ", "は", "重", "要"))
+    val th = Seq("ภาษาไทย ok").toDF("t")
+      .select(TextOps.cjkSafeTokens($"t")).as[Seq[String]].head()
+    assert(th.last === "ok" && th.length === 8)
+    val seg = Seq(
+      ("zh", "数据 good"), ("zh-CN", "数据"), ("ja", "重要"), ("th", "ไทย"),
+      ("ko", "한국어 텍스트"), ("en", "plain english text"), ("de", "straße"))
+      .toDF("lang", "t")
+      .select($"lang", TextOps.cjkSegmentText($"t", $"lang").as("s"))
+      .as[(String, String)].collect().toMap
+    assert(seg("zh") === "数 据 good")
+    assert(seg("zh-CN") === "数 据", "region subtags route too")
+    assert(seg("ja") === "重 要" && seg("th") === "ไ ท ย")
+    assert(seg("ko") === "한국어 텍스트", "Korean is space-delimited: untouched")
+    assert(seg("en") === "plain english text" && seg("de") === "straße")
+    // the differential the routing exists for: shingles and Gopher
+    // word stats segment sensibly AFTER the router, degenerate before
+    val doc = Seq((1L, "数据质量评估")).toDF("doc_id", "text")
+    val before = doc.select(size(TextOps.shingles($"text", 2))).as[Int].head()
+    val after = doc
+      .withColumn("text", TextOps.cjkSegmentText($"text", lit("zh")))
+      .select(size(TextOps.shingles($"text", 2))).as[Int].head()
+    assert(before === 0, "one 'word': no bigram shingles at all")
+    assert(after === 5, "six chars -> five distinct char-bigram shingles")
+  }
+
   test("htmlCanonicalUrl / declaredCanonicalOr: absolute declarations win, relative/absent fall back") {
     import graft.ext.Html
     val rows = Seq(

@@ -68,6 +68,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_strip_dup_lines", "graft_url_dedup", "graft_url_filter",
       "graft_html_to_text", "graft_robots_filter", "graft_host_prior",
       "graft_training_order",
+      "graft_rank_keep", "graft_anchor_filter", "graft_canonical_url_dedup",
+      "graft_cjk_segment",
       "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
@@ -133,6 +135,79 @@ class FunctionsSpec extends AnyFunSuite {
           cache = Some(CacheSpec("pages", None))),
         Step.Fn("graft_init"),
         Step.Fn("graft_host_prior"))).get
+    }
+  }
+
+  test("r17 fn steps: rank keep, anchor filter, canonical dedup, cjk segment ≡ direct operators") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_r17fns")
+    // a rank snapshot: good.com endorsed by three hosts, lone.net fed
+    // by good.com; floor hosts sit at (1-d)/n
+    val edges = Seq(("a.org", "good.com", 1L, 1L), ("b.org", "good.com", 1L, 1L),
+      ("c.io", "good.com", 1L, 1L), ("good.com", "lone.net", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    val rank = graft.ext.LinkGraph.writeRankSnapshot(spark, edges,
+      s"$work/snap", iterations = 3)
+    val minRank = 1.5 * ((1.0 - 0.85) / rank.count())
+    Seq(("good.com", "casino bonus", 3L, 2L), ("lone.net", "fine reading", 2L, 2L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+      .createOrReplaceTempView("anchor_profiles")
+    val pages = Seq(
+      // doc 1 declares doc 2's URL as its canonical: a cross-host mirror
+      (1L, "https://good.com/mirror", "zh",
+        "<html><head><link rel=\"canonical\" href=\"https://lone.net/orig\"></head></html>",
+        "数据质量"),
+      (2L, "https://lone.net/orig", "en", "<html><body>o</body></html>",
+        "original"),
+      (3L, "https://a.org/x", "en", "<html><body>u</body></html>",
+        "unranked page"))
+      .toDF("doc_id", "url", "lang", "html", "text")
+    pages.createOrReplaceTempView("pages_src")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "pages_src",
+        "GRAFT_RANK_DIR" -> s"$work/snap",
+        "GRAFT_MIN_RANK" -> minRank.toString,
+        "GRAFT_ANCHORS_VIEW" -> "anchor_profiles",
+        "GRAFT_KEYWORDS" -> "casino"),
+      fns = graft.ext.GraftFns.standard)
+    // rank keep: doc 3 (a.org at the floor) drops; anchor filter:
+    // good.com's inbound anchors are 100% 'casino' -> doc 1 drops;
+    // canonical dedup: nothing left to collapse but the step must run
+    val result = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM pages_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_rank_keep"),
+      Step.Fn("graft_anchor_filter"),
+      Step.Fn("graft_canonical_url_dedup"),
+      Step.Fn("graft_cjk_segment"),
+      Step.Select(SqlSource.Inline("SELECT doc_id, text FROM graft")))).get
+    assert(result.as[(Long, String)].collect().toSeq === Seq((2L, "original")))
+    // canonical collapse + cjk segment verified on their own: both
+    // mirror rows key onto lone.net/orig (min id wins) and zh text
+    // re-spaces per character
+    val ctx2 = ctx.copy(variables = ctx.variables - "GRAFT_RANK_DIR")
+    val collapsed = StepRunner.runSteps(ctx2, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM pages_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_canonical_url_dedup"),
+      Step.Fn("graft_cjk_segment"),
+      Step.Select(SqlSource.Inline("SELECT doc_id, text FROM graft ORDER BY doc_id")))).get
+    val rows = collapsed.as[(Long, String)].collect().toSeq
+    assert(rows.map(_._1) === Seq(1L, 3L),
+      "doc 2 collapses onto doc 1's declared canonical key (min id wins)")
+    assert(rows.head._2 === "数 据 质 量", "zh text re-spaced per character")
+    intercept[graft.config.ConfigException] {
+      StepRunner.runSteps(ctx2, Seq(
+        Step.Select(SqlSource.Inline("SELECT * FROM pages_src"),
+          cache = Some(CacheSpec("pages", None))),
+        Step.Fn("graft_init"),
+        Step.Fn("graft_rank_keep"))).get
     }
   }
 

@@ -279,6 +279,39 @@ class LinkGraphSpec extends AnyFunSuite {
 
   // ---------------------------------------------------- trainingOrder
 
+  test("snapshotEdges: materialized snapshot == fold; stable across compaction; feeds rank") {
+    val edgeRoot = SparkTestBase.tmpDir("graft_edges_snap") + "/idx"
+    val snapDir = SparkTestBase.tmpDir("graft_edges_snap_out") + "/snap"
+    val sink = StreamingGraph.linkGraphSink(edgeRoot) _
+    for (b <- 0L until 5L)
+      sink(pages((b, s"https://s${b % 2}.com/p$b",
+        """<a href="https://hub.net/x">l</a><a href="https://s9.org/y">m</a>""")), b)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src_host", "dst_host")
+        .as[(String, String, Long, Long)].collect().toSeq
+    val fold = collect(StreamingGraph.currentEdges(spark, edgeRoot))
+    val snap = collect(StreamingGraph.snapshotEdges(spark, edgeRoot, snapDir))
+    assert(snap === fold, "the landed snapshot must equal the live fold")
+    // consumers read a SCAN, not a re-aggregation: no per-read fold
+    val plan = spark.read.parquet(snapDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), "snapshot readers must not re-fold")
+    // compaction doesn't change what a fresh snapshot sees
+    graft.streaming.StreamingDedup.compactIndex(spark, edgeRoot)
+    val snap2 = collect(StreamingGraph.snapshotEdges(spark, edgeRoot,
+      snapDir + "2"))
+    assert(snap2 === fold, "snapshot after compaction must be unchanged")
+    // and the snapshot IS writeRankSnapshot's edge input: stream →
+    // persisted rank, bit-identical to ranking the live fold
+    val rankDir = SparkTestBase.tmpDir("graft_edges_snap_rank")
+    val viaSnap = LinkGraph.writeRankSnapshot(spark,
+      spark.read.parquet(snapDir), rankDir, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    val direct = LinkGraph.hostRank(
+      StreamingGraph.currentEdges(spark, edgeRoot), iterations = 3)
+      .as[(String, Double)].collect().toMap
+    assert(viaSnap === direct)
+  }
+
   test("linkGraphSink: compactIndex folds batch partitions without changing the graph") {
     val edgeRoot = SparkTestBase.tmpDir("graft_edges_compact") + "/idx"
     val sink = StreamingGraph.linkGraphSink(edgeRoot) _

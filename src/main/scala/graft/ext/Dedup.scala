@@ -204,8 +204,11 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint(true)
     }
+    // restore UNCONDITIONALLY: setCheckpointDir(null) clears (Option(null)
+    // → None, null-safe path) — previousDir.foreach would leak this
+    // operator's dir onto the context when none was previously set
     try connectedComponentsLoop(pairs, maxIterations, mat)
-    finally if (checkpointDir.isDefined) previousDir.foreach(sc.setCheckpointDir)
+    finally if (checkpointDir.isDefined) sc.setCheckpointDir(previousDir.orNull)
   }
 
   private def connectedComponentsLoop(pairs: DataFrame, maxIterations: Int,

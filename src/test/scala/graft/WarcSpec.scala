@@ -264,6 +264,37 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.responses(spark, dir).count() === 3)
   }
 
+  test("CrawlScale: derived corpus lands as real shards; the chain's policy slices bite") {
+    import graft.ext.CrawlScale
+    val dir = SparkTestBase.tmpDir("graft_crawlscale") + "/warc"
+    val corpus = "/root/testdata/sf0.001"
+    val nDocs = spark.read.parquet(s"$corpus/documents.parquet").count()
+    CrawlScale.writeShards(spark, corpus, dir)
+    // every document round-trips through real .warc.gz bytes
+    val parsed = Warc.responses(spark, dir)
+    assert(parsed.count() === nDocs)
+    // the planted slices exist in the bytes: blocked host, benchmark
+    // host, robots noindex, canonical declaration
+    import org.apache.spark.sql.functions.col
+    assert(parsed.where(col("url").startsWith("https://ads.example.net/")).count() >= 1)
+    assert(parsed.where(col("url").startsWith("https://bench.example.org/")).count() >= 1)
+    assert(parsed.where(graft.ext.Html.robotsNoindex(col("html"))).count() >= 1)
+    assert(parsed.where(
+      graft.ext.Html.htmlCanonicalUrl(col("html")) =!= "").count() >= 1)
+    // the front cut drops them before the content chain
+    val (train0, bench) = CrawlScale.front(spark, dir)
+    val kept = train0.cache()
+    try {
+      assert(kept.where(col("url").startsWith("https://ads.example.net/")).count() === 0)
+      assert(kept.where(col("url").startsWith("https://bench.example.org/")).count() === 0)
+      assert(kept.count() < nDocs, "the cuts must bite")
+      assert(bench.count() >= 1, "decontamination needs a real benchmark side")
+      // and the full chain lands non-empty manifest rows over real bytes
+      val manifest = CrawlScale.chain(spark, dir)
+      assert(manifest.count() >= 1)
+    } finally kept.unpersist()
+  }
+
   test("Warc.writeConversions: WET-style text shards round-trip as conversion records") {
     val dir = SparkTestBase.tmpDir("graft_wet_write") + "/out"
     val t1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z"))

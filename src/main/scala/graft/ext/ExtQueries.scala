@@ -1520,6 +1520,61 @@ object ExtQueries {
       |'</head><body><p>Doc ' || CAST(doc_id AS VARCHAR) || '</p></body></html>'"""
       .stripMargin.replace("\n", " ")
 
+  /** The anchor-keyword BLOCK CUT composed onto the page frame
+    * ([[LinkGraph.anchorKeywordKeep]]): q149's signal consumed the way
+    * production consumes it — hosts whose inbound-anchor keyword rate
+    * reaches 0.5 drop with every page they serve, hosts with no
+    * profile keep (absent evidence is not a block verdict). The
+    * broadcast LEFT-ANTI join means the page side never shuffles
+    * (plan-pinned). Exact-oracled: the q149 signal CTEs + the ≥-cut +
+    * an anti join, all exact integers/one division.
+    */
+  def q152(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.anchorKeywordKeep(
+      linkPages(spark, dir).select(col("doc_id"), col("url")),
+      LinkGraph.anchorTexts(linkPages(spark, dir)),
+      keywords = Seq("now", "topic 4"), maxRate = 0.5)
+      .select(col("doc_id"), col("host"))
+      .orderBy("doc_id")
+
+  /** THE FULLY-GATED FRONT HALF — every ingest gate the repo ships, in
+    * production order, one oracled chain: URL quality (q130) → robots
+    * noindex (q142) → PERSISTED-rank prior (q148's snapshot — the
+    * previous-crawl artifact) → anchor-keyword block (q152) →
+    * canonical-aware URL dedup (q150) → extraction + stats. The cheap
+    * row-local gates and the two BROADCAST cuts run before dedup and
+    * extraction, so twins and blocked pages never pay the regex chain
+    * — the ordering a 100 TB ingest needs, pinned as one composition.
+    * Non-vacuous at every stage on the fixture: the rank cut keeps
+    * only the strongly-endorsed host tiers, the anchor block then
+    * removes the "now"-anchored hosts among them, and the survivors
+    * still carry canonical/tracking variants for the dedup to fold.
+    */
+  def q153(spark: SparkSession, dir: String): DataFrame = {
+    val pages = docs(spark, dir)
+      .select(col("doc_id"), sourceUrl.as("url"), sourceHtml.as("html"))
+    val policy = pages
+      .where(TextOps.urlQualityKeep(col("url"),
+        blockedHosts = Seq("src3.example.com"),
+        bannedWords = Seq("casino", "frag")))
+      .where(!Html.robotsNoindex(col("html")))
+    val rank = LinkGraph.rankSnapshot(spark, sharedRankSnapshot(spark, dir))
+    val n = rank.count()
+    val ranked = LinkGraph.hostRankKeep(policy, rank,
+      minRank = 1.5 * ((1.0 - 0.85) / n)).drop("host", "rank")
+    val gated = LinkGraph.anchorKeywordKeep(ranked,
+      LinkGraph.anchorTexts(linkPages(spark, dir)),
+      keywords = Seq("now", "topic 4"), maxRate = 0.5)
+    Dedup.urlDedup(
+      gated.withColumn("__durl",
+        Html.declaredCanonicalOr(col("url"), col("html"))),
+      urlCol = "__durl")
+      .select(col("doc_id"), col("host"), col("url_key"),
+        Html.htmlToText(col("html")).as("text"))
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      .orderBy("doc_id")
+  }
+
   /** CJK-text fixture (q151): zh-lang documents get a real Han tail
     * appended (no synthesized corpus — the driver text plus a constant
     * suffix, Scala/SQL lockstep), so the segmentation router has
@@ -2312,6 +2367,8 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_gated_front_half" -> (q153 _),
+    "q152_anchor_block_cut" -> (q152 _),
     "q151_cjk_packing" -> (q151 _),
     "q150_canonical_url_dedup" -> (q150 _),
     "q149_anchor_keyword_signal" -> (q149 _),
@@ -4558,6 +4615,164 @@ object ExtQueries {
          |        FROM b)),
          |keep AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key)
          |SELECT doc_id, url_key FROM keep ORDER BY doc_id""".stripMargin,
+    // q153 — THE FULLY-GATED FRONT HALF replayed as one chained-CTE
+    // program: quality+robots policy filters, the bit-exact rank CTEs
+    // + 1.5×-floor threshold (q148), the anchor signal + block cut
+    // (q152), the canonical CASE + q126 canonicalization chain (q150),
+    // extraction + stats — every constant shared with the Spark side
+    "q153_gated_front_half" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceHtmlSql AS html
+         |  FROM documents),
+         |qq AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS host,
+         |    (CASE WHEN contains(lower(url), 'casino') THEN 1 ELSE 0 END) +
+         |    (CASE WHEN contains(lower(url), 'frag') THEN 1 ELSE 0 END) AS nb
+         |  FROM u),
+         |flt AS (
+         |  SELECT u.*, qq.host FROM u JOIN qq USING (doc_id)
+         |  WHERE NOT (qq.host = 'src3.example.com'
+         |             OR qq.host LIKE '%.src3.example.com')
+         |    AND qq.nb = 0 AND length(u.url) <= 2048
+         |    AND NOT ${graft.ext.Html.robotsTokenOracleSqlExpr(
+                s"lower(${graft.ext.Html.metaOracleSqlExpr("u.html", "robots")})",
+                graft.ext.Html.RobotsNoindexPattern)}),
+         |lp AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
+         |  FROM lp),
+         |edges AS (
+         |  SELECT src AS src_host,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst_host
+         |  FROM x
+         |  WHERE src <> '' AND ${LinkGraph.hostOfOracleSqlExpr("href")} <> ''
+         |    AND src <> ${LinkGraph.hostOfOracleSqlExpr("href")}),
+         |${LinkGraph.rankOracleCtes(iterations = 3, damping = 0.85)},
+         |thr AS (SELECT CAST(1.5 AS DOUBLE) *
+         |  ((CAST(1.0 AS DOUBLE) - CAST('0.85' AS DOUBLE)) / np.n) AS t FROM np),
+         |xa AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html,
+         |      '${graft.ext.Html.AnchorHrefPattern.replace("'", "''")}', 0)) AS a
+         |  FROM lp),
+         |ea AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr(graft.ext.Html.anchorHrefOracleSqlExpr("a"))} AS dst,
+         |    ${graft.ext.Html.anchorTextOracleSqlExpr("a")} AS anchor
+         |  FROM xa),
+         |prof AS (
+         |  SELECT dst AS dst_host, anchor, count(*) AS n_links
+         |  FROM ea
+         |  WHERE src <> '' AND dst <> '' AND src <> dst AND anchor <> ''
+         |  GROUP BY dst, anchor),
+         |sig AS (
+         |  SELECT dst_host,
+         |    SUM(n_links) AS n_links,
+         |    SUM(CASE WHEN contains(lower(anchor), 'now')
+         |               OR contains(lower(anchor), 'topic 4')
+         |        THEN n_links ELSE 0 END) AS kw_links
+         |  FROM prof GROUP BY dst_host),
+         |blocked AS (
+         |  SELECT dst_host AS host FROM sig
+         |  WHERE CAST(kw_links AS DOUBLE) / CAST(n_links AS DOUBLE) >= 0.5),
+         |keep1 AS (
+         |  SELECT flt.* FROM flt
+         |  JOIN r3 ON r3.host = flt.host CROSS JOIN thr
+         |  WHERE r3.rank >= thr.t),
+         |keep2 AS (
+         |  SELECT keep1.* FROM keep1
+         |  ANTI JOIN blocked ON blocked.host = keep1.host),
+         |eu AS (
+         |  SELECT doc_id, host, html,
+         |    ${graft.ext.Html.declaredCanonicalOracleSqlExpr("url", "html")} AS url
+         |  FROM keep2),
+         |p AS (
+         |  SELECT doc_id, host, html,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(url, '#.*', '', 'g'),
+         |      '[?&](utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*', '', 'g'),
+         |      '^([^?&]*)&', '\\1?') AS pu
+         |  FROM eu),
+         |s AS (
+         |  SELECT doc_id, host, html,
+         |    regexp_replace(pu, '\\?.*', '') AS base,
+         |    regexp_extract(pu, '\\?(.*)', 1) AS query
+         |  FROM p),
+         |b AS (
+         |  SELECT doc_id, host, html, query,
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |    regexp_replace(
+         |      lower(regexp_extract(base, '^([^/]*//[^/]*)', 1)) ||
+         |        regexp_replace(base, '^[^/]*//[^/]*', ''),
+         |      '^(https?://)www\\.', '\\1'),
+         |      '^(http://[^/:]+):80($$|/)', '\\1\\2'),
+         |      '^(https://[^/:]+):443($$|/)', '\\1\\2'),
+         |      '/$$', '') AS clean_base
+         |  FROM s),
+         |k AS (
+         |  SELECT doc_id, host, html,
+         |    CASE WHEN sq = '' THEN clean_base
+         |         ELSE clean_base || '?' || sq END AS url_key
+         |  FROM (SELECT doc_id, host, html, clean_base,
+         |          COALESCE(array_to_string(list_sort(
+         |            list_filter(string_split(query, '&'), x -> x <> '')), '&'), '') AS sq
+         |        FROM b)),
+         |win AS (SELECT url_key, min(doc_id) AS doc_id FROM k GROUP BY url_key),
+         |ext AS (
+         |  SELECT k.doc_id, k.host, k.url_key,
+         |    ${graft.ext.Html.oracleSqlExpr("k.html")} AS text
+         |  FROM k JOIN win ON k.doc_id = win.doc_id AND k.url_key = win.url_key)
+         |SELECT doc_id, host, url_key, text,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM ext ORDER BY doc_id""".stripMargin,
+    // q152 — the anchor-keyword block cut replayed: the q149 signal
+    // chain, the >= 0.5 cut, an ANTI join back onto the pages by the
+    // shared host fold (unprofiled hosts keep)
+    "q152_anchor_block_cut" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html,
+         |      '${graft.ext.Html.AnchorHrefPattern.replace("'", "''")}', 0)) AS a
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.hostOfOracleSqlExpr(graft.ext.Html.anchorHrefOracleSqlExpr("a"))} AS dst,
+         |    ${graft.ext.Html.anchorTextOracleSqlExpr("a")} AS anchor
+         |  FROM x),
+         |prof AS (
+         |  SELECT dst AS dst_host, anchor, count(*) AS n_links
+         |  FROM e
+         |  WHERE src <> '' AND dst <> '' AND src <> dst AND anchor <> ''
+         |  GROUP BY dst, anchor),
+         |sig AS (
+         |  SELECT dst_host,
+         |    SUM(n_links) AS n_links,
+         |    SUM(CASE WHEN contains(lower(anchor), 'now')
+         |               OR contains(lower(anchor), 'topic 4')
+         |        THEN n_links ELSE 0 END) AS kw_links
+         |  FROM prof GROUP BY dst_host),
+         |blocked AS (
+         |  SELECT dst_host AS host FROM sig
+         |  WHERE CAST(kw_links AS DOUBLE) / CAST(n_links AS DOUBLE) >= 0.5)
+         |SELECT p2.doc_id, p2.host
+         |FROM (SELECT doc_id,
+         |        ${LinkGraph.hostOfOracleSqlExpr(s"($sourceUrlSql)")} AS host
+         |      FROM documents) p2
+         |ANTI JOIN blocked ON blocked.host = p2.host
+         |ORDER BY p2.doc_id""".stripMargin,
     // q151 — CJK-safe packing replayed: the segmentation CASE (shared
     // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
     "q151_cjk_packing" ->

@@ -1537,6 +1537,21 @@ object ExtQueries {
       .select(col("doc_id"), col("host"))
       .orderBy("doc_id")
 
+  /** DOMAIN-grain link graph ([[LinkGraph.domainEdges]]): the q137
+    * edges folded to registered domains (eTLD+1) — the grain where
+    * subdomain farms collapse to one voice. On the fixture every
+    * src/hub HOST collapses into its registered domain, so the entire
+    * src→hub link mass folds onto ONE inter-domain edge whose exact
+    * n_links/n_pages counts the oracle must reproduce (the host-grain
+    * graph has ~76 edges at sf0.01 — the fold is drastic and its
+    * arithmetic is fully checked); cross-subdomain navigation drops
+    * as domain-grain self-edges. LinkGraphSpec carries the
+    * multi-label-suffix (co.uk) and short-host semantics.
+    */
+  def q154(spark: SparkSession, dir: String): DataFrame =
+    LinkGraph.domainEdges(linkPages(spark, dir))
+      .orderBy("src_host", "dst_host")
+
   /** THE FULLY-GATED FRONT HALF — every ingest gate the repo ships, in
     * production order, one oracled chain: URL quality (q130) → robots
     * noindex (q142) → PERSISTED-rank prior (q148's snapshot — the
@@ -2367,6 +2382,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_domain_edges" -> (q154 _),
     "q153_gated_front_half" -> (q153 _),
     "q152_anchor_block_cut" -> (q152 _),
     "q151_cjk_packing" -> (q151 _),
@@ -2745,6 +2761,28 @@ object ExtQueries {
          |e AS (
          |  SELECT doc_id, src,
          |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dst
+         |  FROM x)
+         |SELECT src AS src_host, dst AS dst_host,
+         |  count(*) AS n_links, count(DISTINCT doc_id) AS n_pages
+         |FROM e
+         |WHERE src <> '' AND dst <> '' AND src <> dst
+         |GROUP BY src, dst
+         |ORDER BY src, dst""".stripMargin,
+    // q154 — the domain-grain edge list replayed: the q137 derivation
+    // with the eTLD+1 fold (shared suffix-list constants) on both
+    // endpoints, domain-grain self-edges dropped
+    "q154_domain_edges" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $sourceUrlSql AS url, $sourceLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.domainOfOracleSqlExpr("url")} AS src,
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
+         |  FROM p),
+         |e AS (
+         |  SELECT doc_id, src,
+         |    ${LinkGraph.domainOfOracleSqlExpr("href")} AS dst
          |  FROM x)
          |SELECT src AS src_host, dst AS dst_host,
          |  count(*) AS n_links, count(DISTINCT doc_id) AS n_pages

@@ -76,12 +76,74 @@ object LinkGraph {
   def hostEdges(pages: DataFrame, urlCol: String = "url",
                 htmlCol: String = "html",
                 idCol: String = "doc_id"): DataFrame =
+    edgesBy(pages, hostOf, urlCol, htmlCol, idCol)
+
+  /** Registered-domain fold (eTLD+1, simplified): the last two labels
+    * of the [[hostOf]] host, or three when the tail matches a
+    * well-known multi-label public suffix (`co.uk`-style,
+    * [[MultiLabelSuffixes]]). Real pipelines consult the full Public
+    * Suffix List (thousands of entries, updated continuously); the
+    * short list here covers the common country-commercial suffixes so
+    * the aggregation grain is right for the overwhelming majority of
+    * hosts, and the list is a PARAMETER for callers carrying the full
+    * PSL. Hosts with fewer labels than the fold (bare `localhost`,
+    * already-registered domains) pass through whole; "" stays "".
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "com.tr", "co.nz")
+  def domainOfHost(host: Column,
+                   multiLabelSuffixes: Seq[String] = MultiLabelSuffixes): Column = {
+    require(multiLabelSuffixes.nonEmpty, "domainOfHost: empty suffix list")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val k = when(multiLabelSuffixes
+      .map(sfx => host.endsWith("." + sfx)).reduce(_ || _), lit(3))
+      .otherwise(lit(2))
+    when(n <= k, host)
+      .otherwise(array_join(slice(labels, n - k + 1, k), "."))
+  }
+  def domainOf(url: Column): Column = domainOfHost(hostOf(url))
+
+  /** [[domainOf]] as a DuckDB SQL expression over a URL expr (same
+    * constants; list_slice/string_split mirror Spark's slice/split).
+    */
+  def domainOfOracleSqlExpr(urlExpr: String): String = {
+    val h = hostOfOracleSqlExpr(urlExpr)
+    val suffixTest = MultiLabelSuffixes
+      .map(sfx => s"ends_with($h, '.$sfx')").mkString(" OR ")
+    s"(CASE WHEN len(string_split($h, '.')) <= " +
+      s"(CASE WHEN $suffixTest THEN 3 ELSE 2 END) THEN $h " +
+      s"ELSE array_to_string(list_slice(string_split($h, '.'), " +
+      s"len(string_split($h, '.')) - (CASE WHEN $suffixTest THEN 3 ELSE 2 END) + 1, " +
+      s"len(string_split($h, '.'))), '.') END)"
+  }
+
+  /** The DOMAIN-grain edge list — [[hostEdges]] with nodes folded to
+    * registered domains ([[domainOf]]): the grain Common Crawl's
+    * domain webgraph publishes, and the right one for endorsement
+    * analysis when subdomain farms would inflate host-grain
+    * in-degrees (blog.x.com, shop.x.com, www.x.com are ONE voice).
+    * Self-edges at DOMAIN grain drop — cross-subdomain navigation
+    * inside one registered domain is not endorsement. Same scale
+    * shape as [[hostEdges]]; consumers ([[hostDegrees]], [[hostRank]],
+    * the snapshot family) take either grain's frame unchanged.
+    */
+  def domainEdges(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html",
+                  idCol: String = "doc_id"): DataFrame =
+    edgesBy(pages, domainOf, urlCol, htmlCol, idCol)
+
+  private def edgesBy(pages: DataFrame, nodeOf: Column => Column,
+                      urlCol: String, htmlCol: String,
+                      idCol: String): DataFrame =
     pages
       .select(col(idCol),
-        hostOf(col(urlCol)).as("__src"),
+        nodeOf(col(urlCol)).as("__src"),
         explode(Html.htmlLinks(col(htmlCol))).as("__href"))
       .select(col(idCol), col("__src"),
-        hostOf(col("__href")).as("__dst"))
+        nodeOf(col("__href")).as("__dst"))
       .where(col("__src") =!= "" && col("__dst") =!= "" &&
         col("__src") =!= col("__dst"))
       .groupBy(col("__src").as("src_host"), col("__dst").as("dst_host"))

@@ -79,6 +79,47 @@ class LinkGraphSpec extends AnyFunSuite {
       ("b.com", "read & learn now", 2L, 2L))) // same phrase, two hosts
   }
 
+  // -------------------------------------------------------- domainOf
+
+  test("domainOf: eTLD+1 fold — two labels, multi-label suffixes, short hosts") {
+    val got = Seq(
+      "https://blog.shop.example.com/x", // deep subdomain → example.com
+      "https://www.example.com/y",       // www strips first → example.com
+      "https://example.com/z",           // already registered: unchanged
+      "https://news.bbc.co.uk/a",        // multi-label suffix → bbc.co.uk
+      "https://bbc.co.uk/b",             // exactly eTLD+1: unchanged
+      "https://deep.sub.site.com.au/c",  // com.au → site.com.au
+      "http://localhost/d",              // single label: whole
+      "/relative")                       // no host: ""
+      .toDF("u").select(LinkGraph.domainOf(col("u"))).as[String].collect()
+    assert(got === Seq("example.com", "example.com", "example.com",
+      "bbc.co.uk", "bbc.co.uk", "site.com.au", "localhost", ""))
+    intercept[IllegalArgumentException] {
+      LinkGraph.domainOfHost(col("u"), Seq.empty) }
+  }
+
+  test("domainEdges: subdomain farms collapse to one voice; intra-domain drops") {
+    val df = pages(
+      // three subdomains of farm.com all endorsing target.org — ONE
+      // domain-grain edge with the summed counts
+      (1L, "https://blog.farm.com/p", """<a href="https://www.target.org/x">l</a>"""),
+      (2L, "https://shop.farm.com/p", """<a href="https://cdn.target.org/y">l</a>"""),
+      (3L, "https://farm.com/p", """<a href="https://target.org/z">l</a>"""),
+      // cross-SUBDOMAIN navigation inside one domain: drops entirely
+      (4L, "https://a.site.co.uk/p", """<a href="https://b.site.co.uk/w">l</a>"""))
+      .toDF("doc_id", "url", "html")
+    val got = LinkGraph.domainEdges(df).orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(got === Seq(("farm.com", "target.org", 3L, 3L)))
+    // the host-grain graph sees what the domain grain correctly folds
+    assert(LinkGraph.hostEdges(df).count() === 4)
+    // and domain-grain frames feed the shared consumers unchanged
+    val deg = LinkGraph.hostDegrees(LinkGraph.domainEdges(df))
+      .orderBy("host").as[(String, Long, Long, Long, Long)].collect()
+    assert(deg === Seq(("farm.com", 1L, 0L, 3L, 0L),
+      ("target.org", 0L, 1L, 0L, 3L)))
+  }
+
   // --------------------------------------- anchorKeywordSignal / Keep
 
   test("anchorKeywordSignal: link-weighted per-host rates, case-insensitive") {
@@ -310,6 +351,54 @@ class LinkGraphSpec extends AnyFunSuite {
       StreamingGraph.currentEdges(spark, edgeRoot), iterations = 3)
       .as[(String, Double)].collect().toMap
     assert(viaSnap === direct)
+  }
+
+  test("the production loop: stream -> snapshot -> rank gates crawl 2 -> roll-forward") {
+    // the operational story composed end to end: crawl 1 accretes the
+    // graph per micro-batch, the fold lands as a snapshot, rank builds
+    // from it, crawl 2's pages are GATED by that previous-crawl rank,
+    // and crawl 2's edges advance the snapshot — provably equal to
+    // rebuilding from both crawls
+    val edgeRoot = SparkTestBase.tmpDir("graft_loop_edges") + "/idx"
+    val snap1 = SparkTestBase.tmpDir("graft_loop_snap1")
+    val snap2 = SparkTestBase.tmpDir("graft_loop_snap2")
+    val sink = StreamingGraph.linkGraphSink(edgeRoot) _
+    // crawl 1, three micro-batches: good.com endorsed by three hosts
+    sink(pages((1L, "https://a.org/p", """<a href="https://good.com/x">l</a>""")), 0L)
+    sink(pages((2L, "https://b.org/p", """<a href="https://good.com/y">l</a>""")), 1L)
+    sink(pages((3L, "https://c.io/p",
+      """<a href="https://good.com/z">l</a><a href="https://lone.net/w">m</a>""")), 2L)
+    // snapshot the accreted fold, build the rank artifact from it
+    val edges1 = StreamingGraph.snapshotEdges(spark, edgeRoot, s"$snap1/edges0")
+    val rank1 = LinkGraph.writeRankSnapshot(spark,
+      spark.read.parquet(s"$snap1/edges0"), snap1, iterations = 3)
+    val n = rank1.count()
+    // crawl 2's fetch list, gated by CRAWL 1's persisted rank — the
+    // endorsed host's pages pass, an unendorsed newcomer's don't
+    val crawl2Fetch = Seq(
+      (10L, "https://good.com/new1"), (11L, "https://good.com/new2"),
+      (12L, "https://fresh.biz/spam")).toDF("doc_id", "url")
+    val gated = LinkGraph.hostRankKeep(crawl2Fetch,
+      LinkGraph.rankSnapshot(spark, snap1),
+      minRank = 1.5 * ((1.0 - 0.85) / n))
+    assert(gated.select("doc_id").as[Long].collect().sorted === Seq(10L, 11L),
+      "crawl 2 is gated by crawl 1's persisted rank")
+    // crawl 2's fetched pages accrete and roll the snapshot forward
+    val crawl2Pages = pages(
+      (10L, "https://good.com/new1", """<a href="https://lone.net/q">l</a>"""),
+      (11L, "https://good.com/new2", """<a href="https://d.dev/r">l</a>"""))
+    val rolled = LinkGraph.rollForwardRank(spark, snap1,
+      LinkGraph.hostEdges(crawl2Pages), snap2, iterations = 3)
+      .as[(String, Double)].collect().toMap
+    // ... provably == ranking the union of both crawls' edge folds
+    val rebuilt = LinkGraph.hostRank(
+      edges1.unionByName(LinkGraph.hostEdges(crawl2Pages))
+        .groupBy("src_host", "dst_host")
+        .agg(sum($"n_links").as("n_links"), sum($"n_pages").as("n_pages")),
+      iterations = 3).as[(String, Double)].collect().toMap
+    assert(rolled === rebuilt,
+      "advancing the snapshot must equal rebuilding from both crawls")
+    assert(rolled.contains("d.dev"), "crawl 2's new host entered the graph")
   }
 
   test("linkGraphSink: compactIndex folds batch partitions without changing the graph") {

@@ -713,4 +713,74 @@ class PropertySpec extends AnyFunSuite {
     assert(a.forall { case (_, t, ti) => t != null && ti != null })
     assert(a === run(), "deterministic: identical output on a second run")
   }
+
+  test("property: cjkSegmentText is idempotent, token-preserving, and a no-op off-route") {
+    import graft.ext.TextOps
+    import org.apache.spark.sql.functions.lit
+    // mixed-script soup: Latin words, Han/kana/Thai runs, digits, spaces
+    val cjkChar = Gen.oneOf(
+      Gen.choose(0x4E00, 0x4EFF).map(_.toChar.toString),
+      Gen.choose(0x3040, 0x309F).map(_.toChar.toString),
+      Gen.choose(0x0E01, 0x0E2E).map(_.toChar.toString))
+    val piece = Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(6)),
+      4 -> Gen.listOfN(3, cjkChar).map(_.mkString),
+      2 -> Gen.const(" "))
+    val textGen = Gen.listOf(piece).map(_.mkString.take(200))
+    val samples = Gen.listOfN(150, textGen).sample.get
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    val seg = df.select($"doc_id",
+        TextOps.cjkSegmentText($"text", lit("zh")).as("s1"),
+        TextOps.cjkSegmentText(
+          TextOps.cjkSegmentText($"text", lit("zh")), lit("zh")).as("s2"),
+        TextOps.cjkSafeTokens($"text").as("toks"),
+        TextOps.cjkSegmentText($"text", lit("en")).as("off"),
+        $"text")
+      .as[(Long, String, String, Seq[String], String, String)]
+      .collect().sortBy(_._1)
+    seg.foreach { case (i, s1, s2, toks, off, raw) =>
+      // idempotent: re-spacing already-segmented text changes nothing
+      // (every CJK char is already whitespace-delimited after pass 1)
+      assert(s1 === s2, s"row $i: segmentation must be idempotent")
+      // token-preserving: the segmented string whitespace-splits back
+      // to exactly the router's token stream (what downstream sees)
+      assert(s1.split(" ").filter(_.nonEmpty).toSeq === toks.filter(_.nonEmpty),
+        s"row $i: segmented text must round-trip to the routed tokens")
+      // off-route languages pass through BIT-identically
+      assert(off === raw, s"row $i: non-spaceless langs must be untouched")
+    }
+  }
+
+  test("property: declaredCanonicalOr is total; key equals fetch XOR declared") {
+    import graft.ext.Html
+    val urlGen = Gen.oneOf(
+      Gen.alphaNumStr.map(s => s"https://h$s.example.com/p"),
+      Gen.alphaNumStr.map(s => s"/relative/$s"),
+      Gen.const(""))
+    val declGen = Gen.option(urlGen)
+    val soup = for {
+      fetch <- Gen.alphaNumStr.map(s => s"https://f$s.example.org/x")
+      decl <- declGen
+      noise <- Gen.listOf(Gen.oneOf("<p>t</p>", "&amp;", "<div>", " ")).map(_.mkString)
+    } yield (fetch,
+      decl.map(d => s"""<html><head><link rel="canonical" href="$d">$noise""")
+        .getOrElse(s"<html><head>$noise"), decl)
+    val samples = Gen.listOfN(200, soup).sample.get
+    val df = samples.zipWithIndex
+      .map { case ((u, h, d), i) => (i.toLong, u, h, d.getOrElse(" NONE")) }
+      .toDF("doc_id", "url", "html", "decl")
+    val got = df.select($"doc_id", $"url", $"decl",
+        Html.declaredCanonicalOr($"url", $"html").as("eff"))
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    got.foreach { case (i, url, decl, eff) =>
+      assert(eff != null, s"row $i: total")
+      val declared = if (decl == " NONE") None else Some(decl)
+      val absolute = declared.exists(_.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+      if (absolute) assert(eff === declared.get,
+        s"row $i: an absolute declaration must win")
+      else assert(eff === url,
+        s"row $i: relative/absent declarations fall back to the fetch URL")
+    }
+  }
 }

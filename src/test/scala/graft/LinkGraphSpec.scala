@@ -86,14 +86,14 @@ class LinkGraphSpec extends AnyFunSuite {
       "https://blog.shop.example.com/x", // deep subdomain → example.com
       "https://www.example.com/y",       // www strips first → example.com
       "https://example.com/z",           // already registered: unchanged
-      "https://news.bbc.co.uk/a",        // multi-label suffix → bbc.co.uk
-      "https://bbc.co.uk/b",             // exactly eTLD+1: unchanged
+      "https://news.press.co.uk/a",      // multi-label suffix → press.co.uk
+      "https://press.co.uk/b",           // exactly eTLD+1: unchanged
       "https://deep.sub.site.com.au/c",  // com.au → site.com.au
       "http://localhost/d",              // single label: whole
       "/relative")                       // no host: ""
       .toDF("u").select(LinkGraph.domainOf(col("u"))).as[String].collect()
     assert(got === Seq("example.com", "example.com", "example.com",
-      "bbc.co.uk", "bbc.co.uk", "site.com.au", "localhost", ""))
+      "press.co.uk", "press.co.uk", "site.com.au", "localhost", ""))
     intercept[IllegalArgumentException] {
       LinkGraph.domainOfHost(col("u"), Seq.empty) }
   }

@@ -528,6 +528,9 @@ object LinkGraph {
   def anchorKeywordSignal(anchors: DataFrame,
                           keywords: Seq[String]): DataFrame = {
     require(keywords.nonEmpty, "anchorKeywordSignal: keywords must be non-empty")
+    require(keywords.forall(_.nonEmpty),
+      "anchorKeywordSignal: empty keyword — '' is contained in every anchor, " +
+        "which would flag every host")
     val hit = keywords.map(k => lower(col("anchor")).contains(k.toLowerCase))
       .reduce(_ || _)
     anchors.groupBy("dst_host")

@@ -138,6 +138,8 @@ class LinkGraphSpec extends AnyFunSuite {
       ("news.org", 5L, 0L, 0.0)))
     intercept[IllegalArgumentException] {
       LinkGraph.anchorKeywordSignal(anchors, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      LinkGraph.anchorKeywordSignal(anchors, Seq("casino", "")) }
   }
 
   test("anchorKeywordKeep: anti-join cut broadcasts; unprofiled hosts keep") {

@@ -1552,6 +1552,27 @@ object ExtQueries {
     LinkGraph.domainEdges(linkPages(spark, dir))
       .orderBy("src_host", "dst_host")
 
+  /** Per-SOURCE page cap ([[LinkGraph.hostOf]] →
+    * [[Sampling.samplePerGroup]]): the single-source dominance bound
+    * the published recipes apply beside the quality cuts — no host
+    * contributes more than k pages, chosen by the deterministic
+    * seeded md5 order (reproducible, order-insensitive, and unbiased
+    * w.r.t. doc ids — a plain "first k by id" would systematically
+    * prefer early-crawled pages). [[LinkGraph.domainOf]] is the
+    * drop-in key for the registered-domain grain (this fixture's
+    * hosts all share one registered domain, so the host grain is the
+    * non-degenerate demonstration). Exact-oracled: the md5 ordering +
+    * id tiebreak replay verbatim (q50's discipline) over the shared
+    * host fold.
+    */
+  def q155(spark: SparkSession, dir: String): DataFrame =
+    Sampling.samplePerGroup(
+      docs(spark, dir).select(col("doc_id"), sourceUrl.as("url"))
+        .withColumn("host", LinkGraph.hostOf(col("url"))),
+      k = 3, keyCol = "host")
+      .select(col("doc_id"), col("host"))
+      .orderBy("doc_id")
+
   /** THE FULLY-GATED FRONT HALF — every ingest gate the repo ships, in
     * production order, one oracled chain: URL quality (q130) → robots
     * noindex (q142) → PERSISTED-rank prior (q148's snapshot — the
@@ -2382,6 +2403,7 @@ object ExtQueries {
       .orderBy("doc_id")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_host_page_cap" -> (q155 _),
     "q154_domain_edges" -> (q154 _),
     "q153_gated_front_half" -> (q153 _),
     "q152_anchor_block_cut" -> (q152 _),
@@ -2768,6 +2790,18 @@ object ExtQueries {
          |WHERE src <> '' AND dst <> '' AND src <> dst
          |GROUP BY src, dst
          |ORDER BY src, dst""".stripMargin,
+    // q155 — the per-source page cap replayed: the shared host fold +
+    // q50's md5 ordering + id tiebreak + the <= k cut
+    "q155_host_page_cap" ->
+      s"""SELECT doc_id, host FROM (
+         |  SELECT doc_id, host,
+         |    row_number() OVER (
+         |      PARTITION BY host
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft') ASC, doc_id ASC) AS rn
+         |  FROM (SELECT doc_id,
+         |          ${LinkGraph.hostOfOracleSqlExpr(s"($sourceUrlSql)")} AS host
+         |        FROM documents) h) t
+         |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     // q154 — the domain-grain edge list replayed: the q137 derivation
     // with the eTLD+1 fold (shared suffix-list constants) on both
     // endpoints, domain-grain self-edges dropped

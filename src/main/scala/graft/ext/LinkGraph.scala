@@ -415,14 +415,21 @@ object LinkGraph {
     * edge frame would normally come from a PREVIOUS crawl snapshot's
     * persisted graph (self-referential priors are circular); passing
     * the same corpus is the bootstrap case.
+    *
+    * `nodeOf` picks the page-side grain (the cut family's shared
+    * parameter): the default [[hostOf]] matches host-grain artifacts;
+    * pass [[domainOf]] when the edges/rank/anchor frames were built at
+    * the registered-domain grain — the page fold must match the
+    * artifact's node ids or the join silently keeps nothing.
     */
   def hostPriorKeep(pages: DataFrame, edges: DataFrame, minInHosts: Long,
-                    urlCol: String = "url"): DataFrame = {
+                    urlCol: String = "url",
+                    nodeOf: Column => Column = hostOf): DataFrame = {
     require(minInHosts >= 1, "hostPriorKeep: minInHosts must be >= 1")
     val endorsed = hostDegrees(edges)
       .where(col("in_hosts") >= minInHosts)
       .select(col("host"), col("in_hosts"))
-    pages.withColumn("host", hostOf(col(urlCol)))
+    pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(endorsed), Seq("host"), "inner")
   }
 
@@ -503,9 +510,10 @@ object LinkGraph {
     * (plan-pinned, the q140 discipline).
     */
   def hostRankKeep(pages: DataFrame, rank: DataFrame, minRank: Double,
-                   urlCol: String = "url"): DataFrame = {
+                   urlCol: String = "url",
+                   nodeOf: Column => Column = hostOf): DataFrame = {
     require(minRank > 0.0, s"hostRankKeep: minRank must be > 0, got $minRank")
-    pages.withColumn("host", hostOf(col(urlCol)))
+    pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner")
   }
 
@@ -550,13 +558,14 @@ object LinkGraph {
     */
   def anchorKeywordKeep(pages: DataFrame, anchors: DataFrame,
                         keywords: Seq[String], maxRate: Double,
-                        urlCol: String = "url"): DataFrame = {
+                        urlCol: String = "url",
+                        nodeOf: Column => Column = hostOf): DataFrame = {
     require(maxRate > 0.0 && maxRate <= 1.0,
       s"anchorKeywordKeep: maxRate must be in (0,1], got $maxRate")
     val blocked = anchorKeywordSignal(anchors, keywords)
       .where(col("kw_rate") >= maxRate)
       .select(col("dst_host").as("host"))
-    pages.withColumn("host", hostOf(col(urlCol)))
+    pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(blocked), Seq("host"), "left_anti")
   }
 }

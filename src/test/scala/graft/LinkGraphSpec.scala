@@ -120,6 +120,30 @@ class LinkGraphSpec extends AnyFunSuite {
       ("target.org", 0L, 1L, 0L, 3L)))
   }
 
+  test("the cut family takes the domain grain: subdomain pages gate by domain artifacts") {
+    // a DOMAIN-grain edge frame (e.g. a previous crawl's domainEdges
+    // snapshot): good.org endorsed by two domains
+    val edges = Seq(("a.com", "good.org", 1L, 1L), ("b.net", "good.org", 1L, 1L),
+      ("a.com", "lone.io", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    val p = Seq(
+      (1L, "https://blog.good.org/x"), // subdomain page: folds to good.org
+      (2L, "https://www.good.org/y"),
+      (3L, "https://cdn.lone.io/z"),
+      (4L, "https://fresh.biz/w"))
+      .toDF("doc_id", "url")
+    val kept = LinkGraph.hostPriorKeep(p, edges, minInHosts = 2,
+      nodeOf = LinkGraph.domainOf)
+    assert(kept.select("doc_id").as[Long].collect().sorted === Seq(1L, 2L),
+      "subdomain pages must fold onto their domain's endorsement")
+    // the DEFAULT host fold only matches where host == domain (the
+    // www page, whose www. strips to the bare domain) — the true
+    // subdomain pages silently miss the artifact's node ids, exactly
+    // the grain mismatch the parameter exists to make explicit
+    assert(LinkGraph.hostPriorKeep(p, edges, minInHosts = 2)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   // --------------------------------------- anchorKeywordSignal / Keep
 
   test("anchorKeywordSignal: link-weighted per-host rates, case-insensitive") {

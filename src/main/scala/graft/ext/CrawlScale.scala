@@ -114,12 +114,18 @@ object CrawlScale {
       .where(col("text").isNotNull)
     val bench = routed.where(col("url").startsWith("https://bench.example.org/"))
       .select(col("doc_id"), col("text"))
+    // bench-host rows leave the train side BEFORE the canonical dedup:
+    // the bench slice is already split off above, and a bench page that
+    // also declares a canonical would otherwise share an
+    // origin.example.org durl with mirror train pages and could win the
+    // min-id election — silently dropping train mirrors and
+    // understating the mirror-collapse work the scale rows measure
     val filtered = routed
+      .where(!col("url").startsWith("https://bench.example.org/"))
       .where(TextOps.urlQualityKeep(col("url"),
         Seq("ads.example.net"), Seq("casino")))
       .where(!Html.robotsNoindex(col("html")))
     val train0 = Dedup.urlDedup(filtered, urlCol = "durl")
-      .where(!col("url").startsWith("https://bench.example.org/"))
       .select("doc_id", "url", "lang", "text")
     (train0, bench)
   }

@@ -3032,8 +3032,8 @@ object ExtQueries {
          |sig AS (
          |  SELECT dst_host,
          |    CAST(SUM(n_links) AS BIGINT) AS n_links,
-         |    CAST(SUM(CASE WHEN contains(lower(anchor), 'now')
-         |                    OR contains(lower(anchor), 'topic 4')
+         |    CAST(SUM(CASE WHEN ${LinkGraph.anchorKeywordOracleSqlExpr(
+                              "anchor", Seq("now", "topic 4"))}
          |             THEN n_links ELSE 0 END) AS BIGINT) AS kw_links
          |  FROM prof GROUP BY dst_host)
          |SELECT dst_host, n_links, kw_links,
@@ -4746,8 +4746,8 @@ object ExtQueries {
          |sig AS (
          |  SELECT dst_host,
          |    SUM(n_links) AS n_links,
-         |    SUM(CASE WHEN contains(lower(anchor), 'now')
-         |               OR contains(lower(anchor), 'topic 4')
+         |    SUM(CASE WHEN ${LinkGraph.anchorKeywordOracleSqlExpr(
+                         "anchor", Seq("now", "topic 4"))}
          |        THEN n_links ELSE 0 END) AS kw_links
          |  FROM prof GROUP BY dst_host),
          |blocked AS (
@@ -4832,8 +4832,8 @@ object ExtQueries {
          |sig AS (
          |  SELECT dst_host,
          |    SUM(n_links) AS n_links,
-         |    SUM(CASE WHEN contains(lower(anchor), 'now')
-         |               OR contains(lower(anchor), 'topic 4')
+         |    SUM(CASE WHEN ${LinkGraph.anchorKeywordOracleSqlExpr(
+                         "anchor", Seq("now", "topic 4"))}
          |        THEN n_links ELSE 0 END) AS kw_links
          |  FROM prof GROUP BY dst_host),
          |blocked AS (

@@ -310,15 +310,28 @@ object Html {
     * (`<link rel="canonical" href="…">`), raw ("" when absent) — the
     * mirror/CDN-copy self-identification RefinedWeb-style URL dedup
     * honors: a page declaring its origin must collapse onto it, or
-    * every mirror survives the URL cut as a distinct key. Attribute
-    * order rel-before-href is the contract (the overwhelmingly common
-    * serialization — the [[metaPattern]] discipline); the first
-    * declaration wins when a malformed page carries several.
+    * every mirror survives the URL cut as a distinct key. BOTH
+    * attribute orders match (`rel` before `href` and the reverse —
+    * real-world serializers emit either), with double- OR
+    * single-quoted values; within one tag `[^>]*` never crosses the
+    * tag close, so the two attributes must share the element. The
+    * first rel-first declaration wins; a page carrying ONLY the
+    * href-first serialization falls through to its first such match
+    * (when a malformed page carries both forms, rel-first is taken —
+    * a fixed precedence, not document order, keeping the extraction
+    * two independent regexes instead of a tag parser). Values
+    * containing a quote char or `>` are out of contract (no real URL
+    * serializes unescaped).
     */
-  val CanonicalLinkPattern =
-    "(?is)<link\\b[^>]*\\brel=\"canonical\"[^>]*\\bhref=\"([^\"]*)\""
-  def htmlCanonicalUrl(html: Column): Column =
-    regexp_extract(html, CanonicalLinkPattern, 1)
+  val CanonicalRelFirstPattern =
+    "(?is)<link\\b[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref=[\"']([^\"'>]*)[\"']"
+  val CanonicalHrefFirstPattern =
+    "(?is)<link\\b[^>]*\\bhref=[\"']([^\"'>]*)[\"'][^>]*\\brel=[\"']canonical[\"']"
+  def htmlCanonicalUrl(html: Column): Column = {
+    val relFirst = regexp_extract(html, CanonicalRelFirstPattern, 1)
+    when(relFirst =!= "", relFirst)
+      .otherwise(regexp_extract(html, CanonicalHrefFirstPattern, 1))
+  }
 
   /** Absolute-URL shape: a scheme followed by `://`. */
   val AbsoluteUrlPattern = "^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -341,8 +354,11 @@ object Html {
     * in both engines).
     */
   def declaredCanonicalOracleSqlExpr(urlExpr: String, htmlExpr: String): String = {
-    val c = s"regexp_extract($htmlExpr, " +
-      s"'${CanonicalLinkPattern.replace("'", "''")}', 1)"
+    val rel = s"regexp_extract($htmlExpr, " +
+      s"'${CanonicalRelFirstPattern.replace("'", "''")}', 1)"
+    val href = s"regexp_extract($htmlExpr, " +
+      s"'${CanonicalHrefFirstPattern.replace("'", "''")}', 1)"
+    val c = s"(CASE WHEN $rel <> '' THEN $rel ELSE $href END)"
     s"(CASE WHEN regexp_matches($c, '$AbsoluteUrlPattern') THEN $c " +
       s"ELSE $urlExpr END)"
   }

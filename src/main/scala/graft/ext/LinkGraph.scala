@@ -422,10 +422,24 @@ object LinkGraph {
     * the registered-domain grain — the page fold must match the
     * artifact's node ids or the join silently keeps nothing.
     */
+  /** The cut family's column-ownership guard (Export.trainingOrder's
+    * discipline): each keep operator ATTACHES audit columns, and a
+    * same-named caller column would be silently clobbered by the
+    * withColumn — raise up front instead.
+    */
+  private def requireNoClash(pages: DataFrame, owned: Seq[String],
+                             op: String): Unit = {
+    val clash = owned.filter(pages.columns.contains)
+    require(clash.isEmpty,
+      s"$op: input already carries ${clash.mkString(", ")} — rename or " +
+        "drop before the cut (the operator OWNS these audit columns)")
+  }
+
   def hostPriorKeep(pages: DataFrame, edges: DataFrame, minInHosts: Long,
                     urlCol: String = "url",
                     nodeOf: Column => Column = hostOf): DataFrame = {
     require(minInHosts >= 1, "hostPriorKeep: minInHosts must be >= 1")
+    requireNoClash(pages, Seq("host", "in_hosts"), "hostPriorKeep")
     val endorsed = hostDegrees(edges)
       .where(col("in_hosts") >= minInHosts)
       .select(col("host"), col("in_hosts"))
@@ -513,6 +527,7 @@ object LinkGraph {
                    urlCol: String = "url",
                    nodeOf: Column => Column = hostOf): DataFrame = {
     require(minRank > 0.0, s"hostRankKeep: minRank must be > 0, got $minRank")
+    requireNoClash(pages, Seq("host", "rank"), "hostRankKeep")
     pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner")
   }
@@ -520,7 +535,9 @@ object LinkGraph {
   /** The anchor-text CONSUMER — what [[anchorTexts]]' profiles exist
     * for: a per-target-host KEYWORD signal. For each dst_host, the
     * fraction of inbound inter-host anchor links whose (normalized)
-    * text contains any of `keywords`, case-insensitively:
+    * text carries any of `keywords` as a DELIMITED token phrase
+    * (case-insensitive; [[anchorKeywordPattern]] — pass
+    * `wordBoundary = false` for raw substring containment):
     * `(dst_host, n_links, kw_links, kw_rate)` — the web-search
     * insight turned into a curation signal (the rest of the web
     * describes a host better than the host describes itself; a host
@@ -533,14 +550,49 @@ object LinkGraph {
     * cardinality; the keyword predicate is row-local codegen and the
     * rollup is one map-side-combinable aggregation on dst_host.
     */
-  def anchorKeywordSignal(anchors: DataFrame,
-                          keywords: Seq[String]): DataFrame = {
+  /** Regex-literal escape shared by the keyword pattern's two engines:
+    * only the metacharacter set both Java regex and RE2 treat special
+    * is escaped (escaping an ordinary letter is an ERROR in Java, so a
+    * blanket quote-everything would not compile cross-engine).
+    */
+  private def regexLiteral(s: String): String =
+    s.flatMap(c =>
+      if ("\\.^$|?*+()[]{}".indexOf(c.toInt) >= 0) s"\\$c" else c.toString)
+
+  /** The DELIMITED-TOKEN keyword pattern over a lowercased anchor: a
+    * keyword phrase counts only between non-alphanumeric boundaries
+    * (start/end of the anchor, space, punctuation) — the
+    * [[Html.RobotsNoindexPattern]] discipline. "now" must NOT hit
+    * "snow"/"known": substring containment lets a host whose anchors
+    * are dominated by innocent containing words cross the block rate.
+    * In the RE2 ∩ Java subset (char classes + alternation, no
+    * lookaround), so the oracle replays it verbatim
+    * ([[anchorKeywordOracleSqlExpr]]).
+    */
+  def anchorKeywordPattern(keywords: Seq[String]): String = {
+    val alts = keywords.map(k => regexLiteral(k.toLowerCase)).mkString("|")
+    s"(^|[^\\p{L}\\p{N}])($alts)($$|[^\\p{L}\\p{N}])"
+  }
+
+  /** The keyword hit as a DuckDB boolean over an anchor expr — the
+    * oracle replay of [[anchorKeywordSignal]]'s predicate, same
+    * pattern constant.
+    */
+  def anchorKeywordOracleSqlExpr(anchorExpr: String,
+                                 keywords: Seq[String]): String =
+    s"regexp_matches(lower($anchorExpr), " +
+      s"'${anchorKeywordPattern(keywords).replace("'", "''")}')"
+
+  def anchorKeywordSignal(anchors: DataFrame, keywords: Seq[String],
+                          wordBoundary: Boolean = true): DataFrame = {
     require(keywords.nonEmpty, "anchorKeywordSignal: keywords must be non-empty")
     require(keywords.forall(_.nonEmpty),
       "anchorKeywordSignal: empty keyword — '' is contained in every anchor, " +
         "which would flag every host")
-    val hit = keywords.map(k => lower(col("anchor")).contains(k.toLowerCase))
-      .reduce(_ || _)
+    val hit =
+      if (wordBoundary) lower(col("anchor")).rlike(anchorKeywordPattern(keywords))
+      else keywords.map(k => lower(col("anchor")).contains(k.toLowerCase))
+        .reduce(_ || _)
     anchors.groupBy("dst_host")
       .agg(sum(col("n_links")).as("n_links"),
         sum(when(hit, col("n_links")).otherwise(lit(0L))).as("kw_links"))
@@ -559,10 +611,12 @@ object LinkGraph {
   def anchorKeywordKeep(pages: DataFrame, anchors: DataFrame,
                         keywords: Seq[String], maxRate: Double,
                         urlCol: String = "url",
-                        nodeOf: Column => Column = hostOf): DataFrame = {
+                        nodeOf: Column => Column = hostOf,
+                        wordBoundary: Boolean = true): DataFrame = {
     require(maxRate > 0.0 && maxRate <= 1.0,
       s"anchorKeywordKeep: maxRate must be in (0,1], got $maxRate")
-    val blocked = anchorKeywordSignal(anchors, keywords)
+    requireNoClash(pages, Seq("host"), "anchorKeywordKeep")
+    val blocked = anchorKeywordSignal(anchors, keywords, wordBoundary)
       .where(col("kw_rate") >= maxRate)
       .select(col("dst_host").as("host"))
     pages.withColumn("host", nodeOf(col(urlCol)))

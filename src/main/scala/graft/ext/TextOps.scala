@@ -62,11 +62,15 @@ object TextOps {
       array_join(cjkSafeTokens(text), " "))
       .otherwise(text)
 
-  /** [[cjkSegmentText]] as a DuckDB SQL expression (same constants). */
+  /** [[cjkSegmentText]] as a DuckDB SQL expression (same constants).
+    * The COALESCE covers the empty/whitespace-only routed document:
+    * DuckDB's `array_to_string([])` is NULL where Spark's `array_join`
+    * gives '' (the same cross-engine class the url-key chain guards).
+    */
   def cjkSegmentOracleSqlExpr(textExpr: String, langExpr: String): String =
     s"(CASE WHEN regexp_matches($langExpr, '$SpacelessLangPattern') " +
-      s"THEN array_to_string(regexp_extract_all($textExpr, " +
-      s"'$CjkSegPattern', 0), ' ') ELSE $textExpr END)"
+      s"THEN COALESCE(array_to_string(regexp_extract_all($textExpr, " +
+      s"'$CjkSegPattern', 0), ' '), '') ELSE $textExpr END)"
 
   /** BPE-ish subword count: tokens further split at letter/digit and
     * lower/upper boundaries via regex — a cheap, deterministic stand-in

@@ -2828,7 +2828,20 @@ class ExtSpec extends AnyFunSuite {
       // first declaration wins on a malformed double
       ("https://site.com/d",
         "<link rel=\"canonical\" href=\"https://one.org/d\">" +
-          "<link rel=\"canonical\" href=\"https://two.org/d\">"))
+          "<link rel=\"canonical\" href=\"https://two.org/d\">"),
+      // href-BEFORE-rel serialization (real-world emitters vary order)
+      ("https://mirror.net/e",
+        "<link href=\"https://origin.org/e\" rel=\"canonical\">"),
+      // single-quoted attributes
+      ("https://mirror.net/f",
+        "<link rel='canonical' href='https://origin.org/f'>"),
+      // rel-first precedence when a malformed page carries BOTH forms
+      ("https://site.com/g",
+        "<link href=\"https://hreffirst.org/g\" rel=\"canonical\">" +
+          "<link rel=\"canonical\" href=\"https://relfirst.org/g\">"),
+      // rel="canonicalish" must not match (quote-delimited value)
+      ("https://site.com/h",
+        "<link rel=\"canonicalish\" href=\"https://other.org/h\">"))
       .toDF("url", "html")
       .select($"url", Html.htmlCanonicalUrl($"html").as("c"),
         Html.declaredCanonicalOr($"url", $"html").as("eff"))
@@ -2837,7 +2850,11 @@ class ExtSpec extends AnyFunSuite {
       ("https://mirror.net/a", "https://origin.org/a", "https://origin.org/a"),
       ("https://site.com/b", "/b", "https://site.com/b"),
       ("https://site.com/c", "", "https://site.com/c"),
-      ("https://site.com/d", "https://one.org/d", "https://one.org/d")))
+      ("https://site.com/d", "https://one.org/d", "https://one.org/d"),
+      ("https://mirror.net/e", "https://origin.org/e", "https://origin.org/e"),
+      ("https://mirror.net/f", "https://origin.org/f", "https://origin.org/f"),
+      ("https://site.com/g", "https://relfirst.org/g", "https://relfirst.org/g"),
+      ("https://site.com/h", "", "https://site.com/h")))
   }
 
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {

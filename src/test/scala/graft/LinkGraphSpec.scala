@@ -94,6 +94,12 @@ class LinkGraphSpec extends AnyFunSuite {
       .toDF("u").select(LinkGraph.domainOf(col("u"))).as[String].collect()
     assert(got === Seq("example.com", "example.com", "example.com",
       "press.co.uk", "press.co.uk", "site.com.au", "localhost", ""))
+    // the bundled ccTLD battery is the DEFAULT: unrelated registrable
+    // domains under a multi-label suffix must NOT merge into one node
+    val ccPair = Seq("https://a.co.uk/x", "https://b.co.uk/y")
+      .toDF("u").select(LinkGraph.domainOf(col("u"))).as[String].collect()
+    assert(ccPair === Seq("a.co.uk", "b.co.uk"),
+      "a.co.uk and b.co.uk are distinct registrable domains by default")
     intercept[IllegalArgumentException] {
       LinkGraph.domainOfHost(col("u"), Seq.empty) }
   }
@@ -164,6 +170,60 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.anchorKeywordSignal(anchors, Seq.empty) }
     intercept[IllegalArgumentException] {
       LinkGraph.anchorKeywordSignal(anchors, Seq("casino", "")) }
+  }
+
+  test("anchorKeywordSignal: delimited tokens — 'now' must not match 'known'/'snow'") {
+    val anchors = Seq(
+      ("w.org", "buy now", 1L, 1L),          // hit: space boundary
+      ("w.org", "now available", 1L, 1L),    // hit: start + space
+      ("w.org", "act now!", 1L, 1L),         // hit: punctuation boundary
+      ("w.org", "well known brand", 1L, 1L), // contains 'now' — NOT a hit
+      ("w.org", "fresh snow report", 1L, 1L),// contains 'now' — NOT a hit
+      ("w.org", "nowhere fast", 1L, 1L))     // prefix 'now' — NOT a hit
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    val got = LinkGraph.anchorKeywordSignal(anchors, Seq("now"))
+      .as[(String, Long, Long, Double)].head()
+    assert(got === (("w.org", 6L, 3L, 0.5)),
+      "token-delimited matching: containing words must not count")
+    // the escape hatch reverts to raw substring containment
+    val raw = LinkGraph.anchorKeywordSignal(anchors, Seq("now"),
+      wordBoundary = false).as[(String, Long, Long, Double)].head()
+    assert(raw._3 === 6L, "wordBoundary=false restores containment")
+    // a multi-word phrase is one delimited token sequence
+    val phrase = Seq(
+      ("p.org", "see topic 4 here", 1L, 1L), // hit
+      ("p.org", "topic 40 index", 1L, 1L),   // '4' runs into '0': no hit
+      ("p.org", "subtopic 4", 1L, 1L))       // 'topic' runs out of 'subtopic': no hit
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    assert(LinkGraph.anchorKeywordSignal(phrase, Seq("topic 4"))
+      .as[(String, Long, Long, Double)].head()._3 === 1L)
+    // regex metacharacters in a keyword are literal text
+    val meta = Seq(("m.org", "get c++ jobs", 1L, 1L),
+      ("m.org", "plain c jobs", 1L, 1L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    assert(LinkGraph.anchorKeywordSignal(meta, Seq("c++"))
+      .as[(String, Long, Long, Double)].head()._3 === 1L)
+  }
+
+  test("the cut family owns its audit columns: caller host/rank clash raises") {
+    val p = Seq((1L, "https://a.com/x", "precomputed"))
+      .toDF("doc_id", "url", "host")
+    val rank = Seq(("a.com", 0.5)).toDF("host", "rank")
+    val anchors = Seq(("a.com", "casino", 1L, 1L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    val edges = Seq(("b.com", "a.com", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    val e1 = intercept[IllegalArgumentException] {
+      LinkGraph.hostRankKeep(p, rank, minRank = 0.1) }
+    assert(e1.getMessage.contains("host"))
+    intercept[IllegalArgumentException] {
+      LinkGraph.anchorKeywordKeep(p, anchors, Seq("casino"), maxRate = 0.5) }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostPriorKeep(p, edges, minInHosts = 1) }
+    // a caller 'rank' column alone also raises in hostRankKeep
+    val pr = Seq((1L, "https://a.com/x", 9.9)).toDF("doc_id", "url", "rank")
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRankKeep(pr, rank, minRank = 0.1) }
   }
 
   test("anchorKeywordKeep: anti-join cut broadcasts; unprofiled hosts keep") {

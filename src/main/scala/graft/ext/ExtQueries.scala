@@ -1594,10 +1594,14 @@ object ExtQueries {
         blockedHosts = Seq("src3.example.com"),
         bannedWords = Seq("casino", "frag")))
       .where(!Html.robotsNoindex(col("html")))
-    val rank = LinkGraph.rankSnapshot(spark, sharedRankSnapshot(spark, dir))
-    val n = rank.count()
+    val snap = sharedRankSnapshot(spark, dir)
+    val rank = LinkGraph.rankSnapshot(spark, snap)
+    // threshold floor from the snapshot's LANDED n_hosts/damping — no
+    // scan-and-count per probe; same IEEE ops, so bit-identical to the
+    // build-side derivation
+    val meta = LinkGraph.rankSnapshotMeta(spark, snap)
     val ranked = LinkGraph.hostRankKeep(policy, rank,
-      minRank = 1.5 * ((1.0 - 0.85) / n)).drop("host", "rank")
+      minRank = 1.5 * meta.floor).drop("host", "rank")
     val gated = LinkGraph.anchorKeywordKeep(ranked,
       LinkGraph.anchorTexts(linkPages(spark, dir)),
       keywords = Seq("now", "topic 4"), maxRate = 0.5)
@@ -1727,11 +1731,13 @@ object ExtQueries {
     * so the comparison replays on identical bits.
     */
   def q148(spark: SparkSession, dir: String): DataFrame = {
-    val rank = LinkGraph.rankSnapshot(spark, sharedRankSnapshot(spark, dir))
-    val n = rank.count()
+    val snap = sharedRankSnapshot(spark, dir)
+    val rank = LinkGraph.rankSnapshot(spark, snap)
+    // the floor derives from the snapshot's landed metadata (n_hosts +
+    // damping) — the probe never counts the rank table
     LinkGraph.hostRankKeep(
       linkPages(spark, dir).select(col("doc_id"), col("url")),
-      rank, minRank = 1.5 * ((1.0 - 0.85) / n))
+      rank, minRank = 1.5 * LinkGraph.rankSnapshotMeta(spark, snap).floor)
       .select(col("doc_id"), col("host"), col("rank"))
       .orderBy("doc_id")
   }

@@ -471,6 +471,17 @@ object LinkGraph {
     hostRank(spark.read.parquet(s"$outDir/edges"), iterations, damping,
       sortedFold, weightedByLinks = weightedByLinks)
       .write.mode("overwrite").parquet(s"$outDir/rank")
+    // the metadata the PROBE side needs, landed WITH the artifact (the
+    // sketch family's lgK-drift discipline): n_hosts lets a threshold
+    // floor (1-d)/n derive without a scan-and-count per probe, and the
+    // build parameters let roll-forward fail loudly on drift instead of
+    // silently chaining ranks that mean different things
+    import spark.implicits._
+    Seq((spark.read.parquet(s"$outDir/rank").count(),
+      iterations, damping, weightedByLinks, sortedFold))
+      .toDF("n_hosts", "iterations", "damping", "weighted_by_links",
+        "sorted_fold")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
     rankSnapshot(spark, outDir)
   }
 
@@ -479,6 +490,40 @@ object LinkGraph {
     */
   def rankSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
     spark.read.parquet(s"$snapshotDir/rank")
+
+  /** A snapshot's landed build record (see [[writeRankSnapshot]]). */
+  final case class RankSnapshotMeta(nHosts: Long, iterations: Int,
+                                    damping: Double,
+                                    weightedByLinks: Boolean,
+                                    sortedFold: Boolean) {
+    /** The un-endorsed rank FLOOR `(1-d)/n` — every host with zero
+      * in-links sits exactly here ([[hostRankKeep]]'s threshold note:
+      * cut at a multiple of THIS, never `1/n`). Derived from the landed
+      * values with the same IEEE op sequence the build-side drivers
+      * run, so a probe reconstructs bit-identical thresholds without a
+      * count scan.
+      */
+    def floor: Double = (1.0 - damping) / nHosts
+  }
+
+  /** The snapshot's metadata row ([[writeRankSnapshot]] lands it).
+    * One bounded 1-row read; a snapshot dir without `meta/` raises
+    * naming the rebuild path (the artifact contract is all-or-nothing
+    * — probing a half-landed snapshot must not silently degrade).
+    */
+  def rankSnapshotMeta(spark: SparkSession,
+                       snapshotDir: String): RankSnapshotMeta = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$snapshotDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"rankSnapshotMeta: $snapshotDir has no meta/ — not a " +
+        "writeRankSnapshot artifact (rebuild the snapshot; pre-metadata " +
+        "snapshot dirs must be re-landed, not probed blind)")
+    val r = spark.read.parquet(s"$snapshotDir/meta").collect()(0) // 1 row
+    RankSnapshotMeta(r.getAs[Long]("n_hosts"), r.getAs[Int]("iterations"),
+      r.getAs[Double]("damping"), r.getAs[Boolean]("weighted_by_links"),
+      r.getAs[Boolean]("sorted_fold"))
+  }
 
   /** Advance the snapshot by one crawl: sum the new crawl's edges into
     * the previous snapshot's edge frame (per-pair addition — the
@@ -497,6 +542,19 @@ object LinkGraph {
                       iterations: Int = 5, damping: Double = 0.85,
                       weightedByLinks: Boolean = false,
                       sortedFold: Boolean = true): DataFrame = {
+    // parameter drift between build and roll-forward fails LOUDLY (the
+    // sketch family's lgK/k-drift discipline): a chain that silently
+    // switches iterations/damping/weighting produces ranks that no
+    // longer mean one thing across snapshots
+    val prev = rankSnapshotMeta(spark, prevSnapshotDir)
+    require(prev.iterations == iterations && prev.damping == damping &&
+      prev.weightedByLinks == weightedByLinks,
+      s"rollForwardRank: parameter drift — $prevSnapshotDir was built " +
+        s"with (iterations=${prev.iterations}, damping=${prev.damping}, " +
+        s"weightedByLinks=${prev.weightedByLinks}) but the roll-forward " +
+        s"asked for (iterations=$iterations, damping=$damping, " +
+        s"weightedByLinks=$weightedByLinks); pass the snapshot's own " +
+        "parameters or rebuild from scratch with the new ones")
     val merged = spark.read.parquet(s"$prevSnapshotDir/edges")
       .unionByName(newEdges)
       .groupBy("src_host", "dst_host")

@@ -623,6 +623,42 @@ class LinkGraphSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect()
     assert(e === edges.orderBy("src_host", "dst_host")
       .as[(String, String, Long, Long)].collect())
+    // the landed metadata records host count + build params, and the
+    // derived floor is the same IEEE sequence the probes interpolate
+    val meta = LinkGraph.rankSnapshotMeta(spark, dir)
+    assert(meta === LinkGraph.RankSnapshotMeta(direct.size.toLong, 4, 0.85,
+      weightedByLinks = false, sortedFold = true))
+    assert(meta.floor === (1.0 - 0.85) / direct.size.toLong)
+  }
+
+  test("rank snapshot metadata: probes without meta/ and param drift raise loudly") {
+    val edges = rankDf(Seq("a" -> "hub", "b" -> "hub"))
+    // a bare rank/edges layout (NOT a writeRankSnapshot artifact) must
+    // refuse the metadata probe, not silently degrade
+    val bare = SparkTestBase.tmpDir("graft_rank_bare")
+    edges.write.parquet(s"$bare/edges")
+    LinkGraph.hostRank(edges, iterations = 2).write.parquet(s"$bare/rank")
+    val e0 = intercept[IllegalArgumentException] {
+      LinkGraph.rankSnapshotMeta(spark, bare) }
+    assert(e0.getMessage.contains("meta/"))
+    // roll-forward with drifted params refuses, naming BOTH sides
+    val snap = SparkTestBase.tmpDir("graft_rank_drift")
+    LinkGraph.writeRankSnapshot(spark, edges, snap, iterations = 3)
+    val out = SparkTestBase.tmpDir("graft_rank_drift_out")
+    val e1 = intercept[IllegalArgumentException] {
+      LinkGraph.rollForwardRank(spark, snap,
+        rankDf(Seq("c" -> "hub")), out, iterations = 5) }
+    assert(e1.getMessage.contains("iterations=3") &&
+      e1.getMessage.contains("iterations=5"), "drift must name both sides")
+    val e2 = intercept[IllegalArgumentException] {
+      LinkGraph.rollForwardRank(spark, snap,
+        rankDf(Seq("c" -> "hub")), out, iterations = 3, damping = 0.9) }
+    assert(e2.getMessage.contains("0.85") && e2.getMessage.contains("0.9"))
+    // matching params still roll forward, and the new snapshot's meta
+    // carries the advanced host count
+    LinkGraph.rollForwardRank(spark, snap,
+      rankDf(Seq("c" -> "hub")), out, iterations = 3)
+    assert(LinkGraph.rankSnapshotMeta(spark, out).nHosts === 4L)
   }
 
   test("rollForwardRank == rebuild from all crawls' pages, bit-for-bit") {

@@ -564,6 +564,26 @@ object LinkGraph {
       weightedByLinks, sortedFold)
   }
 
+  /** The anchor-profile twin of [[writeRankSnapshot]]: land a crawl's
+    * [[anchorTexts]] frame under `outDir/anchors` — the previous-crawl
+    * artifact the anchor-keyword gates ([[anchorKeywordKeep]], the
+    * streaming ingest) probe. (host × anchor-phrase) cardinality, so
+    * the artifact is GB-scale next to the page corpus; roll-forward is
+    * plain per-(host, anchor) count addition, the edge frame's
+    * additivity contract, when a caller needs it.
+    */
+  def writeAnchorSnapshot(spark: SparkSession, anchors: DataFrame,
+                          outDir: String): DataFrame = {
+    anchors.write.mode("overwrite").parquet(s"$outDir/anchors")
+    anchorSnapshot(spark, outDir)
+  }
+
+  /** The persisted anchor-profile face of a snapshot dir (see
+    * [[writeAnchorSnapshot]]).
+    */
+  def anchorSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/anchors")
+
   /** The RANK-threshold page cut — [[hostPriorKeep]]'s production
     * face: keep pages whose host's PERSISTED rank (a previous
     * snapshot's [[rankSnapshot]]) clears `minRank`, with `host` and

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   *     ([[graft.ext.TextOps.urlQualityKeep]]), and the publisher
   *     noindex opt-out ([[graft.ext.Html.robotsNoindex]], on by
   *     default via `respectNoindex`);
+  *  2b. optionally, the two previous-crawl BROADCAST gates in q153's
+  *     production order — the persisted-rank prior and the
+  *     anchor-keyword block (`rankSnapshotDir` / `anchorSnapshotDir`;
+  *     see [[StreamingCrawl.crawlIngestSink]]) — BEFORE dedup, so a
+  *     gated page never claims a URL key;
   *  3. within-batch keep-first per canonical URL key (honoring a
   *     declared `<link rel="canonical">` on HTML-ish payloads —
   *     [[graft.ext.Html.declaredCanonicalOr]], `honorCanonical`, on
@@ -64,13 +69,39 @@ object StreamingCrawl {
     * the redelivery would drop them as twins of themselves). `lang`
     * is the page's self-declared `<html lang>` ('en' default) — the
     * mixture key the content chain needs.
+    *
+    * The two PREVIOUS-CRAWL gates (q153's batch composition, its
+    * production streaming face): `rankSnapshotDir` names a
+    * [[graft.ext.LinkGraph.writeRankSnapshot]] artifact — pages whose
+    * host's persisted rank misses `rankFloorMultiple ×` the snapshot's
+    * own un-endorsed floor (derived from the LANDED metadata, never a
+    * count scan) drop; `anchorSnapshotDir` names a
+    * [[graft.ext.LinkGraph.writeAnchorSnapshot]] artifact — pages on
+    * hosts whose inbound-anchor `blockKeywords` rate reaches
+    * `maxKeywordRate` drop. Both run BEFORE dedup, so a gated page
+    * never claims its canonical URL key (a later fetch of the real
+    * origin lands normally — the batch ordering's whole point), and
+    * both sides broadcast (host-cardinality artifacts; the page stream
+    * never shuffles for them). Self-referential priors are circular:
+    * point the dirs at the PREVIOUS crawl's snapshots, exactly as the
+    * batch cuts document.
     */
   private def withIngested(indexRoot: String, blockedHosts: Seq[String],
                            bannedWords: Seq[String], maxUrlLen: Int,
                            respectNoindex: Boolean = true,
-                           honorCanonical: Boolean = true)
+                           honorCanonical: Boolean = true,
+                           rankSnapshotDir: Option[String] = None,
+                           rankFloorMultiple: Double = 1.5,
+                           anchorSnapshotDir: Option[String] = None,
+                           blockKeywords: Seq[String] = Nil,
+                           maxKeywordRate: Double = 0.5)
                           (batch: DataFrame, batchId: Long)
                           (use: DataFrame => Unit): Unit = {
+    require(rankFloorMultiple > 0.0,
+      s"crawl ingest: rankFloorMultiple must be > 0, got $rankFloorMultiple")
+    require(anchorSnapshotDir.isEmpty || blockKeywords.nonEmpty,
+      "crawl ingest: anchorSnapshotDir without blockKeywords — the anchor " +
+        "gate needs the keyword list the profile is scored against")
     val spark = batch.sparkSession
     import spark.implicits._
     val pages = batch.select(col("path"), col("content"))
@@ -96,6 +127,21 @@ object StreamingCrawl {
       // non-HTML payloads carry no meta tag and pass untouched
       .where(if (respectNoindex) !graft.ext.Html.robotsNoindex(col("html"))
              else lit(true))
+      // the persisted-rank prior (q148's production cut), before dedup:
+      // an unendorsed host's pages never claim URL keys
+      .transform(df => rankSnapshotDir.fold(df) { dir =>
+        graft.ext.LinkGraph.hostRankKeep(df,
+          graft.ext.LinkGraph.rankSnapshot(spark, dir),
+          minRank = rankFloorMultiple *
+            graft.ext.LinkGraph.rankSnapshotMeta(spark, dir).floor)
+          .drop("host", "rank")
+      })
+      // the anchor-keyword block (q152's cut), same placement contract
+      .transform(df => anchorSnapshotDir.fold(df) { dir =>
+        graft.ext.LinkGraph.anchorKeywordKeep(df,
+          graft.ext.LinkGraph.anchorSnapshot(spark, dir),
+          blockKeywords, maxKeywordRate).drop("host")
+      })
       .withColumn("doc_id", xxhash64(col("url"), col("html")))
       // the dedup KEY honors a declared <link rel="canonical"> on
       // HTML-ish payloads (q150's rule — a mirror collapses onto the
@@ -138,10 +184,16 @@ object StreamingCrawl {
                       bannedWords: Seq[String] = Nil,
                       maxUrlLen: Int = 2048,
                       respectNoindex: Boolean = true,
-                      honorCanonical: Boolean = true)
+                      honorCanonical: Boolean = true,
+                      rankSnapshotDir: Option[String] = None,
+                      rankFloorMultiple: Double = 1.5,
+                      anchorSnapshotDir: Option[String] = None,
+                      blockKeywords: Seq[String] = Nil,
+                      maxKeywordRate: Double = 0.5)
                      (batch: DataFrame, batchId: Long): Unit =
     withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen,
-      respectNoindex, honorCanonical)(batch, batchId) {
+      respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
+      anchorSnapshotDir, blockKeywords, maxKeywordRate)(batch, batchId) {
       extracted =>
         StreamingDedup.landBatchChecked(
           extracted.drop("lang"), // the standalone sink's landed schema
@@ -168,10 +220,16 @@ object StreamingCrawl {
                           bannedWords: Seq[String] = Nil,
                           maxUrlLen: Int = 2048,
                           respectNoindex: Boolean = true,
-                          honorCanonical: Boolean = true)
+                          honorCanonical: Boolean = true,
+                          rankSnapshotDir: Option[String] = None,
+                          rankFloorMultiple: Double = 1.5,
+                          anchorSnapshotDir: Option[String] = None,
+                          blockKeywords: Seq[String] = Nil,
+                          maxKeywordRate: Double = 0.5)
                          (batch: DataFrame, batchId: Long): Unit =
     withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen,
-      respectNoindex, honorCanonical)(batch, batchId) {
+      respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
+      anchorSnapshotDir, blockKeywords, maxKeywordRate)(batch, batchId) {
       extracted =>
         StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
           outRoot, benchmarkSource)(extracted, batchId)

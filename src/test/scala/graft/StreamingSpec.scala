@@ -705,6 +705,96 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a delivered batch changed the curated output")
   }
 
+  test("streaming gated front half: persisted rank + anchor block gate before URL keys; stream == batch") {
+    import graft.io.Warc
+    import graft.ext.LinkGraph
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_gated")
+    // previous-crawl artifacts (q148/q149's persisted faces):
+    // endorsed.com and spam.biz each have 3 in-hosts (above 1.5× the
+    // floor); weak.org is absent from the graph entirely; spam.biz's
+    // inbound anchors are keyword-saturated (rate 1.0)
+    val edges = Seq(
+      ("a.org", "endorsed.com", 1L, 1L), ("b.org", "endorsed.com", 1L, 1L),
+      ("c.io", "endorsed.com", 1L, 1L),
+      ("a.org", "spam.biz", 1L, 1L), ("b.org", "spam.biz", 1L, 1L),
+      ("c.io", "spam.biz", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    LinkGraph.writeRankSnapshot(spark, edges, s"$work/rank_snap",
+      iterations = 3)
+    val anchors = Seq(
+      ("spam.biz", "buy now", 5L, 3L),
+      ("endorsed.com", "a great long read", 4L, 2L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    LinkGraph.writeAnchorSnapshot(spark, anchors, s"$work/anchor_snap")
+    def member(url: String, html: String) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", html)))
+    def batchDf(pages: Seq[(String, String)], name: String) =
+      Seq((name, pages.map((member _).tupled).reduce(_ ++ _)))
+        .toDF("path", "content")
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out",
+      rankSnapshotDir = Some(s"$work/rank_snap"),
+      anchorSnapshotDir = Some(s"$work/anchor_snap"),
+      blockKeywords = Seq("now")) _
+    val b0 = Seq(
+      "https://endorsed.com/a" -> "<p>Page A body</p>",
+      // unendorsed host: the rank prior cuts it
+      "https://weak.org/w" -> "<p>unendorsed</p>",
+      // anchor-BLOCKED host serving a MIRROR that declares the endorsed
+      // origin canonical: the gate runs before dedup, so this page must
+      // never claim the origin's key
+      "https://spam.biz/mirror" ->
+        ("<html><head><link rel=\"canonical\" " +
+          "href=\"https://endorsed.com/story\"></head>" +
+          "<body><p>mirrored copy</p></body></html>"))
+    val b1 = Seq(
+      // the REAL origin lands — proof the blocked mirror claimed nothing
+      "https://endorsed.com/story" -> "<p>the real story</p>",
+      // canonical twin of batch 0's page: drops against history
+      "https://endorsed.com/a?utm_source=x" -> "<p>twin body</p>")
+    sink(batchDf(b0, "s0.warc.gz"), 0L)
+    sink(batchDf(b1, "s1.warc.gz"), 1L)
+    def outUrls() = spark.read.parquet(s"$work/out")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(outUrls() === Seq(
+      "https://endorsed.com/a", "https://endorsed.com/story"),
+      "rank prior cuts weak.org, anchor block cuts spam.biz BEFORE the " +
+        "mirror claims the origin key, twins fall to history")
+    // replay-idempotent (the family's redelivery contract)
+    sink(batchDf(b1, "s1.warc.gz"), 1L)
+    assert(outUrls() === Seq(
+      "https://endorsed.com/a", "https://endorsed.com/story"))
+    // stream == the batch q153-shaped composition over the full history
+    // (key-set equality: winner election order differs across the two
+    // faces only within a key, never across keys)
+    val allPages = (b0 ++ b1).zipWithIndex
+      .map { case ((u, h), i) => (i.toLong, u, h) }
+      .toDF("doc_id", "url", "html")
+    val meta = LinkGraph.rankSnapshotMeta(spark, s"$work/rank_snap")
+    val gated = LinkGraph.anchorKeywordKeep(
+      LinkGraph.hostRankKeep(allPages,
+        LinkGraph.rankSnapshot(spark, s"$work/rank_snap"),
+        minRank = 1.5 * meta.floor).drop("host", "rank"),
+      anchors, Seq("now"), maxRate = 0.5)
+    val batchKeys = graft.ext.Dedup.urlDedup(
+      gated.withColumn("__durl",
+        graft.ext.Html.declaredCanonicalOr($"url", $"html")),
+      urlCol = "__durl")
+      .select("url_key").as[String].collect().sorted.toSeq
+    val streamKeys = spark.read.parquet(s"$work/out")
+      .select("url_key").as[String].collect().sorted.toSeq
+    assert(streamKeys === batchKeys,
+      "the streaming gates drifted from the batch q153 composition")
+    // misconfiguration fails loudly: an anchor snapshot without keywords
+    val bad = StreamingCrawl.crawlIngestSink(s"$work/idx2", s"$work/out2",
+      anchorSnapshotDir = Some(s"$work/anchor_snap")) _
+    intercept[IllegalArgumentException] { bad(batchDf(b0, "s.warc.gz"), 0L) }
+  }
+
   test("__batch= roll-forward concurrent-writer contract: last-writer-wins sequentially, torn landings fail loudly") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_batch_landing")

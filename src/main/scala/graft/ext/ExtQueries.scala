@@ -2408,7 +2408,33 @@ object ExtQueries {
         col("dup_line_frac"), col("dup_line_char_frac"))
       .orderBy("doc_id")
 
+  /** Epoch materialization ([[Sampling.materializeEpochs]] →
+    * [[Export.trainingOrder]]): the q106 planner's repetition decision
+    * EXECUTED — each language gets floor(E) complete passes plus the
+    * md5-threshold fractional tail (q48's encoding), and the resulting
+    * (doc, epoch) stream is given the seeded training order keyed on
+    * the composite id. The weights are deliberately skewed against the
+    * corpus shares so BOTH branches do real work at every sf: zh/de
+    * upsample (multi-epoch), en/es/fr downsample (fractional epoch 0
+    * only). Exact-oracled end to end: integer epoch counts, the 4-hex
+    * threshold pipeline, and the q139 order replay verbatim.
+    */
+  def q156(spark: SparkSession, dir: String): DataFrame =
+    Export.trainingOrder(
+      Sampling.materializeEpochs(
+        docs(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        weights = Map("en" -> 0.1, "zh" -> 0.45, "de" -> 0.3,
+          "es" -> 0.05, "fr" -> 0.1),
+        tokenBudget = 30000L, keyCol = "lang")
+        .withColumn("sample_id", concat(col("doc_id").cast("string"),
+          lit(":"), col("epoch").cast("string"))),
+      nShards = 4, seed = "ep", idCol = "sample_id")
+      .select(col("doc_id"), col("lang"), col("epoch"),
+        col("shard"), col("seq"))
+      .orderBy("doc_id", "epoch")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_epoch_materialize" -> (q156 _),
     "q155_host_page_cap" -> (q155 _),
     "q154_domain_edges" -> (q154 _),
     "q153_gated_front_half" -> (q153 _),
@@ -4044,6 +4070,51 @@ object ExtQueries {
         |  CAST(coalesce(agg.ncut, 0) AS BIGINT) AS n_cut_chars
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // q156 — the epoch materializer replayed: q106's plan arithmetic
+    // (explicit DOUBLE weights), floor/frac split, the q33/q48 4-hex
+    // threshold pipeline for the fractional tail, a range-generate per
+    // (doc, group), then q139's seeded order on the composite id
+    "q156_epoch_materialize" ->
+      """WITH wts AS (
+        |  SELECT 'de' AS lang, CAST(0.3 AS DOUBLE) AS weight
+        |  UNION ALL SELECT 'en', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'es', CAST(0.05 AS DOUBLE)
+        |  UNION ALL SELECT 'fr', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'zh', CAST(0.45 AS DOUBLE)),
+        |a AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT a.lang,
+        |    CAST(CAST(FLOOR(CAST(30000 AS DOUBLE) * w.weight) AS BIGINT) AS DOUBLE)
+        |      / CAST(a.n_tokens AS DOUBLE) AS epochs
+        |  FROM a JOIN wts w USING (lang)),
+        |f AS (
+        |  SELECT lang, CAST(FLOOR(epochs) AS BIGINT) AS nfull,
+        |    printf('%04x', LEAST(CAST(FLOOR((epochs - FLOOR(epochs)) * 65536)
+        |      AS INT), 65535)) AS thr
+        |  FROM p),
+        |m0 AS (
+        |  SELECT d.doc_id, d.lang, f.nfull, f.thr
+        |  FROM documents d JOIN f USING (lang)),
+        |m AS (
+        |  SELECT doc_id, lang, nfull, thr,
+        |    unnest(range(0, nfull + 1)) AS epoch
+        |  FROM m0),
+        |kept AS (
+        |  SELECT doc_id, lang, epoch FROM m
+        |  WHERE epoch < nfull
+        |     OR substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < thr),
+        |o AS (
+        |  SELECT doc_id, lang, epoch,
+        |    ('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(epoch AS VARCHAR)), 1, 15))::BIGINT AS ord,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR) AS sid
+        |  FROM kept)
+        |SELECT doc_id, lang, epoch, CAST(ord % 4 AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY ord % 4 ORDER BY ord, sid) - 1
+        |    AS BIGINT) AS seq
+        |FROM o ORDER BY doc_id, epoch""".stripMargin,
     // q106 — weights as explicit DOUBLE casts (DuckDB parses bare 0.15
     // as DECIMAL); target/epochs/rate spelled as the same double tree.
     "q106_epoch_plan" ->

@@ -332,4 +332,64 @@ object Sampling {
       .withColumn("sample_rate", least(lit(1.0), col("epochs")))
       .withColumn("needs_upsampling", col("epochs") > 1.0)
   }
+
+  /** [[epochPlan]] MATERIALIZED — the planner's `epochs` turned into
+    * data: every row repeated once per epoch its group needs, with an
+    * `epoch` index column (0-based), deterministic end to end. A group
+    * needing `epochs = E` gets `floor(E)` COMPLETE passes (epoch
+    * 0 … floor(E)−1 carry every row) plus a FRACTIONAL tail epoch
+    * (index `floor(E)`) holding the rows whose hash bucket clears the
+    * `E − floor(E)` rate — the samplers' shared md5-threshold encoding,
+    * so for a DOWNSAMPLED group (E < 1) the single epoch 0 is exactly
+    * [[mixtureSample]]'s keep set at rate E (pinned in the spec). This
+    * is the repetition decision the planner surfaces made executable:
+    * feed the result to [[Export.trainingOrder]] / [[Export.exportEpoch]]
+    * keyed on (id, epoch) and the multi-epoch stream is reproducible
+    * row for row.
+    *
+    * Groups absent from `weights` are excluded (the planner's weight-0
+    * policy). `maxEpochs` is a runaway backstop, not a tuning knob: a
+    * mistyped budget would otherwise explode every row thousands of
+    * ways before anyone noticed — the guard raises in-plan, naming the
+    * group.
+    *
+    * Determinism: `floor(E)` and the fractional threshold derive from
+    * [[epochPlan]]'s already-exact arithmetic with one FLOOR/SUB each
+    * — IEEE correctly-rounded, so any engine replaying the formula
+    * lands on the same epoch counts and the same 4-hex threshold
+    * (q156's oracle replays it verbatim).
+    *
+    * Scale shape: the plan is group-cardinality and BROADCASTS; the
+    * corpus side is one generator-explode (bounded by the group's
+    * epoch count) plus a codegen filter — no shuffle, no state. The
+    * output is ≈ Σ_g E_g·|g| rows, i.e. sized by the TOKEN BUDGET the
+    * caller asked for, never corpus² anything.
+    */
+  def materializeEpochs(df: DataFrame, weights: Map[String, Double],
+                        tokenBudget: Long, keyCol: String = "source",
+                        textCol: String = "text", idCol: String = "doc_id",
+                        salt: String = "graft",
+                        maxEpochs: Int = 1000): DataFrame = {
+    require(maxEpochs >= 1, "materializeEpochs: maxEpochs must be >= 1")
+    require(!df.columns.contains("epoch"),
+      "materializeEpochs: input already carries 'epoch' — rename or drop " +
+        "(the operator OWNS this column)")
+    val guardedEpochs = when(col("epochs") > lit(maxEpochs.toDouble),
+      raise_error(concat(
+        lit("materializeEpochs: group '"), col(keyCol),
+        lit(s"' needs "), col("epochs").cast("string"),
+        lit(s" epochs (maxEpochs=$maxEpochs) — check tokenBudget/weights " +
+          "or raise the bound deliberately"))))
+      .otherwise(col("epochs"))
+    val plan = epochPlan(df, weights, tokenBudget, keyCol, textCol)
+      .withColumn("__full", floor(guardedEpochs).cast("long"))
+      .withColumn("__thr", hexThresholdCol(
+        col("epochs") - floor(col("epochs")), keepAll = lit(false)))
+      .select(col(keyCol).as("__graft_key"), col("__full"), col("__thr"))
+    df.join(broadcast(plan), col(keyCol) === col("__graft_key"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("__full"))))
+      .where(col("epoch") < col("__full") ||
+        hexBucket(col(idCol), salt) < col("__thr"))
+      .drop("__graft_key", "__full", "__thr")
+  }
 }

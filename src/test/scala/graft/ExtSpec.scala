@@ -3058,6 +3058,47 @@ class ExtSpec extends AnyFunSuite {
       ("en", 2L, 6L, 0.75, 9L, 1.5, 1.0, true)))
   }
 
+  test("materializeEpochs: floor(E) complete passes + md5-threshold fractional tail") {
+    import graft.ext.Sampling
+    val df = Seq(
+      (1L, "en", "w1 w2 w3"), (2L, "en", "w4 w5 w6"), // 6 tokens
+      (3L, "de", "x1 x2 x3 x4"),                      // 4 tokens
+      (4L, "fr", "y1 y2")                             // unweighted: excluded
+    ).toDF("doc_id", "lang", "text")
+    // en: target 9 -> E = 1.5 -> epoch 0 full, epoch 1 at rate 0.5
+    // de: target 3 -> E = 0.75 -> fractional epoch 0 only (rate 0.75)
+    val got = Sampling.materializeEpochs(df, Map("en" -> 0.75, "de" -> 0.25),
+        tokenBudget = 12L, keyCol = "lang")
+      .select("doc_id", "epoch").as[(Long, Long)].collect().toSet
+    // epoch 0 of en carries BOTH docs (a complete pass)
+    assert(got.contains((1L, 0L)) && got.contains((2L, 0L)))
+    // the fractional tails hold exactly the mixtureSample keep set at
+    // the same rate and salt (the shared threshold encoding)
+    val enTail = Sampling.mixtureSample(df.where($"lang" === "en"),
+      Map("en" -> 0.5), keyCol = "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(_._2 === 1L).map(_._1) === enTail,
+      "en epoch 1 must equal the rate-0.5 mixture keep set")
+    val deKeep = Sampling.mixtureSample(df.where($"lang" === "de"),
+      Map("de" -> 0.75), keyCol = "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.filter(t => t._2 === 0L && t._1 === 3L).map(_._1) === deKeep,
+      "a downsampled group's single epoch == mixtureSample at rate E")
+    // no fr rows at all; no epoch beyond the fractional tail
+    assert(!got.exists(_._1 === 4L) && got.forall(_._2 <= 1L))
+    // runaway backstop: an absurd budget raises in-plan, naming the group
+    val e = intercept[Exception] {
+      Sampling.materializeEpochs(df, Map("en" -> 1.0),
+        tokenBudget = 1000000L, keyCol = "lang", maxEpochs = 10).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("maxEpochs")))
+    // column ownership: a caller 'epoch' column refuses loudly
+    intercept[IllegalArgumentException] {
+      Sampling.materializeEpochs(df.withColumn("epoch", lit(0)),
+        Map("en" -> 1.0), 10L, keyCol = "lang") }
+  }
+
   test("gopherRules: hand-computed stats, per-rule flags, and keep on crafted docs") {
     val df = docsDf(
       1L -> "aa bb aa bb aa cc",

@@ -2433,7 +2433,25 @@ object ExtQueries {
         col("shard"), col("seq"))
       .orderBy("doc_id", "epoch")
 
+  /** LANED sequence packing ([[TextOps.packSequences]] with
+    * `subShards`): q151's CJK-routed packing with each language split
+    * into 4 deterministic md5 lanes, so the running-sum window
+    * parallelizes 4× beyond the language cardinality — the scale
+    * escape for coarse shard keys (q151's measured 11.9× growth was
+    * exactly the 5-language serialization;
+    * [[TextOps.derivedPackLanes]] sizes the lane count from data).
+    * Exact-oracled: the lane fold (q139's md5 trick) + the q34 packing
+    * CTEs at (lang, lane) grain replay verbatim.
+    */
+  def q157(spark: SparkSession, dir: String): DataFrame =
+    TextOps.packSequences(
+      docs(spark, dir).withColumn("text",
+        TextOps.cjkSegmentText(cjkDocText, col("lang"))),
+      capacity = 2048, shardCols = Seq("lang"), subShards = 4)
+      .orderBy("lang", "lane", "bin_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_laned_packing" -> (q157 _),
     "q156_epoch_materialize" -> (q156 _),
     "q155_host_page_cap" -> (q155 _),
     "q154_domain_edges" -> (q154 _),
@@ -4924,6 +4942,33 @@ object ExtQueries {
          |ORDER BY p2.doc_id""".stripMargin,
     // q151 — CJK-safe packing replayed: the segmentation CASE (shared
     // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
+    // q157 — laned packing replayed: the q151 segmentation, the q139
+    // md5 lane fold, then the q34 packing CTEs at (lang, lane) grain
+    "q157_laned_packing" ->
+      s"""WITH seg AS (
+         |  SELECT lang, doc_id,
+         |    ${graft.ext.TextOps.cjkSegmentOracleSqlExpr(cjkDocTextSql, "lang")}
+         |      AS text
+         |  FROM documents),
+         |laned AS (
+         |  SELECT lang, doc_id, text,
+         |    ('0x' || substr(md5('lane:' || CAST(doc_id AS VARCHAR)), 1, 15))
+         |      ::BIGINT % 4 AS lane
+         |  FROM seg),
+         |sized AS (
+         |  SELECT lang, lane, doc_id, len(string_split(text, ' ')) AS n,
+         |    SUM(len(string_split(text, ' ')))
+         |      OVER (PARTITION BY lang, lane ORDER BY doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM laned)
+         |SELECT lang, lane,
+         |  CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         |  MIN(doc_id) AS first_doc,
+         |  MAX(doc_id) AS last_doc
+         |FROM sized GROUP BY lang, lane, bin_id
+         |ORDER BY lang, lane, bin_id""".stripMargin,
     "q151_cjk_packing" ->
       s"""WITH seg AS (
          |  SELECT lang, doc_id,

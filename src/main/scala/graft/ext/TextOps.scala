@@ -342,16 +342,51 @@ object TextOps {
     * upstream, reuse everywhere) or an inline counting expression.
     * Default (None) keeps the whitespace counter, so existing outputs
     * (q34/q47 oracles) are unchanged.
+    *
+    * `subShards > 1` splits each shard into that many deterministic
+    * LANES (`lane = md5(id) % subShards` — the q139 hash trick) and
+    * packs each (shard, lane) independently, adding a `lane` column to
+    * the output. This is the scale escape when the natural shard key
+    * is too coarse (q151's shape: 5 language partitions serialize the
+    * running-sum window into 5 tasks no matter how wide the cluster):
+    * the lane is a pure function of the row id, so the binning stays
+    * deterministic under any partitioning or cluster size, and
+    * re-binning is identical per (shard, lane) — only the bin
+    * BOUNDARIES move vs the unlaned packing, which is semantically
+    * free (training shards are arbitrary groupings by construction).
+    * [[derivedPackLanes]] sizes it from the data.
     */
   def packSequences(docs: DataFrame, capacity: Int, shardCols: Seq[String],
                     idCol: String = "doc_id", textCol: String = "text",
-                    tokenCount: Option[Column] = None): DataFrame =
-    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount)
-      .groupBy((shardCols :+ "bin_id").map(col): _*)
+                    tokenCount: Option[Column] = None,
+                    subShards: Int = 1): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount,
+      subShards)
+      .groupBy((laneKeys(shardCols, subShards) :+ "bin_id").map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__n")).cast("long").as("sum_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** The lane count the data asks for (the DerivedShuffle discipline,
+    * applied to packing): enough lanes that the HOTTEST shard's window
+    * carries at most `targetDocsPerLane` rows. One group-cardinality
+    * aggregate + a bounded 1-row collect; feed the result to
+    * [[packSequences]]' `subShards`.
+    */
+  def derivedPackLanes(docs: DataFrame, shardCols: Seq[String],
+                       targetDocsPerLane: Long = 262144L): Int = {
+    require(shardCols.nonEmpty, "derivedPackLanes: empty shard key")
+    require(targetDocsPerLane >= 1,
+      "derivedPackLanes: targetDocsPerLane must be >= 1")
+    val m = docs.groupBy(shardCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).agg(max(col("__c"))).collect()(0)
+    val maxC = if (m.isNullAt(0)) 0L else m.getLong(0)
+    math.max(1L, (maxC + targetDocsPerLane - 1) / targetDocsPerLane).toInt
+  }
+
+  private def laneKeys(shardCols: Seq[String], subShards: Int): Seq[String] =
+    if (subShards > 1) shardCols :+ "lane" else shardCols
 
   /** The packing itself, not just its stats: one row per (shard, bin)
     * with the bin's documents concatenated in id order — the
@@ -364,9 +399,11 @@ object TextOps {
   def packSequencesText(docs: DataFrame, capacity: Int, shardCols: Seq[String],
                         idCol: String = "doc_id", textCol: String = "text",
                         sep: String = " ",
-                        tokenCount: Option[Column] = None): DataFrame =
-    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount)
-      .groupBy((shardCols :+ "bin_id").map(col): _*)
+                        tokenCount: Option[Column] = None,
+                        subShards: Int = 1): DataFrame =
+    binnedDocs(docs, capacity, shardCols, idCol, textCol, tokenCount,
+      subShards)
+      .groupBy((laneKeys(shardCols, subShards) :+ "bin_id").map(col): _*)
       .agg(
         array_join(
           transform(
@@ -381,18 +418,34 @@ object TextOps {
     */
   private def binnedDocs(docs: DataFrame, capacity: Int, shardCols: Seq[String],
                          idCol: String, textCol: String,
-                         tokenCount: Option[Column] = None): DataFrame = {
+                         tokenCount: Option[Column] = None,
+                         subShards: Int = 1): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     require(shardCols.nonEmpty,
       "packing needs shard columns: a global order would serialize into one partition")
+    require(subShards >= 1, "subShards must be >= 1")
+    require(subShards == 1 || !docs.columns.contains("lane"),
+      "packing: input already carries 'lane' — rename or drop (the laned " +
+        "packer OWNS this column)")
     import org.apache.spark.sql.expressions.Window
+    // the derived lane: a pure function of the row id (Export's 60-bit
+    // md5 fold, always non-negative), so bins are deterministic under
+    // any partitioning — the window below just gains subShards× more,
+    // proportionally smaller, partitions
+    val laned =
+      if (subShards > 1)
+        docs.withColumn("lane",
+          Export.md5Long60(concat(lit("lane:"), col(idCol).cast("string")))
+            % subShards)
+      else docs
     // explicit ROWS frame: the default RANGE frame would give duplicate
     // idCol values one shared cumulative total, breaking the sequential
     // first-fit semantics (idCol should be unique per shard; with dups
     // the within-tie order — and thus the packing — is undefined)
-    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+    val w = Window.partitionBy(laneKeys(shardCols, subShards).map(col): _*)
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    laned
       .withColumn("__n", tokenCount.getOrElse(size(tokens(col(textCol)))))
       .withColumn("__cum", sum(col("__n")).over(w))
       // exclusive prefix sum / capacity = first-fit-by-order bin id

@@ -1126,6 +1126,51 @@ class ExtSpec extends AnyFunSuite {
     assert(pre === bpe)
   }
 
+  test("packSequences subShards: deterministic md5 lanes, per-lane binning, derived lane count") {
+    import graft.ext.{Export, TextOps}
+    val df = (1L to 40L).map(i => (i, "A", "a b c")).toDF("doc_id", "shard", "text")
+      .unionByName(Seq((101L, "B", "x y")).toDF("doc_id", "shard", "text"))
+    val laned = TextOps.packSequences(df, capacity = 5,
+      shardCols = Seq("shard"), subShards = 4)
+    assert(laned.columns.contains("lane"), "laned output carries the lane key")
+    // the lane is a pure function of the id: recompute and compare
+    val expectLane = df.select(col("doc_id"),
+      (Export.md5Long60(concat(lit("lane:"), col("doc_id").cast("string"))) % 4)
+        .as("lane"))
+    // per (shard, lane), the binning equals packing THAT lane's rows alone
+    val oneLane = expectLane.where($"lane" === 2L).join(df, "doc_id")
+    val direct = TextOps.packSequences(oneLane, capacity = 5,
+        shardCols = Seq("shard"))
+      .select("shard", "bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val fromLaned = laned.where($"lane" === 2L)
+      .select("shard", "bin_id", "n_docs", "sum_tokens", "first_doc", "last_doc")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(fromLaned === direct,
+      "a lane's bins must equal packing the lane in isolation")
+    // lane assignment is partitioning-independent: repartitioned input,
+    // identical laned packing
+    val repart = TextOps.packSequences(df.repartition(7), capacity = 5,
+        shardCols = Seq("shard"), subShards = 4)
+      .select("shard", "lane", "bin_id", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val once = laned.select("shard", "lane", "bin_id", "n_docs", "sum_tokens")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(repart === once)
+    // total doc/token mass is conserved across the lane split
+    assert(laned.agg(sum("n_docs"), sum("sum_tokens"))
+      .as[(Long, Long)].head() === ((41L, 122L)))
+    // subShards = 1 stays the unlaned schema (q34/q47 unchanged)
+    assert(!TextOps.packSequences(df, 5, Seq("shard")).columns.contains("lane"))
+    // derived lane count: hottest shard 40 docs / target 16 -> 3 lanes
+    assert(TextOps.derivedPackLanes(df, Seq("shard"), 16L) === 3)
+    assert(TextOps.derivedPackLanes(df, Seq("shard"), 1000L) === 1)
+    // a caller 'lane' column refuses loudly under subShards > 1
+    intercept[IllegalArgumentException] {
+      TextOps.packSequences(df.withColumn("lane", lit(9)), 5,
+        Seq("shard"), subShards = 2) }
+  }
+
   test("chunkDocuments with a pluggable tokenizer cuts windows on the caller's boundaries") {
     import graft.ext.TextOps
     val df = Seq((1L, "ab|cd|ef|gh|ij")).toDF("doc_id", "text")

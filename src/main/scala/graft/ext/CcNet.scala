@@ -54,11 +54,19 @@ object CcNet {
                            textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol), col(langCol),
       explode(TextOps.tokens(col(textCol))).as("token"))
-    val cf = words.groupBy(col(langCol), col("token"))
-      .agg(count(lit(1)).as("__cf"))
-    val total = words.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+    // ONE corpus-scale aggregation: the model's corpus frequencies (cf)
+    // and per-language totals are ROLLUPS of the per-doc counts —
+    // identical integers to aggregating `words` directly (sums of
+    // counts), but the token explosion and everything UPSTREAM of it
+    // (which can be an expensive trained-scorer join, q136's shape)
+    // runs once, not three times. SCALE_r18 measured the difference:
+    // the prior three-derivation plan carried 84 scans at q136 and
+    // went superlinear in its second decade.
     val docTok = words.groupBy(col(idCol), col(langCol), col("token"))
       .agg(count(lit(1)).as("__m"))
+    val cf = docTok.groupBy(col(langCol), col("token"))
+      .agg(sum(col("__m")).as("__cf"))
+    val total = cf.groupBy(col(langCol)).agg(sum(col("__cf")).as("__n"))
     docTok.join(cf, Seq(langCol, "token"))
       .join(broadcast(total), Seq(langCol))
       .groupBy(col(idCol), col(langCol))
@@ -95,7 +103,13 @@ object CcNet {
              bandRates: Map[String, Double] = DefaultBandRates,
              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val lid = TextOps.languageId(docs, profiles, idCol, textCol)
+    // materialize at the stage boundary (CurationChain's discipline):
+    // the banding consumes `scored` TWICE (tercile cuts + the join
+    // back), and without the cut each consumer re-runs the whole
+    // scoring lineage. `scored` is (doc × 5-narrow-column) cardinality
+    // — text never crosses the boundary.
     val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
+      .localCheckpoint(true)
     val banded = surprisalBands(scored, "lang_cand")
     Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
   }
@@ -123,13 +137,21 @@ object CcNet {
                       ns: Seq[Int] = LangModel.DefaultNs,
                       numBuckets: Int = LangModel.DefaultBuckets,
                       minMargin: Double = 0.0): DataFrame = {
+    // the trained scorer is the EXPENSIVE stage (n-gram explosion +
+    // model join); everything downstream consumes its prediction frame
+    // repeatedly, so it materializes at the boundary — (doc, lang)
+    // two-column cardinality, the cheapest possible cut. SCALE_r18:
+    // without these two boundaries the composition re-ran the scorer
+    // per consumer (84-scan plan, 407 s at ×100 vs ~5 s components).
     val pred = LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
         textCol = textCol, ns = ns, numBuckets = numBuckets)
       .where(col("lang_pred").isNotNull &&
         (col("margin").isNull || col("margin") >= minMargin))
       .select(col(idCol), col("lang_pred").as("lang_cand"))
+      .localCheckpoint(true)
     val lid = docs.join(pred, Seq(idCol))
     val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
+      .localCheckpoint(true)
     val banded = surprisalBands(scored, "lang_cand")
     Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
   }

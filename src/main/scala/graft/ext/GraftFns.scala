@@ -204,19 +204,24 @@ object GraftFns {
         seed = ctx.variables.getOrElse("GRAFT_EPOCH_SEED", "graft"),
         idCol = idCol(ctx))),
     // persisted-rank page cut (q148 as a step): keep rows whose URL
-    // host clears GRAFT_MIN_RANK in the rank snapshot at
-    // GRAFT_RANK_DIR (a writeRankSnapshot artifact from a previous
-    // crawl — the production prior)
-    step("graft_rank_keep")((ctx, d) =>
+    // host clears the threshold in the rank snapshot at GRAFT_RANK_DIR
+    // (a writeRankSnapshot artifact from a previous crawl — the
+    // production prior). Threshold: GRAFT_MIN_RANK when set, else
+    // GRAFT_RANK_FLOOR_MULTIPLE (default 1.5) × the snapshot's LANDED
+    // un-endorsed floor (1-d)/n — no count scan, no hand-carried n
+    step("graft_rank_keep")((ctx, d) => {
+      val dir = ctx.variables.getOrElse("GRAFT_RANK_DIR",
+        throw new graft.config.ConfigException(
+          "graft_rank_keep requires the GRAFT_RANK_DIR variable (rank snapshot path)"))
+      val minRank = ctx.variables.get("GRAFT_MIN_RANK").map(_.toDouble)
+        .getOrElse(
+          ctx.variables.getOrElse("GRAFT_RANK_FLOOR_MULTIPLE", "1.5").toDouble *
+            graft.ext.LinkGraph.rankSnapshotMeta(d.sparkSession, dir).floor)
       graft.ext.LinkGraph.hostRankKeep(d,
-        graft.ext.LinkGraph.rankSnapshot(d.sparkSession,
-          ctx.variables.getOrElse("GRAFT_RANK_DIR",
-            throw new graft.config.ConfigException(
-              "graft_rank_keep requires the GRAFT_RANK_DIR variable (rank snapshot path)"))),
-        minRank = ctx.variables.getOrElse("GRAFT_MIN_RANK",
-          throw new graft.config.ConfigException(
-            "graft_rank_keep requires the GRAFT_MIN_RANK variable")).toDouble,
-        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))),
+        graft.ext.LinkGraph.rankSnapshot(d.sparkSession, dir),
+        minRank = minRank,
+        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
+    }),
     // anchor-keyword host block (q149's cut as a step): drop rows
     // whose host's inbound-anchor keyword rate (per the anchor-profile
     // view at GRAFT_ANCHORS_VIEW, a q141 artifact) reaches
@@ -250,6 +255,8 @@ object GraftFns {
         org.apache.spark.sql.functions.col(textCol(ctx)),
         org.apache.spark.sql.functions.col(
           ctx.variables.getOrElse("GRAFT_LANG_COL", "lang"))))),
+    // GRAFT_SUB_SHARDS > 1 packs per-shard md5 LANES (q157): the
+    // scale escape when the shard key is too coarse for the window
     step("graft_pack_sequences")((ctx, d) =>
       TextOps.packSequences(d,
         capacity = ctx.variables.getOrElse("GRAFT_PACK_CAPACITY", "2048").toInt,
@@ -257,7 +264,30 @@ object GraftFns {
           .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil),
         idCol = idCol(ctx), textCol = textCol(ctx),
         tokenCount = ctx.variables.get("GRAFT_TOKEN_COUNT_COL")
-          .map(org.apache.spark.sql.functions.col))))
+          .map(org.apache.spark.sql.functions.col),
+        subShards = ctx.variables.getOrElse("GRAFT_SUB_SHARDS", "1").toInt)),
+    // epoch materialization (q156 as a step): repeat each row per its
+    // group's epochPlan count — GRAFT_MIX_WEIGHTS is 'key:weight,...'
+    // (the mixture design), GRAFT_TOKEN_BUDGET the total token target
+    step("graft_epoch_materialize")((ctx, d) =>
+      graft.ext.Sampling.materializeEpochs(d,
+        weights = ctx.variables.getOrElse("GRAFT_MIX_WEIGHTS",
+          throw new graft.config.ConfigException(
+            "graft_epoch_materialize requires the GRAFT_MIX_WEIGHTS variable " +
+              "('key:weight,key:weight,...')"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.lastIndexOf(':')
+            require(i > 0 && i < kv.length - 1, s"malformed weight '$kv'")
+            kv.substring(0, i) -> kv.substring(i + 1).toDouble
+          }.toMap,
+        tokenBudget = ctx.variables.getOrElse("GRAFT_TOKEN_BUDGET",
+          throw new graft.config.ConfigException(
+            "graft_epoch_materialize requires the GRAFT_TOKEN_BUDGET variable"))
+          .toLong,
+        keyCol = ctx.variables.getOrElse("GRAFT_MIX_KEY", "source"),
+        textCol = textCol(ctx), idCol = idCol(ctx),
+        maxEpochs = ctx.variables.getOrElse("GRAFT_MAX_EPOCHS", "1000").toInt)))
 
   private def tokensCol(ctx: EtlContext): String =
     ctx.variables.getOrElse("GRAFT_TOKENS_COL", "tokens")

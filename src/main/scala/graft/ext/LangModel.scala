@@ -106,9 +106,13 @@ object LangModel {
                        ns: Seq[Int] = DefaultNs,
                        numBuckets: Int = DefaultBuckets): DataFrame = {
     require(alpha > 0, "alpha must be positive (a=0 makes unseen buckets -inf)")
-    val aB = lit(alpha * numBuckets)
     val buckets = model.where(col("bucket").isNotNull)
-    // per-language totals + log prior: model-sized aggregation, K rows
+    // per-language totals + log prior: model-sized aggregation, K rows,
+    // COLLECTED once (bounded by the model's language count — the
+    // bounded-collect pattern) so the per-doc folds below run against
+    // literal per-language constants. The priors are computed IN Spark
+    // and collected as the resulting doubles — identical bits to the
+    // previous in-plan expression.
     val priors = model.where(col("bucket").isNull)
       .groupBy("lang").agg(sum(col("cnt")).as("__docs"))
     val nDocs = priors.agg(sum(col("__docs")).as("__n"))
@@ -119,36 +123,49 @@ object LangModel {
       .select(col("lang"), col("__tot"),
         (log(col("__docs").cast("double")) - log(col("__n").cast("double")))
           .as("__prior"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    require(langs.nonEmpty, "langScoreAgainst: the model holds no languages")
+    // the model pivoted WIDE — one row per bucket, one count column per
+    // language — so the scoring join and the per-doc fold carry each
+    // doc feature ONCE, not once per language. The previous K-row form
+    // shuffled a per-(doc, lang) collect_list — K× the whole feature
+    // stream as structs — and SCALE_r18 measured it mildly superlinear
+    // at ×100 (spill); this shape cuts the fold exchange to 1/K rows.
+    val wide = buckets.groupBy("bucket")
+      .pivot("lang", langs.map(_._1)).agg(first(col("cnt")))
     val docBuckets = featureStream(
         docs.select(col(idCol), col(textCol)), textCol, ns, numBuckets,
         Seq(idCol))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__m"))
-    // every (doc-bucket, language) pair needs a term — absent model
-    // rows carry the smoothing mass, so the cross join with the K-row
-    // language table comes FIRST, then the model counts fill in
-    val contrib = docBuckets
-      .crossJoin(broadcast(langs))
-      .join(broadcast(buckets), Seq("bucket", "lang"), "left")
-      .select(col(idCol), col("lang"), col("bucket"), col("__prior"),
-        (col("__m").cast("double") *
-          (log(coalesce(col("cnt"), lit(0L)).cast("double") + lit(alpha)) -
-            log(col("__tot").cast("double") + aB))).as("__mw"))
-    // sequential fold in bucket order per (doc, lang): deterministic
-    val perLang = contrib.groupBy(col(idCol), col("lang"))
-      .agg(first(col("__prior")).as("__prior"),
-        sort_array(collect_list(struct(col("bucket"), col("__mw")))).as("__arr"))
-      .select(col(idCol), col("lang"),
-        (col("__prior") + aggregate(col("__arr"), lit(0.0),
-          (acc, x) => acc + x.getField("__mw"))).as("__lp"))
-    // argmax by (−lp, lang): deterministic winner AND runner-up margin
-    val perDoc = perLang.groupBy(col(idCol))
-      .agg(sort_array(collect_list(
-        struct(negate(col("__lp")).as("__neg"), col("lang"), col("__lp"))))
-        .as("__ranked"))
+    val aB = alpha * numBuckets
+    val gathered = docBuckets
+      .join(broadcast(wide), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("bucket") +: col("__m") +:
+          langs.zipWithIndex.map { case ((l, _, _), i) =>
+            col(l).as(s"__c$i") }: _*))).as("__arr"))
+    // per-language sequential fold in bucket order over the SAME array:
+    // each language's sum runs the identical IEEE op sequence as the
+    // per-(doc, lang) fold it replaces — scores are bit-identical (the
+    // golden pins hold across the rewrite)
+    val lps = langs.zipWithIndex.map { case ((l, tot, prior), i) =>
+      (l, lit(prior) + aggregate(col("__arr"), lit(0.0), (acc, x) =>
+        acc + x.getField("__m").cast("double") *
+          (log(coalesce(x.getField(s"__c$i"), lit(0L)).cast("double") +
+            lit(alpha)) -
+            log(lit(tot.toDouble) + lit(aB)))))
+    }
+    // argmax by (−lp, lang): deterministic winner AND runner-up margin,
+    // now a row-local sort over K entries
+    val ranked = sort_array(array(lps.map { case (l, lp) =>
+      struct(negate(lp).as("__neg"), lit(l).as("lang"), lp.as("__lp")) }: _*))
+    val perDoc = gathered.select(col(idCol), ranked.as("__ranked"))
       .select(col(idCol),
         col("__ranked")(0).getField("lang").as("lang_pred"),
         col("__ranked")(0).getField("__lp").as("logprob"),
-        when(size(col("__ranked")) >= 2,
+        when(lit(langs.size) >= 2,
           col("__ranked")(0).getField("__lp") -
             col("__ranked")(1).getField("__lp")).as("margin"))
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")

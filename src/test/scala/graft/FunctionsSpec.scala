@@ -71,7 +71,8 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_rank_keep", "graft_anchor_filter", "graft_canonical_url_dedup",
       "graft_cjk_segment",
       "graft_dsir_select", "graft_gopher_filter",
-      "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences"))
+      "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences",
+      "graft_epoch_materialize"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
       "mixture_sample", "pack_sequences"))
@@ -208,6 +209,78 @@ class FunctionsSpec extends AnyFunSuite {
           cache = Some(CacheSpec("pages", None))),
         Step.Fn("graft_init"),
         Step.Fn("graft_rank_keep"))).get
+    }
+  }
+
+  test("r18 fn steps: meta-derived rank threshold, epoch materialize, laned packing ≡ direct") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_r18fns")
+    val edges = Seq(("a.org", "good.com", 1L, 1L), ("b.org", "good.com", 1L, 1L),
+      ("c.io", "good.com", 1L, 1L), ("good.com", "lone.net", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    graft.ext.LinkGraph.writeRankSnapshot(spark, edges, s"$work/snap",
+      iterations = 3)
+    val pages = Seq(
+      (1L, "https://good.com/a", "en", "alpha beta gamma"),
+      (2L, "https://lone.net/b", "en", "delta epsilon"),
+      (3L, "https://a.org/c", "de", "zeta eta theta iota"))
+      .toDF("doc_id", "url", "lang", "text")
+    pages.createOrReplaceTempView("r18_src")
+    // rank keep WITHOUT GRAFT_MIN_RANK: the threshold derives from the
+    // snapshot's landed metadata (1.5 x floor) — same keeps as q148's
+    // hand-computed bar (good.com + lone.net clear, a.org at the floor)
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "r18_src",
+        "GRAFT_RANK_DIR" -> s"$work/snap",
+        "GRAFT_MIX_WEIGHTS" -> "en:0.8,de:0.2",
+        "GRAFT_TOKEN_BUDGET" -> "10",
+        "GRAFT_MIX_KEY" -> "lang"),
+      fns = graft.ext.GraftFns.standard)
+    val kept = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_rank_keep"),
+      Step.Select(SqlSource.Inline("SELECT doc_id FROM graft ORDER BY doc_id")))).get
+    assert(kept.as[Long].collect().toSeq === Seq(1L, 2L),
+      "meta-derived 1.5x-floor threshold == the hand-carried q148 bar")
+    // epoch materialize as a step == the direct operator
+    val epochs = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_epoch_materialize"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, epoch FROM graft ORDER BY doc_id, epoch")))).get
+    val direct = graft.ext.Sampling.materializeEpochs(pages,
+        Map("en" -> 0.8, "de" -> 0.2), 10L, keyCol = "lang")
+      .select("doc_id", "epoch").orderBy("doc_id", "epoch")
+    assert(epochs.collect().toSeq === direct.collect().toSeq)
+    // laned packing as a step == the direct operator
+    val laned = StepRunner.runSteps(ctx.copy(variables = ctx.variables ++
+        Map("GRAFT_SHARD_COLS" -> "lang", "GRAFT_PACK_CAPACITY" -> "3",
+          "GRAFT_SUB_SHARDS" -> "2")), Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_pack_sequences"),
+      Step.Select(SqlSource.Inline(
+        "SELECT lang, lane, bin_id, n_docs FROM graft ORDER BY lang, lane, bin_id")))).get
+    val directLaned = graft.ext.TextOps.packSequences(pages, capacity = 3,
+        shardCols = Seq("lang"), subShards = 2)
+      .select("lang", "lane", "bin_id", "n_docs")
+      .orderBy("lang", "lane", "bin_id")
+    assert(laned.collect().toSeq === directLaned.collect().toSeq)
+    // missing weight spec fails loudly
+    intercept[graft.config.ConfigException] {
+      StepRunner.runSteps(ctx.copy(variables = ctx.variables - "GRAFT_MIX_WEIGHTS"), Seq(
+        Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+          cache = Some(CacheSpec("pages", None))),
+        Step.Fn("graft_init"),
+        Step.Fn("graft_epoch_materialize"))).get
     }
   }
 

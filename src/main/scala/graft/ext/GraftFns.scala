@@ -54,6 +54,16 @@ object GraftFns {
   private def shingleSize(ctx: EtlContext): Int =
     ctx.variables.getOrElse("GRAFT_SHINGLE_SIZE", "3").toInt
 
+  /** The link-graph cut family's audit columns (`host`, `rank`,
+    * `in_hosts`) are re-derived by every cut from the SAME url fold,
+    * so inside a step CHAIN a previous cut's attachments are stale
+    * duplicates, not caller data — strip them at the next cut's entry
+    * (q153's manual `.drop("host", "rank")` between cuts, as a step
+    * concern) instead of tripping the operators' clash guard.
+    */
+  private def stripCutAudit(d: DataFrame): DataFrame =
+    d.drop("host", "rank", "in_hosts")
+
   private def step(name: String)(f: (EtlContext, DataFrame) => DataFrame)
     : (String, (SparkSession, EtlContext) => Option[DataFrame]) =
     name -> { (spark: SparkSession, ctx: EtlContext) =>
@@ -190,7 +200,7 @@ object GraftFns {
     // hostEdges artifact — typically the PREVIOUS crawl snapshot's
     // graph, the GRAFT_BENCH_VIEW convention)
     step("graft_host_prior")((ctx, d) =>
-      graft.ext.LinkGraph.hostPriorKeep(d,
+      graft.ext.LinkGraph.hostPriorKeep(stripCutAudit(d),
         d.sparkSession.table(ctx.variables.getOrElse("GRAFT_EDGES_VIEW",
           throw new graft.config.ConfigException(
             "graft_host_prior requires the GRAFT_EDGES_VIEW variable"))),
@@ -217,7 +227,7 @@ object GraftFns {
         .getOrElse(
           ctx.variables.getOrElse("GRAFT_RANK_FLOOR_MULTIPLE", "1.5").toDouble *
             graft.ext.LinkGraph.rankSnapshotMeta(d.sparkSession, dir).floor)
-      graft.ext.LinkGraph.hostRankKeep(d,
+      graft.ext.LinkGraph.hostRankKeep(stripCutAudit(d),
         graft.ext.LinkGraph.rankSnapshot(d.sparkSession, dir),
         minRank = minRank,
         urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
@@ -227,7 +237,7 @@ object GraftFns {
     // view at GRAFT_ANCHORS_VIEW, a q141 artifact) reaches
     // GRAFT_MAX_KW_RATE for the comma-separated GRAFT_KEYWORDS
     step("graft_anchor_filter")((ctx, d) =>
-      graft.ext.LinkGraph.anchorKeywordKeep(d,
+      graft.ext.LinkGraph.anchorKeywordKeep(stripCutAudit(d),
         d.sparkSession.table(ctx.variables.getOrElse("GRAFT_ANCHORS_VIEW",
           throw new graft.config.ConfigException(
             "graft_anchor_filter requires the GRAFT_ANCHORS_VIEW variable"))),

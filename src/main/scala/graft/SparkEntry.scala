@@ -98,6 +98,10 @@ object SparkEntry {
     "q136_ccnet_trained" -> ("libm-bound twice (NB likelihoods route into LM "
       + "surprisal): ExtSpec marker-vs-model CcNet face equality + abstention-cut "
       + "spec + golden digest"),
+    "q158_ccnet_persisted_probe" -> ("libm-bound like q136, via the persisted "
+      + "predictions artifact: ExtSpec 'persisted predictions: "
+      + "curateWithPredictions == curateWithModel bit-for-bit' + the q136 gates "
+      + "(the probe output IS q136's, scored once and landed)"),
     "q89_video_near_dup" -> ("GIF encode/decode + per-frame dHash DuckDB can't spell "
       + "(non-SQL like q82): MultimodalSpec planted twin-clip specs across the "
       + "GIF/MP4/GRFT frame paths + the pinned sf0.001 pair set"),

@@ -143,8 +143,35 @@ object CcNet {
     // two-column cardinality, the cheapest possible cut. SCALE_r18:
     // without these two boundaries the composition re-ran the scorer
     // per consumer (84-scan plan, 407 s at ×100 vs ~5 s components).
-    val pred = LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
-        textCol = textCol, ns = ns, numBuckets = numBuckets)
+    curateTail(docs,
+      LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
+        textCol = textCol, ns = ns, numBuckets = numBuckets),
+      bandRates, idCol, textCol, minMargin)
+  }
+
+  /** [[curateWithModel]] with the scoring stage replaced by a PERSISTED
+    * predictions artifact ([[LangModel.writePredictions]]) — the
+    * production shape SCALE_r18's measurement points at: the scorer is
+    * the corpus's dominant linear cost, so score each crawl once, land
+    * the narrow frame, and every curation run (band-rate sweeps,
+    * re-curations, replays) probes the artifact. Bit-identical to
+    * [[curateWithModel]] under the same model and params — parquet
+    * round-trips the doubles unchanged (ExtSpec pins it).
+    */
+  def curateWithPredictions(docs: DataFrame, predictions: DataFrame,
+                            bandRates: Map[String, Double] = DefaultBandRates,
+                            idCol: String = "doc_id", textCol: String = "text",
+                            minMargin: Double = 0.0): DataFrame =
+    curateTail(docs, predictions, bandRates, idCol, textCol, minMargin)
+
+  /** The shared back half: abstention cut → per-language LM surprisal
+    * → terciles → band sampling, with the stage-boundary
+    * materializations SCALE_r18 added.
+    */
+  private def curateTail(docs: DataFrame, predictions: DataFrame,
+                         bandRates: Map[String, Double], idCol: String,
+                         textCol: String, minMargin: Double): DataFrame = {
+    val pred = predictions
       .where(col("lang_pred").isNotNull &&
         (col("margin").isNull || col("margin") >= minMargin))
       .select(col(idCol), col("lang_pred").as("lang_cand"))

@@ -1433,6 +1433,41 @@ object ExtQueries {
       .select("doc_id", "lang_cand", "band")
       .orderBy("doc_id")
 
+  /** The predictions artifact built once per (session, corpus) from the
+    * shared trained model over the full corpus
+    * ([[LangModel.writePredictions]]) — the score-once/probe-forever
+    * face SCALE_r18's q136 measurement points at.
+    */
+  private val predictionsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sharedPredictions(spark: SparkSession, dir: String): String = {
+    val key = spark.sparkContext.applicationId + "@" + dir + "@" +
+      spark.conf.getOption("graft.scratch.dir").getOrElse("")
+    predictionsMemo.computeIfAbsent(key, _ => {
+      val p = scratchPath(spark, "lang_predictions", dir)
+      LangModel.writePredictions(spark, docs(spark, dir).drop("lang"),
+        sharedLangModel(spark, dir), p)
+      p
+    })
+  }
+
+  /** q136 through the PERSISTED predictions artifact
+    * ([[CcNet.curateWithPredictions]] over [[sharedPredictions]]):
+    * the production probe — the corpus's dominant linear cost (the
+    * trained scorer, measured ~0.55 ms/doc in SCALE_r18) is paid once
+    * at build time; every curation probe after that is the cheap back
+    * half (abstention cut → surprisal → bands → band sampling).
+    * Bit-identical to q136 (parquet round-trips the scores unchanged —
+    * ExtSpec pins it); libm-bound like q136 → spec-gated, no SQL
+    * oracle.
+    */
+  def q158(spark: SparkSession, dir: String): DataFrame =
+    CcNet.curateWithPredictions(
+      docs(spark, dir).drop("lang"),
+      LangModel.predictions(spark, sharedPredictions(spark, dir)))
+      .select("doc_id", "lang_cand", "band")
+      .orderBy("doc_id")
+
   /** Synthetic OUTLINK page per document — the link-graph fixture
     * ([[sourceUrl]]'s lockstep Scala/SQL pattern). Each page carries:
     * a cross-host link whose target varies NON-uniformly
@@ -2450,7 +2485,52 @@ object ExtQueries {
       capacity = 2048, shardCols = Seq("lang"), subShards = 4)
       .orderBy("lang", "lane", "bin_id")
 
+  /** PSL fixture host per document (Scala/SQL lockstep, the
+    * [[sourceUrl]] pattern): five shapes exercising every rule kind —
+    * a `co.uk` plain match, a `com` match that coincides with the
+    * implicit default, a `*.ck` wildcard, a `sub.www.ck` exception
+    * (which ALSO matches the wildcard — the election does real work),
+    * and a bare single label (the implicit-`*` default).
+    */
+  private def pslFixtureHost: org.apache.spark.sql.Column =
+    when(col("doc_id") % 5 === 0,
+      concat(lit("shop"), (col("doc_id") % 3).cast("string"),
+        lit(".example.co.uk")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("www.site"), (col("doc_id") % 3).cast("string"),
+          lit(".com")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("w.x.y"), (col("doc_id") % 3).cast("string"), lit(".ck")))
+      .when(col("doc_id") % 5 === 3, lit("sub.www.ck"))
+      .otherwise(lit("localhost"))
+  private val pslFixtureHostSql: String =
+    "(CASE WHEN doc_id % 5 = 0 THEN 'shop' || CAST(doc_id % 3 AS VARCHAR) " +
+      "|| '.example.co.uk' " +
+      "WHEN doc_id % 5 = 1 THEN 'www.site' || CAST(doc_id % 3 AS VARCHAR) || '.com' " +
+      "WHEN doc_id % 5 = 2 THEN 'w.x.y' || CAST(doc_id % 3 AS VARCHAR) || '.ck' " +
+      "WHEN doc_id % 5 = 3 THEN 'sub.www.ck' ELSE 'localhost' END)"
+  private[graft] val PslFixtureRules: Seq[String] =
+    Seq("// PSL fixture", "", "com", "co.uk", "*.ck", "!www.ck")
+
+  /** Full-PSL registered-domain fold ([[LinkGraph.pslDomainTable]]):
+    * the exact publicsuffix.org algorithm over a fixture rule list —
+    * parsing (comments/blanks/`!`/`*.`), the exception-beats-wildcard
+    * election, longest-match, and the implicit-`*` default, each
+    * non-vacuous on the synthesized hosts. Exact-oracled: the rule
+    * parse, the label-suffix explode, the broadcast join, and the
+    * (exception, length) max election replay verbatim in DuckDB.
+    */
+  def q159(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    LinkGraph.pslDomainTable(
+      docs(spark, dir).select(pslFixtureHost.as("host")),
+      PslFixtureRules.toDF("rule"))
+      .orderBy("host")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q159_psl_domains" -> (q159 _),
+    "q158_ccnet_persisted_probe" -> (q158 _),
     "q157_laned_packing" -> (q157 _),
     "q156_epoch_materialize" -> (q156 _),
     "q155_host_page_cap" -> (q155 _),
@@ -4942,6 +5022,48 @@ object ExtQueries {
          |ORDER BY p2.doc_id""".stripMargin,
     // q151 — CJK-safe packing replayed: the segmentation CASE (shared
     // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
+    // q159 — the PSL fold replayed: rule parse (comment/blank skip,
+    // !/*. prefixes, per-kind public-suffix label count), label-suffix
+    // explode (≤5), equi-join, the (exception, length) election as a
+    // lexicographic max encoded exc*1000+pslab (pslab < 1000 —
+    // identical ordering to Spark's max(struct)), then suffix+1 slice
+    "q159_psl_domains" ->
+      s"""WITH raw(rule) AS (VALUES ${PslFixtureRules
+            .map(r => s"('${r.replace("'", "''")}')").mkString(", ")}),
+         |parsed AS (
+         |  SELECT CASE WHEN starts_with(r, '!') THEN 1 ELSE 0 END AS exc,
+         |    CASE WHEN starts_with(r, '!') THEN substring(r, 2)
+         |         WHEN starts_with(r, '*.') THEN substring(r, 3)
+         |         ELSE r END AS key,
+         |    CASE WHEN starts_with(r, '!')
+         |           THEN len(string_split(substring(r, 2), '.')) - 1
+         |         WHEN starts_with(r, '*.')
+         |           THEN len(string_split(substring(r, 3), '.')) + 1
+         |         ELSE len(string_split(r, '.')) END AS pslab
+         |  FROM (SELECT trim(rule) AS r FROM raw)
+         |  WHERE r <> '' AND NOT starts_with(r, '//')),
+         |hosts0 AS (SELECT DISTINCT $pslFixtureHostSql AS host FROM documents),
+         |hl AS (
+         |  SELECT host, string_split(host, '.') AS labels,
+         |    len(string_split(host, '.')) AS n
+         |  FROM hosts0 WHERE host IS NOT NULL AND host <> ''),
+         |kk AS (SELECT host, n, unnest(range(1, least(n, 5) + 1)) AS k FROM hl),
+         |cand AS (
+         |  SELECT kk.host,
+         |    array_to_string(list_slice(hl.labels, kk.n - kk.k + 1, kk.n), '.')
+         |      AS key
+         |  FROM kk JOIN hl USING (host)),
+         |best AS (
+         |  SELECT c.host, max(p.exc * 1000 + p.pslab) AS w
+         |  FROM cand c JOIN parsed p ON p.key = c.key
+         |  GROUP BY c.host),
+         |dd AS (
+         |  SELECT hl.host, hl.labels, hl.n,
+         |    least(coalesce(b.w % 1000, 1) + 1, hl.n) AS d
+         |  FROM hl LEFT JOIN best b USING (host))
+         |SELECT host,
+         |  array_to_string(list_slice(labels, n - d + 1, n), '.') AS domain
+         |FROM dd ORDER BY host""".stripMargin,
     // q157 — laned packing replayed: the q151 segmentation, the q139
     // md5 lane fold, then the q34 packing CTEs at (lang, lane) grain
     "q157_laned_packing" ->

@@ -171,6 +171,33 @@ object LangModel {
     docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
   }
 
+  /** Persist the scorer's output — the build-once artifact SCALE_r18's
+    * measurement points at: the char-n-gram scorer is the corpus's
+    * dominant linear cost (~0.55 ms/doc on the reference host), so
+    * production scores each crawl ONCE, lands the narrow
+    * (id, lang_pred, logprob, margin) frame, and every downstream
+    * consumer — curation runs, band-rate sweeps, incremental replays —
+    * probes the artifact instead of re-paying the scorer
+    * ([[CcNet.curateWithPredictions]]). Parquet round-trips the doubles
+    * bit-exactly, so probing the artifact is bit-identical to scoring
+    * in-line (ExtSpec pins it).
+    */
+  def writePredictions(spark: org.apache.spark.sql.SparkSession,
+                       docs: DataFrame, model: DataFrame, outDir: String,
+                       alpha: Double = 0.5,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       ns: Seq[Int] = DefaultNs,
+                       numBuckets: Int = DefaultBuckets): DataFrame = {
+    langScoreAgainst(docs, model, alpha, idCol, textCol, ns, numBuckets)
+      .write.mode("overwrite").parquet(s"$outDir/predictions")
+    predictions(spark, outDir)
+  }
+
+  /** The persisted predictions face of a [[writePredictions]] dir. */
+  def predictions(spark: org.apache.spark.sql.SparkSession,
+                  snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/predictions")
+
   /** Train-and-score convenience (self-scoring). */
   def langScore(labeled: DataFrame, langCol: String = "lang",
                 alpha: Double = 0.5,

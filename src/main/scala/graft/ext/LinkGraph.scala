@@ -120,6 +120,71 @@ object LinkGraph {
       s"len(string_split($h, '.'))), '.') END)"
   }
 
+  /** Registered-domain LOOKUP TABLE from a FULL public-suffix list —
+    * the exact publicsuffix.org algorithm, for callers carrying the
+    * complete published list (a public artifact, ~15k rules) instead
+    * of the bundled [[MultiLabelSuffixes]] battery. `rules` is a
+    * one-string-column frame of raw PSL lines: comments (`//…`) and
+    * blanks skip; `!exception` rules beat `*.wildcard` and plain
+    * rules; otherwise the LONGEST matching rule wins; the registered
+    * domain is the winning public suffix plus one label (an exception
+    * rule's body IS registrable); no rule matches → the implicit `*`
+    * default (public suffix = the last label). A host that is itself
+    * a public suffix passes through whole ([[domainOfHost]]'s
+    * posture); "" never enters (filtered).
+    *
+    * Returns `(host, domain)` over the DISTINCT input hosts — a
+    * host-cardinality table the caller broadcast-joins into page
+    * frames (the rank-snapshot consumption shape; the page corpus
+    * never shuffles for the fold). Scale shape: each distinct host
+    * explodes into ≤ `maxRuleLabels` label-suffix candidates, equi-
+    * joins the BROADCAST parsed rule table, and one max-by-(exception,
+    * length) election per host picks the winner — rule list MBs,
+    * work ∝ distinct hosts.
+    */
+  def pslDomainTable(hosts: DataFrame, rules: DataFrame,
+                     hostCol: String = "host",
+                     ruleCol: String = "rule",
+                     maxRuleLabels: Int = 5): DataFrame = {
+    require(maxRuleLabels >= 1, "pslDomainTable: maxRuleLabels must be >= 1")
+    val parsed = rules.select(trim(col(ruleCol)).as("__r"))
+      .where(col("__r") =!= "" && !col("__r").startsWith("//"))
+      .select(
+        when(col("__r").startsWith("!"), lit(1)).otherwise(lit(0)).as("__exc"),
+        when(col("__r").startsWith("!"), expr("substring(__r, 2)"))
+          .when(col("__r").startsWith("*."), expr("substring(__r, 3)"))
+          .otherwise(col("__r")).as("__key"),
+        // the public-suffix label count each rule yields on a match:
+        // plain = its own labels; wildcard = one more (the '*' label);
+        // exception = one fewer (the exception body is ps + 1 already)
+        when(col("__r").startsWith("!"),
+          size(split(expr("substring(__r, 2)"), "\\.")) - 1)
+          .when(col("__r").startsWith("*."),
+            size(split(expr("substring(__r, 3)"), "\\.")) + 1)
+          .otherwise(size(split(col("__r"), "\\."))).as("__pslab"))
+    val h = hosts.select(col(hostCol).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "").distinct()
+      .withColumn("__labels", split(col("host"), "\\."))
+      .withColumn("__n", size(col("__labels")))
+    val cand = h.select(col("host"), col("__labels"), col("__n"),
+        explode(sequence(lit(1), least(col("__n"), lit(maxRuleLabels))))
+          .as("__k"))
+      .withColumn("__key", array_join(
+        slice(col("__labels"), col("__n") - col("__k") + 1, col("__k")), "."))
+    // election: exception first, then longest public suffix — ties are
+    // harmless (identical __pslab ⇒ identical domain)
+    val best = cand.join(broadcast(parsed), Seq("__key"))
+      .groupBy("host")
+      .agg(max(struct(col("__exc"), col("__pslab"))).as("__w"))
+      .select(col("host"), col("__w").getField("__pslab").as("__pslab"))
+    h.join(best, Seq("host"), "left")
+      .withColumn("__dlab",
+        least(coalesce(col("__pslab"), lit(1)) + 1, col("__n")))
+      .select(col("host"), array_join(
+        slice(col("__labels"), col("__n") - col("__dlab") + 1, col("__dlab")),
+        ".").as("domain"))
+  }
+
   /** The DOMAIN-grain edge list — [[hostEdges]] with nodes folded to
     * registered domains ([[domainOf]]): the grain Common Crawl's
     * domain webgraph publishes, and the right one for endorsement
@@ -181,6 +246,48 @@ object LinkGraph {
       .groupBy(col("__dst").as("dst_host"), col("anchor"))
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col("__src")).as("n_hosts"))
+      // ONE exchange (the distinct-count's two-phase expand reuses it);
+      // deriving via [[anchorEdges]] → [[anchorTextsFromEdges]] lands
+      // the identical rows (LinkGraphSpec pins it) at one extra
+      // exchange — the snapshot path pays that at BUILD time because
+      // it needs the src grain for exact roll-forward; the one-shot
+      // profile consumers (q141/q149/q152/q153) should not
+
+  /** The SRC-grain anchor frame:
+    * `(src_host, dst_host, anchor, n_links)` — one row per (linking
+    * host, target host, normalized anchor phrase). This is the
+    * snapshot family's ROLL-FORWARD grain: `n_links` is additive
+    * across crawls (each page counted in exactly one), while the
+    * profile's `n_hosts` is a count-DISTINCT and therefore NOT —
+    * advancing a snapshot must sum edges and re-derive the profile,
+    * never add profiles ([[rollForwardAnchors]]). Same scale shape as
+    * [[hostEdges]]: row-local extraction, one map-side-combinable
+    * aggregation.
+    */
+  def anchorEdges(pages: DataFrame, urlCol: String = "url",
+                  htmlCol: String = "html",
+                  idCol: String = "doc_id"): DataFrame =
+    pages
+      .select(col(idCol),
+        hostOf(col(urlCol)).as("__src"),
+        explode(Html.htmlAnchorElements(col(htmlCol))).as("__a"))
+      .select(col(idCol), col("__src"),
+        hostOf(Html.anchorHref(col("__a"))).as("__dst"),
+        Html.anchorText(col("__a")).as("anchor"))
+      .where(col("__src") =!= "" && col("__dst") =!= "" &&
+        col("__src") =!= col("__dst") && col("anchor") =!= "")
+      .groupBy(col("__src").as("src_host"), col("__dst").as("dst_host"),
+        col("anchor"))
+      .agg(count(lit(1)).as("n_links"))
+
+  /** The per-target profile derived from [[anchorEdges]] — identical
+    * output to aggregating the pages directly (sums of counts; the
+    * distinct-src count sees each (src, dst, anchor) once either way).
+    */
+  def anchorTextsFromEdges(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst_host"), col("anchor"))
+      .agg(sum(col("n_links")).as("n_links"),
+        count_distinct(col("src_host")).as("n_hosts"))
 
   /** Per-host fan-in/fan-out report from an edge frame:
     * `(host, out_hosts, in_hosts, out_links, in_links)` — distinct
@@ -564,17 +671,19 @@ object LinkGraph {
       weightedByLinks, sortedFold)
   }
 
-  /** The anchor-profile twin of [[writeRankSnapshot]]: land a crawl's
-    * [[anchorTexts]] frame under `outDir/anchors` — the previous-crawl
-    * artifact the anchor-keyword gates ([[anchorKeywordKeep]], the
-    * streaming ingest) probe. (host × anchor-phrase) cardinality, so
-    * the artifact is GB-scale next to the page corpus; roll-forward is
-    * plain per-(host, anchor) count addition, the edge frame's
-    * additivity contract, when a caller needs it.
+  /** The anchor-profile twin of [[writeRankSnapshot]], same two-frame
+    * layout: land a crawl's SRC-grain [[anchorEdges]] under
+    * `outDir/edges` (the roll-forward input) and the derived
+    * [[anchorTextsFromEdges]] profile under `outDir/anchors` (the
+    * probe side — what [[anchorKeywordKeep]] and the streaming ingest
+    * gate consume). Both are (host × phrase)-cardinality — GB-scale
+    * next to the page corpus. Returns the profile re-read from disk.
     */
-  def writeAnchorSnapshot(spark: SparkSession, anchors: DataFrame,
+  def writeAnchorSnapshot(spark: SparkSession, anchorEdges: DataFrame,
                           outDir: String): DataFrame = {
-    anchors.write.mode("overwrite").parquet(s"$outDir/anchors")
+    anchorEdges.write.mode("overwrite").parquet(s"$outDir/edges")
+    anchorTextsFromEdges(spark.read.parquet(s"$outDir/edges"))
+      .write.mode("overwrite").parquet(s"$outDir/anchors")
     anchorSnapshot(spark, outDir)
   }
 
@@ -583,6 +692,26 @@ object LinkGraph {
     */
   def anchorSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
     spark.read.parquet(s"$snapshotDir/anchors")
+
+  /** Advance the anchor snapshot by one crawl — [[rollForwardRank]]'s
+    * twin: sum the new crawl's [[anchorEdges]] into the previous
+    * snapshot's edge frame (per-(src, dst, anchor) integer addition —
+    * additive because each page is counted in exactly one crawl),
+    * re-derive the profile, land both. Bit-identical to rebuilding
+    * from the union of all crawls' pages (LinkGraphSpec pins it) —
+    * note the profile's `n_hosts` is a count-DISTINCT and could NOT be
+    * advanced by adding profiles; the src-grain edge artifact is what
+    * makes the roll-forward exact. Old page corpora are never
+    * rescanned.
+    */
+  def rollForwardAnchors(spark: SparkSession, prevSnapshotDir: String,
+                         newEdges: DataFrame, outDir: String): DataFrame =
+    writeAnchorSnapshot(spark,
+      spark.read.parquet(s"$prevSnapshotDir/edges")
+        .unionByName(newEdges)
+        .groupBy("src_host", "dst_host", "anchor")
+        .agg(sum(col("n_links")).as("n_links")),
+      outDir)
 
   /** The RANK-threshold page cut — [[hostPriorKeep]]'s production
     * face: keep pages whose host's PERSISTED rank (a previous

@@ -2144,6 +2144,57 @@ class ExtSpec extends AnyFunSuite {
     assert(digest === "f594d7a89605e1a97bfe99d02cfa64c1", s"q136 output drifted (got $digest)")
   }
 
+  test("persisted predictions: curateWithPredictions == curateWithModel bit-for-bit") {
+    import graft.ext.{CcNet, LangModel}
+    def sent(words: Seq[String], k: Int, n: Int) =
+      (0 until n).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val corpus = ((1 to 12).map(i => (i.toLong, sent(aw, i, 10), "aa")) ++
+      (13 to 24).map(i => (i.toLong, sent(bw, i, 10), "bb")))
+      .toDF("doc_id", "text", "lang")
+    val model = LangModel.langTrain(corpus)
+    val dir = SparkTestBase.tmpDir("graft_pred_snap")
+    // score once, land, probe: the landed artifact must reproduce the
+    // in-line scorer EXACTLY (parquet round-trips the doubles), so the
+    // curation probe is bit-identical to the one-shot composition
+    val landed = LangModel.writePredictions(spark, corpus.drop("lang"),
+      model, dir)
+    val direct = LangModel.langScoreAgainst(corpus.drop("lang"), model)
+      .as[(Long, String, Double, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(landed.as[(Long, String, Double, Option[Double])]
+      .collect().sortBy(_._1).toSeq === direct,
+      "the landed predictions must be the scorer's bits, unchanged")
+    val viaModel = CcNet.curateWithModel(corpus.drop("lang"), model)
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val viaProbe = CcNet.curateWithPredictions(corpus.drop("lang"),
+        LangModel.predictions(spark, dir))
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(viaProbe === viaModel,
+      "the persisted-predictions probe must land the one-shot output")
+    // the abstention cut consumes the LANDED margins identically
+    val allBands = Map("head" -> 1.0, "middle" -> 1.0, "tail" -> 1.0)
+    val loose = CcNet.curateWithPredictions(corpus.drop("lang"),
+      LangModel.predictions(spark, dir), bandRates = allBands)
+      .select("doc_id").as[Long].collect().toSet
+    val margins = landed.select("margin").as[Double].collect()
+    val tight = CcNet.curateWithPredictions(corpus.drop("lang"),
+      LangModel.predictions(spark, dir), bandRates = allBands,
+      minMargin = margins.max + 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose.size === 24 && tight.isEmpty,
+      "minMargin filters on the landed margin column")
+    // q158 == q136 at the registry grain (same corpus, shared artifacts)
+    val q136out = ExtQueries.q136(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    val q158out = ExtQueries.q158(spark, sf)
+      .as[(Long, String, String)].collect().toSeq
+    assert(q158out === q136out,
+      "q158's probe face must reproduce q136 exactly at sf0.001")
+  }
+
   test("golden digest: q134 trained lang-ID probe is bit-stable at sf0.001") {
     def dump(df: org.apache.spark.sql.DataFrame): String =
       df.as[(Long, String, Option[Double], Option[Double])].collect()

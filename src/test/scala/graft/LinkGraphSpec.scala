@@ -246,6 +246,81 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.anchorKeywordKeep(p, anchors, Seq("casino"), maxRate = 0.0) }
   }
 
+  test("anchor snapshot: edges grain rolls forward == rebuild; profiles are NOT additive") {
+    val crawl1 = pages(
+      (1L, "https://a.org/p",
+        """<a href="https://t.com/x">buy now</a><a href="https://t.com/y">buy now</a>"""),
+      (2L, "https://b.net/p", """<a href="https://t.com/z">daily news</a>"""))
+    val crawl2 = pages(
+      // a.org links the SAME anchor again in crawl 2 — the distinct-src
+      // count must NOT double (the trap that makes profiles non-additive)
+      (3L, "https://a.org/q", """<a href="https://t.com/w">buy now</a>"""),
+      (4L, "https://c.io/q", """<a href="https://t.com/v">buy now</a>"""))
+    // the profile derivation == the direct aggregation
+    val direct = LinkGraph.anchorTexts(crawl1)
+      .orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val viaEdges = LinkGraph.anchorTextsFromEdges(LinkGraph.anchorEdges(crawl1))
+      .orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(viaEdges === direct)
+    // roll-forward == rebuild from all crawls' pages, bit-for-bit
+    val snap1 = SparkTestBase.tmpDir("graft_anchor_rf1")
+    val snap2 = SparkTestBase.tmpDir("graft_anchor_rf2")
+    LinkGraph.writeAnchorSnapshot(spark, LinkGraph.anchorEdges(crawl1), snap1)
+    val rolled = LinkGraph.rollForwardAnchors(spark, snap1,
+      LinkGraph.anchorEdges(crawl2), snap2)
+      .orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect().toSeq
+    val rebuilt = LinkGraph.anchorTexts(crawl1.unionByName(crawl2))
+      .orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(rolled === rebuilt,
+      "src-grain edges advance exactly; profiles could not (n_hosts is a distinct count)")
+    // the trap, pinned: a.org links "buy now" in BOTH crawls — 4 links
+    // but only 2 distinct hosts (a profile sum would have said 3)
+    assert(rebuilt.find(_._2 == "buy now").get === (("t.com", "buy now", 4L, 2L)))
+    // the probe face reads the landed profile
+    assert(LinkGraph.anchorSnapshot(spark, snap2)
+      .orderBy("dst_host", "anchor")
+      .as[(String, String, Long, Long)].collect().toSeq === rebuilt)
+  }
+
+  // -------------------------------------------------- pslDomainTable
+
+  test("pslDomainTable: exception beats wildcard, longest match, implicit default") {
+    val rules = Seq("// the PSL fixture", "", "com", "co.uk", "*.ck",
+      "!www.ck").toDF("rule")
+    val hosts = Seq(
+      "shop.example.co.uk",  // plain multi-label rule -> example.co.uk
+      "www.site.com",        // plain 1-label rule -> site.com
+      "w.x.y.ck",            // wildcard: ps = y.ck -> x.y.ck
+      "sub.www.ck",          // exception beats the wildcard -> www.ck
+      "www.ck",              // the exception body itself is registrable
+      "co.uk",               // a host that IS a public suffix: whole
+      "localhost",           // no rule: implicit-* default, single label
+      "deep.sub.other.org")  // no rule: default 2-label fold
+      .toDF("host")
+    val got = LinkGraph.pslDomainTable(hosts, rules)
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "shop.example.co.uk" -> "example.co.uk",
+      "www.site.com" -> "site.com",
+      "w.x.y.ck" -> "x.y.ck",
+      "sub.www.ck" -> "www.ck",
+      "www.ck" -> "www.ck",
+      "co.uk" -> "co.uk",
+      "localhost" -> "localhost",
+      "deep.sub.other.org" -> "other.org"))
+    // distinct output over duplicate/empty/null inputs
+    val dups = Seq("a.com", "a.com", "", null.asInstanceOf[String])
+      .toDF("host")
+    assert(LinkGraph.pslDomainTable(dups, rules)
+      .as[(String, String)].collect().toSeq === Seq(("a.com", "a.com")))
+    intercept[IllegalArgumentException] {
+      LinkGraph.pslDomainTable(hosts, rules, maxRuleLabels = 0) }
+  }
+
   // ----------------------------------------------------- hostDegrees
 
   test("hostDegrees: zero-fills the side a host never appears on") {

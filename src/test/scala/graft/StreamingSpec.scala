@@ -722,11 +722,15 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("src_host", "dst_host", "n_links", "n_pages")
     LinkGraph.writeRankSnapshot(spark, edges, s"$work/rank_snap",
       iterations = 3)
-    val anchors = Seq(
-      ("spam.biz", "buy now", 5L, 3L),
-      ("endorsed.com", "a great long read", 4L, 2L))
-      .toDF("dst_host", "anchor", "n_links", "n_hosts")
-    LinkGraph.writeAnchorSnapshot(spark, anchors, s"$work/anchor_snap")
+    val anchorEdges = Seq(
+      ("a.org", "spam.biz", "buy now", 2L),
+      ("b.org", "spam.biz", "buy now", 2L),
+      ("c.io", "spam.biz", "buy now", 1L),
+      ("a.org", "endorsed.com", "a great long read", 2L),
+      ("b.org", "endorsed.com", "a great long read", 2L))
+      .toDF("src_host", "dst_host", "anchor", "n_links")
+    val anchors = LinkGraph.writeAnchorSnapshot(spark, anchorEdges,
+      s"$work/anchor_snap")
     def member(url: String, html: String) =
       Warc.gzipMember(Warc.record(Seq(
         "WARC-Type" -> "response", "WARC-Target-URI" -> url,

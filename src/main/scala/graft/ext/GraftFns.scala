@@ -276,6 +276,27 @@ object GraftFns {
         tokenCount = ctx.variables.get("GRAFT_TOKEN_COUNT_COL")
           .map(org.apache.spark.sql.functions.col),
         subShards = ctx.variables.getOrElse("GRAFT_SUB_SHARDS", "1").toInt)),
+    // full-PSL registered-domain fold (q159 as a step): attach a
+    // `domain` column from the exact publicsuffix.org algorithm over
+    // the rules view at GRAFT_PSL_RULES_VIEW (one raw PSL line per
+    // row in a `rule` column) — the lookup is host-cardinality and
+    // broadcasts back into the view
+    step("graft_psl_domain")((ctx, d) => {
+      val urlC = org.apache.spark.sql.functions.col(
+        ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
+      require(!d.columns.contains("domain") && !d.columns.contains("host"),
+        "graft_psl_domain: input already carries domain/host — rename or " +
+          "drop (the step OWNS these columns)")
+      val hosted = d.withColumn("host", graft.ext.LinkGraph.hostOf(urlC))
+      val table = graft.ext.LinkGraph.pslDomainTable(
+        hosted.select("host"),
+        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_PSL_RULES_VIEW",
+          throw new graft.config.ConfigException(
+            "graft_psl_domain requires the GRAFT_PSL_RULES_VIEW variable " +
+              "(a view with one raw PSL line per row in a 'rule' column)"))))
+      hosted.join(
+        org.apache.spark.sql.functions.broadcast(table), Seq("host"), "left")
+    }),
     // epoch materialization (q156 as a step): repeat each row per its
     // group's epochPlan count — GRAFT_MIX_WEIGHTS is 'key:weight,...'
     // (the mixture design), GRAFT_TOKEN_BUDGET the total token target

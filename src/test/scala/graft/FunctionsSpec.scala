@@ -72,7 +72,7 @@ class FunctionsSpec extends AnyFunSuite {
       "graft_cjk_segment",
       "graft_dsir_select", "graft_gopher_filter",
       "graft_bpe_tokenize", "graft_unigram_tokenize", "graft_pack_sequences",
-      "graft_epoch_materialize"))
+      "graft_epoch_materialize", "graft_psl_domain"))
     assert(graft.ext.CurationChain.fns.keySet === Set("curation_init",
       "encoding_gate", "normalize_dedup", "near_dup_dedup", "decontaminate",
       "mixture_sample", "pack_sequences"))
@@ -274,7 +274,7 @@ class FunctionsSpec extends AnyFunSuite {
       .select("lang", "lane", "bin_id", "n_docs")
       .orderBy("lang", "lane", "bin_id")
     assert(laned.collect().toSeq === directLaned.collect().toSeq)
-    // missing weight spec fails loudly
+    // missing required variables fail loudly
     intercept[graft.config.ConfigException] {
       StepRunner.runSteps(ctx.copy(variables = ctx.variables - "GRAFT_MIX_WEIGHTS"), Seq(
         Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
@@ -282,6 +282,26 @@ class FunctionsSpec extends AnyFunSuite {
         Step.Fn("graft_init"),
         Step.Fn("graft_epoch_materialize"))).get
     }
+    intercept[graft.config.ConfigException] {
+      StepRunner.runSteps(ctx, Seq(
+        Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+          cache = Some(CacheSpec("pages", None))),
+        Step.Fn("graft_init"),
+        Step.Fn("graft_psl_domain"))).get // no GRAFT_PSL_RULES_VIEW
+    }
+    // the PSL fold as a step == the direct lookup join
+    Seq("// f", "com", "co.uk").toDF("rule").createOrReplaceTempView("psl_rules")
+    val domains = StepRunner.runSteps(ctx.copy(variables = ctx.variables +
+        ("GRAFT_PSL_RULES_VIEW" -> "psl_rules")), Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM r18_src"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_psl_domain"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, domain FROM graft ORDER BY doc_id")))).get
+    assert(domains.as[(Long, String)].collect().toSeq === Seq(
+      (1L, "good.com"), (2L, "lone.net"), (3L, "a.org")),
+      "PSL fold rides the shared host fold and lands per-row domains")
   }
 
   test("a YAML pipeline interleaves SQL steps with a table-op fn step end-to-end") {

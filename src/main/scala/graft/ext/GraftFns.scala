@@ -59,10 +59,20 @@ object GraftFns {
     * so inside a step CHAIN a previous cut's attachments are stale
     * duplicates, not caller data — strip them at the next cut's entry
     * (q153's manual `.drop("host", "rank")` between cuts, as a step
-    * concern) instead of tripping the operators' clash guard.
+    * concern) instead of tripping the operators' clash guard. Only
+    * columns STAMPED by a sibling cut strip ([[LinkGraph.CutAuditMeta]]
+    * schema metadata): a caller-owned column merely NAMED `host` has
+    * no stamp, survives to the operator, and its clash guard raises
+    * naming it — the step never silently discards caller data (the
+    * direct-API posture, FunctionsSpec pins both sides).
     */
-  private def stripCutAudit(d: DataFrame): DataFrame =
-    d.drop("host", "rank", "in_hosts")
+  private def stripCutAudit(d: DataFrame): DataFrame = {
+    val stamped = d.schema.fields.collect {
+      case f if Seq("host", "rank", "in_hosts").contains(f.name) &&
+        f.metadata.contains(LinkGraph.CutAuditMetaKey) => f.name
+    }
+    d.drop(stamped.toSeq: _*)
+  }
 
   private def step(name: String)(f: (EtlContext, DataFrame) => DataFrame)
     : (String, (SparkSession, EtlContext) => Option[DataFrame]) =

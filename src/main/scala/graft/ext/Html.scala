@@ -319,19 +319,28 @@ object Html {
     * href-first serialization falls through to its first such match
     * (when a malformed page carries both forms, rel-first is taken —
     * a fixed precedence, not document order, keeping the extraction
-    * two independent regexes instead of a tag parser). Values
-    * containing a quote char or `>` are out of contract (no real URL
-    * serializes unescaped).
+    * independent regexes instead of a tag parser; within one
+    * attribute order, double-quoted beats single-quoted by the same
+    * fixed-precedence rule). Quote types match PAIRWISE — a
+    * double-quoted href value may legally contain apostrophes (wiki
+    * titles do) and captures whole; only the value's own delimiter
+    * and `>` are out of contract (no real URL serializes them
+    * unescaped).
     */
-  val CanonicalRelFirstPattern =
-    "(?is)<link\\b[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref=[\"']([^\"'>]*)[\"']"
-  val CanonicalHrefFirstPattern =
-    "(?is)<link\\b[^>]*\\bhref=[\"']([^\"'>]*)[\"'][^>]*\\brel=[\"']canonical[\"']"
-  def htmlCanonicalUrl(html: Column): Column = {
-    val relFirst = regexp_extract(html, CanonicalRelFirstPattern, 1)
-    when(relFirst =!= "", relFirst)
-      .otherwise(regexp_extract(html, CanonicalHrefFirstPattern, 1))
-  }
+  val CanonicalRelFirstDqPattern =
+    "(?is)<link\\b[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref=\"([^\">]*)\""
+  val CanonicalRelFirstSqPattern =
+    "(?is)<link\\b[^>]*\\brel=[\"']canonical[\"'][^>]*\\bhref='([^'>]*)'"
+  val CanonicalHrefFirstDqPattern =
+    "(?is)<link\\b[^>]*\\bhref=\"([^\">]*)\"[^>]*\\brel=[\"']canonical[\"']"
+  val CanonicalHrefFirstSqPattern =
+    "(?is)<link\\b[^>]*\\bhref='([^'>]*)'[^>]*\\brel=[\"']canonical[\"']"
+  private val CanonicalPatterns = Seq(
+    CanonicalRelFirstDqPattern, CanonicalRelFirstSqPattern,
+    CanonicalHrefFirstDqPattern, CanonicalHrefFirstSqPattern)
+  def htmlCanonicalUrl(html: Column): Column =
+    CanonicalPatterns.map(p => regexp_extract(html, p, 1))
+      .reduceRight((c, rest) => when(c =!= "", c).otherwise(rest))
 
   /** Absolute-URL shape: a scheme followed by `://`. */
   val AbsoluteUrlPattern = "^[A-Za-z][A-Za-z0-9+.-]*://"
@@ -354,11 +363,10 @@ object Html {
     * in both engines).
     */
   def declaredCanonicalOracleSqlExpr(urlExpr: String, htmlExpr: String): String = {
-    val rel = s"regexp_extract($htmlExpr, " +
-      s"'${CanonicalRelFirstPattern.replace("'", "''")}', 1)"
-    val href = s"regexp_extract($htmlExpr, " +
-      s"'${CanonicalHrefFirstPattern.replace("'", "''")}', 1)"
-    val c = s"(CASE WHEN $rel <> '' THEN $rel ELSE $href END)"
+    val extracts = CanonicalPatterns.map(p =>
+      s"regexp_extract($htmlExpr, '${p.replace("'", "''")}', 1)")
+    val c = extracts.init.foldRight(extracts.last)((e, rest) =>
+      s"(CASE WHEN $e <> '' THEN $e ELSE $rest END)")
     s"(CASE WHEN regexp_matches($c, '$AbsoluteUrlPattern') THEN $c " +
       s"ELSE $urlExpr END)"
   }

@@ -132,8 +132,15 @@ object LangModel {
     // shuffled a per-(doc, lang) collect_list — K× the whole feature
     // stream as structs — and SCALE_r18 measured it mildly superlinear
     // at ×100 (spill); this shape cuts the fold exchange to 1/K rows.
+    // pivot output columns are renamed POSITIONALLY (groupBy col, then
+    // one column per `values` entry in list order — documented pivot
+    // layout): lang labels originate from self-declared page data, so
+    // `col(label)` would mis-parse dots/backticks as struct access and
+    // a label literally named "bucket" would collide with the grouping
+    // column; positional __c<i> names are collision-proof for ANY label
     val wide = buckets.groupBy("bucket")
       .pivot("lang", langs.map(_._1)).agg(first(col("cnt")))
+      .toDF("bucket" +: langs.indices.map(i => s"__c$i"): _*)
     val docBuckets = featureStream(
         docs.select(col(idCol), col(textCol)), textCol, ns, numBuckets,
         Seq(idCol))
@@ -144,8 +151,7 @@ object LangModel {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(
         col("bucket") +: col("__m") +:
-          langs.zipWithIndex.map { case ((l, _, _), i) =>
-            col(l).as(s"__c$i") }: _*))).as("__arr"))
+          langs.indices.map(i => col(s"__c$i")): _*))).as("__arr"))
     // per-language sequential fold in bucket order over the SAME array:
     // each language's sum runs the identical IEEE op sequence as the
     // per-(doc, lang) fold it replaces — scores are bit-identical (the

@@ -137,15 +137,21 @@ object LinkGraph {
     * host-cardinality table the caller broadcast-joins into page
     * frames (the rank-snapshot consumption shape; the page corpus
     * never shuffles for the fold). Scale shape: each distinct host
-    * explodes into ≤ `maxRuleLabels` label-suffix candidates, equi-
-    * joins the BROADCAST parsed rule table, and one max-by-(exception,
-    * length) election per host picks the winner — rule list MBs,
-    * work ∝ distinct hosts.
+    * explodes into label-suffix candidates bounded by the rules' own
+    * MAX KEY LABEL COUNT (derived — one model-sized aggregate over
+    * the parsed rules, so a rule longer than any fixed guess can
+    * never silently stop matching), equi-joins the BROADCAST parsed
+    * rule table, and one max-by-(exception, length) election per host
+    * picks the winner — rule list MBs, work ∝ distinct hosts.
+    * `maxRuleLabels` is a runaway CAP, not the bound: a corrupt rules
+    * file whose longest key exceeds it RAISES naming both numbers
+    * (the real PSL carries 5-label keys; default 10 leaves headroom)
+    * instead of exploding every host that wide.
     */
   def pslDomainTable(hosts: DataFrame, rules: DataFrame,
                      hostCol: String = "host",
                      ruleCol: String = "rule",
-                     maxRuleLabels: Int = 5): DataFrame = {
+                     maxRuleLabels: Int = 10): DataFrame = {
     require(maxRuleLabels >= 1, "pslDomainTable: maxRuleLabels must be >= 1")
     val parsed = rules.select(trim(col(ruleCol)).as("__r"))
       .where(col("__r") =!= "" && !col("__r").startsWith("//"))
@@ -162,12 +168,22 @@ object LinkGraph {
           .when(col("__r").startsWith("*."),
             size(split(expr("substring(__r, 3)"), "\\.")) + 1)
           .otherwise(size(split(col("__r"), "\\."))).as("__pslab"))
+    // the candidate bound DERIVES from the rules (one bounded 1-row
+    // aggregate — the bounded-collect pattern): a rule key longer than
+    // any fixed default can never silently stop matching, and the
+    // explode is exactly as wide as the longest key needs
+    val kRow = parsed.agg(max(size(split(col("__key"), "\\.")))).collect()(0)
+    val derivedK = if (kRow.isNullAt(0)) 1 else math.max(kRow.getInt(0), 1)
+    require(derivedK <= maxRuleLabels,
+      s"pslDomainTable: the parsed rules carry a $derivedK-label key but " +
+        s"maxRuleLabels=$maxRuleLabels — a corrupt rules file is the thing " +
+        "this cap catches; raise the bound deliberately if the list is real")
     val h = hosts.select(col(hostCol).as("host"))
       .where(col("host").isNotNull && col("host") =!= "").distinct()
       .withColumn("__labels", split(col("host"), "\\."))
       .withColumn("__n", size(col("__labels")))
     val cand = h.select(col("host"), col("__labels"), col("__n"),
-        explode(sequence(lit(1), least(col("__n"), lit(maxRuleLabels))))
+        explode(sequence(lit(1), least(col("__n"), lit(derivedK))))
           .as("__k"))
       .withColumn("__key", array_join(
         slice(col("__labels"), col("__n") - col("__k") + 1, col("__k")), "."))
@@ -542,6 +558,21 @@ object LinkGraph {
         "drop before the cut (the operator OWNS these audit columns)")
   }
 
+  /** Schema-metadata marker every cut operator stamps on the audit
+    * columns it attaches (`host`/`rank`/`in_hosts`). The fn-step chain
+    * ([[GraftFns]]) strips ONLY marked columns between cuts — a
+    * caller-owned column with the same name carries no marker, so it
+    * survives to the operator's [[requireNoClash]], which raises naming
+    * it instead of silently discarding caller data (metadata rides the
+    * schema through temp views, projections, and parquet round-trips).
+    */
+  private[graft] val CutAuditMetaKey = "graft_cut_audit"
+  private[graft] val CutAuditMeta: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(CutAuditMetaKey, true).build()
+  private def markAudit(d: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(d)((acc, c) => acc.withMetadata(c, CutAuditMeta))
+
   def hostPriorKeep(pages: DataFrame, edges: DataFrame, minInHosts: Long,
                     urlCol: String = "url",
                     nodeOf: Column => Column = hostOf): DataFrame = {
@@ -550,8 +581,9 @@ object LinkGraph {
     val endorsed = hostDegrees(edges)
       .where(col("in_hosts") >= minInHosts)
       .select(col("host"), col("in_hosts"))
-    pages.withColumn("host", nodeOf(col(urlCol)))
-      .join(broadcast(endorsed), Seq("host"), "inner")
+    markAudit(pages.withColumn("host", nodeOf(col(urlCol)))
+      .join(broadcast(endorsed), Seq("host"), "inner"),
+      "host", "in_hosts")
   }
 
   /** The family's BUILD-ONCE artifact: land a crawl snapshot's graph
@@ -655,13 +687,18 @@ object LinkGraph {
     // longer mean one thing across snapshots
     val prev = rankSnapshotMeta(spark, prevSnapshotDir)
     require(prev.iterations == iterations && prev.damping == damping &&
-      prev.weightedByLinks == weightedByLinks,
+      prev.weightedByLinks == weightedByLinks &&
+      prev.sortedFold == sortedFold,
       s"rollForwardRank: parameter drift — $prevSnapshotDir was built " +
         s"with (iterations=${prev.iterations}, damping=${prev.damping}, " +
-        s"weightedByLinks=${prev.weightedByLinks}) but the roll-forward " +
+        s"weightedByLinks=${prev.weightedByLinks}, " +
+        s"sortedFold=${prev.sortedFold}) but the roll-forward " +
         s"asked for (iterations=$iterations, damping=$damping, " +
-        s"weightedByLinks=$weightedByLinks); pass the snapshot's own " +
-        "parameters or rebuild from scratch with the new ones")
+        s"weightedByLinks=$weightedByLinks, sortedFold=$sortedFold); " +
+        "pass the snapshot's own parameters or rebuild from scratch " +
+        "with the new ones (sortedFold changes the per-node summation " +
+        "ORDER — flipping it silently breaks bit-replayability against " +
+        "the prior snapshot, the exact drift this guard exists to catch)")
     val merged = spark.read.parquet(s"$prevSnapshotDir/edges")
       .unionByName(newEdges)
       .groupBy("src_host", "dst_host")
@@ -735,8 +772,9 @@ object LinkGraph {
                    nodeOf: Column => Column = hostOf): DataFrame = {
     require(minRank > 0.0, s"hostRankKeep: minRank must be > 0, got $minRank")
     requireNoClash(pages, Seq("host", "rank"), "hostRankKeep")
-    pages.withColumn("host", nodeOf(col(urlCol)))
-      .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner")
+    markAudit(pages.withColumn("host", nodeOf(col(urlCol)))
+      .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner"),
+      "host", "rank")
   }
 
   /** The anchor-text CONSUMER — what [[anchorTexts]]' profiles exist
@@ -826,7 +864,8 @@ object LinkGraph {
     val blocked = anchorKeywordSignal(anchors, keywords, wordBoundary)
       .where(col("kw_rate") >= maxRate)
       .select(col("dst_host").as("host"))
-    pages.withColumn("host", nodeOf(col(urlCol)))
-      .join(broadcast(blocked), Seq("host"), "left_anti")
+    markAudit(pages.withColumn("host", nodeOf(col(urlCol)))
+      .join(broadcast(blocked), Seq("host"), "left_anti"),
+      "host")
   }
 }

@@ -2937,7 +2937,20 @@ class ExtSpec extends AnyFunSuite {
           "<link rel=\"canonical\" href=\"https://relfirst.org/g\">"),
       // rel="canonicalish" must not match (quote-delimited value)
       ("https://site.com/h",
-        "<link rel=\"canonicalish\" href=\"https://other.org/h\">"))
+        "<link rel=\"canonicalish\" href=\"https://other.org/h\">"),
+      // PAIRWISE quotes: a double-quoted URL legally containing an
+      // apostrophe (wiki titles) must capture WHOLE — a shared
+      // [^"'>] class truncated it at the apostrophe, silently
+      // collapsing distinct pages onto one prefix key
+      ("https://mirror.net/i",
+        "<link rel=\"canonical\" href=\"https://wiki.org/O'Brien_(actor)\">"),
+      // and the mirror image: a single-quoted value containing a
+      // double quote captures whole under its own delimiter
+      ("https://mirror.net/j",
+        "<link rel='canonical' href='https://site.org/q?mark=\"x\"'>"),
+      // apostrophe-in-double-quotes in the href-FIRST order too
+      ("https://mirror.net/k",
+        "<link href=\"https://wiki.org/It's_here\" rel=\"canonical\">"))
       .toDF("url", "html")
       .select($"url", Html.htmlCanonicalUrl($"html").as("c"),
         Html.declaredCanonicalOr($"url", $"html").as("eff"))
@@ -2950,7 +2963,13 @@ class ExtSpec extends AnyFunSuite {
       ("https://mirror.net/e", "https://origin.org/e", "https://origin.org/e"),
       ("https://mirror.net/f", "https://origin.org/f", "https://origin.org/f"),
       ("https://site.com/g", "https://relfirst.org/g", "https://relfirst.org/g"),
-      ("https://site.com/h", "", "https://site.com/h")))
+      ("https://site.com/h", "", "https://site.com/h"),
+      ("https://mirror.net/i", "https://wiki.org/O'Brien_(actor)",
+        "https://wiki.org/O'Brien_(actor)"),
+      ("https://mirror.net/j", "https://site.org/q?mark=\"x\"",
+        "https://site.org/q?mark=\"x\""),
+      ("https://mirror.net/k", "https://wiki.org/It's_here",
+        "https://wiki.org/It's_here")))
   }
 
   test("htmlMainText: link-density line rule drops boilerplate, keeps prose; links inside prose survive") {

@@ -304,6 +304,61 @@ class FunctionsSpec extends AnyFunSuite {
       "PSL fold rides the shared host fold and lands per-row domains")
   }
 
+  test("r19 cut steps: caller-owned host column raises loudly; sibling audit columns strip") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_r19fns")
+    val edges = Seq(("a.org", "good.com", 1L, 1L), ("b.org", "good.com", 1L, 1L),
+      ("c.io", "good.com", 1L, 1L), ("good.com", "lone.net", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    graft.ext.LinkGraph.writeRankSnapshot(spark, edges, s"$work/snap",
+      iterations = 3)
+    Seq(("good.com", "casino bonus", 3L, 2L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+      .createOrReplaceTempView("r19_anchors")
+    // a source table carrying its OWN host column — common in crawl
+    // schemas; the step must NOT silently discard it (the old chain
+    // dropped any column named host/rank/in_hosts at entry)
+    Seq((1L, "https://good.com/a", "prod-cache-7"),
+      (2L, "https://lone.net/b", "prod-cache-9"))
+      .toDF("doc_id", "url", "host")
+      .createOrReplaceTempView("r19_owned")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "r19_owned",
+        "GRAFT_RANK_DIR" -> s"$work/snap",
+        "GRAFT_ANCHORS_VIEW" -> "r19_anchors",
+        "GRAFT_KEYWORDS" -> "casino"),
+      fns = graft.ext.GraftFns.standard)
+    val e = intercept[IllegalArgumentException] {
+      StepRunner.runSteps(ctx, Seq(
+        Step.Select(SqlSource.Inline("SELECT * FROM r19_owned"),
+          cache = Some(CacheSpec("pages", None))),
+        Step.Fn("graft_init"),
+        Step.Fn("graft_rank_keep"))).get
+    }
+    assert(e.getMessage.contains("host"),
+      "caller-owned host must surface as the operator's clash error, " +
+        "never a silent drop")
+    // sibling-ATTACHED audit columns still strip between chained cuts:
+    // rank_keep stamps host/rank, anchor_filter strips them and
+    // re-derives — the q153 chain shape
+    Seq((1L, "https://good.com/a"), (2L, "https://lone.net/b"))
+      .toDF("doc_id", "url").createOrReplaceTempView("r19_clean")
+    val chained = StepRunner.runSteps(ctx.copy(variables =
+        ctx.variables + ("GRAFT_FN_SOURCE" -> "r19_clean")), Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM r19_clean"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_rank_keep"),
+      Step.Fn("graft_anchor_filter"),
+      Step.Select(SqlSource.Inline("SELECT doc_id FROM graft ORDER BY doc_id")))).get
+    assert(chained.as[Long].collect().toSeq === Seq(2L),
+      "good.com blocks on the casino anchor rate; the chain's own audit " +
+        "columns strip between cuts as before")
+  }
+
   test("a YAML pipeline interleaves SQL steps with a table-op fn step end-to-end") {
     import graft.config._
     import graft.exec.{EtlContext, StepRunner, PipelineRunner}

@@ -321,6 +321,25 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.pslDomainTable(hosts, rules, maxRuleLabels = 0) }
   }
 
+  test("pslDomainTable: the candidate bound derives from the rules; the cap raises loudly") {
+    // a 5-label rule (the real PSL carries these, e.g. the S3 dualstack
+    // endpoints) — a fixed 4-label bound would have silently never
+    // matched it, folding the host to the implicit default instead
+    val rules = Seq("com", "s3.dualstack.ap-south-1.amazonaws.com").toDF("rule")
+    val hosts = Seq("bucket.s3.dualstack.ap-south-1.amazonaws.com").toDF("host")
+    assert(LinkGraph.pslDomainTable(hosts, rules)
+      .as[(String, String)].collect().toSeq ===
+      Seq(("bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com")),
+      "the 5-label public suffix matches under the DERIVED bound — the " +
+        "whole host is ps+1 and passes through registrable")
+    // a rules file whose longest key exceeds the runaway cap raises
+    // naming both numbers, never silently mis-folds
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.pslDomainTable(hosts, rules, maxRuleLabels = 4) }
+    assert(e.getMessage.contains("5-label") && e.getMessage.contains("4"))
+  }
+
   // ----------------------------------------------------- hostDegrees
 
   test("hostDegrees: zero-fills the side a host never appears on") {
@@ -729,6 +748,15 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.rollForwardRank(spark, snap,
         rankDf(Seq("c" -> "hub")), out, iterations = 3, damping = 0.9) }
     assert(e2.getMessage.contains("0.85") && e2.getMessage.contains("0.9"))
+    // sortedFold drift too: flipping it silently changes the per-node
+    // SUMMATION ORDER — ranks would no longer bit-replay against the
+    // prior snapshot, the exact failure mode the guard exists for
+    val e3 = intercept[IllegalArgumentException] {
+      LinkGraph.rollForwardRank(spark, snap,
+        rankDf(Seq("c" -> "hub")), out, iterations = 3, sortedFold = false) }
+    assert(e3.getMessage.contains("sortedFold=true") &&
+      e3.getMessage.contains("sortedFold=false"),
+      "fold-order drift must name both sides")
     // matching params still roll forward, and the new snapshot's meta
     // carries the advanced host count
     LinkGraph.rollForwardRank(spark, snap,

@@ -2528,7 +2528,88 @@ object ExtQueries {
       .orderBy("host")
   }
 
+  /** PSL-grain link fixture (Scala/SQL lockstep, the [[sourceLinkHtml]]
+    * pattern): page hosts are a SUBDOMAIN FARM over every rule kind —
+    * shop/blog subdomains of five `brand<k>.co.uk` registered domains
+    * (the multi-label plain rule), 4-label `*.ck` wildcard hosts, and
+    * `!www.ck` exception hosts — and each page links a CDN subdomain
+    * of the NEXT brand (cross-domain), an `m<k>.www.ck` mirror host
+    * (cross-domain except FROM the exception pages, where it is a
+    * PSL-grain self-edge), its own brand's asset subdomain (a
+    * self-edge for the farm pages — intra-domain navigation that must
+    * NOT count as endorsement), and a relative link (hostless, drops).
+    */
+  private def pslLinkUrl: org.apache.spark.sql.Column =
+    concat(lit("https://"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("shop"), (col("doc_id") % 3).cast("string"),
+          lit(".brand"), (col("doc_id") % 5).cast("string"), lit(".co.uk")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("blog"), (col("doc_id") % 3).cast("string"),
+            lit(".brand"), (col("doc_id") % 5).cast("string"), lit(".co.uk")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("x.a"), (col("doc_id") % 3).cast("string"),
+            lit(".w"), (col("doc_id") % 2).cast("string"), lit(".ck")))
+        .otherwise(concat(lit("d"), (col("doc_id") % 2).cast("string"),
+          lit(".sub.www.ck"))),
+      lit("/p/"), col("doc_id").cast("string"))
+  private val pslLinkUrlSql: String =
+    """'https://' ||
+      |(CASE WHEN doc_id % 4 = 0
+      |      THEN 'shop' || CAST(doc_id % 3 AS VARCHAR) || '.brand' ||
+      |           CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      |      WHEN doc_id % 4 = 1
+      |      THEN 'blog' || CAST(doc_id % 3 AS VARCHAR) || '.brand' ||
+      |           CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      |      WHEN doc_id % 4 = 2
+      |      THEN 'x.a' || CAST(doc_id % 3 AS VARCHAR) || '.w' ||
+      |           CAST(doc_id % 2 AS VARCHAR) || '.ck'
+      |      ELSE 'd' || CAST(doc_id % 2 AS VARCHAR) || '.sub.www.ck' END) ||
+      |'/p/' || CAST(doc_id AS VARCHAR)""".stripMargin.replace("\n", " ")
+  private def pslLinkHtml: org.apache.spark.sql.Column =
+    concat(
+      lit("<html><body><a href=\"https://cdn"),
+      (col("doc_id") % 7).cast("string"), lit(".brand"),
+      ((col("doc_id") + 1) % 5).cast("string"), lit(".co.uk/r\">c</a>"),
+      lit("<a href=\"https://m"), (col("doc_id") % 5).cast("string"),
+      lit(".www.ck/z\">e</a>"),
+      lit("<a href=\"https://assets.brand"),
+      (col("doc_id") % 5).cast("string"), lit(".co.uk/s\">a</a>"),
+      lit("<a href=\"/rel\">r</a></body></html>"))
+  private val pslLinkHtmlSql: String =
+    """'<html><body><a href="https://cdn' || CAST(doc_id % 7 AS VARCHAR) ||
+      |'.brand' || CAST((doc_id + 1) % 5 AS VARCHAR) || '.co.uk/r">c</a>' ||
+      |'<a href="https://m' || CAST(doc_id % 5 AS VARCHAR) ||
+      |'.www.ck/z">e</a>' ||
+      |'<a href="https://assets.brand' || CAST(doc_id % 5 AS VARCHAR) ||
+      |'.co.uk/s">a</a>' ||
+      |'<a href="/rel">r</a></body></html>'""".stripMargin.replace("\n", " ")
+  private def pslLinkPages(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), pslLinkUrl.as("url"),
+      pslLinkHtml.as("html"))
+
+  /** PSL-grain link graph ([[LinkGraph.domainEdgesPsl]]): the q154
+    * fold driven by the FULL public-suffix algorithm instead of the
+    * bundled battery — the q159 lookup finally CONSUMED. The shop/blog
+    * farm collapses onto one `brand<k>.co.uk` voice per registered
+    * domain (n_pages counts distinct pages across both subdomains),
+    * `!www.ck` exception hosts collapse with their `m<k>.www.ck`
+    * mirrors (so the mirror link is a self-edge exactly on the
+    * exception pages — the election is load-bearing for the edge
+    * set), and the farm's asset links vanish as intra-domain
+    * self-edges. Exact-oracled end to end: link extraction, the PSL
+    * election CTEs, the two-endpoint fold, and the edge aggregation
+    * replay verbatim in DuckDB.
+    */
+  def q160(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    LinkGraph.domainEdgesPsl(pslLinkPages(spark, dir),
+      PslFixtureRules.toDF("rule"))
+      .orderBy("src_host", "dst_host")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_psl_edges" -> (q160 _),
     "q159_psl_domains" -> (q159 _),
     "q158_ccnet_persisted_probe" -> (q158 _),
     "q157_laned_packing" -> (q157 _),
@@ -5022,6 +5103,76 @@ object ExtQueries {
          |ORDER BY p2.doc_id""".stripMargin,
     // q151 — CJK-safe packing replayed: the segmentation CASE (shared
     // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
+    // q160 — the PSL-grain edge list replayed end to end: the q154
+    // link-extraction CTEs over the farm fixture, the q159 PSL
+    // election CTEs over the UNION of src+href hosts, the
+    // two-endpoint fold as two joins against the lookup, then the
+    // q137 edge aggregation with folded-grain self-edges dropped
+    "q160_psl_edges" ->
+      s"""WITH raw(rule) AS (VALUES ${PslFixtureRules
+            .map(r => s"('${r.replace("'", "''")}')").mkString(", ")}),
+         |parsed AS (
+         |  SELECT CASE WHEN starts_with(r, '!') THEN 1 ELSE 0 END AS exc,
+         |    CASE WHEN starts_with(r, '!') THEN substring(r, 2)
+         |         WHEN starts_with(r, '*.') THEN substring(r, 3)
+         |         ELSE r END AS key,
+         |    CASE WHEN starts_with(r, '!')
+         |           THEN len(string_split(substring(r, 2), '.')) - 1
+         |         WHEN starts_with(r, '*.')
+         |           THEN len(string_split(substring(r, 3), '.')) + 1
+         |         ELSE len(string_split(r, '.')) END AS pslab
+         |  FROM (SELECT trim(rule) AS r FROM raw)
+         |  WHERE r <> '' AND NOT starts_with(r, '//')),
+         |p AS (
+         |  SELECT doc_id, $pslLinkUrlSql AS url, $pslLinkHtmlSql AS html
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id,
+         |    ${LinkGraph.hostOfOracleSqlExpr("url")} AS srch,
+         |    unnest(regexp_extract_all(html, '${graft.ext.Html.HrefPattern}', 1)) AS href
+         |  FROM p),
+         |ef AS (
+         |  SELECT doc_id, srch,
+         |    ${LinkGraph.hostOfOracleSqlExpr("href")} AS dsth
+         |  FROM x
+         |  WHERE srch <> ''),
+         |ef2 AS (SELECT * FROM ef WHERE dsth <> ''),
+         |hosts0 AS (
+         |  SELECT srch AS host FROM ef2
+         |  UNION SELECT dsth FROM ef2),
+         |hl AS (
+         |  SELECT host, string_split(host, '.') AS labels,
+         |    len(string_split(host, '.')) AS n
+         |  FROM hosts0 WHERE host IS NOT NULL AND host <> ''),
+         |kk AS (SELECT host, n, unnest(range(1, least(n, 5) + 1)) AS k FROM hl),
+         |cand AS (
+         |  SELECT kk.host,
+         |    array_to_string(list_slice(hl.labels, kk.n - kk.k + 1, kk.n), '.')
+         |      AS key
+         |  FROM kk JOIN hl USING (host)),
+         |best AS (
+         |  SELECT c.host, max(p.exc * 1000 + p.pslab) AS w
+         |  FROM cand c JOIN parsed p ON p.key = c.key
+         |  GROUP BY c.host),
+         |dd AS (
+         |  SELECT hl.host, hl.labels, hl.n,
+         |    least(coalesce(b.w % 1000, 1) + 1, hl.n) AS d
+         |  FROM hl LEFT JOIN best b USING (host)),
+         |psl AS (
+         |  SELECT host,
+         |    array_to_string(list_slice(labels, n - d + 1, n), '.') AS domain
+         |  FROM dd),
+         |e2 AS (
+         |  SELECT ef2.doc_id, ls.domain AS src, ld.domain AS dst
+         |  FROM ef2
+         |  JOIN psl ls ON ls.host = ef2.srch
+         |  JOIN psl ld ON ld.host = ef2.dsth)
+         |SELECT src AS src_host, dst AS dst_host,
+         |  count(*) AS n_links, count(DISTINCT doc_id) AS n_pages
+         |FROM e2
+         |WHERE src <> dst
+         |GROUP BY src, dst
+         |ORDER BY src, dst""".stripMargin,
     // q159 — the PSL fold replayed: rule parse (comment/blank skip,
     // !/*. prefixes, per-kind public-suffix label count), label-suffix
     // explode (≤5), equi-join, the (exception, length) election as a

@@ -229,6 +229,10 @@ object GraftFns {
     // production prior). Threshold: GRAFT_MIN_RANK when set, else
     // GRAFT_RANK_FLOOR_MULTIPLE (default 1.5) × the snapshot's LANDED
     // un-endorsed floor (1-d)/n — no count scan, no hand-carried n
+    // GRAFT_PSL_DIR (a writePslSnapshot artifact) switches the page
+    // fold to the FULL-PSL registered-domain grain — the landed lookup
+    // is PROBED, never recomputed per run; the rank artifact must have
+    // been built at the same grain (domainEdgesByLookup edges)
     step("graft_rank_keep")((ctx, d) => {
       val dir = ctx.variables.getOrElse("GRAFT_RANK_DIR",
         throw new graft.config.ConfigException(
@@ -237,26 +241,43 @@ object GraftFns {
         .getOrElse(
           ctx.variables.getOrElse("GRAFT_RANK_FLOOR_MULTIPLE", "1.5").toDouble *
             graft.ext.LinkGraph.rankSnapshotMeta(d.sparkSession, dir).floor)
-      graft.ext.LinkGraph.hostRankKeep(stripCutAudit(d),
-        graft.ext.LinkGraph.rankSnapshot(d.sparkSession, dir),
-        minRank = minRank,
-        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
+      val urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url")
+      ctx.variables.get("GRAFT_PSL_DIR") match {
+        case Some(psl) => graft.ext.LinkGraph.hostRankKeepByLookup(
+          stripCutAudit(d),
+          graft.ext.LinkGraph.rankSnapshot(d.sparkSession, dir),
+          minRank = minRank,
+          lookup = graft.ext.LinkGraph.pslSnapshot(d.sparkSession, psl),
+          urlCol = urlCol)
+        case None => graft.ext.LinkGraph.hostRankKeep(stripCutAudit(d),
+          graft.ext.LinkGraph.rankSnapshot(d.sparkSession, dir),
+          minRank = minRank, urlCol = urlCol)
+      }
     }),
     // anchor-keyword host block (q149's cut as a step): drop rows
     // whose host's inbound-anchor keyword rate (per the anchor-profile
     // view at GRAFT_ANCHORS_VIEW, a q141 artifact) reaches
     // GRAFT_MAX_KW_RATE for the comma-separated GRAFT_KEYWORDS
-    step("graft_anchor_filter")((ctx, d) =>
-      graft.ext.LinkGraph.anchorKeywordKeep(stripCutAudit(d),
-        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_ANCHORS_VIEW",
+    step("graft_anchor_filter")((ctx, d) => {
+      val anchors = d.sparkSession.table(
+        ctx.variables.getOrElse("GRAFT_ANCHORS_VIEW",
           throw new graft.config.ConfigException(
-            "graft_anchor_filter requires the GRAFT_ANCHORS_VIEW variable"))),
-        keywords = ctx.variables.getOrElse("GRAFT_KEYWORDS",
-          throw new graft.config.ConfigException(
-            "graft_anchor_filter requires the GRAFT_KEYWORDS variable"))
-          .split(",").toSeq.map(_.trim).filter(_.nonEmpty),
-        maxRate = ctx.variables.getOrElse("GRAFT_MAX_KW_RATE", "0.5").toDouble,
-        urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))),
+            "graft_anchor_filter requires the GRAFT_ANCHORS_VIEW variable")))
+      val keywords = ctx.variables.getOrElse("GRAFT_KEYWORDS",
+        throw new graft.config.ConfigException(
+          "graft_anchor_filter requires the GRAFT_KEYWORDS variable"))
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val maxRate = ctx.variables.getOrElse("GRAFT_MAX_KW_RATE", "0.5").toDouble
+      val urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url")
+      ctx.variables.get("GRAFT_PSL_DIR") match {
+        case Some(psl) => graft.ext.LinkGraph.anchorKeywordKeepByLookup(
+          stripCutAudit(d), anchors, keywords, maxRate,
+          lookup = graft.ext.LinkGraph.pslSnapshot(d.sparkSession, psl),
+          urlCol = urlCol)
+        case None => graft.ext.LinkGraph.anchorKeywordKeep(stripCutAudit(d),
+          anchors, keywords, maxRate, urlCol = urlCol)
+      }
+    }),
     // canonical-aware URL dedup (q150 as a step): key on the declared
     // <link rel="canonical"> when absolute, the fetch URL otherwise
     step("graft_canonical_url_dedup")((ctx, d) =>
@@ -291,21 +312,34 @@ object GraftFns {
     // the rules view at GRAFT_PSL_RULES_VIEW (one raw PSL line per
     // row in a `rule` column) — the lookup is host-cardinality and
     // broadcasts back into the view
+    // GRAFT_PSL_DIR (a writePslSnapshot artifact) PROBES the landed
+    // lookup instead of recomputing the fold from GRAFT_PSL_RULES_VIEW
+    // each run — the build-once/probe-forever face; hosts absent from
+    // the snapshot raise in-plan (roll it forward at ingest)
     step("graft_psl_domain")((ctx, d) => {
       val urlC = org.apache.spark.sql.functions.col(
         ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
       require(!d.columns.contains("domain") && !d.columns.contains("host"),
         "graft_psl_domain: input already carries domain/host — rename or " +
           "drop (the step OWNS these columns)")
-      val hosted = d.withColumn("host", graft.ext.LinkGraph.hostOf(urlC))
-      val table = graft.ext.LinkGraph.pslDomainTable(
-        hosted.select("host"),
-        d.sparkSession.table(ctx.variables.getOrElse("GRAFT_PSL_RULES_VIEW",
-          throw new graft.config.ConfigException(
-            "graft_psl_domain requires the GRAFT_PSL_RULES_VIEW variable " +
-              "(a view with one raw PSL line per row in a 'rule' column)"))))
-      hosted.join(
-        org.apache.spark.sql.functions.broadcast(table), Seq("host"), "left")
+      ctx.variables.get("GRAFT_PSL_DIR") match {
+        case Some(psl) =>
+          graft.ext.LinkGraph.withPslDomain(
+            d.withColumn("host", graft.ext.LinkGraph.hostOf(urlC)),
+            graft.ext.LinkGraph.pslSnapshot(d.sparkSession, psl),
+            urlCol = ctx.variables.getOrElse("GRAFT_URL_COL", "url"))
+        case None =>
+          val hosted = d.withColumn("host", graft.ext.LinkGraph.hostOf(urlC))
+          val table = graft.ext.LinkGraph.pslDomainTable(
+            hosted.select("host"),
+            d.sparkSession.table(ctx.variables.getOrElse("GRAFT_PSL_RULES_VIEW",
+              throw new graft.config.ConfigException(
+                "graft_psl_domain requires the GRAFT_PSL_RULES_VIEW variable " +
+                  "(a view with one raw PSL line per row in a 'rule' column) " +
+                  "or GRAFT_PSL_DIR (a landed writePslSnapshot artifact)"))))
+          hosted.join(
+            org.apache.spark.sql.functions.broadcast(table), Seq("host"), "left")
+      }
     }),
     // epoch materialization (q156 as a step): repeat each row per its
     // group's epochPlan count — GRAFT_MIX_WEIGHTS is 'key:weight,...'

@@ -178,10 +178,16 @@ object LinkGraph {
       s"pslDomainTable: the parsed rules carry a $derivedK-label key but " +
         s"maxRuleLabels=$maxRuleLabels — a corrupt rules file is the thing " +
         "this cap catches; raise the bound deliberately if the list is real")
+    // the distinct-host frame materializes ONCE (the q136 boundary
+    // discipline): it appears on two plan branches below (candidate
+    // explode + the final left join), and without the cut each branch
+    // would re-run the host derivation — which, fed from pslLookupFor,
+    // re-SCANS the page corpus per branch. Host-cardinality, narrow.
     val h = hosts.select(col(hostCol).as("host"))
       .where(col("host").isNotNull && col("host") =!= "").distinct()
       .withColumn("__labels", split(col("host"), "\\."))
       .withColumn("__n", size(col("__labels")))
+      .localCheckpoint(true)
     val cand = h.select(col("host"), col("__labels"), col("__n"),
         explode(sequence(lit(1), least(col("__n"), lit(derivedK))))
           .as("__k"))
@@ -201,6 +207,88 @@ object LinkGraph {
         ".").as("domain"))
   }
 
+  /** Order-insensitive digest of a PSL rules frame: XOR of a 60-bit
+    * md5 over the EFFECTIVE lines (trimmed; comments and blanks out).
+    * Rule ORDER never affects the fold — the election is by
+    * (exception, length) — so reordering the published file is not
+    * drift; adding, removing, or editing any effective rule is.
+    * One bounded 1-row aggregate (rule lists are ~15k lines).
+    */
+  def pslRulesDigest(rules: DataFrame, ruleCol: String = "rule"): Long = {
+    val eff = rules.select(trim(col(ruleCol)).as("__r"))
+      .where(col("__r") =!= "" && !col("__r").startsWith("//"))
+      .select(Export.md5Long60(col("__r")).as("__h"))
+    val r = eff.agg(coalesce(expr("bit_xor(__h)"), lit(0L))).collect()(0)
+    r.getLong(0)
+  }
+
+  /** The full-PSL fold attached as a column — the LOOKUP-TABLE face of
+    * the family's `nodeOf: Column => Column` seam, for the grain a
+    * row-local expression cannot compute ([[pslDomainTable]]'s exact
+    * publicsuffix.org election). `lookup` is a `(host, domain)` frame
+    * (a [[pslDomainTable]] result or a [[pslSnapshot]] probe) that
+    * BROADCASTS into `df`; the fold key is [[hostOf]] of `urlCol`, so
+    * lookup tables built from the same fold cover by construction
+    * ([[pslLookupFor]]). A host ABSENT from the lookup RAISES in-plan
+    * naming it — silently falling back to a different fold would mix
+    * two grains in one frame (the failure the rank snapshot's drift
+    * guard exists for, at the node-id level); roll the snapshot
+    * forward ([[rollForwardPsl]]) or build the lookup over this
+    * frame's hosts instead. URL-less rows ("" host) keep "" — the
+    * [[hostOf]] posture.
+    */
+  def withPslDomain(df: DataFrame, lookup: DataFrame,
+                    urlCol: String = "url",
+                    outCol: String = "domain"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"withPslDomain: input already carries '$outCol' — rename or drop " +
+        "(the fold OWNS this column)")
+    foldHost(df.withColumn("__graft_ph", hostOf(col(urlCol))),
+      "__graft_ph", lookup, outCol)
+  }
+
+  /** Broadcast-join fold of `hostCol` through a `(host, domain)`
+    * lookup into `outCol`, dropping `hostCol`: "" folds to "" and an
+    * unknown host raises in-plan (see [[withPslDomain]]).
+    */
+  private def foldHost(df: DataFrame, hostCol: String, lookup: DataFrame,
+                       outCol: String): DataFrame = {
+    val hc = s"__graft_${outCol}_h"
+    val dc = s"__graft_${outCol}_d"
+    val l = broadcast(lookup.select(col("host").as(hc), col("domain").as(dc)))
+    df.join(l, col(hostCol) === col(hc), "left")
+      .withColumn(outCol,
+        when(col(hostCol) === "", lit(""))
+          .when(col(dc).isNull, raise_error(concat(
+            lit("LinkGraph: host '"), col(hostCol),
+            lit("' is absent from the PSL lookup — build the lookup over " +
+              "this frame's hosts (pslLookupFor) or roll the snapshot " +
+              "forward (rollForwardPsl); a silent fallback would mix two " +
+              "node grains in one frame"))))
+          .otherwise(col(dc)))
+      .drop(hc, dc, hostCol)
+  }
+
+  /** The COMPLETE lookup for a page frame: [[pslDomainTable]] over the
+    * frame's URL hosts plus (when `htmlCol` is given) every href host
+    * its pages link to — the host universe [[domainEdgesPsl]] and the
+    * ByLookup cuts touch, so the in-plan absent-host raise can never
+    * fire on the standard composition. Work ∝ distinct hosts.
+    */
+  def pslLookupFor(pages: DataFrame, rules: DataFrame,
+                   urlCol: String = "url",
+                   htmlCol: Option[String] = None,
+                   ruleCol: String = "rule",
+                   maxRuleLabels: Int = 10): DataFrame = {
+    val urlHosts = pages.select(hostOf(col(urlCol)).as("host"))
+    val all = htmlCol.fold(urlHosts) { h =>
+      urlHosts.unionByName(
+        pages.select(explode(Html.htmlLinks(col(h))).as("__href"))
+          .select(hostOf(col("__href")).as("host")))
+    }
+    pslDomainTable(all, rules, "host", ruleCol, maxRuleLabels)
+  }
+
   /** The DOMAIN-grain edge list — [[hostEdges]] with nodes folded to
     * registered domains ([[domainOf]]): the grain Common Crawl's
     * domain webgraph publishes, and the right one for endorsement
@@ -215,6 +303,56 @@ object LinkGraph {
                   htmlCol: String = "html",
                   idCol: String = "doc_id"): DataFrame =
     edgesBy(pages, domainOf, urlCol, htmlCol, idCol)
+
+  /** The edge list at the FULL-PSL registered-domain grain — the
+    * lookup-table face of [[domainEdges]], for callers carrying the
+    * complete published suffix list: both endpoints fold through a
+    * broadcast `(host, domain)` lookup ([[pslDomainTable]]), so a
+    * subdomain farm collapses under the exact `*.wildcard` /
+    * `!exception` election the 21-suffix battery cannot express.
+    * Same output contract as [[hostEdges]]/[[domainEdges]]
+    * (`src_host, dst_host, n_links, n_pages`; self-edges at the
+    * FOLDED grain drop), so every consumer — [[hostDegrees]],
+    * [[hostRank]], the snapshot family, the cut family — takes the
+    * frame unchanged. A host absent from the lookup raises in-plan
+    * ([[withPslDomain]]); "" hosts (relative/mailto links) drop as in
+    * [[edgesBy]]. Scale shape: identical to [[hostEdges]] plus two
+    * broadcast joins on the distinct-host-cardinality lookup — page
+    * payloads still never shuffle.
+    */
+  def domainEdgesByLookup(pages: DataFrame, lookup: DataFrame,
+                          urlCol: String = "url", htmlCol: String = "html",
+                          idCol: String = "doc_id"): DataFrame = {
+    val raw = pages
+      .select(col(idCol),
+        hostOf(col(urlCol)).as("__srch"),
+        explode(Html.htmlLinks(col(htmlCol))).as("__href"))
+      .select(col(idCol), col("__srch"), hostOf(col("__href")).as("__dsth"))
+      .where(col("__srch") =!= "" && col("__dsth") =!= "")
+    foldHost(foldHost(raw, "__srch", lookup, "__src"),
+      "__dsth", lookup, "__dst")
+      .where(col("__src") =!= col("__dst"))
+      .groupBy(col("__src").as("src_host"), col("__dst").as("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        count_distinct(col(idCol)).as("n_pages"))
+  }
+
+  /** [[domainEdgesByLookup]] with the lookup built in from raw PSL
+    * rules ([[pslLookupFor]] covers url + href hosts, so the
+    * absent-host raise cannot fire) — the one-call face.
+    */
+  def domainEdgesPsl(pages: DataFrame, rules: DataFrame,
+                     urlCol: String = "url", htmlCol: String = "html",
+                     idCol: String = "doc_id",
+                     ruleCol: String = "rule"): DataFrame =
+    // the lookup materializes at the composition boundary: both
+    // endpoint folds broadcast it, and without the cut each broadcast
+    // exchange re-runs the whole election lineage (host-cardinality,
+    // two narrow columns — the cheapest possible cut)
+    domainEdgesByLookup(pages,
+      pslLookupFor(pages, rules, urlCol, Some(htmlCol), ruleCol)
+        .localCheckpoint(true),
+      urlCol, htmlCol, idCol)
 
   private def edgesBy(pages: DataFrame, nodeOf: Column => Column,
                       urlCol: String, htmlCol: String,
@@ -750,6 +888,102 @@ object LinkGraph {
         .agg(sum(col("n_links")).as("n_links")),
       outDir)
 
+  /** The PSL lookup as a BUILD-ONCE artifact ([[writeRankSnapshot]]'s
+    * layout discipline): land the fold of a host vocabulary under
+    * `outDir` as three frames —
+    *
+    *   `outDir/rules`   — the raw rule lines (the roll-forward input:
+    *     advancing the snapshot re-folds only NEW hosts against them);
+    *   `outDir/domains` — [[pslDomainTable]] over the hosts (the probe
+    *     side: what [[withPslDomain]] / the ByLookup cuts consume);
+    *   `outDir/meta`    — `(n_hosts, rules_digest)`, the drift guard's
+    *     landed record ([[pslRulesDigest]]).
+    *
+    * The fold is host-vocabulary work — score it once per crawl, probe
+    * it from ingest forever (the q148/q158 artifact shape). Returns
+    * the domains table re-read from disk (strings round-trip parquet
+    * exactly; round-trip ≡ direct is pinned in LinkGraphSpec).
+    */
+  def writePslSnapshot(spark: SparkSession, hosts: DataFrame,
+                       rules: DataFrame, outDir: String,
+                       hostCol: String = "host", ruleCol: String = "rule",
+                       maxRuleLabels: Int = 10): DataFrame = {
+    rules.select(col(ruleCol).as("rule"))
+      .write.mode("overwrite").parquet(s"$outDir/rules")
+    val landedRules = spark.read.parquet(s"$outDir/rules")
+    pslDomainTable(hosts, landedRules, hostCol, "rule", maxRuleLabels)
+      .write.mode("overwrite").parquet(s"$outDir/domains")
+    import spark.implicits._
+    Seq((spark.read.parquet(s"$outDir/domains").count(),
+      pslRulesDigest(landedRules)))
+      .toDF("n_hosts", "rules_digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+    pslSnapshot(spark, outDir)
+  }
+
+  /** The persisted `(host, domain)` face of a [[writePslSnapshot]]
+    * dir — a cheap parquet scan, distinct-host cardinality.
+    */
+  def pslSnapshot(spark: SparkSession, snapshotDir: String): DataFrame =
+    spark.read.parquet(s"$snapshotDir/domains")
+
+  /** A PSL snapshot's landed build record (see [[writePslSnapshot]]). */
+  final case class PslSnapshotMeta(nHosts: Long, rulesDigest: Long)
+
+  /** The snapshot's metadata row; a dir without `meta/` raises naming
+    * the rebuild path ([[rankSnapshotMeta]]'s all-or-nothing contract).
+    */
+  def pslSnapshotMeta(spark: SparkSession,
+                      snapshotDir: String): PslSnapshotMeta = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$snapshotDir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"pslSnapshotMeta: $snapshotDir has no meta/ — not a " +
+        "writePslSnapshot artifact (rebuild the snapshot; a bare domains " +
+        "table cannot be drift-guarded and must not be probed blind)")
+    val r = spark.read.parquet(s"$snapshotDir/meta").collect()(0) // 1 row
+    PslSnapshotMeta(r.getAs[Long]("n_hosts"), r.getAs[Long]("rules_digest"))
+  }
+
+  /** Advance the PSL snapshot by one crawl's host vocabulary: fold
+    * ONLY the genuinely new hosts (anti-join against the landed table
+    * — work ∝ batch, the incremental-probe discipline) and land the
+    * union under `outDir`. Bit-identical to rebuilding over the union
+    * of all crawls' hosts because the fold is a per-host pure function
+    * of the rules (LinkGraphSpec pins roll-forward ≡ rebuild). A rules
+    * drift RAISES naming both digests: a changed public-suffix list
+    * can re-fold EXISTING hosts, so an incremental advance would
+    * silently mix two folds in one table — rebuild from scratch
+    * instead.
+    */
+  def rollForwardPsl(spark: SparkSession, prevSnapshotDir: String,
+                     newHosts: DataFrame, rules: DataFrame, outDir: String,
+                     hostCol: String = "host", ruleCol: String = "rule",
+                     maxRuleLabels: Int = 10): DataFrame = {
+    val prev = pslSnapshotMeta(spark, prevSnapshotDir)
+    val newDigest = pslRulesDigest(rules, ruleCol)
+    require(prev.rulesDigest == newDigest,
+      s"rollForwardPsl: rules drift — $prevSnapshotDir was built from a " +
+        s"rule list with digest ${prev.rulesDigest} but the roll-forward " +
+        s"carries digest $newDigest; a changed public-suffix list re-folds " +
+        "EXISTING hosts, so advance would mix two folds — rebuild with " +
+        "writePslSnapshot instead")
+    val prevTable = pslSnapshot(spark, prevSnapshotDir)
+    val fresh = newHosts.select(col(hostCol).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "").distinct()
+      .join(prevTable.select("host"), Seq("host"), "left_anti")
+    val merged = prevTable.unionByName(
+      pslDomainTable(fresh, rules, "host", ruleCol, maxRuleLabels))
+    rules.select(col(ruleCol).as("rule"))
+      .write.mode("overwrite").parquet(s"$outDir/rules")
+    merged.write.mode("overwrite").parquet(s"$outDir/domains")
+    import spark.implicits._
+    Seq((spark.read.parquet(s"$outDir/domains").count(), newDigest))
+      .toDF("n_hosts", "rules_digest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+    pslSnapshot(spark, outDir)
+  }
+
   /** The RANK-threshold page cut — [[hostPriorKeep]]'s production
     * face: keep pages whose host's PERSISTED rank (a previous
     * snapshot's [[rankSnapshot]]) clears `minRank`, with `host` and
@@ -774,6 +1008,28 @@ object LinkGraph {
     requireNoClash(pages, Seq("host", "rank"), "hostRankKeep")
     markAudit(pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"), "inner"),
+      "host", "rank")
+  }
+
+  /** [[hostRankKeep]] at a LOOKUP-TABLE node grain — the full-PSL face
+    * the `nodeOf: Column => Column` seam cannot express: the page-side
+    * fold is a broadcast join through `lookup` (`(host, domain)`, a
+    * [[pslSnapshot]] probe), matching a rank artifact BUILT at the same
+    * grain ([[domainEdgesByLookup]] edges → [[writeRankSnapshot]]).
+    * The page corpus still never shuffles (two stacked broadcast
+    * joins); the audit `host` column carries the FOLDED node id — the
+    * id the rank table actually scored.
+    */
+  def hostRankKeepByLookup(pages: DataFrame, rank: DataFrame,
+                           minRank: Double, lookup: DataFrame,
+                           urlCol: String = "url"): DataFrame = {
+    require(minRank > 0.0,
+      s"hostRankKeepByLookup: minRank must be > 0, got $minRank")
+    requireNoClash(pages, Seq("host", "rank"), "hostRankKeepByLookup")
+    markAudit(
+      withPslDomain(pages, lookup, urlCol, outCol = "host")
+        .join(broadcast(rank.where(col("rank") >= minRank)), Seq("host"),
+          "inner"),
       "host", "rank")
   }
 
@@ -867,5 +1123,47 @@ object LinkGraph {
     markAudit(pages.withColumn("host", nodeOf(col(urlCol)))
       .join(broadcast(blocked), Seq("host"), "left_anti"),
       "host")
+  }
+
+  /** [[anchorKeywordKeep]] at a lookup-table node grain (see
+    * [[hostRankKeepByLookup]]): the anchor profile must have been
+    * built at the same grain ([[anchorEdges]] over lookup-folded
+    * hosts, or a domain-grain snapshot) or the block join silently
+    * misses — the shared-grain contract of the whole cut family.
+    */
+  def anchorKeywordKeepByLookup(pages: DataFrame, anchors: DataFrame,
+                                keywords: Seq[String], maxRate: Double,
+                                lookup: DataFrame,
+                                urlCol: String = "url",
+                                wordBoundary: Boolean = true): DataFrame = {
+    require(maxRate > 0.0 && maxRate <= 1.0,
+      s"anchorKeywordKeepByLookup: maxRate must be in (0,1], got $maxRate")
+    requireNoClash(pages, Seq("host"), "anchorKeywordKeepByLookup")
+    val blocked = anchorKeywordSignal(anchors, keywords, wordBoundary)
+      .where(col("kw_rate") >= maxRate)
+      .select(col("dst_host").as("host"))
+    markAudit(
+      withPslDomain(pages, lookup, urlCol, outCol = "host")
+        .join(broadcast(blocked), Seq("host"), "left_anti"),
+      "host")
+  }
+
+  /** [[hostPriorKeep]] at a lookup-table node grain (see
+    * [[hostRankKeepByLookup]]); `edges` must be a lookup-grain frame
+    * ([[domainEdgesByLookup]]).
+    */
+  def hostPriorKeepByLookup(pages: DataFrame, edges: DataFrame,
+                            minInHosts: Long, lookup: DataFrame,
+                            urlCol: String = "url"): DataFrame = {
+    require(minInHosts >= 1,
+      "hostPriorKeepByLookup: minInHosts must be >= 1")
+    requireNoClash(pages, Seq("host", "in_hosts"), "hostPriorKeepByLookup")
+    val endorsed = hostDegrees(edges)
+      .where(col("in_hosts") >= minInHosts)
+      .select(col("host"), col("in_hosts"))
+    markAudit(
+      withPslDomain(pages, lookup, urlCol, outCol = "host")
+        .join(broadcast(endorsed), Seq("host"), "inner"),
+      "host", "in_hosts")
   }
 }

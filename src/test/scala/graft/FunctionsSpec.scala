@@ -359,6 +359,66 @@ class FunctionsSpec extends AnyFunSuite {
         "columns strip between cuts as before")
   }
 
+  test("r19 PSL-grain steps: GRAFT_PSL_DIR folds the cut family at the landed lookup grain") {
+    import graft.config._
+    import graft.exec.{EtlContext, StepRunner}
+    import graft.io.{FileWarehouse, Lake}
+    import spark.implicits._
+    val work = SparkTestBase.tmpDir("graft_r19psl")
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    // a PSL-grain rank snapshot: acme.co.uk endorsed by three domains
+    val edges = Seq(("good.co.uk", "acme.co.uk", 1L, 1L),
+      ("www.ck", "acme.co.uk", 1L, 1L), ("a.w.ck", "acme.co.uk", 1L, 1L),
+      ("acme.co.uk", "lone.co.uk", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    graft.ext.LinkGraph.writeRankSnapshot(spark, edges, s"$work/rank",
+      iterations = 3)
+    // the landed PSL lookup covers the crawl's hosts
+    val crawlHosts = Seq("shop.acme.co.uk", "blog.acme.co.uk",
+      "cdn.other.co.uk").toDF("host")
+    graft.ext.LinkGraph.writePslSnapshot(spark, crawlHosts, rules,
+      s"$work/psl")
+    Seq((1L, "https://shop.acme.co.uk/a"), (2L, "https://blog.acme.co.uk/b"),
+      (3L, "https://cdn.other.co.uk/c"))
+      .toDF("doc_id", "url").createOrReplaceTempView("psl_pages")
+    val ctx = EtlContext(spark, Lake(work), new FileWarehouse(spark, s"$work/wh"),
+      variables = Map("GRAFT_FN_SOURCE" -> "psl_pages",
+        "GRAFT_RANK_DIR" -> s"$work/rank",
+        "GRAFT_PSL_DIR" -> s"$work/psl"),
+      fns = graft.ext.GraftFns.standard)
+    val kept = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM psl_pages"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_rank_keep"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, host FROM graft ORDER BY doc_id")))).get
+    assert(kept.as[(Long, String)].collect().toSeq ===
+      Seq((1L, "acme.co.uk"), (2L, "acme.co.uk")),
+      "both farm subdomains gate by their registered domain's landed " +
+        "rank; other.co.uk sits at the floor and drops")
+    // the direct ByLookup face lands the same keeps
+    val direct = graft.ext.LinkGraph.hostRankKeepByLookup(
+      spark.table("psl_pages"),
+      graft.ext.LinkGraph.rankSnapshot(spark, s"$work/rank"),
+      minRank = 1.5 *
+        graft.ext.LinkGraph.rankSnapshotMeta(spark, s"$work/rank").floor,
+      lookup = graft.ext.LinkGraph.pslSnapshot(spark, s"$work/psl"))
+      .select("doc_id", "host").orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(kept.as[(Long, String)].collect().toSeq === direct)
+    // graft_psl_domain probes the landed artifact too
+    val domains = StepRunner.runSteps(ctx, Seq(
+      Step.Select(SqlSource.Inline("SELECT * FROM psl_pages"),
+        cache = Some(CacheSpec("pages", None))),
+      Step.Fn("graft_init"),
+      Step.Fn("graft_psl_domain"),
+      Step.Select(SqlSource.Inline(
+        "SELECT doc_id, domain FROM graft ORDER BY doc_id")))).get
+    assert(domains.as[(Long, String)].collect().toSeq === Seq(
+      (1L, "acme.co.uk"), (2L, "acme.co.uk"), (3L, "other.co.uk")))
+  }
+
   test("a YAML pipeline interleaves SQL steps with a table-op fn step end-to-end") {
     import graft.config._
     import graft.exec.{EtlContext, StepRunner, PipelineRunner}

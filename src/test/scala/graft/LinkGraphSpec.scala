@@ -321,6 +321,152 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.pslDomainTable(hosts, rules, maxRuleLabels = 0) }
   }
 
+  test("domainEdgesPsl: the farm collapses under the exact election; self-edges drop at PSL grain") {
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val df = pages(
+      // two subdomains of ONE registered domain both link the same
+      // cross-domain target: the farm must fold to one src voice
+      (1L, "https://shop.acme.co.uk/a",
+        """<a href="https://cdn.other.co.uk/x">1</a>
+          |<a href="https://assets.acme.co.uk/s">self</a>""".stripMargin),
+      (2L, "https://blog.acme.co.uk/b",
+        """<a href="https://img.other.co.uk/y">1</a>"""),
+      // an exception-rule page: its link to another www.ck subdomain
+      // is a PSL-grain SELF-edge (both fold to www.ck) and must drop
+      (3L, "https://d.sub.www.ck/c",
+        """<a href="https://m.www.ck/z">1</a>
+          |<a href="https://cdn.other.co.uk/k">2</a>""".stripMargin),
+      // a wildcard page: ps = w.ck, domain = a.w.ck
+      (4L, "https://x.a.w.ck/d", """<a href="https://shop.acme.co.uk/q">1</a>"""))
+    val got = LinkGraph.domainEdgesPsl(df, rules)
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(got === Seq(
+      ("a.w.ck", "acme.co.uk", 1L, 1L),
+      ("acme.co.uk", "other.co.uk", 2L, 2L), // shop+blog = ONE voice
+      ("www.ck", "other.co.uk", 1L, 1L)),    // the m.www.ck link self-folded away
+      "wildcard/exception/multi-label elections drive the edge set; " +
+        "intra-domain navigation never counts as endorsement")
+    // the battery-grain fold would NOT have collapsed the .ck shapes:
+    // domainOf folds d.sub.www.ck to www.ck? no — the battery has no
+    // ck rule, so it folds to sub-less 2-label 'www.ck'... the real
+    // difference is the wildcard host: battery folds x.a.w.ck to
+    // 'w.ck' (2 labels), the PSL election lands 'a.w.ck' (ps+1 = 3)
+    val battery = LinkGraph.domainEdges(df)
+      .orderBy("src_host", "dst_host")
+      .as[(String, String, Long, Long)].collect()
+    assert(battery.exists(_._1 == "w.ck") && !battery.exists(_._1 == "a.w.ck"),
+      "the 21-suffix battery demonstrably cannot express the wildcard grain")
+  }
+
+  test("the ByLookup cut family gates pages at PSL grain; absent hosts and clashes raise") {
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val crawl = pages(
+      (1L, "https://shop.acme.co.uk/a",
+        """<a href="https://cdn.good.co.uk/x">1</a>"""),
+      (2L, "https://blog.good.co.uk/b",
+        """<a href="https://img.acme.co.uk/y">1</a>
+          |<a href="https://m.www.ck/z">2</a>""".stripMargin),
+      (3L, "https://d.sub.www.ck/c",
+        """<a href="https://p.good.co.uk/k">1</a>"""))
+    val lookup = LinkGraph.pslLookupFor(crawl, rules, htmlCol = Some("html"))
+    val edges = LinkGraph.domainEdgesByLookup(crawl, lookup)
+    // every registered domain is endorsed by at least one other; a
+    // threshold of 2 keeps only good.co.uk (acme + www.ck point at it)
+    val kept = LinkGraph.hostPriorKeepByLookup(
+      crawl.select($"doc_id", $"url"), edges, minInHosts = 2L, lookup)
+    assert(kept.select("doc_id", "host").as[(Long, String)].collect().toSeq ===
+      Seq((2L, "good.co.uk")),
+      "the prior gates by FOLDED node id — subdomain pages ride their domain")
+    // rank artifact BUILT at PSL grain feeds the rank cut at PSL grain
+    val rank = LinkGraph.hostRank(edges, iterations = 2)
+    val floor = (1.0 - 0.85) / rank.count()
+    val rkept = LinkGraph.hostRankKeepByLookup(
+      crawl.select($"doc_id", $"url"), rank, minRank = floor * 1.0001, lookup)
+      .select("doc_id", "host").as[(Long, String)].collect().toSeq.sorted
+    assert(rkept.forall(r => Set("good.co.uk", "acme.co.uk", "www.ck")(r._2)),
+      "audit host carries the folded id the rank table actually scored")
+    // anchor block at the folded grain: an anchor profile keyed on
+    // registered domains blocks every subdomain page of the target
+    val anchors = Seq(("good.co.uk", "casino bonus", 5L, 3L))
+      .toDF("dst_host", "anchor", "n_links", "n_hosts")
+    val akept = LinkGraph.anchorKeywordKeepByLookup(
+      crawl.select($"doc_id", $"url"), anchors, Seq("casino"),
+      maxRate = 0.5, lookup)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(akept === Seq(1L, 3L), "the blog subdomain blocks via its domain")
+    // a host ABSENT from the lookup raises in-plan, naming it
+    val partial = lookup.where($"host" =!= "shop.acme.co.uk")
+    val e = intercept[Exception] {
+      LinkGraph.hostRankKeepByLookup(
+        crawl.select($"doc_id", $"url"), rank, floor, partial).collect()
+    }
+    assert(e.getMessage.contains("shop.acme.co.uk"),
+      "silent fallback would mix two node grains — must raise naming the host")
+    // caller-owned audit columns clash loudly, the family contract
+    intercept[IllegalArgumentException] {
+      LinkGraph.hostRankKeepByLookup(
+        crawl.select($"doc_id", $"url", lit("x").as("rank")), rank, floor, lookup)
+    }
+    // withPslDomain: '' hosts fold to '' (the hostOf posture) and the
+    // out column is ownership-guarded
+    val folded = LinkGraph.withPslDomain(
+      Seq((9L, "not-a-url")).toDF("doc_id", "url"), lookup)
+    assert(folded.select("domain").as[String].collect() === Seq(""))
+    intercept[IllegalArgumentException] {
+      LinkGraph.withPslDomain(crawl.withColumn("domain", lit("d")), lookup)
+    }
+  }
+
+  test("PSL snapshot: round-trip == direct; roll-forward == rebuild; rules drift raises") {
+    val rules = Seq("// public suffix list", "com", "co.uk", "*.ck",
+      "!www.ck").toDF("rule")
+    val hosts1 = Seq("shop.acme.co.uk", "blog.acme.co.uk", "x.a.w.ck")
+      .toDF("host")
+    val dir1 = SparkTestBase.tmpDir("graft_psl_snap1")
+    val landed = LinkGraph.writePslSnapshot(spark, hosts1, rules, dir1)
+      .orderBy("host").as[(String, String)].collect().toSeq
+    val direct = LinkGraph.pslDomainTable(hosts1, rules)
+      .orderBy("host").as[(String, String)].collect().toSeq
+    assert(landed === direct, "strings round-trip parquet exactly")
+    val meta = LinkGraph.pslSnapshotMeta(spark, dir1)
+    assert(meta.nHosts === 3L)
+    // roll-forward folds ONLY new hosts, result == full rebuild
+    val hosts2 = Seq("shop.acme.co.uk", "d.sub.www.ck", "m.www.ck").toDF("host")
+    val dir2 = SparkTestBase.tmpDir("graft_psl_snap2")
+    val rolled = LinkGraph.rollForwardPsl(spark, dir1, hosts2, rules, dir2)
+      .orderBy("host").as[(String, String)].collect().toSeq
+    val rebuilt = LinkGraph.pslDomainTable(hosts1.unionByName(hosts2), rules)
+      .orderBy("host").as[(String, String)].collect().toSeq
+    assert(rolled === rebuilt,
+      "the fold is a per-host pure function of the rules — advance == rebuild")
+    assert(LinkGraph.pslSnapshotMeta(spark, dir2).nHosts === 5L)
+    // REORDERING the published file is NOT drift (the election is
+    // order-free), so the digest must be order-insensitive
+    val reordered = Seq("!www.ck", "*.ck", "co.uk", "com",
+      "// moved comment").toDF("rule")
+    assert(LinkGraph.pslRulesDigest(reordered) === meta.rulesDigest)
+    val dir3 = SparkTestBase.tmpDir("graft_psl_snap3")
+    LinkGraph.rollForwardPsl(spark, dir2, Seq("z.com").toDF("host"),
+      reordered, dir3) // must NOT raise
+    // an EDITED rule list IS drift: raise naming both digests — a new
+    // list can re-fold EXISTING hosts, advance would mix two folds
+    val changed = Seq("com", "co.uk", "*.ck").toDF("rule") // !www.ck dropped
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.rollForwardPsl(spark, dir2, Seq("q.com").toDF("host"),
+        changed, SparkTestBase.tmpDir("graft_psl_snap4"))
+    }
+    assert(e.getMessage.contains(meta.rulesDigest.toString) &&
+      e.getMessage.contains(LinkGraph.pslRulesDigest(changed).toString),
+      "drift must name both digests")
+    // a bare domains table without meta/ refuses the probe
+    val bare = SparkTestBase.tmpDir("graft_psl_bare")
+    LinkGraph.pslDomainTable(hosts1, rules).write.parquet(s"$bare/domains")
+    val e2 = intercept[IllegalArgumentException] {
+      LinkGraph.pslSnapshotMeta(spark, bare) }
+    assert(e2.getMessage.contains("meta/"))
+  }
+
   test("pslDomainTable: the candidate bound derives from the rules; the cap raises loudly") {
     // a 5-label rule (the real PSL carries these, e.g. the S3 dualstack
     // endpoints) — a fixed 4-label bound would have silently never

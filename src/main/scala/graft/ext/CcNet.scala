@@ -101,15 +101,21 @@ object CcNet {
     */
   def curate(docs: DataFrame, profiles: Seq[(String, Seq[String])],
              bandRates: Map[String, Double] = DefaultBandRates,
-             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+             idCol: String = "doc_id", textCol: String = "text",
+             mat: CurationChain.StageMaterializer =
+               CurationChain.LocalCheckpointMaterializer): DataFrame = {
     val lid = TextOps.languageId(docs, profiles, idCol, textCol)
     // materialize at the stage boundary (CurationChain's discipline):
     // the banding consumes `scored` TWICE (tercile cuts + the join
     // back), and without the cut each consumer re-runs the whole
     // scoring lineage. `scored` is (doc × 5-narrow-column) cardinality
-    // — text never crosses the boundary.
-    val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
-      .localCheckpoint(true)
+    // — text never crosses the boundary. The POLICY is injectable
+    // (CurationChain's StageMaterializer seam): the localCheckpoint
+    // default is the single-host trade; a preemptible-cluster run
+    // passes DurableMaterializer and RESUMES from the landed stage
+    // instead of dying with a lost executor (CurationSpec pins it).
+    val scored = mat("ccnet_scored")(
+      perLanguageSurprisal(lid, "lang_cand", idCol, textCol))
     val banded = surprisalBands(scored, "lang_cand")
     Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
   }
@@ -136,17 +142,22 @@ object CcNet {
                       idCol: String = "doc_id", textCol: String = "text",
                       ns: Seq[Int] = LangModel.DefaultNs,
                       numBuckets: Int = LangModel.DefaultBuckets,
-                      minMargin: Double = 0.0): DataFrame = {
+                      minMargin: Double = 0.0,
+                      mat: CurationChain.StageMaterializer =
+                        CurationChain.LocalCheckpointMaterializer): DataFrame = {
     // the trained scorer is the EXPENSIVE stage (n-gram explosion +
     // model join); everything downstream consumes its prediction frame
     // repeatedly, so it materializes at the boundary — (doc, lang)
     // two-column cardinality, the cheapest possible cut. SCALE_r18:
     // without these two boundaries the composition re-ran the scorer
     // per consumer (84-scan plan, 407 s at ×100 vs ~5 s components).
+    // With a DurableMaterializer, the scorer's landing IS the resume
+    // point: a preempted 100 TB run re-enters at the prediction frame
+    // instead of re-paying the corpus's dominant linear cost.
     curateTail(docs,
       LangModel.langScoreAgainst(docs, langModel, idCol = idCol,
         textCol = textCol, ns = ns, numBuckets = numBuckets),
-      bandRates, idCol, textCol, minMargin)
+      bandRates, idCol, textCol, minMargin, mat)
   }
 
   /** [[curateWithModel]] with the scoring stage replaced by a PERSISTED
@@ -161,24 +172,34 @@ object CcNet {
   def curateWithPredictions(docs: DataFrame, predictions: DataFrame,
                             bandRates: Map[String, Double] = DefaultBandRates,
                             idCol: String = "doc_id", textCol: String = "text",
-                            minMargin: Double = 0.0): DataFrame =
-    curateTail(docs, predictions, bandRates, idCol, textCol, minMargin)
+                            minMargin: Double = 0.0,
+                            mat: CurationChain.StageMaterializer =
+                              CurationChain.LocalCheckpointMaterializer): DataFrame =
+    curateTail(docs, predictions, bandRates, idCol, textCol, minMargin, mat)
 
   /** The shared back half: abstention cut → per-language LM surprisal
     * → terciles → band sampling, with the stage-boundary
-    * materializations SCALE_r18 added.
+    * materializations SCALE_r18 added. The materialization POLICY is
+    * the injectable [[CurationChain.StageMaterializer]] — the default
+    * eager localCheckpoint is the single-host trade (non-replicated
+    * executor blocks; an executor loss aborts the run), and a
+    * dynamic-allocation / preemptible deployment passes
+    * [[CurationChain.DurableMaterializer]] to land both boundaries as
+    * parquet and resume a killed run from its last complete stage,
+    * bit-for-bit (doubles round-trip parquet exactly; CurationSpec
+    * pins resumed ≡ single-session).
     */
   private def curateTail(docs: DataFrame, predictions: DataFrame,
                          bandRates: Map[String, Double], idCol: String,
-                         textCol: String, minMargin: Double): DataFrame = {
-    val pred = predictions
+                         textCol: String, minMargin: Double,
+                         mat: CurationChain.StageMaterializer): DataFrame = {
+    val pred = mat("ccnet_predictions")(predictions
       .where(col("lang_pred").isNotNull &&
         (col("margin").isNull || col("margin") >= minMargin))
-      .select(col(idCol), col("lang_pred").as("lang_cand"))
-      .localCheckpoint(true)
+      .select(col(idCol), col("lang_pred").as("lang_cand")))
     val lid = docs.join(pred, Seq(idCol))
-    val scored = perLanguageSurprisal(lid, "lang_cand", idCol, textCol)
-      .localCheckpoint(true)
+    val scored = mat("ccnet_scored")(
+      perLanguageSurprisal(lid, "lang_cand", idCol, textCol))
     val banded = surprisalBands(scored, "lang_cand")
     Sampling.mixtureSample(banded, bandRates, keyCol = "band", idCol = idCol)
   }

@@ -148,6 +148,127 @@ object Export {
     spark.read.parquet(s"$outDir/data")
   }
 
+  /** One 60-bit seeded hash per (id, epoch) SAMPLE — the multi-epoch
+    * twin of [[trainingOrder]]'s per-id hash: `seed:id:epoch` drives
+    * both the shard and the within-shard order, so every epoch is
+    * automatically a FRESH permutation of the corpus (the epoch index
+    * participates in the hash) without any per-epoch seed bookkeeping.
+    * Null ids/epochs RAISE (the total-function rule).
+    */
+  private def epochOrd(id: Column, epoch: Column, seed: String): Column =
+    when(id.isNull || epoch.isNull, raise_error(lit(
+      "Export: null id/epoch — epoch order must be a total function of the sample")))
+      .otherwise(md5Long60(concat(lit(seed + ":"), id.cast("string"),
+        lit(":"), epoch.cast("string"))))
+
+  /** The epoch-aware manifest: one row per `(epoch, shard)` —
+    * `(epoch, shard, n_docs, n_tokens, n_bytes, checksum)` over a
+    * frame carrying the `epoch` column ([[graft.ext.Sampling
+    * .materializeEpochs]] attaches it). The checksum binds the EPOCH
+    * into the content hash (`md5(id:epoch:text)`), so two epochs of
+    * the identical doc set still land distinct checksums — a loader
+    * that replays epoch 1's files against epoch 0's manifest fails
+    * loudly. Shard assignment shares [[epochOrd]] with
+    * [[exportEpochs]], so the manifest is comparable to the landing
+    * with plain equality.
+    */
+  def epochShardManifest(docs: DataFrame, nShards: Int,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         seed: String = "graft",
+                         tokenCount: Option[Column] = None): DataFrame = {
+    require(nShards > 0, "epochShardManifest: nShards must be positive")
+    require(docs.columns.contains("epoch"),
+      "epochShardManifest: input must carry the epoch column " +
+        "(materializeEpochs attaches it)")
+    docs
+      .select(
+        col("epoch").cast("long").as("epoch"),
+        (epochOrd(col(idCol), col("epoch"), seed) % nShards).cast("long")
+          .as("shard"),
+        tokenCount.getOrElse(size(TextOps.tokens(col(textCol)))).cast("long")
+          .as("__ntok"),
+        octet_length(col(textCol)).cast("long").as("__nbytes"),
+        contentHash(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string")), col(textCol)).as("__h"))
+      .groupBy("epoch", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nbytes")).as("n_bytes"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
+
+  /** Physical MULTI-EPOCH export — the training-side story's last
+    * step: land a `(docs × epoch)` frame ([[graft.ext.Sampling
+    * .materializeEpochs]]) under `outDir/data` as
+    * `epoch=<e>/shard=<k>/part-*.parquet`, ONE file per (epoch,
+    * shard), rows inside each file in `seq` order — so a dataloader
+    * that walks one epoch's shard files top-to-bottom replays that
+    * epoch's global shuffle with zero load-time coordination, and
+    * each epoch is a fresh permutation ([[epochOrd]]). The intended
+    * [[epochShardManifest]] lands at `outDir/_manifest`; the return
+    * value is the manifest RECOMPUTED from the landed files (the
+    * [[exportShards]] witness: a disagreement means the writer lost,
+    * duplicated, or re-binned rows).
+    *
+    * Scale shape: one seeded-hash projection (no shuffle), ONE hash
+    * exchange on (epoch, shard) — a key never splits across tasks, so
+    * one-file-per-directory holds at any width — plus the window's
+    * in-partition sort; the manifest aggregations are map-side
+    * partial on a (epochs × nShards)-sized key domain. No global
+    * sort anywhere; raise `nShards` to hold per-file sizes flat as
+    * the corpus grows.
+    */
+  def exportEpochs(spark: SparkSession, epochDocs: DataFrame, outDir: String,
+                   nShards: Int, seed: String = "graft",
+                   idCol: String = "doc_id", textCol: String = "text",
+                   tokenCount: Option[Column] = None): DataFrame = {
+    require(nShards > 0, "exportEpochs: nShards must be positive")
+    require(epochDocs.columns.contains("epoch"),
+      "exportEpochs: input must carry the epoch column " +
+        "(materializeEpochs attaches it)")
+    val clash = Seq("__ord", "shard", "seq").filter(epochDocs.columns.contains)
+    require(clash.isEmpty,
+      s"exportEpochs: input already carries ${clash.mkString(", ")} — " +
+        "rename or drop before exporting (the operator OWNS these columns)")
+    val intended = epochShardManifest(epochDocs, nShards, idCol, textCol,
+      seed, tokenCount)
+    // bounded 1-value action: epoch count caps at materializeEpochs'
+    // maxEpochs; width = one task per (epoch, shard) directory
+    val nEpochs = epochDocs.select(count_distinct(col("epoch")))
+      .collect()(0).getLong(0)
+    val width = math.max(1, (nEpochs * nShards).toInt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("__ord"), col(idCol))
+    epochDocs
+      .withColumn("__ord", epochOrd(col(idCol), col("epoch"), seed))
+      .withColumn("shard", (col("__ord") % nShards).cast("long"))
+      .withColumn("seq", (row_number().over(w) - 1).cast("long"))
+      .drop("__ord")
+      .repartition(width, col("epoch"), col("shard"))
+      .sortWithinPartitions(col("epoch"), col("shard"), col("seq"))
+      .write.mode("overwrite").partitionBy("epoch", "shard")
+      .parquet(s"$outDir/data")
+    intended.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    val landed = spark.read.parquet(s"$outDir/data")
+    landed
+      .select(
+        col("epoch").cast("long").as("epoch"),
+        col("shard").cast("long").as("shard"),
+        tokenCount.getOrElse(size(TextOps.tokens(col(textCol)))).cast("long")
+          .as("__ntok"),
+        octet_length(col(textCol)).cast("long").as("__nbytes"),
+        contentHash(concat(col(idCol).cast("string"), lit(":"),
+          col("epoch").cast("string")), col(textCol)).as("__h"))
+      .groupBy("epoch", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nbytes")).as("n_bytes"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
+
   /** Physical export: land `docs` under `outDir` as
     * `shard=<k>/part-*.parquet` with EXACTLY one data file per shard
     * (each shard is co-located into one task by the repartition on the

@@ -2608,7 +2608,31 @@ object ExtQueries {
       .orderBy("src_host", "dst_host")
   }
 
+  /** Epoch-aware export manifest ([[Sampling.materializeEpochs]] →
+    * [[Export.epochShardManifest]]): q156's repetition decision landed
+    * as BYTES-ON-DISK accounting — one row per (epoch, shard) with
+    * doc/token/byte counts and the XOR content checksum, the epoch
+    * index bound into both the shard hash (every epoch a fresh
+    * permutation) and the checksum (two epochs of one doc set land
+    * distinct checksums). The physical writer ([[Export.exportEpochs]]
+    * — one file per (epoch, shard), in-file seq order) returns exactly
+    * these rows recomputed from disk; ExportSpec pins landing ≡
+    * intent, so oracling the manifest oracles the export contract.
+    * Exact end to end: q156's epoch arithmetic + q93's md5/checksum
+    * spelling at (epoch, shard) grain.
+    */
+  def q161(spark: SparkSession, dir: String): DataFrame =
+    Export.epochShardManifest(
+      Sampling.materializeEpochs(
+        docs(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+        weights = Map("en" -> 0.1, "zh" -> 0.45, "de" -> 0.3,
+          "es" -> 0.05, "fr" -> 0.1),
+        tokenBudget = 30000L, keyCol = "lang"),
+      nShards = 4, seed = "ep")
+      .orderBy("epoch", "shard")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_epoch_manifest" -> (q161 _),
     "q160_psl_edges" -> (q160 _),
     "q159_psl_domains" -> (q159 _),
     "q158_ccnet_persisted_probe" -> (q158 _),
@@ -4253,6 +4277,55 @@ object ExtQueries {
     // (explicit DOUBLE weights), floor/frac split, the q33/q48 4-hex
     // threshold pipeline for the fractional tail, a range-generate per
     // (doc, group), then q139's seeded order on the composite id
+    // q161 — the epoch manifest replayed: q156's epoch CTEs through
+    // `kept`, then q93's manifest spelling at (epoch, shard) grain —
+    // the seeded sample hash 'ep:id:epoch' drives the shard, and the
+    // checksum hash binds the epoch (md5(id:epoch:text))
+    "q161_epoch_manifest" ->
+      """WITH wts AS (
+        |  SELECT 'de' AS lang, CAST(0.3 AS DOUBLE) AS weight
+        |  UNION ALL SELECT 'en', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'es', CAST(0.05 AS DOUBLE)
+        |  UNION ALL SELECT 'fr', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'zh', CAST(0.45 AS DOUBLE)),
+        |a AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT a.lang,
+        |    CAST(CAST(FLOOR(CAST(30000 AS DOUBLE) * w.weight) AS BIGINT) AS DOUBLE)
+        |      / CAST(a.n_tokens AS DOUBLE) AS epochs
+        |  FROM a JOIN wts w USING (lang)),
+        |f AS (
+        |  SELECT lang, CAST(FLOOR(epochs) AS BIGINT) AS nfull,
+        |    printf('%04x', LEAST(CAST(FLOOR((epochs - FLOOR(epochs)) * 65536)
+        |      AS INT), 65535)) AS thr
+        |  FROM p),
+        |m0 AS (
+        |  SELECT d.doc_id, d.lang, d.text, f.nfull, f.thr
+        |  FROM documents d JOIN f USING (lang)),
+        |m AS (
+        |  SELECT doc_id, text, nfull, thr,
+        |    unnest(range(0, nfull + 1)) AS epoch
+        |  FROM m0),
+        |kept AS (
+        |  SELECT doc_id, text, epoch FROM m
+        |  WHERE epoch < nfull
+        |     OR substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < thr),
+        |s AS (
+        |  SELECT epoch,
+        |    (('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(epoch AS VARCHAR)), 1, 15))::BIGINT) % 4 AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        |    CAST(strlen(text) AS BIGINT) AS nbytes,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(epoch AS VARCHAR) || ':' || text), 1, 15))::BIGINT AS h
+        |  FROM kept)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
+        |  bit_xor(h) AS checksum
+        |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
     "q156_epoch_materialize" ->
       """WITH wts AS (
         |  SELECT 'de' AS lang, CAST(0.3 AS DOUBLE) AS weight

@@ -243,4 +243,64 @@ class CurationSpec extends AnyFunSuite {
       .collect().toSeq
     assert(spy2.evaluated.isEmpty && rerun === expected)
   }
+
+  test("CcNet durable materialization: a killed curation resumes from the landed prediction frame") {
+    import graft.ext.{CcNet, CurationChain, LangModel}
+    import CurationChain.StageMaterializer
+    class Spy(inner: StageMaterializer) extends StageMaterializer {
+      val evaluated = scala.collection.mutable.ListBuffer.empty[String]
+      def apply(stage: String)(d: => org.apache.spark.sql.DataFrame) =
+        inner(stage) { evaluated += stage; d }
+    }
+    class Bomb(inner: StageMaterializer, failAt: String) extends StageMaterializer {
+      def apply(stage: String)(d: => org.apache.spark.sql.DataFrame) = {
+        if (stage == failAt) throw new RuntimeException(s"preempted before $stage")
+        inner(stage)(d)
+      }
+    }
+    // two crafted languages; the trained scorer is the expensive stage
+    // whose landing IS the resume point
+    def sent(words: Seq[String], k: Int) =
+      (0 until 10).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val corpus = ((1 to 12).map(i => (i.toLong, sent(aw, i), "aa")) ++
+      (13 to 24).map(i => (i.toLong, sent(bw, i), "bb")))
+      .toDF("doc_id", "text", "lang")
+    val model = LangModel.langTrain(corpus)
+    val expected = CcNet.curateWithModel(corpus, model)
+      .orderBy("doc_id").collect().toSeq
+    val dir = SparkTestBase.tmpDir("graft_ccnet_durable")
+    val durable = CurationChain.DurableMaterializer(spark, dir)
+    // first attempt dies before the scoring stage: the prediction
+    // frame (the corpus's dominant linear cost) has already landed
+    intercept[RuntimeException] {
+      CcNet.curateWithModel(corpus, model,
+        mat = new Bomb(durable, "ccnet_scored"))
+    }
+    assert(new java.io.File(s"$dir/ccnet_predictions/_SUCCESS").isFile,
+      "the prediction frame must have landed before the preemption")
+    assert(!new java.io.File(s"$dir/ccnet_scored").exists())
+    // resume: the scorer is NOT re-paid (its stage body unevaluated),
+    // and the result equals the single-session localCheckpoint run
+    // bit-for-bit (doubles round-trip parquet exactly)
+    val spy = new Spy(durable)
+    val resumed = CcNet.curateWithModel(corpus, model, mat = spy)
+      .orderBy("doc_id").collect().toSeq
+    assert(spy.evaluated.toList === List("ccnet_scored"),
+      "resume must re-enter at the unlanded stage only — the landed " +
+        "prediction frame is probed, never rescored")
+    assert(resumed === expected,
+      "resumed durable curation must equal the single-session run")
+    // the predictions face composes with the same seam: probing the
+    // landed artifact under a durable dir equals the model run too
+    val viaPred = CcNet.curateWithPredictions(corpus,
+        spark.read.parquet(s"$dir/ccnet_predictions")
+          .withColumnRenamed("lang_cand", "lang_pred")
+          .withColumn("margin", org.apache.spark.sql.functions.lit(null)
+            .cast("double")),
+        mat = CurationChain.LocalCheckpointMaterializer)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaPred === expected)
+  }
 }

@@ -102,6 +102,57 @@ class ExportSpec extends AnyFunSuite {
     assert(back.select("doc_id").distinct().count() === d.count())
   }
 
+  test("exportEpochs: one file per (epoch, shard), in-file seq order, manifest == intent, fresh permutation per epoch") {
+    import graft.ext.Sampling
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    // the q156/q161 composition: the planner's repetition decision
+    // materialized, then landed as physical multi-epoch shards
+    val epochs = Sampling.materializeEpochs(d,
+      weights = Map("en" -> 0.1, "zh" -> 0.45, "de" -> 0.3,
+        "es" -> 0.05, "fr" -> 0.1),
+      tokenBudget = 30000L, keyCol = "lang")
+    val out = SparkTestBase.tmpDir("graft_export_epochs")
+    val landed = Export.exportEpochs(spark, epochs, out, nShards = 4,
+      seed = "ep").orderBy("epoch", "shard").collect().toSeq
+    val intended = Export.epochShardManifest(epochs, 4, seed = "ep")
+      .orderBy("epoch", "shard").collect().toSeq
+    assert(landed === intended,
+      "manifest recomputed from the landed files must match the intent")
+    val persisted = spark.read.parquet(s"$out/_manifest")
+      .orderBy("epoch", "shard").collect().toSeq
+    assert(persisted === intended)
+    // physical layout: one data file per (epoch, shard) directory
+    val epochDirs = new java.io.File(s"$out/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochDirs.nonEmpty)
+    for (ed <- epochDirs; sd <- ed.listFiles()
+           if sd.isDirectory && sd.getName.startsWith("shard=")) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${ed.getName}/${sd.getName} must hold one data file, got ${files.length}")
+      // in-file row order IS the epoch order: seq strictly ascending
+      val seqs = spark.read.parquet(sd.getAbsolutePath)
+        .select("seq").as[Long].collect().toSeq
+      assert(seqs === seqs.sorted && seqs === (0L until seqs.length).toSeq,
+        s"${ed.getName}/${sd.getName}: rows must land dense in seq order")
+    }
+    // nothing lost or duplicated across the landing
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() === epochs.count())
+    // every epoch is a FRESH permutation: the same doc's shard moves
+    // between epochs for at least some docs (epoch is in the hash)
+    val multi = back.select(col("doc_id"), col("epoch").cast("long"),
+        col("shard").cast("long"))
+      .groupBy("doc_id").agg(
+        countDistinct(col("epoch")).as("ne"),
+        countDistinct(col("shard")).as("ns"))
+      .where(col("ne") >= 2)
+    assert(multi.count() > 0, "fixture must carry multi-epoch docs")
+    assert(multi.where(col("ns") >= 2).count() > 0,
+      "epoch in the hash must reshuffle shards across epochs")
+  }
+
   // --- Sketches ---------------------------------------------------------
 
   test("HLL estimates are near-exact for small cardinalities and within 3 sigma at 50k") {

@@ -1245,6 +1245,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(scored() === want, "replay of a delivered batch changed its scores")
   }
 
+  test("streaming lang predictions: stream == batch writePredictions; replay-idempotent; compactable; feeds curation") {
+    import graft.streaming.{StreamingLang, StreamingDedup}
+    import graft.ext.{CcNet, LangModel}
+    val work = SparkTestBase.tmpDir("graft_stream_lang")
+    // two crafted languages with disjoint inventories (ExtSpec's
+    // fixture discipline); the model trains once and FREEZES
+    def sent(words: Seq[String], k: Int, n: Int) =
+      (0 until n).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val train = ((1 to 5).map(i => (i.toLong, sent(aw, i, 8), "aa")) ++
+      (6 to 10).map(i => (i.toLong, sent(bw, i, 8), "bb")))
+      .toDF("doc_id", "text", "lang")
+    LangModel.langTrain(train).write.parquet(s"$work/model")
+    val sink = StreamingLang.scoreSink(s"$work/model", s"$work/out") _
+    val b0 = ((20 to 25).map(i => (i.toLong, sent(aw, i, 10))) :+
+      (26L, sent(bw, 3, 10))).toDF("doc_id", "text")
+    val b1 = ((30 to 35).map(i => (i.toLong, sent(bw, i, 10))) :+
+      (36L, sent(aw, 4, 10))).toDF("doc_id", "text")
+    val b2 = Seq((40L, sent(aw, 7, 10)), (41L, sent(bw, 7, 10)))
+      .toDF("doc_id", "text")
+    sink(b0, 0L)
+    sink(b1, 1L)
+    sink(b2, 2L)
+    def streamed() = StreamingLang.predictions(spark, s"$work/out")
+      .select("doc_id", "lang_pred", "logprob", "margin")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    // stream == the batch artifact over the full history, bit-for-bit
+    // (per-doc scores are independent of the rest of the frame)
+    val batchDir = SparkTestBase.tmpDir("graft_stream_lang_batch")
+    val want = LangModel.writePredictions(spark,
+        b0.unionByName(b1).unionByName(b2),
+        spark.read.parquet(s"$work/model"), batchDir)
+      .select("doc_id", "lang_pred", "logprob", "margin")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(streamed() === want,
+      "streamed predictions drifted from the batch writePredictions artifact")
+    // replay of a delivered batch rewrites identical rows
+    sink(b0, 0L)
+    assert(streamed() === want, "replay of a delivered batch changed predictions")
+    // compaction folds the per-batch partitions without changing a probe
+    val folded = StreamingDedup.compactIndex(spark, s"$work/out")
+    assert(folded > 0, "compaction should fold at least one partition")
+    assert(streamed() === want, "compaction changed the prediction history")
+    // the landed history feeds the curation tail exactly like the
+    // batch artifact: curateWithPredictions(stream) == curateWithModel
+    val docs = b0.unionByName(b1).unionByName(b2)
+    val viaStream = CcNet.curateWithPredictions(docs,
+        StreamingLang.predictions(spark, s"$work/out"))
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    val viaModel = CcNet.curateWithModel(docs,
+        spark.read.parquet(s"$work/model"))
+      .select("doc_id", "lang_cand", "band")
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(viaStream === viaModel,
+      "ingest-scored predictions must drive the identical curation")
+  }
+
   test("streaming DSIR: cold start scores exactly; model compaction preserves scores") {
     import graft.streaming.{StreamingDsir, StreamingDedup}
     import graft.ext.Dsir

@@ -159,9 +159,76 @@ object CrawlScale {
       .select(col("url"), length(col("html")).as("n_chars"),
         col("n_block_bytes"))
 
+  /** The GATED STREAMING INGEST measured over the same corpus bytes —
+    * the r18 streaming face's Tier 0 row: one
+    * [[graft.streaming.StreamingCrawl.crawlIngestSink]] micro-batch
+    * holding the whole corpus, with BOTH previous-crawl gates armed
+    * (rank snapshot + anchor snapshot, built once from the corpus's
+    * own pages — the bootstrap posture). The gate parameters are
+    * chosen to keep every page-host (`rankFloorMultiple = 0.5` sits
+    * below the un-endorsed floor, and the `h` anchors block only the
+    * hub link-target hosts no page lives on — `topic` would bite 6
+    * REAL source hosts, the corpus's own src<k> names), so the
+    * survivor set equals
+    * the ungated ingest and the wall DELTA against the `front` row is
+    * pure gate cost: two host-cardinality broadcast joins plus the
+    * snapshot metadata probe. The sink also lands the extracted batch
+    * and rolls the URL index — the production per-batch I/O the batch
+    * `front` row does not pay; the printed wall is the honest
+    * micro-batch cost.
+    */
+  def streamBench(spark: SparkSession, warcDir: String, workDir: String,
+                  passes: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(workDir), true)
+    val t0 = System.nanoTime()
+    val recs = graft.io.Warc.read(spark, warcDir)
+      .where(col("warc_type").isin("response", "conversion") &&
+        col("url").isNotNull && col("url") =!= "")
+      .withColumn("doc_id", xxhash64(col("url"), col("html")))
+      .select("doc_id", "url", "html")
+    LinkGraph.writeRankSnapshot(spark, LinkGraph.hostEdges(recs),
+      s"$workDir/rank")
+    LinkGraph.writeAnchorSnapshot(spark, LinkGraph.anchorEdges(recs),
+      s"$workDir/anchors")
+    println(f"CRAWLSCALE snapshots ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val batch = spark.read.format("binaryFile")
+      .load(s"$warcDir/*.warc.gz")
+      .select(col("path"), col("content"))
+    for (pass <- 1 to passes) {
+      val root = s"$workDir/pass$pass"
+      val sink = graft.streaming.StreamingCrawl.crawlIngestSink(
+        s"$root/urlidx", s"$root/out",
+        blockedHosts = Seq("ads.example.net"), bannedWords = Seq("casino"),
+        rankSnapshotDir = Some(s"$workDir/rank"), rankFloorMultiple = 0.5,
+        anchorSnapshotDir = Some(s"$workDir/anchors"),
+        blockKeywords = Seq("h"), maxKeywordRate = 0.9) _
+      val t1 = System.nanoTime()
+      sink(batch, 0L)
+      println(f"CRAWLSCALE stream pass$pass " +
+        f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+      // the UNGATED sink pays the identical parse/dedup/landing I/O —
+      // the per-pass delta is PURE gate cost (two broadcast joins +
+      // the 1-row metadata probes), cleanly attributed
+      val usink = graft.streaming.StreamingCrawl.crawlIngestSink(
+        s"$root/uidx", s"$root/uout",
+        blockedHosts = Seq("ads.example.net"), bannedWords = Seq("casino")) _
+      val t2 = System.nanoTime()
+      usink(batch, 0L)
+      println(f"CRAWLSCALE streamu pass$pass " +
+        f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+    }
+    println(s"CRAWLSCALE stream landed " +
+      s"${spark.read.parquet(s"$workDir/pass1/out/__batch=0").count()} gated / " +
+      s"${spark.read.parquet(s"$workDir/pass1/uout/__batch=0").count()} ungated rows/batch")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: CrawlScale write <corpusDir> <warcDir> " +
-      "| CrawlScale bench <warcDir> [passes]")
+      "| CrawlScale bench <warcDir> [passes] " +
+      "| CrawlScale stream <warcDir> <workDir> [passes]")
     val cmd = args(0)
     val spark = SparkSession.builder().master("local[32]")
       .appName(s"graft-crawlscale-$cmd")
@@ -198,6 +265,10 @@ object CrawlScale {
           println(f"CRAWLSCALE chain pass$pass " +
             f"${(System.nanoTime() - t1) / 1e9}%.2f s")
         }
+      case "stream" =>
+        require(args.length >= 3, "stream <warcDir> <workDir> [passes]")
+        streamBench(spark, args(1), args(2),
+          if (args.length > 3) args(3).toInt else 3)
       case other => sys.error(s"unknown command '$other'")
     } finally spark.stop()
   }

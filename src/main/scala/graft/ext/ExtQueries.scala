@@ -2631,7 +2631,30 @@ object ExtQueries {
       nShards = 4, seed = "ep")
       .orderBy("epoch", "shard")
 
+  /** Per-source page cap at the FULL-PSL registered-domain grain
+    * ([[LinkGraph.withPslDomain]] → [[Sampling.samplePerGroup]]):
+    * q155's dominance bound with the cap key folded through the exact
+    * lookup — the grain where it actually bites a subdomain farm. On
+    * the fixture a QUARTER of all pages (the `!www.ck` exception
+    * shapes, every `d<k>.sub.www.ck` host) collapse onto ONE
+    * registered domain and get capped to 3 pages total, where the
+    * host-grain cap would have kept 3 per subdomain — the fold is
+    * load-bearing, not decorative. Exact-oracled: the PSL election
+    * CTEs + q50's md5-order-and-id-tiebreak replay verbatim.
+    */
+  def q162(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = pslLinkPages(spark, dir).select(col("doc_id"), col("url"))
+    Sampling.samplePerGroup(
+      LinkGraph.withPslDomain(pages,
+        LinkGraph.pslLookupFor(pages, PslFixtureRules.toDF("rule"))),
+      k = 3, keyCol = "domain")
+      .select(col("doc_id"), col("domain"))
+      .orderBy("doc_id")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_psl_page_cap" -> (q162 _),
     "q161_epoch_manifest" -> (q161 _),
     "q160_psl_edges" -> (q160 _),
     "q159_psl_domains" -> (q159 _),
@@ -5176,6 +5199,59 @@ object ExtQueries {
          |ORDER BY p2.doc_id""".stripMargin,
     // q151 — CJK-safe packing replayed: the segmentation CASE (shared
     // regex constants) feeds the IDENTICAL q34 first-fit packing CTEs
+    // q162 — the PSL-grain page cap replayed: the q159/q160 election
+    // CTEs over the page-url hosts, the fold joined back, then q155's
+    // md5-seeded row_number cap at DOMAIN grain
+    "q162_psl_page_cap" ->
+      s"""WITH raw(rule) AS (VALUES ${PslFixtureRules
+            .map(r => s"('${r.replace("'", "''")}')").mkString(", ")}),
+         |parsed AS (
+         |  SELECT CASE WHEN starts_with(r, '!') THEN 1 ELSE 0 END AS exc,
+         |    CASE WHEN starts_with(r, '!') THEN substring(r, 2)
+         |         WHEN starts_with(r, '*.') THEN substring(r, 3)
+         |         ELSE r END AS key,
+         |    CASE WHEN starts_with(r, '!')
+         |           THEN len(string_split(substring(r, 2), '.')) - 1
+         |         WHEN starts_with(r, '*.')
+         |           THEN len(string_split(substring(r, 3), '.')) + 1
+         |         ELSE len(string_split(r, '.')) END AS pslab
+         |  FROM (SELECT trim(rule) AS r FROM raw)
+         |  WHERE r <> '' AND NOT starts_with(r, '//')),
+         |p AS (
+         |  SELECT doc_id, $pslLinkUrlSql AS url FROM documents),
+         |ph AS (
+         |  SELECT doc_id, ${LinkGraph.hostOfOracleSqlExpr("url")} AS host
+         |  FROM p),
+         |hl AS (
+         |  SELECT DISTINCT host, string_split(host, '.') AS labels,
+         |    len(string_split(host, '.')) AS n
+         |  FROM ph WHERE host IS NOT NULL AND host <> ''),
+         |kk AS (SELECT host, n, unnest(range(1, least(n, 5) + 1)) AS k FROM hl),
+         |cand AS (
+         |  SELECT kk.host,
+         |    array_to_string(list_slice(hl.labels, kk.n - kk.k + 1, kk.n), '.')
+         |      AS key
+         |  FROM kk JOIN hl USING (host)),
+         |best AS (
+         |  SELECT c.host, max(pp.exc * 1000 + pp.pslab) AS w
+         |  FROM cand c JOIN parsed pp ON pp.key = c.key
+         |  GROUP BY c.host),
+         |dd AS (
+         |  SELECT hl.host, hl.labels, hl.n,
+         |    least(coalesce(b.w % 1000, 1) + 1, hl.n) AS d
+         |  FROM hl LEFT JOIN best b USING (host)),
+         |psl AS (
+         |  SELECT host,
+         |    array_to_string(list_slice(labels, n - d + 1, n), '.') AS domain
+         |  FROM dd)
+         |SELECT doc_id, domain FROM (
+         |  SELECT ph.doc_id, psl.domain,
+         |    row_number() OVER (
+         |      PARTITION BY psl.domain
+         |      ORDER BY md5(CAST(ph.doc_id AS VARCHAR) || 'graft') ASC,
+         |               ph.doc_id ASC) AS rn
+         |  FROM ph JOIN psl USING (host)) t
+         |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
     // q160 — the PSL-grain edge list replayed end to end: the q154
     // link-extraction CTEs over the farm fixture, the q159 PSL
     // election CTEs over the UNION of src+href hosts, the

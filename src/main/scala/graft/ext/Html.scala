@@ -339,8 +339,15 @@ object Html {
     CanonicalRelFirstDqPattern, CanonicalRelFirstSqPattern,
     CanonicalHrefFirstDqPattern, CanonicalHrefFirstSqPattern)
   def htmlCanonicalUrl(html: Column): Column =
-    CanonicalPatterns.map(p => regexp_extract(html, p, 1))
-      .reduceRight((c, rest) => when(c =!= "", c).otherwise(rest))
+    // cheap prefilter before the four full-pattern scans: every
+    // alternative requires the literal `canonical` (case-folded), so a
+    // page without that substring — the overwhelming majority — skips
+    // all four regex passes (per-row lazy branches; a sound rewrite,
+    // no oracle change needed)
+    when(html.rlike("(?i)canonical"),
+      CanonicalPatterns.map(p => regexp_extract(html, p, 1))
+        .reduceRight((c, rest) => when(c =!= "", c).otherwise(rest)))
+      .otherwise(lit(""))
 
   /** Absolute-URL shape: a scheme followed by `://`. */
   val AbsoluteUrlPattern = "^[A-Za-z][A-Za-z0-9+.-]*://"

@@ -85,6 +85,17 @@ object StreamingCrawl {
     * never shuffles for them). Self-referential priors are circular:
     * point the dirs at the PREVIOUS crawl's snapshots, exactly as the
     * batch cuts document.
+    *
+    * `pslRulesPath` (a parquet of raw PSL lines, one per row in a
+    * `rule` column) switches BOTH gates to the FULL-PSL
+    * registered-domain grain: the batch's url hosts fold through the
+    * exact publicsuffix.org election ([[graft.ext.LinkGraph
+    * .pslLookupFor]], work ∝ the batch's distinct hosts) and the
+    * ByLookup cut faces match rank/anchor artifacts BUILT at that
+    * grain ([[graft.ext.LinkGraph.domainEdgesByLookup]] edges) — so a
+    * farm subdomain never seen before still gates by its registered
+    * domain's endorsement (StreamingSpec pins stream ≡ batch and that
+    * host-grain consumption of a domain-grain artifact keeps nothing).
     */
   private def withIngested(indexRoot: String, blockedHosts: Seq[String],
                            bannedWords: Seq[String], maxUrlLen: Int,
@@ -94,7 +105,8 @@ object StreamingCrawl {
                            rankFloorMultiple: Double = 1.5,
                            anchorSnapshotDir: Option[String] = None,
                            blockKeywords: Seq[String] = Nil,
-                           maxKeywordRate: Double = 0.5)
+                           maxKeywordRate: Double = 0.5,
+                           pslRulesPath: Option[String] = None)
                           (batch: DataFrame, batchId: Long)
                           (use: DataFrame => Unit): Unit = {
     require(rankFloorMultiple > 0.0,
@@ -102,6 +114,10 @@ object StreamingCrawl {
     require(anchorSnapshotDir.isEmpty || blockKeywords.nonEmpty,
       "crawl ingest: anchorSnapshotDir without blockKeywords — the anchor " +
         "gate needs the keyword list the profile is scored against")
+    require(pslRulesPath.isEmpty ||
+      rankSnapshotDir.nonEmpty || anchorSnapshotDir.nonEmpty,
+      "crawl ingest: pslRulesPath without a rank or anchor snapshot — the " +
+        "PSL fold only changes the grain the gates match at")
     val spark = batch.sparkSession
     import spark.implicits._
     val pages = batch.select(col("path"), col("content"))
@@ -127,21 +143,44 @@ object StreamingCrawl {
       // non-HTML payloads carry no meta tag and pass untouched
       .where(if (respectNoindex) !graft.ext.Html.robotsNoindex(col("html"))
              else lit(true))
-      // the persisted-rank prior (q148's production cut), before dedup:
-      // an unendorsed host's pages never claim URL keys
-      .transform(df => rankSnapshotDir.fold(df) { dir =>
-        graft.ext.LinkGraph.hostRankKeep(df,
-          graft.ext.LinkGraph.rankSnapshot(spark, dir),
-          minRank = rankFloorMultiple *
-            graft.ext.LinkGraph.rankSnapshotMeta(spark, dir).floor)
-          .drop("host", "rank")
-      })
-      // the anchor-keyword block (q152's cut), same placement contract
-      .transform(df => anchorSnapshotDir.fold(df) { dir =>
-        graft.ext.LinkGraph.anchorKeywordKeep(df,
-          graft.ext.LinkGraph.anchorSnapshot(spark, dir),
-          blockKeywords, maxKeywordRate).drop("host")
-      })
+      // the two previous-crawl gates (q148's rank prior + q152's
+      // anchor block), BEFORE dedup: a gated page never claims its URL
+      // key. `pslRulesPath` switches BOTH gates to the FULL-PSL node
+      // grain (q160/q162's fold, streaming face): the rules parquet
+      // (one raw PSL line per row in a `rule` column) folds the
+      // BATCH's url hosts into a (host, domain) lookup — work ∝ the
+      // batch's distinct hosts, a pure function of (batch, rules), so
+      // the replay contract is untouched. The lookup materializes ONCE
+      // per batch (it feeds up to two gates, and its lineage would
+      // otherwise re-parse the batch's WARC bytes per consumer — the
+      // q136 boundary discipline); the rank/anchor artifacts must have
+      // been BUILT at the same grain (domainEdgesByLookup edges — the
+      // cut family's shared-grain contract) or the gates match
+      // nothing/the wrong hosts.
+      .transform { df =>
+        val lookup = pslRulesPath.map(p =>
+          graft.ext.LinkGraph.pslLookupFor(df,
+            spark.read.parquet(p)).localCheckpoint(true))
+        val afterRank = rankSnapshotDir.fold(df) { dir =>
+          val rank = graft.ext.LinkGraph.rankSnapshot(spark, dir)
+          val minRank = rankFloorMultiple *
+            graft.ext.LinkGraph.rankSnapshotMeta(spark, dir).floor
+          (lookup match {
+            case Some(l) => graft.ext.LinkGraph.hostRankKeepByLookup(
+              df, rank, minRank, l)
+            case None => graft.ext.LinkGraph.hostRankKeep(df, rank, minRank)
+          }).drop("host", "rank")
+        }
+        anchorSnapshotDir.fold(afterRank) { dir =>
+          val anchors = graft.ext.LinkGraph.anchorSnapshot(spark, dir)
+          (lookup match {
+            case Some(l) => graft.ext.LinkGraph.anchorKeywordKeepByLookup(
+              afterRank, anchors, blockKeywords, maxKeywordRate, l)
+            case None => graft.ext.LinkGraph.anchorKeywordKeep(
+              afterRank, anchors, blockKeywords, maxKeywordRate)
+          }).drop("host")
+        }
+      }
       .withColumn("doc_id", xxhash64(col("url"), col("html")))
       // the dedup KEY honors a declared <link rel="canonical"> on
       // HTML-ish payloads (q150's rule — a mirror collapses onto the
@@ -189,11 +228,13 @@ object StreamingCrawl {
                       rankFloorMultiple: Double = 1.5,
                       anchorSnapshotDir: Option[String] = None,
                       blockKeywords: Seq[String] = Nil,
-                      maxKeywordRate: Double = 0.5)
+                      maxKeywordRate: Double = 0.5,
+                      pslRulesPath: Option[String] = None)
                      (batch: DataFrame, batchId: Long): Unit =
     withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen,
       respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
-      anchorSnapshotDir, blockKeywords, maxKeywordRate)(batch, batchId) {
+      anchorSnapshotDir, blockKeywords, maxKeywordRate,
+      pslRulesPath)(batch, batchId) {
       extracted =>
         StreamingDedup.landBatchChecked(
           extracted.drop("lang"), // the standalone sink's landed schema
@@ -225,11 +266,13 @@ object StreamingCrawl {
                           rankFloorMultiple: Double = 1.5,
                           anchorSnapshotDir: Option[String] = None,
                           blockKeywords: Seq[String] = Nil,
-                          maxKeywordRate: Double = 0.5)
+                          maxKeywordRate: Double = 0.5,
+                          pslRulesPath: Option[String] = None)
                          (batch: DataFrame, batchId: Long): Unit =
     withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen,
       respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
-      anchorSnapshotDir, blockKeywords, maxKeywordRate)(batch, batchId) {
+      anchorSnapshotDir, blockKeywords, maxKeywordRate,
+      pslRulesPath)(batch, batchId) {
       extracted =>
         StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
           outRoot, benchmarkSource)(extracted, batchId)

@@ -799,6 +799,95 @@ class StreamingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { bad(batchDf(b0, "s.warc.gz"), 0L) }
   }
 
+  test("streaming PSL-grain gates: farm subdomains gate by registered domain; stream == batch ByLookup") {
+    import graft.io.Warc
+    import graft.ext.LinkGraph
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_psl")
+    Seq("// psl", "com", "org", "co.uk", "*.ck", "!www.ck").toDF("rule")
+      .write.parquet(s"$work/psl_rules")
+    // previous-crawl artifacts BUILT AT THE REGISTERED-DOMAIN grain
+    // (domainEdgesByLookup edges — the shared-grain contract):
+    // acme.co.uk endorsed by 3 domains, spamco.co.uk endorsed but
+    // anchor-saturated, weak.org at the floor (absent from the graph)
+    val edges = Seq(
+      ("a.org", "acme.co.uk", 1L, 1L), ("b.org", "acme.co.uk", 1L, 1L),
+      ("c.io", "acme.co.uk", 1L, 1L),
+      ("a.org", "spamco.co.uk", 1L, 1L), ("b.org", "spamco.co.uk", 1L, 1L),
+      ("c.io", "spamco.co.uk", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    LinkGraph.writeRankSnapshot(spark, edges, s"$work/rank_snap",
+      iterations = 3)
+    val anchors = LinkGraph.writeAnchorSnapshot(spark, Seq(
+      ("a.org", "spamco.co.uk", "buy now", 2L),
+      ("b.org", "spamco.co.uk", "buy now", 1L))
+      .toDF("src_host", "dst_host", "anchor", "n_links"), s"$work/anchor_snap")
+    def member(url: String, html: String) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", html)))
+    def batchDf(pages: Seq[(String, String)], name: String) =
+      Seq((name, pages.map((member _).tupled).reduce(_ ++ _)))
+        .toDF("path", "content")
+    val sink = StreamingCrawl.crawlIngestSink(s"$work/idx", s"$work/out",
+      rankSnapshotDir = Some(s"$work/rank_snap"),
+      anchorSnapshotDir = Some(s"$work/anchor_snap"),
+      blockKeywords = Seq("now"),
+      pslRulesPath = Some(s"$work/psl_rules")) _
+    val b0 = Seq(
+      // TWO subdomains of the endorsed domain: neither host appears in
+      // the rank table, both must ride their registered domain's rank
+      "https://shop.acme.co.uk/a" -> "<p>shop page body</p>",
+      "https://blog.acme.co.uk/b" -> "<p>blog page body</p>",
+      // floor domain: the rank prior cuts it
+      "https://weak.org/w" -> "<p>unendorsed</p>",
+      // a subdomain of the anchor-blocked domain: cut via the fold
+      "https://m.spamco.co.uk/x" -> "<p>spam mirror</p>")
+    sink(batchDf(b0, "p0.warc.gz"), 0L)
+    def outUrls() = spark.read.parquet(s"$work/out")
+      .select("url").as[String].collect().sorted.toSeq
+    assert(outUrls() === Seq(
+      "https://blog.acme.co.uk/b", "https://shop.acme.co.uk/a"),
+      "farm subdomains gate by their registered domain; weak.org rank-cuts; " +
+        "the spamco subdomain anchor-cuts via the fold")
+    // the HOST-grain gate against the same (domain-grain) artifacts
+    // would have kept NOTHING — the fold is load-bearing, not cosmetic
+    val pages = b0.zipWithIndex.map { case ((u, h), i) => (i.toLong, u, h) }
+      .toDF("doc_id", "url", "html")
+    val meta = LinkGraph.rankSnapshotMeta(spark, s"$work/rank_snap")
+    assert(LinkGraph.hostRankKeep(pages,
+        LinkGraph.rankSnapshot(spark, s"$work/rank_snap"),
+        minRank = 1.5 * meta.floor).count() === 0L,
+      "host-grain consumption of a domain-grain artifact matches nothing")
+    // stream == the batch ByLookup composition over the same pages
+    val lookup = LinkGraph.pslLookupFor(pages,
+      spark.read.parquet(s"$work/psl_rules"))
+    val gated = LinkGraph.anchorKeywordKeepByLookup(
+      LinkGraph.hostRankKeepByLookup(pages,
+        LinkGraph.rankSnapshot(spark, s"$work/rank_snap"),
+        minRank = 1.5 * meta.floor, lookup).drop("host", "rank"),
+      anchors, Seq("now"), maxRate = 0.5, lookup = lookup)
+    val batchKeys = graft.ext.Dedup.urlDedup(
+      gated.withColumn("__durl",
+        graft.ext.Html.declaredCanonicalOr($"url", $"html")),
+      urlCol = "__durl")
+      .select("url_key").as[String].collect().sorted.toSeq
+    val streamKeys = spark.read.parquet(s"$work/out")
+      .select("url_key").as[String].collect().sorted.toSeq
+    assert(streamKeys === batchKeys,
+      "the streaming PSL fold drifted from the batch ByLookup cuts")
+    // replay-idempotent (redelivery contract unchanged by the fold)
+    sink(batchDf(b0, "p0.warc.gz"), 0L)
+    assert(outUrls() === Seq(
+      "https://blog.acme.co.uk/b", "https://shop.acme.co.uk/a"))
+    // misconfiguration fails loudly: a PSL fold with no gate to feed
+    val bad = StreamingCrawl.crawlIngestSink(s"$work/idx2", s"$work/out2",
+      pslRulesPath = Some(s"$work/psl_rules")) _
+    intercept[IllegalArgumentException] { bad(batchDf(b0, "p.warc.gz"), 0L) }
+  }
+
   test("__batch= roll-forward concurrent-writer contract: last-writer-wins sequentially, torn landings fail loudly") {
     import graft.streaming.StreamingDedup
     val work = SparkTestBase.tmpDir("graft_batch_landing")

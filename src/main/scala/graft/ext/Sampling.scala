@@ -371,9 +371,16 @@ object Sampling {
                         salt: String = "graft",
                         maxEpochs: Int = 1000): DataFrame = {
     require(maxEpochs >= 1, "materializeEpochs: maxEpochs must be >= 1")
-    require(!df.columns.contains("epoch"),
-      "materializeEpochs: input already carries 'epoch' — rename or drop " +
-        "(the operator OWNS this column)")
+    // the internal plan-join columns are guarded like the output column
+    // (packSequences' lane-guard discipline): a caller frame already
+    // carrying __full/__thr — plausible after another graft operator —
+    // would otherwise hit an ambiguous-column error instead of a named
+    // require
+    val clash = Seq("epoch", "__graft_key", "__full", "__thr")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"materializeEpochs: input already carries ${clash.mkString(", ")} — " +
+        "rename or drop (the operator OWNS these columns)")
     val guardedEpochs = when(col("epochs") > lit(maxEpochs.toDouble),
       raise_error(concat(
         lit("materializeEpochs: group '"), col(keyCol),

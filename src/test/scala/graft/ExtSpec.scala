@@ -3208,10 +3208,17 @@ class ExtSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("maxEpochs")))
-    // column ownership: a caller 'epoch' column refuses loudly
+    // column ownership: a caller 'epoch' column refuses loudly — and so
+    // do the INTERNAL plan-join columns (a caller __thr, plausible
+    // after another graft operator, previously hit an ambiguous-column
+    // error instead of the named require)
     intercept[IllegalArgumentException] {
       Sampling.materializeEpochs(df.withColumn("epoch", lit(0)),
         Map("en" -> 1.0), 10L, keyCol = "lang") }
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.materializeEpochs(df.withColumn("__thr", lit("00ff")),
+        Map("en" -> 1.0), 10L, keyCol = "lang") }
+    assert(e2.getMessage.contains("__thr"))
   }
 
   test("gopherRules: hand-computed stats, per-rule flags, and keep on crafted docs") {

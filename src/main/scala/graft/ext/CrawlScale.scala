@@ -182,7 +182,19 @@ object CrawlScale {
     import org.apache.hadoop.fs.Path
     val fs = new Path(workDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(workDir), true)
+    // recursive-delete guard: only wipe a dir a prior streamBench run
+    // produced (its rank/ snapshot marks it) — a typo'd workDir
+    // pointing at real data must refuse, not vanish
+    val wd = new Path(workDir)
+    if (fs.exists(wd)) {
+      val prior = fs.exists(new Path(wd, "rank")) ||
+        fs.listStatus(wd).isEmpty
+      require(prior,
+        s"streamBench: $workDir exists, is non-empty, and is not a prior " +
+          "streamBench work dir (no rank/ snapshot) — refusing to " +
+          "recursively delete it; pass a fresh or prior-run dir")
+      fs.delete(wd, true)
+    }
     val t0 = System.nanoTime()
     val recs = graft.io.Warc.read(spark, warcDir)
       .where(col("warc_type").isin("response", "conversion") &&
@@ -220,9 +232,20 @@ object CrawlScale {
       println(f"CRAWLSCALE streamu pass$pass " +
         f"${(System.nanoTime() - t2) / 1e9}%.2f s")
     }
-    println(s"CRAWLSCALE stream landed " +
-      s"${spark.read.parquet(s"$workDir/pass1/out/__batch=0").count()} gated / " +
-      s"${spark.read.parquet(s"$workDir/pass1/uout/__batch=0").count()} ungated rows/batch")
+    // the pure-gate-cost attribution PREMISES gated == ungated (every
+    // page host enters the bootstrap link graph, so the keep-all gate
+    // parameters keep all); a page with no parseable links and no
+    // inbound edge is absent from the rank snapshot and would be
+    // inner-join-dropped — assert the premise instead of assuming it
+    val gatedN = spark.read.parquet(s"$workDir/pass1/out/__batch=0").count()
+    val ungatedN = spark.read.parquet(s"$workDir/pass1/uout/__batch=0").count()
+    println(s"CRAWLSCALE stream landed $gatedN gated / " +
+      s"$ungatedN ungated rows/batch")
+    require(gatedN == ungatedN,
+      s"streamBench: gated ($gatedN) != ungated ($ungatedN) survivors — " +
+        "some page host is absent from the bootstrap rank snapshot (no " +
+        "parseable links and no inbound edge), so the stream/streamu " +
+        "delta is NOT pure gate cost on this corpus")
   }
 
   def main(args: Array[String]): Unit = {

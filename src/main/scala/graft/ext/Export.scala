@@ -206,10 +206,20 @@ object Export {
     * that walks one epoch's shard files top-to-bottom replays that
     * epoch's global shuffle with zero load-time coordination, and
     * each epoch is a fresh permutation ([[epochOrd]]). The intended
-    * [[epochShardManifest]] lands at `outDir/_manifest`; the return
-    * value is the manifest RECOMPUTED from the landed files (the
-    * [[exportShards]] witness: a disagreement means the writer lost,
-    * duplicated, or re-binned rows).
+    * [[epochShardManifest]] lands at `outDir/_manifest`.
+    *
+    * The landing WITNESS has two postures. The default rides the
+    * write itself with `Dataset.observe` totals (docs/tokens/bytes and
+    * the global XOR checksum — XOR of the per-group XORs, so re-binned
+    * or torn rows still flip it) compared against the landed
+    * `_manifest`'s totals, and returns that manifest re-read from
+    * disk — zero extra scans of the data at 100 TB (the
+    * [[graft.exec.RunLedger]] discipline). `verifyLanded = true` is
+    * the full audit: re-read the landed files and RECOMPUTE the
+    * manifest from them (the [[exportShards]] witness — catches a
+    * writer that lost, duplicated, or re-binned rows per (epoch,
+    * shard)), at the cost of a second full scan + tokenization pass.
+    * Either posture fails loudly on disagreement.
     *
     * Scale shape: one seeded-hash projection (no shuffle), ONE hash
     * exchange on (epoch, shard) — a key never splits across tasks, so
@@ -222,7 +232,8 @@ object Export {
   def exportEpochs(spark: SparkSession, epochDocs: DataFrame, outDir: String,
                    nShards: Int, seed: String = "graft",
                    idCol: String = "doc_id", textCol: String = "text",
-                   tokenCount: Option[Column] = None): DataFrame = {
+                   tokenCount: Option[Column] = None,
+                   verifyLanded: Boolean = false): DataFrame = {
     require(nShards > 0, "exportEpochs: nShards must be positive")
     require(epochDocs.columns.contains("epoch"),
       "exportEpochs: input must carry the epoch column " +
@@ -241,26 +252,59 @@ object Export {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("epoch"), col("shard"))
       .orderBy(col("__ord"), col(idCol))
-    epochDocs
+    // the explicit exchange comes BEFORE the window: HashPartitioning
+    // on (epoch, shard) satisfies the window's ClusteredDistribution
+    // requirement, so the full text payload shuffles exactly once —
+    // repartitioning after row_number would pay a second hash exchange
+    // on the same keys
+    val ntokExpr = tokenCount.getOrElse(size(TextOps.tokens(col(textCol))))
+      .cast("long")
+    val hashExpr = contentHash(concat(col(idCol).cast("string"), lit(":"),
+      col("epoch").cast("string")), col(textCol))
+    val toWrite = epochDocs
       .withColumn("__ord", epochOrd(col(idCol), col("epoch"), seed))
       .withColumn("shard", (col("__ord") % nShards).cast("long"))
+      .repartition(width, col("epoch"), col("shard"))
       .withColumn("seq", (row_number().over(w) - 1).cast("long"))
       .drop("__ord")
-      .repartition(width, col("epoch"), col("shard"))
       .sortWithinPartitions(col("epoch"), col("shard"), col("seq"))
+    val obs = org.apache.spark.sql.Observation()
+    toWrite
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(ntokExpr).as("n_tokens"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"),
+        bit_xor(hashExpr).as("checksum"))
       .write.mode("overwrite").partitionBy("epoch", "shard")
       .parquet(s"$outDir/data")
     intended.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
-    val landed = spark.read.parquet(s"$outDir/data")
-    landed
+    val manifest = spark.read.parquet(s"$outDir/_manifest")
+    // the cheap witness: the totals the WRITE itself observed vs the
+    // landed manifest's totals — one group-cardinality agg, no re-scan
+    val m = obs.get
+    val t = manifest.agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_bytes")).as("n_bytes"),
+      expr("bit_xor(checksum)").as("checksum")).collect()(0) // 1 row
+    require(m("n_docs") == t.getAs[Long]("n_docs") &&
+      m("n_tokens") == t.getAs[Long]("n_tokens") &&
+      m("n_bytes") == t.getAs[Long]("n_bytes") &&
+      m("checksum") == t.getAs[Long]("checksum"),
+      s"exportEpochs: the write observed (docs=${m("n_docs")}, " +
+        s"tokens=${m("n_tokens")}, bytes=${m("n_bytes")}, " +
+        s"xor=${m("checksum")}) but the manifest totals are " +
+        s"(docs=${t.getAs[Long]("n_docs")}, " +
+        s"tokens=${t.getAs[Long]("n_tokens")}, " +
+        s"bytes=${t.getAs[Long]("n_bytes")}, " +
+        s"xor=${t.getAs[Long]("checksum")}) — torn landing")
+    if (!verifyLanded) manifest
+    else spark.read.parquet(s"$outDir/data")
       .select(
         col("epoch").cast("long").as("epoch"),
         col("shard").cast("long").as("shard"),
-        tokenCount.getOrElse(size(TextOps.tokens(col(textCol)))).cast("long")
-          .as("__ntok"),
+        ntokExpr.as("__ntok"),
         octet_length(col(textCol)).cast("long").as("__nbytes"),
-        contentHash(concat(col(idCol).cast("string"), lit(":"),
-          col("epoch").cast("string")), col(textCol)).as("__h"))
+        hashExpr.as("__h"))
       .groupBy("epoch", "shard")
       .agg(
         count(lit(1)).as("n_docs"),

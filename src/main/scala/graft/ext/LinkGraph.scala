@@ -151,7 +151,9 @@ object LinkGraph {
   def pslDomainTable(hosts: DataFrame, rules: DataFrame,
                      hostCol: String = "host",
                      ruleCol: String = "rule",
-                     maxRuleLabels: Int = 10): DataFrame = {
+                     maxRuleLabels: Int = 10,
+                     mat: CurationChain.StageMaterializer =
+                       CurationChain.LocalCheckpointMaterializer): DataFrame = {
     require(maxRuleLabels >= 1, "pslDomainTable: maxRuleLabels must be >= 1")
     val parsed = rules.select(trim(col(ruleCol)).as("__r"))
       .where(col("__r") =!= "" && !col("__r").startsWith("//"))
@@ -183,11 +185,14 @@ object LinkGraph {
     // explode + the final left join), and without the cut each branch
     // would re-run the host derivation — which, fed from pslLookupFor,
     // re-SCANS the page corpus per branch. Host-cardinality, narrow.
-    val h = hosts.select(col(hostCol).as("host"))
+    // HOW it materializes goes through the injectable seam (the CcNet
+    // discipline): the default eager localCheckpoint is the right
+    // single-host trade, a dynamic-allocation deployment passes
+    // [[CurationChain.DurableMaterializer]] for a replicated landing.
+    val h = mat("psl_hosts")(hosts.select(col(hostCol).as("host"))
       .where(col("host").isNotNull && col("host") =!= "").distinct()
       .withColumn("__labels", split(col("host"), "\\."))
-      .withColumn("__n", size(col("__labels")))
-      .localCheckpoint(true)
+      .withColumn("__n", size(col("__labels"))))
     val cand = h.select(col("host"), col("__labels"), col("__n"),
         explode(sequence(lit(1), least(col("__n"), lit(derivedK))))
           .as("__k"))
@@ -215,8 +220,14 @@ object LinkGraph {
     * One bounded 1-row aggregate (rule lists are ~15k lines).
     */
   def pslRulesDigest(rules: DataFrame, ruleCol: String = "rule"): Long = {
+    // distinct before hashing: an XOR fold cancels pairwise, so a file
+    // carrying an even number of copies of a rule would digest as if
+    // the rule were absent — and duplicates never change the
+    // (exception, length) election, so distinct keeps the
+    // order-insensitive property while closing the cancellation hole
     val eff = rules.select(trim(col(ruleCol)).as("__r"))
       .where(col("__r") =!= "" && !col("__r").startsWith("//"))
+      .distinct()
       .select(Export.md5Long60(col("__r")).as("__h"))
     val r = eff.agg(coalesce(expr("bit_xor(__h)"), lit(0L))).collect()(0)
     r.getLong(0)
@@ -256,9 +267,14 @@ object LinkGraph {
     val hc = s"__graft_${outCol}_h"
     val dc = s"__graft_${outCol}_d"
     val l = broadcast(lookup.select(col("host").as(hc), col("domain").as(dc)))
+    // a NULL host (null url through hostOf) keeps the "" posture too:
+    // without the arm it would skip the '' branch, miss the lookup
+    // join, and fire the absent-host raise with a null-propagated
+    // message — an unnamed crash where the host-grain cuts silently
+    // dropped such rows
     df.join(l, col(hostCol) === col(hc), "left")
       .withColumn(outCol,
-        when(col(hostCol) === "", lit(""))
+        when(col(hostCol).isNull || col(hostCol) === "", lit(""))
           .when(col(dc).isNull, raise_error(concat(
             lit("LinkGraph: host '"), col(hostCol),
             lit("' is absent from the PSL lookup — build the lookup over " +
@@ -279,14 +295,16 @@ object LinkGraph {
                    urlCol: String = "url",
                    htmlCol: Option[String] = None,
                    ruleCol: String = "rule",
-                   maxRuleLabels: Int = 10): DataFrame = {
+                   maxRuleLabels: Int = 10,
+                   mat: CurationChain.StageMaterializer =
+                     CurationChain.LocalCheckpointMaterializer): DataFrame = {
     val urlHosts = pages.select(hostOf(col(urlCol)).as("host"))
     val all = htmlCol.fold(urlHosts) { h =>
       urlHosts.unionByName(
         pages.select(explode(Html.htmlLinks(col(h))).as("__href"))
           .select(hostOf(col("__href")).as("host")))
     }
-    pslDomainTable(all, rules, "host", ruleCol, maxRuleLabels)
+    pslDomainTable(all, rules, "host", ruleCol, maxRuleLabels, mat)
   }
 
   /** The DOMAIN-grain edge list — [[hostEdges]] with nodes folded to
@@ -344,14 +362,17 @@ object LinkGraph {
   def domainEdgesPsl(pages: DataFrame, rules: DataFrame,
                      urlCol: String = "url", htmlCol: String = "html",
                      idCol: String = "doc_id",
-                     ruleCol: String = "rule"): DataFrame =
+                     ruleCol: String = "rule",
+                     mat: CurationChain.StageMaterializer =
+                       CurationChain.LocalCheckpointMaterializer): DataFrame =
     // the lookup materializes at the composition boundary: both
     // endpoint folds broadcast it, and without the cut each broadcast
     // exchange re-runs the whole election lineage (host-cardinality,
-    // two narrow columns — the cheapest possible cut)
+    // two narrow columns — the cheapest possible cut); the HOW rides
+    // the same injectable seam pslDomainTable uses
     domainEdgesByLookup(pages,
-      pslLookupFor(pages, rules, urlCol, Some(htmlCol), ruleCol)
-        .localCheckpoint(true),
+      mat("psl_lookup")(
+        pslLookupFor(pages, rules, urlCol, Some(htmlCol), ruleCol, 10, mat)),
       urlCol, htmlCol, idCol)
 
   private def edgesBy(pages: DataFrame, nodeOf: Column => Column,

@@ -113,12 +113,22 @@ class ExportSpec extends AnyFunSuite {
         "es" -> 0.05, "fr" -> 0.1),
       tokenBudget = 30000L, keyCol = "lang")
     val out = SparkTestBase.tmpDir("graft_export_epochs")
+    // the full-audit posture: recompute the manifest from the landed
+    // files (a second scan — the expensive witness)
     val landed = Export.exportEpochs(spark, epochs, out, nShards = 4,
-      seed = "ep").orderBy("epoch", "shard").collect().toSeq
+      seed = "ep", verifyLanded = true).orderBy("epoch", "shard")
+      .collect().toSeq
     val intended = Export.epochShardManifest(epochs, 4, seed = "ep")
       .orderBy("epoch", "shard").collect().toSeq
     assert(landed === intended,
       "manifest recomputed from the landed files must match the intent")
+    // the cheap default posture: observe-carried totals riding the
+    // write, manifest returned from disk — same rows, no re-scan
+    val out2 = SparkTestBase.tmpDir("graft_export_epochs_obs")
+    val cheap = Export.exportEpochs(spark, epochs, out2, nShards = 4,
+      seed = "ep").orderBy("epoch", "shard").collect().toSeq
+    assert(cheap === intended,
+      "observe-witnessed manifest must carry the identical rows")
     val persisted = spark.read.parquet(s"$out/_manifest")
       .orderBy("epoch", "shard").collect().toSeq
     assert(persisted === intended)

@@ -321,6 +321,55 @@ class LinkGraphSpec extends AnyFunSuite {
       LinkGraph.pslDomainTable(hosts, rules, maxRuleLabels = 0) }
   }
 
+  test("pslDomainTable: DurableMaterializer build == default bit-for-bit; landing is reused") {
+    import graft.ext.CurationChain
+    val rules = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val hosts = Seq("shop.example.co.uk", "w.x.y.ck", "sub.www.ck",
+      "localhost", "a.site.com").toDF("host")
+    val default = LinkGraph.pslDomainTable(hosts, rules)
+      .as[(String, String)].collect().toMap
+    val dir = SparkTestBase.tmpDir("graft_psl_mat")
+    val durable = LinkGraph.pslDomainTable(hosts, rules,
+      mat = CurationChain.DurableMaterializer(spark, dir))
+      .as[(String, String)].collect().toMap
+    assert(durable === default)
+    // the seam landed the stage durably (replicated parquet, not
+    // executor-local checkpoint blocks) and a re-run reuses it
+    assert(new java.io.File(s"$dir/psl_hosts/_SUCCESS").exists())
+    val again = LinkGraph.pslDomainTable(hosts, rules,
+      mat = CurationChain.DurableMaterializer(spark, dir))
+      .as[(String, String)].collect().toMap
+    assert(again === default)
+  }
+
+  test("pslRulesDigest: order-insensitive, duplicate rules do NOT cancel") {
+    val base = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
+    val reordered = Seq("!www.ck", "com", "*.ck", "co.uk").toDF("rule")
+    val doubled = Seq("com", "co.uk", "co.uk", "*.ck", "!www.ck")
+      .toDF("rule")
+    val missing = Seq("com", "*.ck", "!www.ck").toDF("rule")
+    val d = LinkGraph.pslRulesDigest(base)
+    assert(LinkGraph.pslRulesDigest(reordered) === d,
+      "reordering the published file is not drift")
+    // an XOR fold without distinct would cancel the pair: a file with
+    // an EVEN number of copies of co.uk would digest as if the rule
+    // were absent, and the drift guard would silently pass
+    assert(LinkGraph.pslRulesDigest(doubled) === d,
+      "duplicates never change the election — same digest")
+    assert(LinkGraph.pslRulesDigest(missing) !== d,
+      "dropping a rule IS drift")
+  }
+
+  test("withPslDomain: a null url folds to '' (the hostOf posture), not a raise") {
+    val rules = Seq("com").toDF("rule")
+    val pages = Seq((1L, "https://a.site.com/x"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "url")
+    val lookup = LinkGraph.pslLookupFor(pages, rules)
+    val got = LinkGraph.withPslDomain(pages, lookup)
+      .select("doc_id", "domain").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "site.com", 2L -> ""))
+  }
+
   test("domainEdgesPsl: the farm collapses under the exact election; self-edges drop at PSL grain") {
     val rules = Seq("com", "co.uk", "*.ck", "!www.ck").toDF("rule")
     val df = pages(

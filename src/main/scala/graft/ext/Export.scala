@@ -313,6 +313,68 @@ object Export {
         expr("bit_xor(__h)").as("checksum"))
   }
 
+  /** The packed multi-epoch dataloader artifact — the training-side
+    * chain COMPOSED end to end: a `(docs × epoch)` frame
+    * ([[graft.ext.Sampling.materializeEpochs]]) is first-fit packed at
+    * `(epoch, keyCols..., lane)` bin grain ([[graft.ext.TextOps
+    * .packSequencesText]] — each epoch's each key packs independently
+    * across `subShards` deterministic lanes), and the packed BINS land
+    * as `epoch=<e>/shard=<k>` files in `seq` order via
+    * [[exportEpochs]] — so the dataloader walks capacity-bounded
+    * training windows, not raw documents, and each epoch is still a
+    * fresh permutation of its bins. The bin id (`keyCols:lane:bin_id`)
+    * joins with the epoch to drive shard + order + checksum, and the
+    * manifest's `n_tokens` rides the packer's exact per-bin
+    * `sum_tokens` (no re-tokenization). Returns the epoch-aware
+    * manifest under [[exportEpochs]]' witness contract
+    * (`verifyLanded` picks the posture).
+    *
+    * Scale shape: the packer's one shuffle on (epoch, key, lane) +
+    * the export's one hash exchange on (epoch, shard); both windows
+    * are lane-bounded. Raise `subShards` (or size it with
+    * [[graft.ext.TextOps.derivedPackLanes]]) to keep the packing
+    * windows flat as any one key's corpus grows.
+    */
+  def exportPackedEpochs(spark: SparkSession, epochDocs: DataFrame,
+                         outDir: String, capacity: Int, nShards: Int,
+                         subShards: Int = 4, seed: String = "graft",
+                         keyCols: Seq[String] = Seq("lang"),
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tokenCount: Option[Column] = None,
+                         verifyLanded: Boolean = false): DataFrame = {
+    require(epochDocs.columns.contains("epoch"),
+      "exportPackedEpochs: input must carry the epoch column " +
+        "(materializeEpochs attaches it)")
+    exportEpochs(spark,
+      packedEpochBins(epochDocs, capacity, subShards, keyCols, idCol,
+        textCol, tokenCount),
+      outDir, nShards, seed, idCol = "bin_key", textCol = "packed_text",
+      tokenCount = Some(col("sum_tokens")), verifyLanded = verifyLanded)
+  }
+
+  /** [[exportPackedEpochs]]' bin frame — the packed `(epoch, bin_key,
+    * packed_text, n_docs, sum_tokens)` rows BEFORE the landing, with
+    * `bin_key = keyCols:lane:bin_id` (unique within an epoch). Shared
+    * so the manifest a query oracles and the frame the exporter lands
+    * are one construction (q163 / ExportSpec pin them equal).
+    */
+  def packedEpochBins(epochDocs: DataFrame, capacity: Int,
+                      subShards: Int = 4,
+                      keyCols: Seq[String] = Seq("lang"),
+                      idCol: String = "doc_id", textCol: String = "text",
+                      tokenCount: Option[Column] = None): DataFrame = {
+    require(!epochDocs.columns.contains("bin_key"),
+      "packedEpochBins: input already carries bin_key — rename or " +
+        "drop (the operator OWNS this column)")
+    val packed = TextOps.packSequencesText(epochDocs, capacity,
+      shardCols = "epoch" +: keyCols, idCol, textCol, " ", tokenCount,
+      subShards)
+    val keyParts = (keyCols.map(col) ++
+      (if (subShards > 1) Seq(col("lane")) else Nil) :+ col("bin_id"))
+      .map(_.cast("string"))
+    packed.withColumn("bin_key", concat_ws(":", keyParts: _*))
+  }
+
   /** Physical export: land `docs` under `outDir` as
     * `shard=<k>/part-*.parquet` with EXACTLY one data file per shard
     * (each shard is co-located into one task by the repartition on the

@@ -2653,7 +2653,34 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** PACKED multi-epoch export manifest ([[Sampling
+    * .materializeEpochs]] → [[TextOps.packSequencesText]] →
+    * [[Export.epochShardManifest]], the [[Export.exportPackedEpochs]]
+    * composition): q156's repetition decision first-fit PACKED into
+    * capacity-bounded training windows at (epoch, lang, lane) bin
+    * grain, then accounted as the (epoch, shard) dataloader manifest —
+    * the artifact a trainer actually mounts (bins, not raw docs).
+    * The bin key `lang:lane:bin_id` joins the epoch in the shard
+    * hash and the XOR checksum COVERS the packed text, so the oracle
+    * verifies the in-bin concatenation order bit-for-bit. Exact end to
+    * end: q156's epoch CTEs → q157's lane/packing CTEs (with epoch in
+    * the window key) → q161's manifest spelling over the bins.
+    */
+  def q163(spark: SparkSession, dir: String): DataFrame =
+    Export.epochShardManifest(
+      Export.packedEpochBins(
+        Sampling.materializeEpochs(
+          docs(spark, dir).select(col("doc_id"), col("lang"), col("text")),
+          weights = Map("en" -> 0.1, "zh" -> 0.45, "de" -> 0.3,
+            "es" -> 0.05, "fr" -> 0.1),
+          tokenBudget = 30000L, keyCol = "lang"),
+        capacity = 2048, subShards = 4),
+      nShards = 4, idCol = "bin_key", textCol = "packed_text", seed = "ep",
+      tokenCount = Some(col("sum_tokens")))
+      .orderBy("epoch", "shard")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_packed_epoch_export" -> (q163 _),
     "q162_psl_page_cap" -> (q162 _),
     "q161_epoch_manifest" -> (q161 _),
     "q160_psl_edges" -> (q160 _),
@@ -4304,6 +4331,80 @@ object ExtQueries {
     // `kept`, then q93's manifest spelling at (epoch, shard) grain —
     // the seeded sample hash 'ep:id:epoch' drives the shard, and the
     // checksum hash binds the epoch (md5(id:epoch:text))
+    // q163 — the PACKED multi-epoch export replayed: q156's epoch CTEs
+    // through `kept` (text carried), q157's lane fold + first-fit
+    // packing CTEs with epoch joined into the window key, then q161's
+    // manifest spelling over the BINS — id = lang:lane:bin_id, text =
+    // the bin's id-ordered concatenation, n_tokens = the packer's sum
+    "q163_packed_epoch_export" ->
+      """WITH wts AS (
+        |  SELECT 'de' AS lang, CAST(0.3 AS DOUBLE) AS weight
+        |  UNION ALL SELECT 'en', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'es', CAST(0.05 AS DOUBLE)
+        |  UNION ALL SELECT 'fr', CAST(0.1 AS DOUBLE)
+        |  UNION ALL SELECT 'zh', CAST(0.45 AS DOUBLE)),
+        |a AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT a.lang,
+        |    CAST(CAST(FLOOR(CAST(30000 AS DOUBLE) * w.weight) AS BIGINT) AS DOUBLE)
+        |      / CAST(a.n_tokens AS DOUBLE) AS epochs
+        |  FROM a JOIN wts w USING (lang)),
+        |f AS (
+        |  SELECT lang, CAST(FLOOR(epochs) AS BIGINT) AS nfull,
+        |    printf('%04x', LEAST(CAST(FLOOR((epochs - FLOOR(epochs)) * 65536)
+        |      AS INT), 65535)) AS thr
+        |  FROM p),
+        |m0 AS (
+        |  SELECT d.doc_id, d.lang, d.text, f.nfull, f.thr
+        |  FROM documents d JOIN f USING (lang)),
+        |m AS (
+        |  SELECT doc_id, lang, text, nfull, thr,
+        |    unnest(range(0, nfull + 1)) AS epoch
+        |  FROM m0),
+        |kept AS (
+        |  SELECT doc_id, lang, text, epoch FROM m
+        |  WHERE epoch < nfull
+        |     OR substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 4) < thr),
+        |laned AS (
+        |  SELECT epoch, lang, doc_id, text,
+        |    ('0x' || substr(md5('lane:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT % 4 AS lane
+        |  FROM kept),
+        |sized AS (
+        |  SELECT epoch, lang, lane, doc_id, text,
+        |    len(string_split(text, ' ')) AS n,
+        |    SUM(len(string_split(text, ' ')))
+        |      OVER (PARTITION BY epoch, lang, lane ORDER BY doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM laned),
+        |bins AS (
+        |  SELECT epoch, lang, lane,
+        |    CAST(FLOOR((cum - n) / 2048.0) AS BIGINT) AS bin_id,
+        |    string_agg(text, ' ' ORDER BY doc_id) AS packed,
+        |    CAST(SUM(n) AS BIGINT) AS sumtok
+        |  FROM sized GROUP BY epoch, lang, lane, bin_id),
+        |keyed AS (
+        |  SELECT epoch,
+        |    lang || ':' || CAST(lane AS VARCHAR) || ':' ||
+        |      CAST(bin_id AS VARCHAR) AS bin_key,
+        |    packed, sumtok
+        |  FROM bins),
+        |s AS (
+        |  SELECT epoch,
+        |    (('0x' || substr(md5('ep:' || bin_key || ':' ||
+        |      CAST(epoch AS VARCHAR)), 1, 15))::BIGINT) % 4 AS shard,
+        |    sumtok,
+        |    CAST(strlen(packed) AS BIGINT) AS nbytes,
+        |    ('0x' || substr(md5(bin_key || ':' ||
+        |      CAST(epoch AS VARCHAR) || ':' || packed), 1, 15))::BIGINT AS h
+        |  FROM keyed)
+        |SELECT epoch, shard, count(*) AS n_docs,
+        |  CAST(sum(sumtok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nbytes) AS BIGINT) AS n_bytes,
+        |  bit_xor(h) AS checksum
+        |FROM s GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
     "q161_epoch_manifest" ->
       """WITH wts AS (
         |  SELECT 'de' AS lang, CAST(0.3 AS DOUBLE) AS weight

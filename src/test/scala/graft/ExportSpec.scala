@@ -163,6 +163,51 @@ class ExportSpec extends AnyFunSuite {
       "epoch in the hash must reshuffle shards across epochs")
   }
 
+  test("exportPackedEpochs: packed bins land one file per (epoch, shard) in seq order; manifest == bin intent") {
+    import graft.ext.Sampling
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val epochs = Sampling.materializeEpochs(d,
+      weights = Map("en" -> 0.1, "zh" -> 0.45, "de" -> 0.3,
+        "es" -> 0.05, "fr" -> 0.1),
+      tokenBudget = 30000L, keyCol = "lang")
+    val out = SparkTestBase.tmpDir("graft_export_packed_epochs")
+    val landed = Export.exportPackedEpochs(spark, epochs, out,
+      capacity = 2048, nShards = 4, subShards = 4, seed = "ep",
+      verifyLanded = true).orderBy("epoch", "shard").collect().toSeq
+    // the intent, built from the SHARED bin construction (what q163
+    // oracles against DuckDB)
+    val bins = Export.packedEpochBins(epochs, capacity = 2048,
+      subShards = 4)
+    val intended = Export.epochShardManifest(bins, 4, idCol = "bin_key",
+      textCol = "packed_text", seed = "ep",
+      tokenCount = Some(col("sum_tokens")))
+      .orderBy("epoch", "shard").collect().toSeq
+    assert(landed === intended,
+      "manifest recomputed from the landed bin files must match the intent")
+    // physical layout on the PACKED frame: one data file per
+    // (epoch, shard) directory, rows dense in seq order
+    val epochDirs = new java.io.File(s"$out/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+    assert(epochDirs.nonEmpty)
+    for (ed <- epochDirs; sd <- ed.listFiles()
+           if sd.isDirectory && sd.getName.startsWith("shard=")) {
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${ed.getName}/${sd.getName} must hold one data file, got ${files.length}")
+      val seqs = spark.read.parquet(sd.getAbsolutePath)
+        .select("seq").as[Long].collect().toSeq
+      assert(seqs === (0L until seqs.length).toSeq,
+        s"${ed.getName}/${sd.getName}: bins must land dense in seq order")
+    }
+    // the landing carries BINS (capacity-bounded training windows),
+    // not raw documents: nothing lost across pack + export
+    val back = spark.read.parquet(s"$out/data")
+    assert(back.count() === bins.count())
+    assert(back.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+      === epochs.count(), "every (doc, epoch) sample is in exactly one bin")
+  }
+
   // --- Sketches ---------------------------------------------------------
 
   test("HLL estimates are near-exact for small cardinalities and within 3 sigma at 50k") {

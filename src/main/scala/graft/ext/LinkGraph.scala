@@ -980,7 +980,24 @@ object LinkGraph {
   def rollForwardPsl(spark: SparkSession, prevSnapshotDir: String,
                      newHosts: DataFrame, rules: DataFrame, outDir: String,
                      hostCol: String = "host", ruleCol: String = "rule",
-                     maxRuleLabels: Int = 10): DataFrame = {
+                     maxRuleLabels: Int = 10): DataFrame =
+    writePslSnapshotTable(spark,
+      pslProbeMerge(spark, prevSnapshotDir, newHosts, rules, hostCol,
+        ruleCol, maxRuleLabels),
+      rules, pslRulesDigest(rules, ruleCol), outDir, ruleCol)
+
+  /** The roll-forward's MERGE without the landing: the previous
+    * snapshot's table plus the fold of the genuinely NEW hosts
+    * (anti-join — work ∝ batch), digest-guarded exactly like
+    * [[rollForwardPsl]]. This is the per-batch PROBE face the
+    * streaming ingest consumes: gate the batch against the merged
+    * table now, land the batch, and only then advance the snapshot
+    * ([[writePslSnapshotTable]]) — the URL-index ordering.
+    */
+  def pslProbeMerge(spark: SparkSession, prevSnapshotDir: String,
+                    newHosts: DataFrame, rules: DataFrame,
+                    hostCol: String = "host", ruleCol: String = "rule",
+                    maxRuleLabels: Int = 10): DataFrame = {
     val prev = pslSnapshotMeta(spark, prevSnapshotDir)
     val newDigest = pslRulesDigest(rules, ruleCol)
     require(prev.rulesDigest == newDigest,
@@ -993,13 +1010,24 @@ object LinkGraph {
     val fresh = newHosts.select(col(hostCol).as("host"))
       .where(col("host").isNotNull && col("host") =!= "").distinct()
       .join(prevTable.select("host"), Seq("host"), "left_anti")
-    val merged = prevTable.unionByName(
+    prevTable.unionByName(
       pslDomainTable(fresh, rules, "host", ruleCol, maxRuleLabels))
+  }
+
+  /** Land an ALREADY-MERGED `(host, domain)` table as a snapshot dir
+    * (rules + domains + meta) — [[rollForwardPsl]]'s writer, split out
+    * so a caller that materialized the merge for its own gating (the
+    * streaming probe) advances the snapshot without recomputing it.
+    */
+  def writePslSnapshotTable(spark: SparkSession, merged: DataFrame,
+                            rules: DataFrame, rulesDigest: Long,
+                            outDir: String,
+                            ruleCol: String = "rule"): DataFrame = {
     rules.select(col(ruleCol).as("rule"))
       .write.mode("overwrite").parquet(s"$outDir/rules")
     merged.write.mode("overwrite").parquet(s"$outDir/domains")
     import spark.implicits._
-    Seq((spark.read.parquet(s"$outDir/domains").count(), newDigest))
+    Seq((spark.read.parquet(s"$outDir/domains").count(), rulesDigest))
       .toDF("n_hosts", "rules_digest")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
     pslSnapshot(spark, outDir)

@@ -96,6 +96,21 @@ object StreamingCrawl {
     * farm subdomain never seen before still gates by its registered
     * domain's endorsement (StreamingSpec pins stream ≡ batch and that
     * host-grain consumption of a domain-grain artifact keeps nothing).
+    *
+    * `pslSnapshotRoot` (requires `pslRulesPath`) makes the fold
+    * INCREMENTAL across the stream: instead of re-folding every batch
+    * host from raw rules each micro-batch, the gate probes the landed
+    * `(host, domain)` snapshot under `root/__batch=<id>` (the latest
+    * strictly-earlier batch — the URL-index probe rule) and folds ONLY
+    * the batch's genuinely novel hosts ([[graft.ext.LinkGraph
+    * .pslProbeMerge]] — work ∝ NEW hosts, not batch hosts), then
+    * advances the snapshot AFTER the batch's landing commits (crash
+    * between landing and advance replays idempotently: the re-run
+    * probes the same earlier snapshot and overwrites the same advance
+    * dir with identical content). The first batch bootstraps the
+    * snapshot from its own hosts. A rules drift vs the landed digest
+    * RAISES before any row is gated — an incremental advance under
+    * changed rules would silently mix two folds in one table.
     */
   private def withIngested(indexRoot: String, blockedHosts: Seq[String],
                            bannedWords: Seq[String], maxUrlLen: Int,
@@ -106,7 +121,8 @@ object StreamingCrawl {
                            anchorSnapshotDir: Option[String] = None,
                            blockKeywords: Seq[String] = Nil,
                            maxKeywordRate: Double = 0.5,
-                           pslRulesPath: Option[String] = None)
+                           pslRulesPath: Option[String] = None,
+                           pslSnapshotRoot: Option[String] = None)
                           (batch: DataFrame, batchId: Long)
                           (use: DataFrame => Unit): Unit = {
     require(rankFloorMultiple > 0.0,
@@ -118,8 +134,14 @@ object StreamingCrawl {
       rankSnapshotDir.nonEmpty || anchorSnapshotDir.nonEmpty,
       "crawl ingest: pslRulesPath without a rank or anchor snapshot — the " +
         "PSL fold only changes the grain the gates match at")
+    require(pslSnapshotRoot.isEmpty || pslRulesPath.nonEmpty,
+      "crawl ingest: pslSnapshotRoot without pslRulesPath — the snapshot " +
+        "probe needs the rules for the digest guard and the novel-host fold")
     val spark = batch.sparkSession
     import spark.implicits._
+    // set inside the gate transform when the snapshot probe is armed;
+    // runs AFTER the landings commit (the URL-index ordering)
+    var advancePsl: () => Unit = () => ()
     val pages = batch.select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => graft.io.Warc.parseBytes(p, bytes) }
@@ -158,9 +180,18 @@ object StreamingCrawl {
       // cut family's shared-grain contract) or the gates match
       // nothing/the wrong hosts.
       .transform { df =>
-        val lookup = pslRulesPath.map(p =>
-          graft.ext.LinkGraph.pslLookupFor(df,
-            spark.read.parquet(p)).localCheckpoint(true))
+        val built = pslRulesPath.map { p =>
+          val rules = spark.read.parquet(p)
+          pslSnapshotRoot match {
+            case None =>
+              (graft.ext.LinkGraph.pslLookupFor(df, rules)
+                .localCheckpoint(true), () => ())
+            case Some(root) =>
+              buildPslProbe(root, df, rules, batchId)
+          }
+        }
+        val lookup = built.map(_._1)
+        advancePsl = built.fold(() => ())(_._2)
         val afterRank = rankSnapshotDir.fold(df) { dir =>
           val rank = graft.ext.LinkGraph.rankSnapshot(spark, dir)
           val minRank = rankFloorMultiple *
@@ -215,7 +246,53 @@ object StreamingCrawl {
       StreamingDedup.landBatchChecked(
         graft.ext.Dedup.urlKeyIndex(kept, urlCol = "__durl"),
         s"$indexRoot/__batch=$batchId")
+      // only after every landing of the batch committed: advance the
+      // PSL snapshot (a crash above replays against the same earlier
+      // snapshot; a crash below re-advances with identical content)
+      advancePsl()
     } finally kept.unpersist()
+  }
+
+  /** The per-batch PSL probe: the latest strictly-earlier landed
+    * snapshot merged with the fold of the batch's NOVEL url hosts
+    * (first batch: a full fold of the batch's hosts), materialized
+    * once for the up-to-two gates it feeds — plus the deferred
+    * advance that lands the merged table at `root/__batch=<id>`.
+    */
+  private def buildPslProbe(root: String, df: DataFrame, rules: DataFrame,
+                            batchId: Long): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val digest = graft.ext.LinkGraph.pslRulesDigest(rules)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevDir: Option[String] =
+      if (!fs.exists(rootPath)) None
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch="))
+        .map(s => s.getPath.getName.stripPrefix("__batch=").toLong)
+        .filter(_ < batchId)
+        .sorted.lastOption
+        .map(id => s"$root/__batch=$id")
+    // the batch's distinct url hosts, cut once: the merge's anti-join
+    // probe AND (bootstrap) the full fold both consume it, and its
+    // lineage would otherwise re-parse the batch's WARC bytes
+    val batchHosts = df
+      .select(graft.ext.LinkGraph.hostOf(col("url")).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "").distinct()
+      .localCheckpoint(true)
+    val merged = prevDir match {
+      case Some(dir) =>
+        graft.ext.LinkGraph.pslProbeMerge(spark, dir, batchHosts, rules)
+          .localCheckpoint(true)
+      case None =>
+        graft.ext.LinkGraph.pslDomainTable(batchHosts, rules)
+          .localCheckpoint(true)
+    }
+    (merged, () => {
+      graft.ext.LinkGraph.writePslSnapshotTable(spark, merged, rules,
+        digest, s"$root/__batch=$batchId")
+      ()
+    })
   }
 
   def crawlIngestSink(indexRoot: String, outRoot: String,
@@ -229,12 +306,13 @@ object StreamingCrawl {
                       anchorSnapshotDir: Option[String] = None,
                       blockKeywords: Seq[String] = Nil,
                       maxKeywordRate: Double = 0.5,
-                      pslRulesPath: Option[String] = None)
+                      pslRulesPath: Option[String] = None,
+                      pslSnapshotRoot: Option[String] = None)
                      (batch: DataFrame, batchId: Long): Unit =
     withIngested(indexRoot, blockedHosts, bannedWords, maxUrlLen,
       respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
       anchorSnapshotDir, blockKeywords, maxKeywordRate,
-      pslRulesPath)(batch, batchId) {
+      pslRulesPath, pslSnapshotRoot)(batch, batchId) {
       extracted =>
         StreamingDedup.landBatchChecked(
           extracted.drop("lang"), // the standalone sink's landed schema
@@ -253,10 +331,21 @@ object StreamingCrawl {
     * made against persisted state — never a corpus rescan. (Packing/
     * export stay export-time steps over the accumulated corpus, as in
     * the batch chain.)
+    *
+    * `langModelPath`/`langPredRoot` chain the lang-prediction sink
+    * ([[StreamingLang.scoreSink]] — the q158 artifact) onto the same
+    * pass: the CACHED curated batch scores against the frozen model
+    * and lands under `langPredRoot/__batch=<id>` alongside the text —
+    * one ingest, two artifacts, no second read of anything
+    * (StreamingSpec pins chained ≡ the standalone sink over the
+    * landed batches). Non-default scorer geometry goes through
+    * [[StreamingDedup.curationChainSink]]'s `alsoLand` directly.
     */
   def crawlToCurationSink(urlIndexRoot: String, normIndexRoot: String,
                           minHashIndexRoot: String, outRoot: String,
                           benchmarkSource: DataFrame,
+                          langModelPath: Option[String] = None,
+                          langPredRoot: Option[String] = None,
                           blockedHosts: Seq[String] = Nil,
                           bannedWords: Seq[String] = Nil,
                           maxUrlLen: Int = 2048,
@@ -267,14 +356,22 @@ object StreamingCrawl {
                           anchorSnapshotDir: Option[String] = None,
                           blockKeywords: Seq[String] = Nil,
                           maxKeywordRate: Double = 0.5,
-                          pslRulesPath: Option[String] = None)
+                          pslRulesPath: Option[String] = None,
+                          pslSnapshotRoot: Option[String] = None)
                          (batch: DataFrame, batchId: Long): Unit =
     withIngested(urlIndexRoot, blockedHosts, bannedWords, maxUrlLen,
       respectNoindex, honorCanonical, rankSnapshotDir, rankFloorMultiple,
       anchorSnapshotDir, blockKeywords, maxKeywordRate,
-      pslRulesPath)(batch, batchId) {
+      pslRulesPath, pslSnapshotRoot)(batch, batchId) {
       extracted =>
+        require(langModelPath.isDefined == langPredRoot.isDefined,
+          "crawlToCurationSink: langModelPath and langPredRoot come " +
+            "together — the chained scorer needs both the frozen model " +
+            "and a landing root")
+        val lang = for (m <- langModelPath; r <- langPredRoot)
+          yield StreamingLang.scoreSink(m, r) _
         StreamingDedup.curationChainSink(normIndexRoot, minHashIndexRoot,
-          outRoot, benchmarkSource)(extracted, batchId)
+          outRoot, benchmarkSource, alsoLand = lang.toSeq)(
+          extracted, batchId)
     }
 }

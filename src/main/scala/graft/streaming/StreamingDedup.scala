@@ -503,7 +503,8 @@ object StreamingDedup {
     * [[compactIndex]] applies to both index roots verbatim.
     */
   def curationChainSink(normIndexRoot: String, minHashIndexRoot: String,
-                        outRoot: String, benchmarkSource: DataFrame)
+                        outRoot: String, benchmarkSource: DataFrame,
+                        alsoLand: Seq[(DataFrame, Long) => Unit] = Nil)
                        (batch: DataFrame, batchId: Long): Unit = {
     import graft.ext.{CurationChain, Dedup, TextOps}
     val spark = batch.sparkSession
@@ -527,6 +528,13 @@ object StreamingDedup {
       kept.cache()
       try {
         landBatchChecked(kept, s"$outRoot/__batch=$batchId")
+        // chained per-batch artifact sinks over the CACHED curated
+        // frame (e.g. [[StreamingLang.scoreSink]] — one ingest pass
+        // lands text + predictions without re-reading the landing);
+        // each must follow the family's replay contract (a pure
+        // function of (batch, its own frozen state) landed as a
+        // partition overwrite)
+        alsoLand.foreach(sink => sink(kept, batchId))
         // rollForward's two halves as partition appends: digests can't
         // repeat across batches (a repeat falls at the exact stage), and
         // the MinHash probe tolerates accreted rows like every sink here

@@ -705,6 +705,68 @@ class StreamingSpec extends AnyFunSuite {
       "replay of a delivered batch changed the curated output")
   }
 
+  test("chained crawl->curation->lang: one ingest pass lands text + predictions == standalone scoreSink") {
+    import graft.io.Warc
+    import graft.streaming.{StreamingCrawl, StreamingLang}
+    import graft.ext.LangModel
+    val work = SparkTestBase.tmpDir("graft_stream_crawl_lang")
+    // the frozen scorer (the q158 posture): two crafted languages
+    def sent(words: Seq[String], k: Int, n: Int) =
+      (0 until n).map(i => words((i + k) % words.size)).mkString(" ")
+    val aw = Seq("kala", "meri", "tulo", "sinu", "vesi")
+    val bw = Seq("zorb", "gryx", "phex", "wyrd", "quzz")
+    val train = ((1 to 5).map(i => (i.toLong, sent(aw, i, 8), "aa")) ++
+      (6 to 10).map(i => (i.toLong, sent(bw, i, 8), "bb")))
+      .toDF("doc_id", "text", "lang")
+    LangModel.langTrain(train).write.parquet(s"$work/model")
+    def shard(pages: (String, String)*): Array[Byte] =
+      pages.map { case (url, html) => Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", s"<p>$html</p>"))) }
+        .reduce(_ ++ _)
+    def batchDf(b: Array[Byte]) = Seq(("s.warc.gz", b)).toDF("path", "content")
+    val bench = Seq((20L, "benchmark five gram pattern here now"))
+      .toDF("doc_id", "text")
+    val sink = StreamingCrawl.crawlToCurationSink(
+      s"$work/uidx", s"$work/didx", s"$work/midx", s"$work/out", bench,
+      langModelPath = Some(s"$work/model"),
+      langPredRoot = Some(s"$work/pred")) _
+    sink(batchDf(shard(
+      "https://c.example.com/a" -> sent(aw, 1, 12),
+      "https://c.example.com/b" -> sent(bw, 2, 12))), 0L)
+    // page c uses a third inventory: a bw rotation would near-dup
+    // against batch 0's page b and never land
+    val cw = Seq("brix", "florp", "zind", "quav", "melk")
+    sink(batchDf(shard(
+      "https://c.example.com/c" -> sent(cw, 4, 12),
+      // an exact twin: drops in curation, so it must NOT be scored
+      "https://c.example.com/a2" -> sent(aw, 1, 12))), 1L)
+    def preds(root: String) = spark.read.parquet(root)
+      .select("doc_id", "lang_pred", "logprob", "margin")
+      .as[(Long, String, Double, Double)].collect().sortBy(_._1).toSeq
+    // predictions cover exactly the CURATED landings, batch by batch
+    val curated = spark.read.parquet(s"$work/out")
+    assert(curated.count() === 3L)
+    assert(preds(s"$work/pred").map(_._1).toSet ===
+      curated.select("doc_id").as[Long].collect().toSet,
+      "one prediction row per curated doc, none for curation drops")
+    // chained == the standalone sink replayed over the landed batches
+    val standalone = StreamingLang.scoreSink(s"$work/model", s"$work/pred2") _
+    for (id <- Seq(0L, 1L))
+      standalone(spark.read.parquet(s"$work/out/__batch=$id"), id)
+    assert(preds(s"$work/pred") === preds(s"$work/pred2"),
+      "chained predictions drifted from the standalone scoreSink")
+    // replay: re-delivering batch 1 rewrites byte-identical predictions
+    val before = preds(s"$work/pred")
+    sink(batchDf(shard(
+      "https://c.example.com/c" -> sent(cw, 4, 12),
+      "https://c.example.com/a2" -> sent(aw, 1, 12))), 1L)
+    assert(preds(s"$work/pred") === before,
+      "replay of a delivered batch changed the predictions")
+  }
+
   test("streaming gated front half: persisted rank + anchor block gate before URL keys; stream == batch") {
     import graft.io.Warc
     import graft.ext.LinkGraph
@@ -886,6 +948,101 @@ class StreamingSpec extends AnyFunSuite {
     val bad = StreamingCrawl.crawlIngestSink(s"$work/idx2", s"$work/out2",
       pslRulesPath = Some(s"$work/psl_rules")) _
     intercept[IllegalArgumentException] { bad(batchDf(b0, "p.warc.gz"), 0L) }
+  }
+
+  test("streaming PSL snapshot probe: probed gate == per-batch rebuild over novel hosts; drift raises; replay-idempotent") {
+    import graft.io.Warc
+    import graft.ext.LinkGraph
+    import graft.streaming.StreamingCrawl
+    val work = SparkTestBase.tmpDir("graft_stream_psl_snap")
+    val rules = Seq("// psl", "com", "org", "co.uk", "*.ck", "!www.ck")
+    rules.toDF("rule").write.parquet(s"$work/psl_rules")
+    val edges = Seq(
+      ("a.org", "acme.co.uk", 1L, 1L), ("b.org", "acme.co.uk", 1L, 1L),
+      ("c.io", "acme.co.uk", 1L, 1L),
+      ("a.org", "spamco.co.uk", 1L, 1L), ("b.org", "spamco.co.uk", 1L, 1L),
+      ("c.io", "spamco.co.uk", 1L, 1L))
+      .toDF("src_host", "dst_host", "n_links", "n_pages")
+    LinkGraph.writeRankSnapshot(spark, edges, s"$work/rank_snap",
+      iterations = 3)
+    LinkGraph.writeAnchorSnapshot(spark, Seq(
+      ("a.org", "spamco.co.uk", "buy now", 2L),
+      ("b.org", "spamco.co.uk", "buy now", 1L))
+      .toDF("src_host", "dst_host", "anchor", "n_links"), s"$work/anchor_snap")
+    def member(url: String, html: String) =
+      Warc.gzipMember(Warc.record(Seq(
+        "WARC-Type" -> "response", "WARC-Target-URI" -> url,
+        "WARC-Date" -> "2024-01-01T00:00:00Z",
+        "Content-Type" -> "application/http; msgtype=response"),
+        Warc.httpResponseBlock(200, "text/html", html)))
+    def batchDf(pages: Seq[(String, String)], name: String) =
+      Seq((name, pages.map((member _).tupled).reduce(_ ++ _)))
+        .toDF("path", "content")
+    def sinkFor(tag: String, snapshotRoot: Option[String]) =
+      StreamingCrawl.crawlIngestSink(s"$work/idx_$tag", s"$work/out_$tag",
+        rankSnapshotDir = Some(s"$work/rank_snap"),
+        anchorSnapshotDir = Some(s"$work/anchor_snap"),
+        blockKeywords = Seq("now"),
+        pslRulesPath = Some(s"$work/psl_rules"),
+        pslSnapshotRoot = snapshotRoot) _
+    val rebuild = sinkFor("a", None)                     // per-batch fold
+    val probed = sinkFor("b", Some(s"$work/psl_snap"))   // snapshot probe
+    // every batch carries hosts the snapshot has never seen (novel
+    // subdomains of both the endorsed and the anchor-blocked domain,
+    // plus a fresh unendorsed domain), alongside a known host
+    val batches = Seq(
+      Seq("https://shop.acme.co.uk/a" -> "<p>shop page body</p>",
+        "https://blog.acme.co.uk/b" -> "<p>blog page body</p>",
+        "https://weak.org/w" -> "<p>unendorsed</p>",
+        "https://m.spamco.co.uk/x" -> "<p>spam mirror</p>"),
+      Seq("https://shop2.acme.co.uk/c" -> "<p>second shop</p>",
+        "https://blog.acme.co.uk/d" -> "<p>known host new page</p>",
+        "https://weak2.org/y" -> "<p>still unendorsed</p>"),
+      Seq("https://shop3.acme.co.uk/e" -> "<p>third shop</p>",
+        "https://m2.spamco.co.uk/z" -> "<p>another mirror</p>"))
+    def landed(tag: String) = spark.read.parquet(s"$work/out_$tag")
+      .select("doc_id", "url", "ts", "url_key", "text")
+      .collect().map(_.toString).sorted.toSeq
+    for ((pages, id) <- batches.zipWithIndex) {
+      rebuild(batchDf(pages, s"p$id.warc.gz"), id.toLong)
+      probed(batchDf(pages, s"p$id.warc.gz"), id.toLong)
+      assert(landed("b") === landed("a"),
+        s"batch $id: snapshot-probed gate drifted from the per-batch fold")
+      // the snapshot advanced AFTER the landing: one dir per batch
+      assert(new java.io.File(s"$work/psl_snap/__batch=$id/meta").exists())
+    }
+    // the accreted snapshot == a from-scratch fold over every host the
+    // stream ever saw (roll-forward ≡ rebuild, incrementally)
+    val allHosts = batches.flatten.map(_._1)
+      .map(u => u.stripPrefix("https://").takeWhile(_ != '/')).distinct
+    val rebuiltTable = LinkGraph.pslDomainTable(
+      allHosts.toDF("host"), rules.toDF("rule"))
+      .as[(String, String)].collect().toMap
+    val snapTable = LinkGraph.pslSnapshot(spark, s"$work/psl_snap/__batch=2")
+      .as[(String, String)].collect().toMap
+    assert(snapTable === rebuiltTable)
+    assert(LinkGraph.pslSnapshotMeta(spark, s"$work/psl_snap/__batch=2")
+      .nHosts === allHosts.size.toLong)
+    // replay of batch 1 probes the strictly-earlier snapshot and
+    // re-advances identically: landings and snapshots both unchanged
+    val before = landed("b")
+    probed(batchDf(batches(1), "p1.warc.gz"), 1L)
+    assert(landed("b") === before, "replay must be idempotent")
+    assert(LinkGraph.pslSnapshot(spark, s"$work/psl_snap/__batch=1")
+      .as[(String, String)].collect().toMap ===
+      LinkGraph.pslDomainTable(
+        (batches(0) ++ batches(1)).map(_._1)
+          .map(u => u.stripPrefix("https://").takeWhile(_ != '/')).distinct
+          .toDF("host"), rules.toDF("rule"))
+        .as[(String, String)].collect().toMap,
+      "the re-advanced snapshot must rebuild bit-identically")
+    // a rules drift mid-stream RAISES before any row is gated: an
+    // incremental advance under changed rules would mix two folds
+    (rules :+ "io").toDF("rule").write.mode("overwrite")
+      .parquet(s"$work/psl_rules")
+    intercept[IllegalArgumentException] {
+      probed(batchDf(batches(2), "p3.warc.gz"), 3L)
+    }
   }
 
   test("__batch= roll-forward concurrent-writer contract: last-writer-wins sequentially, torn landings fail loudly") {

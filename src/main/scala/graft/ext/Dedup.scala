@@ -281,9 +281,14 @@ object Dedup {
                                idCol: String, textCol: String): DataFrame = {
     require(spanTokens > 0, "spanTokens must be positive")
     require(minDocs >= 2, "a span in fewer than 2 docs is not boilerplate")
+    // the (id, pos, hash) window frame feeds BOTH the duplicated-span
+    // aggregate and the coverage semi join — cut it once so the span
+    // explosion + hashing over the corpus runs one time, not two
+    // (24 bytes/token materialized; the span text is already dropped)
     val w = docs.select(col(idCol),
         posexplode(TextOps.shinglesOrdered(col(textCol), spanTokens)).as(Seq("pos", "span")))
       .select(col(idCol), col("pos"), xxhash64(col("span")).as("__h"))
+      .localCheckpoint(true)
     val dup = w.groupBy("__h")
       .agg(count_distinct(col(idCol)).as("__nd"))
       .where(col("__nd") >= minDocs)
@@ -515,11 +520,18 @@ object Dedup {
                      threshold: Double = 0.8, numHashes: Int = 128,
                      bands: Int = 32, seed: Long = 0xC0FFEE): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val hs = docs.select(col(idCol),
-      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
-    val withSig = hs.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
+    // the signature frame is the operator's fingerprint pass: the
+    // banding self-join consumes it twice and the exact verify four
+    // more times (two size joins + two array joins), so an
+    // unmaterialized lineage re-shingles and re-signs the corpus ~6×.
+    // One eager cut computes it once; every downstream branch reads
+    // the (id, hashes, signature) rows — never the text again.
+    val withSig = docs.select(col(idCol),
+        graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed))
+      .localCheckpoint(true)
     val cands = lshCandidates(withSig, idCol, bands, numHashes / bands)
-    verifyJaccard(cands, hs, idCol, threshold)
+    verifyJaccard(cands, withSig.select(col(idCol), col("__hs")), idCol, threshold)
   }
 
   /** Exact Jaccard on given (a_id, b_id) pairs from per-doc hashed
@@ -618,8 +630,14 @@ object Dedup {
                           strategy: String = "prefix",
                           maxDocFreqFraction: Option[Double] = None,
                           maxCountDocFreq: Long = 10000L): DataFrame = {
+    // the hashed-set frame feeds every branch of either strategy —
+    // postings (twice: docFreq + the candidate join), sizes, and the
+    // exact verify's four consumptions — so an unmaterialized lineage
+    // re-shingles the corpus up to ~8× (the q13 plan showed 16 shingle
+    // projections over 20 scans). One eager cut computes it once.
     val hs = docs.select(col(idCol),
-      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+        graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .localCheckpoint(true)
     val postings = hs.select(col(idCol), explode(col("__hs")).as("__s"))
     strategy match {
       case "count" =>
@@ -663,6 +681,12 @@ object Dedup {
               .where(col("__df") <= col("__ndocs") * frac || col("__rn") === 1)
           case None => prefixAll
         }).select(col("__s"), col(idCol), col("__rn"), col("__n"))
+          // the candidate join consumes the prefix frame on BOTH sides
+          // with different projections, so the rarity window (df agg +
+          // join + per-doc row_number) would run twice; cut it once —
+          // prefix rows are the pruned postings subset, narrow by
+          // construction
+          .localCheckpoint(true)
         // PPJoin position bound: for the RAREST shared shingle at ranks
         // (i, j), overlap ≤ 1 + min(|A|−i, |B|−j); J ≥ t needs overlap
         // ≥ ⌈t/(1+t)·(|A|+|B|)⌉ — a qualifying pair always passes on
@@ -912,8 +936,12 @@ object Dedup {
                                  numHashes: Int = 128, bands: Int = 32,
                                  seed: Long = 0xC0FFEE): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    // the batch's hashed-set frame feeds banding + the two-sided verify
+    // (sizes + sets) — cut it once so the batch shingles once, not 3×
+    // (batch-scale blocks; the corpus index side stays a parquet probe)
     val qh = queryDocs.select(col(idCol),
-      graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+        graft.functions.ArrayExprs.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .localCheckpoint(true)
     val qBanded = bandedRows(
       qh.withColumn("__sig", minHashFromHashes(col("__hs"), numHashes, seed)),
       idCol, bands, numHashes / bands)
@@ -1167,7 +1195,11 @@ object Dedup {
                                    idCol: String, textCol: String,
                                    u: SubstrUnit): DataFrame = {
     require(minUnits > 0, "window width must be positive")
+    // the occurrence frame feeds both the per-window stat agg and the
+    // flag join — cut it once so the window explosion + hashing over
+    // the corpus text runs one time, not two
     val occ = substringWindows(docs, minUnits, idCol, textCol, u)
+      .localCheckpoint(true)
     val dupStarts = occ.join(
       occ.groupBy("__h").agg(count(lit(1)).as("__n"))
         .where(col("__n") >= 2).select("__h"),
@@ -1223,7 +1255,10 @@ object Dedup {
                                   idCol: String, textCol: String,
                                   u: SubstrUnit): DataFrame = {
     require(minUnits > 0, "window width must be positive")
+    // same cut as substringRegionsImpl: the stat agg and the repeat
+    // join both consume the occurrence frame
     val occ = substringWindows(docs, minUnits, idCol, textCol, u)
+      .localCheckpoint(true)
     val repeats = occ.join(
         occ.groupBy("__h")
           .agg(count(lit(1)).as("__n"),
@@ -1461,7 +1496,11 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(minChars >= 0, "minChars must be non-negative")
+    // the line frame feeds the stat agg and the report join — cut it
+    // once (the substringRegionsImpl discipline; __line itself is
+    // already projected away, only (id, pos, len, hash) materializes)
     val occ = lineOccurrences(docs, minChars, idCol, textCol)
+      .localCheckpoint(true)
     val dupHashes = occ.where(col("__h").isNotNull)
       .groupBy("__h").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2)
@@ -1492,8 +1531,11 @@ object Dedup {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(minChars >= 0, "minChars must be non-negative")
+    // qual feeds the first-occurrence election and the cut join — cut
+    // it once (same discipline as stripSubstringsImpl)
     val qual = lineOccurrences(docs, minChars, idCol, textCol)
       .where(col("__h").isNotNull)
+      .localCheckpoint(true)
     val firsts = qual.groupBy("__h")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol), col("pos"))).as("__first"))

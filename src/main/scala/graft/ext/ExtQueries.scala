@@ -1021,6 +1021,15 @@ object ExtQueries {
     */
   def q132(spark: SparkSession, dir: String): DataFrame = {
     import CrawlFixture._
+    // the WARC parse + HTML extraction front door is consumed by TWO
+    // branches (bench + filtered), and every curation stage below
+    // consumes ITS input on 2-4 internal plan branches — so the
+    // unmaterialized composition re-ran the gzip decode / envelope
+    // split / text extraction dozens of times (the r20-before plan:
+    // 30 parquet scans, 60+ exchanges). Cut the lineage once at the
+    // front door and at each stage boundary — exactly
+    // [[CurationChain.run]]'s StageMaterializer discipline, which this
+    // composition bypassed by calling the stages directly.
     val routed = mixedRecords(spark)
       .withColumn("text", Html.routedText(col("payload"), col("ct")))
       .withColumn("lang",
@@ -1038,15 +1047,17 @@ object ExtQueries {
           .otherwise(col("url")))
       .where(col("text").isNotNull)
       .select("doc_id", "url", "durl", "lang", "text")
+      .localCheckpoint(true)
     val bench = routed.where(col("url").startsWith(BenchHostPrefix))
     val filtered = routed.where(
       TextOps.urlQualityKeep(col("url"), BlockedHosts, BannedWords))
     val train0 = Dedup.urlDedup(filtered, urlCol = "durl")
       .where(!col("url").startsWith(BenchHostPrefix))
       .select("doc_id", "url", "lang", "text")
-    val s1 = CurationChain.encodingGate(train0)
-    val s2 = CurationChain.normalizeDedup(s1)
-    val s3 = CurationChain.nearDupDedup(s2)
+      .localCheckpoint(true)
+    val s1 = CurationChain.encodingGate(train0).localCheckpoint(true)
+    val s2 = CurationChain.normalizeDedup(s1).localCheckpoint(true)
+    val s3 = CurationChain.nearDupDedup(s2).localCheckpoint(true)
     val s4 = TextOps.decontaminate(s3, bench,
       shingleSize = CurationChain.DeconShingleSize)
     val s5 = Sampling.mixtureSample(s4, MixtureRates, keyCol = "lang")
@@ -1640,9 +1651,14 @@ object ExtQueries {
     val gated = LinkGraph.anchorKeywordKeep(ranked,
       LinkGraph.anchorTexts(linkPages(spark, dir)),
       keywords = Seq("now", "topic 4"), maxRate = 0.5)
+    // urlDedup consumes its input TWICE (winner election + join back),
+    // and this input's lineage is the whole policy → rank → anchor gate
+    // chain over raw HTML payloads — cut it once so the HTML parsing
+    // (robots/canonical extraction) runs one time, not two
     Dedup.urlDedup(
       gated.withColumn("__durl",
-        Html.declaredCanonicalOr(col("url"), col("html"))),
+        Html.declaredCanonicalOr(col("url"), col("html")))
+        .localCheckpoint(true),
       urlCol = "__durl")
       .select(col("doc_id"), col("host"), col("url_key"),
         Html.htmlToText(col("html")).as("text"))

@@ -340,20 +340,32 @@ object LinkGraph {
     */
   def domainEdgesByLookup(pages: DataFrame, lookup: DataFrame,
                           urlCol: String = "url", htmlCol: String = "html",
-                          idCol: String = "doc_id"): DataFrame = {
-    val raw = pages
+                          idCol: String = "doc_id"): DataFrame =
+    foldRawEdges(rawHostEdges(pages, urlCol, htmlCol, idCol), lookup, idCol)
+
+  /** The un-folded `(id, __srch, __dsth)` link rows shared by
+    * [[domainEdgesByLookup]] (which derives them from the pages) and
+    * [[domainEdgesPsl]] (which materializes them once so the lookup
+    * build does not re-explode the corpus HTML).
+    */
+  private def rawHostEdges(pages: DataFrame, urlCol: String,
+                           htmlCol: String, idCol: String): DataFrame =
+    pages
       .select(col(idCol),
         hostOf(col(urlCol)).as("__srch"),
         explode(Html.htmlLinks(col(htmlCol))).as("__href"))
       .select(col(idCol), col("__srch"), hostOf(col("__href")).as("__dsth"))
       .where(col("__srch") =!= "" && col("__dsth") =!= "")
+
+  /** [[domainEdgesByLookup]]'s fold + aggregate tail over raw rows. */
+  private def foldRawEdges(raw: DataFrame, lookup: DataFrame,
+                           idCol: String): DataFrame =
     foldHost(foldHost(raw, "__srch", lookup, "__src"),
       "__dsth", lookup, "__dst")
       .where(col("__src") =!= col("__dst"))
       .groupBy(col("__src").as("src_host"), col("__dst").as("dst_host"))
       .agg(count(lit(1)).as("n_links"),
         count_distinct(col(idCol)).as("n_pages"))
-  }
 
   /** [[domainEdgesByLookup]] with the lookup built in from raw PSL
     * rules ([[pslLookupFor]] covers url + href hosts, so the
@@ -364,16 +376,27 @@ object LinkGraph {
                      idCol: String = "doc_id",
                      ruleCol: String = "rule",
                      mat: CurationChain.StageMaterializer =
-                       CurationChain.LocalCheckpointMaterializer): DataFrame =
-    // the lookup materializes at the composition boundary: both
-    // endpoint folds broadcast it, and without the cut each broadcast
-    // exchange re-runs the whole election lineage (host-cardinality,
-    // two narrow columns — the cheapest possible cut); the HOW rides
-    // the same injectable seam pslDomainTable uses
-    domainEdgesByLookup(pages,
+                       CurationChain.LocalCheckpointMaterializer): DataFrame = {
+    // the raw link rows materialize FIRST: the lookup build and the
+    // fold both need the corpus's hosts, and deriving the lookup from
+    // the cut raw frame (instead of pslLookupFor's second pass over
+    // the pages) halves the HTML link explosions — the lookup only has
+    // to cover hosts the fold will actually see, and raw's host set is
+    // exactly that, so the fold (and the absent-host raise posture)
+    // is unchanged. The lookup then materializes at the composition
+    // boundary: both endpoint folds broadcast it, and without the cut
+    // each broadcast exchange re-runs the whole election lineage
+    // (host-cardinality, two narrow columns — the cheapest possible
+    // cut); the HOW rides the same injectable seam pslDomainTable uses
+    val raw = mat("psl_raw_edges")(
+      rawHostEdges(pages, urlCol, htmlCol, idCol))
+    val hosts = raw.select(col("__srch").as("host"))
+      .unionByName(raw.select(col("__dsth").as("host")))
+    foldRawEdges(raw,
       mat("psl_lookup")(
-        pslLookupFor(pages, rules, urlCol, Some(htmlCol), ruleCol, 10, mat)),
-      urlCol, htmlCol, idCol)
+        pslDomainTable(hosts, rules, "host", ruleCol, 10, mat)),
+      idCol)
+  }
 
   private def edgesBy(pages: DataFrame, nodeOf: Column => Column,
                       urlCol: String, htmlCol: String,

@@ -1006,8 +1006,27 @@ object TextOps {
     */
   def lmPerplexity(docs: DataFrame, addK: Double = 0.5,
                    idCol: String = "doc_id", textCol: String = "text",
-                   n: Int = 2): DataFrame =
-    lmPerplexityAgainst(docs, lmTrain(docs, idCol, textCol, n), addK, idCol, textCol, n)
+                   n: Int = 2): DataFrame = {
+    // self-scoring shares ONE n-gram pass between training and scoring:
+    // the model's bigram counts are a ROLLUP of the per-doc
+    // multiplicities (sums of counts — identical integers to counting
+    // the raw pairs), so the corpus n-gram explosion runs once instead
+    // of twice, and the eager cut stops the scoring joins from
+    // re-exploding it again (the r20-before q73 plan: 10 corpus scans,
+    // 34 exchanges — the perLanguageSurprisal rollup lesson, SCALE_r18).
+    val docBg = docNgrams(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__m"))
+      .localCheckpoint(true)
+    val c2 = docBg.groupBy("prev", "cur").agg(sum(col("__m")).as("__c2"))
+    val vocabRow = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token")).as("__c2"))
+      .select(lit(null).cast("string").as("prev"),
+        lit(null).cast("string").as("cur"), col("__c2"))
+    scoreDocBigrams(docs.select(col(idCol)), docBg,
+      c2.unionByName(vocabRow), addK, idCol)
+  }
 
   /** Per-row n-gram (context, token) pairs of a document table — the
     * shared derivation of [[lmTrain]] and [[lmPerplexityAgainst]]
@@ -1067,15 +1086,27 @@ object TextOps {
   def lmPerplexityAgainst(docs: DataFrame, model: DataFrame, addK: Double = 0.5,
                           idCol: String = "doc_id", textCol: String = "text",
                           n: Int = 2): DataFrame = {
+    // distinct doc-bigrams with multiplicity: the join + fold unit
+    val docBg = docNgrams(docs, idCol, textCol, n)
+      .groupBy(col(idCol), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("__m"))
+    scoreDocBigrams(docs.select(col(idCol)), docBg, model, addK, idCol)
+  }
+
+  /** The scoring back half shared by [[lmPerplexity]] (which feeds it a
+    * materialized doc-bigram frame so training and scoring split one
+    * n-gram pass) and [[lmPerplexityAgainst]] (which derives the frame
+    * from the batch). Join and fold sequence unchanged — scores stay
+    * bit-identical to the pre-split operator.
+    */
+  private def scoreDocBigrams(docIds: DataFrame, docBg: DataFrame,
+                              model: DataFrame, addK: Double,
+                              idCol: String): DataFrame = {
     require(addK > 0, "addK must be positive (k=0 makes unseen n-grams -inf)")
     val c2 = model.where(col("prev").isNotNull)
     val c1 = c2.groupBy("prev").agg(sum(col("__c2")).as("__c1"))
     val vocab = model.where(col("prev").isNull)
       .select(col("__c2").cast("double").as("__v"))
-    val bigrams = docNgrams(docs, idCol, textCol, n)
-    // distinct doc-bigrams with multiplicity: the join + fold unit
-    val docBg = bigrams.groupBy(col(idCol), col("prev"), col("cur"))
-      .agg(count(lit(1)).as("__m"))
     val scored = docBg
       .join(c2, Seq("prev", "cur"), "left")
       .join(c1, Seq("prev"), "left")
@@ -1095,7 +1126,7 @@ object TextOps {
       .select(col(idCol), col("n_bigrams"),
         (negate(col("__sum")) / col("n_bigrams").cast("double")).as("cross_entropy"))
       .withColumn("perplexity", pow(lit(2.0), col("cross_entropy")))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    docIds.join(perDoc, Seq(idCol), "left")
   }
 
   /** Interpolated KNESER-NEY scoring against the SAME persisted model

@@ -1467,12 +1467,13 @@ class ExtSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
       .map(r => r._1 -> math.round(r._2 * r._3)).toMap
     assert(got.view.mapValues(_._2).toMap === frac)
-    // plan evidence for the 8-byte shuffle currency: the span text is
-    // fingerprinted (xxhash64) before the agg/semi join, and no raw
-    // `span` column survives into the coverage aggregation
+    // plan evidence for the 8-byte shuffle currency: the occurrence
+    // frame materializes as (id, pos, __h) — span text already
+    // fingerprinted (xxhash64 inside the checkpointed lineage) — so no
+    // raw `span` column survives into the coverage agg/semi join
     val plan = Dedup.boilerplateFraction(df, spanTokens = 2)
       .queryExecution.optimizedPlan.toString
-    assert(plan.contains("xxhash64"),
+    assert(plan.contains("__h") && !plan.contains("span#"),
       "covered-position derivation must shuffle span fingerprints, not span strings")
   }
 

@@ -1496,11 +1496,7 @@ object Dedup {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(minChars >= 0, "minChars must be non-negative")
-    // the line frame feeds the stat agg and the report join — cut it
-    // once (the substringRegionsImpl discipline; __line itself is
-    // already projected away, only (id, pos, len, hash) materializes)
     val occ = lineOccurrences(docs, minChars, idCol, textCol)
-      .localCheckpoint(true)
     val dupHashes = occ.where(col("__h").isNotNull)
       .groupBy("__h").agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2)
@@ -1531,11 +1527,8 @@ object Dedup {
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
     require(minChars >= 0, "minChars must be non-negative")
-    // qual feeds the first-occurrence election and the cut join — cut
-    // it once (same discipline as stripSubstringsImpl)
     val qual = lineOccurrences(docs, minChars, idCol, textCol)
       .where(col("__h").isNotNull)
-      .localCheckpoint(true)
     val firsts = qual.groupBy("__h")
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol), col("pos"))).as("__first"))

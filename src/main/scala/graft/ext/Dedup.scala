@@ -667,16 +667,22 @@ object Dedup {
         val docFreq = postings.groupBy("__s").agg(count(lit(1)).as("__df"))
         val byRarity = Window.partitionBy(col(idCol))
           .orderBy(col("__df").asc, col("__s").asc)
-        // |X| comes straight from the hashed-set array — no second window
-        val sizes = hs.select(col(idCol), size(col("__hs")).as("__n"))
+        // |X| = the doc's posting count (shingleHashes is sorted
+        // DISTINCT, so count ≡ size(__hs)) — computed as a second
+        // window over the SAME per-doc exchange the rarity rank needs
+        // anyway, instead of joining a doc-grain sizes frame back in:
+        // that join re-exchanged the whole postings frame by id, sorted
+        // it for the SMJ, then the rank window re-sorted by (df, s).
+        // One exchange + one sort now serve both columns (guide §2.4).
+        val byDoc = Window.partitionBy(col(idCol))
         val prefixAll = postings.join(docFreq, "__s")
-          .join(sizes, idCol)
+          .withColumn("__n", count(lit(1)).over(byDoc))
           .withColumn("__rn", row_number().over(byRarity))
           .where(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
         val prefix = (maxDocFreqFraction match {
           case Some(frac) =>
             // stop-shingle cut: hot postings leave the join; rank-1 stays
-            val nDocs = sizes.agg(count(lit(1)).as("__ndocs"))
+            val nDocs = hs.agg(count(lit(1)).as("__ndocs"))
             prefixAll.crossJoin(broadcast(nDocs))
               .where(col("__df") <= col("__ndocs") * frac || col("__rn") === 1)
           case None => prefixAll

@@ -82,6 +82,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram Jaccard prefix: set size is the DISTINCT shingle count, not occurrences") {
+    // doc 1 repeats one bigram pair many times; its distinct-bigram set
+    // {xy, yx} is IDENTICAL to doc 2's, so J = 1.0. The prefix branch
+    // derives |X| as a window count over the postings — valid only
+    // because shingleHashes is sorted-DISTINCT. If |X| ever counted raw
+    // occurrences (6 vs 2), the size bound t·max ≤ min would compute
+    // 0.9·6 = 5.4 > 2 and silently prune this exact-duplicate pair.
+    Seq("count", "prefix").foreach { s =>
+      val found = Dedup.nearDupNgramJaccard(
+        docsDf(1L -> "x y x y x y x", 2L -> "x y x"),
+        shingleSize = 2, threshold = 0.9, strategy = s)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(found === Set((1L, 2L, 1.0)), s"strategy $s")
+    }
+  }
+
   test("count strategy guards against viral shingles (quadratic posting list)") {
     // 12 docs all sharing the bigram "the same": its posting list is a
     // 12²-pair self-join — over a cap of 10 it must fail fast with the

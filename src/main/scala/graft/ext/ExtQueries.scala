@@ -1844,11 +1844,13 @@ object ExtQueries {
     * integers plus one IEEE division.
     */
   def q145(spark: SparkSession, dir: String): DataFrame =
+    // `host` is a row-local derivation of (doc_id, source), so it rides
+    // gopherRules' stats projection (carryCols) instead of a second
+    // corpus scan joined back on by id — same rows, one scan, no join
     TextOps.keepRateBy(
-      TextOps.gopherRules(docs(spark, dir))
-        .join(docs(spark, dir)
-          .select(col("doc_id"), LinkGraph.hostOf(sourceUrl).as("host")),
-          Seq("doc_id")),
+      TextOps.gopherRules(
+        docs(spark, dir).withColumn("host", LinkGraph.hostOf(sourceUrl)),
+        carryCols = Seq("host")),
       "host")
       .orderBy("host")
 

@@ -707,7 +707,14 @@ object TextOps {
                   maxBulletLineFrac: Double = 0.9,
                   maxEllipsisLineFrac: Double = 0.3,
                   idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    // carryCols ride the row-local stats projection unchanged, so a
+    // caller grouping the report by a doc attribute (q145's host
+    // rollup) does not have to re-scan the corpus and join the
+    // attribute back on by id — at scale that join exchanges BOTH the
+    // verdict frame and the attribute frame by id (guide §3.3: carry
+    // the column once instead of re-attaching it).
     val stops = topTokens(docs, stopTopK, idCol, textCol).select(col("token"))
     val stopHits = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
@@ -731,7 +738,7 @@ object TextOps {
       .cast("long")
     val nEllEnd = size(filter(lines, x =>
       x.endsWith("...") || x.endsWith("…"))).cast("long")
-    val stats = docs.select(col(idCol),
+    val stats = docs.select((col(idCol) +: carryCols.map(col)) ++ Seq(
         nWords.as("n_words"),
         (sumLen.cast("double") / nWords.cast("double")).as("mean_word_len"),
         (nHash.cast("double") / nWords.cast("double")).as("hash_ratio"),
@@ -739,7 +746,7 @@ object TextOps {
           (lit(3L) * nWords).cast("double")).as("ellipsis_ratio"),
         (nAlpha.cast("double") / nWords.cast("double")).as("alpha_word_frac"),
         (nBullet.cast("double") / nLines.cast("double")).as("bullet_line_frac"),
-        (nEllEnd.cast("double") / nLines.cast("double")).as("ellipsis_line_frac"))
+        (nEllEnd.cast("double") / nLines.cast("double")).as("ellipsis_line_frac")): _*)
       .join(stopHits, Seq(idCol), "left")
       .withColumn("n_stop_hits", coalesce(col("__stop_hits"), lit(0L)))
       .drop("__stop_hits")

@@ -3238,6 +3238,25 @@ class ExtSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("__thr"))
   }
 
+  test("gopherRules: carryCols ride the report unchanged (no re-attach join needed)") {
+    // the carried attribute must neither perturb any verdict nor be
+    // perturbed itself — report-with-carry ≡ report-without joined back
+    // on by id (the shape q145 replaced with the carry)
+    val df = docsDf(
+      1L -> "aa bb aa bb aa cc",
+      2L -> "xx yy",
+      3L -> "aa # ... zz")
+      .withColumn("site", concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    val carried = TextOps.gopherRules(df, stopTopK = 2, carryCols = Seq("site"))
+    val joined = TextOps.gopherRules(df.drop("site"), stopTopK = 2)
+      .join(df.select(col("doc_id"), col("site")), Seq("doc_id"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("site"),
+        r.getAs[Long]("n_words"), r.getAs[Boolean]("keep"))
+    assert(carried.collect().map(key).toSet === joined.collect().map(key).toSet)
+    assert(carried.columns.contains("site"))
+  }
+
   test("gopherRules: hand-computed stats, per-rule flags, and keep on crafted docs") {
     val df = docsDf(
       1L -> "aa bb aa bb aa cc",
